@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational-operator parity suite.
+  *
+  * Each entry exercises one operator family from SURVEY.md §2 (the
+  * reference's extraction/transform/load surface re-expressed over the
+  * driver's synthetic star schema), with a DuckDB-equivalent oracle.
+  *
+  * Determinism rules (so the driver's sorted-hash compare passes):
+  *  - double aggregates go through DECIMAL partial sums (order-independent,
+  *    exact) and are cast back to DOUBLE at the end;
+  *  - every ORDER BY / LIMIT / window carries a unique tiebreaker;
+  *  - aggregate output columns are aliased identically in Spark and SQL.
+  */
+object CoreQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent sum of a double column: route through decimal. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  // ---------------------------------------------------------------------------
+  // q1_agg — A-family aggregation (SURVEY §2.4): group-by w/ multi aggregates.
+  // Map-side partial aggregation; no window, one shuffle on the group keys.
+  // ---------------------------------------------------------------------------
+  val q1Agg: QueryFn = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+      | CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q2_join_chain — J1/J2 (SURVEY §2.3): 5-way inner equi-join chain.
+  // region/nation are tiny -> broadcast; lineitem⋈orders is the only big-big
+  // join (sort-merge / AQE's choice).
+  // ---------------------------------------------------------------------------
+  val q2JoinChain: QueryFn = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+  val q2Sql: String =
+    """SELECT n_name,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      | CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q3_left_join — J3 (left outer w/ null semantics): customers w/ or w/o
+  // orders; nulls from the outer side flow into count/sum.
+  // ---------------------------------------------------------------------------
+  val q3LeftJoin: QueryFn = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+  }
+  val q3Sql: String =
+    """SELECT c_custkey,
+      | CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      | coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 0.0) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q4_union_branches — U1 + P2 (SURVEY §2.6/2.2): two filtered projections
+  // with NULL-literal schema alignment, unioned then aggregated. Mirrors the
+  // reference's burn-branch / output-branch UNION ALL.
+  // ---------------------------------------------------------------------------
+  val q4UnionBranches: QueryFn = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val burns = li.filter(col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey").as("key"),
+        (col("l_quantity") * lit(-1.0)).as("qty"),
+        lit(null).cast("string").as("addr"),
+        lit("burn").as("branch"))
+    val outs = li.filter(col("l_returnflag") =!= "R")
+      .select(
+        col("l_orderkey").as("key"),
+        col("l_quantity").as("qty"),
+        concat(lit("addr_"), col("l_suppkey")).as("addr"),
+        lit("out").as("branch"))
+    burns.unionByName(outs)
+      .groupBy("branch")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("qty")).as("qty_sum"),
+        count(col("addr")).as("n_addr"))
+  }
+  val q4Sql: String =
+    """SELECT branch, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(qty AS DECIMAL(30,2))) AS DOUBLE) AS qty_sum,
+      | CAST(count(addr) AS BIGINT) AS n_addr
+      |FROM (
+      |  SELECT l_orderkey AS key, l_quantity * -1.0 AS qty,
+      |         CAST(NULL AS VARCHAR) AS addr, 'burn' AS branch
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |  UNION ALL
+      |  SELECT l_orderkey, l_quantity, 'addr_' || l_suppkey, 'out'
+      |  FROM lineitem WHERE l_returnflag <> 'R'
+      |) GROUP BY branch""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q5_first_per_key — A3 (first-record-per-entity): row_number window with a
+  // pinned total order (shipdate, linenumber) inside each order.
+  // ---------------------------------------------------------------------------
+  val q5FirstPerKey: QueryFn = (s, dir) => {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_partkey", "l_shipdate")
+  }
+  val q5Sql: String =
+    """SELECT l_orderkey, l_partkey, l_shipdate
+      |FROM lineitem
+      |QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) = 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q6_last_write_wins — A4 (current_wallet_id semantics): last event per user
+  // by (ts, event_id). max_by keeps this a hash aggregate (partial map-side
+  // combine) instead of a window sort — the 100 TB-friendly shape.
+  // ---------------------------------------------------------------------------
+  val q6LastWriteWins: QueryFn = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+        max(col("ts")).as("last_ts"))
+  }
+  val q6Sql: String =
+    """SELECT user_id, last_type, last_ts FROM (
+      |  SELECT user_id, event_type AS last_type,
+      |         max(ts) OVER (PARTITION BY user_id) AS last_ts,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q7_json_extract — S3 (JSON navigation): get_json_object over the props
+  // column; exact integer sums.
+  // ---------------------------------------------------------------------------
+  val q7JsonExtract: QueryFn = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+  }
+  val q7Sql: String =
+    """SELECT event_type,
+      | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q8_tumbling_window — ST3 (120-minute periods): epoch-aligned tumbling
+  // windows, the reference's micro-batch period grid.
+  // ---------------------------------------------------------------------------
+  val q8TumblingWindow: QueryFn = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "120 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .select(col("w.start").as("w_start"), col("n"), col("value_sum"))
+  }
+  val q8Sql: String =
+    """SELECT make_timestamp(CAST(floor(epoch(ts)/7200)*7200*1000000 AS BIGINT)) AS w_start,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q9_anti_join — J6/implicit anti (insert-when-missing): parts never shipped.
+  // ---------------------------------------------------------------------------
+  val q9AntiJoin: QueryFn = (s, dir) => {
+    val p  = Tables.part(s, dir)
+    val li = Tables.lineitem(s, dir)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+  }
+  val q9Sql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q10_semi_join — EXISTS: customers with at least one 'F' order.
+  // ---------------------------------------------------------------------------
+  val q10SemiJoin: QueryFn = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+  val q10Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q11_tip_probe — SRC3 (4th-newest block time, the ingestion-lag tip).
+  // ---------------------------------------------------------------------------
+  val q11TipProbe: QueryFn = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("ts").as("tip_ts"), col("event_id"))
+      .orderBy(col("tip_ts").desc, col("event_id").desc)
+      .offset(3).limit(1)
+      .select("tip_ts")
+  }
+  val q11Sql: String =
+    "SELECT ts AS tip_ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 1 OFFSET 3"
+
+  // ---------------------------------------------------------------------------
+  // q12_distinct_dim — A2 (new-entity dedup): distinct natural keys.
+  // ---------------------------------------------------------------------------
+  val q12DistinctDim: QueryFn = (s, dir) =>
+    Tables.documents(s, dir).select("lang", "source").distinct()
+  val q12Sql: String = "SELECT DISTINCT lang, source FROM documents"
+
+  // ---------------------------------------------------------------------------
+  // q13_surrogate_ids — T3 (contiguous surrogate ids): dense row_number over
+  // the (small) new-entity set with a pinned order. The single-partition
+  // window is confined to the distinct key set — the documented skew point.
+  // ---------------------------------------------------------------------------
+  val q13SurrogateIds: QueryFn = (s, dir) => {
+    Tables.part(s, dir).select("p_brand").distinct()
+      .withColumn("id", row_number().over(Window.orderBy("p_brand")).cast("long"))
+  }
+  val q13Sql: String =
+    "SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS id FROM (SELECT DISTINCT p_brand FROM part)"
+
+  // ---------------------------------------------------------------------------
+  // q14_sink_tip — SRC4 (resume watermark): max time across two fact tables,
+  // with the genesis fallback constant.
+  // ---------------------------------------------------------------------------
+  val q14SinkTip: QueryFn = (s, dir) => {
+    val a = Tables.orders(s, dir).agg(max(col("o_orderdate")).as("t"))
+    val b = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("t"))
+    a.unionByName(b)
+      .agg(max(col("t")).as("m"))
+      .select(coalesce(col("m"), lit("2021-03-01 21:47:00").cast("timestamp")).as("sink_tip"))
+  }
+  val q14Sql: String =
+    """SELECT coalesce(max(t), TIMESTAMP '2021-03-01 21:47:00') AS sink_tip FROM (
+      |  SELECT max(o_orderdate) AS t FROM orders
+      |  UNION ALL
+      |  SELECT max(l_shipdate) AS t FROM lineitem)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q15_range_filter — P4 (half-open period predicate): (from, to] on event
+  // time, the reference's micro-batch extraction predicate.
+  // ---------------------------------------------------------------------------
+  val q15RangeFilter: QueryFn = (s, dir) => {
+    val from = lit("2024-01-10 00:00:00").cast("timestamp")
+    val to   = lit("2024-01-20 00:00:00").cast("timestamp")
+    Tables.events(s, dir)
+      .filter(col("ts") > from && col("ts") <= to)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+  }
+  val q15Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+      |FROM events
+      |WHERE ts > TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q16_topk — O1/O2 (ordered limit with pinned tiebreaker).
+  // ---------------------------------------------------------------------------
+  val q16TopK: QueryFn = (s, dir) => {
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_totalprice")
+  }
+  val q16Sql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+
+  // ---------------------------------------------------------------------------
+  // q17_routing — T1 (mint/transfer conditional routing incl. the NULL
+  // `is_mint_tx` trap: Python `is True` treats NULL as false ->
+  // coalesce(..., false)).
+  // ---------------------------------------------------------------------------
+  val q17Routing: QueryFn = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("is_mint", when(col("event_type") === "purchase", lit(true)))
+      .withColumn("route",
+        when(coalesce(col("is_mint"), lit(false)), lit("mint")).otherwise(lit("transfer")))
+      .groupBy("route")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+  }
+  val q17Sql: String =
+    """SELECT CASE WHEN coalesce(CASE WHEN event_type = 'purchase' THEN true END, false)
+      |            THEN 'mint' ELSE 'transfer' END AS route,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1""".stripMargin
+
+  val all: Map[String, QueryFn] = Map(
+    "q1_agg"            -> q1Agg,
+    "q2_join_chain"     -> q2JoinChain,
+    "q3_left_join"      -> q3LeftJoin,
+    "q4_union_branches" -> q4UnionBranches,
+    "q5_first_per_key"  -> q5FirstPerKey,
+    "q6_last_write_wins"-> q6LastWriteWins,
+    "q7_json_extract"   -> q7JsonExtract,
+    "q8_tumbling_window"-> q8TumblingWindow,
+    "q9_anti_join"      -> q9AntiJoin,
+    "q10_semi_join"     -> q10SemiJoin,
+    "q11_tip_probe"     -> q11TipProbe,
+    "q12_distinct_dim"  -> q12DistinctDim,
+    "q13_surrogate_ids" -> q13SurrogateIds,
+    "q14_sink_tip"      -> q14SinkTip,
+    "q15_range_filter"  -> q15RangeFilter,
+    "q16_topk"          -> q16TopK,
+    "q17_routing"       -> q17Routing,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg"            -> q1Sql,
+    "q2_join_chain"     -> q2Sql,
+    "q3_left_join"      -> q3Sql,
+    "q4_union_branches" -> q4Sql,
+    "q5_first_per_key"  -> q5Sql,
+    "q6_last_write_wins"-> q6Sql,
+    "q7_json_extract"   -> q7Sql,
+    "q8_tumbling_window"-> q8Sql,
+    "q9_anti_join"      -> q9Sql,
+    "q10_semi_join"     -> q10Sql,
+    "q11_tip_probe"     -> q11Sql,
+    "q12_distinct_dim"  -> q12Sql,
+    "q13_surrogate_ids" -> q13Sql,
+    "q14_sink_tip"      -> q14Sql,
+    "q15_range_filter"  -> q15Sql,
+    "q16_topk"          -> q16Sql,
+    "q17_routing"       -> q17Sql,
+  )
+}
