@@ -1,0 +1,107 @@
+package graft.cardano
+
+import java.sql.Timestamp
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Incremental micro-batch driver (SURVEY.md §2.8 ST1-ST8,
+  * `/root/reference/app/main.py:43-107`, `app/db/postgres.py:251-325`).
+  *
+  * Period grid: step from the sink tip to the source tip in
+  * `intervalMinutes` increments (default 120, the reference's
+  * PANTASIA_TIME_INTERVAL), last period clamped; each period extracts
+  * `(from, to]`, transforms, and commits atomically via TableStore versions
+  * (idempotent re-run — our ST6 upgrade over the reference).
+  */
+class SyncDriver(
+    spark: SparkSession,
+    sourceDir: String,
+    store: TableStore,
+    intervalMinutes: Long = 120) {
+
+  /** First native-asset block (`app/db/postgres.py:308`). */
+  val genesis: Timestamp = Timestamp.valueOf("2021-03-01 21:47:00")
+
+  /** ST1 / SRC3: 4th-newest block time — "don't read the last 3 blocks". */
+  def cardanoTip(): Option[Timestamp] = {
+    val rows = MainQuery.sourceTable(spark, sourceDir, "block")
+      .select(col("time"))
+      .orderBy(col("time").desc, col("id").desc)
+      .offset(3).limit(1)
+      .collect()
+    rows.headOption.map(_.getTimestamp(0))
+  }
+
+  /** ST2 / SRC4: resume point = max written tx_time across both fact
+    * tables; genesis when empty.
+    */
+  def pantasiaTip(): Timestamp = {
+    val a = store.read("asset_tx").agg(max(col("tx_time")).as("t"))
+    val b = store.read("asset_mint_tx").agg(max(col("tx_time")).as("t"))
+    val m = a.unionByName(b).agg(max(col("t"))).collect()(0)
+    if (m.isNullAt(0)) genesis else m.getTimestamp(0)
+  }
+
+  /** ST3: tumbling periods from `from` (exclusive) to `tip` (inclusive),
+    * `intervalMinutes` wide, last one clamped to `tip`.
+    */
+  def periodList(from: Timestamp, tip: Timestamp): Seq[Timestamp] = {
+    val out = Seq.newBuilder[Timestamp]
+    out += from
+    var cur = from.toInstant
+    val end = tip.toInstant
+    while (cur.isBefore(end)) {
+      cur = cur.plus(intervalMinutes, ChronoUnit.MINUTES)
+      if (cur.isAfter(end)) cur = end
+      out += Timestamp.from(cur)
+    }
+    out.result()
+  }
+
+  /** Run one period `(from, to]`: extract → transform → stage → commit. */
+  def syncPeriod(from: Timestamp, to: Timestamp): Unit = {
+    val records = MainQuery.extract(spark, sourceDir, from, to)
+
+    val state = Transform.State(
+      wallet = store.read("wallet"),
+      collection = store.read("collection"),
+      asset = store.read("asset"),
+      assetExt = store.read("asset_ext"),
+      nextWalletId = store.nextId("wallet"),
+      nextCollectionId = store.nextId("collection"),
+      nextAssetId = store.nextId("asset"),
+      nextAssetTxId = store.nextId("asset_tx"),
+      nextAssetMintTxId = store.nextId("asset_mint_tx"))
+
+    val d = Transform(records, state)
+
+    // Stage every table's next version, then flip pointers together (SNK3).
+    val staged = Map(
+      "wallet"        -> store.appendNext("wallet", d.walletInserts),
+      "collection"    -> store.appendNext("collection", d.collectionInserts),
+      "asset_tx"      -> store.appendNext("asset_tx", d.assetTxInserts),
+      "asset_mint_tx" -> store.appendNext("asset_mint_tx", d.assetMintTxInserts),
+      "asset"         -> store.writeNext("asset", d.assetUpdated),
+      "asset_ext"     -> store.writeNext("asset_ext", d.assetExtUpdated))
+    store.commit(staged)
+  }
+
+  /** Catch up from the sink tip to the source tip once (the reference's
+    * inner `while len(period_list) > 1` drain). Returns periods run.
+    */
+  def catchUp(): Int = {
+    cardanoTip() match {
+      case None => 0
+      case Some(tip) =>
+        val periods = periodList(pantasiaTip(), tip)
+        var n = 0
+        periods.sliding(2).foreach {
+          case Seq(from, to) => syncPeriod(from, to); n += 1
+          case _ =>
+        }
+        n
+    }
+  }
+}
