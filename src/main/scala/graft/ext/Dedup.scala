@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed
+  * shuffle-aware for the 100 TB target:
+  *
+  *  - exact: one hash-aggregate on a content digest (never groups on the
+  *    raw text — the shuffle carries a 32-byte key, not documents);
+  *  - MinHash+LSH: signatures via higher-order functions (codegen'd, no
+  *    UDF), banded bucketing, bucket-join candidate generation, exact
+  *    verification only on candidates;
+  *  - SimHash: 64-bit signature via the custom codegen Expression in
+  *    `SimHash64`; near-dups = hamming distance ≤ r on banded buckets;
+  *  - n-gram Jaccard: inverted shingle index join with document-frequency
+  *    pruning (stop-shingles dropped before the self-join, the classic
+  *    skew guard);
+  *  - embedding cosine: see Similarity.nearDupPairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest `idCol` per identical `textCol`.
+    * Groups on sha2(text) so the shuffle key is fixed-width; keeps one
+    * representative id + duplicate count per group.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles (lowercased). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature: `num` permutations approximated by seeded xxhash64
+    * over the shingle set. Pure higher-order expressions — whole-stage
+    * codegen keeps this in one pass over the text.
+    */
+  def minhashSignature(shingleCol: Column, num: Int = 64): Column =
+    transform(sequence(lit(1), lit(num)),
+      seed => array_min(transform(shingleCol,
+        s => xxhash64(s, seed))))
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band. Docs sharing any band hash are candidates.
+    */
+  def bandHashes(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",",
+          slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("h")))
+
+  /** MinHash-LSH near-duplicate pairs with estimated Jaccard >= `threshold`.
+    *
+    * Pipeline: shingle -> signature -> band-explode -> bucket self-join
+    * (only within buckets, the LSH point) -> signature-agreement estimate
+    * -> threshold. Verification compares full signatures, not documents, so
+    * nothing wide is shuffled.
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
+
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+      .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.h").as("h"))
+
+    val l = banded.select(col("band"), col("h"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("h"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val candidates = l.join(r, Seq("band", "h"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast("double") / lit(numHashes.toDouble))
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: signature from the codegen'd SimHash64
+    * expression, candidates from 4-way band bucketing (any identical
+    * 16-bit quarter → candidate, catching all pairs within hamming r<=3
+    * by pigeonhole when r < bands), verified by exact hamming distance.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      SimHash64.simhash64(lower(trim(col(textCol)))).as("sig"))
+    val bandSpec = Seq(0, 16, 32, 48)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array(bandSpec.map(o =>
+        struct(lit(o).as("band"),
+          shiftright(col("sig"), o).bitwiseAND(lit(0xFFFFL)).as("h"))): _*)).as("bh"))
+      .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.h").as("h"))
+
+    val l = banded.select(col("band"), col("h"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("h"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "h"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard pairs >= `threshold` via an inverted shingle
+    * index. `maxDocFreq` drops stop-shingles before the self-join (skew
+    * guard: a shingle appearing in f docs would otherwise fan out f²).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+      .withColumn("set_size", size(col("sh")).cast("long"))
+
+    val inv = sh.select(col("id"), col("set_size"), explode(col("sh")).as("g"))
+    val keep = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq && col("df") >= 2)
+    val pruned = inv.join(keep.select("g"), Seq("g"))
+
+    val pairs = pruned.select(col("g"), col("id").as("id_a"), col("set_size").as("sz_a"))
+      .join(pruned.select(col("g"), col("id").as("id_b"), col("set_size").as("sz_b")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+
+    pairs
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

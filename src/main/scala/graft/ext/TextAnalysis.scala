@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is built from codegen'd `functions._` / higher-order
+  * functions (no Python, no driver loops): each operator is a narrow
+  * per-row projection that scales linearly and keeps whole-stage codegen
+  * intact. Language ID is a UDF over a tiny static profile table (pure
+  * function of the row — embarrassingly parallel).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the baseline token counter's unit). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword count: word pieces + standalone punctuation, the usual
+    * cheap proxy for LLM token counts when no tokenizer model is shipped.
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality-scoring features: lengths, ratios, stopword density. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_obs", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(toks, x => x.isInCollection(StopwordsEn))).cast("long"))
+      .withColumn("n_punct",
+        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("long"))
+      .withColumn("avg_token_len",
+        when(size(toks) > 0,
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+            size(toks).cast("double")).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  // --- language ID (n-gram/stopword heuristic) ------------------------------
+  // Tiny per-language marker profiles; scored per row. Real pipelines swap
+  // in fastText-style models — the operator shape (pure projection) is the
+  // same.
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "was", "with", "that", "this"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "una", "está", "para", "como", "pero"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+
+  def langIdFn(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    // CJK detection first (char-class heuristic)
+    val cjk = text.codePoints().toArray.count(cp =>
+      (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF))
+    if (cjk * 4 >= text.length) return "zh"
+    val toks = text.toLowerCase.split("\\s+").toSeq
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> toks.count(markers.contains)
+    }
+    val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+    if (score == 0) "und" else best
+  }
+
+  private val langIdUdf = udf(langIdFn _)
+  def lang_id(text: Column): Column = langIdUdf(text)
+
+  /** 64-bit rolling polynomial document fingerprint (content hash that is
+    * stable under leading/trailing whitespace). Pure expression — codegen'd.
+    */
+  def fingerprint(text: Column): Column = xxhash64(trim(text))
+
+  /** Winnowing-style k-gram fingerprint set: the w smallest k-gram hashes
+    * — robust to small edits, used for near-dup candidate generation.
+    */
+  def kgramFingerprints(text: Column, k: Int = 8, w: Int = 16): Column =
+    slice(array_sort(transform(
+      sequence(lit(1), greatest(length(trim(text)) - (k - 1), lit(1))),
+      i => xxhash64(trim(text).substr(i, lit(k))))), 1, w)
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Phase-E extension operators exposed through SparkEntry.
+  *
+  * SQL-expressible ones carry DuckDB oracles; the sketch/LSH family
+  * (MinHash, SimHash, random-hyperplane ANN) cannot be expressed in ANSI
+  * SQL, so they get rows-only checks here and exact-recall assertions
+  * against in-engine oracles in ExtSpec.
+  */
+object ExtQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // --- dedup ---------------------------------------------------------------
+
+  val dedupExact: QueryFn = (s, dir) =>
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+      .select("keep_id", "n_copies")
+  val dedupExactSql: String =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
+  val dedupMinhash: QueryFn = (s, dir) =>
+    Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b")
+
+  val dedupSimhash: QueryFn = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+
+  val dedupNgramJaccard: QueryFn = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .select("id_a", "id_b")
+
+  // The synthetic embeddings are near-orthogonal (max pairwise cosine
+  // ~0.48 at sf0.001), so "near-dup" here means the most-similar tail.
+  val dedupEmbedCosine: QueryFn = (s, dir) =>
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4, bands = 8)
+      .select("id_a", "id_b")
+
+  // --- similarity search ---------------------------------------------------
+
+  /** Exact brute-force cosine top-5 for the 20 smallest vec_ids. */
+  val annTopK: QueryFn = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.orderBy("vec_id").limit(20)
+    Similarity.cosineTopK(queries, emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** LSH-bucketed ANN over the same queries (approximate — rows-only). */
+  val annLsh: QueryFn = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.orderBy("vec_id").limit(20)
+    Similarity.lshTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  // --- text analysis -------------------------------------------------------
+
+  val textTokens: QueryFn = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      size(TextAnalysis.regexTokens(col("text"))).cast("long").as("n_subtokens"))
+  val textTokensSql: String =
+    """SELECT doc_id,
+      | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens
+      |FROM documents""".stripMargin
+
+  val textQuality: QueryFn = (s, dir) =>
+    TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+      .select("doc_id", "n_chars_obs", "n_tokens", "n_stopwords", "n_punct")
+  val textQualitySql: String =
+    """SELECT doc_id,
+      | CAST(length(text) AS BIGINT) AS n_chars_obs,
+      | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      | CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS n_stopwords,
+      | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+      |FROM documents""".stripMargin
+
+  val textLangId: QueryFn = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"), TextAnalysis.lang_id(col("text")).as("lang_pred"))
+
+  val textFingerprint: QueryFn = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      size(TextAnalysis.kgramFingerprints(col("text"))).cast("long").as("n_kgram_fps"))
+
+  // --- multimodal (stubbed decode; real plumbing) --------------------------
+
+  val multimodalFeatures: QueryFn = (s, dir) => {
+    val media = Multimodal.mediaTable(
+      Tables.documents(s, dir).select(col("doc_id"), encode(col("text"), "utf-8").as("payload")),
+      "doc_id", "payload", kind = "image", format = "fake")
+    Multimodal.decodeStub(media, dim = 16).toDF()
+      .select(col("media_id"), col("byte_len"), size(col("features")).cast("long").as("n_features"))
+  }
+  // byte_len is SQL-checkable even though the features are stubbed:
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+      | CAST(16 AS BIGINT) AS n_features
+      |FROM documents""".stripMargin
+
+  val multimodalFrames: QueryFn = (s, dir) => {
+    val media = Multimodal.mediaTable(
+      Tables.documents(s, dir).select(col("doc_id"), encode(col("text"), "utf-8").as("payload")),
+      "doc_id", "payload", kind = "video", format = "fake")
+    Multimodal.sampleFrames(media, frameSize = 64, stride = 2).toDF()
+      .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+  }
+  val multimodalFramesSql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(ceil((strlen(text) // 64) / 2.0) AS BIGINT) AS n_frames
+      |FROM documents WHERE strlen(text) >= 64""".stripMargin
+
+  val all: Map[String, QueryFn] = Map(
+    "dedup_exact"          -> dedupExact,
+    "dedup_minhash"        -> dedupMinhash,
+    "dedup_simhash"        -> dedupSimhash,
+    "dedup_ngram_jaccard"  -> dedupNgramJaccard,
+    "dedup_embed_cosine"   -> dedupEmbedCosine,
+    "ann_topk"             -> annTopK,
+    "ann_lsh"              -> annLsh,
+    "text_tokens"          -> textTokens,
+    "text_quality"         -> textQuality,
+    "text_langid"          -> textLangId,
+    "text_fingerprint"     -> textFingerprint,
+    "multimodal_features"  -> multimodalFeatures,
+    "multimodal_frames"    -> multimodalFrames,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact"         -> dedupExactSql,
+    "text_tokens"         -> textTokensSql,
+    "text_quality"        -> textQualitySql,
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_frames"   -> multimodalFramesSql,
+  )
+}

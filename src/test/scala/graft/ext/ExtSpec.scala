@@ -1,0 +1,182 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.SparkTest
+
+class ExtSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // ---- text analysis -------------------------------------------------------
+
+  test("tokens + quality features on a known string") {
+    val df = Seq((1L, "The quick, brown fox! of the woods.")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityFeatures(df).head()
+    assert(q.getAs[Long]("n_tokens") == 7L)
+    assert(q.getAs[Long]("n_stopwords") == 2L)  // "the" x2 ("The" is capitalized -> not counted)
+    assert(q.getAs[Long]("n_punct") == 3L)      // , ! .
+  }
+
+  test("lang_id: marker heuristics on hand samples; CJK detection") {
+    assert(TextAnalysis.langIdFn("the cat and the dog is in the house") == "en")
+    assert(TextAnalysis.langIdFn("le chat est dans la maison pour une nuit") == "fr")
+    assert(TextAnalysis.langIdFn("der hund ist nicht mit das haus und") == "de")
+    assert(TextAnalysis.langIdFn("el perro está en las casas para una noche") == "es")
+    assert(TextAnalysis.langIdFn("你好世界 这是一个测试") == "zh")
+    assert(TextAnalysis.langIdFn("") == "und")
+    assert(TextAnalysis.langIdFn("xyzzy plugh") == "und")
+  }
+
+  test("fingerprint stable under surrounding whitespace; kgram fps bounded") {
+    val df = Seq((1L, "hello world document"), (2L, "  hello world document  "))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.kgramFingerprints(col("text"), k = 4, w = 8).as("kg"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == rows(1).getLong(0))
+    assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
+    assert(rows(0).getSeq[Long](1).size <= 8)
+  }
+
+  // ---- simhash -------------------------------------------------------------
+
+  test("SimHash64 expression: eval == compute; identical text -> hamming 0") {
+    val s = "spark dedup pipeline with many tokens here"
+    val df = Seq((1L, s), (2L, s), (3L, s + " changed slightly at end"))
+      .toDF("id", "text")
+      .select(col("id"), SimHash64.simhash64(col("text")).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) == SimHash64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    val hamming = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(hamming > 0 && hamming <= 20, s"hamming=$hamming")
+  }
+
+  test("simhashPairs finds near-identical docs, skips unrelated ones") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("token7", "tokenX")),             // 1-token edit
+      (3L, (100 to 140).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  // ---- minhash / jaccard ---------------------------------------------------
+
+  test("minhashPairs estimates track exact n-gram jaccard on duplicates") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 48).map(i => s"w$i") ++ Seq("zz", "yy")).mkString(" ")
+    val far = (200 to 250).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(mh((1L, 2L)) == 1.0)                       // identical docs
+    assert(mh.contains((1L, 3L)) && mh.contains((2L, 3L)))
+    assert(!mh.contains((1L, 4L)) && !mh.contains((3L, 4L)))
+
+    val ex = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(ex((1L, 2L)) == 1.0)
+    // estimate within 0.25 of exact for the near pair
+    assert(math.abs(mh((1L, 3L)) - ex((1L, 3L))) < 0.25,
+      s"est=${mh((1L, 3L))} exact=${ex((1L, 3L))}")
+  }
+
+  test("exact dedup keeps min id per duplicate group") {
+    val docs = Seq((5L, "aaa"), (2L, "aaa"), (9L, "bbb")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 2L), (9L, 1L)))
+  }
+
+  // ---- similarity ----------------------------------------------------------
+
+  /** Clustered vectors: `n` per cluster around `c` orthogonal-ish centers. */
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int): Seq[(Long, Array[Float], Int)] = {
+    val rnd = new Random(42)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat)
+    (0 until nClusters).flatMap { c =>
+      (0 until perCluster).map { i =>
+        val v = centers(c).zipWithIndex.map { case (x, d) =>
+          x + 0.05f * rnd.nextGaussian().toFloat }
+        ((c * perCluster + i).toLong, v, c)
+      }
+    }
+  }
+
+  test("cosineTopK: nearest neighbors come from the same cluster") {
+    val data = clustered(8, 10, 32)
+    val df = data.toDF("vec_id", "embedding", "cluster")
+    val queries = df.where(col("vec_id") % 10 === 0) // one per cluster
+    val top = Similarity.cosineTopK(queries, df, k = 3)
+    val byCluster = data.map(t => t._1 -> t._3).toMap
+    val rows = top.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val sameCluster = rows.count { case (q, n) => byCluster(q) == byCluster(n) }
+    assert(sameCluster == rows.length, s"$sameCluster/${rows.length} same-cluster")
+  }
+
+  test("lshTopK recall vs exact on clustered data >= 0.8") {
+    val data = clustered(8, 10, 32)
+    val df = data.toDF("vec_id", "embedding", "cluster")
+    val queries = df.where(col("vec_id") % 10 === 0)
+    val exact = Similarity.cosineTopK(queries, df, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, df, k = 3, bits = 16, bands = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("nearDupPairs (LSH) recall vs exact pairs >= 0.9 on clustered data") {
+    val data = clustered(6, 6, 32)
+    val df = data.toDF("vec_id", "embedding", "cluster")
+    val exact = Similarity.nearDupPairsExact(df, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairs(df, threshold = 0.95, bits = 16, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact))  // verification step keeps only true pairs
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall (${lsh.size}/${exact.size})")
+  }
+
+  // ---- multimodal ----------------------------------------------------------
+
+  test("multimodal plumbing: schema, batch decode stub, frame sampling") {
+    val docs = Seq((1L, "x" * 200), (2L, "y" * 63)).toDF("doc_id", "text")
+    val media = Multimodal.mediaTable(
+      docs.select(col("doc_id"), encode(col("text"), "utf-8").as("payload")),
+      "doc_id", "payload", "video", "fake")
+
+    val feats = Multimodal.decodeStub(media, dim = 16).collect()
+    assert(feats.map(_.media_id).toSet == Set(1L, 2L))
+    assert(feats.forall(_.features.length == 16))
+    assert(feats.find(_.media_id == 1L).get.byte_len == 200L)
+
+    // determinism of the stub
+    val feats2 = Multimodal.decodeStub(media, dim = 16).collect()
+    assert(feats.sortBy(_.media_id).zip(feats2.sortBy(_.media_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 2).collect()
+    // doc 1: 200/64 = 3 frames at stride 2 -> idx 0, 2 -> 2 rows; doc 2: 0
+    assert(frames.count(_.media_id == 1L) == 2)
+    assert(frames.count(_.media_id == 2L) == 0)
+    assert(frames.forall(_.frame_payload.length == 64))
+
+    val resized = Multimodal.resizeStub(media, 224, 224).collect()
+    assert(resized.forall(m => m.width == 224 && m.height == 224))
+  }
+}
