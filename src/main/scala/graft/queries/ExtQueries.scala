@@ -126,7 +126,27 @@ object ExtQueries {
       | CAST(ceil((strlen(text) // 64) / 2.0) AS BIGINT) AS n_frames
       |FROM documents WHERE strlen(text) >= 64""".stripMargin
 
+  // --- sessionization (batch form of the streaming operator) ---------------
+
+  val sessionize: QueryFn = (s, dir) =>
+    graft.streaming.StreamingOps.sessionizeBatch(Tables.events(s, dir), gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+  val sessionizeSql: String =
+    """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      | CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM (
+      |    SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+      |                   THEN 1 ELSE 0 END AS new_session
+      |    FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |          FROM events)))
+      |GROUP BY user_id, session_seq""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "sessionize"           -> sessionize,
     "dedup_exact"          -> dedupExact,
     "dedup_minhash"        -> dedupMinhash,
     "dedup_simhash"        -> dedupSimhash,
@@ -143,6 +163,7 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "sessionize"          -> sessionizeSql,
     "dedup_exact"         -> dedupExactSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's incremental loop
+  * (SURVEY.md §2.8, ST3 "v2"): the 120-minute tumbling period becomes an
+  * event-time window + watermark; the 3-block ingestion lag becomes the
+  * watermark delay; cross-batch dedup state (ST5) is demonstrated with
+  * `flatMapGroupsWithState` for the one shape that genuinely needs managed
+  * state — sessionization — while the sync itself stays anti-join-based
+  * (exactly-once-friendly, no state store growth).
+  */
+/** Open-session state carried across micro-batches (kept top-level so its
+  * Catalyst encoder codegen can instantiate it).
+  */
+case class SessionState(startMs: Long, endMs: Long, numEvents: Long, totalValue: Double)
+
+object StreamingOps {
+
+  /** Schema-pinned streaming read of an events-shaped parquet directory.
+    * (Streaming reads must declare the schema up front.)
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+      "value DOUBLE, props STRING"
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** ST3 as a stream: tumbling event-time windows with a watermark standing
+    * in for the reference's fixed ingestion lag.
+    */
+  def periodAggregates(
+      events: DataFrame,
+      window_ : String = "120 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("value_sum"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  // --- sessionization via managed state (ST5 demonstration) ----------------
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap-based sessions per user: a session closes after `gapMinutes` of
+    * silence (flushed via processing-time timeout). State per key is O(1).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, fromMicros(s.startMs), fromMicros(s.endMs),
+              s.numEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.endMs <= gapUs =>
+                  cur = Some(s.copy(endMs = t, numEvents = s.numEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed += Session(userId, fromMicros(s.startMs),
+                    fromMicros(s.endMs), s.numEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMinutes * 60000L) }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with identical semantics (window over event
+    * gaps) — the oracle for the streaming path, and itself a useful
+    * operator (used by the `sessionize` query).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Long = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapSec = gapMinutes * 60.0
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (col("ts").cast("double") - col("prev_ts").cast("double")) > gapSec).cast("int"))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("total_value"))
+      .drop("session_seq")
+  }
+}

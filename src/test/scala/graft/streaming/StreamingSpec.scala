@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.sources.Tables
+
+/** Streaming == batch equivalence on the same events data. */
+class StreamingSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val eventsDir: String = {
+    // re-stage events as µs-timestamp parquet (streaming needs a plain
+    // schema; the raw file is nanos — see Tables.events)
+    val d = Files.createTempDirectory("events-stream").toString
+    Tables.events(spark, sfDir).coalesce(2).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming tumbling windows match the batch aggregation") {
+    val agg = StreamingOps.periodAggregates(
+      StreamingOps.eventsStream(spark, eventsDir))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_out")
+      .select("w_start", "event_type", "n", "value_sum")
+      .collect().map(_.toSeq).toSet
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "120 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("value_sum"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("value_sum"))
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionize (flatMapGroupsWithState) matches the batch oracle") {
+    // Real streaming run: sessions closed by an observed gap are emitted;
+    // each user's final session stays open in the state store (it would
+    // flush on the processing-time timeout in a live query), so the
+    // expectation is the batch sessions minus each user's last one.
+    val stream = StreamingOps.eventsStream(spark, eventsDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val q = StreamingOps.sessionize(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3), math.round(r.getDouble(4) * 100))
+
+    val streamed = spark.table("sessions_out")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(norm).toSet
+
+    val batchAll = StreamingOps.sessionizeBatch(
+      Tables.events(spark, sfDir), gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(norm)
+    val lastPerUser = batchAll.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    val expectedClosed = batchAll.toSet -- lastPerUser
+
+    assert(streamed == expectedClosed)
+    assert(streamed.nonEmpty)
+  }
+}
