@@ -65,24 +65,46 @@ object Dedup {
     */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Long = 500): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
+    // Materialize shingles BEHIND A PLAN BARRIER before the 64-way
+    // signature fan-out: a plain two-step select gets fused back by
+    // CollapseProject, re-inlining the shingle expression into all 64
+    // lambda references (64x re-shingling per row — measured 40x slower).
+    // The lazy localCheckpoint is an RDD barrier Catalyst can't fuse.
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .localCheckpoint(false)
+    val sigs = sh
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .localCheckpoint(false)
 
+    // Bucket join carries ONLY (band, h, id): the 64-long signatures are
+    // re-attached once per surviving pair, not fanned out per band — the
+    // difference between a narrow and a catastrophic shuffle at scale.
     val banded = sigs
-      .select(col("id"), col("sig"),
-        explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
-      .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .select(col("id"), explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
 
-    val l = banded.select(col("band"), col("h"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("h"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val candidates = l.join(r, Seq("band", "h"))
+    // Skew guard: a bucket holding b docs fans out b² candidate pairs; an
+    // over-full bucket means the band carries no signal for this corpus
+    // (the stop-shingle phenomenon at band level) — drop it.
+    val okBuckets = banded.groupBy("band", "h")
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") >= 2 && col("bn") <= maxBucket)
+      .select("band", "h")
+    val pruned = banded.join(okBuckets, Seq("band", "h"))
+
+    val candidates = pruned.select(col("band"), col("h"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("h"), col("id").as("id_b")), Seq("band", "h"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
     candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
           x => x)).cast("double") / lit(numHashes.toDouble))
@@ -123,23 +145,37 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 1000): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 1000,
+      minCommon: Long = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
       .withColumn("set_size", size(col("sh")).cast("long"))
+      .localCheckpoint(false) // reused by candidate gen AND verification
 
-    val inv = sh.select(col("id"), col("set_size"), explode(col("sh")).as("g"))
+    // Candidate generation on the df-pruned inverted index (skew guard: a
+    // shingle in f docs fans out f² — stop-shingles carry no signal).
+    // Pruning here only limits WHICH pairs are considered; the jaccard
+    // itself is verified exactly below, on the full shingle sets.
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
     val keep = inv.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq && col("df") >= 2)
     val pruned = inv.join(keep.select("g"), Seq("g"))
 
-    val pairs = pruned.select(col("g"), col("id").as("id_a"), col("set_size").as("sz_a"))
-      .join(pruned.select(col("g"), col("id").as("id_b"), col("set_size").as("sz_b")), Seq("g"))
+    val candidates = pruned.select(col("g"), col("id").as("id_a"))
+      .join(pruned.select(col("g"), col("id").as("id_b")), Seq("g"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("common"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_rare"))
+      .where(col("shared_rare") >= minCommon)
+      .select("id_a", "id_b")
 
-    pairs
+    // Exact verification on full sets — array_intersect per candidate pair.
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("set_size").as("sz_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("set_size").as("sz_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))

@@ -18,13 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** sum(a[i]*b[i]) as a codegen'd expression. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** sum(a[i]*b[i]) — native fused-loop expression (VectorExprs). */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Pre-normalized vectors: norm computed ONCE as a column (a lambda that
+    * referenced the norm *expression* would recompute it per element), so
+    * cosine downstream is a plain dot product.
+    */
+  private def unitVectors(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .localCheckpoint(false) // plan barrier: stops CollapseProject from
+                              // inlining the norm into the per-element
+                              // lambda below -> O(dim) recompute per element
+      .select(col(idAs), zip_with(col("__v"),
+        array_repeat(col("__n"), size(col("__v"))), (x, n) => x / n).as(vecAs))
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide).
@@ -36,10 +49,10 @@ object Similarity {
   def cosineTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = unitVectors(queries, idCol, vecCol, "query_id", "qv")
+    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cv")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -48,21 +61,26 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Random-hyperplane signature: bit j = sign(v · h_j) where hyperplane
-    * h_j's components are deterministic pseudo-random ±1s derived from
-    * xxhash64(j, dim). Pure expressions, computed in one pass.
+  /** Random-hyperplane signature: bit b = sign(v · h_b). Hyperplanes are
+    * deterministic pseudo-random ±1 vectors baked into the plan as array
+    * literals (mix of a splitmix64-style hash of (bit, dim)), so each bit
+    * is one fused dot-product loop — no per-bit lambda re-evaluation.
+    * `maxDim` caps the plane length; dot_product stops at the shorter of
+    * the two arrays, so vectors up to maxDim dims are covered.
     */
-  def rhpSignature(vec: Column, bits: Int = 16): Column =
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, j) => acc.bitwiseOR(
-        call_function("shiftleft",
-          when(aggregate(zip_with(vec,
-            sequence(lit(0), size(vec) - 1),
-            (x, d) => x * when(xxhash64(j, d) % 2 === 0, 1.0d).otherwise(-1.0d)),
-            lit(0.0d), (a, x) => a + x) > 0, lit(1L)).otherwise(lit(0L)),
-          j.cast("int"))))
+  def rhpSignature(vec: Column, bits: Int = 16, maxDim: Int = 256): Column = {
+    def sign(b: Int, d: Int): Double = {
+      var h = b.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
+    (0 until bits).map { b =>
+      // one array Literal per plane (NOT maxDim scalar literals — those
+      // blow up codegen compile time)
+      val plane = typedLit((0 until maxDim).map(d => sign(b, d)).toArray)
+      when(VectorExprs.dot_product(vec, plane) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
 
   /** LSH-bucketed ANN: queries probe only their signature bucket.
     * Approximate — recall depends on bits/band choices; `bands` splits the
@@ -76,8 +94,9 @@ object Similarity {
     val mask = (1L << rowsPerBand) - 1
 
     def banded(df: DataFrame, id: String, v: String): DataFrame = {
-      val sig = rhpSignature(asDouble(col(vecCol)), bits)
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v), sig.as("sig"))
+      val sig = rhpSignature(col(v), bits)
+      unitVectors(df, idCol, vecCol, id, v)
+        .select(col(id), col(v), sig.as("sig"))
         .select(col(id), col(v), explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask)).as("h"))): _*)).as("bh"))
@@ -89,7 +108,7 @@ object Similarity {
     val candidates = qb.join(cb, Seq("band", "h"))
       .where(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
@@ -104,24 +123,34 @@ object Similarity {
     */
   def nearDupPairs(
       df: DataFrame, threshold: Double = 0.95,
-      bits: Int = 16, bands: Int = 4,
+      bits: Int = 16, bands: Int = 4, maxBucket: Long = 500,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val rowsPerBand = bits / bands
     val mask = (1L << rowsPerBand) - 1
     val sig = rhpSignature(asDouble(col(vecCol)), bits)
+    // Unit-normalize once so verification is a plain dot product, and keep
+    // the bucket join id-only (vectors re-attached per surviving pair).
+    val unit = unitVectors(df, idCol, vecCol, "id", "u")
     val banded = df
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), sig.as("sig"))
-      .select(col("id"), col("v"), explode(array((0 until bands).map(b =>
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask)).as("h"))): _*)).as("bh"))
-      .select(col("id"), col("v"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
 
-    val l = banded.select(col("band"), col("h"), col("id").as("id_a"), col("v").as("va"))
-    val r = banded.select(col("band"), col("h"), col("id").as("id_b"), col("v").as("vb"))
-    l.join(r, Seq("band", "h"))
+    val okBuckets = banded.groupBy("band", "h").agg(count(lit(1)).as("bn"))
+      .where(col("bn") >= 2 && col("bn") <= maxBucket)
+      .select("band", "h")
+    val pruned = banded.join(okBuckets, Seq("band", "h"))
+
+    pruned.select(col("band"), col("h"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("h"), col("id").as("id_b")), Seq("band", "h"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .join(unit.select(col("id").as("id_a"), col("u").as("ua")), Seq("id_a"))
+      .join(unit.select(col("id").as("id_b"), col("u").as("ub")), Seq("id_b"))
+      .withColumn("cosine", dot(col("ua"), col("ub")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -132,10 +161,11 @@ object Similarity {
   def nearDupPairsExact(
       df: DataFrame, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
-    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = unitVectors(df, idCol, vecCol, "id_a", "va").repartition(par)
+    val b = unitVectors(df, idCol, vecCol, "id_b", "vb")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -27,8 +27,11 @@ object TextAnalysis {
   /** Quality-scoring features: lengths, ratios, stopword density. */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    df.withColumn("n_chars_obs", length(t).cast("long"))
+    // tokenize once into a real column; every feature then reads the
+    // attribute instead of re-splitting the text
+    val toks = col("__toks")
+    df.withColumn("__toks", tokens(t))
+      .withColumn("n_chars_obs", length(t).cast("long"))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_stopwords",
         size(filter(toks, x => x.isInCollection(StopwordsEn))).cast("long"))
@@ -42,6 +45,7 @@ object TextAnalysis {
         when(col("n_tokens") > 0,
           col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)))
+      .drop("__toks")
   }
 
   // --- language ID (n-gram/stopword heuristic) ------------------------------

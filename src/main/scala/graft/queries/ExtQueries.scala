@@ -41,9 +41,13 @@ object ExtQueries {
       .select("id_a", "id_b")
 
   // The synthetic embeddings are near-orthogonal (max pairwise cosine
-  // ~0.48 at sf0.001), so "near-dup" here means the most-similar tail.
+  // ~0.48 at sf0.001), so "near-dup" here means the most-similar tail —
+  // a regime where hyperplane-LSH bands carry no signal and the exact
+  // blocked all-pairs scan IS the scale answer (output is the bottleneck,
+  // not the scan). The LSH variant (Similarity.nearDupPairs) is for real
+  // near-dup thresholds and is recall-tested in ExtSpec.
   val dedupEmbedCosine: QueryFn = (s, dir) =>
-    Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4, bands = 8)
+    Similarity.nearDupPairsExact(Tables.embeddings(s, dir), threshold = 0.4)
       .select("id_a", "id_b")
 
   // --- similarity search ---------------------------------------------------
