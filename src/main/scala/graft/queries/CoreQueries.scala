@@ -286,10 +286,11 @@ object CoreQueries {
   // time, the reference's micro-batch extraction predicate.
   // ---------------------------------------------------------------------------
   val q15RangeFilter: QueryFn = (s, dir) => {
-    val from = lit("2024-01-10 00:00:00").cast("timestamp")
-    val to   = lit("2024-01-20 00:00:00").cast("timestamp")
-    Tables.events(s, dir)
-      .filter(col("ts") > from && col("ts") <= to)
+    // eventsInRange pushes the range onto the raw nanos column (a filter on
+    // the converted timestamp would never reach the parquet scan)
+    Tables.eventsInRange(s, dir,
+      java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
   }

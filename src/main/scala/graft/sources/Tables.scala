@@ -35,4 +35,20 @@ object Tables {
     table(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** Half-open time-range scan of events with parquet-pushdown: a filter on
+    * the *converted* ts column sits above a projection and never reaches
+    * the scan, so we filter the raw nanos long first (shows up in
+    * `PushedFilters`, prunes row groups via footer stats) and convert after.
+    */
+  def eventsInRange(spark: SparkSession, dir: String,
+      fromExclusive: java.sql.Timestamp, toInclusive: java.sql.Timestamp): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // exact under ns->µs truncation: µs(ns) > from  <=>  ns > from_ns + 999
+    val fromNs = fromExclusive.getTime * 1000000L + 999L
+    val toNs = toInclusive.getTime * 1000000L + 999L
+    table(spark, dir, "events")
+      .where(col("ts") > fromNs && col("ts") <= toNs)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Physical-plan assertions: the optimizations the 100 TB design relies on
+  * must actually appear in the executed plan — predicate pushdown into the
+  * parquet scan, column pruning, broadcast joins for dims, partial (map-
+  * side) aggregation, and whole-stage codegen over the hot projections.
+  */
+class PlanSpec extends AnyFunSuite with SparkTest {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // force AQE to finalize the plan
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg: column pruning + two-phase hash aggregation") {
+    val p = plan(CoreQueries.q1Agg(spark, dir))
+    // scan must not read all 11 lineitem columns
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "pruned column still read:\n" + p)
+    assert(!p.contains("l_shipdate"), "pruned column still read:\n" + p)
+    // partial + final HashAggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("[codegen id :"), p)
+  }
+
+  test("q2_join_chain: dims broadcast; region filter pushed to scan") {
+    val p = plan(CoreQueries.q2JoinChain(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("q15_range_filter: time range reaches the events parquet scan") {
+    val p = plan(CoreQueries.q15RangeFilter(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)
+  }
+
+  test("q9_anti_join / q10_semi_join: hash-join based, no cartesian") {
+    val p9 = plan(CoreQueries.q9AntiJoin(spark, dir))
+    assert(p9.contains("LeftAnti") || p9.contains("ExistenceJoin"), p9)
+    assert(!p9.contains("CartesianProduct"), p9)
+    val p10 = plan(CoreQueries.q10SemiJoin(spark, dir))
+    assert(p10.contains("LeftSemi"), p10)
+    // the o_orderstatus filter is pushed into the orders scan
+    assert(p10.contains("EqualTo(o_orderstatus,F)"), p10)
+  }
+
+  test("q6_last_write_wins: max_by is a partial-aggregating agg, no window") {
+    val p = plan(CoreQueries.q6LastWriteWins(spark, dir))
+    // struct-ordered max_by falls back to SortAggregate, but it still
+    // combines map-side (partial + final pair) — the property that matters
+    // at scale; a window would sort+shuffle every row of every group.
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), "LWW should not need a window:\n" + p)
+  }
+
+  test("cardano MainQuery: block time filter pushed; metadata key pushed") {
+    val fixDir = java.nio.file.Files.createTempDirectory("plan-fix").toString
+    graft.cardano.Fixture.write(spark, fixDir)
+    val df = graft.cardano.MainQuery.extract(spark, fixDir,
+      java.sql.Timestamp.valueOf("2021-03-01 21:47:00"),
+      java.sql.Timestamp.valueOf("2021-03-02 16:00:00"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(time), GreaterThan(time,"), p)
+    // CIP-25 key filter lands on the tx_metadata scan
+    assert(p.contains("EqualTo(key,721"), p)
+    // dims are broadcast at this size
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup_exact: shuffle key is the digest, not the document") {
+    val p = plan(ExtQueries.dedupExact(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    // the exchange must carry the digest (as _groupingexpression), never
+    // the document text
+    assert(p.contains("hashpartitioning(_groupingexpression"), p)
+    val exch = p.substring(p.indexOf("(5) Exchange").max(0))
+    assert(!exch.split("\n").take(3).mkString.contains("text#"), p)
+  }
+}
