@@ -68,13 +68,15 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Long = 500): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Materialize shingles BEHIND A PLAN BARRIER before the 64-way
-    // signature fan-out: a plain two-step select gets fused back by
-    // CollapseProject, re-inlining the shingle expression into all 64
-    // lambda references (64x re-shingling per row — measured 40x slower).
-    // The lazy localCheckpoint is an RDD barrier Catalyst can't fuse.
+    // Native one-pass shingle hashing (TextShingles), materialized BEHIND A
+    // PLAN BARRIER before the 64-way signature fan-out: a plain two-step
+    // select gets fused back by CollapseProject, re-inlining the shingle
+    // expression into all 64 lambda references (64x re-shingling per row —
+    // measured 40x slower). The lazy localCheckpoint is an RDD barrier
+    // Catalyst can't fuse.
     val sh = df
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"),
+        TextShingles.word_shingle_hashes(col(textCol), 3).as("sh"))
       .localCheckpoint(false)
     val sigs = sh
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
@@ -148,7 +150,7 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 1000,
       minCommon: Long = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+      TextShingles.word_shingle_hashes(col(textCol), n).as("sh"))
       .withColumn("set_size", size(col("sh")).cast("long"))
       .localCheckpoint(false) // reused by candidate gen AND verification
 
