@@ -88,6 +88,59 @@ class SyncDriver(
     store.commit(staged)
   }
 
+  @volatile private var stopRequested = false
+
+  /** ST7: request a graceful stop — the current period finishes (and
+    * commits) before the loop exits; nothing is torn down mid-write.
+    */
+  def requestStop(): Unit = stopRequested = true
+
+  /** ST4 + ST7: the reference's outer daemon loop — catch up, then poll
+    * the source tip every `pollSeconds` (default 10s, `app/main.py:52-53`),
+    * until `requestStop()` (or the registered JVM shutdown hook) fires.
+    * Returns total periods run.
+    */
+  def runContinuously(pollSeconds: Int = 10, maxCycles: Int = Int.MaxValue): Int = {
+    val hook = new Thread(() => requestStop())
+    Runtime.getRuntime.addShutdownHook(hook)
+    var total = 0
+    var lastTip: Option[java.sql.Timestamp] = None
+    var cycles = 0
+    try {
+      while (!stopRequested && cycles < maxCycles) {
+        val tip = cardanoTip()
+        if (tip != lastTip) {
+          total += catchUpInterruptibly()
+          lastTip = tip
+        } else {
+          var slept = 0
+          while (!stopRequested && slept < pollSeconds * 1000) {
+            Thread.sleep(100); slept += 100
+          }
+        }
+        cycles += 1
+      }
+      total
+    } finally {
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => } // already shutting down
+    }
+  }
+
+  private def catchUpInterruptibly(): Int = {
+    cardanoTip() match {
+      case None => 0
+      case Some(tip) =>
+        val periods = periodList(pantasiaTip(), tip)
+        var n = 0
+        periods.sliding(2).takeWhile(_ => !stopRequested).foreach {
+          case Seq(from, to) => syncPeriod(from, to); n += 1
+          case _ =>
+        }
+        n
+    }
+  }
+
   /** Catch up from the sink tip to the source tip once (the reference's
     * inner `while len(period_list) > 1` drain). Returns periods run.
     */

@@ -333,7 +333,97 @@ object CoreQueries {
       | CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q18_running_sum — windowed running aggregate (frame ROWS UNBOUNDED
+  // PRECEDING): per-customer cumulative spend in order-date order.
+  // ---------------------------------------------------------------------------
+  val q18RunningSum: QueryFn = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double"))
+      .select("o_orderkey", "o_custkey", "running_spend")
+  }
+  val q18Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
+      |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q19_topk_per_group — rank() per group with ties broken, top-3.
+  // ---------------------------------------------------------------------------
+  val q19TopKPerGroup: QueryFn = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "rk")
+  }
+  val q19Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders) WHERE rk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q20_having — post-aggregation predicate.
+  // ---------------------------------------------------------------------------
+  val q20Having: QueryFn = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .where(col("n") >= 5)
+  val q20Sql: String =
+    """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 5""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q21_conditional_agg — pivot-style sum(CASE WHEN ...) aggregation.
+  // ---------------------------------------------------------------------------
+  val q21ConditionalAgg: QueryFn = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(lit(0.0))).as("spend_f"))
+  val q21Sql: String =
+    """SELECT o_orderpriority,
+      | CAST(count(CASE WHEN o_orderstatus='F' THEN 1 END) AS BIGINT) AS n_f,
+      | CAST(count(CASE WHEN o_orderstatus='O' THEN 1 END) AS BIGINT) AS n_o,
+      | CAST(count(CASE WHEN o_orderstatus='P' THEN 1 END) AS BIGINT) AS n_p,
+      | CAST(sum(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0.0 END
+      |          AS DECIMAL(30,2))) AS DOUBLE) AS spend_f
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q22_hex — S1-family byte/hex functions (lowercase-hex parity trap:
+  // both engines' hex() is uppercase, both get lower()).
+  // ---------------------------------------------------------------------------
+  val q22Hex: QueryFn = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        lower(hex(encode(substring(col("text"), 1, 8), "utf-8"))).as("prefix_hex"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+  val q22Sql: String =
+    """SELECT doc_id, lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex,
+      | CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q18_running_sum"   -> q18RunningSum,
+    "q19_topk_per_group"-> q19TopKPerGroup,
+    "q20_having"        -> q20Having,
+    "q21_conditional_agg"-> q21ConditionalAgg,
+    "q22_hex"           -> q22Hex,
     "q1_agg"            -> q1Agg,
     "q2_join_chain"     -> q2JoinChain,
     "q3_left_join"      -> q3LeftJoin,
@@ -354,6 +444,11 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q18_running_sum"   -> q18Sql,
+    "q19_topk_per_group"-> q19Sql,
+    "q20_having"        -> q20Sql,
+    "q21_conditional_agg"-> q21Sql,
+    "q22_hex"           -> q22Sql,
     "q1_agg"            -> q1Sql,
     "q2_join_chain"     -> q2Sql,
     "q3_left_join"      -> q3Sql,
