@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Tables
+
+/** User-facing entry points.
+  *
+  * `registerTables` exposes the synthetic star schema as temp views so the
+  * whole engine is reachable from `spark.sql(...)` as well as the
+  * DataFrame API; `session` builds a session with the recommended local
+  * configuration (shuffle partitions sized to cores, AQE on, UTC).
+  */
+object Graft {
+
+  def session(appName: String = "graft", cores: Int =
+      math.min(32, Runtime.getRuntime.availableProcessors())): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Register every synthetic table in `dir` as a temp view (events with
+    * its µs-timestamp conversion applied), enabling plain SQL usage.
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    names.foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(n))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+}
