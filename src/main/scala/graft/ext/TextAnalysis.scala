@@ -75,6 +75,55 @@ object TextAnalysis {
   private val langIdUdf = udf(langIdFn _)
   def lang_id(text: Column): Column = langIdUdf(text)
 
+  // --- scrubbing (training-data cleaning passes) ----------------------------
+  // Patterns are kept RE2-compatible so the DuckDB oracle can run the same
+  // regex; both engines replace globally.
+
+  private val UrlRe = "https?://[^\\s]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Replace URLs/emails with placeholder tokens and collapse whitespace —
+    * the standard pre-tokenization scrub, as pure codegen'd projections.
+    */
+  def scrub(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      "\\s+", " "))
+
+  def countUrls(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlRe), lit(0))).cast("long")
+
+  def countEmails(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
+
+  // --- repetition (Gopher-style quality signal) -----------------------------
+
+  /** Fraction of repeated word n-grams: 1 - distinct/total. 0 for texts
+    * shorter than n tokens. Uses the native shingle-hash kernel.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = greatest(size(tokens(text)) - (n - 1), lit(1)).cast("double")
+    val distinctN = size(TextShingles.word_shingle_hashes(text, n)).cast("double")
+    (lit(1.0) - distinctN / total)
+  }
+
+  /** Gopher-ish document-quality flags (thresholds are illustrative; the
+    * operator shape — pure projection to booleans — is the point).
+    */
+  def qualityFlags(df: org.apache.spark.sql.DataFrame, textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    qualityFeatures(df, textCol)
+      .withColumn("rep_ratio", repetitionRatio(t))
+      .withColumn("flag_too_short", col("n_tokens") < 10)
+      .withColumn("flag_repetitive", col("rep_ratio") > 0.3)
+      .withColumn("flag_low_stopword", col("stopword_ratio") < 0.005)
+      .withColumn("keep",
+        !col("flag_too_short") && !col("flag_repetitive"))
+  }
+
   /** 64-bit rolling polynomial document fingerprint (content hash that is
     * stable under leading/trailing whitespace). Pure expression — codegen'd.
     */

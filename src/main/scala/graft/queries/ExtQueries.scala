@@ -149,8 +149,33 @@ object ExtQueries {
       |          FROM events)))
       |GROUP BY user_id, session_seq""".stripMargin
 
+  // --- scrubbing + quality flags -------------------------------------------
+
+  val textScrub: QueryFn = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.scrub(col("text")).as("scrubbed"),
+      TextAnalysis.countUrls(col("text")).as("n_urls"),
+      TextAnalysis.countEmails(col("text")).as("n_emails"))
+  val textScrubSql: String =
+    """SELECT doc_id,
+      | trim(regexp_replace(regexp_replace(regexp_replace(text,
+      |   'https?://[^\s]+', '<URL>', 'g'),
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |   '\s+', ' ', 'g')) AS scrubbed,
+      | CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+      | CAST(len(regexp_extract_all(text,
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+      |FROM documents""".stripMargin
+
+  val textQualityFlags: QueryFn = (s, dir) =>
+    TextAnalysis.qualityFlags(Tables.documents(s, dir))
+      .select("doc_id", "rep_ratio", "flag_too_short", "flag_repetitive", "keep")
+
   val all: Map[String, QueryFn] = Map(
     "sessionize"           -> sessionize,
+    "text_scrub"           -> textScrub,
+    "text_quality_flags"   -> textQualityFlags,
     "dedup_exact"          -> dedupExact,
     "dedup_minhash"        -> dedupMinhash,
     "dedup_simhash"        -> dedupSimhash,
@@ -168,6 +193,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "sessionize"          -> sessionizeSql,
+    "text_scrub"          -> textScrubSql,
     "dedup_exact"         -> dedupExactSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,

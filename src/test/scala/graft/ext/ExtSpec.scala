@@ -44,6 +44,30 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(rows(0).getSeq[Long](1).size <= 8)
   }
 
+  test("scrub replaces urls/emails and collapses whitespace") {
+    val df = Seq((1L, "see https://ex.com/a?b=1  and mail bob@test.org   now"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.scrub(col("text")).as("s"),
+        TextAnalysis.countUrls(col("text")).as("u"),
+        TextAnalysis.countEmails(col("text")).as("e"))
+    val r = df.head()
+    assert(r.getString(0) == "see <URL> and mail <EMAIL> now")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+  }
+
+  test("repetitionRatio flags repeated n-grams; qualityFlags keep logic") {
+    val rep = ("spam ham eggs " * 20).trim
+    val ok = (1 to 60).map(i => s"tok$i the of").mkString(" ")
+    val df = Seq((1L, rep), (2L, ok), (3L, "tiny doc")).toDF("doc_id", "text")
+    val flags = TextAnalysis.qualityFlags(df)
+      .select("doc_id", "rep_ratio", "flag_too_short", "flag_repetitive", "keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(flags(1L).getBoolean(3), "highly repetitive text must flag")
+    assert(!flags(2L).getBoolean(3) && flags(2L).getBoolean(4), "normal text keeps")
+    assert(flags(3L).getBoolean(2), "tiny doc flags too_short")
+    assert(flags(1L).getDouble(1) > 0.9)
+  }
+
   // ---- simhash -------------------------------------------------------------
 
   test("SimHash64 expression: eval == compute; identical text -> hamming 0") {
