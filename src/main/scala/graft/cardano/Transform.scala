@@ -112,8 +112,10 @@ object Transform {
     val mints     = r.where(col("is_mint"))
     val transfers = r.where(!col("is_mint"))
 
-    val mintFacts = SurrogateIds.assign(mints, "id", st.nextAssetMintTxId, recordOrder)
-    val txFacts   = SurrogateIds.assign(transfers, "id", st.nextAssetTxId, recordOrder)
+    // rec_seq already encodes the pinned total order — sorting by the single
+    // long is cheaper than re-sorting by the 4-column record order
+    val mintFacts = SurrogateIds.assign(mints, "id", st.nextAssetMintTxId, Seq(col("rec_seq")))
+    val txFacts   = SurrogateIds.assign(transfers, "id", st.nextAssetTxId, Seq(col("rec_seq")))
 
     val assetIds = st.asset.select(col("fingerprint").as("asset_fingerprint"), col("id"))
       .unionByName(newAssetsRaw.select(col("asset_fingerprint"), col("id")))

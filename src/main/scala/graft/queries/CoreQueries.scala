@@ -418,7 +418,42 @@ object CoreQueries {
       | CAST(strlen(text) AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q23_percentile — exact percentiles (linear interpolation in both
+  // engines); the reference has no quantiles, this is extension surface.
+  // ---------------------------------------------------------------------------
+  val q23Percentile: QueryFn = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+  val q23Sql: String =
+    """SELECT o_orderpriority,
+      | quantile_cont(o_totalprice, 0.5) AS p50,
+      | quantile_cont(o_totalprice, 0.9) AS p90
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q24_count_distinct — exact distinct aggregation.
+  // ---------------------------------------------------------------------------
+  val q24CountDistinct: QueryFn = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+  val q24Sql: String =
+    """SELECT l_returnflag,
+      | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q23_percentile"    -> q23Percentile,
+    "q24_count_distinct"-> q24CountDistinct,
     "q18_running_sum"   -> q18RunningSum,
     "q19_topk_per_group"-> q19TopKPerGroup,
     "q20_having"        -> q20Having,
@@ -444,6 +479,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q23_percentile"    -> q23Sql,
+    "q24_count_distinct"-> q24Sql,
     "q18_running_sum"   -> q18Sql,
     "q19_topk_per_group"-> q19Sql,
     "q20_having"        -> q20Sql,
