@@ -68,6 +68,16 @@ object ExtQueries {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF-probed ANN: k-means-lite cells, nProbe=2 (approximate — rows-only). */
+  val annIvf: QueryFn = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.orderBy("vec_id").limit(20)
+    val centroids = graft.ext.Ivf.fit(emb, nCells = 16, iterations = 1)
+    val assigned = graft.ext.Ivf.assign(emb, centroids)
+    graft.ext.Ivf.search(queries, assigned, centroids, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   // --- text analysis -------------------------------------------------------
 
   val textTokens: QueryFn = (s, dir) =>
@@ -183,6 +193,7 @@ object ExtQueries {
     "dedup_embed_cosine"   -> dedupEmbedCosine,
     "ann_topk"             -> annTopK,
     "ann_lsh"              -> annLsh,
+    "ann_ivf"              -> annIvf,
     "text_tokens"          -> textTokens,
     "text_quality"         -> textQuality,
     "text_langid"          -> textLangId,

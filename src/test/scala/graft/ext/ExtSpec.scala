@@ -176,6 +176,30 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"recall=$recall (${lsh.size}/${exact.size})")
   }
 
+  test("IVF: centroids converge to clusters; probed search recall >= 0.9") {
+    val data = clustered(8, 10, 32)
+    val df = data.toDF("vec_id", "embedding", "cluster")
+    val centroids = Ivf.fit(df, nCells = 8, iterations = 2)
+    assert(centroids.count() == 8)
+    val assigned = Ivf.assign(df, centroids)
+    // cluster purity: every cell maps to exactly one true cluster
+    val byCluster = data.map(t => t._1 -> t._3).toMap
+    val purity = assigned.select("id", "cell").as[(Long, Int)].collect()
+      .groupBy(_._2).values.map { members =>
+        val cls = members.map(m => byCluster(m._1))
+        cls.groupBy(identity).values.map(_.size).max.toDouble / cls.size
+      }
+    assert(purity.forall(_ >= 0.9), s"cell purity: ${purity.mkString(",")}")
+
+    val queries = df.where(col("vec_id") % 10 === 0)
+    val exact = Similarity.cosineTopK(queries, df, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.search(queries, assigned, centroids, k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ivf recall=$recall")
+  }
+
   // ---- multimodal ----------------------------------------------------------
 
   test("multimodal plumbing: schema, batch decode stub, frame sampling") {
