@@ -1,0 +1,39 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities.
+  *
+  * AQE's skew-join handling covers sort-merge joins automatically; explicit
+  * salting remains the tool of choice when one side has a handful of
+  * pathological hot keys and the other side is small enough to replicate:
+  * the big side gets a random-but-deterministic salt in [0, factor), the
+  * small side is exploded `factor`×, and the join key becomes (key, salt) —
+  * splitting each hot key's row group across `factor` tasks.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, salting the big side `factor` ways.
+    * `small` is replicated `factor`× (keep it broadcast-sized). Result
+    * columns = big's ++ small's (minus the duplicate key).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      factor: Int = 8, joinType: String = "inner"): DataFrame = {
+    // deterministic salt (hash of the whole row would be costly; a salt from
+    // a per-row monotonic id keeps the distribution uniform and replayable)
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Top-`n` heaviest keys of `df` on `key` with counts — the diagnosis
+    * step before choosing a salt factor (or a bucket cap).
+    */
+  def hotKeys(df: DataFrame, key: String, n: Int = 20): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key).asc)
+      .limit(n)
+}

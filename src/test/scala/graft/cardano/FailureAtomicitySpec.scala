@@ -1,0 +1,58 @@
+package graft.cardano
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** ST8: a failing period must not half-commit — staged versions are
+  * invisible until the pointer flip, and a later re-run converges.
+  */
+class FailureAtomicitySpec extends AnyFunSuite with SparkTest {
+
+  test("failed period leaves committed state untouched; retry converges") {
+    val srcDir = Files.createTempDirectory("fail-src").toString
+    Fixture.write(spark, srcDir)
+    val out = Files.createTempDirectory("fail-out").toString
+    val store = new TableStore(spark, out)
+    val driver = new SyncDriver(spark, srcDir, store, 120)
+
+    // sync the first half of the chain window
+    val mid = java.sql.Timestamp.valueOf("2021-03-02 12:00:00")
+    driver.syncPeriod(driver.genesis, mid)
+    val before = Seq("wallet", "asset", "asset_tx", "asset_mint_tx")
+      .map(t => t -> store.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString).toSeq)
+      .toMap
+    val versionsBefore = Schemas.targetTables.keys
+      .map(t => t -> store.currentVersion(t)).toMap
+
+    // break the source mid-way: tx_metadata gone -> extract fails
+    val metaDir = Paths.get(srcDir, "tx_metadata.parquet")
+    val savedDir = Paths.get(srcDir, "tx_metadata.parquet.bak")
+    Files.move(metaDir, savedDir)
+    val tip = java.sql.Timestamp.valueOf("2021-03-02 16:00:00")
+    intercept[Throwable] { driver.syncPeriod(mid, tip) }
+
+    // nothing committed: pointers and readable contents unchanged
+    assert(Schemas.targetTables.keys.map(t => t -> store.currentVersion(t)).toMap
+      == versionsBefore)
+    for ((t, rows) <- before)
+      assert(store.read(t).collect().map(_.toSeq.map(String.valueOf))
+        .sortBy(_.mkString).toSeq == rows, s"table $t changed after failed period")
+
+    // restore the source; catch-up finishes and matches a clean full sync
+    Files.move(savedDir, metaDir)
+    driver.catchUp()
+    val clean = {
+      val s2 = new TableStore(spark, Files.createTempDirectory("fail-clean").toString)
+      new SyncDriver(spark, srcDir, s2, 120).catchUp()
+      s2
+    }
+    for (t <- Seq("wallet", "collection", "asset", "asset_tx", "asset_mint_tx", "asset_ext"))
+      assert(
+        store.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString).toSeq ==
+        clean.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString).toSeq,
+        s"table $t diverged after failure+retry")
+  }
+}

@@ -200,6 +200,20 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"ivf recall=$recall")
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    val big = (1 to 5000).map(i => (if (i % 10 < 8) 1L else i.toLong % 50, s"row$i"))
+      .toDF("k", "payload") // 80% of rows share key 1 — the hot key
+    val small = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "dim_val")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "dim_val")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(big, small, "k", factor = 8)
+      .select("k", "payload", "dim_val")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    val hot = Skew.hotKeys(big, "k", n = 1).as[(Long, Long)].head()
+    assert(hot._1 == 1L && hot._2 == 4000L)
+  }
+
   // ---- multimodal ----------------------------------------------------------
 
   test("multimodal plumbing: schema, batch decode stub, frame sampling") {
