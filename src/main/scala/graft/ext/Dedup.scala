@@ -114,6 +114,57 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Connected components over a near-duplicate pair list: label
+    * propagation to a fixed point (each id takes the min id reachable),
+    * returning (id, cluster_id). Pair sets are post-threshold (sparse), so
+    * the iteration count is the cluster diameter — small in practice; each
+    * step is one join + aggregate, all distributed.
+    */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("id_a").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("cluster_id", "nb_label"), Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("nb_label")).as("prop_label"))
+      val next = labels.join(propagated, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("prop_label"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .where(col("cluster_id") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end fuzzy dedup: MinHash-LSH pairs -> connected components ->
+    * keep the smallest id per cluster. Returns (id, cluster_id, keep);
+    * ids with no near-duplicate are their own singleton cluster (keep).
+    */
+  def dedupByMinhash(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+    val comp = components(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("keep", col("id") === min(col("id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+  }
+
   /** SimHash near-duplicate pairs: signature from the codegen'd SimHash64
     * expression, candidates from 4-way band bucketing (any identical
     * 16-bit quarter → candidate, catching all pairs within hamming r<=3

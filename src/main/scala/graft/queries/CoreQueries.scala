@@ -451,7 +451,42 @@ object CoreQueries {
       | CAST(count(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q25_scalar_subquery — orders above the global average price (the
+  // scalar-subquery shape; in DataFrame form a broadcast of the 1-row agg).
+  // ---------------------------------------------------------------------------
+  val q25ScalarSubquery: QueryFn = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val avgPrice = o.agg(
+      (sum(col("o_totalprice").cast("decimal(30,2)")) / count(lit(1)))
+        .cast("double").as("avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .where(col("o_totalprice") > col("avg_price"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_above"))
+  }
+  val q25Sql: String =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_above
+      |FROM orders
+      |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) / count(*) AS DOUBLE) FROM orders)
+      |GROUP BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q26_rollup — hierarchical subtotals (extension surface; NULL rows mark
+  // the subtotal levels identically in both engines).
+  // ---------------------------------------------------------------------------
+  val q26Rollup: QueryFn = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+  val q26Sql: String =
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q25_scalar_subquery" -> q25ScalarSubquery,
+    "q26_rollup"        -> q26Rollup,
     "q23_percentile"    -> q23Percentile,
     "q24_count_distinct"-> q24CountDistinct,
     "q18_running_sum"   -> q18RunningSum,
@@ -479,6 +514,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q25_scalar_subquery" -> q25Sql,
+    "q26_rollup"        -> q26Sql,
     "q23_percentile"    -> q23Sql,
     "q24_count_distinct"-> q24Sql,
     "q18_running_sum"   -> q18Sql,

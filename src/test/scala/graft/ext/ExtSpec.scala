@@ -117,6 +117,22 @@ class ExtSpec extends AnyFunSuite with SparkTest {
       s"est=${mh((1L, 3L))} exact=${ex((1L, 3L))}")
   }
 
+  test("dedupByMinhash: clusters transitively, keeps min id per cluster") {
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 47).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
+    val c = ((1 to 44).map(i => s"w$i") ++ Seq("x1", "x2", "x3", "y1", "y2", "y3")).mkString(" ")
+    val other = (200 to 250).map(i => s"q$i").mkString(" ")
+    // a~b and b~c are near; a~c may only connect transitively via b
+    val docs = Seq((10L, a), (20L, b), (30L, c), (40L, other)).toDF("doc_id", "text")
+    val res = Dedup.dedupByMinhash(docs, "doc_id", "text", threshold = 0.6)
+      .select("id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(res(10L)._1 == 10L && res(10L)._2)
+    assert(res(20L)._1 == 10L && !res(20L)._2)
+    assert(res(30L)._1 == 10L && !res(30L)._2)
+    assert(res(40L)._1 == 40L && res(40L)._2, "singleton keeps itself")
+  }
+
   test("exact dedup keeps min id per duplicate group") {
     val docs = Seq((5L, "aaa"), (2L, "aaa"), (9L, "bbb")).toDF("doc_id", "text")
     val got = Dedup.exact(docs, "doc_id", "text")
