@@ -137,13 +137,12 @@ object Dedup {
         .groupBy(col("id_a").as("id"))
         .agg(min(col("nb_label")).as("prop_label"))
       val next = labels.join(propagated, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("prop_label"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .where(col("cluster_id") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("cluster_id") =!= col("old")).count()
+      labels = next.select("id", "cluster_id")
       iter += 1
     }
     labels

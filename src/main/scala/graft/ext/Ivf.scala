@@ -11,19 +11,61 @@ import graft.ext.Similarity.dot
   * cells — the classic trade of one cheap clustering pass for a
   * corpus-partition-pruned search.
   *
-  * Everything is DataFrame-shaped for scale:
+  * Everything is shaped for scale:
   *  - centroid init: deterministic stride sample over the corpus (no RNG —
   *    resumable plans);
-  *  - Lloyd iterations: assign via broadcast nested-loop against the tiny
-  *    centroid set (C rows), recompute via posexplode + per-dimension
-  *    mean — the shuffle carries (cell, dim, value), never whole vectors
-  *    to a single node;
+  *  - assignment: the centroid set is tiny BY CONSTRUCTION (nCells rows),
+  *    so it is collected once, unit-normalized, and broadcast; nearest-cell
+  *    is then a narrow per-row argmax projection — zero joins, zero
+  *    shuffles over the corpus (|v| is constant per row, so it never
+  *    affects the argmax and only centroids need normalizing);
+  *  - Lloyd recompute: per-cell element-wise vector mean via one
+  *    `aggregateByKey` pass (map-side combine; the shuffle carries nCells
+  *    partial sums per partition, never exploded (cell, dim, value) rows);
   *  - search: probe-cells join prunes the corpus BEFORE any dot product.
   */
 object Ivf {
 
+  /** Collect the (tiny) centroid set and unit-normalize: the broadcastable
+    * state of the index. Sorted by cell so argmax ties resolve to the
+    * smallest cell id deterministically.
+    */
+  private def centroidArrays(centroids: DataFrame): Array[(Int, Array[Double])] =
+    centroids.select(col("cell"), col("cv")).collect().map { r =>
+      val cv = r.getSeq[Double](1).toArray
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      (r.getInt(0), if (n == 0.0) cv else cv.map(_ / n))
+    }.sortBy(_._1)
+
+  /** Per-cell element-wise mean of the assigned vectors: one map-side-
+    * combining pass (the rare genuinely-imperative aggregation Spark SQL
+    * has no built-in for — an `aggregateByKey` with in-place array sums).
+    */
+  private def recompute(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.select(col("cell"), col("v")).as[(Int, Seq[Double])].rdd
+      .aggregateByKey((Array.empty[Double], 0L))(
+        { case ((acc, n), v) =>
+          val a = if (acc.isEmpty) new Array[Double](v.length) else acc
+          var i = 0; while (i < v.length) { a(i) += v(i); i += 1 }
+          (a, n + 1)
+        },
+        { case ((a, na), (b, nb)) =>
+          if (a.isEmpty) (b, na + nb)
+          else {
+            if (b.nonEmpty) { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 } }
+            (a, na + nb)
+          }
+        })
+      .map { case (cell, (s, n)) => (cell, s.map(_ / n).toSeq) }
+      .toDF("cell", "cv")
+  }
+
   /** Deterministic k-means-lite: stride-sampled init + `iterations` Lloyd
-    * steps. Returns (cell, cv) with unit-normalized centroids.
+    * steps. Returns (cell, cv). The init's global row_number sorts only
+    * (id, vec) and runs once; at true 100 TB scale swap in a hash-stride
+    * sample (`xxhash64(id) % stride = 0`) to avoid the global sort.
     */
   def fit(corpus: DataFrame, nCells: Int, iterations: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -39,30 +81,35 @@ object Ivf {
 
     var i = 0
     while (i < iterations) {
-      val assigned = assign(corpus, centroids, idCol, vecCol)
-      centroids = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("x"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
-        .select(col("cell"), transform(col("px"), p => p.getField("x")).as("cv"))
+      centroids = recompute(assign(corpus, centroids, idCol, vecCol))
         .localCheckpoint()
       i += 1
     }
     centroids
   }
 
-  /** Nearest-cell assignment: (id, v, cell). The centroid set is tiny, so
-    * this is a broadcast nested loop + max_by — one pass over the corpus.
+  /** Nearest-cell assignment: (id, v, cell) as a narrow projection against
+    * the broadcast normalized centroids — no join, no shuffle.
     */
   def assign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    c.join(broadcast(centroids))
-      .withColumn("sim", dot(col("v"), col("cv")) /
-        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
-      .groupBy("id")
-      .agg(max_by(col("cell"), col("sim")).as("cell"), first(col("v")).as("v"))
+    val cents = centroidArrays(centroids)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val nearest = udf { v: Seq[Double] =>
+      val arr = v.toArray
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      for ((cell, cv) <- bc.value) {
+        var s = 0.0
+        var i = 0
+        val m = math.min(arr.length, cv.length)
+        while (i < m) { s += arr(i) * cv(i); i += 1 }
+        if (s > bestSim) { bestSim = s; best = cell }
+      }
+      best
+    }
+    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", nearest(col("v")))
   }
 
   /** Cosine top-k probing only the `nProbe` nearest cells per query.
@@ -84,7 +131,8 @@ object Ivf {
       .select("query_id", "qv", "cell")
 
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probes.join(assignedCorpus.select(col("id").as("neighbor_id"), col("v"), col("cell")),
+    broadcast(probes)
+      .join(assignedCorpus.select(col("id").as("neighbor_id"), col("v"), col("cell")),
         Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("v")) /

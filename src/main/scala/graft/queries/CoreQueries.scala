@@ -484,7 +484,166 @@ object CoreQueries {
       | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q27_cube — full cube with grouping_id (extension surface; bitmask marks
+  // the aggregation level, MSB = first cube column in both engines).
+  // ---------------------------------------------------------------------------
+  val q27Cube: QueryFn = (s, dir) =>
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"))
+  val q27Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q28_intersect / q29_except — set operations (distinct semantics). The
+  // reference has UNION ALL only; these complete the set-op surface.
+  // ---------------------------------------------------------------------------
+  val q28Intersect: QueryFn = (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+  val q28Sql: String =
+    "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier"
+
+  val q29Except: QueryFn = (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+  val q29Sql: String =
+    "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey AS nationkey FROM supplier"
+
+  // ---------------------------------------------------------------------------
+  // q30_correlated_subquery — customers above their nation's average balance.
+  // Decorrelated to a broadcast join against the per-nation aggregate (the
+  // scale shape: one shuffle for the agg, zero for the probe).
+  // ---------------------------------------------------------------------------
+  val q30CorrelatedSubquery: QueryFn = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val navg = c.groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(col("c_acctbal").cast("decimal(30,2)")) / count(lit(1)))
+        .cast("double").as("nation_avg"))
+    c.join(broadcast(navg), c("c_nationkey") === navg("nk"))
+      .where(col("c_acctbal") > col("nation_avg"))
+      .select("c_custkey", "c_nationkey")
+  }
+  val q30Sql: String =
+    """SELECT c_custkey, c_nationkey FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(30,2))) / count(*) AS DOUBLE)
+      |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q31_pivot — relational pivot; empty cells zero-filled to match COUNT.
+  // ---------------------------------------------------------------------------
+  val q31Pivot: QueryFn = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("F", "O", "P"))
+  val q31Sql: String =
+    """SELECT o_orderpriority,
+      | CAST(count(CASE WHEN o_orderstatus='F' THEN 1 END) AS BIGINT) AS "F",
+      | CAST(count(CASE WHEN o_orderstatus='O' THEN 1 END) AS BIGINT) AS "O",
+      | CAST(count(CASE WHEN o_orderstatus='P' THEN 1 END) AS BIGINT) AS "P"
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q32_explode — generator/UDTF surface: word frequencies, top-20 pinned.
+  // ---------------------------------------------------------------------------
+  val q32Explode: QueryFn = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+  val q32Sql: String =
+    """SELECT word, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+      |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q33_asof — as-of lookup: latest at-or-before 'click' per user for every
+  // event, as a running conditional max — the shuffle-free as-of form (one
+  // window sort, no join, no point-in-time self-join blowup).
+  // ---------------------------------------------------------------------------
+  val q33Asof: QueryFn = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("last_click_ts", max(when(col("event_type") === "click", col("ts"))).over(w))
+      .select("event_id", "user_id", "last_click_ts")
+  }
+  val q33Sql: String =
+    """SELECT event_id, user_id,
+      | max(CASE WHEN event_type='click' THEN ts END)
+      |   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_click_ts
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q34_range_join — non-equi band join: tiny band table broadcast, so the
+  // nested-loop side never shuffles the fact table.
+  // ---------------------------------------------------------------------------
+  val q34RangeJoin: QueryFn = (s, dir) => {
+    import s.implicits._
+    val bands = Seq(
+      ("low", 0.0, 50000.0),
+      ("mid", 50000.0, 150000.0),
+      ("high", 150000.0, 1e308)).toDF("band", "lo", "hi")
+    Tables.orders(s, dir)
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+  }
+  val q34Sql: String =
+    """SELECT band, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend
+      |FROM orders JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+      |                         ('high', 150000.0, 1e308)) AS bands(band, lo, hi)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q35_ntile — quartile bucketing inside each priority (pinned total order).
+  // ---------------------------------------------------------------------------
+  val q35Ntile: QueryFn = (s, dir) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+  val q35Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      | CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+      |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q36_collect_list — array-aggregation surface; sort_array pins the
+  // intra-group order so the compare is deterministic.
+  // ---------------------------------------------------------------------------
+  val q36CollectList: QueryFn = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(concat_ws(",", sort_array(collect_list(col("l_partkey")))).as("parts"))
+  val q36Sql: String =
+    """SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS parts
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q27_cube"          -> q27Cube,
+    "q28_intersect"     -> q28Intersect,
+    "q29_except"        -> q29Except,
+    "q30_correlated_subquery" -> q30CorrelatedSubquery,
+    "q31_pivot"         -> q31Pivot,
+    "q32_explode"       -> q32Explode,
+    "q33_asof"          -> q33Asof,
+    "q34_range_join"    -> q34RangeJoin,
+    "q35_ntile"         -> q35Ntile,
+    "q36_collect_list"  -> q36CollectList,
     "q25_scalar_subquery" -> q25ScalarSubquery,
     "q26_rollup"        -> q26Rollup,
     "q23_percentile"    -> q23Percentile,
@@ -514,6 +673,16 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q27_cube"          -> q27Sql,
+    "q28_intersect"     -> q28Sql,
+    "q29_except"        -> q29Sql,
+    "q30_correlated_subquery" -> q30Sql,
+    "q31_pivot"         -> q31Sql,
+    "q32_explode"       -> q32Sql,
+    "q33_asof"          -> q33Sql,
+    "q34_range_join"    -> q34Sql,
+    "q35_ntile"         -> q35Sql,
+    "q36_collect_list"  -> q36Sql,
     "q25_scalar_subquery" -> q25Sql,
     "q26_rollup"        -> q26Sql,
     "q23_percentile"    -> q23Sql,

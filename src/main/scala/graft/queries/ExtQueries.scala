@@ -31,6 +31,13 @@ object ExtQueries {
       numHashes = 64, bands = 16, threshold = 0.8)
       .select("id_a", "id_b")
 
+  /** End-to-end fuzzy dedup: LSH pairs -> connected components -> keep
+    * min-id per cluster (rows-only: the LSH estimate is not ANSI-SQL).
+    */
+  val dedupCluster: QueryFn = (s, dir) =>
+    Dedup.dedupByMinhash(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
+      .select("id", "cluster_id", "keep")
+
   val dedupSimhash: QueryFn = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b", "hamming")
@@ -49,6 +56,12 @@ object ExtQueries {
   val dedupEmbedCosine: QueryFn = (s, dir) =>
     Similarity.nearDupPairsExact(Tables.embeddings(s, dir), threshold = 0.4)
       .select("id_a", "id_b")
+  // exact variant IS SQL-expressible: DuckDB's list_cosine_similarity agrees
+  // bit-for-bit with our double-precision dot product on the same floats
+  val dedupEmbedCosineSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4""".stripMargin
 
   // --- similarity search ---------------------------------------------------
 
@@ -59,6 +72,14 @@ object ExtQueries {
     Similarity.cosineTopK(queries, emb, k = 5)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
+  val annTopKSql: String =
+    """WITH q AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT 20)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC) AS rank
+      |  FROM q, embeddings e WHERE q.vec_id <> e.vec_id
+      |) WHERE rank <= 5""".stripMargin
 
   /** LSH-bucketed ANN over the same queries (approximate — rows-only). */
   val annLsh: QueryFn = (s, dir) => {
@@ -188,6 +209,7 @@ object ExtQueries {
     "text_quality_flags"   -> textQualityFlags,
     "dedup_exact"          -> dedupExact,
     "dedup_minhash"        -> dedupMinhash,
+    "dedup_cluster"        -> dedupCluster,
     "dedup_simhash"        -> dedupSimhash,
     "dedup_ngram_jaccard"  -> dedupNgramJaccard,
     "dedup_embed_cosine"   -> dedupEmbedCosine,
@@ -206,6 +228,8 @@ object ExtQueries {
     "sessionize"          -> sessionizeSql,
     "text_scrub"          -> textScrubSql,
     "dedup_exact"         -> dedupExactSql,
+    "dedup_embed_cosine"  -> dedupEmbedCosineSql,
+    "ann_topk"            -> annTopKSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -75,6 +75,26 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q34_range_join: band table broadcast — the fact side never shuffles") {
+    val p = plan(CoreQueries.q34RangeJoin(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only exchange is the final groupBy("band"), never a pre-join one
+    assert(!p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
+      .contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q30_correlated_subquery: decorrelated to a broadcast hash join") {
+    val p = plan(CoreQueries.q30CorrelatedSubquery(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), "decorrelation must not introduce a window:\n" + p)
+  }
+
+  test("q33_asof: single window pass, no self-join") {
+    val p = plan(CoreQueries.q33Asof(spark, dir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "as-of via running max must not join:\n" + p)
+  }
+
   test("dedup_exact: shuffle key is the digest, not the document") {
     val p = plan(ExtQueries.dedupExact(spark, dir))
     assert(p.contains("HashAggregate"), p)
