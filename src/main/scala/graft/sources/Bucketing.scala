@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for co-located joins — the 100 TB answer to the
+  * sync's recurring big-big equi-joins (SURVEY.md §2.3 J1/J2: the
+  * `ma_tx_out ⋈ tx_out ⋈ tx` chain re-joins the same keys every period).
+  *
+  * Writing both sides bucketed (and sorted) by the join key makes every
+  * subsequent equi-join on that key exchange-free: the bucketed scan
+  * already satisfies the join's required `HashClusteredDistribution`, so
+  * the sort-merge join reads both sides in place — no shuffle of either
+  * fact table, per period, forever. Bucket counts must match (or divide)
+  * across the two sides.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted external parquet table registered in
+    * the session catalog (bucket metadata lives in the catalog, which is
+    * why this is `saveAsTable` and not a plain `parquet(path)` write).
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  def table(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+}

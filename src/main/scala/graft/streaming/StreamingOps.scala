@@ -123,4 +123,15 @@ object StreamingOps {
         sum(col("value").cast("decimal(30,2)")).cast("double").as("total_value"))
       .drop("session_seq")
   }
+
+  /** Exact streaming dedup on a key: state-store-backed drop of duplicate
+    * keys across micro-batches, with the watermark bounding state size
+    * (keys older than the watermark are evicted — without it the state
+    * grows with every distinct key ever seen, which cannot run forever).
+    * The streaming form of `Dedup.exact` for an ingest pipeline.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 }

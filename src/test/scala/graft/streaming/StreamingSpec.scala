@@ -78,4 +78,26 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed == expectedClosed)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming dedup drops cross-batch duplicates down to the batch distinct set") {
+    // stage the same events twice (two files -> duplicates arrive across
+    // micro-batch boundaries as well as within)
+    val d = Files.createTempDirectory("events-dup").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.coalesce(1).write.mode("append").parquet(d)
+    ev.coalesce(1).write.mode("append").parquet(d)
+
+    val deduped = StreamingOps.dedupStream(
+      StreamingOps.eventsStream(spark, d), Seq("event_id"), watermark = "10 days")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted
+    val expected = ev.select("event_id").distinct().as[Long].collect().sorted
+    assert(streamed.length == expected.length)
+    assert(streamed.toSeq == expected.toSeq)
+  }
 }
