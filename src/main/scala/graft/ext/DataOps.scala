@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for a large-scale training-data pipeline:
+  * profiling, deterministic sampling, and mixture weighting. All pure
+  * DataFrame compositions — one aggregation or window pass each, no
+  * driver-side iteration, no RNG (reproducible plans end to end).
+  */
+object DataOps {
+
+  /** One-pass per-column profile: row count, null count, exact distinct
+    * count. Output one row per profiled column — the data-quality gate a
+    * pipeline runs before training ingestion. (Exact distincts: swap in
+    * `Sketches.approxDistinct` per column when the table is huge.)
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__distinct_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__distinct_$c").as("n_distinct"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
+  /** Deterministic systematic sample: every k-th row per stratum in a
+    * pinned total order — reproducible (no RNG, no seed drift across
+    * retries) and exactly proportional per stratum, unlike `sampleBy`.
+    */
+  def systematicSample(df: DataFrame, stratumCols: Seq[String],
+      orderCols: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where((col("__rn") - 1) % k === 0)
+      .drop("__rn")
+  }
+
+  /** Mixture weighting by integer epoch counts: each row is replicated
+    * `weight(source)` times with a 1-based `rep` index (the "3 epochs of
+    * wiki, 1 of web" dataset-assembly step). Weight-0 sources drop out.
+    * The weights table is tiny -> broadcast; replication happens where the
+    * rows live (explode after the join, no shuffle of the corpus).
+    */
+  def weightedMixture(df: DataFrame, sourceCol: String,
+      weights: Map[String, Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(sourceCol, "__weight")
+    df.join(broadcast(w), Seq(sourceCol))
+      .where(col("__weight") >= 1)
+      .withColumn("rep", explode(sequence(lit(1L), col("__weight").cast("long"))))
+      .drop("__weight")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One packed document: which pack it landed in and its position there.
+  * (Top-level so the Catalyst encoder can codegen its constructor.)
+  */
+case class PackedDoc(id: Long, n_tokens: Long, pack_id: Long, pack_seq: Int,
+    oversize: Boolean)
+
+/** Greedy next-fit sequence packing: assemble documents into fixed
+  * token-budget packs (context windows) — the dataset-assembly step that
+  * turns a deduped corpus into training sequences.
+  *
+  * Genuinely imperative per-partition logic (running fill state), so this
+  * is the rare legitimate `mapPartitions`: each partition packs its own
+  * documents independently (packs never span partitions — at scale that's
+  * exactly what you want: no cross-executor coordination), deterministic
+  * via sortWithinPartitions + hash repartition on the id.
+  */
+object Packing {
+
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .repartition(col("id"))
+      .sortWithinPartitions("id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId().toLong
+        var packIdx = -1L
+        var fill = 0L
+        var seqNo = 0
+        it.map { case (id, n) =>
+          val oversize = n > budget
+          if (packIdx < 0 || fill + n > budget) {
+            packIdx += 1; fill = 0L; seqNo = 0
+          }
+          fill += n
+          seqNo += 1
+          // partition-unique pack ids without any global counter
+          PackedDoc(id, n, pid * 1000000000L + packIdx, seqNo - 1, oversize)
+        }
+      }
+      .toDF()
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{DataOps, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Phase-E extension operators exposed through SparkEntry.
@@ -203,6 +203,42 @@ object ExtQueries {
     TextAnalysis.qualityFlags(Tables.documents(s, dir))
       .select("doc_id", "rep_ratio", "flag_too_short", "flag_repetitive", "keep")
 
+  // --- dataset assembly (profile / sample / mixture / packing) -------------
+
+  val profileDocuments: QueryFn = (s, dir) =>
+    DataOps.profile(Tables.documents(s, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+  val profileDocumentsSql: String =
+    Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  val sampleStratified: QueryFn = (s, dir) =>
+    DataOps.systematicSample(Tables.documents(s, dir), Seq("lang"), Seq("doc_id"), k = 7)
+      .select("doc_id", "lang")
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang FROM documents
+      |QUALIFY (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 7 = 0""".stripMargin
+
+  val mixtureWeighted: QueryFn = (s, dir) =>
+    DataOps.weightedMixture(Tables.documents(s, dir), "source",
+      Map("src0" -> 3, "src1" -> 2, "src2" -> 1, "src3" -> 0))
+      .select("doc_id", "source", "rep")
+  val mixtureWeightedSql: String =
+    """SELECT doc_id, source, CAST(unnest(generate_series(1, wt)) AS BIGINT) AS rep
+      |FROM documents
+      |JOIN (VALUES ('src0', 3), ('src1', 2), ('src2', 1)) w(source, wt) USING (source)""".stripMargin
+
+  /** Greedy next-fit packing (rows-only: imperative per-partition state). */
+  val packSequences: QueryFn = (s, dir) =>
+    Packing.packSequences(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+      "doc_id", "n_tokens", budget = 256)
+      .select("id", "n_tokens", "pack_id", "pack_seq", "oversize")
+
   val all: Map[String, QueryFn] = Map(
     "sessionize"           -> sessionize,
     "text_scrub"           -> textScrub,
@@ -222,6 +258,10 @@ object ExtQueries {
     "text_fingerprint"     -> textFingerprint,
     "multimodal_features"  -> multimodalFeatures,
     "multimodal_frames"    -> multimodalFrames,
+    "profile_documents"    -> profileDocuments,
+    "sample_stratified"    -> sampleStratified,
+    "mixture_weighted"     -> mixtureWeighted,
+    "pack_sequences"       -> packSequences,
   )
 
   val oracles: Map[String, String] = Map(
@@ -234,5 +274,8 @@ object ExtQueries {
     "text_quality"        -> textQualitySql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames"   -> multimodalFramesSql,
+    "profile_documents"   -> profileDocumentsSql,
+    "sample_stratified"   -> sampleStratifiedSql,
+    "mixture_weighted"    -> mixtureWeightedSql,
   )
 }

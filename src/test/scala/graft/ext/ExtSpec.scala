@@ -133,6 +133,46 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(res(40L)._1 == 40L && res(40L)._2, "singleton keeps itself")
   }
 
+  test("packSequences: packs respect the budget, cover every doc, deterministic") {
+    val docs = (1L to 200L).map(i => (i, 10L + (i * 37) % 300)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512)
+      .as[(Long, Long, Long, Int, Boolean)].collect()
+    assert(packed.length == 200)
+    assert(packed.map(_._1).distinct.length == 200, "every doc packed exactly once")
+    // per-pack token sums within budget unless the pack is a single oversize doc
+    val byPack = packed.groupBy(_._3)
+    for ((pid, members) <- byPack) {
+      val tokens = members.map(_._2).sum
+      if (tokens > 512)
+        assert(members.length == 1 && members.head._5, s"pack $pid overflows: $tokens")
+    }
+    // pack_seq is 0-based and contiguous within a pack
+    for ((_, members) <- byPack)
+      assert(members.map(_._4).sorted.toSeq == (0 until members.length))
+    // deterministic across runs
+    val again = Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512)
+      .as[(Long, Long, Long, Int, Boolean)].collect()
+    assert(packed.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // greedy next-fit on this data must actually pack (not one doc per pack)
+    assert(byPack.size < 120, s"suspiciously many packs: ${byPack.size}")
+  }
+
+  test("profile counts nulls and distincts; weightedMixture replicates by epoch") {
+    val df = Seq((1L, "a", "x"), (2L, null, "x"), (3L, "a", "y"), (4L, "b", null))
+      .toDF("id", "s", "t")
+    val prof = DataOps.profile(df, Seq("id", "s", "t"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(prof("id") == ((4L, 0L, 4L)))
+    assert(prof("s") == ((4L, 1L, 2L)))
+    assert(prof("t") == ((4L, 1L, 2L)))
+
+    val mixed = DataOps.weightedMixture(
+      Seq((1L, "wiki"), (2L, "web"), (3L, "junk")).toDF("id", "src"),
+      "src", Map("wiki" -> 3, "web" -> 1, "junk" -> 0))
+      .select("id", "rep").as[(Long, Long)].collect().sorted
+    assert(mixed.toSeq == Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+
   test("exact dedup keeps min id per duplicate group") {
     val docs = Seq((5L, "aaa"), (2L, "aaa"), (9L, "bbb")).toDF("doc_id", "text")
     val got = Dedup.exact(docs, "doc_id", "text")
