@@ -44,6 +44,50 @@ object DataOps {
       .drop("__rn")
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) interval builder: collapse an
+    * event stream into one row per *run* of an unchanged state value, with
+    * `[valid_from, valid_to)` validity bounds (`valid_to` null = current
+    * row). The general form of the reference's mutable current-state
+    * columns (`asset.current_wallet_id`, `asset_ext.latest_*`): those keep
+    * only the last run; this keeps the full history.
+    *
+    * Shape at scale: two window passes and one partial-aggregating groupBy,
+    * all partitioned by the entity key — a single shuffle on the key, no
+    * self-join, no global sort.
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], stateCol: String,
+      tsCol: String, tieCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val runs = df
+      .withColumn("__chg",
+        when(lag(col(stateCol), 1).over(w) <=> col(stateCol), 0L).otherwise(1L))
+      .withColumn("__run", sum(col("__chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val collapsed = runs
+      .groupBy((keyCols :+ stateCol :+ "__run").map(col): _*)
+      .agg(min(col(tsCol)).as("valid_from"))
+    val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(col("valid_from"))
+    collapsed
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__run")
+  }
+
+  /** Per-group quota cap: keep the first `n` rows per group in a pinned
+    * order (dataset-assembly "at most N documents per domain"). One window
+    * pass partitioned by the group key; the filter drops rows before any
+    * further shuffle.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Mixture weighting by integer epoch counts: each row is replicated
     * `weight(source)` times with a 1-based `rep` index (the "3 epochs of
     * wiki, 1 of web" dataset-assembly step). Weight-0 sources drop out.

@@ -136,4 +136,45 @@ object TextAnalysis {
     slice(array_sort(transform(
       sequence(lit(1), greatest(length(trim(text)) - (k - 1), lit(1))),
       i => xxhash64(trim(text).substr(i, lit(k))))), 1, w)
+
+  /** Distinct word n-grams of a text column as strings (space-joined).
+    * Texts with fewer than n tokens yield an empty array. Oracle-parity
+    * form; the scale path is `TextShingles.word_shingle_hashes` (8-byte
+    * hashes, no gram strings on the wire).
+    */
+  def ngramGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark-contamination / cross-corpus novelty check: for each corpus
+    * document, how many of its distinct word n-grams also occur anywhere
+    * in the reference corpus (a benchmark's test set, an earlier crawl
+    * snapshot, ...). Returns `(id, n_grams, n_hit)`; docs with < n tokens
+    * drop out (no grams to test).
+    *
+    * Scale shape: both sides explode to (gram, id) pairs; the reference
+    * side is distinct'd before the join so the probe side is a set; the
+    * join and the per-doc re-aggregation shuffle gram keys once each.
+    * Use `hashed = true` to ship 8-byte FNV hashes through the exchange
+    * instead of gram strings (the `TextShingles` kernel; same counts up
+    * to 64-bit collisions, which are negligible at corpus scale).
+    */
+  def ngramOverlap(corpus: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, n: Int, hashed: Boolean = false): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      if (hashed)
+        df.select(cols :+ explode(TextShingles.word_shingle_hashes(col(textCol), n)).as("gram"): _*)
+      else
+        df.select(cols :+ explode(ngramGrams(col(textCol), n)).as("gram"): _*)
+    val corpusGrams = grams(corpus, col(idCol))
+    val refGrams = grams(ref).distinct().withColumn("__hit", lit(1L))
+    corpusGrams.join(refGrams, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+  }
 }

@@ -633,6 +633,62 @@ object CoreQueries {
     """SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS parts
       |FROM lineitem GROUP BY l_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q37_lead_lag — offset window functions: previous timestamp / next event
+  // type per user. One window shuffle on the partition key, no join.
+  // ---------------------------------------------------------------------------
+  val q37LeadLag: QueryFn = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        lag("ts", 1).over(w).as("prev_ts"),
+        lead("event_type", 1).over(w).as("next_type"))
+  }
+  val q37Sql: String =
+    """SELECT event_id, user_id,
+      | lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+      | lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q38_stats_agg — statistical aggregates (stddev/variance/corr/covar): all
+  // partial-aggregate map-side as (n, Σx, Σx², Σxy) moments — one shuffle of
+  // O(groups) moment tuples. Rounded on both sides (double moment order
+  // differs between engines at the last ulp).
+  // ---------------------------------------------------------------------------
+  val q38StatsAgg: QueryFn = (s, dir) => {
+    val u = col("user_id").cast("double")
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(corr(col("value"), u), 4).as("corr_vu"),
+        round(covar_samp(col("value"), u), 4).as("covar_vu"))
+  }
+  val q38Sql: String =
+    """SELECT event_type,
+      | round(stddev_samp(value), 4) AS sd_value,
+      | round(var_samp(value), 4) AS var_value,
+      | round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+      | round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q39_edit_distance — levenshtein scalar (the exact-verification kernel of
+  // fuzzy string dedup). Narrow projection, codegen'd, no shuffle at all.
+  // ---------------------------------------------------------------------------
+  val q39EditDistance: QueryFn = (s, dir) =>
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        levenshtein(col("c_name"), col("c_mktsegment")).as("lev"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev_seg"))
+  val q39Sql: String =
+    """SELECT c_custkey,
+      | CAST(levenshtein(c_name, c_mktsegment) AS INT) AS lev,
+      | CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_seg
+      |FROM customer""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "q27_cube"          -> q27Cube,
     "q28_intersect"     -> q28Intersect,
@@ -641,6 +697,9 @@ object CoreQueries {
     "q31_pivot"         -> q31Pivot,
     "q32_explode"       -> q32Explode,
     "q33_asof"          -> q33Asof,
+    "q37_lead_lag"      -> q37LeadLag,
+    "q38_stats_agg"     -> q38StatsAgg,
+    "q39_edit_distance" -> q39EditDistance,
     "q34_range_join"    -> q34RangeJoin,
     "q35_ntile"         -> q35Ntile,
     "q36_collect_list"  -> q36CollectList,
@@ -680,6 +739,9 @@ object CoreQueries {
     "q31_pivot"         -> q31Sql,
     "q32_explode"       -> q32Sql,
     "q33_asof"          -> q33Sql,
+    "q37_lead_lag"      -> q37Sql,
+    "q38_stats_agg"     -> q38Sql,
+    "q39_edit_distance" -> q39Sql,
     "q34_range_join"    -> q34Sql,
     "q35_ntile"         -> q35Sql,
     "q36_collect_list"  -> q36Sql,

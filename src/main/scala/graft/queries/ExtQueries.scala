@@ -231,6 +231,61 @@ object ExtQueries {
       |FROM documents
       |JOIN (VALUES ('src0', 3), ('src1', 2), ('src2', 1)) w(source, wt) USING (source)""".stripMargin
 
+  val scd2Intervals: QueryFn = (s, dir) =>
+    DataOps.scd2(Tables.events(s, dir).select("user_id", "event_type", "ts", "event_id"),
+      Seq("user_id"), "event_type", "ts", Seq("event_id"))
+      .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+  val scd2IntervalsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |), runs AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM marked
+      |), collapsed AS (
+      |  SELECT user_id, event_type, grp, min(ts) AS valid_from
+      |  FROM runs GROUP BY user_id, event_type, grp
+      |)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+      |FROM collapsed""".stripMargin
+
+  val sampleCapped: QueryFn = (s, dir) =>
+    DataOps.capPerGroup(Tables.documents(s, dir), Seq("source"), Seq("doc_id"), n = 50)
+      .select("doc_id", "source")
+  val sampleCappedSql: String =
+    """SELECT doc_id, source FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 50""".stripMargin
+
+  /** Contamination of the corpus (sources != src3) against a pseudo-benchmark
+    * (source == src3): distinct 5-gram hits per document.
+    */
+  val textContamination: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.ngramOverlap(
+      docs.where(col("source") =!= "src3"),
+      docs.where(col("source") === "src3"),
+      "doc_id", "text", n = 5)
+  }
+  val textContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), dgrams AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+4], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t)-4)) AS g(i)
+      |), ref AS (
+      |  SELECT DISTINCT gram FROM dgrams WHERE source = 'src3'
+      |)
+      |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |FROM dgrams d LEFT JOIN ref r USING (gram)
+      |WHERE d.source <> 'src3'
+      |GROUP BY d.doc_id""".stripMargin
+
   /** Greedy next-fit packing (rows-only: imperative per-partition state). */
   val packSequences: QueryFn = (s, dir) =>
     Packing.packSequences(
@@ -262,6 +317,9 @@ object ExtQueries {
     "sample_stratified"    -> sampleStratified,
     "mixture_weighted"     -> mixtureWeighted,
     "pack_sequences"       -> packSequences,
+    "scd2_intervals"       -> scd2Intervals,
+    "sample_capped"        -> sampleCapped,
+    "text_contamination"   -> textContamination,
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,5 +335,8 @@ object ExtQueries {
     "profile_documents"   -> profileDocumentsSql,
     "sample_stratified"   -> sampleStratifiedSql,
     "mixture_weighted"    -> mixtureWeightedSql,
+    "scd2_intervals"      -> scd2IntervalsSql,
+    "sample_capped"       -> sampleCappedSql,
+    "text_contamination"  -> textContaminationSql,
   )
 }

@@ -173,6 +173,44 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(mixed.toSeq == Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
   }
 
+  test("scd2 collapses runs into validity intervals") {
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L),
+      (1L, "a", 40L, 4L), (2L, "x", 10L, 5L))
+      .toDF("k", "state", "ts", "id")
+    val got = DataOps.scd2(ev, Seq("k"), "state", "ts", Seq("id"))
+      .select("k", "state", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().sortBy(r => (r._1, r._3))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10L, Some(30L), false),   // run a[10,20] collapsed
+      (1L, "b", 30L, Some(40L), false),
+      (1L, "a", 40L, None, true),         // state returns -> new interval
+      (2L, "x", 10L, None, true)))
+  }
+
+  test("capPerGroup keeps first n per group in pinned order") {
+    val df = (1L to 20L).map(i => (i, s"g${i % 2}")).toDF("id", "g")
+    val got = DataOps.capPerGroup(df, Seq("g"), Seq("id"), n = 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "g1"), (2L, "g0"), (3L, "g1"),
+      (4L, "g0"), (5L, "g1"), (6L, "g0")))
+  }
+
+  test("ngramOverlap counts reference hits; hashed variant agrees") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),        // grams: 4 bigrams? n=3 -> a b c, b c d, c d e, d e f
+      (2L, "x y z w q r")).toDF("doc_id", "text")
+    val ref = Seq((9L, "b c d e zz")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramOverlap(corpus, ref, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc1: 4 distinct trigrams, hits = {b c d, c d e} = 2; doc2: 4, 0 hits
+    assert(got(1L) == ((4L, 2L)))
+    assert(got(2L) == ((4L, 0L)))
+    val hashed = TextAnalysis.ngramOverlap(corpus, ref, "doc_id", "text", n = 3, hashed = true)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(hashed == got, "hash-kernel contamination must agree with string grams")
+  }
+
   test("exact dedup keeps min id per duplicate group") {
     val docs = Seq((5L, "aaa"), (2L, "aaa"), (9L, "bbb")).toDF("doc_id", "text")
     val got = Dedup.exact(docs, "doc_id", "text")
