@@ -34,6 +34,23 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("approx_distinct"))
 
+  /** Approximate heavy hitters over one column (single-pass FreqItems /
+    * lossy-counting style, per-partition summaries merged on the driver —
+    * no full shuffle of the key space). Guaranteed to contain every item
+    * with frequency > `support`; may contain false positives, so the
+    * caller re-verifies candidates with one exact filtered count (the
+    * standard two-pass heavy-hitter pattern: candidate pass is cheap,
+    * exact pass only counts the few candidates).
+    */
+  def heavyHitters(df: DataFrame, valueCol: String,
+      support: Double): DataFrame = {
+    val cands = df.stat.freqItems(Seq(valueCol), support)
+      .collect()(0).getSeq[Any](0)
+    df.filter(col(valueCol).isin(cands: _*))
+      .groupBy(valueCol).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > (df.count() * support).toLong)
+  }
+
   /** Per-group approximate percentiles (positional accuracy 1/accuracy). */
   def approxQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
       probs: Seq[Double], accuracy: Int = 10000): DataFrame =

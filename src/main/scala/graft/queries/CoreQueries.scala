@@ -689,6 +689,27 @@ object CoreQueries {
       | CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_seg
       |FROM customer""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q40_range_frame — RANGE-framed window (trailing 1-hour sum per user):
+  // value-based frame bounds, not row counts. One window shuffle on the
+  // partition key; the frame sum goes through DECIMAL for order-independence.
+  // ---------------------------------------------------------------------------
+  val q40RangeFrame: QueryFn = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("hour_sum",
+        sum(col("value").cast("decimal(20,2)")).over(w).cast("double"))
+      .select("event_id", "user_id", "ts_us", "hour_sum")
+  }
+  val q40Sql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      | CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (
+      |   PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+      |FROM events""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "q27_cube"          -> q27Cube,
     "q28_intersect"     -> q28Intersect,
@@ -700,6 +721,7 @@ object CoreQueries {
     "q37_lead_lag"      -> q37LeadLag,
     "q38_stats_agg"     -> q38StatsAgg,
     "q39_edit_distance" -> q39EditDistance,
+    "q40_range_frame"   -> q40RangeFrame,
     "q34_range_join"    -> q34RangeJoin,
     "q35_ntile"         -> q35Ntile,
     "q36_collect_list"  -> q36CollectList,
@@ -742,6 +764,7 @@ object CoreQueries {
     "q37_lead_lag"      -> q37Sql,
     "q38_stats_agg"     -> q38Sql,
     "q39_edit_distance" -> q39Sql,
+    "q40_range_frame"   -> q40Sql,
     "q34_range_join"    -> q34Sql,
     "q35_ntile"         -> q35Sql,
     "q36_collect_list"  -> q36Sql,

@@ -286,6 +286,20 @@ object ExtQueries {
       |WHERE d.source <> 'src3'
       |GROUP BY d.doc_id""".stripMargin
 
+  /** Exact corpus-vocabulary heavy hitters (the verification pass of the
+    * two-pass heavy-hitter pattern; `Sketches.heavyHitters` is the
+    * candidate pass).
+    */
+  val vocabHeavyHitters: QueryFn = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 100)
+  val vocabHeavyHittersSql: String =
+    """SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+      |GROUP BY word HAVING count(*) >= 100""".stripMargin
+
   /** Greedy next-fit packing (rows-only: imperative per-partition state). */
   val packSequences: QueryFn = (s, dir) =>
     Packing.packSequences(
@@ -320,6 +334,7 @@ object ExtQueries {
     "scd2_intervals"       -> scd2Intervals,
     "sample_capped"        -> sampleCapped,
     "text_contamination"   -> textContamination,
+    "vocab_heavy_hitters"  -> vocabHeavyHitters,
   )
 
   val oracles: Map[String, String] = Map(
@@ -338,5 +353,6 @@ object ExtQueries {
     "scd2_intervals"      -> scd2IntervalsSql,
     "sample_capped"       -> sampleCappedSql,
     "text_contamination"  -> textContaminationSql,
+    "vocab_heavy_hitters" -> vocabHeavyHittersSql,
   )
 }
