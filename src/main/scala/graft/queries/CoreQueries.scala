@@ -710,6 +710,27 @@ object CoreQueries {
       |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q41_sql_text — the SQL front-end: one ANSI SQL string (TPC-H Q3 shape)
+  // executed verbatim by spark.sql over the registered temp views AND by
+  // DuckDB as its own oracle. Proves the engine is reachable as plain SQL
+  // with portable semantics, not only through the DataFrame API.
+  // ---------------------------------------------------------------------------
+  val q41Sql: String =
+    """SELECT o_orderkey,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+  val q41SqlText: QueryFn = (s, dir) => {
+    graft.Graft.registerTables(s, dir)
+    s.sql(q41Sql)
+  }
+
   val all: Map[String, QueryFn] = Map(
     "q27_cube"          -> q27Cube,
     "q28_intersect"     -> q28Intersect,
@@ -722,6 +743,7 @@ object CoreQueries {
     "q38_stats_agg"     -> q38StatsAgg,
     "q39_edit_distance" -> q39EditDistance,
     "q40_range_frame"   -> q40RangeFrame,
+    "q41_sql_text"      -> q41SqlText,
     "q34_range_join"    -> q34RangeJoin,
     "q35_ntile"         -> q35Ntile,
     "q36_collect_list"  -> q36CollectList,
@@ -765,6 +787,7 @@ object CoreQueries {
     "q38_stats_agg"     -> q38Sql,
     "q39_edit_distance" -> q39Sql,
     "q40_range_frame"   -> q40Sql,
+    "q41_sql_text"      -> q41Sql,
     "q34_range_join"    -> q34Sql,
     "q35_ntile"         -> q35Sql,
     "q36_collect_list"  -> q36Sql,

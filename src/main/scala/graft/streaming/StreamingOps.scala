@@ -134,4 +134,14 @@ object StreamingOps {
       tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream without any stream-side state. The static side is re-planned
+    * per micro-batch (so dim updates are picked up) and broadcast, so the
+    * stream never shuffles — the streaming form of the reference's
+    * in-memory dimension cache (`app/db/id_index.py:18-25`).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys)
 }

@@ -46,6 +46,22 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join matches the batch join, no stream shuffle") {
+    val dim = (0L to 200L).map(u => (u, s"cohort_${u % 4}")).toDF("user_id", "cohort")
+    val enriched = StreamingOps.enrichStream(
+      StreamingOps.eventsStream(spark, eventsDir), dim, Seq("user_id"))
+      .groupBy("cohort").count()
+    val q = enriched.writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("enrich_out").as[(String, Long)].collect().toMap
+    val batch = Tables.events(spark, sfDir).join(dim, Seq("user_id"))
+      .groupBy("cohort").count().as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("streaming sessionize (flatMapGroupsWithState) matches the batch oracle") {
     // Real streaming run: sessions closed by an observed gap are emitted;
     // each user's final session stays open in the state store (it would
