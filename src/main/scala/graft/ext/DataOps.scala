@@ -88,6 +88,28 @@ object DataOps {
       .drop("__rn")
   }
 
+  /** Time-series resample with gap filling: bucket rows per key into
+    * fixed intervals and emit a row for EVERY bucket between each key's
+    * first and last — missing buckets get zero counts (the densify step
+    * before windowed models / charting). The spine is generated per key
+    * with `sequence` + `explode` — distributed, proportional to each
+    * key's own span, no driver-side calendar loop.
+    */
+  def resampleFill(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      unit: String = "hour"): DataFrame = {
+    val keys = keyCols.map(col)
+    val counts = df
+      .groupBy(keys :+ date_trunc(unit, col(tsCol)).as("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+    val spine = counts
+      .groupBy(keys: _*)
+      .agg(min(col("bucket")).as("__t0"), max(col("bucket")).as("__t1"))
+      .select(keys :+ explode(sequence(col("__t0"), col("__t1"),
+        expr(s"interval 1 $unit"))).as("bucket"): _*)
+    spine.join(counts, keyCols :+ "bucket", "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
   /** Mixture weighting by integer epoch counts: each row is replicated
     * `weight(source)` times with a 1-based `rep` index (the "3 epochs of
     * wiki, 1 of web" dataset-assembly step). Weight-0 sources drop out.

@@ -36,4 +36,28 @@ object Skew {
     df.groupBy(key).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(key).asc)
       .limit(n)
+
+  /** Semi-join reduction via a Bloom filter: when a selective join keeps
+    * only a small fraction of the big side, shuffling the full big side
+    * first is the dominant waste. Build a Bloom filter over the small
+    * side's keys (one pass, kB–MB of driver state), broadcast it, and
+    * filter the big side BEFORE its shuffle — non-matching rows never hit
+    * the exchange. False positives (rate `fpp`) just ride along and drop
+    * in the exact join; no false negatives, so results are identical.
+    */
+  def bloomPrefilteredJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedKeys: Long, fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    val bloom = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { k: Any => k != null && bc.value.mightContainString(k.toString) }
+    // long keys test faster through the typed path than via toString
+    val mightContainLong = udf { k: java.lang.Long => k != null && bc.value.mightContainLong(k) }
+    val keyType = big.schema(bigKey).dataType.typeName
+    val pre =
+      if (keyType == "long" || keyType == "integer")
+        big.where(mightContainLong(col(bigKey).cast("long")))
+      else big.where(mightContain(col(bigKey)))
+    pre.join(small, pre(bigKey) === small(smallKey), joinType)
+  }
 }

@@ -731,6 +731,18 @@ object CoreQueries {
     s.sql(q41Sql)
   }
 
+  // ---------------------------------------------------------------------------
+  // q42_regexp — regex capture-group extraction (codegen'd, no shuffle).
+  // ---------------------------------------------------------------------------
+  val q42Regexp: QueryFn = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k_val"))
+  val q42Sql: String =
+    """SELECT event_id,
+      | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+      |FROM events""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "q27_cube"          -> q27Cube,
     "q28_intersect"     -> q28Intersect,
@@ -744,6 +756,7 @@ object CoreQueries {
     "q39_edit_distance" -> q39EditDistance,
     "q40_range_frame"   -> q40RangeFrame,
     "q41_sql_text"      -> q41SqlText,
+    "q42_regexp"        -> q42Regexp,
     "q34_range_join"    -> q34RangeJoin,
     "q35_ntile"         -> q35Ntile,
     "q36_collect_list"  -> q36CollectList,
@@ -788,6 +801,7 @@ object CoreQueries {
     "q39_edit_distance" -> q39Sql,
     "q40_range_frame"   -> q40Sql,
     "q41_sql_text"      -> q41Sql,
+    "q42_regexp"        -> q42Sql,
     "q34_range_join"    -> q34Sql,
     "q35_ntile"         -> q35Sql,
     "q36_collect_list"  -> q36Sql,

@@ -286,6 +286,20 @@ object ExtQueries {
       |WHERE d.source <> 'src3'
       |GROUP BY d.doc_id""".stripMargin
 
+  val resampleHourly: QueryFn = (s, dir) =>
+    DataOps.resampleFill(Tables.events(s, dir), Seq("user_id"), "ts")
+      .select("user_id", "bucket", "n")
+  val resampleHourlySql: String =
+    """WITH c AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |), b AS (
+      |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+      |  FROM c GROUP BY user_id
+      |)
+      |SELECT b.user_id, b.bucket, coalesce(c.n, 0) AS n
+      |FROM b LEFT JOIN c USING (user_id, bucket)""".stripMargin
+
   /** Exact corpus-vocabulary heavy hitters (the verification pass of the
     * two-pass heavy-hitter pattern; `Sketches.heavyHitters` is the
     * candidate pass).
@@ -335,6 +349,7 @@ object ExtQueries {
     "sample_capped"        -> sampleCapped,
     "text_contamination"   -> textContamination,
     "vocab_heavy_hitters"  -> vocabHeavyHitters,
+    "resample_hourly"      -> resampleHourly,
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,5 +369,6 @@ object ExtQueries {
     "sample_capped"       -> sampleCappedSql,
     "text_contamination"  -> textContaminationSql,
     "vocab_heavy_hitters" -> vocabHeavyHittersSql,
+    "resample_hourly"     -> resampleHourlySql,
   )
 }

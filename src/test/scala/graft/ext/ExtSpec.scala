@@ -211,6 +211,22 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(hashed == got, "hash-kernel contamination must agree with string grams")
   }
 
+  test("bloomPrefilteredJoin equals the plain join (no false negatives)") {
+    val big = (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "payload")
+    val small = Seq(3L, 1000L, 4999L, 7777L).map(k => (k, s"dim$k")).toDF("dk", "attr")
+    val got = Skew.bloomPrefilteredJoin(big, small, "k", "dk", expectedKeys = 10)
+      .select("k", "payload", "attr").as[(Long, String, String)].collect().sortBy(_._1)
+    val exact = big.join(small, col("k") === col("dk"))
+      .select("k", "payload", "attr").as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == exact.toSeq && exact.length == 3)
+
+    val bigS = big.select(concat(lit("k"), col("k")).as("k"), col("payload"))
+    val smallS = small.select(concat(lit("k"), col("dk")).as("dk"), col("attr"))
+    val gotS = Skew.bloomPrefilteredJoin(bigS, smallS, "k", "dk", expectedKeys = 10)
+      .select("k", "attr").as[(String, String)].collect().sorted
+    assert(gotS.length == 3)
+  }
+
   test("exact dedup keeps min id per duplicate group") {
     val docs = Seq((5L, "aaa"), (2L, "aaa"), (9L, "bbb")).toDF("doc_id", "text")
     val got = Dedup.exact(docs, "doc_id", "text")
