@@ -95,6 +95,19 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Join"), "as-of via running max must not join:\n" + p)
   }
 
+  test("scd2: the whole history pipeline reuses ONE exchange of the entity key") {
+    // window (key) -> run groupBy (key, state, run) -> window (key): the
+    // hash partitioning on user_id satisfies every downstream clustering,
+    // so two windows + an aggregate cost a single shuffle.
+    val df = ExtQueries.scd2Intervals(spark, dir)
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count the
+    // final plan only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("dedup_exact: shuffle key is the digest, not the document") {
     val p = plan(ExtQueries.dedupExact(spark, dir))
     assert(p.contains("HashAggregate"), p)
