@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark has no single operator for, composed scale-first.
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach `valueCols` from the latest
+    * right row with `right.ts <= left.ts` on the same key (the
+    * point-in-time lookup of time-series stores). Implemented as
+    * union + one per-key window with a running `last(_, ignoreNulls)` —
+    * NO range self-join (whose candidate set is O(|L|·|R|) per key before
+    * pruning) and no per-row subquery: one shuffle of L∪R on the key,
+    * one sort within partitions, linear scan. Right rows sort before
+    * left rows on timestamp ties, so an exactly-simultaneous right row
+    * is visible (inclusive as-of), and `tieCols` pins which right row
+    * wins when several share a timestamp.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valueCols: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(!leftCols.contains(_)),
+      s"valueCols ${valueCols.filter(leftCols.contains)} collide with left columns — alias them on the right side first")
+    require(tieCols.forall(c => right.schema(c).dataType.typeName match {
+      case "long" | "integer" | "short" | "byte" => true; case _ => false
+    }), "tieCols must be integral (the greatest value wins timestamp ties)")
+    val keys = keyCols.map(col)
+    // align schemas: left carries its own columns, right carries the values
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(keys ++ Seq(col(tsCol), col("__side")) ++
+        tieCols.map(c => lit(null).cast("long").as(s"__tie_$c")) ++
+        leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(keys ++ Seq(col(tsCol), col("__side")) ++
+        tieCols.map(c => col(c).cast("long").as(s"__tie_$c")) ++
+        leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy((Seq(col(tsCol), col("__side")) ++ tieCols.map(c => col(s"__tie_$c"))): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(c, last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    attached.where(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+}

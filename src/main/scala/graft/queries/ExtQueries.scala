@@ -300,6 +300,24 @@ object ExtQueries {
       |SELECT b.user_id, b.bucket, coalesce(c.n, 0) AS n
       |FROM b LEFT JOIN c USING (user_id, bucket)""".stripMargin
 
+  /** General as-of join operator vs DuckDB's native ASOF JOIN: attach the
+    * value of each user's latest click at-or-before every error event.
+    */
+  val asofJoinGeneral: QueryFn = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    graft.ext.Joins.asofJoin(
+      ev.where(col("event_type") === "error").select("event_id", "user_id", "ts"),
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value")),
+      Seq("user_id"), "ts", Seq("click_value"))
+      .select("event_id", "user_id", "click_value")
+  }
+  val asofJoinGeneralSql: String =
+    """SELECT l.event_id, l.user_id, r.value AS click_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
   /** Exact corpus-vocabulary heavy hitters (the verification pass of the
     * two-pass heavy-hitter pattern; `Sketches.heavyHitters` is the
     * candidate pass).
@@ -350,6 +368,7 @@ object ExtQueries {
     "text_contamination"   -> textContamination,
     "vocab_heavy_hitters"  -> vocabHeavyHitters,
     "resample_hourly"      -> resampleHourly,
+    "asof_join"            -> asofJoinGeneral,
   )
 
   val oracles: Map[String, String] = Map(
@@ -370,5 +389,6 @@ object ExtQueries {
     "text_contamination"  -> textContaminationSql,
     "vocab_heavy_hitters" -> vocabHeavyHittersSql,
     "resample_hourly"     -> resampleHourlySql,
+    "asof_join"           -> asofJoinGeneralSql,
   )
 }

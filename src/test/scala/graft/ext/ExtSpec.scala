@@ -227,6 +227,34 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(gotS.length == 3)
   }
 
+  test("asofJoin attaches latest at-or-before right value; ties inclusive") {
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 5L, "l0"), (2L, 10L, "l3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100L, 1L), (1L, 10L, 200L, 2L), (1L, 15L, 300L, 3L))
+      .toDF("k", "ts", "rv", "rid")
+    val got = Joins.asofJoin(left, right, Seq("k"), "ts", Seq("rv"), tieCols = Seq("rid"))
+      .select("k", "ts", "tag", "rv")
+      .as[(Long, Long, String, Option[Long])].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 5L, "l0", None),          // before any right row
+      (1L, 10L, "l1", Some(200L)),   // simultaneous right row visible; max rid wins tie
+      (1L, 20L, "l2", Some(300L)),   // latest at-or-before
+      (2L, 10L, "l3", None)))        // no right rows for this key
+  }
+
+  test("native kernels are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64('hello world') AS sh,
+        |       word_shingle_hashes('a b c d', 2) AS ws,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == SimHash64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    assert(r.getSeq[Long](1).length == 3)
+    assert(r.getDouble(2) == 11.0)
+  }
+
   test("exact dedup keeps min id per duplicate group") {
     val docs = Seq((5L, "aaa"), (2L, "aaa"), (9L, "bbb")).toDF("doc_id", "text")
     val got = Dedup.exact(docs, "doc_id", "text")
