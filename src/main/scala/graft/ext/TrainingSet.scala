@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-set assembly: the whole phase-E pipeline as one
+  * composition, from raw documents to packed fixed-budget training
+  * sequences. Order matters and is the standard one:
+  *
+  *   scrub -> quality filter -> exact dedup -> fuzzy (MinHash) dedup
+  *     -> benchmark-contamination filter -> per-source quota
+  *     -> mixture weighting -> greedy sequence packing
+  *
+  * (Cheap row-local filters first so every expensive shuffle-bearing
+  * stage — dedup candidates, contamination grams, packing — sees the
+  * smallest possible corpus. Contamination runs on the hashed-kernel
+  * path: 8-byte shingle hashes on the wire, never gram strings.)
+  */
+object TrainingSet {
+
+  def assemble(docs: DataFrame, benchmark: DataFrame,
+      weights: Map[String, Int], capPerSource: Int = 1000000,
+      tokenBudget: Long = 256, maxContamination: Double = 0.5,
+      ngram: Int = 5): DataFrame = {
+    val scrubbed = docs.withColumn("text", TextAnalysis.scrub(col("text")))
+    val quality = TextAnalysis.qualityFlags(scrubbed, "text")
+      .where(col("keep")).select(docs.columns.map(col): _*)
+    val exact = quality.join(
+      Dedup.exact(quality, "doc_id", "text").select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val fuzzy = exact.join(
+      Dedup.dedupByMinhash(exact, "doc_id", "text")
+        .where(col("keep")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val contaminated = TextAnalysis
+      .ngramOverlap(fuzzy, benchmark, "doc_id", "text", ngram, hashed = true)
+      .where(col("n_hit") > col("n_grams") * maxContamination)
+      .select("doc_id")
+    val clean = fuzzy.join(contaminated, Seq("doc_id"), "left_anti")
+    val capped = DataOps.capPerGroup(clean, Seq("source"), Seq("doc_id"), capPerSource)
+    val mixed = DataOps.weightedMixture(capped, "source", weights)
+      // replica-unique packing id; rep is small (epoch count), so shifting
+      // the doc id by a few bits keeps uid collision-free and stable
+      .withColumn("uid", col("doc_id") * 64 + col("rep"))
+    Packing.packSequences(
+      mixed.withColumn("n_tokens", size(TextAnalysis.tokens(col("text")))),
+      "uid", "n_tokens", tokenBudget)
+      .withColumnRenamed("id", "uid")
+      .withColumn("doc_id", floor(col("uid") / 64).cast("long"))
+      .withColumn("rep", pmod(col("uid"), lit(64L)))
+      .select("doc_id", "rep", "n_tokens", "pack_id", "pack_seq", "oversize")
+  }
+}

@@ -332,6 +332,19 @@ object ExtQueries {
       |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
       |GROUP BY word HAVING count(*) >= 100""".stripMargin
 
+  /** Full training-set assembly over documents, src3 as the held-out
+    * benchmark (rows-only: MinHash clustering + greedy packing are not
+    * ANSI-expressible; each stage is individually oracled/unit-tested).
+    */
+  val trainingSet: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ext.TrainingSet.assemble(
+      docs.where(col("source") =!= "src3"),
+      docs.where(col("source") === "src3"),
+      weights = Map("src0" -> 2, "src1" -> 1, "src2" -> 1),
+      tokenBudget = 512)
+  }
+
   /** Greedy next-fit packing (rows-only: imperative per-partition state). */
   val packSequences: QueryFn = (s, dir) =>
     Packing.packSequences(
@@ -369,6 +382,7 @@ object ExtQueries {
     "vocab_heavy_hitters"  -> vocabHeavyHitters,
     "resample_hourly"      -> resampleHourly,
     "asof_join"            -> asofJoinGeneral,
+    "training_set"         -> trainingSet,
   )
 
   val oracles: Map[String, String] = Map(

@@ -135,6 +135,26 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream inner join: correlate two event streams on
+    * a key within a bounded event-time band (here: each error joined to
+    * the clicks of the same user in the preceding `bandMinutes`). The
+    * time-band condition + watermarks are what make unbounded-stream join
+    * state finite: each side buffers only rows young enough to still
+    * find a partner, and the watermark evicts the rest.
+    */
+  def correlateStreams(left: DataFrame, right: DataFrame, key: String,
+      bandMinutes: Int = 60, watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("__rk"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+    l.join(r,
+      col(key) === col("__rk") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"interval $bandMinutes minutes"))
+      .drop("__rk")
+  }
+
   /** Stream-static enrichment join: attach dimension attributes to a
     * stream without any stream-side state. The static side is re-planned
     * per micro-batch (so dim updates are picked up) and broadcast, so the

@@ -255,6 +255,32 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(r.getDouble(2) == 11.0)
   }
 
+  test("TrainingSet.assemble: each stage drops what it should") {
+    val base = "the quick brown fox jumps over one lazy dog while nine cats watch the show tonight"
+    val corpus = Seq(
+      (1L, base + " alpha beta gamma delta epsilon", "wiki"),
+      (2L, base + " alpha beta gamma delta epsilon", "wiki"),     // exact dup of 1
+      (3L, base + " alpha beta gamma delta zeta", "wiki"),        // near dup of 1
+      (4L, "too short", "wiki"),                                   // quality drop
+      (5L, "benchmark sentence about unique topics" + " with many extra filler words to pass the quality gate easily", "web"),
+      (6L, "completely different content about oceans rivers mountains valleys deserts and forests everywhere", "web"),
+      (7L, "junk source content that is long enough to pass the ten token quality gate fine", "junk"))
+      .toDF("doc_id", "text", "source")
+    val benchmark = Seq(
+      (99L, "benchmark sentence about unique topics with many extra filler words to pass the gate", "bench"))
+      .toDF("doc_id", "text", "source")
+
+    val out = graft.ext.TrainingSet.assemble(corpus, benchmark,
+      weights = Map("wiki" -> 2, "web" -> 1, "junk" -> 0),
+      tokenBudget = 64, maxContamination = 0.5, ngram = 3)
+      .select("doc_id", "rep").as[(Long, Long)].collect().sorted
+
+    // 2 dropped (exact dup), 3 dropped (near dup), 4 dropped (quality),
+    // 5 dropped (contaminated vs benchmark), 7 dropped (weight 0);
+    // 1 kept at weight 2, 6 kept at weight 1
+    assert(out.toSeq == Seq((1L, 1L), (1L, 2L), (6L, 1L)), out.toSeq.toString)
+  }
+
   test("exact dedup keeps min id per duplicate group") {
     val docs = Seq((5L, "aaa"), (2L, "aaa"), (9L, "bbb")).toDF("doc_id", "text")
     val got = Dedup.exact(docs, "doc_id", "text")

@@ -62,6 +62,29 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("watermarked stream-stream band join matches the batch band join") {
+    val errors = StreamingOps.eventsStream(spark, eventsDir).where(col("event_type") === "error")
+    val clicks = StreamingOps.eventsStream(spark, eventsDir).where(col("event_type") === "click")
+    val q = StreamingOps.correlateStreams(errors, clicks, "user_id", bandMinutes = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("corr_out")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+
+    val ev = Tables.events(spark, sfDir)
+    val be = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val bc = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("uk"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+    val batch = be.join(bc,
+      col("user_id") === col("uk") && col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr("interval 60 minutes"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming sessionize (flatMapGroupsWithState) matches the batch oracle") {
     // Real streaming run: sessions closed by an observed gap are emitted;
     // each user's final session stays open in the state store (it would
