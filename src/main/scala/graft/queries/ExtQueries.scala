@@ -345,6 +345,16 @@ object ExtQueries {
       tokenBudget = 512)
   }
 
+  /** Deterministic bottom-k-by-hash sample per source (rows-only: the
+    * mix64 order has no DuckDB equivalent; exactness is pinned by the
+    * driver-side oracle in ExtSpec).
+    */
+  val sampleBottomK: QueryFn = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(graft.ext.Aggs.bottomKByHash(col("doc_id"), 10).as("sample"))
+      .select(col("source"), explode(col("sample")).as("doc_id"))
+
   /** Greedy next-fit packing (rows-only: imperative per-partition state). */
   val packSequences: QueryFn = (s, dir) =>
     Packing.packSequences(
@@ -383,6 +393,7 @@ object ExtQueries {
     "resample_hourly"      -> resampleHourly,
     "asof_join"            -> asofJoinGeneral,
     "training_set"         -> trainingSet,
+    "sample_bottomk"       -> sampleBottomK,
   )
 
   val oracles: Map[String, String] = Map(

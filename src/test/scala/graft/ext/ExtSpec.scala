@@ -281,6 +281,21 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(out.toSeq == Seq((1L, 1L), (1L, 2L), (6L, 1L)), out.toSeq.toString)
   }
 
+  test("bottomKByHash: deterministic, mergeable, matches the exact bottom-k") {
+    val df = (1L to 5000L).map(i => (i, s"g${i % 3}")).toDF("id", "g").repartition(8)
+    val got = df.groupBy("g").agg(Aggs.bottomKByHash(col("id"), 5).as("sample"))
+      .as[(String, Seq[Long])].collect().toMap
+    // oracle: exact min-5 of mix64(id) per group, computed driver-side
+    val exact = (1L to 5000L).groupBy(i => s"g${i % 3}").view
+      .mapValues(_.toSeq.sortBy(Aggs.mix64).take(5)).toMap
+    for ((g, ids) <- exact) assert(got(g).toSet == ids.toSet, g)
+    // deterministic across a different partitioning (merge order changes)
+    val again = df.repartition(3).groupBy("g")
+      .agg(Aggs.bottomKByHash(col("id"), 5).as("sample"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(again.view.mapValues(_.toSet).toMap == got.view.mapValues(_.toSet).toMap)
+  }
+
   test("exact dedup keeps min id per duplicate group") {
     val docs = Seq((5L, "aaa"), (2L, "aaa"), (9L, "bbb")).toDF("doc_id", "text")
     val got = Dedup.exact(docs, "doc_id", "text")
