@@ -743,6 +743,22 @@ object CoreQueries {
       | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q43_grouping_sets — arbitrary grouping sets (beyond rollup/cube) with
+  // grouping() indicators; same SQL text runs on both engines (like q41).
+  // ---------------------------------------------------------------------------
+  val q43Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+      | CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      | CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+  val q43GroupingSets: QueryFn = (s, dir) => {
+    graft.Graft.registerTables(s, dir)
+    s.sql(q43Sql)
+  }
+
   val all: Map[String, QueryFn] = Map(
     "q27_cube"          -> q27Cube,
     "q28_intersect"     -> q28Intersect,
@@ -757,6 +773,7 @@ object CoreQueries {
     "q40_range_frame"   -> q40RangeFrame,
     "q41_sql_text"      -> q41SqlText,
     "q42_regexp"        -> q42Regexp,
+    "q43_grouping_sets" -> q43GroupingSets,
     "q34_range_join"    -> q34RangeJoin,
     "q35_ntile"         -> q35Ntile,
     "q36_collect_list"  -> q36CollectList,
@@ -802,6 +819,7 @@ object CoreQueries {
     "q40_range_frame"   -> q40Sql,
     "q41_sql_text"      -> q41Sql,
     "q42_regexp"        -> q42Sql,
+    "q43_grouping_sets" -> q43Sql,
     "q34_range_join"    -> q34Sql,
     "q35_ntile"         -> q35Sql,
     "q36_collect_list"  -> q36Sql,
