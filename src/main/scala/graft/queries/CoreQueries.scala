@@ -664,14 +664,16 @@ object CoreQueries {
         round(stddev_samp(col("value")), 4).as("sd_value"),
         round(var_samp(col("value")), 4).as("var_value"),
         round(corr(col("value"), u), 4).as("corr_vu"),
-        round(covar_samp(col("value"), u), 4).as("covar_vu"))
+        round(covar_samp(col("value"), u), 4).as("covar_vu"),
+        round(median(col("value")), 4).as("med_value"))
   }
   val q38Sql: String =
     """SELECT event_type,
       | round(stddev_samp(value), 4) AS sd_value,
       | round(var_samp(value), 4) AS var_value,
       | round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
-      | round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
+      | round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu,
+      | round(median(value), 4) AS med_value
       |FROM events GROUP BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------------
