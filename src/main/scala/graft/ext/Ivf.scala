@@ -62,22 +62,33 @@ object Ivf {
       .toDF("cell", "cv")
   }
 
-  /** Deterministic k-means-lite: stride-sampled init + `iterations` Lloyd
-    * steps. Returns (cell, cv). The init's global row_number sorts only
-    * (id, vec) and runs once; at true 100 TB scale swap in a hash-stride
-    * sample (`xxhash64(id) % stride = 0`) to avoid the global sort.
+  /** Deterministic k-means-lite: hash-stride-sampled init + `iterations`
+    * Lloyd steps. Returns (cell, cv). The init filters to ~nCells rows by
+    * `xxhash64(id) % stride == 0` — a narrow scan, NO global sort or
+    * single-partition window — then the (tiny) sample is collected and
+    * indexed driver-side.
     */
   def fit(corpus: DataFrame, nCells: Int, iterations: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val n = corpus.count()
-    val stride = math.max(n / nCells, 1L)
-    val w = Window.orderBy(idCol)
-    var centroids = corpus
-      .withColumn("__rn", row_number().over(w))
-      .where((col("__rn") - 1) % stride === 0 && col("__rn") <= stride * nCells)
-      .select(((col("__rn") - 1) / stride).cast("int").as("cell"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .localCheckpoint()
+    // ~4x oversample so the hash filter reliably yields >= nCells rows,
+    // then stride over the id-sorted sample driver-side so the init spans
+    // the id range (id-clustered data must not seed all cells in one spot)
+    val stride = math.max(n / (4L * nCells), 1L)
+    val slim = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val picked = slim.where(pmod(xxhash64(col("id")), lit(stride)) === 0)
+      .orderBy("id").collect()
+    val base =
+      if (picked.length >= nCells) picked
+      else slim.orderBy("id").limit(nCells).collect()
+    val step = math.max(base.length / nCells, 1)
+    var centroids = base.indices.by(step).take(nCells)
+      .map(base(_)).zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      .toDF("cell", "cv")
 
     var i = 0
     while (i < iterations) {
