@@ -169,4 +169,34 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Per-group element-wise mean vector (centroid / mean-pooling): one
+    * map-side-combining `aggregateByKey` pass with in-place array sums —
+    * the shuffle carries one partial-sum array per (partition, group),
+    * never exploded (group, pos, value) rows (which would multiply the
+    * exchange by the vector dimensionality). Output: (key, mean
+    * array<double>, n).
+    */
+  def meanVectors(df: DataFrame, keyCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("k"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Seq[Double])].rdd
+      .aggregateByKey((Array.empty[Double], 0L))(
+        { case ((acc, n), v) =>
+          val a = if (acc.isEmpty) new Array[Double](v.length) else acc
+          var i = 0; while (i < v.length) { a(i) += v(i); i += 1 }
+          (a, n + 1)
+        },
+        { case ((a, na), (b, nb)) =>
+          if (a.isEmpty) (b, na + nb)
+          else {
+            if (b.nonEmpty) { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 } }
+            (a, na + nb)
+          }
+        })
+      .map { case (k, (s, n)) => (k, s.map(_ / n).toSeq, n) }
+      .toDF(keyCol, "mean_vec", "n")
+  }
 }

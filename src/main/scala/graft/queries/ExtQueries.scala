@@ -345,6 +345,21 @@ object ExtQueries {
       tokenBudget = 512)
   }
 
+  /** Per-label mean embedding (centroid pooling), exploded to scalar rows
+    * for the oracle compare; the mean is computed by the one-pass
+    * aggregateByKey kernel, not a (label, pos, value) explosion.
+    */
+  val meanVectors: QueryFn = (s, dir) =>
+    Similarity.meanVectors(Tables.embeddings(s, dir), "label")
+      .select(col("label"), posexplode(col("mean_vec")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("v"), 6).as("mean_val"))
+  val meanVectorsSql: String =
+    """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+      | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+      |FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
+      |GROUP BY label, i""".stripMargin
+
   /** Deterministic bottom-k-by-hash sample per source (rows-only: the
     * mix64 order has no DuckDB equivalent; exactness is pinned by the
     * driver-side oracle in ExtSpec).
@@ -394,6 +409,7 @@ object ExtQueries {
     "asof_join"            -> asofJoinGeneral,
     "training_set"         -> trainingSet,
     "sample_bottomk"       -> sampleBottomK,
+    "mean_vectors"         -> meanVectors,
   )
 
   val oracles: Map[String, String] = Map(
@@ -415,5 +431,6 @@ object ExtQueries {
     "vocab_heavy_hitters" -> vocabHeavyHittersSql,
     "resample_hourly"     -> resampleHourlySql,
     "asof_join"           -> asofJoinGeneralSql,
+    "mean_vectors"        -> meanVectorsSql,
   )
 }
