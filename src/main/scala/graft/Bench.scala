@@ -21,15 +21,24 @@ object Bench {
     // JVM + codegen warm-up on the smallest table (not timed)
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => }
+    // (name, seconds, ok); a failed query is reported as -1, never as a
+    // normal-looking timing, so regressions-to-failure are visible.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) secs else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    // numeric scale factor parsed from the dir name (e.g. ".../sf0.1" -> 0.1)
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     spark.stop()
   }
 }
