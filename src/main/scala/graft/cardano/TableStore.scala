@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   *   - `full/v=N/`  — a mutable table's complete contents as of period N
   *     (`asset`, `asset_ext` — the plain-parquet stand-in for a
   *     Delta/Iceberg MERGE, which is the intended production sink);
-  *   - `_current`   — the committed version pointer.
+  * plus one root-level `_manifest` file holding every table's committed
+  * version (`name=N` lines).
   *
-  * A period stages version N+1 dirs for every table, then `commit` flips the
-  * pointers — the reference's single transaction per period (SNK3). Readers
-  * only see data at/below the pointer, so
+  * A period stages version N+1 dirs for every table, then `commit` writes the
+  * whole table→version map to a tmp file and atomically renames it over
+  * `_manifest` — the reference's single transaction per period (SNK3) as ONE
+  * filesystem rename, so a crash can never half-commit a period and readers
+  * never observe a missing pointer. Readers only see data at/below their
+  * table's manifest entry, so
   *   - appends are O(delta): a version is the union of delta dirs 1..N;
   *   - re-running a failed period overwrites its staged dirs (idempotent,
   *     ST6 — an intentional upgrade over the reference);
@@ -29,26 +33,37 @@ class TableStore(val spark: SparkSession, val root: String) {
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def tableDir(name: String) = new Path(root, name)
-  private def currentFile(name: String) = new Path(tableDir(name), "_current")
+  private def manifestFile = new Path(root, "_manifest")
   private def deltaDir(name: String, v: Long) = new Path(tableDir(name), s"delta/v=$v")
   private def fullDir(name: String, v: Long) = new Path(tableDir(name), s"full/v=$v")
 
-  def currentVersion(name: String): Long = {
-    val f = currentFile(name)
-    if (!fs.exists(f)) 0L
-    else {
-      val in = fs.open(f)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+  /** The committed table→version map. Absent file (fresh store) = all 0. */
+  def manifest(): Map[String, Long] = {
+    if (!fs.exists(manifestFile)) return Map.empty
+    val in = fs.open(manifestFile)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
-    }
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      line.substring(0, i) -> line.substring(i + 1).toLong
+    }.toMap
   }
 
-  private def setCurrent(name: String, v: Long): Unit = {
-    val tmp = new Path(tableDir(name), "_current.tmp")
+  def currentVersion(name: String): Long = manifest().getOrElse(name, 0L)
+
+  private def writeManifest(m: Map[String, Long]): Unit = {
+    val tmp = new Path(root, s"_manifest.tmp")
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(currentFile(name), false)
-    fs.rename(tmp, currentFile(name))
+    try out.write(m.toSeq.sorted.map { case (n, v) => s"$n=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // Single atomic rename-with-overwrite: POSIX rename on local fs, the
+    // equivalent overwrite rename on HDFS. No delete-then-rename window.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifestFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def empty(name: String): DataFrame =
@@ -82,9 +97,11 @@ class TableStore(val spark: SparkSession, val root: String) {
     next
   }
 
-  /** Atomically commit a set of staged versions (the per-period txn, SNK3). */
+  /** Atomically commit a set of staged versions (the per-period txn, SNK3):
+    * the merged map lands in one manifest rename, all tables or none.
+    */
   def commit(versions: Map[String, Long]): Unit =
-    versions.foreach { case (name, v) => setCurrent(name, v) }
+    writeManifest(manifest() ++ versions)
 
   /** SRC5: next id = max(id)+1, default 1. Parquet footer stats make the
     * max() a metadata-only scan.

@@ -159,13 +159,19 @@ object Transform {
       .groupBy(col("asset_id"))
       .agg(max_by(col("wallet_key"), col("rec_seq")).as("lw_key"))
       .join(walletIds, col("lw_key") === col("w_key"), "left")
-      .select(col("asset_id"), col("wallet_id").as("new_cw"))
+      .select(col("asset_id"), col("wallet_id").as("new_cw"), lit(true).as("has_lw"))
 
+    // An explicit has-update marker, not coalesce(new_cw, current): the
+    // reference queues `UPDATE current_wallet_id = <resolved>` for every asset
+    // with a transfer this batch, so a transfer whose wallet key resolves to
+    // NULL must overwrite (pantasia main.py A4) rather than silently keep the
+    // stale owner.
     val assetUpdated = st.asset
       .join(lastTransfer, st.asset("id") === lastTransfer("asset_id"), "left")
       .select(st.asset("id"), col("collection_id"), col("hash"), col("name"),
         col("fingerprint"),
-        coalesce(col("new_cw"), col("current_wallet_id")).as("current_wallet_id"))
+        when(col("has_lw"), col("new_cw")).otherwise(col("current_wallet_id"))
+          .as("current_wallet_id"))
       .unionByName(assetInserts)
 
     // ---- asset_ext inserts + latest-pointer LWW (A5) -----------------------

@@ -17,9 +17,19 @@ object Skew {
   /** Equi-join `big ⋈ small` on `key`, salting the big side `factor` ways.
     * `small` is replicated `factor`× (keep it broadcast-sized). Result
     * columns = big's ++ small's (minus the duplicate key).
+    *
+    * Only big-side-preserving join types are allowed: a right/full outer
+    * join would emit each unmatched small-side row `factor`× (once per
+    * replica), silently corrupting the result.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int = 8, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports big-side-preserving join types only " +
+      s"(${allowed.mkString(", ")}); '$joinType' would duplicate unmatched " +
+      "small-side rows factor times")
     // deterministic salt (hash of the whole row would be costly; a salt from
     // a per-row monotonic id keeps the distribution uniform and replayable)
     val salted = big.withColumn("__salt",
@@ -44,10 +54,20 @@ object Skew {
     * filter the big side BEFORE its shuffle — non-matching rows never hit
     * the exchange. False positives (rate `fpp`) just ride along and drop
     * in the exact join; no false negatives, so results are identical.
+    *
+    * Only join types where dropping non-matching BIG rows is sound are
+    * allowed: inner/semi (and right outer, which keeps all small rows
+    * regardless). A left/full outer join must preserve unmatched big-side
+    * rows with nulls — the prefilter would silently drop them.
     */
   def bloomPrefilteredJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, expectedKeys: Long, fpp: Double = 0.01,
       joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left_semi", "leftsemi", "right", "right_outer", "rightouter")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"bloomPrefilteredJoin supports ${allowed.mkString(", ")} only; " +
+      s"'$joinType' must preserve unmatched big-side rows, which the " +
+      "prefilter would drop")
     val bloom = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf { k: Any => k != null && bc.value.mightContainString(k.toString) }

@@ -167,7 +167,11 @@ object TextAnalysis {
       textCol: String, n: Int, hashed: Boolean = false): DataFrame = {
     def grams(df: DataFrame, cols: Column*): DataFrame =
       if (hashed)
-        df.select(cols :+ explode(TextShingles.word_shingle_hashes(col(textCol), n)).as("gram"): _*)
+        // word_shingle_hashes falls back to one whole-text hash for texts
+        // shorter than n tokens; drop those rows first so both modes share
+        // the documented "docs with < n tokens drop out" semantics.
+        df.where(size(tokens(col(textCol))) >= n)
+          .select(cols :+ explode(TextShingles.word_shingle_hashes(col(textCol), n)).as("gram"): _*)
       else
         df.select(cols :+ explode(ngramGrams(col(textCol), n)).as("gram"): _*)
     val corpusGrams = grams(corpus, col(idCol))

@@ -55,4 +55,28 @@ class FailureAtomicitySpec extends AnyFunSuite with SparkTest {
         clean.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString).toSeq,
         s"table $t diverged after failure+retry")
   }
+
+  test("commit is one root-manifest rename: tables flip together, stale tmp is inert") {
+    val out = Files.createTempDirectory("manifest-out").toString
+    val store = new TableStore(spark, out)
+    def staged(t: String) = store.appendNext(t,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.targetTables(t)))
+
+    val v = Map("wallet" -> staged("wallet"), "asset" -> staged("asset"))
+    store.commit(v)
+    assert(store.manifest() == Map("wallet" -> 1L, "asset" -> 1L))
+    assert(store.currentVersion("wallet") == 1L && store.currentVersion("asset") == 1L)
+    // exactly one commit artifact at the root; no per-table pointer files
+    assert(Files.exists(Paths.get(out, "_manifest")))
+    assert(!Files.exists(Paths.get(out, "wallet", "_current")))
+
+    // a crash after writing the tmp but before the rename leaves state as-is
+    Files.write(Paths.get(out, "_manifest.tmp"), "wallet=99\nasset=99\n".getBytes)
+    assert(store.currentVersion("wallet") == 1L && store.currentVersion("asset") == 1L)
+
+    // the next successful commit supersedes everything in one rename
+    store.commit(Map("wallet" -> staged("wallet")))
+    assert(store.manifest() == Map("wallet" -> 2L, "asset" -> 1L))
+  }
 }

@@ -199,13 +199,17 @@ class ExtSpec extends AnyFunSuite with SparkTest {
   test("ngramOverlap counts reference hits; hashed variant agrees") {
     val corpus = Seq(
       (1L, "a b c d e f"),        // grams: 4 bigrams? n=3 -> a b c, b c d, c d e, d e f
-      (2L, "x y z w q r")).toDF("doc_id", "text")
-    val ref = Seq((9L, "b c d e zz")).toDF("doc_id", "text")
+      (2L, "x y z w q r"),
+      (3L, "a b")).toDF("doc_id", "text")  // < n tokens: drops out in BOTH modes
+    val ref = Seq((9L, "b c d e zz"), (10L, "a b")).toDF("doc_id", "text")
     val got = TextAnalysis.ngramOverlap(corpus, ref, "doc_id", "text", n = 3)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     // doc1: 4 distinct trigrams, hits = {b c d, c d e} = 2; doc2: 4, 0 hits
     assert(got(1L) == ((4L, 2L)))
     assert(got(2L) == ((4L, 0L)))
+    // doc3 has < n tokens: no grams, absent from the result (and the short
+    // ref doc contributes no grams either — no whole-text-hash phantom hit)
+    assert(!got.contains(3L))
     val hashed = TextAnalysis.ngramOverlap(corpus, ref, "doc_id", "text", n = 3, hashed = true)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(hashed == got, "hash-kernel contamination must agree with string grams")
