@@ -23,7 +23,12 @@ object Bench {
     catch { case _: Throwable => }
     // (name, seconds, ok); a failed query is reported as -1, never as a
     // normal-looking timing, so regressions-to-failure are visible.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev profiling; the driver
+    // never sets it, so its runs always cover the full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

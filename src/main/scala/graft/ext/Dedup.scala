@@ -39,8 +39,10 @@ object Dedup {
   }
 
   /** MinHash signature: `num` permutations approximated by seeded xxhash64
-    * over the shingle set. Pure higher-order expressions — whole-stage
-    * codegen keeps this in one pass over the text.
+    * over the shingle set. Reference (composed-expression) form — kept as
+    * the in-engine oracle for the native kernel; the hot path uses
+    * `MinHashSig.minhash_signature`, which produces identical values in
+    * one pass without per-permutation arrays.
     */
   def minhashSignature(shingleCol: Column, num: Int = 64): Column =
     transform(sequence(lit(1), lit(num)),
@@ -79,7 +81,7 @@ object Dedup {
         TextShingles.word_shingle_hashes(col(textCol), 3).as("sh"))
       .localCheckpoint(false)
     val sigs = sh
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), MinHashSig.minhash_signature(col("sh"), numHashes).as("sig"))
       .localCheckpoint(false)
 
     // Bucket join carries ONLY (band, h, id): the 64-long signatures are
@@ -114,49 +116,68 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Connected components over a near-duplicate pair list: label
-    * propagation to a fixed point (each id takes the min id reachable),
-    * returning (id, cluster_id). Pair sets are post-threshold (sparse), so
-    * the iteration count is the cluster diameter — small in practice; each
-    * step is one join + aggregate, all distributed.
+  /** Connected components over a near-duplicate pair list: min-label
+    * propagation with pointer jumping to a fixed point, returning
+    * (id, cluster_id).
+    *
+    * Implemented on pair RDDs with ONE shared `HashPartitioner` — the rare
+    * case where dropping below the DataFrame API buys something Catalyst
+    * cannot: with edges and labels co-partitioned, the per-round
+    * edges⋈labels join is narrow (zero shuffle), so a round costs one
+    * message shuffle + one jump shuffle instead of re-exchanging the full
+    * edge set every iteration. Parallelism adapts to the edge count (one
+    * partition per ~1M directed edges, capped at the cluster's cores):
+    * post-threshold near-dup graphs are sparse, so tiny inputs don't pay
+    * for hundreds of empty tasks and huge ones still spread out.
+    * Pointer jumping (label <- label(label); sound because labels only
+    * decrease) collapses chains doubly fast — rounds, not per-round cost,
+    * are the scale bottleneck.
     */
   def components(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // plan barrier: the caller's pair generation (LSH chain) must not be
+    // re-run by every iteration below
+    val pr = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .localCheckpoint()
-    var labels = edges.select(col("id_a").as("id"))
-      .distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+    val nPairs = pr.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nPairs / 1000000L + 1L)).toInt
+    val part = new org.apache.spark.HashPartitioner(parts)
+
+    val edges = pr.as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist()
+    var labels = edges.keys.distinct(parts).map(id => (id, id))
+      .partitionBy(part).persist()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
-      // edge step: take the min label among neighbors
-      val propagated = edges
-        .join(labels.withColumnRenamed("id", "id_b")
-          .withColumnRenamed("cluster_id", "nb_label"), Seq("id_b"))
-        .groupBy(col("id_a").as("id"))
-        .agg(min(col("nb_label")).as("prop_label"))
-      val stepped = labels.join(propagated, Seq("id"), "left")
-        .select(col("id"), col("cluster_id").as("old"),
-          least(col("cluster_id"), coalesce(col("prop_label"), col("cluster_id")))
-            .as("cluster_id"))
-      // pointer jump: label <- label(label). Labels only decrease, so this
-      // keeps the same fixed point but collapses chains doubly fast —
-      // fewer synchronization rounds, and each round is a full shuffle at
-      // scale, so rounds are the thing to minimize.
-      val parents = stepped
-        .select(col("id").as("cluster_id"), col("cluster_id").as("parent_label"))
-      val next = stepped.join(parents, Seq("cluster_id"), "left")
-        .select(col("id"), col("old"),
-          least(col("cluster_id"), coalesce(col("parent_label"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
-      changed = next.where(col("cluster_id") =!= col("old")).count()
-      labels = next.select("id", "cluster_id")
+      // edge step: each vertex takes the min label among its neighbors
+      // (narrow join — both sides share `part`; only the message re-key
+      // shuffles, map-side combined by reduceByKey)
+      val msgs = edges.join(labels)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, math.min(_, _))
+      val stepped = labels.leftOuterJoin(msgs)
+        .mapValues { case (l, m) => math.min(l, m.getOrElse(Long.MaxValue)) }
+      // pointer jump: label(x) <- label(label(x)); <= label(x) always, so
+      // the jumped map alone is the next state
+      val next = stepped.map { case (id, lab) => (lab, id) }
+        .join(stepped)
+        .map { case (_, (id, lab2)) => (id, lab2) }
+        .partitionBy(part)
+        .persist()
+      if (iter % 10 == 9) next.localCheckpoint() // truncate loop lineage
+      changed = labels.join(next)
+        .filter { case (_, (o, n)) => o != n }.count()
+      labels.unpersist(false)
+      labels = next
       iter += 1
     }
-    labels
+    edges.unpersist(false)
+    labels.toDF("id", "cluster_id")
   }
 
   /** End-to-end fuzzy dedup: MinHash-LSH pairs -> connected components ->

@@ -33,7 +33,9 @@ object GraftFunctions {
       ("word_shingle_hashes", "distinct word n-gram hashes of a string",
         { args => TextShingles.WordShingleHashes(args.head, intArg(args(1), "n")) }),
       ("dot_product", "dot product of two float/double arrays",
-        { args => VectorExprs.DotProduct(args.head, args(1)) }))
+        { args => VectorExprs.DotProduct(args.head, args(1)) }),
+      ("minhash_signature", "MinHash signature of a shingle-hash array",
+        { args => MinHashSig.MinHashSignature(args.head, intArg(args(1), "num")) }))
       .map { case (name, usage, b) =>
         (FunctionIdentifier(name),
           new ExpressionInfo("graft.ext.GraftFunctions", name, usage), b)

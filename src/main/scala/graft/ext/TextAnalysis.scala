@@ -137,13 +137,15 @@ object TextAnalysis {
       sequence(lit(1), greatest(length(trim(text)) - (k - 1), lit(1))),
       i => xxhash64(trim(text).substr(i, lit(k))))), 1, w)
 
-  /** Distinct word n-grams of a text column as strings (space-joined).
+  /** Distinct case-folded word n-grams of a text column as strings
+    * (space-joined, lowercased — the same normalization as the hashed
+    * shingle kernel, so both `ngramOverlap` modes agree on any corpus).
     * Texts with fewer than n tokens yield an empty array. Oracle-parity
     * form; the scale path is `TextShingles.word_shingle_hashes` (8-byte
     * hashes, no gram strings on the wire).
     */
   def ngramGrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+    val toks = tokens(lower(text))
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))

@@ -46,6 +46,34 @@ object ExtQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
       n = 3, threshold = 0.8)
       .select("id_a", "id_b")
+  /** Exact replica of ngramJaccardPairs' semantics — including the df-pruned
+    * candidate gate (2 <= df <= 1000, >= 3 shared rare grams) and the
+    * whole-text fallback for sub-n-token docs — over gram STRINGS where the
+    * engine uses 64-bit shingle hashes (equal up to negligible collisions).
+    */
+  val dedupNgramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) u(i) WHERE len(t) >= 3
+      |  UNION ALL
+      |  SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) < 3
+      |), sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+      |), keep AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 1000
+      |), pr AS (SELECT doc_id, g FROM grams JOIN keep USING (g)
+      |), cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM pr a JOIN pr b USING (g)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 3
+      |), inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS common
+      |  FROM cand c JOIN grams ga ON ga.doc_id = c.id_a
+      |              JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.id_a, i.id_b
+      |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+      |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8""".stripMargin
 
   // The synthetic embeddings are near-orthogonal (max pairwise cosine
   // ~0.48 at sf0.001), so "near-dup" here means the most-similar tail —
@@ -127,12 +155,52 @@ object ExtQueries {
   val textLangId: QueryFn = (s, dir) =>
     Tables.documents(s, dir).select(
       col("doc_id"), TextAnalysis.lang_id(col("text")).as("lang_pred"))
+  /** Replays langIdFn exactly: CJK char-class screen, per-language marker
+    * counts, max score with lexicographically-greatest language on ties
+    * (hence fr > es > en > de in the CASE order), zero score -> 'und'.
+    */
+  val textLangIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    regexp_split_to_array(lower(coalesce(text,'')), '\s+') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, text,
+      |    len(list_filter(toks, x -> list_contains(['the','and','of','is','was','with','that','this'], x))) AS en,
+      |    len(list_filter(toks, x -> list_contains(['le','la','les','des','est','une','dans','pour'], x))) AS fr,
+      |    len(list_filter(toks, x -> list_contains(['el','los','las','una','está','para','como','pero'], x))) AS es,
+      |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS de,
+      |    len(regexp_extract_all(coalesce(text,''), '[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]')) AS cjk
+      |  FROM t
+      |)
+      |SELECT doc_id, CASE
+      |  WHEN text IS NULL OR length(text) = 0 THEN 'und'
+      |  WHEN cjk * 4 >= length(text) THEN 'zh'
+      |  WHEN greatest(en,fr,es,de) = 0 THEN 'und'
+      |  WHEN fr >= en AND fr >= es AND fr >= de THEN 'fr'
+      |  WHEN es >= en AND es >= de THEN 'es'
+      |  WHEN en >= de THEN 'en'
+      |  ELSE 'de' END AS lang_pred
+      |FROM s""".stripMargin
 
-  val textFingerprint: QueryFn = (s, dir) =>
-    Tables.documents(s, dir).select(
+  /** Fingerprint semantics, oracled: the raw 64-bit hash has no DuckDB
+    * equivalent, but its *equality classes* do — grouping by fingerprint must
+    * equal grouping by (trimmed) text, so the oracle checks the per-doc
+    * duplicate-class size. n_kgram_fps (winnowing sketch size; duplicates
+    * retained) is min(w, max(len-k+1, 1)), also SQL-expressible.
+    */
+  val textFingerprint: QueryFn = (s, dir) => {
+    val d = Tables.documents(s, dir).select(
       col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"),
       size(TextAnalysis.kgramFingerprints(col("text"))).cast("long").as("n_kgram_fps"))
+    d.join(d.groupBy("fp").agg(count(lit(1)).as("n_same_fp")), Seq("fp"))
+      .select("doc_id", "n_same_fp", "n_kgram_fps")
+  }
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      | count(*) OVER (PARTITION BY trim(text)) AS n_same_fp,
+      | least(16, greatest(length(trim(text)) - 7, 1)) AS n_kgram_fps
+      |FROM documents""".stripMargin
 
   // --- multimodal (stubbed decode; real plumbing) --------------------------
 
@@ -202,6 +270,31 @@ object ExtQueries {
   val textQualityFlags: QueryFn = (s, dir) =>
     TextAnalysis.qualityFlags(Tables.documents(s, dir))
       .select("doc_id", "rep_ratio", "flag_too_short", "flag_repetitive", "keep")
+  /** rep_ratio = 1 - distinct-trigrams/max(n_tokens-2, 1), with the engine's
+    * sub-3-token fallback (one whole-text shingle). The division is a pure
+    * per-row IEEE expression — identical bits both engines, no rounding
+    * needed. Trigrams are lowercased (the shingle kernel lowercases);
+    * n_tokens is not.
+    */
+  val textQualityFlagsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    CASE WHEN len(ltoks) >= 3
+      |      THEN len(list_distinct([array_to_string(ltoks[i:i+2], ' ') for i in generate_series(1, len(ltoks)-2)]))
+      |      ELSE 1 END AS d3
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  1.0 - d3 / CAST(greatest(n_tokens - 2, 1) AS DOUBLE) AS rep_ratio,
+      |  n_tokens < 10 AS flag_too_short,
+      |  (1.0 - d3 / CAST(greatest(n_tokens - 2, 1) AS DOUBLE)) > 0.3 AS flag_repetitive,
+      |  NOT (n_tokens < 10) AND NOT ((1.0 - d3 / CAST(greatest(n_tokens - 2, 1) AS DOUBLE)) > 0.3) AS keep
+      |FROM g""".stripMargin
 
   // --- dataset assembly (profile / sample / mixture / packing) -------------
 
@@ -266,14 +359,17 @@ object ExtQueries {
     */
   val textContamination: QueryFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
+    // hashed=true: the exchange carries 8-byte shingle hashes, not gram
+    // strings — same counts as the oracle's string grams up to 64-bit
+    // collisions (~1e-10 at this corpus size), ~3x faster at sf0.1
     TextAnalysis.ngramOverlap(
       docs.where(col("source") =!= "src3"),
       docs.where(col("source") === "src3"),
-      "doc_id", "text", n = 5)
+      "doc_id", "text", n = 5, hashed = true)
   }
   val textContaminationSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
       |), dgrams AS (
       |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+4], ' ') AS gram
       |  FROM toks, UNNEST(generate_series(1, len(t)-4)) AS g(i)
@@ -415,6 +511,10 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "sessionize"          -> sessionizeSql,
     "text_scrub"          -> textScrubSql,
+    "text_langid"         -> textLangIdSql,
+    "text_quality_flags"  -> textQualityFlagsSql,
+    "text_fingerprint"    -> textFingerprintSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_exact"         -> dedupExactSql,
     "dedup_embed_cosine"  -> dedupEmbedCosineSql,
     "ann_topk"            -> annTopKSql,

@@ -97,6 +97,22 @@ class ExtSpec extends AnyFunSuite with SparkTest {
 
   // ---- minhash / jaccard ---------------------------------------------------
 
+  test("MinHashSig kernel == composed xxhash64 formulation, bit for bit") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, "short"),
+      (3L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      TextShingles.word_shingle_hashes(col("text"), 3).as("sh"))
+    val native = sh.select(col("doc_id"),
+      MinHashSig.minhash_signature(col("sh"), 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composed = sh.select(col("doc_id"),
+      Dedup.minhashSignature(col("sh"), 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == composed)
+  }
+
   test("minhashPairs estimates track exact n-gram jaccard on duplicates") {
     val base = (1 to 50).map(i => s"w$i").mkString(" ")
     val near = ((1 to 48).map(i => s"w$i") ++ Seq("zz", "yy")).mkString(" ")
@@ -200,7 +216,8 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     val corpus = Seq(
       (1L, "a b c d e f"),        // grams: 4 bigrams? n=3 -> a b c, b c d, c d e, d e f
       (2L, "x y z w q r"),
-      (3L, "a b")).toDF("doc_id", "text")  // < n tokens: drops out in BOTH modes
+      (3L, "a b"),                         // < n tokens: drops out in BOTH modes
+      (4L, "A B C D e f")).toDF("doc_id", "text")  // case-folds to doc1's grams
     val ref = Seq((9L, "b c d e zz"), (10L, "a b")).toDF("doc_id", "text")
     val got = TextAnalysis.ngramOverlap(corpus, ref, "doc_id", "text", n = 3)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
@@ -210,6 +227,8 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     // doc3 has < n tokens: no grams, absent from the result (and the short
     // ref doc contributes no grams either — no whole-text-hash phantom hit)
     assert(!got.contains(3L))
+    // doc4: uppercase case-folds to doc1's grams — same counts in both modes
+    assert(got(4L) == ((4L, 2L)))
     val hashed = TextAnalysis.ngramOverlap(corpus, ref, "doc_id", "text", n = 3, hashed = true)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(hashed == got, "hash-kernel contamination must agree with string grams")
@@ -251,12 +270,14 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     val r = spark.sql(
       """SELECT simhash64('hello world') AS sh,
         |       word_shingle_hashes('a b c d', 2) AS ws,
-        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp""".stripMargin)
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |       minhash_signature(word_shingle_hashes('a b c d', 2), 8) AS mh""".stripMargin)
       .collect()(0)
     assert(r.getLong(0) == SimHash64.compute(
       org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
     assert(r.getSeq[Long](1).length == 3)
     assert(r.getDouble(2) == 11.0)
+    assert(r.getSeq[Long](3).length == 8)
   }
 
   test("TrainingSet.assemble: each stage drops what it should") {
