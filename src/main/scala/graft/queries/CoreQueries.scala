@@ -761,7 +761,98 @@ object CoreQueries {
     s.sql(q43Sql)
   }
 
+  // ---------------------------------------------------------------------------
+  // q44_rank_family — relative-rank window functions (percent_rank /
+  // cume_dist / dense_rank). Unique tiebreaker makes every row its own
+  // peer group, so the double-valued ranks are deterministic and
+  // IEEE-identical across engines. One window shuffle, no join.
+  // ---------------------------------------------------------------------------
+  val q44RankFamily: QueryFn = (s, dir) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      dense_rank().over(w).cast("long").as("drank"))
+  }
+  val q44Sql: String =
+    """SELECT o_orderkey,
+      | percent_rank() OVER w AS pct_rank,
+      | cume_dist() OVER w AS cume,
+      | CAST(dense_rank() OVER w AS BIGINT) AS drank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q45_date_functions — calendar arithmetic surface: truncation, day
+  // diffs, month-end, clamped month addition, quarter extraction. Pure
+  // codegen'd projections (no shuffle). Everything is normalized to
+  // timestamp/long so both engines emit identical values.
+  // ---------------------------------------------------------------------------
+  val q45DateFunctions: QueryFn = (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("days_since"),
+      last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+      add_months(date_trunc("day", col("o_orderdate")), 3)
+        .cast("timestamp").as("plus3m"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"))
+  val q45Sql: String =
+    """SELECT o_orderkey,
+      | date_trunc('month', o_orderdate) AS month_start,
+      | datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      | CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+      | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+      | CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q46_array_functions — array surface over grouped data: sort, distinct
+  // slice, membership, max. Arrays are string-joined for the compare
+  // (same convention as q36).
+  // ---------------------------------------------------------------------------
+  val q46ArrayFunctions: QueryFn = (s, dir) =>
+    Tables.lineitem(s, dir).groupBy("l_orderkey").agg(
+      concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"),
+      concat_ws(",", slice(sort_array(collect_set(col("l_linenumber"))), 1, 3)).as("first3"),
+      array_contains(collect_list(col("l_linenumber")), 1).as("has_line1"),
+      array_max(collect_list(col("l_linenumber"))).cast("long").as("max_line"))
+  val q46Sql: String =
+    """SELECT l_orderkey,
+      | array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+      | array_to_string(list_sort(list(DISTINCT l_linenumber))[1:3], ',') AS first3,
+      | list_contains(list(l_linenumber), 1) AS has_line1,
+      | CAST(max(l_linenumber) AS BIGINT) AS max_line
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q47_null_scalars — row-wise null-handling scalars: nullif, coalesce
+  // chains, greatest/least (null-skipping). Narrow projection, no shuffle;
+  // double arithmetic is per-row IEEE, identical across engines.
+  // ---------------------------------------------------------------------------
+  val q47NullScalars: QueryFn = (s, dir) =>
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      expr("nullif(l_discount, 0.0)").as("disc_nz"),
+      greatest(col("l_quantity"), col("l_tax") * 100).as("g"),
+      least(col("l_quantity"), col("l_extendedprice") / 100).as("l"),
+      coalesce(expr("nullif(l_returnflag, 'N')"), lit("none")).as("rf"))
+  val q47Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | nullif(l_discount, 0.0) AS disc_nz,
+      | greatest(l_quantity, l_tax * 100) AS g,
+      | least(l_quantity, l_extendedprice / 100) AS l,
+      | coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
+      |FROM lineitem""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q44_rank_family"   -> q44RankFamily,
+    "q45_date_functions"-> q45DateFunctions,
+    "q46_array_functions"-> q46ArrayFunctions,
+    "q47_null_scalars"  -> q47NullScalars,
     "q27_cube"          -> q27Cube,
     "q28_intersect"     -> q28Intersect,
     "q29_except"        -> q29Except,
@@ -808,6 +899,10 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_rank_family"   -> q44Sql,
+    "q45_date_functions"-> q45Sql,
+    "q46_array_functions"-> q46Sql,
+    "q47_null_scalars"  -> q47Sql,
     "q27_cube"          -> q27Sql,
     "q28_intersect"     -> q28Sql,
     "q29_except"        -> q29Sql,
