@@ -130,24 +130,31 @@ object Ivf {
   def search(queries: DataFrame, assignedCorpus: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Norms are computed once per ROW (query / centroid / corpus vector)
+    // below the joins and carried as columns — never per pair. The pair
+    // loop then runs exactly one dot product; the naive formulation costs
+    // three (the cosine denominator re-derived per candidate), which at
+    // scale triples the flops of the hottest loop in the index.
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val cents = centroids.withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     // top-nProbe cells per query (against the tiny centroid set)
     val wCell = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
-    val probes = q.join(broadcast(centroids))
-      .withColumn("csim", dot(col("qv"), col("cv")) /
-        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
+    val probes = q.join(broadcast(cents))
+      .withColumn("csim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(wCell))
       .where(col("pr") <= nProbe)
-      .select("query_id", "qv", "cell")
+      .select("query_id", "qv", "qn", "cell")
 
+    val corp = assignedCorpus
+      .select(col("id").as("neighbor_id"), col("v"), col("cell"))
+      .withColumn("vn", sqrt(dot(col("v"), col("v"))))
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     broadcast(probes)
-      .join(assignedCorpus.select(col("id").as("neighbor_id"), col("v"), col("cell")),
-        Seq("cell"))
+      .join(corp, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("v")) /
-        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
       .withColumn("rank", row_number().over(wTop))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")

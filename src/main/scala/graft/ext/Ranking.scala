@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring: TF-IDF and Okapi BM25 — the standard lexical
+  * retrieval / quality-weighting operators of a large-scale text pipeline
+  * (query-relevance filtering, boilerplate down-weighting, lexical ANN
+  * reranking).
+  *
+  * Scale shape: one explode of the corpus into (doc, term) counts, one
+  * hash-aggregate per term for document frequencies (the shuffle carries
+  * terms + counts, never documents), then scoring is a broadcast join of
+  * the tiny per-term idf table back onto the per-doc counts. Corpus-level
+  * scalars (N, avgdl) ride along as literals computed from exact integer
+  * aggregates — no order-dependent double sums anywhere.
+  */
+object Ranking {
+
+  /** (doc, term, tf) term frequencies over whitespace tokens. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-term document frequency over the corpus. */
+  def documentFrequencies(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Smoothed idf (the BM25+/Lucene form, always positive):
+    * ln(1 + (N - df + 0.5) / (df + 0.5)).
+    */
+  private def idf(nDocs: Long): Column =
+    log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+
+  /** TF-IDF per (doc, term): tf * ln(N / df). Returns
+    * (doc_id, term, tf, df, tfidf).
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(false)
+    val nDocs = docs.count()
+    tf.join(broadcast(documentFrequencies(tf)), Seq("term"))
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+  }
+
+  /** BM25 score of every document against a fixed term set. Returns one
+    * row per document that matches at least one query term:
+    * (doc_id, score). k1/b are the standard defaults.
+    *
+    * `avgdl` is derived from exact integer totals (token counts), so the
+    * score is deterministic under any partitioning.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withLen = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+      .localCheckpoint(false)
+    val tf = termFrequencies(withLen, "doc_id", "__text").localCheckpoint(false)
+    val nDocs = withLen.count()
+    val totalTokens = withLen.agg(sum(col("dl"))).collect()(0).getLong(0)
+    val avgdl = totalTokens.toDouble / nDocs.toDouble
+
+    val dfTable = documentFrequencies(tf)
+      .where(col("term").isInCollection(queryTerms))
+      .withColumn("idf", idf(nDocs))
+    tf.where(col("term").isInCollection(queryTerms))
+      .join(broadcast(dfTable), Seq("term"))
+      .join(withLen.select("doc_id", "dl"), Seq("doc_id"))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id")
+      // double summation is partition-order-dependent, so round each term's
+      // contribution at a fixed scale and sum in DECIMAL — exact, hence
+      // order-independent (the same dsum discipline as CoreQueries)
+      .agg(sum(round(col("contrib"), 6).cast("decimal(30,6)")).cast("double").as("score"))
+  }
+}

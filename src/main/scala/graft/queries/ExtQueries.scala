@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DataOps, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.ext.{DataOps, Dedup, Multimodal, Packing, Quantize, Ranking, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Phase-E extension operators exposed through SparkEntry.
@@ -441,6 +441,83 @@ object ExtQueries {
       tokenBudget = 512)
   }
 
+  /** Int8 affine quantization, exploded to exact integer codes per
+    * position — the oracle replays the affine map over DuckDB list ops
+    * (both sides round positive half-up, so the codes match bit-for-bit).
+    */
+  val vecQuantize: QueryFn = (s, dir) =>
+    Quantize.int8(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("q").cast("long").as("q"))
+  val vecQuantizeSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT vec_id, e, list_min(e) AS mn,
+      |    CASE WHEN list_max(e) > list_min(e)
+      |         THEN (list_max(e) - list_min(e)) / 255.0 ELSE 1.0 END AS scale
+      |  FROM v
+      |)
+      |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+      |  CAST(round((e[i] - mn) / scale) - 128 AS BIGINT) AS q
+      |FROM p, unnest(generate_series(1, len(e))) s(i)""".stripMargin
+
+  /** TF-IDF over the whole corpus vocabulary (tf exact, idf rounded at 6
+    * on both sides to absorb libm ln() ulp differences).
+    */
+  val rankTfidf: QueryFn = (s, dir) =>
+    Ranking.tfidf(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+  val rankTfidfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+      |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |  round(tf.tf * ln(n.n / dfreq.df), 6) AS tfidf
+      |FROM tf JOIN dfreq USING (term), n""".stripMargin
+
+  /** Okapi BM25 against a fixed query-term set; per-term contributions are
+    * rounded at 6 and summed in DECIMAL on both sides, so the score is
+    * partition-order-independent and engine-identical.
+    */
+  val rankBm25: QueryFn = (s, dir) =>
+    Ranking.bm25(Tables.documents(s, dir), "doc_id", "text",
+      Seq("join", "vector", "spark", "window"))
+  val rankBm25Sql: String =
+    """WITH withlen AS (
+      |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
+      |         regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM withlen) GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM withlen
+      |), dfreq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+      |  WHERE term IN ('join', 'vector', 'spark', 'window') GROUP BY 1
+      |), contrib AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |      * (tf.tf * (1.2 + 1.0))
+      |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * withlen.dl / stats.avgdl)) AS c
+      |  FROM tf
+      |  JOIN dfreq USING (term)
+      |  JOIN withlen USING (doc_id), stats
+      |  WHERE tf.term IN ('join', 'vector', 'spark', 'window')
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(CAST(round(c, 6) AS DECIMAL(30,6))) AS DOUBLE) AS score
+      |FROM contrib GROUP BY doc_id""".stripMargin
+
   /** Per-label mean embedding (centroid pooling), exploded to scalar rows
     * for the oracle compare; the mean is computed by the one-pass
     * aggregateByKey kernel, not a (label, pos, value) explosion.
@@ -506,6 +583,9 @@ object ExtQueries {
     "training_set"         -> trainingSet,
     "sample_bottomk"       -> sampleBottomK,
     "mean_vectors"         -> meanVectors,
+    "vec_quantize"         -> vecQuantize,
+    "rank_tfidf"           -> rankTfidf,
+    "rank_bm25"            -> rankBm25,
   )
 
   val oracles: Map[String, String] = Map(
@@ -532,5 +612,8 @@ object ExtQueries {
     "resample_hourly"     -> resampleHourlySql,
     "asof_join"           -> asofJoinGeneralSql,
     "mean_vectors"        -> meanVectorsSql,
+    "vec_quantize"        -> vecQuantizeSql,
+    "rank_tfidf"          -> rankTfidfSql,
+    "rank_bm25"           -> rankBm25Sql,
   )
 }
