@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object DataOps {
 
+  /** Parallelism floor: repartition up to `target` (default: the cluster's
+    * core count) ONLY when the plan currently has fewer partitions. The
+    * compute-heavy kernels (shingling, minhash, signature fan-outs) are
+    * CPU-bound per row, so a corpus that arrives as a handful of splits —
+    * one small parquet file, a single unsplittable row group — would
+    * otherwise run serially no matter how many cores exist. At scale this
+    * is a no-op: a 100 TB scan arrives with thousands of splits, the guard
+    * fails, and no shuffle is added. It only pays (one narrow round-robin
+    * exchange of the projected columns) exactly when the input is too
+    * small for the exchange to matter.
+    */
+  def parallelismFloor(df: DataFrame, target: Int = 0): DataFrame = {
+    val t = if (target > 0) target
+            else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < t) df.repartition(t) else df
+  }
+
   /** One-pass per-column profile: row count, null count, exact distinct
     * count. Output one row per profiled column — the data-quality gate a
     * pipeline runs before training ingestion. (Exact distincts: swap in

@@ -70,18 +70,17 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Long = 500): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Native one-pass shingle hashing (TextShingles), materialized BEHIND A
-    // PLAN BARRIER before the 64-way signature fan-out: a plain two-step
-    // select gets fused back by CollapseProject, re-inlining the shingle
-    // expression into all 64 lambda references (64x re-shingling per row —
-    // measured 40x slower). The lazy localCheckpoint is an RDD barrier
-    // Catalyst can't fuse.
-    val sh = df
-      .select(col(idCol).as("id"),
-        TextShingles.word_shingle_hashes(col(textCol), 3).as("sh"))
-      .localCheckpoint(false)
-    val sigs = sh
-      .select(col("id"), MinHashSig.minhash_signature(col("sh"), numHashes).as("sig"))
+    // Shingle hashing and the signature are BOTH native one-pass kernels
+    // (TextShingles, MinHashSig), so they compose as one expression tree —
+    // each evaluated once per row, no HOF lambda fan-out — and need only a
+    // single projection + ONE plan barrier. (The barrier still matters: the
+    // signature feeds both the band-explode and the per-pair re-attach, and
+    // without the lazy localCheckpoint the whole scan->shingle->sig chain
+    // would re-run once per downstream branch.)
+    val sigs = DataOps.parallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), MinHashSig.minhash_signature(
+        TextShingles.word_shingle_hashes(col("__t"), 3), numHashes).as("sig"))
       .localCheckpoint(false)
 
     // Bucket join carries ONLY (band, h, id): the 64-long signatures are
@@ -93,12 +92,13 @@ object Dedup {
 
     // Skew guard: a bucket holding b docs fans out b² candidate pairs; an
     // over-full bucket means the band carries no signal for this corpus
-    // (the stop-shingle phenomenon at band level) — drop it.
-    val okBuckets = banded.groupBy("band", "h")
-      .agg(count(lit(1)).as("bn"))
-      .where(col("bn") >= 2 && col("bn") <= maxBucket)
-      .select("band", "h")
-    val pruned = banded.join(okBuckets, Seq("band", "h"))
+    // (the stop-shingle phenomenon at band level) — drop it. One window
+    // pass over (band, h) — a single exchange, no count-table join back.
+    val pruned = banded
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "h")))
+      .where(col("__bn") >= 2 && col("__bn") <= maxBucket)
+      .drop("__bn")
 
     val candidates = pruned.select(col("band"), col("h"), col("id").as("id_a"))
       .join(pruned.select(col("band"), col("h"), col("id").as("id_b")), Seq("band", "h"))
@@ -154,6 +154,12 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
+      // Convergence is detected with an accumulator incremented wherever a
+      // label actually decreases, read after the single materializing
+      // action below — one job per round, no separate old⋈new comparison
+      // join. (Task retries may over-count, but only zero-vs-nonzero is
+      // consulted, and a retry can't turn a genuine change into zero.)
+      val lowered = spark.sparkContext.longAccumulator("cc-lowered")
       // edge step: each vertex takes the min label among its neighbors
       // (narrow join — both sides share `part`; only the message re-key
       // shuffles, map-side combined by reduceByKey)
@@ -161,17 +167,24 @@ object Dedup {
         .map { case (_, (dst, lab)) => (dst, lab) }
         .reduceByKey(part, math.min(_, _))
       val stepped = labels.leftOuterJoin(msgs)
-        .mapValues { case (l, m) => math.min(l, m.getOrElse(Long.MaxValue)) }
+        .mapValues { case (l, m) =>
+          val nl = math.min(l, m.getOrElse(Long.MaxValue))
+          if (nl != l) lowered.add(1L)
+          nl
+        }
       // pointer jump: label(x) <- label(label(x)); <= label(x) always, so
       // the jumped map alone is the next state
-      val next = stepped.map { case (id, lab) => (lab, id) }
+      val next = stepped.map { case (id, lab) => (lab, (id, lab)) }
         .join(stepped)
-        .map { case (_, (id, lab2)) => (id, lab2) }
+        .map { case (_, ((id, lab), lab2)) =>
+          if (lab2 != lab) lowered.add(1L)
+          (id, lab2)
+        }
         .partitionBy(part)
         .persist()
       if (iter % 10 == 9) next.localCheckpoint() // truncate loop lineage
-      changed = labels.join(next)
-        .filter { case (_, (o, n)) => o != n }.count()
+      next.count() // materialize the round; populates `lowered`
+      changed = lowered.value
       labels.unpersist(false)
       labels = next
       iter += 1
@@ -204,8 +217,9 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      SimHash64.simhash64(lower(trim(col(textCol)))).as("sig"))
+    val sigs = DataOps.parallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), SimHash64.simhash64(lower(trim(col("__t")))).as("sig"))
     val bandSpec = Seq(0, 16, 32, 48)
     val banded = sigs.select(col("id"), col("sig"),
       explode(array(bandSpec.map(o =>
@@ -231,8 +245,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 1000,
       minCommon: Long = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      TextShingles.word_shingle_hashes(col(textCol), n).as("sh"))
+    val sh = DataOps.parallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), TextShingles.word_shingle_hashes(col("__t"), n).as("sh"))
       .withColumn("set_size", size(col("sh")).cast("long"))
       .localCheckpoint(false) // reused by candidate gen AND verification
 

@@ -176,8 +176,9 @@ object TextAnalysis {
           .select(cols :+ explode(TextShingles.word_shingle_hashes(col(textCol), n)).as("gram"): _*)
       else
         df.select(cols :+ explode(ngramGrams(col(textCol), n)).as("gram"): _*)
-    val corpusGrams = grams(corpus, col(idCol))
-    val refGrams = grams(ref).distinct().withColumn("__hit", lit(1L))
+    val corpusGrams = grams(DataOps.parallelismFloor(corpus), col(idCol))
+    val refGrams = grams(DataOps.parallelismFloor(ref)).distinct()
+      .withColumn("__hit", lit(1L))
     corpusGrams.join(refGrams, Seq("gram"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),

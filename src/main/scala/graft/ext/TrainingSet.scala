@@ -22,7 +22,11 @@ object TrainingSet {
       weights: Map[String, Int], capPerSource: Int = 1000000,
       tokenBudget: Long = 256, maxContamination: Double = 0.5,
       ngram: Int = 5): DataFrame = {
-    val scrubbed = docs.withColumn("text", TextAnalysis.scrub(col("text")))
+    // Parallelism floor before the per-row-heavy chain (regex scrub,
+    // quality stats, shingle hashing): a no-op at scale, a 32× win when
+    // the corpus arrives as one unsplittable parquet row group.
+    val scrubbed = DataOps.parallelismFloor(docs)
+      .withColumn("text", TextAnalysis.scrub(col("text")))
     val quality = TextAnalysis.qualityFlags(scrubbed, "text")
       .where(col("keep")).select(docs.columns.map(col): _*)
     // Plan barrier: `exact` feeds BOTH dedupByMinhash (itself iterative —
