@@ -193,21 +193,28 @@ object Dedup {
     labels.toDF("id", "cluster_id")
   }
 
+  /** Cluster a near-duplicate pair list over the full id universe:
+    * connected components on the pairs, singletons kept as their own
+    * cluster, `keep` = the smallest id per cluster (components labels with
+    * the component's min id, so no extra window pass is needed).
+    * Returns (id, cluster_id, keep).
+    */
+  def clusterKeep(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
   /** End-to-end fuzzy dedup: MinHash-LSH pairs -> connected components ->
     * keep the smallest id per cluster. Returns (id, cluster_id, keep);
     * ids with no near-duplicate are their own singleton cluster (keep).
     */
   def dedupByMinhash(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
-    val comp = components(pairs)
-    df.select(col(idCol).as("id"))
-      .join(comp, Seq("id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
-      .withColumn("keep", col("id") === min(col("id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
-  }
+      threshold: Double = 0.8): DataFrame =
+    clusterKeep(df, idCol, minhashPairs(df, idCol, textCol, threshold = threshold))
 
   /** SimHash near-duplicate pairs: signature from the codegen'd SimHash64
     * expression, candidates from 4-way band bucketing (any identical

@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
 case class PackedDoc(id: Long, n_tokens: Long, pack_id: Long, pack_seq: Int,
     oversize: Boolean)
 
+/** One packed document in the group-scoped variant: pack identity is
+  * (group, pack_idx), independent of physical partitioning.
+  */
+case class PackedGroupDoc(group: String, id: Long, n_tokens: Long,
+    pack_idx: Long, pack_seq: Int, oversize: Boolean)
+
 /** Greedy next-fit sequence packing: assemble documents into fixed
   * token-budget packs (context windows) — the dataset-assembly step that
   * turns a deduped corpus into training sequences.
@@ -45,6 +51,44 @@ object Packing {
           seqNo += 1
           // partition-unique pack ids without any global counter
           PackedDoc(id, n, pid * 1000000000L + packIdx, seqNo - 1, oversize)
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic greedy next-fit packing scoped to a GROUP key (e.g. the
+    * document source): within each group, documents are packed in ascending
+    * id order, so the result is a pure function of the data — independent
+    * of partition count or layout (unlike `packSequences`, whose packs
+    * follow physical partitions for zero-coordination scale-out).
+    *
+    * `flatMapSortedGroups` is the Spark-idiomatic form: one shuffle on the
+    * group key, Spark sorts within each group (secondary sort — no
+    * per-group buffering in user code), and the running-fill fold streams
+    * over the sorted iterator. Parallelism = number of groups; use it when
+    * pack identity must be reproducible, `packSequences` when raw
+    * throughput matters.
+    */
+  def packSequencesByGroup(df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("_1"),
+        col(idCol).cast("long").as("_2"), col(tokensCol).cast("long").as("_3"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("_2")) { (group, it) =>
+        var packIdx = -1L
+        var fill = 0L
+        var seqNo = 0
+        it.map { case (_, id, n) =>
+          val oversize = n > budget
+          if (packIdx < 0 || fill + n > budget) {
+            packIdx += 1; fill = 0L; seqNo = 0
+          }
+          fill += n
+          seqNo += 1
+          PackedGroupDoc(group, id, n, packIdx, seqNo - 1, oversize)
         }
       }
       .toDF()

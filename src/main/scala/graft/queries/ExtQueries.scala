@@ -31,12 +31,57 @@ object ExtQueries {
       numHashes = 64, bands = 16, threshold = 0.8)
       .select("id_a", "id_b")
 
-  /** End-to-end fuzzy dedup: LSH pairs -> connected components -> keep
-    * min-id per cluster (rows-only: the LSH estimate is not ANSI-SQL).
+  /** End-to-end fuzzy dedup: near-dup pairs -> connected components ->
+    * keep min-id per cluster. Pairs come from the EXACT n-gram Jaccard
+    * operator so the whole chain (including the distributed connected-
+    * components) is DuckDB-oracled: the oracle replays the pair generation
+    * and closes it transitively with a recursive CTE. The LSH-pair flavor
+    * of the same chain (`dedupByMinhash`) runs inside `training_set`.
     */
-  val dedupCluster: QueryFn = (s, dir) =>
-    Dedup.dedupByMinhash(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
+  val dedupCluster: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.clusterKeep(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8))
       .select("id", "cluster_id", "keep")
+  }
+  /** dedupNgramJaccardSql's pair chain + recursive min-label closure:
+    * every doc starts labeled with itself, labels flow across edges until
+    * fixpoint (UNION dedups, so the recursion terminates), min per id is
+    * the component's smallest member — exactly `Dedup.components`.
+    */
+  val dedupClusterSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) u(i) WHERE len(t) >= 3
+      |  UNION ALL
+      |  SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) < 3
+      |), sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+      |), keepg AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 1000
+      |), pr AS (SELECT doc_id, g FROM grams JOIN keepg USING (g)
+      |), cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM pr a JOIN pr b USING (g)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 3
+      |), inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS common
+      |  FROM cand c JOIN grams ga ON ga.doc_id = c.id_a
+      |              JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT i.id_a, i.id_b
+      |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+      |  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT doc_id AS id, doc_id AS lab FROM documents
+      |  UNION
+      |  SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id
+      |)
+      |SELECT id, min(lab) AS cluster_id, (id = min(lab)) AS keep
+      |FROM reach GROUP BY id""".stripMargin
 
   val dedupSimhash: QueryFn = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
@@ -543,6 +588,34 @@ object ExtQueries {
       .agg(graft.ext.Aggs.bottomKByHash(col("doc_id"), 10).as("sample"))
       .select(col("source"), explode(col("sample")).as("doc_id"))
 
+  /** DuckDB replay of `Aggs.mix64` (splitmix64): 64-bit wrap-around
+    * multiply decomposed into 32-bit halves mod 2^64 (HUGEINT
+    * intermediates — a direct 64x64 product can exceed HUGEINT), xor /
+    * logical shifts in the unsigned domain, and the final hash mapped back
+    * to signed BIGINT because the Aggregator ranks by SIGNED Long.
+    */
+  val sampleBottomKSql: String =
+    """WITH s0 AS (
+      |  SELECT source, doc_id,
+      |    (doc_id::HUGEINT + 11400714819323198485) % 18446744073709551616 AS x
+      |  FROM documents
+      |), s1 AS (SELECT source, doc_id, xor(x, x // 1073741824) AS x FROM s0
+      |), s2 AS (SELECT source, doc_id,
+      |    ((x % 4294967296) * 13787848793156543929::HUGEINT
+      |     + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS x FROM s1
+      |), s3 AS (SELECT source, doc_id, xor(x, x // 134217728) AS x FROM s2
+      |), s4 AS (SELECT source, doc_id,
+      |    ((x % 4294967296) * 10723151780598845931::HUGEINT
+      |     + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS x FROM s3
+      |), s5 AS (SELECT source, doc_id, xor(x, x // 2147483648) AS x FROM s4)
+      |SELECT source, doc_id FROM (
+      |  SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY
+      |    CASE WHEN x >= 9223372036854775808
+      |         THEN (x - 18446744073709551616)::BIGINT ELSE x::BIGINT END) AS rn
+      |  FROM s5) WHERE rn <= 10""".stripMargin
+
   /** Greedy next-fit packing (rows-only: imperative per-partition state). */
   val packSequences: QueryFn = (s, dir) =>
     Packing.packSequences(
@@ -550,6 +623,39 @@ object ExtQueries {
         .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
       "doc_id", "n_tokens", budget = 256)
       .select("id", "n_tokens", "pack_id", "pack_seq", "oversize")
+
+  /** Group-scoped deterministic next-fit packing: per source, ascending
+    * doc_id — a pure function of the data, so the oracle can replay the
+    * running-fill recurrence row by row with a recursive CTE.
+    */
+  val packGreedy: QueryFn = (s, dir) =>
+    Packing.packSequencesByGroup(
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+      "source", "doc_id", "n_tokens", budget = 256)
+      .select(col("group").as("source"), col("id").as("doc_id"),
+        col("n_tokens"), col("pack_idx"), col("pack_seq"), col("oversize"))
+  val packGreedySql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents
+      |), p AS (
+      |  SELECT source, doc_id, n_tokens, rn,
+      |    0::BIGINT AS pack_idx, n_tokens AS fill, 0 AS pack_seq
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+      |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.pack_idx + 1 ELSE p.pack_idx END,
+      |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens ELSE p.fill + d.n_tokens END,
+      |    CASE WHEN p.fill + d.n_tokens > 256 THEN 0 ELSE p.pack_seq + 1 END
+      |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+      |)
+      |SELECT source, doc_id, n_tokens, pack_idx,
+      |  pack_seq::INTEGER AS pack_seq, (n_tokens > 256) AS oversize
+      |FROM p""".stripMargin
 
   val all: Map[String, QueryFn] = Map(
     "sessionize"           -> sessionize,
@@ -574,6 +680,7 @@ object ExtQueries {
     "sample_stratified"    -> sampleStratified,
     "mixture_weighted"     -> mixtureWeighted,
     "pack_sequences"       -> packSequences,
+    "pack_greedy"          -> packGreedy,
     "scd2_intervals"       -> scd2Intervals,
     "sample_capped"        -> sampleCapped,
     "text_contamination"   -> textContamination,
@@ -595,7 +702,10 @@ object ExtQueries {
     "text_quality_flags"  -> textQualityFlagsSql,
     "text_fingerprint"    -> textFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_cluster"       -> dedupClusterSql,
     "dedup_exact"         -> dedupExactSql,
+    "sample_bottomk"      -> sampleBottomKSql,
+    "pack_greedy"         -> packGreedySql,
     "dedup_embed_cosine"  -> dedupEmbedCosineSql,
     "ann_topk"            -> annTopKSql,
     "text_tokens"         -> textTokensSql,
