@@ -143,4 +143,26 @@ object DataOps {
       .withColumn("rep", explode(sequence(lit(1L), col("__weight").cast("long"))))
       .drop("__weight")
   }
+
+  /** Fractional mixture weighting: weight 2.4 means 2 full epochs plus a
+    * deterministic 40% chance of a third, decided per document by a
+    * uniform draw from `HashExprs.uniform01(id)` — no RNG, so retries,
+    * reruns, and the DuckDB oracle all see the same replica set. This is
+    * the temperature-resampling step of dataset mixing, where quota
+    * ratios are rarely integers.
+    */
+  def weightedMixtureFractional(df: DataFrame, sourceCol: String,
+      idCol: String, weights: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(sourceCol, "__w")
+    df.join(broadcast(w), Seq(sourceCol))
+      .withColumn("__base", floor(col("__w")).cast("long"))
+      .withColumn("__extra",
+        when(HashExprs.uniform01(col(idCol)) < col("__w") - col("__base"), 1L)
+          .otherwise(0L))
+      .where(col("__base") + col("__extra") >= 1L)
+      .withColumn("rep", explode(sequence(lit(1L), col("__base") + col("__extra"))))
+      .drop("__w", "__base", "__extra")
+  }
 }

@@ -848,7 +848,102 @@ object CoreQueries {
       | coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q48_full_outer — FULL OUTER join of two aggregates with disjoint key
+  // support (1995-only vs 1996-only customers exercise both null sides).
+  // Shuffle on the join key both sides; AQE picks the strategy.
+  // ---------------------------------------------------------------------------
+  val q48FullOuter: QueryFn = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val a = o.where(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n95"))
+    val b = o.where(year(col("o_orderdate")) === 1996)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n96"))
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"), col("n95"), col("n96"))
+  }
+  val q48Sql: String =
+    """SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey, a.n95, b.n96
+      |FROM (SELECT o_custkey, count(*) AS n95 FROM orders
+      |      WHERE year(o_orderdate) = 1995 GROUP BY 1) a
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey, count(*) AS n96 FROM orders
+      |      WHERE year(o_orderdate) = 1996 GROUP BY 1) b
+      |USING (o_custkey)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q49_string_funcs — scalar string surface: pad, slice, search, repeat,
+  // reverse, split_part. Narrow codegen'd projection, no shuffle.
+  // ---------------------------------------------------------------------------
+  val q49StringFuncs: QueryFn = (s, dir) =>
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("padded"),
+      substring(col("p_name"), 1, 8).as("prefix"),
+      instr(col("p_name"), "a").cast("long").as("first_a"),
+      org.apache.spark.sql.functions.repeat(col("p_brand"), 2).as("doubled"),
+      org.apache.spark.sql.functions.reverse(col("p_brand")).as("rev"),
+      expr("split_part(p_type, ' ', 1)").as("type_head"))
+  val q49Sql: String =
+    """SELECT p_partkey,
+      | lpad(p_brand, 12, '*') AS padded,
+      | substring(p_name, 1, 8) AS prefix,
+      | CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+      | repeat(p_brand, 2) AS doubled,
+      | reverse(p_brand) AS rev,
+      | split_part(p_type, ' ', 1) AS type_head
+      |FROM part""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q50_width_bucket — equi-width histogram: width_bucket assigns each
+  // price to one of 20 buckets over [900, 105000); one hash aggregate on
+  // the (small) bucket key. Out-of-range rows land in buckets 0 / 21 by
+  // the shared SQL semantics.
+  // ---------------------------------------------------------------------------
+  val q50WidthBucket: QueryFn = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(expr("width_bucket(o_totalprice, 900.0, 105000.0, 20)").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  // DuckDB has no width_bucket; the oracle replays Spark's exact
+  // arithmetic — floor((v - min) / ((max - min) / n)) + 1, out-of-range
+  // to 0 / n+1 — so boundary values agree bit-for-bit.
+  val q50Sql: String =
+    """SELECT CASE
+      |  WHEN o_totalprice < 900.0 THEN 0
+      |  WHEN o_totalprice >= 105000.0 THEN 21
+      |  ELSE CAST(floor((o_totalprice - 900.0) / ((105000.0 - 900.0) / 20.0)) AS BIGINT) + 1
+      |END AS bucket, count(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q51_unpivot — wide-to-long melt: one row per (key, metric) pair via the
+  // native unpivot operator (generator-backed — no join, no shuffle; the
+  // oracle uses the portable UNION ALL form).
+  // ---------------------------------------------------------------------------
+  val q51Unpivot: QueryFn = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("qty"),
+        dsum(col("l_discount")).as("disc"),
+        dsum(col("l_tax")).as("tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("qty"), col("disc"), col("tax")), "metric", "val")
+  val q51Sql: String =
+    """WITH a AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) AS disc,
+      |    CAST(sum(CAST(l_tax AS DECIMAL(30,2))) AS DOUBLE) AS tax
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, 'qty' AS metric, qty AS val FROM a
+      |UNION ALL SELECT l_orderkey, 'disc', disc FROM a
+      |UNION ALL SELECT l_orderkey, 'tax', tax FROM a""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q48_full_outer"    -> q48FullOuter,
+    "q49_string_funcs"  -> q49StringFuncs,
+    "q50_width_bucket"  -> q50WidthBucket,
+    "q51_unpivot"       -> q51Unpivot,
     "q44_rank_family"   -> q44RankFamily,
     "q45_date_functions"-> q45DateFunctions,
     "q46_array_functions"-> q46ArrayFunctions,
@@ -899,6 +994,10 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q48_full_outer"    -> q48Sql,
+    "q49_string_funcs"  -> q49Sql,
+    "q50_width_bucket"  -> q50Sql,
+    "q51_unpivot"       -> q51Sql,
     "q44_rank_family"   -> q44Sql,
     "q45_date_functions"-> q45Sql,
     "q46_array_functions"-> q46Sql,

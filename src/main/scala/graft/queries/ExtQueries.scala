@@ -578,9 +578,9 @@ object ExtQueries {
       |FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
       |GROUP BY label, i""".stripMargin
 
-  /** Deterministic bottom-k-by-hash sample per source (rows-only: the
-    * mix64 order has no DuckDB equivalent; exactness is pinned by the
-    * driver-side oracle in ExtSpec).
+  /** Deterministic bottom-k-by-hash sample per source, oracled by the
+    * DuckDB splitmix64 replay below (exactness is additionally pinned by
+    * ExtSpec's partitioning-invariance test).
     */
   val sampleBottomK: QueryFn = (s, dir) =>
     Tables.documents(s, dir)
@@ -615,6 +615,107 @@ object ExtQueries {
       |    CASE WHEN x >= 9223372036854775808
       |         THEN (x - 18446744073709551616)::BIGINT ELSE x::BIGINT END) AS rn
       |  FROM s5) WHERE rn <= 10""".stripMargin
+
+  /** Gopher/Dolma-style repetition signals: per document, total word
+    * bigrams, the most frequent bigram's count, and the mass of repeated
+    * bigrams — the "fraction of characters in duplicate n-grams" family of
+    * quality filters. One explode + two aggregations, both keyed by
+    * doc_id (docs under 2 tokens drop out: no bigrams to score).
+    */
+  val qualityGopher: QueryFn = (s, dir) => {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    Tables.documents(s, dir)
+      .where(size(toks) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2))))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        max(col("n")).as("top_bigram_n"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("n_rep_bigrams"))
+  }
+  val qualityGopherSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(t)-1)) u(i) WHERE len(t) >= 2
+      |), c AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, max(n) AS top_bigram_n,
+      |  CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_rep_bigrams
+      |FROM c GROUP BY doc_id""".stripMargin
+
+  /** Fractional epoch weighting (temperature resampling): the oracle
+    * replays the splitmix64 uniform draw with the same HUGEINT chain as
+    * sample_bottomk, so the replica sets agree exactly.
+    */
+  val mixtureFractional: QueryFn = (s, dir) =>
+    DataOps.weightedMixtureFractional(Tables.documents(s, dir),
+        "source", "doc_id", Map("src0" -> 2.4, "src1" -> 1.0, "src2" -> 0.5))
+      .select("doc_id", "source", "rep")
+  val mixtureFractionalSql: String =
+    """WITH s0 AS (
+      |  SELECT source, doc_id,
+      |    (doc_id::HUGEINT + 11400714819323198485) % 18446744073709551616 AS x
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+      |), s1 AS (SELECT source, doc_id, xor(x, x // 1073741824) AS x FROM s0
+      |), s2 AS (SELECT source, doc_id,
+      |    ((x % 4294967296) * 13787848793156543929::HUGEINT
+      |     + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS x FROM s1
+      |), s3 AS (SELECT source, doc_id, xor(x, x // 134217728) AS x FROM s2
+      |), s4 AS (SELECT source, doc_id,
+      |    ((x % 4294967296) * 10723151780598845931::HUGEINT
+      |     + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS x FROM s3
+      |), s5 AS (SELECT source, doc_id, xor(x, x // 2147483648) AS x FROM s4
+      |), u AS (
+      |  SELECT source, doc_id, ((x // 2048)::DOUBLE / 9007199254740992.0) AS u01 FROM s5
+      |), w(source, w) AS (VALUES ('src0', 2.4), ('src1', 1.0), ('src2', 0.5)
+      |), reps AS (
+      |  SELECT d.doc_id, d.source,
+      |    (floor(w.w)::BIGINT + CASE WHEN u.u01 < w.w - floor(w.w) THEN 1 ELSE 0 END) AS n_rep
+      |  FROM documents d JOIN w ON w.source = d.source
+      |                   JOIN u ON u.doc_id = d.doc_id
+      |)
+      |SELECT doc_id, source, r AS rep
+      |FROM reps, UNNEST(generate_series(1::BIGINT, n_rep)) t(r)
+      |WHERE n_rep >= 1""".stripMargin
+
+  /** Deterministic global shuffle: every document gets a dense 0-based
+    * position in mix64(doc_id) order — the reproducible corpus reorder
+    * before sequence packing. Distributed via range-partition +
+    * zipWithIndex (`SurrogateIds`), NOT a single-partition global window;
+    * the oracle is a plain row_number over the replayed hash.
+    */
+  val shuffleDeterministic: QueryFn = (s, dir) =>
+    graft.cardano.SurrogateIds.withSequence(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ext.HashExprs.mix64(col("doc_id")).as("h")),
+      "pos", Seq(col("h"), col("doc_id")))
+      .select("doc_id", "h", "pos")
+  val shuffleDeterministicSql: String =
+    """WITH s0 AS (
+      |  SELECT doc_id,
+      |    (doc_id::HUGEINT + 11400714819323198485) % 18446744073709551616 AS x
+      |  FROM documents
+      |), s1 AS (SELECT doc_id, xor(x, x // 1073741824) AS x FROM s0
+      |), s2 AS (SELECT doc_id,
+      |    ((x % 4294967296) * 13787848793156543929::HUGEINT
+      |     + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS x FROM s1
+      |), s3 AS (SELECT doc_id, xor(x, x // 134217728) AS x FROM s2
+      |), s4 AS (SELECT doc_id,
+      |    ((x % 4294967296) * 10723151780598845931::HUGEINT
+      |     + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS x FROM s3
+      |), s5 AS (SELECT doc_id, xor(x, x // 2147483648) AS x FROM s4
+      |), h AS (
+      |  SELECT doc_id, CASE WHEN x >= 9223372036854775808
+      |    THEN (x - 18446744073709551616)::BIGINT ELSE x::BIGINT END AS h FROM s5)
+      |SELECT doc_id, h, row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
+      |FROM h""".stripMargin
 
   /** Greedy next-fit packing (rows-only: imperative per-partition state). */
   val packSequences: QueryFn = (s, dir) =>
@@ -681,6 +782,9 @@ object ExtQueries {
     "mixture_weighted"     -> mixtureWeighted,
     "pack_sequences"       -> packSequences,
     "pack_greedy"          -> packGreedy,
+    "quality_gopher"       -> qualityGopher,
+    "mixture_fractional"   -> mixtureFractional,
+    "shuffle_deterministic"-> shuffleDeterministic,
     "scd2_intervals"       -> scd2Intervals,
     "sample_capped"        -> sampleCapped,
     "text_contamination"   -> textContamination,
@@ -706,6 +810,9 @@ object ExtQueries {
     "dedup_exact"         -> dedupExactSql,
     "sample_bottomk"      -> sampleBottomKSql,
     "pack_greedy"         -> packGreedySql,
+    "quality_gopher"      -> qualityGopherSql,
+    "mixture_fractional"  -> mixtureFractionalSql,
+    "shuffle_deterministic" -> shuffleDeterministicSql,
     "dedup_embed_cosine"  -> dedupEmbedCosineSql,
     "ann_topk"            -> annTopKSql,
     "text_tokens"         -> textTokensSql,
