@@ -445,4 +445,65 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     val resized = Multimodal.resizeStub(media, 224, 224).collect()
     assert(resized.forall(m => m.width == 224 && m.height == 224))
   }
+
+  // ---- hash expressions / fractional mixture / grouped packing ------------
+
+  test("Mix64 expression matches Aggs.mix64; uniform01 in [0,1)") {
+    val ids = Seq(0L, 1L, 42L, -7L, Long.MaxValue, Long.MinValue)
+    val rows = ids.toDF("id")
+      .select(col("id"), HashExprs.mix64(col("id")).as("h"),
+        HashExprs.uniform01(col("id")).as("u"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == Aggs.mix64(r.getLong(0)))
+      val u = r.getDouble(2)
+      assert(u >= 0.0 && u < 1.0)
+    }
+  }
+
+  test("weightedMixtureFractional: base reps always, extra rep iff u < frac") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val out = DataOps.weightedMixtureFractional(df, "src", "id",
+      Map("a" -> 2.5, "b" -> 0.25))
+    val reps = out.groupBy("id").agg(max("rep").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 200L).foreach { i =>
+      val u = (Aggs.mix64(i) >>> 11).toDouble / 9007199254740992.0
+      val w = if (i % 2 == 0) 2.5 else 0.25
+      val expect = w.toLong + (if (u < w - w.floor) 1L else 0L)
+      assert(reps.getOrElse(i, 0L) == expect, s"id=$i")
+    }
+    // rep indices are dense 1..n
+    assert(out.where(col("rep") < 1).isEmpty)
+  }
+
+  test("packSequencesByGroup: deterministic next-fit per group, repartition-invariant") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), ("a", 4L, 300L),
+      ("b", 10L, 50L), ("b", 11L, 50L), ("b", 12L, 250L))
+      .toDF("src", "id", "n")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.packSequencesByGroup(d, "src", "id", "n", budget = 256)
+        .orderBy("group", "id").collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(3), r.getInt(4), r.getBoolean(5)))
+    val got = run(docs)
+    // group a: 100+100 fits (pack 0), 100 starts pack 1, 300 oversize -> pack 2
+    // group b: 50+50 (pack 0), 250 -> pack 1
+    assert(got.toSeq == Seq(
+      ("a", 1L, 0L, 0, false), ("a", 2L, 0L, 1, false),
+      ("a", 3L, 1L, 0, false), ("a", 4L, 2L, 0, true),
+      ("b", 10L, 0L, 0, false), ("b", 11L, 0L, 1, false),
+      ("b", 12L, 1L, 0, false)))
+    assert(run(docs.repartition(7)).toSeq == got.toSeq)
+  }
+
+  test("parallelismFloor raises under-split inputs, leaves wide inputs alone") {
+    val one = spark.range(100).coalesce(1).toDF()
+    assert(DataOps.parallelismFloor(one).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    val wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism + 3)
+    assert(DataOps.parallelismFloor(wide.toDF()).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism + 3)
+  }
 }
