@@ -38,16 +38,17 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: `num` permutations approximated by seeded xxhash64
-    * over the shingle set. Reference (composed-expression) form — kept as
-    * the in-engine oracle for the native kernel; the hot path uses
-    * `MinHashSig.minhash_signature`, which produces identical values in
-    * one pass without per-permutation arrays.
+  /** MinHash signature: `num` splitmix64 permutations
+    * (`mix64(h XOR mix64(seed))`) over the shingle-hash set. Reference
+    * (composed-expression) form — kept as the in-engine oracle for the
+    * native kernel; the hot path uses `MinHashSig.minhash_signature`,
+    * which produces identical values in one pass without per-permutation
+    * arrays.
     */
   def minhashSignature(shingleCol: Column, num: Int = 64): Column =
     transform(sequence(lit(1), lit(num)),
       seed => array_min(transform(shingleCol,
-        s => xxhash64(s, seed))))
+        s => HashExprs.mix64(s.bitwiseXOR(HashExprs.mix64(seed.cast("long")))))))
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band. Docs sharing any band hash are candidates.

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -10,14 +10,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** MinHash signature over a shingle-hash array as a native expression:
   * one pass over the input, zero intermediate arrays.
   *
-  * Bit-for-bit identical to the composed formulation
-  * `transform(sequence(1, num), seed -> array_min(transform(sh, s ->
-  * xxhash64(s, seed))))` — Spark's `xxhash64(a, b)` folds its arguments as
-  * `hashLong(b, hashLong(a, 42))`, so per element the 42-seeded first fold
-  * is computed once and only the cheap per-permutation fold runs `num`
-  * times. The composed form materializes `num` arrays per row (the
-  * shingle set re-hashed per permutation); this kernel is the minhash
-  * analogue of `TextShingles` (PERFORMANCE.md lesson 3).
+  * The permutation family is splitmix64-based:
+  * `perm_s(h) = mix64(h XOR mix64(s))` for s = 1..num — the per-seed
+  * constants `mix64(s)` are computed once per row, only the cheap final
+  * mix runs per (shingle, permutation). Bit-for-bit identical to the
+  * composed formulation `transform(sequence(1, num), s -> array_min(
+  * transform(sh, x -> mix64(x XOR mix64(s)))))` (`Dedup.minhashSignature`)
+  * AND to the DuckDB HUGEINT replay used by the `dedup_minhash` oracle —
+  * splitmix64 is chosen over Spark's xxhash64 precisely because both sides
+  * can reproduce it exactly. The composed form materializes `num` arrays
+  * per row (the shingle set re-hashed per permutation); this kernel is the
+  * minhash analogue of `TextShingles` (PERFORMANCE.md lesson 3).
   */
 object MinHashSig {
 
@@ -27,18 +30,19 @@ object MinHashSig {
   def compute(arr: ArrayData, num: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(new Array[Any](num))
+    val ms = new Array[Long](num)
+    var s = 0
+    while (s < num) { ms(s) = Aggs.mix64((s + 1).toLong); s += 1 }
     val out = new Array[Long](num)
     java.util.Arrays.fill(out, Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h1 = XXH64.hashLong(arr.getLong(j), 42L)
-      var s = 1
-      while (s <= num) {
-        // the permutation index comes from sequence(1, num) — IntegerType,
-        // which Spark's xxhash64 folds via hashInt, not hashLong
-        val h = XXH64.hashInt(s, h1)
-        if (h < out(s - 1)) out(s - 1) = h
-        s += 1
+      val h = arr.getLong(j)
+      var k = 0
+      while (k < num) {
+        val p = Aggs.mix64(h ^ ms(k))
+        if (p < out(k)) out(k) = p
+        k += 1
       }
       j += 1
     }

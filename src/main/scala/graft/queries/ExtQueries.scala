@@ -30,6 +30,79 @@ object ExtQueries {
     Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
       numHashes = 64, bands = 16, threshold = 0.8)
       .select("id_a", "id_b")
+  /** Full DuckDB replay of the MinHash-LSH chain: FNV-1a shingle hashes
+    * (same list_reduce kernel as the simhash oracle), the splitmix64
+    * permutation family `mix64(h XOR mix64(s))` over a seeds CTE + a
+    * 6-step HUGEINT chain per (shingle, seed), SIGNED per-seed minima
+    * (the kernel compares Longs), band buckets as 4-long signature slices
+    * (band-hash equality == slice equality up to negligible 64-bit
+    * collisions), the 2..500 bucket-size gate, and the est >= 0.8
+    * signature-agreement threshold.
+    */
+  val dedupMinhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) u(i) WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) < 3
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(regexp_extract_all(g, '.'), c -> unicode(c)::HUGEINT)),
+      |      (acc, cp) -> ((xor(acc, cp) % 4294967296) * 1099511628211::HUGEINT
+      |        + (((xor(acc, cp) // 4294967296) * 1099511628211::HUGEINT) % 4294967296) * 4294967296
+      |        ) % 18446744073709551616
+      |    ) AS h
+      |  FROM grams
+      |), sd0 AS (SELECT s, (s::HUGEINT + 11400714819323198485) % 18446744073709551616 AS x
+      |           FROM UNNEST(generate_series(1, 64)) t(s)
+      |), sd1 AS (SELECT s, xor(x, x // 1073741824) AS x FROM sd0
+      |), sd2 AS (SELECT s, ((x % 4294967296) * 13787848793156543929::HUGEINT
+      |    + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+      |   ) % 18446744073709551616 AS x FROM sd1
+      |), sd3 AS (SELECT s, xor(x, x // 134217728) AS x FROM sd2
+      |), sd4 AS (SELECT s, ((x % 4294967296) * 10723151780598845931::HUGEINT
+      |    + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+      |   ) % 18446744073709551616 AS x FROM sd3
+      |), seeds AS (SELECT s, xor(x, x // 2147483648) AS ms FROM sd4
+      |), p0 AS (SELECT doc_id, s, (xor(h, ms)::HUGEINT + 11400714819323198485) % 18446744073709551616 AS x
+      |          FROM sh CROSS JOIN seeds
+      |), p1 AS (SELECT doc_id, s, xor(x, x // 1073741824) AS x FROM p0
+      |), p2 AS (SELECT doc_id, s, ((x % 4294967296) * 13787848793156543929::HUGEINT
+      |    + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+      |   ) % 18446744073709551616 AS x FROM p1
+      |), p3 AS (SELECT doc_id, s, xor(x, x // 134217728) AS x FROM p2
+      |), p4 AS (SELECT doc_id, s, ((x % 4294967296) * 10723151780598845931::HUGEINT
+      |    + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+      |   ) % 18446744073709551616 AS x FROM p3
+      |), p5 AS (SELECT doc_id, s, xor(x, x // 2147483648) AS x FROM p4
+      |), sig AS (
+      |  SELECT doc_id, s, min(CASE WHEN x >= 9223372036854775808
+      |    THEN (x - 18446744073709551616)::BIGINT ELSE x::BIGINT END) AS m
+      |  FROM p5 GROUP BY doc_id, s
+      |), sigarr AS (
+      |  SELECT doc_id, list(m ORDER BY s) AS sig FROM sig GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, b, sig[4*b+1 : 4*b+4] AS slice
+      |  FROM sigarr, UNNEST(generate_series(0, 15)) t(b)
+      |), okb AS (
+      |  SELECT b, slice FROM banded GROUP BY b, slice
+      |  HAVING count(*) BETWEEN 2 AND 500
+      |), pb AS (SELECT banded.doc_id, banded.b, banded.slice
+      |          FROM banded JOIN okb USING (b, slice)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pb a JOIN pb b USING (b, slice) WHERE a.doc_id < b.doc_id
+      |), est AS (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_filter(generate_series(1, 64), k -> sa.sig[k] = sb.sig[k])) AS eq
+      |  FROM cand c JOIN sigarr sa ON sa.doc_id = c.id_a
+      |              JOIN sigarr sb ON sb.doc_id = c.id_b
+      |)
+      |SELECT id_a, id_b FROM est WHERE eq::DOUBLE / 64.0 >= 0.8""".stripMargin
 
   /** End-to-end fuzzy dedup: near-dup pairs -> connected components ->
     * keep min-id per cluster. Pairs come from the EXACT n-gram Jaccard
@@ -86,6 +159,47 @@ object ExtQueries {
   val dedupSimhash: QueryFn = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b", "hamming")
+  /** Full DuckDB replay of the SimHash64 kernel: FNV-1a 64 per token via
+    * list_reduce over codepoints (== UTF-8 bytes — the corpus is ASCII;
+    * wrap-around multiply decomposed into 32-bit halves over HUGEINT),
+    * token bit-votes, signature reassembly, then ALL pairs with hamming
+    * <= 3 — equivalent to the banded candidate generation by pigeonhole
+    * (3 differing bits cannot touch all 4 disjoint 16-bit bands), so the
+    * LSH step changes cost, not results, and the oracle needs no bands.
+    */
+  val dedupSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '[ \t\n\r]+'), x -> x != '')) AS tok
+      |  FROM documents
+      |), th AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(regexp_extract_all(tok, '.'), c -> unicode(c)::HUGEINT)),
+      |      (acc, cp) -> ((xor(acc, cp) % 4294967296) * 1099511628211::HUGEINT
+      |        + (((xor(acc, cp) // 4294967296) * 1099511628211::HUGEINT) % 4294967296) * 4294967296
+      |        ) % 18446744073709551616
+      |    ) AS h
+      |  FROM toks
+      |), votes AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN (h // floor(pow(2, b))::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, UNNEST(generate_series(0, 63)) s(b)
+      |  GROUP BY doc_id, b
+      |), sigs AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN floor(pow(2, b))::HUGEINT ELSE 0::HUGEINT END) AS su
+      |  FROM votes GROUP BY doc_id
+      |), sig AS (
+      |  SELECT doc_id, CASE WHEN su >= 9223372036854775808
+      |    THEN (su - 18446744073709551616)::BIGINT ELSE su::BIGINT END AS s
+      |  FROM sigs
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin
 
   val dedupNgramJaccard: QueryFn = (s, dir) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -807,6 +921,8 @@ object ExtQueries {
     "text_fingerprint"    -> textFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_cluster"       -> dedupClusterSql,
+    "dedup_simhash"       -> dedupSimhashSql,
+    "dedup_minhash"       -> dedupMinhashSql,
     "dedup_exact"         -> dedupExactSql,
     "sample_bottomk"      -> sampleBottomKSql,
     "pack_greedy"         -> packGreedySql,

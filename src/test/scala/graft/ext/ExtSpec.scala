@@ -97,7 +97,7 @@ class ExtSpec extends AnyFunSuite with SparkTest {
 
   // ---- minhash / jaccard ---------------------------------------------------
 
-  test("MinHashSig kernel == composed xxhash64 formulation, bit for bit") {
+  test("MinHashSig kernel == composed splitmix64 formulation, bit for bit") {
     val docs = Seq(
       (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
       (2L, "short"),
