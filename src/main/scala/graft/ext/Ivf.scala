@@ -119,7 +119,8 @@ object Ivf {
       }
       best
     }
-    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    DataOps.parallelismFloor(
+        corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("cell", nearest(col("v")))
   }
 

@@ -20,7 +20,7 @@ object Quantize {
   /** (.. idCol, qv array<int>, mn double, scale double). */
   def int8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = asDouble(col(vecCol))
-    df.select(col(idCol), v.as("__v"))
+    DataOps.parallelismFloor(df.select(col(idCol), v.as("__v")))
       .withColumn("mn", array_min(col("__v")))
       .withColumn("scale",
         when(array_max(col("__v")) > col("mn"),

@@ -19,8 +19,9 @@ object Ranking {
 
   /** (doc, term, tf) term frequencies over whitespace tokens. */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    DataOps.parallelismFloor(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("__t"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
 

@@ -31,7 +31,8 @@ object Similarity {
     */
   private def unitVectors(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String): DataFrame =
-    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__v"))
+    DataOps.parallelismFloor(
+        df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__v")))
       .withColumn("__n", norm(col("__v")))
       .localCheckpoint(false) // plan barrier: stops CollapseProject from
                               // inlining the norm into the per-element

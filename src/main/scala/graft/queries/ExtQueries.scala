@@ -738,7 +738,7 @@ object ExtQueries {
     */
   val qualityGopher: QueryFn = (s, dir) => {
     val toks = split(trim(lower(col("text"))), "\\s+")
-    Tables.documents(s, dir)
+    DataOps.parallelismFloor(Tables.documents(s, dir))
       .where(size(toks) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(toks) - 1),
