@@ -26,22 +26,23 @@ import graft.ext.Similarity.dot
   */
 object Ivf {
 
-  /** Collect the (tiny) centroid set and unit-normalize: the broadcastable
-    * state of the index. Sorted by cell so argmax ties resolve to the
-    * smallest cell id deterministically.
+  /** Collect the (tiny) centroid set: the broadcastable state of the
+    * index (normalization happens once in `assignArrays`). Sorted by cell
+    * so argmax ties resolve to the smallest cell id deterministically.
     */
   private def centroidArrays(centroids: DataFrame): Array[(Int, Array[Double])] =
     centroids.select(col("cell"), col("cv")).collect().map { r =>
-      val cv = r.getSeq[Double](1).toArray
-      val n = math.sqrt(cv.map(x => x * x).sum)
-      (r.getInt(0), if (n == 0.0) cv else cv.map(_ / n))
+      (r.getInt(0), r.getSeq[Double](1).toArray)
     }.sortBy(_._1)
 
   /** Per-cell element-wise mean of the assigned vectors: one map-side-
     * combining pass (the rare genuinely-imperative aggregation Spark SQL
     * has no built-in for — an `aggregateByKey` with in-place array sums).
+    * Collected straight to the driver: the result is nCells rows, so the
+    * collect IS the cheapest possible materialization — no DataFrame
+    * round-trip, no checkpoint job between Lloyd iterations.
     */
-  private def recompute(assigned: DataFrame): DataFrame = {
+  private def recomputeArrays(assigned: DataFrame): Array[(Int, Array[Double])] = {
     val spark = assigned.sparkSession
     import spark.implicits._
     assigned.select(col("cell"), col("v")).as[(Int, Seq[Double])].rdd
@@ -58,8 +59,9 @@ object Ivf {
             (a, na + nb)
           }
         })
-      .map { case (cell, (s, n)) => (cell, s.map(_ / n).toSeq) }
-      .toDF("cell", "cv")
+      .map { case (cell, (s, n)) => (cell, s.map(_ / n)) }
+      .collect()
+      .sortBy(_._1)
   }
 
   /** Deterministic k-means-lite: hash-stride-sampled init + `iterations`
@@ -85,26 +87,38 @@ object Ivf {
       if (picked.length >= nCells) picked
       else slim.orderBy("id").limit(nCells).collect()
     val step = math.max(base.length / nCells, 1)
-    var centroids = base.indices.by(step).take(nCells)
+    // Centroids live as a driver-side array between Lloyd iterations —
+    // they are nCells rows BY CONSTRUCTION, so shipping them through a
+    // DataFrame + checkpoint per iteration would only add jobs. One
+    // distributed job per iteration (assign UDF + aggregateByKey), one
+    // tiny collect; the public contract stays a DataFrame (LocalRelation,
+    // free to broadcast downstream).
+    var cents: Array[(Int, Array[Double])] = base.indices.by(step).take(nCells)
       .map(base(_)).zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }
-      .toDF("cell", "cv")
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+      .toArray
 
     var i = 0
     while (i < iterations) {
-      centroids = recompute(assign(corpus, centroids, idCol, vecCol))
-        .localCheckpoint()
+      cents = recomputeArrays(assignArrays(corpus, cents, idCol, vecCol))
       i += 1
     }
-    centroids
+    cents.map { case (c, v) => (c, v.toSeq) }.toSeq.toDF("cell", "cv")
   }
 
   /** Nearest-cell assignment: (id, v, cell) as a narrow projection against
     * the broadcast normalized centroids — no join, no shuffle.
     */
   def assign(corpus: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroidArrays(centroids)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignArrays(corpus, centroidArrays(centroids), idCol, vecCol)
+
+  private def assignArrays(corpus: DataFrame, rawCents: Array[(Int, Array[Double])],
+      idCol: String, vecCol: String): DataFrame = {
+    val cents = rawCents.map { case (cell, cv) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      (cell, if (n == 0.0) cv else cv.map(_ / n))
+    }.sortBy(_._1)
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     val nearest = udf { v: Seq[Double] =>
       val arr = v.toArray
