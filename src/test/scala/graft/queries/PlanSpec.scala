@@ -117,4 +117,37 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     val exch = p.substring(p.indexOf("(5) Exchange").max(0))
     assert(!exch.split("\n").take(3).mkString.contains("text#"), p)
   }
+
+  test("pack_greedy: one exchange on the group key, sorted groups, no window") {
+    val df = ExtQueries.packGreedy(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // flatMapSortedGroups = one hash exchange on the group key + an
+    // in-partition sort; no global sort, no window machinery
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("mixture_fractional: broadcast weights, codegen'd mix64, no corpus shuffle") {
+    val df = ExtQueries.mixtureFractional(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // replication happens where the rows live: the only exchange is the
+    // tiny weights broadcast, never a hash/range exchange of the corpus
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // the mix64 draw runs inside whole-stage codegen ("*(n)" stage markers)
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("quality_gopher: two-phase aggregation, no document text through the exchange") {
+    val p = plan(ExtQueries.qualityGopher(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // after the explode, only (doc_id, gram) flow; the raw text column
+    // must not survive into any exchange
+    val exch = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).mkString
+    assert(!exch.contains("text#"), p)
+  }
 }
