@@ -194,6 +194,26 @@ object Dedup {
     labels.toDF("id", "cluster_id")
   }
 
+  /** Incremental (cross-snapshot) exact dedup: keep only the rows of
+    * `fresh` whose content digest does not already occur in `existing` —
+    * the "new crawl vs. ingested corpus" gate of an incremental pipeline.
+    * Shape at scale: both sides reduce to digest sets BEFORE the anti-join
+    * (distinct on the existing side collapses it to unique 32-byte keys;
+    * nothing wide crosses the exchange), and within-batch duplicates of
+    * `fresh` keep their smallest id via the same digest aggregate as
+    * `exact`.
+    */
+  def incrementalNew(fresh: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val freshKeep = exact(fresh, idCol, textCol)
+      .select(col("digest"), col("keep_id"))
+    val seen = existing.select(sha2(col(textCol), 256).as("digest")).distinct()
+    fresh.join(
+      freshKeep.join(seen, Seq("digest"), "left_anti")
+        .select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Cluster a near-duplicate pair list over the full id universe:
     * connected components on the pairs, singletons kept as their own
     * cluster, `keep` = the smallest id per cluster (components labels with

@@ -156,6 +156,32 @@ object ExtQueries {
       |SELECT id, min(lab) AS cluster_id, (id = min(lab)) AS keep
       |FROM reach GROUP BY id""".stripMargin
 
+  /** Incremental snapshot dedup: docs from src2/src3 are the "new crawl",
+    * src0/src1 the already-ingested corpus; survivors are new docs whose
+    * text digest is unseen (within-batch dups keep the smallest id).
+    */
+  val dedupIncremental: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalNew(
+      docs.where(col("source").isin("src2", "src3")),
+      docs.where(col("source").isin("src0", "src1")),
+      "doc_id", "text")
+      .select("doc_id", "source")
+  }
+  val dedupIncrementalSql: String =
+    """WITH fresh AS (
+      |  SELECT doc_id, source, sha256(text) AS digest FROM documents
+      |  WHERE source IN ('src2', 'src3')
+      |), seen AS (
+      |  SELECT DISTINCT sha256(text) AS digest FROM documents
+      |  WHERE source IN ('src0', 'src1')
+      |), keepers AS (
+      |  SELECT digest, min(doc_id) AS doc_id FROM fresh GROUP BY digest
+      |)
+      |SELECT f.doc_id, f.source
+      |FROM fresh f JOIN keepers k ON k.doc_id = f.doc_id AND k.digest = f.digest
+      |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.digest = f.digest)""".stripMargin
+
   val dedupSimhash: QueryFn = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b", "hamming")
@@ -877,6 +903,7 @@ object ExtQueries {
     "text_scrub"           -> textScrub,
     "text_quality_flags"   -> textQualityFlags,
     "dedup_exact"          -> dedupExact,
+    "dedup_incremental"    -> dedupIncremental,
     "dedup_minhash"        -> dedupMinhash,
     "dedup_cluster"        -> dedupCluster,
     "dedup_simhash"        -> dedupSimhash,
@@ -924,6 +951,7 @@ object ExtQueries {
     "dedup_simhash"       -> dedupSimhashSql,
     "dedup_minhash"       -> dedupMinhashSql,
     "dedup_exact"         -> dedupExactSql,
+    "dedup_incremental"   -> dedupIncrementalSql,
     "sample_bottomk"      -> sampleBottomKSql,
     "pack_greedy"         -> packGreedySql,
     "quality_gopher"      -> qualityGopherSql,
