@@ -446,6 +446,19 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(resized.forall(m => m.width == 224 && m.height == 224))
   }
 
+  test("incrementalNew: unseen docs survive, seen drop, batch dups keep min id") {
+    val existing = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha"),  // already ingested -> drop
+      (11L, "gamma"),  // new -> keep
+      (12L, "gamma"),  // within-batch dup -> drop (11 is smaller)
+      (13L, "delta")   // new -> keep
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(fresh, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(11L, 13L))
+  }
+
   // ---- hash expressions / fractional mixture / grouped packing ------------
 
   test("Mix64 expression matches Aggs.mix64; uniform01 in [0,1)") {
