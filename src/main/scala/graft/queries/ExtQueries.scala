@@ -294,13 +294,77 @@ object ExtQueries {
       |  FROM q, embeddings e WHERE q.vec_id <> e.vec_id
       |) WHERE rank <= 5""".stripMargin
 
-  /** LSH-bucketed ANN over the same queries (approximate — rows-only). */
+  /** LSH-bucketed ANN over the same queries. Approximate w.r.t. the exact
+    * top-k, but a pure function of the data: the hyperplanes are a
+    * deterministic splitmix64-style hash of (bit, dim), so the oracle
+    * replays the whole chain (normalize → 16-bit signature → 4 bands →
+    * bucket join → cosine rank) in DuckDB and hash-matches.
+    */
   val annLsh: QueryFn = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.orderBy("vec_id").limit(20)
     Similarity.lshTopK(queries, emb, k = 5)
-      .select("query_id", "neighbor_id", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
+  /** Replay notes: every float is cast to double and normalized exactly as
+    * the kernel does (left-to-right fold for the norm); plane signs come
+    * from bit 0 of mix64(b*K1 + d*K2) decomposed over HUGEINT mod 2^64
+    * (same trick as the simhash oracle); dot products are ordered
+    * list_reduce folds, so even near-tie cosine ranks agree bit-for-bit.
+    */
+  val annLshSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |), vn AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> x / sqrt(
+      |      list_reduce(list_transform(e, y -> y * y), (a, b) -> a + b))) AS u
+      |  FROM v
+      |), ph AS (
+      |  SELECT b, d,
+      |    ((b::HUGEINT * 11400714819323198485::HUGEINT)
+      |     + (d::HUGEINT * 14029467366897019727::HUGEINT)) % 18446744073709551616 AS h0
+      |  FROM UNNEST(generate_series(0, 15)) bb(b), UNNEST(generate_series(0, 63)) dd(d)
+      |), ph2 AS (
+      |  SELECT b, d,
+      |    ((xor(h0, h0 // 8589934592) % 4294967296) * 18397679294719823053::HUGEINT
+      |     + (((xor(h0, h0 // 8589934592) // 4294967296) * 18397679294719823053::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS h2
+      |  FROM ph
+      |), planes AS (
+      |  SELECT b, list(CASE WHEN xor(h2, h2 // 8589934592) % 2 = 0
+      |                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS p
+      |  FROM ph2 GROUP BY b
+      |), sigs AS (
+      |  SELECT vec_id, u,
+      |    sum(CASE WHEN list_reduce(
+      |          list_transform(generate_series(1, len(u)), i -> u[i] * p[i]),
+      |          (a, x) -> a + x) > 0
+      |        THEN floor(pow(2, b))::BIGINT ELSE 0 END)::BIGINT AS sig
+      |  FROM vn, planes GROUP BY vec_id, u
+      |), banded AS (
+      |  SELECT vec_id, u, band, (sig // floor(pow(2, band * 4))::BIGINT) % 16 AS h
+      |  FROM sigs, UNNEST(generate_series(0, 3)) bb(band)
+      |), q AS (
+      |  SELECT * FROM banded
+      |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 20)
+      |), cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         q.u AS qu, c.u AS cu
+      |  FROM q JOIN banded c USING (band, h)
+      |  WHERE q.vec_id <> c.vec_id
+      |), scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_reduce(list_transform(generate_series(1, len(qu)),
+      |      i -> qu[i] * cu[i]), (a, x) -> a + x) AS cosine
+      |  FROM cand
+      |)
+      |SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |FROM scored
+      |QUALIFY rank <= 5""".stripMargin
 
   /** IVF-probed ANN: k-means-lite cells, nProbe=2 (approximate — rows-only). */
   val annIvf: QueryFn = (s, dir) => {
@@ -959,6 +1023,7 @@ object ExtQueries {
     "shuffle_deterministic" -> shuffleDeterministicSql,
     "dedup_embed_cosine"  -> dedupEmbedCosineSql,
     "ann_topk"            -> annTopKSql,
+    "ann_lsh"             -> annLshSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,
     "multimodal_features" -> multimodalFeaturesSql,
