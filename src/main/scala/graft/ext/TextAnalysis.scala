@@ -48,6 +48,42 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Unigram word-distribution profile per document: token count, distinct
+    * types, Shannon entropy of the word distribution (nats), and
+    * type-token ratio — the classic cheap signals for repetitive /
+    * low-diversity text (a gibberish or boilerplate doc has low entropy
+    * for its length).
+    *
+    * Scale shape: one explode into (doc, token) counts, then one
+    * aggregate per doc that folds the count array locally — two shuffles,
+    * both carrying (id, token-or-count) pairs only. The per-doc count
+    * array is bounded by the doc's vocabulary (not its length); entropy
+    * terms are rounded at 6 and folded in DECIMAL so the sum is
+    * collect-order-independent and engine-identical (the bm25/tfidf
+    * discipline).
+    */
+  def wordEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = DataOps.parallelismFloor(
+        df.select(col(idCol), col(textCol).as("__t")))
+      .select(col(idCol), explode(tokens(col("__t"))).as("__tok"))
+      .groupBy(idCol, "__tok").agg(count(lit(1)).as("__c"))
+    counts.groupBy(idCol)
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        collect_list(col("__c")).as("__cs"))
+      .withColumn("entropy",
+        aggregate(col("__cs"), lit(0).cast("decimal(30,6)"),
+          (acc, c) => (acc + round(
+            -(c.cast("double") / col("n_tokens")) *
+              log(c.cast("double") / col("n_tokens")), 6).cast("decimal(30,6)"))
+            .cast("decimal(30,6)"))
+          .cast("double"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        col("entropy"), col("ttr"))
+  }
+
   // --- language ID (n-gram/stopword heuristic) ------------------------------
   // Tiny per-language marker profiles; scored per row. Real pipelines swap
   // in fastText-style models — the operator shape (pure projection) is the

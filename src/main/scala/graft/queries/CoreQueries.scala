@@ -939,7 +939,108 @@ object CoreQueries {
       |UNION ALL SELECT l_orderkey, 'disc', disc FROM a
       |UNION ALL SELECT l_orderkey, 'tax', tax FROM a""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q52_lateral_topk — correlated LATERAL subquery (the reference's J4 is
+  // exactly this shape: a per-row LATERAL probe, app/db/postgres.py:380-391).
+  // One shared SQL text runs verbatim on both engines; Catalyst decorrelates
+  // it to a window/join plan — no nested-loop execution.
+  // ---------------------------------------------------------------------------
+  val q52Sql: String =
+    """SELECT n.n_name, c.c_custkey, c.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+      |) c""".stripMargin
+  val q52LateralTopK: QueryFn = (s, dir) => {
+    graft.Graft.registerTables(s, dir)
+    s.sql(q52Sql)
+  }
+
+  // ---------------------------------------------------------------------------
+  // q53_map_functions — map surface: per-order line→quantity map via
+  // map_from_entries, probed with element_at / contains / size. The map is
+  // an intermediate (never emitted — map columns don't canonicalize for
+  // the sorted-hash compare); the oracle replays the probes relationally.
+  // ---------------------------------------------------------------------------
+  val q53MapFunctions: QueryFn = (s, dir) =>
+    Tables.lineitem(s, dir)
+      // line numbers repeat within an order in the synthetic data, and map
+      // keys must be unique -> pre-aggregate quantity per (order, line)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(dsum(col("l_quantity")).as("lq"))
+      .groupBy("l_orderkey")
+      .agg(map_from_entries(collect_list(
+        struct(col("l_linenumber"), col("lq")))).as("m"))
+      .select(
+        col("l_orderkey"),
+        element_at(col("m"), 1).as("qty_line1"),
+        element_at(col("m"), 4).as("qty_line4"),
+        map_contains_key(col("m"), 3).as("has_line3"),
+        size(col("m")).cast("long").as("n_lines"))
+  val q53Sql: String =
+    """WITH per_line AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS lq
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_orderkey,
+      | max(CASE WHEN l_linenumber = 1 THEN lq END) AS qty_line1,
+      | max(CASE WHEN l_linenumber = 4 THEN lq END) AS qty_line4,
+      | bool_or(l_linenumber = 3) AS has_line3,
+      | count(*) AS n_lines
+      |FROM per_line GROUP BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q54_exists_subquery — EXISTS / NOT EXISTS correlated predicates as one
+  // shared SQL text; Catalyst rewrites them to semi/anti joins (the same
+  // plan family the reference's dict-miss inserts decorrelate to).
+  // ---------------------------------------------------------------------------
+  val q54Sql: String =
+    """SELECT c_custkey FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND year(o.o_orderdate) = 1997)""".stripMargin
+  val q54ExistsSubquery: QueryFn = (s, dir) => {
+    graft.Graft.registerTables(s, dir)
+    s.sql(q54Sql)
+  }
+
+  // ---------------------------------------------------------------------------
+  // q55_cross_join — explicit CROSS JOIN against a tiny literal tier table,
+  // then a non-equi (>=) band per tier: cumulative customer counts per
+  // region × balance tier. The literal side is broadcast; the only shuffle
+  // is the final aggregate.
+  // ---------------------------------------------------------------------------
+  val q55CrossJoin: QueryFn = (s, dir) => {
+    import s.implicits._
+    val tiers = Seq(0, 5000, 9000).toDF("tier")
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    r.join(n, col("n_regionkey") === col("r_regionkey"))
+      .join(c, col("c_nationkey") === col("n_nationkey"))
+      .crossJoin(broadcast(tiers))
+      .where(col("c_acctbal") >= col("tier"))
+      .groupBy("r_name", "tier")
+      .agg(count(lit(1)).as("n"))
+      .select(col("r_name"), col("tier").cast("long").as("tier"), col("n"))
+  }
+  val q55Sql: String =
+    """SELECT r_name, CAST(tier AS BIGINT) AS tier, count(*) AS n
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |CROSS JOIN (VALUES (0), (5000), (9000)) t(tier)
+      |WHERE c_acctbal >= tier
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q52_lateral_topk"  -> q52LateralTopK,
+    "q53_map_functions" -> q53MapFunctions,
+    "q54_exists_subquery" -> q54ExistsSubquery,
+    "q55_cross_join"    -> q55CrossJoin,
     "q48_full_outer"    -> q48FullOuter,
     "q49_string_funcs"  -> q49StringFuncs,
     "q50_width_bucket"  -> q50WidthBucket,
@@ -998,6 +1099,10 @@ object CoreQueries {
     "q49_string_funcs"  -> q49Sql,
     "q50_width_bucket"  -> q50Sql,
     "q51_unpivot"       -> q51Sql,
+    "q52_lateral_topk"  -> q52Sql,
+    "q53_map_functions" -> q53Sql,
+    "q54_exists_subquery" -> q54Sql,
+    "q55_cross_join"    -> q55Sql,
     "q44_rank_family"   -> q44Sql,
     "q45_date_functions"-> q45Sql,
     "q46_array_functions"-> q46Sql,

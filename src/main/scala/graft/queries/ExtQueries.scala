@@ -401,6 +401,31 @@ object ExtQueries {
       | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
       |FROM documents""".stripMargin
 
+  /** Word-distribution entropy + type-token ratio per doc (repetitive /
+    * low-diversity text detector). Entropy terms are rounded at 6 and
+    * folded in DECIMAL on both sides, so the double sum is order-
+    * independent and engine-identical.
+    */
+  val textEntropy: QueryFn = (s, dir) =>
+    TextAnalysis.wordEntropy(Tables.documents(s, dir), "doc_id", "text")
+  val textEntropySql: String =
+    """WITH cnt AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_types
+      |  FROM cnt GROUP BY 1
+      |)
+      |SELECT t.doc_id, t.n_tokens, t.n_types,
+      |  CAST(sum(CAST(round(-(c::DOUBLE / t.n_tokens) * ln(c::DOUBLE / t.n_tokens), 6)
+      |    AS DECIMAL(30,6))) AS DOUBLE) AS entropy,
+      |  round(t.n_types::DOUBLE / t.n_tokens, 6) AS ttr
+      |FROM cnt JOIN tot t USING (doc_id)
+      |GROUP BY t.doc_id, t.n_tokens, t.n_types""".stripMargin
+
   val textLangId: QueryFn = (s, dir) =>
     Tables.documents(s, dir).select(
       col("doc_id"), TextAnalysis.lang_id(col("text")).as("lang_pred"))
@@ -978,6 +1003,7 @@ object ExtQueries {
     "ann_ivf"              -> annIvf,
     "text_tokens"          -> textTokens,
     "text_quality"         -> textQuality,
+    "text_entropy"         -> textEntropy,
     "text_langid"          -> textLangId,
     "text_fingerprint"     -> textFingerprint,
     "multimodal_features"  -> multimodalFeatures,
@@ -1026,6 +1052,7 @@ object ExtQueries {
     "ann_lsh"             -> annLshSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,
+    "text_entropy"        -> textEntropySql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames"   -> multimodalFramesSql,
     "profile_documents"   -> profileDocumentsSql,

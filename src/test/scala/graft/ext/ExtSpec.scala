@@ -23,6 +23,23 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(q.getAs[Long]("n_punct") == 3L)      // , ! .
   }
 
+  test("wordEntropy: zero for repetition, ln(n) for uniform, ttr exact") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // one type -> entropy 0, ttr 1/4
+      (2L, "a b c d"),                      // uniform over 4 -> ln(4)
+      (3L, "x x y y")                       // uniform over 2 -> ln(2)
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.wordEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Double]("entropy") == 0.0)
+    assert(rows(1L).getAs[Long]("n_types") == 1L)
+    assert(rows(1L).getAs[Double]("ttr") == 0.25)
+    assert(math.abs(rows(2L).getAs[Double]("entropy") - math.log(4)) < 2e-6)
+    assert(math.abs(rows(3L).getAs[Double]("entropy") - math.log(2)) < 2e-6)
+    assert(rows(3L).getAs[Long]("n_tokens") == 4L)
+    assert(rows(3L).getAs[Long]("n_types") == 2L)
+  }
+
   test("lang_id: marker heuristics on hand samples; CJK detection") {
     assert(TextAnalysis.langIdFn("the cat and the dog is in the house") == "en")
     assert(TextAnalysis.langIdFn("le chat est dans la maison pour une nuit") == "fr")
