@@ -401,6 +401,34 @@ object ExtQueries {
       | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
       |FROM documents""".stripMargin
 
+  /** Multi-format source layer: the documents table round-trips through
+    * CSV, JSON-lines, and ORC (explicit schema on read — inference would
+    * re-scan the data), and the per-source aggregates of all three must
+    * agree with the parquet original — proving each format's write+read
+    * path is lossless for the engine's scalar types.
+    */
+  val sourceFormats: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-formats").toString
+    val csv = graft.sources.Formats.roundTripCsv(docs, s"$tmp/csv")
+    val json = graft.sources.Formats.roundTripJson(docs, s"$tmp/json")
+    val orc = graft.sources.Formats.roundTripOrc(docs, s"$tmp/orc")
+    def perSource(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy("source").agg(
+        count(lit(1)).as(s"n_$suffix"),
+        sum(col("n_chars")).as(s"chars_$suffix"))
+    perSource(csv, "csv")
+      .join(perSource(json, "json"), Seq("source"))
+      .join(perSource(orc, "orc"), Seq("source"))
+  }
+  val sourceFormatsSql: String =
+    """SELECT source,
+      | count(*) AS n_csv, CAST(sum(n_chars) AS BIGINT) AS chars_csv,
+      | count(*) AS n_json, CAST(sum(n_chars) AS BIGINT) AS chars_json,
+      | count(*) AS n_orc, CAST(sum(n_chars) AS BIGINT) AS chars_orc
+      |FROM documents GROUP BY source""".stripMargin
+
   /** Word-distribution entropy + type-token ratio per doc (repetitive /
     * low-diversity text detector). Entropy terms are rounded at 6 and
     * folded in DECIMAL on both sides, so the double sum is order-
@@ -1004,6 +1032,7 @@ object ExtQueries {
     "text_tokens"          -> textTokens,
     "text_quality"         -> textQuality,
     "text_entropy"         -> textEntropy,
+    "source_formats"       -> sourceFormats,
     "text_langid"          -> textLangId,
     "text_fingerprint"     -> textFingerprint,
     "multimodal_features"  -> multimodalFeatures,
@@ -1053,6 +1082,7 @@ object ExtQueries {
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,
     "text_entropy"        -> textEntropySql,
+    "source_formats"      -> sourceFormatsSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames"   -> multimodalFramesSql,
     "profile_documents"   -> profileDocumentsSql,

@@ -142,6 +142,34 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q52_lateral_topk: lateral decorrelates — no per-row nested loop") {
+    val p = plan(CoreQueries.q52LateralTopK(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "lateral should decorrelate to an equi plan, not a nested loop:\n" + p)
+  }
+
+  test("q55_cross_join: literal tier table broadcast; single agg exchange") {
+    val p = plan(CoreQueries.q55CrossJoin(spark, dir))
+    // the non-equi tier band is a broadcast nested-loop over the 3-row
+    // literal side; the customer side must never hash-exchange before it
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
+      .contains("Exchange hashpartitioning"), p)
+  }
+
+  test("text_entropy: two aggregation exchanges, no window, text pruned early") {
+    val df = ExtQueries.textEntropy(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // (doc,tok) counts then per-doc fold: exactly two hash exchanges
+    // (plus the parallelism-floor round-robin); never a window or sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Window"), p)
+    val exch = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).mkString
+    assert(!exch.contains("text#"), "raw text must not ride the shuffle:\n" + p)
+  }
+
   test("quality_gopher: two-phase aggregation, no document text through the exchange") {
     val p = plan(ExtQueries.qualityGopher(spark, dir))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
