@@ -52,4 +52,35 @@ object Joins {
     attached.where(col("__side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
+
+  /** Keyless point-in-interval join via time binning: each interval
+    * explodes to the fixed-width bins it covers, each point lands in
+    * exactly one bin, and the join becomes an equi-join on the bin id
+    * plus the exact containment predicate.
+    *
+    * This is the scale form of a range join with NO equi key: a plain
+    * `points JOIN intervals ON ts BETWEEN start AND end` plans as a
+    * nested loop (broadcast or cartesian — O(|P|·|I|) comparisons),
+    * fine only while one side is tiny. Binning makes it a hash
+    * shuffle partitioned by time bin: comparisons drop to candidates
+    * sharing a bin, and both sides scale out. Each matching
+    * (point, interval) pair appears exactly once (the point's single
+    * bin), so no dedup pass is needed. Skew guard: a hot bin splits
+    * under AQE; bin width trades explode factor (long intervals) against
+    * candidate density — set it near the median interval length.
+    */
+  def pointInIntervalJoin(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binMinutes: Int = 15): DataFrame = {
+    val binUs = binMinutes * 60L * 1000000L
+    val pb = points.withColumn("__bin", floor(unix_micros(col(tsCol)) / binUs))
+    val ib = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(unix_micros(col(startCol)) / binUs),
+        // end is exclusive: the bin of the last included microsecond
+        floor((unix_micros(col(endCol)) - 1) / binUs))))
+    pb.join(ib, Seq("__bin"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bin")
+  }
 }

@@ -178,6 +178,65 @@ object Similarity {
     * exchange by the vector dimensionality). Output: (key, mean
     * array<double>, n).
     */
+  /** Population covariance matrix of the embedding space (the PCA /
+    * whitening precursor): upper-triangle (i, j, cov) rows, i <= j.
+    *
+    * Scale shape: ONE `treeAggregate` pass over the corpus with a
+    * d(d+1)/2 + d array accumulator — map-side combine, log-depth merge,
+    * and the shuffle carries one partial accumulator per partition
+    * (d=64 → ~17 kB), never per-row pair explosions (the naive
+    * (row × i × j) explode shuffles d²·N rows — 4096× the corpus).
+    * Output values are rounded at 6 (the mean_vectors convention: float
+    * partial-sum order is partition-dependent; rounding absorbs the ulp
+    * noise so the driver's hash compare is stable).
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(asDouble(col(vecCol)).as("v")).as[Seq[Double]].rdd
+    // acc = (sumXY upper-triangle row-major, sumX, n); arrays lazily sized
+    // from the first vector so the dimension never needs a separate job
+    val (sxy, sx, n) = vecs.treeAggregate(
+      (Array.empty[Double], Array.empty[Double], 0L))(
+      { case ((xy0, x0, n0), v) =>
+        val d = v.length
+        val xy = if (xy0.isEmpty) new Array[Double](d * (d + 1) / 2) else xy0
+        val x = if (x0.isEmpty) new Array[Double](d) else x0
+        var i = 0
+        var t = 0
+        while (i < d) {
+          val vi = v(i)
+          x(i) += vi
+          var j = i
+          while (j < d) { xy(t) += vi * v(j); j += 1; t += 1 }
+          i += 1
+        }
+        (xy, x, n0 + 1)
+      },
+      { case ((a, ax, na), (b, bx, nb)) =>
+        if (a.isEmpty) (b, bx, na + nb)
+        else {
+          if (b.nonEmpty) {
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }
+            var k = 0; while (k < ax.length) { ax(k) += bx(k); k += 1 }
+          }
+          (a, ax, na + nb)
+        }
+      }, depth = 2)
+    val d = sx.length
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield {
+      val t = i * d - i * (i - 1) / 2 + (j - i)
+      val cov = sxy(t) / n - (sx(i) / n) * (sx(j) / n)
+      // HALF_UP at 6, matching DuckDB's round() (math.rint is half-even)
+      val r = BigDecimal(cov).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i.toLong, j.toLong, r)
+    }
+    spark.createDataFrame(rows).toDF("i", "j", "cov")
+  }
+
   def meanVectors(df: DataFrame, keyCol: String,
       vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession

@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** BPE (byte-pair-encoding) vocabulary induction: learn the top-k symbol
+  * merges from a corpus — the tokenizer-training operator of an LLM data
+  * pipeline.
+  *
+  * Scale shape: ONE corpus pass builds the word-frequency table (the only
+  * shuffle that sees the corpus); every merge iteration then runs on the
+  * compact word-TYPE table (vocab ≪ corpus — this is why classical BPE
+  * trainers operate on the word dict, and the distributed form is the
+  * same). Per iteration: explode adjacent symbol pairs weighted by word
+  * count, aggregate, take the global argmax (count desc, then pair asc —
+  * a pinned deterministic tie-break), and apply the merge.
+  *
+  * Symbol sequences are encoded as separator-delimited strings
+  * ("|h|e|l|l|o|"), and a merge (a,b) is `replace(s, "|a|b|", "|ab|")` —
+  * string replace is greedy, left-to-right, non-overlapping in both Spark
+  * and DuckDB, which makes the whole training loop REPLAYABLE in SQL:
+  * the oracle unrolls k stages of the same argmax + replace. Words are
+  * restricted to /^[a-z]+$/ so the separator can never collide with a
+  * symbol byte.
+  */
+object Vocab {
+
+  /** Learn `merges` BPE merges. Returns (rank, left, right, merged,
+    * pair_count) — rank 1 is the first (highest-count) merge.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = DataOps.parallelismFloor(docs.select(col(textCol).as("__t")))
+      .select(explode(TextAnalysis.tokens(col("__t"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("s",
+        concat(lit("|"),
+          array_join(transform(split(col("word"), ""), c => c), "|"),
+          lit("|")))
+      .localCheckpoint(false) // the merge loop must not re-run the corpus pass
+      .select("cnt", "s")
+
+    var current = words
+    val learned = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    while (rank <= merges) {
+      // adjacent symbol pairs of every word type, weighted by frequency
+      val top = current
+        .select(col("cnt"), split(col("s"), "\\|").as("toks"))
+        .select(col("cnt"),
+          explode(expr(
+            "transform(sequence(1, size(toks) - 2), i -> struct(toks[i] as l, toks[i+1] as r))"))
+            .as("p"))
+        .where(col("p.r") =!= "") // trailing separator yields an empty tail
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) { rank = merges + 1 }
+      else {
+        val Row(l: String, r: String, c: Long) = top(0)
+        learned += ((rank, l, r, l + r, c))
+        current = current.withColumn("s",
+          expr(s"replace(s, '|${l}|${r}|', '|${l}${r}|')"))
+        rank += 1
+      }
+    }
+    learned.result().toDF("rank", "left", "right", "merged", "pair_count")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+}

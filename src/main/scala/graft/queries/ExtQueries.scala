@@ -401,6 +401,94 @@ object ExtQueries {
       | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
       |FROM documents""".stripMargin
 
+  /** BPE vocabulary induction: the top-6 learned merges over the corpus
+    * (Vocab.bpeTrain). Fully deterministic — argmax ties break on
+    * (count desc, pair asc) and merge application is string replace with
+    * identical greedy semantics in both engines — so the oracle replays
+    * all six train iterations as unrolled CTE stages.
+    */
+  val vocabBpe: QueryFn = (s, dir) =>
+    graft.ext.Vocab.bpeTrain(Tables.documents(s, dir), "text", merges = 6)
+  val vocabBpeSql: String = {
+    def stage(n: Int): String = {
+      val prev = s"w${n - 1}"
+      s"""p$n AS (
+         |  SELECT t[i] AS l, t[i + 1] AS r, sum(cnt) AS c
+         |  FROM (SELECT cnt, string_split(s, '|') AS t FROM $prev),
+         |       unnest(generate_series(2, len(t) - 2)) u(i)
+         |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1
+         |), w$n AS (
+         |  SELECT cnt, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
+         |  FROM $prev, p$n
+         |)""".stripMargin
+    }
+    val stages = (1 to 6).map(stage).mkString(",\n")
+    val rows = (1 to 6).map(n =>
+      s"""SELECT CAST($n AS BIGINT) AS rank, l AS "left", r AS "right",
+         |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM p$n""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+       |    '|' || array_to_string(regexp_extract_all(word, '.'), '|') || '|' AS s
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY word
+       |),
+       |$stages
+       |$rows""".stripMargin
+  }
+
+  /** Keyless range join at scale: events falling inside "incident windows"
+    * (hours with >= 2 errors), via `Joins.pointInIntervalJoin` — the
+    * binned equi-join form, never a nested loop over points × intervals.
+    */
+  val rangeJoinBinned: QueryFn = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val windows = ev.where(col("event_type") === "error")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n_err"))
+      .where(col("n_err") >= 2)
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"))
+    graft.ext.Joins.pointInIntervalJoin(ev, "ts", windows, "w_start", "w_end")
+      .groupBy("w_start")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+  val rangeJoinBinnedSql: String =
+    """WITH w AS (
+      |  SELECT date_trunc('hour', ts) AS w_start
+      |  FROM events WHERE event_type = 'error'
+      |  GROUP BY 1 HAVING count(*) >= 2
+      |)
+      |SELECT w.w_start, count(*) AS n_events,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM events e JOIN w
+      |  ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 1 HOUR
+      |GROUP BY 1""".stripMargin
+
+  /** Embedding-space covariance matrix (PCA/whitening precursor): one
+    * treeAggregate pass, d(d+1)/2-cell accumulator, rounded at 6 (the
+    * mean_vectors convention — see Similarity.covarianceMatrix).
+    */
+  val vecCovariance: QueryFn = (s, dir) =>
+    graft.ext.Similarity.covarianceMatrix(Tables.embeddings(s, dir))
+  val vecCovarianceSql: String =
+    """WITH e AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT i, avg(v[i]) AS mu
+      |  FROM e, unnest(generate_series(1, len(v))) s(i) GROUP BY i
+      |), p AS (
+      |  SELECT s.i AS i, t.j AS j, avg(v[s.i] * v[t.j]) AS sxy
+      |  FROM e, unnest(generate_series(1, len(v))) s(i),
+      |          unnest(generate_series(1, len(v))) t(j)
+      |  WHERE t.j >= s.i GROUP BY 1, 2
+      |)
+      |SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+      |  round(p.sxy - mi.mu * mj.mu, 6) AS cov
+      |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j""".stripMargin
+
   /** Multi-format source layer: the documents table round-trips through
     * CSV, JSON-lines, and ORC (explicit schema on read — inference would
     * re-scan the data), and the per-source aggregates of all three must
@@ -1033,6 +1121,9 @@ object ExtQueries {
     "text_quality"         -> textQuality,
     "text_entropy"         -> textEntropy,
     "source_formats"       -> sourceFormats,
+    "vec_covariance"       -> vecCovariance,
+    "range_join_binned"    -> rangeJoinBinned,
+    "vocab_bpe"            -> vocabBpe,
     "text_langid"          -> textLangId,
     "text_fingerprint"     -> textFingerprint,
     "multimodal_features"  -> multimodalFeatures,
@@ -1083,6 +1174,9 @@ object ExtQueries {
     "text_quality"        -> textQualitySql,
     "text_entropy"        -> textEntropySql,
     "source_formats"      -> sourceFormatsSql,
+    "vec_covariance"      -> vecCovarianceSql,
+    "range_join_binned"   -> rangeJoinBinnedSql,
+    "vocab_bpe"           -> vocabBpeSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames"   -> multimodalFramesSql,
     "profile_documents"   -> profileDocumentsSql,

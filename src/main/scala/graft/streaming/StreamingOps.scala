@@ -155,6 +155,25 @@ object StreamingOps {
       .drop("__rk")
   }
 
+  /** Windowed mergeable distinct-count sketches on a stream: per tumbling
+    * window and group, an HLL sketch of the value column (binary, kB-sized,
+    * union-able later across windows / streams / the batch history — the
+    * streaming half of `Sketches.distinctSketch`). State per window is the
+    * sketch itself, so unbounded key cardinality never grows the state
+    * store beyond O(windows × groups × kB); the watermark closes windows.
+    */
+  def sketchDistinctStream(
+      events: DataFrame, groupCol: String, valueCol: String,
+      window_ : String = "120 minutes",
+      watermark: String = "10 minutes", lgK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+      .select(col("window.start").as("w_start"), col(groupCol),
+        hll_sketch_estimate(col("sketch")).as("approx_distinct"),
+        col("sketch"))
+
   /** Stream-static enrichment join: attach dimension attributes to a
     * stream without any stream-side state. The static side is re-planned
     * per micro-batch (so dim updates are picked up) and broadcast, so the

@@ -23,6 +23,59 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(q.getAs[Long]("n_punct") == 3L)      // , ! .
   }
 
+  test("bpeTrain: hand-computed merges with deterministic tie-break") {
+    // low×3 lower×2 newest×4 -> merge 1: (w,e)=6; merge 2: (l,o)=5;
+    // merge 3: four pairs tie at 4, (e,we) wins lexicographically
+    val docs = Seq(
+      (1L, "low low low"), (2L, "lower lower"),
+      (3L, "newest newest newest newest")).toDF("doc_id", "text")
+    val m = Vocab.bpeTrain(docs, "text", merges = 3)
+      .orderBy("rank")
+      .select("rank", "left", "right", "merged", "pair_count")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(m == Seq(
+      (1L, "w", "e", "we", 6L),
+      (2L, "l", "o", "lo", 5L),
+      (3L, "e", "we", "ewe", 4L)))
+  }
+
+  test("pointInIntervalJoin == naive range join; half-open boundaries") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")),          // == start: included
+      (2L, ts("2024-01-01 10:59:59.999999")),   // last µs: included
+      (3L, ts("2024-01-01 11:00:00")),          // == end: excluded
+      (4L, ts("2024-01-01 13:30:00")),          // inside the long interval
+      (5L, ts("2024-01-02 00:00:00"))           // matches nothing
+    ).toDF("pid", "ts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (20L, ts("2024-01-01 10:30:00"), ts("2024-01-01 14:00:00")) // multi-bin
+    ).toDF("iid", "w_start", "w_end")
+    val binned = Joins.pointInIntervalJoin(points, "ts", intervals, "w_start", "w_end")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.crossJoin(intervals)
+      .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    assert(binned == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (4L, 20L)))
+  }
+
+  test("covarianceMatrix: hand-computed population covariance on a tiny corpus") {
+    val df = Seq(
+      Tuple1(Seq(1.0f, 2.0f)),
+      Tuple1(Seq(3.0f, 4.0f)),
+      Tuple1(Seq(5.0f, 12.0f))
+    ).toDF("embedding")
+    val m = Similarity.covarianceMatrix(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // means (3, 6); population covariances: xx 8/3, xy 20/3, yy 56/3
+    assert(m((0L, 0L)) == 2.666667)
+    assert(m((0L, 1L)) == 6.666667)
+    assert(m((1L, 1L)) == 18.666667)
+    assert(m.size == 3)
+  }
+
   test("wordEntropy: zero for repetition, ln(n) for uniform, ttr exact") {
     val df = Seq(
       (1L, "spam spam spam spam"),          // one type -> entropy 0, ttr 1/4

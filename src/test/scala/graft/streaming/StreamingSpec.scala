@@ -46,6 +46,39 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("windowed HLL sketches: streaming estimates == batch; sketches merge") {
+    val q = StreamingOps.sketchDistinctStream(
+      StreamingOps.eventsStream(spark, eventsDir), "event_type", "user_id")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sketch_out")
+      .select("w_start", "event_type", "approx_distinct")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, t, e) => (w, t) -> e }.toMap
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "120 minutes"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .select(col("window.start"), col("event_type"), col("e"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, t, e) => (w, t) -> e }.toMap
+    // the sketch aggregate is deterministic for a fixed value set, so
+    // streaming and batch estimates are identical, not merely close
+    assert(streamed == batch)
+
+    // merging the per-window sketches == one sketch over everything
+    val merged = spark.table("sketch_out").groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("e"))
+      .as[(String, Long)].collect().toMap
+    val whole = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == whole)
+  }
+
   test("stream-static enrichment join matches the batch join, no stream shuffle") {
     val dim = (0L to 200L).map(u => (u, s"cohort_${u % 4}")).toDF("user_id", "cohort")
     val enriched = StreamingOps.enrichStream(
