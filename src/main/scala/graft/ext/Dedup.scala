@@ -309,4 +309,59 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Asymmetric near-dup: directed (contained, container) pairs where
+    * `|grams(contained) ∩ grams(container)| / |grams(contained)|` meets
+    * the threshold — catches a document subsumed by a larger one (quote
+    * farms, boilerplate wrappers, partial crawls), which symmetric
+    * Jaccard misses because the union in its denominator is dominated by
+    * the big side.
+    *
+    * Same scale shape as ngramJaccardPairs: df-pruned inverted-index
+    * candidate generation (8-byte shingle hashes on the wire, stop-shingle
+    * and fan-out caps), exact set verification only on candidates; each
+    * unordered candidate then emits up to two directed rows. The
+    * containment value is a single IEEE division of exact longs —
+    * engine-identical, safe to emit unrounded.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 1000,
+      minCommon: Long = 3): DataFrame = {
+    val sh = DataOps.parallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), TextShingles.word_shingle_hashes(col("__t"), n).as("sh"))
+      .withColumn("set_size", size(col("sh")).cast("long"))
+      .localCheckpoint(false)
+
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    val keep = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq && col("df") >= 2)
+    val pruned = inv.join(keep.select("g"), Seq("g"))
+
+    val candidates = pruned.select(col("g"), col("id").as("id_a"))
+      .join(pruned.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_rare"))
+      .where(col("shared_rare") >= minCommon)
+      .select("id_a", "id_b")
+
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("set_size").as("sz_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("set_size").as("sz_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(explode(array(
+        struct(col("id_a").as("id_contained"), col("id_b").as("id_container"),
+          (col("common").cast("double") / col("sz_a").cast("double")).as("containment")),
+        struct(col("id_b").as("id_contained"), col("id_a").as("id_container"),
+          (col("common").cast("double") / col("sz_b").cast("double")).as("containment"))))
+        .as("p"))
+      .select(col("p.id_contained").as("id_contained"),
+        col("p.id_container").as("id_container"),
+        col("p.containment").as("containment"))
+      .where(col("containment") >= threshold)
+  }
 }

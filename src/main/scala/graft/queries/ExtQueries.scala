@@ -260,6 +260,43 @@ object ExtQueries {
       |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
       |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8""".stripMargin
 
+  /** Directed containment near-dup (doc subsumed by a larger doc) — the
+    * asymmetric complement of dedup_ngram_jaccard; same candidate gate,
+    * per-direction |∩|/|contained| ratio.
+    */
+  val dedupContainment: QueryFn = (s, dir) =>
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.8)
+  val dedupContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) u(i) WHERE len(t) >= 3
+      |  UNION ALL
+      |  SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) < 3
+      |), sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+      |), keep AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 1000
+      |), pr AS (SELECT doc_id, g FROM grams JOIN keep USING (g)
+      |), cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM pr a JOIN pr b USING (g)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 3
+      |), inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS common
+      |  FROM cand c JOIN grams ga ON ga.doc_id = c.id_a
+      |              JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+      |  GROUP BY 1, 2
+      |), directed AS (
+      |  SELECT i.id_a AS id_contained, i.id_b AS id_container,
+      |         CAST(common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+      |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+      |  UNION ALL
+      |  SELECT i.id_b, i.id_a, CAST(common AS DOUBLE) / CAST(sb.n AS DOUBLE)
+      |  FROM inter i JOIN sz sb ON sb.doc_id = i.id_b
+      |)
+      |SELECT id_contained, id_container, containment
+      |FROM directed WHERE containment >= 0.8""".stripMargin
+
   // The synthetic embeddings are near-orthogonal (max pairwise cosine
   // ~0.48 at sf0.001), so "near-dup" here means the most-similar tail —
   // a regime where hyperplane-LSH bands carry no signal and the exact
@@ -1124,6 +1161,7 @@ object ExtQueries {
     "vec_covariance"       -> vecCovariance,
     "range_join_binned"    -> rangeJoinBinned,
     "vocab_bpe"            -> vocabBpe,
+    "dedup_containment"    -> dedupContainment,
     "text_langid"          -> textLangId,
     "text_fingerprint"     -> textFingerprint,
     "multimodal_features"  -> multimodalFeatures,
@@ -1177,6 +1215,7 @@ object ExtQueries {
     "vec_covariance"      -> vecCovarianceSql,
     "range_join_binned"   -> rangeJoinBinnedSql,
     "vocab_bpe"           -> vocabBpeSql,
+    "dedup_containment"   -> dedupContainmentSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames"   -> multimodalFramesSql,
     "profile_documents"   -> profileDocumentsSql,

@@ -23,6 +23,18 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(q.getAs[Long]("n_punct") == 3L)      // , ! .
   }
 
+  test("containmentPairs: subset doc detected one-way; jaccard misses it") {
+    val small = "one two three four five six" // 4 trigrams, all inside big
+    val big = small + " " + (1 to 20).map(i => s"extra$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_contained", "id_container", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 1.0))) // directed: small ⊂ big only
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    assert(jac.isEmpty) // union dominated by the big side
+  }
+
   test("bpeTrain: hand-computed merges with deterministic tie-break") {
     // low×3 lower×2 newest×4 -> merge 1: (w,e)=6; merge 2: (l,o)=5;
     // merge 3: four pairs tie at 4, (e,we) wins lexicographically
