@@ -18,9 +18,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM + codegen warm-up on the smallest table (not timed)
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => }
+    // JVM warm-up (not timed): the parquet read path plus the RDD
+    // shuffle, window, and broadcast-join machinery — otherwise the
+    // alphabetically-first query using each path is charged its one-time
+    // class-loading/codegen cost and per-query numbers don't reflect
+    // steady state.
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      spark.sparkContext.parallelize(0 until 1000, 8)
+        .map(i => (i % 16, i.toLong)).reduceByKey(_ + _).count()
+      import org.apache.spark.sql.functions.{broadcast, expr, sum}
+      val small = spark.range(100).selectExpr("id % 5 AS k", "id AS v")
+      small.join(broadcast(spark.range(5).selectExpr("id AS k")), "k")
+        .withColumn("r", expr("row_number() over (partition by k order by v)"))
+        .agg(sum("r")).collect()
+    } catch { case _: Throwable => }
     // (name, seconds, ok); a failed query is reported as -1, never as a
     // normal-looking timing, so regressions-to-failure are visible.
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev profiling; the driver
