@@ -53,12 +53,18 @@ object TrainingSet {
       // replica-unique packing id; rep is small (epoch count), so shifting
       // the doc id by a few bits keeps uid collision-free and stable
       .withColumn("uid", col("doc_id") * 64 + col("rep"))
-    Packing.packSequences(
+    // Pack per source in ascending uid order: pack identity is
+    // (source, pack_idx), a pure function of the data — reproducible
+    // across partitionings/restarts AND replayable by the driver's SQL
+    // oracle. (At larger scale, shard the group key — e.g. source ×
+    // hash-bucket — to widen packing parallelism; pack ids stay
+    // deterministic per shard.)
+    Packing.packSequencesByGroup(
       mixed.withColumn("n_tokens", size(TextAnalysis.tokens(col("text")))),
-      "uid", "n_tokens", tokenBudget)
-      .withColumnRenamed("id", "uid")
-      .withColumn("doc_id", floor(col("uid") / 64).cast("long"))
-      .withColumn("rep", pmod(col("uid"), lit(64L)))
-      .select("doc_id", "rep", "n_tokens", "pack_id", "pack_seq", "oversize")
+      "source", "uid", "n_tokens", tokenBudget)
+      .withColumn("doc_id", floor(col("id") / 64).cast("long"))
+      .withColumn("rep", pmod(col("id"), lit(64L)))
+      .select(col("group").as("source"), col("doc_id"), col("rep"),
+        col("n_tokens"), col("pack_idx"), col("pack_seq"), col("oversize"))
   }
 }

@@ -856,8 +856,12 @@ object ExtQueries {
       |GROUP BY word HAVING count(*) >= 100""".stripMargin
 
   /** Full training-set assembly over documents, src3 as the held-out
-    * benchmark (rows-only: MinHash clustering + greedy packing are not
-    * ANSI-expressible; each stage is individually oracled/unit-tested).
+    * benchmark. The WHOLE composite is hash-oracled: scrub, quality gate,
+    * exact dedup, the 64-seed MinHash-LSH kernel, recursive connected-
+    * components closure, 5-gram contamination, weighted mixture, and the
+    * per-source next-fit packing recurrence replay as one DuckDB query
+    * (MATERIALIZED hints keep the recursive stages from re-evaluating the
+    * expensive chain per step).
     */
   val trainingSet: QueryFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
@@ -867,6 +871,153 @@ object ExtQueries {
       weights = Map("src0" -> 2, "src1" -> 1, "src2" -> 1),
       tokenBudget = 512)
   }
+
+  val trainingSetSql: String =
+    """WITH RECURSIVE corpus AS (      -- scrub (only the non-benchmark sources)
+      |  SELECT doc_id, source,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      |      'https?://[^\s]+', '<URL>', 'g'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\s+', ' ', 'g')) AS text
+      |  FROM documents WHERE source <> 'src3'
+      |), flags AS (                   -- quality gate on the scrubbed text
+      |  SELECT doc_id, source, text,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |    CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+      |      THEN len(list_distinct([array_to_string(
+      |             regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' ')
+      |             for i in generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+'))-2)]))
+      |      ELSE 1 END AS d3
+      |  FROM corpus
+      |), quality AS (
+      |  SELECT doc_id, source, text FROM flags
+      |  WHERE NOT (n_tokens < 10)
+      |    AND NOT ((1.0 - d3 / CAST(greatest(n_tokens - 2, 1) AS DOUBLE)) > 0.3)
+      |), exact AS MATERIALIZED (                   -- exact dedup: min doc_id per scrubbed text
+      |  SELECT q.doc_id, q.source, q.text
+      |  FROM quality q
+      |  JOIN (SELECT text, min(doc_id) AS keep_id FROM quality GROUP BY text) k
+      |    ON k.keep_id = q.doc_id AND k.text = q.text
+      |), toks AS (                    -- minhash chain over the exact survivors
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM exact
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) u(i) WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) < 3
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(regexp_extract_all(g, '.'), c -> unicode(c)::HUGEINT)),
+      |      (acc, cp) -> ((xor(acc, cp) % 4294967296) * 1099511628211::HUGEINT
+      |        + (((xor(acc, cp) // 4294967296) * 1099511628211::HUGEINT) % 4294967296) * 4294967296
+      |        ) % 18446744073709551616
+      |    ) AS h
+      |  FROM grams
+      |), sd0 AS (SELECT s, (s::HUGEINT + 11400714819323198485) % 18446744073709551616 AS x
+      |           FROM UNNEST(generate_series(1, 64)) t(s)
+      |), sd1 AS (SELECT s, xor(x, x // 1073741824) AS x FROM sd0
+      |), sd2 AS (SELECT s, ((x % 4294967296) * 13787848793156543929::HUGEINT
+      |    + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+      |   ) % 18446744073709551616 AS x FROM sd1
+      |), sd3 AS (SELECT s, xor(x, x // 134217728) AS x FROM sd2
+      |), sd4 AS (SELECT s, ((x % 4294967296) * 10723151780598845931::HUGEINT
+      |    + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+      |   ) % 18446744073709551616 AS x FROM sd3
+      |), seeds AS (SELECT s, xor(x, x // 2147483648) AS ms FROM sd4
+      |), p0 AS (SELECT doc_id, s, (xor(h, ms)::HUGEINT + 11400714819323198485) % 18446744073709551616 AS x
+      |          FROM sh CROSS JOIN seeds
+      |), p1 AS (SELECT doc_id, s, xor(x, x // 1073741824) AS x FROM p0
+      |), p2 AS (SELECT doc_id, s, ((x % 4294967296) * 13787848793156543929::HUGEINT
+      |    + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+      |   ) % 18446744073709551616 AS x FROM p1
+      |), p3 AS (SELECT doc_id, s, xor(x, x // 134217728) AS x FROM p2
+      |), p4 AS (SELECT doc_id, s, ((x % 4294967296) * 10723151780598845931::HUGEINT
+      |    + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+      |   ) % 18446744073709551616 AS x FROM p3
+      |), p5 AS (SELECT doc_id, s, xor(x, x // 2147483648) AS x FROM p4
+      |), sig AS (
+      |  SELECT doc_id, s, min(CASE WHEN x >= 9223372036854775808
+      |    THEN (x - 18446744073709551616)::BIGINT ELSE x::BIGINT END) AS m
+      |  FROM p5 GROUP BY doc_id, s
+      |), sigarr AS MATERIALIZED (
+      |  SELECT doc_id, list(m ORDER BY s) AS sig FROM sig GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, b, sig[4*b+1 : 4*b+4] AS slice
+      |  FROM sigarr, UNNEST(generate_series(0, 15)) t(b)
+      |), okb AS (
+      |  SELECT b, slice FROM banded GROUP BY b, slice
+      |  HAVING count(*) BETWEEN 2 AND 500
+      |), pb AS (SELECT banded.doc_id, banded.b, banded.slice
+      |          FROM banded JOIN okb USING (b, slice)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pb a JOIN pb b USING (b, slice) WHERE a.doc_id < b.doc_id
+      |), est AS (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_filter(generate_series(1, 64), k -> sa.sig[k] = sb.sig[k])) AS eq
+      |  FROM cand c JOIN sigarr sa ON sa.doc_id = c.id_a
+      |              JOIN sigarr sb ON sb.doc_id = c.id_b
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM est WHERE eq::DOUBLE / 64.0 >= 0.8
+      |), edges AS MATERIALIZED (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach AS (                   -- connected components, min-label closure
+      |  SELECT doc_id AS id, doc_id AS lab FROM exact
+      |  UNION
+      |  SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id
+      |), fuzzy AS MATERIALIZED (                   -- keep cluster-min docs
+      |  SELECT x.doc_id, x.source, x.text
+      |  FROM exact x
+      |  JOIN (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id) c
+      |    ON c.id = x.doc_id AND c.cluster_id = x.doc_id
+      |), ctoks AS (                   -- contamination: 5-gram overlap vs src3 (raw)
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM fuzzy
+      |), dgrams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+      |  FROM ctoks, UNNEST(generate_series(1, len(t)-4)) g(i) WHERE len(t) >= 5
+      |), ref AS (
+      |  SELECT DISTINCT array_to_string(
+      |    regexp_split_to_array(trim(lower(text)), '\s+')[i:i+4], ' ') AS gram
+      |  FROM documents, UNNEST(generate_series(1,
+      |    len(regexp_split_to_array(trim(lower(text)), '\s+'))-4)) g(i)
+      |  WHERE source = 'src3'
+      |    AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 5
+      |), contaminated AS (
+      |  SELECT d.doc_id
+      |  FROM dgrams d LEFT JOIN ref r USING (gram)
+      |  GROUP BY d.doc_id
+      |  HAVING sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END) > count(*) * 0.5
+      |), clean AS MATERIALIZED (
+      |  SELECT f.* FROM fuzzy f
+      |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = f.doc_id)
+      |), mixed AS (                   -- weighted mixture (integer epochs) + uid
+      |  SELECT c.doc_id, c.source,
+      |    CAST(unnest(generate_series(1, w.wt)) AS BIGINT) AS rep,
+      |    CAST(len(regexp_split_to_array(trim(c.text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM clean c
+      |  JOIN (VALUES ('src0', 2), ('src1', 1), ('src2', 1)) w(source, wt) USING (source)
+      |), d AS MATERIALIZED (
+      |  SELECT source, doc_id, rep, doc_id * 64 + rep AS uid, n_tokens,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id * 64 + rep) AS rn
+      |  FROM mixed
+      |), p AS (                       -- greedy next-fit recurrence per source
+      |  SELECT source, doc_id, rep, uid, n_tokens, rn,
+      |    0::BIGINT AS pack_idx, n_tokens AS fill, 0 AS pack_seq
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.doc_id, d.rep, d.uid, d.n_tokens, d.rn,
+      |    CASE WHEN p.fill + d.n_tokens > 512 THEN p.pack_idx + 1 ELSE p.pack_idx END,
+      |    CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens ELSE p.fill + d.n_tokens END,
+      |    CASE WHEN p.fill + d.n_tokens > 512 THEN 0 ELSE p.pack_seq + 1 END
+      |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+      |)
+      |SELECT source, doc_id, rep, n_tokens, pack_idx,
+      |  pack_seq::INTEGER AS pack_seq, (n_tokens > 512) AS oversize
+      |FROM p
+      |""".stripMargin.trim
 
   /** Int8 affine quantization, exploded to exact integer codes per
     * position — the oracle replays the affine map over DuckDB list ops
@@ -1215,6 +1366,7 @@ object ExtQueries {
     "vec_covariance"      -> vecCovarianceSql,
     "range_join_binned"   -> rangeJoinBinnedSql,
     "vocab_bpe"           -> vocabBpeSql,
+    "training_set"        -> trainingSetSql,
     "dedup_containment"   -> dedupContainmentSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames"   -> multimodalFramesSql,
