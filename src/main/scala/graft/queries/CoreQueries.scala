@@ -1036,7 +1036,32 @@ object CoreQueries {
       |WHERE c_acctbal >= tier
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q56_higher_order — user-facing higher-order array functions (filter /
+  // transform / aggregate lambdas, codegen'd — the same machinery the ext
+  // kernels build on). All three results are element-order-independent
+  // (count, exact DECIMAL fold, max), so the nondeterministic collect_list
+  // order never shows.
+  // ---------------------------------------------------------------------------
+  val q56HigherOrder: QueryFn = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(collect_list(col("l_quantity")).as("qs"))
+      .select(col("l_orderkey"),
+        size(filter(col("qs"), q => q > lit(30.0))).cast("long").as("n_big"),
+        aggregate(col("qs"), lit(0).cast("decimal(30,4)"),
+          (a, q) => (a + (q * q).cast("decimal(30,4)")).cast("decimal(30,4)"))
+          .cast("double").as("sum_sq"),
+        array_max(transform(col("qs"), q => q * 2)).as("max2"))
+  val q56Sql: String =
+    """SELECT l_orderkey,
+      | CAST(len(list_filter(qs, q -> q > 30)) AS BIGINT) AS n_big,
+      | CAST(list_sum(list_transform(qs, q -> CAST(q*q AS DECIMAL(30,4)))) AS DOUBLE) AS sum_sq,
+      | list_max(list_transform(qs, q -> q * 2)) AS max2
+      |FROM (SELECT l_orderkey, list(l_quantity) AS qs FROM lineitem GROUP BY 1)""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q56_higher_order"  -> q56HigherOrder,
     "q52_lateral_topk"  -> q52LateralTopK,
     "q53_map_functions" -> q53MapFunctions,
     "q54_exists_subquery" -> q54ExistsSubquery,
@@ -1103,6 +1128,7 @@ object CoreQueries {
     "q53_map_functions" -> q53Sql,
     "q54_exists_subquery" -> q54Sql,
     "q55_cross_join"    -> q55Sql,
+    "q56_higher_order"  -> q56Sql,
     "q44_rank_family"   -> q44Sql,
     "q45_date_functions"-> q45Sql,
     "q46_array_functions"-> q46Sql,
