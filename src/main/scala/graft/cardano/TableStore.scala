@@ -32,6 +32,16 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Manifest I/O goes through the RAW filesystem: on a checksummed local
+  // fs, ChecksumFs renames the data file and its .crc sidecar as TWO
+  // operations, so a concurrent reader can observe new manifest bytes
+  // against the old checksum (flaky ChecksumException under the
+  // continuous-sync loop). With no sidecar the rename is truly one op.
+  private val rawFs = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   private def tableDir(name: String) = new Path(root, name)
   private def manifestFile = new Path(root, "_manifest")
   private def deltaDir(name: String, v: Long) = new Path(tableDir(name), s"delta/v=$v")
@@ -39,8 +49,8 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   /** The committed table→version map. Absent file (fresh store) = all 0. */
   def manifest(): Map[String, Long] = {
-    if (!fs.exists(manifestFile)) return Map.empty
-    val in = fs.open(manifestFile)
+    if (!rawFs.exists(manifestFile)) return Map.empty
+    val in = rawFs.open(manifestFile)
     val text =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
@@ -54,16 +64,28 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   private def writeManifest(m: Map[String, Long]): Unit = {
     val tmp = new Path(root, s"_manifest.tmp")
-    val out = fs.create(tmp, true)
+    val out = rawFs.create(tmp, true)
     try out.write(m.toSeq.sorted.map { case (n, v) => s"$n=$v" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    // Single atomic rename-with-overwrite: POSIX rename on local fs, the
-    // equivalent overwrite rename on HDFS. No delete-then-rename window.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifestFile),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // drop checksum sidecars left by any pre-raw writer so a checksummed
+    // reader can never pair stale crc bytes with the new manifest
+    fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        c.getRawFileSystem.delete(c.getChecksumFile(manifestFile), false)
+        c.getRawFileSystem.delete(c.getChecksumFile(tmp), false)
+      case _ => ()
+    }
+    // Single atomic rename-with-overwrite: POSIX rename on the raw local
+    // fs; FileContext's overwrite rename on HDFS-like stores (rawFs eq fs
+    // there). No delete-then-rename window either way.
+    if (rawFs eq fs) {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifestFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } else require(rawFs.rename(tmp, manifestFile),
+      s"manifest rename failed: $tmp -> $manifestFile")
   }
 
   private def empty(name: String): DataFrame =
