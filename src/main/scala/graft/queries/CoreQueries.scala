@@ -1060,7 +1060,32 @@ object CoreQueries {
       | list_max(list_transform(qs, q -> q * 2)) AS max2
       |FROM (SELECT l_orderkey, list(l_quantity) AS qs FROM lineitem GROUP BY 1)""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q57_recursive_cte — WITH RECURSIVE (Spark 4.1+): a month spine grown
+  // recursively between the order-date bounds, left-joined back for
+  // per-month counts (zero months included). One shared SQL text runs
+  // verbatim on both engines, like q41/q43/q52/q54.
+  // ---------------------------------------------------------------------------
+  val q57Sql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+      |         date_trunc('month', max(o_orderdate)) AS hi
+      |  FROM orders
+      |), months(m) AS (
+      |  SELECT lo FROM bounds
+      |  UNION ALL
+      |  SELECT m + INTERVAL '1' MONTH FROM months, bounds WHERE m < hi
+      |)
+      |SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n
+      |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      |GROUP BY m""".stripMargin
+  val q57RecursiveCte: QueryFn = (s, dir) => {
+    graft.Graft.registerTables(s, dir)
+    s.sql(q57Sql)
+  }
+
   val all: Map[String, QueryFn] = Map(
+    "q57_recursive_cte" -> q57RecursiveCte,
     "q56_higher_order"  -> q56HigherOrder,
     "q52_lateral_topk"  -> q52LateralTopK,
     "q53_map_functions" -> q53MapFunctions,
@@ -1129,6 +1154,7 @@ object CoreQueries {
     "q54_exists_subquery" -> q54Sql,
     "q55_cross_join"    -> q55Sql,
     "q56_higher_order"  -> q56Sql,
+    "q57_recursive_cte" -> q57Sql,
     "q44_rank_family"   -> q44Sql,
     "q45_date_functions"-> q45Sql,
     "q46_array_functions"-> q46Sql,

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale stress for the phase-E text pipeline: generates a synthetic
+  * corpus with PLANTED exact and near duplicates (pure expressions — no
+  * driver loops), runs the dedup chain and the full training-set
+  * assembly at 20-200× the bench corpus, prints per-stage timing, and
+  * asserts the planted structure is recovered:
+  *  - every planted exact-dup group collapses to one survivor;
+  *  - planted near-dups (one-token mutations) are caught by MinHash;
+  *  - packs respect the token budget (only oversize docs exceed it).
+  *
+  * Run: sbt "Test/runMain graft.ext.ScaleExt [nDocs]"
+  */
+object ScaleExt {
+
+  /** Deterministic word-soup corpus. Every id in [0, n) yields a row;
+    * ids with id % 7 == 1..2 copy the text of the preceding %7==0 donor
+    * (exact dups), ids with id % 11 == 3 append a mutation token to
+    * their donor (near dup). ~60-260 tokens per doc.
+    */
+  def generate(spark: SparkSession, n: Long): DataFrame = {
+    val words = (0 until 64).map(i => s"w$i")
+    val wordArr = array(words.map(lit): _*)
+    val mutated = pmod(col("id"), lit(11)) === 3 && pmod(col("id"), lit(7)) === 3
+    val seed = when(pmod(col("id"), lit(7)).isin(1, 2), col("id") - pmod(col("id"), lit(7)))
+      .when(mutated, col("id") - 3) // near dup: donor's text + one extra token
+      .otherwise(col("id"))
+    spark.range(0, n)
+      .withColumn("seed", seed)
+      .withColumn("base",
+        concat_ws(" ", transform(
+          sequence(lit(1), (pmod(xxhash64(col("seed")), lit(200)) + 60).cast("int")),
+          i => element_at(wordArr,
+            (pmod(xxhash64(col("seed") * 1000 + i), lit(64)) + 1).cast("int")))))
+      .select(
+        col("id").as("doc_id"),
+        when(mutated, concat(col("base"), lit(" mutationtoken"))).otherwise(col("base")).as("text"),
+        concat(lit("src"), pmod(col("id"), lit(3))).as("source"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALEEXT $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val docs = generate(spark, n).localCheckpoint() // materialize the corpus
+    println(s"SCALEEXT corpus n=${docs.count()} " +
+      s"tokens~=${docs.agg(sum(size(TextAnalysis.tokens(col("text"))))).head.getLong(0)}")
+
+    val exact = t("exact-dedup")(
+      Dedup.exact(docs, "doc_id", "text").count())
+    // planted: for each donor d (id%7==0), ids d+1, d+2 are exact copies
+    // -> distinct texts = n - (#copies). Mutated rows (%7==3) differ.
+    val nCopies = docs.where(pmod(col("doc_id"), lit(7)).isin(1, 2)).count()
+    require(exact == docs.count() - nCopies,
+      s"exact dedup groups $exact != expected ${docs.count() - nCopies}")
+
+    val pairs = t("minhash-pairs")(
+      Dedup.minhashPairs(docs, "doc_id", "text").localCheckpoint())
+    val nearCaught = pairs
+      .where(pmod(col("id_b"), lit(11)) === 3 && col("id_a") === col("id_b") - 3)
+      .count()
+    val nearPlanted = docs.where(
+      pmod(col("doc_id"), lit(11)) === 3 && pmod(col("doc_id"), lit(7)) === 3).count()
+    println(s"SCALEEXT near-dup recall $nearCaught/$nearPlanted")
+    require(nearCaught >= (nearPlanted * 9) / 10,
+      s"minhash missed planted near-dups: $nearCaught/$nearPlanted")
+
+    t("cluster-keep")(Dedup.clusterKeep(docs, "doc_id", pairs).count())
+
+    val bench = generate(spark, 500).select(col("doc_id") + 10000000L alias "doc_id",
+      col("text"), lit("bench").as("source"))
+    val packed = t("training-set-assemble")(
+      TrainingSet.assemble(docs, bench,
+        weights = Map("src0" -> 2, "src1" -> 1, "src2" -> 1),
+        tokenBudget = 512).localCheckpoint())
+    val nPacked = packed.count()
+    val badFills = packed.groupBy("source", "pack_idx")
+      .agg(sum("n_tokens").as("fill"), max(col("oversize").cast("int")).as("over"))
+      .where(col("fill") > 512 && col("over") === 0).count()
+    require(badFills == 0, s"$badFills packs exceed the budget without an oversize doc")
+    println(s"SCALEEXT packed rows=$nPacked ok")
+    spark.stop()
+  }
+}
