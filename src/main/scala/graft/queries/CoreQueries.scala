@@ -1062,23 +1062,26 @@ object CoreQueries {
 
   // ---------------------------------------------------------------------------
   // q57_recursive_cte — WITH RECURSIVE (Spark 4.1+): a month spine grown
-  // recursively between the order-date bounds, left-joined back for
-  // per-month counts (zero months included). One shared SQL text runs
-  // verbatim on both engines, like q41/q43/q52/q54.
+  // recursively over one order year, left-joined back for per-month
+  // counts (zero months included). One shared SQL text runs verbatim on
+  // both engines, like q41/q43/q52/q54. Spark executes each recursive
+  // step as an iteration (~0.2 s/step at local[32]), so the spine is
+  // bounded to 12 steps — recursion depth, not data volume, is the cost.
   // ---------------------------------------------------------------------------
   val q57Sql: String =
-    """WITH RECURSIVE bounds AS (
-      |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
-      |         date_trunc('month', max(o_orderdate)) AS hi
-      |  FROM orders
+    """WITH RECURSIVE o AS (
+      |  SELECT o_orderkey, date_trunc('month', o_orderdate) AS m
+      |  FROM orders WHERE year(o_orderdate) = 1995
+      |), bounds AS (
+      |  SELECT min(m) AS lo, max(m) AS hi FROM o
       |), months(m) AS (
       |  SELECT lo FROM bounds
       |  UNION ALL
       |  SELECT m + INTERVAL '1' MONTH FROM months, bounds WHERE m < hi
       |)
-      |SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n
-      |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
-      |GROUP BY m""".stripMargin
+      |SELECT months.m, CAST(count(o.o_orderkey) AS BIGINT) AS n
+      |FROM months LEFT JOIN o ON o.m = months.m
+      |GROUP BY months.m""".stripMargin
   val q57RecursiveCte: QueryFn = (s, dir) => {
     graft.Graft.registerTables(s, dir)
     s.sql(q57Sql)
