@@ -47,15 +47,34 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       (name, if (ok) secs else -1.0, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     // numeric scale factor parsed from the dir name (e.g. ".../sf0.1" -> 0.1)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":$sfNum,"sf_dir":"$sfDir"}""")
+    // Full per-query detail goes to a sidecar file; the stdout line must
+    // stay well under the harness's 2000-char stdout-tail capture or it is
+    // truncated mid-JSON and never parsed (this is what happened to the
+    // 102-entry single-line dumps of earlier rounds). The headline line
+    // carries the slowest 50 queries verbatim plus one rollup bucket.
+    val detail = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"errors":$errors,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        (detailJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    val slow = results.filter(_._3).sortBy(-_._2)
+    val top = slow.take(50)
+    val restSum = slow.drop(50).map(_._2).sum
+    val qs = (top.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) } :+
+      ("\"_rest_" + slow.drop(50).size + "q\":" + fmt(restSum)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errors,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -190,25 +190,43 @@ object Similarity {
     * partial-sum order is partition-dependent; rounding absorbs the ulp
     * noise so the driver's hash compare is stable).
     */
+  /** Round a double to 6 decimals as a scaled long (value × 1e6).
+    * Fast path: `rint` on x*1e6. Near a .5 boundary (where the x*1e6
+    * double rounding or rint's half-even tie rule could disagree with
+    * decimal HALF_UP) it falls back to exact BigDecimal rounding — the
+    * same per-term discipline as the dsum/entropy/bm25 oracles.
+    */
+  @inline private def round6Scaled(x: Double): Long = {
+    val t = x * 1e6
+    val fl = math.floor(t)
+    if (math.abs(t - fl - 0.5) < 1e-6)
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValueExact
+    else math.rint(t).toLong
+  }
+
   def covarianceMatrix(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(asDouble(col(vecCol)).as("v")).as[Seq[Double]].rdd
     // acc = (sumXY upper-triangle row-major, sumX, n); arrays lazily sized
-    // from the first vector so the dimension never needs a separate job
+    // from the first vector so the dimension never needs a separate job.
+    // Each term is rounded at scale 6 and summed as an exact scaled long —
+    // the partial sums are then order-independent (bit-identical however
+    // the partitions merge), which is what makes the result replayable.
     val (sxy, sx, n) = vecs.treeAggregate(
-      (Array.empty[Double], Array.empty[Double], 0L))(
+      (Array.empty[Long], Array.empty[Long], 0L))(
       { case ((xy0, x0, n0), v) =>
         val d = v.length
-        val xy = if (xy0.isEmpty) new Array[Double](d * (d + 1) / 2) else xy0
-        val x = if (x0.isEmpty) new Array[Double](d) else x0
+        val xy = if (xy0.isEmpty) new Array[Long](d * (d + 1) / 2) else xy0
+        val x = if (x0.isEmpty) new Array[Long](d) else x0
         var i = 0
         var t = 0
         while (i < d) {
           val vi = v(i)
-          x(i) += vi
+          x(i) += round6Scaled(vi)
           var j = i
-          while (j < d) { xy(t) += vi * v(j); j += 1; t += 1 }
+          while (j < d) { xy(t) += round6Scaled(vi * v(j)); j += 1; t += 1 }
           i += 1
         }
         (xy, x, n0 + 1)
@@ -224,12 +242,16 @@ object Similarity {
         }
       }, depth = 2)
     val d = sx.length
+    val nD = n.toDouble
     val rows = for {
       i <- 0 until d
       j <- i until d
     } yield {
       val t = i * d - i * (i - 1) / 2 + (j - i)
-      val cov = sxy(t) / n - (sx(i) / n) * (sx(j) / n)
+      // identical double expression to the oracle's
+      // sxy/n - (sx_i/n)*(sx_j/n) over the same exact decimal sums
+      val cov = sxy(t).toDouble / 1e6 / nD -
+        (sx(i).toDouble / 1e6 / nD) * (sx(j).toDouble / 1e6 / nD)
       // HALF_UP at 6, matching DuckDB's round() (math.rint is half-even)
       val r = BigDecimal(cov).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (i.toLong, j.toLong, r)

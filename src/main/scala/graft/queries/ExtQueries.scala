@@ -509,21 +509,32 @@ object ExtQueries {
     */
   val vecCovariance: QueryFn = (s, dir) =>
     graft.ext.Similarity.covarianceMatrix(Tables.embeddings(s, dir))
+  /** Replays covarianceMatrix bit-exactly: every term is rounded at scale
+    * 6 and summed as an exact DECIMAL (order-independent, matching the
+    * kernel's scaled-long accumulators); the sums are surfaced as scaled
+    * BIGINTs so both sides then evaluate the *same* double expression
+    * sxy/1e6/n - (sx_i/1e6/n)*(sx_j/1e6/n) on identical inputs.
+    */
   val vecCovarianceSql: String =
     """WITH e AS (
       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |), m AS (
-      |  SELECT i, avg(v[i]) AS mu
+      |  SELECT i,
+      |    CAST(sum(CAST(round(v[i], 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sx,
+      |    CAST(count(*) AS DOUBLE) AS n
       |  FROM e, unnest(generate_series(1, len(v))) s(i) GROUP BY i
       |), p AS (
-      |  SELECT s.i AS i, t.j AS j, avg(v[s.i] * v[t.j]) AS sxy
+      |  SELECT s.i AS i, t.j AS j,
+      |    CAST(sum(CAST(round(v[s.i] * v[t.j], 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sxy
       |  FROM e, unnest(generate_series(1, len(v))) s(i),
       |          unnest(generate_series(1, len(v))) t(j)
       |  WHERE t.j >= s.i GROUP BY 1, 2
       |)
       |SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
-      |  round(p.sxy - mi.mu * mj.mu, 6) AS cov
+      |  round(CAST(p.sxy AS DOUBLE) / 1000000.0 / mi.n
+      |    - (CAST(mi.sx AS DOUBLE) / 1000000.0 / mi.n)
+      |      * (CAST(mj.sx AS DOUBLE) / 1000000.0 / mi.n), 6) AS cov
       |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j""".stripMargin
 
   /** Multi-format source layer: the documents table round-trips through
