@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics and snapshot-comparison operators.
+  *
+  * These generalize the reference's incremental-sync bookkeeping
+  * (`app/db/postgres.py:471-502` update-joins, `app/main.py:43-57` period
+  * loop) into reusable set-based operators: an ordered conversion funnel,
+  * cohort retention, and a CDC-style snapshot diff (the read side of a
+  * MERGE).
+  */
+object Analytics {
+
+  /** Ordered conversion funnel: for each step k, a user qualifies iff they
+    * have an event of type steps(k) strictly after their qualifying time
+    * for step k-1 (first step: their earliest steps(0) event). Returns one
+    * row per step with the surviving-user count.
+    *
+    * Scale: one hash aggregation + one equi-join per step, all keyed by
+    * the user column — at N steps the event table is scanned once per step
+    * on a pruned type filter (pushed to the scan) and every shuffle
+    * carries only (user, ts). The per-step stage frame is user-cardinality
+    * sized, never event-cardinality.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("u"), col(tsCol).as("t"),
+      col(typeCol).as("et"))
+    // stages(k): (u, t_k) = earliest qualifying event per user for step k;
+    // the whole funnel is one lazy plan (a union of stage counts), not a
+    // driver loop of actions
+    val stages = steps.tail.scanLeft(
+      ev.where(col("et") === steps.head).groupBy("u").agg(min(col("t")).as("t"))
+    ) { (prev, step) =>
+      ev.where(col("et") === step)
+        .join(prev.select(col("u"), col("t").as("t_prev")), Seq("u"))
+        .where(col("t") > col("t_prev"))
+        .groupBy("u").agg(min(col("t")).as("t"))
+    }
+    stages.zip(steps).zipWithIndex.map { case ((stage, step), i) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("step"),
+          lit(step).as("event_type"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Cohort retention: users are grouped by the week of their first event
+    * (the cohort); for every (cohort, week-offset) cell, the number of
+    * distinct users active in that week. One aggregation to form cohorts,
+    * one join back (user-keyed), one distinct aggregation — offsets are
+    * exact because both sides of the subtraction are week-truncated.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val ev = events.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).as("w"))
+    val cohorts = ev.groupBy("u").agg(min(col("w")).as("cohort_week"))
+    ev.dropDuplicates("u", "w")
+      .join(cohorts, Seq("u"))
+      .withColumn("week_offset",
+        (datediff(col("w"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** CDC-style snapshot diff: compare per-key aggregate state between an
+    * old snapshot and a new one, classifying each key as added / changed /
+    * unchanged (removed cannot occur when old ⊆ new, as in append-only
+    * sync). This is exactly the read side of the reference's UPDATE-join
+    * upsert (SURVEY §2.1 SNK2) — the rows a MERGE would touch.
+    *
+    * `keyCol` drives a full-outer sort-merge join of two aggregates that
+    * share the same key partitioning — one shuffle per side at any scale.
+    * Change detection uses the exact count, never float equality.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, countCol: String, valueCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("k"),
+      col(countCol).as("n_old"), col(valueCol).as("v_old"))
+    val n = newSnap.select(col(keyCol).as("k"),
+      col(countCol).as("n_new"), col(valueCol).as("v_new"))
+    o.join(n, Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("n_old").isNull, lit("added"))
+          .when(col("n_new").isNull, lit("removed"))
+          .when(col("n_old") =!= col("n_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+}

@@ -93,4 +93,31 @@ object Packing {
       }
       .toDF()
   }
+
+  /** Fixed-window token chunking with stride (context-window preparation):
+    * each document becomes ceil-spaced overlapping chunks of up to
+    * `window` tokens, starting every `stride` tokens. The converse of
+    * packing — long documents are cut down to model context length before
+    * short ones are packed up to it.
+    *
+    * Pure narrow projection + explode: no shuffle at all, so it scales
+    * with scan bandwidth. Chunk identity (doc, chunk_id) is a function of
+    * the data alone — restart/repartition-stable.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          floor((col("__n") - 1L) / lit(stride.toLong)))))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(window.toLong), col("__n") - col("chunk_id") * stride)
+          .as("n_in_chunk"),
+        array_join(
+          slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(window)), " ").as("chunk_text"))
+  }
 }

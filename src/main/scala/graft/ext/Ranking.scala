@@ -78,4 +78,22 @@ object Ranking {
       // order-independent (the same dsum discipline as CoreQueries)
       .agg(sum(round(col("contrib"), 6).cast("decimal(30,6)")).cast("double").as("score"))
   }
+
+  /** Inverted index over a term subset: per term, its document frequency
+    * and the sorted posting list. The build side of lexical retrieval —
+    * one explode + distinct + one term-keyed aggregation; the shuffle
+    * carries (term, doc_id) pairs only, and per-term posting lists are
+    * the only materialized arrays (cap/partition by term for hot terms at
+    * larger vocabularies).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame =
+    DataOps.parallelismFloor(
+        docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"), explode(TextAnalysis.tokens(col("__t"))).as("term"))
+      .where(col("term").isInCollection(terms))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", sort_array(collect_list(col("__id")))).as("postings"))
 }

@@ -84,6 +84,37 @@ object TextAnalysis {
         col("entropy"), col("ttr"))
   }
 
+  /** Corpus-level unigram language model → per-document mean token
+    * log-probability (the cheap stand-in for a perplexity filter, CCNet
+    * style: documents whose tokens are globally rare score low).
+    *
+    * Scale shape: one (doc, token, count) aggregation, one corpus-level
+    * token-frequency aggregation (vocabulary-sized, Zipf-bounded — it
+    * broadcasts), one join of the two keyed by token, then a per-doc
+    * fold. Per-token log-prob terms are rounded at 6 and summed in
+    * DECIMAL (the entropy/bm25 discipline), so the score is
+    * collect-order-independent and engine-identical.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = DataOps.parallelismFloor(
+        df.select(col(idCol), col(textCol).as("__t")))
+      .select(col(idCol), explode(tokens(col("__t"))).as("__tok"))
+      .groupBy(idCol, "__tok").agg(count(lit(1)).as("__c"))
+    val vocab = counts.groupBy("__tok").agg(sum(col("__c")).as("__cw"))
+    val total = vocab.agg(sum(col("__cw"))).collect()(0).getLong(0)
+    counts.join(broadcast(vocab), Seq("__tok"))
+      .withColumn("__term",
+        round(col("__c").cast("double") *
+          round(log(col("__cw").cast("double") / lit(total.toDouble)), 6), 6)
+          .cast("decimal(30,6)"))
+      .groupBy(idCol)
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__term")).cast("double").as("__lp"))
+      .withColumn("avg_logprob",
+        round(col("__lp") / col("n_tokens").cast("double"), 6))
+      .select(col(idCol), col("n_tokens"), col("avg_logprob"))
+  }
+
   // --- language ID (n-gram/stopword heuristic) ------------------------------
   // Tiny per-language marker profiles; scored per row. Real pipelines swap
   // in fastText-style models — the operator shape (pure projection) is the

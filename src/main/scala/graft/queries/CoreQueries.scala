@@ -1065,19 +1065,22 @@ object CoreQueries {
   // recursively over one order year, left-joined back for per-month
   // counts (zero months included). One shared SQL text runs verbatim on
   // both engines, like q41/q43/q52/q54. Spark executes each recursive
-  // step as an iteration (~0.2 s/step at local[32]), so the spine is
-  // bounded to 12 steps — recursion depth, not data volume, is the cost.
+  // step as an iteration, so the spine is bounded to 12 steps — recursion
+  // depth, not data volume, is the cost. The stop condition is a constant
+  // (not the max-month CTE): a non-constant bound is re-evaluated inside
+  // every iteration, which re-scanned orders 12× for one spine row each.
   // ---------------------------------------------------------------------------
   val q57Sql: String =
     """WITH RECURSIVE o AS (
       |  SELECT o_orderkey, date_trunc('month', o_orderdate) AS m
       |  FROM orders WHERE year(o_orderdate) = 1995
       |), bounds AS (
-      |  SELECT min(m) AS lo, max(m) AS hi FROM o
+      |  SELECT min(m) AS lo FROM o
       |), months(m) AS (
       |  SELECT lo FROM bounds
       |  UNION ALL
-      |  SELECT m + INTERVAL '1' MONTH FROM months, bounds WHERE m < hi
+      |  SELECT m + INTERVAL '1' MONTH FROM months
+      |  WHERE m < CAST('1995-12-01' AS DATE)
       |)
       |SELECT months.m, CAST(count(o.o_orderkey) AS BIGINT) AS n
       |FROM months LEFT JOIN o ON o.m = months.m
@@ -1087,8 +1090,60 @@ object CoreQueries {
     s.sql(q57Sql)
   }
 
+  // ---------------------------------------------------------------------------
+  // q58_corr_regr — correlation / regression-slope aggregates computed from
+  // replayable sufficient statistics: each of Σx, Σy, Σxy, Σx², Σy² is a
+  // per-term-rounded exact DECIMAL sum surfaced as a scaled BIGINT, and the
+  // closed-form combine is ONE shared SQL expression string evaluated by
+  // both engines on identical inputs — so even float results hash-match.
+  // (The built-in corr()/regr_slope() fold doubles in partition order and
+  // can never be cross-engine replayable; this is the scale-correct form:
+  // one map-side-combining aggregate, one tiny final projection.)
+  // ---------------------------------------------------------------------------
+  private val q58Combine: Seq[String] = {
+    def d(c: String) = s"(CAST($c AS DOUBLE) / 1000000.0)"
+    val n = "CAST(cnt AS DOUBLE)"
+    val cov = s"($n * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+    val vx = s"($n * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+    val vy = s"($n * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+    Seq(
+      "l_returnflag",
+      "CAST(cnt AS BIGINT) AS n_rows",
+      s"round($cov / (sqrt($vx) * sqrt($vy)), 6) AS corr_qd",
+      s"round($cov / $vx, 6) AS slope_qd")
+  }
+  val q58CorrRegr: QueryFn = (s, dir) => {
+    def sumScaled(c: Column, as: String): Column =
+      (sum(round(c, 6).cast("decimal(30,6)")) * lit(1000000)).cast("long").as(as)
+    val q = col("l_quantity").cast("double")
+    val disc = col("l_discount").cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sumScaled(q, "sx"), sumScaled(disc, "sy"),
+        sumScaled(q * disc, "sxy"), sumScaled(q * q, "sxx"),
+        sumScaled(disc * disc, "syy"))
+      .selectExpr(q58Combine: _*)
+  }
+  val q58Sql: String = {
+    def s6(t: String) =
+      s"CAST(sum(CAST(round($t, 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT)"
+    s"""WITH g AS (
+       |  SELECT l_returnflag, count(*) AS cnt,
+       |    ${s6("CAST(l_quantity AS DOUBLE)")} AS sx,
+       |    ${s6("CAST(l_discount AS DOUBLE)")} AS sy,
+       |    ${s6("CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)")} AS sxy,
+       |    ${s6("CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)")} AS sxx,
+       |    ${s6("CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)")} AS syy
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT ${q58Combine.mkString(",\n  ")}
+       |FROM g""".stripMargin
+  }
+
   val all: Map[String, QueryFn] = Map(
     "q57_recursive_cte" -> q57RecursiveCte,
+    "q58_corr_regr"     -> q58CorrRegr,
     "q56_higher_order"  -> q56HigherOrder,
     "q52_lateral_topk"  -> q52LateralTopK,
     "q53_map_functions" -> q53MapFunctions,
@@ -1158,6 +1213,7 @@ object CoreQueries {
     "q55_cross_join"    -> q55Sql,
     "q56_higher_order"  -> q56Sql,
     "q57_recursive_cte" -> q57Sql,
+    "q58_corr_regr"     -> q58Sql,
     "q44_rank_family"   -> q44Sql,
     "q45_date_functions"-> q45Sql,
     "q46_array_functions"-> q46Sql,

@@ -1302,6 +1302,173 @@ object ExtQueries {
       |  pack_seq::INTEGER AS pack_seq, (n_tokens > 256) AS oversize
       |FROM p""".stripMargin
 
+  // --- event analytics + snapshot diff -------------------------------------
+
+  /** Ordered conversion funnel view → click → purchase over the events
+    * stream (Analytics.funnel): per-step surviving-user counts with a
+    * strictly-after ordering constraint between steps.
+    */
+  val funnelSteps: QueryFn = (s, dir) =>
+    graft.ext.Analytics.funnel(Tables.events(s, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+  val funnelStepsSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      |  WHERE e.event_type = 'click' GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1
+      |)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin
+
+  /** Weekly cohort retention (Analytics.cohortRetention): distinct active
+    * users per (first-event week, week offset) cell.
+    */
+  val cohortRetentionQ: QueryFn = (s, dir) =>
+    graft.ext.Analytics.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+  val cohortRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id AS u, date_trunc('week', ts) AS w FROM events
+      |), c AS (
+      |  SELECT u, min(w) AS cohort_week FROM ev GROUP BY 1
+      |), a AS (
+      |  SELECT DISTINCT u, w FROM ev
+      |)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', c.cohort_week, a.w) / 7 AS BIGINT) AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN c USING (u) GROUP BY 1, 2""".stripMargin
+
+  /** CDC-style snapshot diff (Analytics.snapshotDiff): per-customer order
+    * state before a cutoff vs now, each key classified added / changed /
+    * unchanged — the read side of the reference's UPDATE-join upsert
+    * (SURVEY §2.1 SNK2). Spend sums ride the exact-DECIMAL discipline so
+    * both snapshots are engine-identical.
+    */
+  val snapshotDiffQ: QueryFn = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    def snap(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(30,2)")).cast("double").as("spend"))
+    graft.ext.Analytics.snapshotDiff(
+      snap(orders.where(col("o_orderdate") < lit(java.sql.Date.valueOf("1996-01-01")))),
+      snap(orders), "o_custkey", "n", "spend")
+      .select(col("k").as("o_custkey"), col("status"),
+        col("n_old"), col("n_new"),
+        col("v_old").as("spend_old"), col("v_new").as("spend_new"))
+  }
+  val snapshotDiffSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_old,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend_old
+      |  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+      |), n AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_new,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend_new
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+      |  CASE WHEN o.o_custkey IS NULL THEN 'added'
+      |       WHEN n.o_custkey IS NULL THEN 'removed'
+      |       WHEN o.n_old <> n.n_new THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  o.n_old, n.n_new, o.spend_old, n.spend_new
+      |FROM o FULL OUTER JOIN n ON o.o_custkey = n.o_custkey""".stripMargin
+
+  /** Corpus-unigram-LM quality score (TextAnalysis.unigramLogProb): the
+    * perplexity-filter stand-in — mean per-token log-probability under
+    * the corpus's own unigram distribution.
+    */
+  val qualityUnigram: QueryFn = (s, dir) =>
+    TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+  val qualityUnigramSql: String =
+    """WITH cnt AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), voc AS (
+      |  SELECT tok, CAST(sum(c) AS BIGINT) AS cw FROM cnt GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(cw) AS DOUBLE) AS t FROM voc
+      |)
+      |SELECT cnt.doc_id, CAST(sum(cnt.c) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(CAST(round(CAST(cnt.c AS DOUBLE)
+      |      * round(ln(CAST(voc.cw AS DOUBLE) / tot.t), 6), 6)
+      |    AS DECIMAL(30,6))) AS DOUBLE)
+      |    / CAST(sum(cnt.c) AS DOUBLE), 6) AS avg_logprob
+      |FROM cnt JOIN voc USING (tok), tot
+      |GROUP BY cnt.doc_id""".stripMargin
+
+  /** Skew-mitigated equi-join (Skew.saltedJoin): lineitem salted 8 ways
+    * against the replicated supplier dim, then aggregated per nation. The
+    * oracle is the PLAIN join — salting must be result-invisible; only
+    * the physical shuffle distribution changes.
+    */
+  val joinSalted: QueryFn = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("k"), col("l_extendedprice"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("k"), col("s_nationkey"))
+    graft.ext.Skew.saltedJoin(li, supp, "k", factor = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(30,2)")).cast("double")
+          .as("revenue"))
+  }
+  val joinSaltedSql: String =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1""".stripMargin
+
+  /** Context-window chunking (Packing.chunkTokens): overlapping 64-token
+    * windows at stride 48 over every document.
+    */
+  val chunkDocuments: QueryFn = (s, dir) =>
+    graft.ext.Packing.chunkTokens(Tables.documents(s, dir),
+      "doc_id", "text", window = 64, stride = 48)
+  val chunkDocumentsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+      |    unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_id
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_in_chunk,
+      |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+      |    AS chunk_text
+      |FROM c""".stripMargin
+
+  /** Inverted-index build (Ranking.invertedIndex): per-term document
+    * frequency + sorted posting list for a fixed query vocabulary.
+    */
+  val indexInverted: QueryFn = (s, dir) =>
+    graft.ext.Ranking.invertedIndex(Tables.documents(s, dir),
+      "doc_id", "text", Seq("join", "vector", "spark", "window"))
+  val indexInvertedSql: String =
+    """SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+      |FROM (
+      |  SELECT DISTINCT doc_id, tok AS term
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok IN ('join', 'vector', 'spark', 'window')
+      |)
+      |GROUP BY term""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "sessionize"           -> sessionize,
     "text_scrub"           -> textScrub,
@@ -1348,6 +1515,13 @@ object ExtQueries {
     "vec_quantize"         -> vecQuantize,
     "rank_tfidf"           -> rankTfidf,
     "rank_bm25"            -> rankBm25,
+    "funnel_steps"         -> funnelSteps,
+    "cohort_retention"     -> cohortRetentionQ,
+    "snapshot_diff"        -> snapshotDiffQ,
+    "quality_unigram"      -> qualityUnigram,
+    "join_salted"          -> joinSalted,
+    "chunk_documents"      -> chunkDocuments,
+    "index_inverted"       -> indexInverted,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1394,5 +1568,12 @@ object ExtQueries {
     "vec_quantize"        -> vecQuantizeSql,
     "rank_tfidf"          -> rankTfidfSql,
     "rank_bm25"           -> rankBm25Sql,
+    "funnel_steps"        -> funnelStepsSql,
+    "cohort_retention"    -> cohortRetentionSql,
+    "snapshot_diff"       -> snapshotDiffSql,
+    "quality_unigram"     -> qualityUnigramSql,
+    "join_salted"         -> joinSaltedSql,
+    "chunk_documents"     -> chunkDocumentsSql,
+    "index_inverted"      -> indexInvertedSql,
   )
 }

@@ -1,0 +1,92 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class AnalyticsSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel: steps require strictly-after ordering per user") {
+    // u1: full ordered funnel. u2: clicked BEFORE viewing (click must not
+    // count), then no purchase. u3: view only. u4: purchase without view.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      (4L, ts("2024-01-01 08:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Analytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel: equal timestamp does not advance a step (strict >)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Analytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 1L), (2L, "click", 0L)))
+  }
+
+  test("cohortRetention: offsets are whole weeks from the first-event week") {
+    // 2024-01-01 is a Monday. u1 active in weeks 0 and 2 (twice in week 2 —
+    // distinct per cell), u2 joins in week 1, active weeks 1 and 2.
+    val ev = Seq(
+      (1L, ts("2024-01-01 12:00:00")),
+      (1L, ts("2024-01-16 12:00:00")),
+      (1L, ts("2024-01-17 12:00:00")),
+      (2L, ts("2024-01-10 12:00:00")),
+      (2L, ts("2024-01-15 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Analytics.cohortRetention(ev, "user_id", "ts")
+      .select(col("cohort_week").cast("date").cast("string"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_week", "week_offset")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+
+  test("snapshotDiff: added / changed / unchanged / removed classification") {
+    val oldSnap = Seq((1L, 2L, 10.0), (2L, 1L, 5.0), (3L, 4L, 9.0))
+      .toDF("k", "n", "v")
+    val newSnap = Seq((1L, 2L, 10.0), (2L, 3L, 8.0), (4L, 1L, 1.0))
+      .toDF("k", "n", "v")
+    val got = Analytics.snapshotDiff(oldSnap, newSnap, "k", "n", "v")
+      .select("k", "status").orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
+  test("unigramLogProb: hand-computed two-doc corpus") {
+    // corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+    // doc1 "a a a": 3*round6(ln .75)/3 ; doc2 "b": round6(ln .25)/1
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpA = r6(math.log(3.0 / 4.0))
+    val lpB = r6(math.log(1.0 / 4.0))
+    assert(got == Seq(
+      (1L, 3L, r6(r6(3.0 * lpA) / 3.0)),
+      (2L, 1L, r6(lpB))))
+  }
+}

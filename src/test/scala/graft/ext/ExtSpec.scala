@@ -601,4 +601,37 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(DataOps.parallelismFloor(wide.toDF()).rdd.getNumPartitions ==
       spark.sparkContext.defaultParallelism + 3)
   }
+
+  test("chunkTokens: stride windows cover every token, last chunk short") {
+    // 100 tokens, window 64 / stride 48 -> chunks at 0 (64), 48 (52), 96 (4)
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val got = Packing.chunkTokens(df, "doc_id", "text", window = 64, stride = 48)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_in_chunk", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(c => (c._1, c._2)) == Seq((0L, 64L), (1L, 52L), (2L, 4L)))
+    assert(got(0)._3.startsWith("t1 t2 ") && got(0)._3.endsWith(" t64"))
+    assert(got(1)._3.startsWith("t49 ") && got(1)._3.endsWith(" t100"))
+    assert(got(2)._3 == "t97 t98 t99 t100")
+    // a short doc still yields exactly one chunk
+    val one = Packing.chunkTokens(Seq((1L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 64, stride = 48)
+      .select("n_in_chunk").as[Long].collect().toSeq
+    assert(one == Seq(2L))
+  }
+
+  test("invertedIndex: df counts distinct docs, postings sorted") {
+    val docs = Seq(
+      (3L, "spark join join spark"),   // dup tokens: one posting only
+      (1L, "vector spark"),
+      (2L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val got = Ranking.invertedIndex(docs, "doc_id", "text",
+        Seq("spark", "join", "vector"))
+      .orderBy("term").select("term", "df", "postings")
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("join", 1L, "3"), ("spark", 2L, "1,3"), ("vector", 1L, "1")))
+  }
 }
