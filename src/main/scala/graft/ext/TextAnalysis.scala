@@ -96,10 +96,15 @@ object TextAnalysis {
     * collect-order-independent and engine-identical.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // localCheckpoint: the (doc, token) counts feed the vocabulary, the
+    // corpus total AND the scoring join — without the barrier each consumer
+    // re-executes the explode+aggregate lineage (the CollapseProject
+    // lesson; see PERFORMANCE.md)
     val counts = DataOps.parallelismFloor(
         df.select(col(idCol), col(textCol).as("__t")))
       .select(col(idCol), explode(tokens(col("__t"))).as("__tok"))
       .groupBy(idCol, "__tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
     val vocab = counts.groupBy("__tok").agg(sum(col("__c")).as("__cw"))
     val total = vocab.agg(sum(col("__cw"))).collect()(0).getLong(0)
     counts.join(broadcast(vocab), Seq("__tok"))

@@ -178,4 +178,31 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     val exch = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).mkString
     assert(!exch.contains("text#"), p)
   }
+
+  test("chunk_documents: shuffle-free — scan + project + explode only") {
+    val df = ExtQueries.chunkDocuments(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p)
+    assert(p.contains("Generate"), p) // the chunk-id explode
+  }
+
+  test("funnel_steps: step-type filters pushed into every events scan") {
+    val p = plan(ExtQueries.funnelSteps(spark, dir))
+    // each funnel stage scans events with its own pushed equality filter
+    Seq("view", "click", "purchase").foreach { t =>
+      assert(p.contains(s"EqualTo(event_type,$t)"),
+        s"step filter for '$t' not pushed:\n" + p)
+    }
+  }
+
+  test("snapshot_diff: two partial+final aggregates, key-equi full outer join") {
+    val p = plan(ExtQueries.snapshotDiffQ(spark, dir))
+    // each snapshot aggregates map-side before its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the old snapshot's date cutoff reaches the orders scan
+    assert(p.contains("LessThan(o_orderdate,"), p)
+  }
 }
