@@ -602,6 +602,21 @@ class ExtSpec extends AnyFunSuite with SparkTest {
       spark.sparkContext.defaultParallelism + 3)
   }
 
+  test("components: driver union-find and distributed propagation agree") {
+    // chain 0-1-2-3, star 10-{11,12,13}, chain-with-cycle 20-21-22-20,
+    // plus a long path to exercise pointer jumping
+    val edges = Seq((0L,1L),(1L,2L),(2L,3L),(10L,11L),(10L,12L),(10L,13L),
+      (20L,21L),(21L,22L),(22L,20L)) ++ (30L until 60L).map(i => (i, i + 1))
+    val pairs = edges.toDF("id_a", "id_b")
+    val local = Dedup.components(pairs)                      // fast path
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.components(pairs, smallGraphMaxPairs = 0) // forced distributed
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local(3L) == 0L && local(13L) == 10L && local(22L) == 20L
+      && local(60L) == 30L)
+  }
+
   test("chunkTokens: stride windows cover every token, last chunk short") {
     // 100 tokens, window 64 / stride 48 -> chunks at 0 (64), 48 (52), 96 (4)
     val text = (1 to 100).map(i => s"t$i").mkString(" ")
