@@ -29,8 +29,16 @@ object Graft {
 
   /** Register every synthetic table in `dir` as a temp view (events with
     * its µs-timestamp conversion applied), enabling plain SQL usage.
+    * Idempotent per (session, dir): re-registration re-lists and re-reads
+    * ten parquet footers on the driver, so repeat calls with the same dir
+    * (every SQL-text query does one) are skipped; switching dirs within a
+    * session re-registers.
     */
+  private val lastDir =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
   def registerTables(spark: SparkSession, dir: String): Unit = {
+    if (dir == lastDir.put(Integer.valueOf(System.identityHashCode(spark)), dir))
+      return
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")
     names.foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(n))

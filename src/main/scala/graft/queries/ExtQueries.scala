@@ -667,6 +667,28 @@ object ExtQueries {
       | CAST(ceil((strlen(text) // 64) / 2.0) AS BIGINT) AS n_frames
       |FROM documents WHERE strlen(text) >= 64""".stripMargin
 
+  /** Content-digest dedup over binary media payloads (the image-dedup
+    * shape: identical bytes collapse regardless of filename/metadata).
+    * The exchange carries the 32-byte digest, never the payload — same
+    * discipline as text exact-dedup; at 100 TB the digests can also be
+    * precomputed at ingest and this becomes a pure string groupBy.
+    */
+  val multimodalDedup: QueryFn = (s, dir) => {
+    val media = Multimodal.mediaTable(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload")),
+      "doc_id", "payload", kind = "image", format = "fake")
+    media.toDF()
+      .select(col("media_id"), sha2(col("payload"), 256).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+  }
+  val multimodalDedupSql: String =
+    """SELECT sha256(text) AS digest, CAST(min(doc_id) AS BIGINT) AS keep_id,
+      | CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
   // --- sessionization (batch form of the streaming operator) ---------------
 
   val sessionize: QueryFn = (s, dir) =>
@@ -1469,6 +1491,49 @@ object ExtQueries {
       |)
       |GROUP BY term""".stripMargin
 
+  /** Per-group z-score outlier flags over event values (the numeric
+    * analogue of the text quality filters: drop rows whose value is
+    * implausible for their type). Sufficient statistics are exact
+    * scaled-long sums (the q58/vec_covariance discipline) and the z
+    * expression below is ONE shared SQL string both engines evaluate on
+    * identical inputs — float z-scores that still hash-match.
+    * Scale: one map-side-combining aggregate (5 groups), broadcast back
+    * over the stream — no second shuffle.
+    */
+  private val zExpr: String = {
+    val n = "CAST(cnt AS DOUBLE)"
+    val sx = "(CAST(sx AS DOUBLE) / 1000000.0)"
+    val sxx = "(CAST(sxx AS DOUBLE) / 1000000.0)"
+    val mean = s"($sx / $n)"
+    val variance = s"(($n * $sxx - $sx * $sx) / ($n * ($n - 1.0)))"
+    s"round((value - $mean) / sqrt($variance), 6)"
+  }
+  val anomalyZscore: QueryFn = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("cnt"),
+      (sum(round(col("value"), 6).cast("decimal(30,6)")) * lit(1000000))
+        .cast("long").as("sx"),
+      (sum(round(col("value") * col("value"), 6).cast("decimal(30,6)"))
+        * lit(1000000)).cast("long").as("sxx"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .selectExpr("event_id", "event_type",
+        s"$zExpr AS z", s"abs($zExpr) > 3.0 AS is_outlier")
+  }
+  val anomalyZscoreSql: String = {
+    def s6(t: String) =
+      s"CAST(sum(CAST(round($t, 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT)"
+    s"""WITH g AS (
+       |  SELECT event_type, count(*) AS cnt,
+       |    ${s6("value")} AS sx,
+       |    ${s6("value * value")} AS sxx
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT event_id, e.event_type, $zExpr AS z,
+       |  abs($zExpr) > 3.0 AS is_outlier
+       |FROM events e JOIN g USING (event_type)""".stripMargin
+  }
+
   val all: Map[String, QueryFn] = Map(
     "sessionize"           -> sessionize,
     "text_scrub"           -> textScrub,
@@ -1522,6 +1587,8 @@ object ExtQueries {
     "join_salted"          -> joinSalted,
     "chunk_documents"      -> chunkDocuments,
     "index_inverted"       -> indexInverted,
+    "anomaly_zscore"       -> anomalyZscore,
+    "multimodal_dedup"     -> multimodalDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1575,5 +1642,7 @@ object ExtQueries {
     "join_salted"         -> joinSaltedSql,
     "chunk_documents"     -> chunkDocumentsSql,
     "index_inverted"      -> indexInvertedSql,
+    "anomaly_zscore"      -> anomalyZscoreSql,
+    "multimodal_dedup"    -> multimodalDedupSql,
   )
 }
