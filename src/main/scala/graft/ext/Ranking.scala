@@ -59,8 +59,11 @@ object Ranking {
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
       .localCheckpoint(false)
     val tf = termFrequencies(withLen, "doc_id", "__text").localCheckpoint(false)
-    val nDocs = withLen.count()
-    val totalTokens = withLen.agg(sum(col("dl"))).collect()(0).getLong(0)
+    // one job for both corpus scalars (separate count()+sum() actions
+    // would each re-materialize the checkpointed frame)
+    val statsRow = withLen.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val totalTokens = statsRow.getLong(1)
     val avgdl = totalTokens.toDouble / nDocs.toDouble
 
     val dfTable = documentFrequencies(tf)

