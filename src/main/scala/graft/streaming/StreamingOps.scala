@@ -58,6 +58,43 @@ object StreamingOps {
     t
   }
 
+  case class FunnelState(step: Int, lastUs: Long)
+  case class FunnelProgress(user_id: Long, step: Int, event_type: String)
+
+  /** Streaming conversion funnel: emits one row whenever a user advances
+    * to the next step (an event of the required type strictly after the
+    * previous step's qualifying time). Greedy first-qualifying-event
+    * equals the batch operator's earliest-qualifying-event
+    * (`Analytics.funnel`) when each user's events are processed in
+    * event-time order — within a micro-batch the group is sorted here;
+    * across batches the source must deliver per-user in order (an
+    * event-time-ordered append log). State per key is O(1): the current
+    * step index and one timestamp.
+    */
+  def funnelStream(events: Dataset[Event],
+      steps: Seq[String]): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelProgress]
+          for (e <- sorted) {
+            if (st.step < steps.length && e.event_type == steps(st.step) &&
+                (st.step == 0 || micros(e.ts) > st.lastUs)) {
+              st = FunnelState(st.step + 1, micros(e.ts))
+              out += FunnelProgress(userId, st.step, e.event_type)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessions per user: a session closes after `gapMinutes` of
     * silence (flushed via processing-time timeout). State per key is O(1).
     */

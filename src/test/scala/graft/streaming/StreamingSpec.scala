@@ -151,6 +151,27 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming funnel advancement counts match the batch funnel") {
+    val stream = StreamingOps.eventsStream(spark, eventsDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val steps = Seq("view", "click", "purchase")
+    val q = StreamingOps.funnelStream(stream, steps)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("funnel_out")
+      .groupBy("step").count()
+      .as[(Int, Long)].collect().toMap
+    val batch = graft.ext.Analytics.funnel(
+        Tables.events(spark, sfDir), "user_id", "ts", "event_type", steps)
+      .select(col("step").cast("int"), col("n_users"))
+      .as[(Int, Long)].collect().toMap
+    assert(streamed == batch)
+    assert(batch(1) > 0 && batch(1) >= batch(2) && batch(2) >= batch(3))
+  }
+
   test("streaming dedup drops cross-batch duplicates down to the batch distinct set") {
     // stage the same events twice (two files -> duplicates arrive across
     // micro-batch boundaries as well as within)
