@@ -1453,6 +1453,38 @@ object ExtQueries {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1""".stripMargin
 
+  /** Bloom-prefiltered selective join (Skew.bloomPrefilteredJoin): only
+    * EUROPE-nation suppliers survive, so the broadcast Bloom filter drops
+    * most lineitem rows BEFORE the exchange; false positives ride along
+    * and are removed by the exact join, so the oracle is the PLAIN join —
+    * the prefilter must be result-invisible.
+    */
+  val joinBloom: QueryFn = (s, dir) => {
+    val nations = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val supp = Tables.supplier(s, dir)
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_quantity"))
+    graft.ext.Skew.bloomPrefilteredJoin(li, supp, "l_suppkey", "s_suppkey",
+        expectedKeys = 10000)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("qty"))
+  }
+  val joinBloomSql: String =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |GROUP BY 1""".stripMargin
+
   /** Context-window chunking (Packing.chunkTokens): overlapping 64-token
     * windows at stride 48 over every document.
     */
@@ -1589,6 +1621,7 @@ object ExtQueries {
     "index_inverted"       -> indexInverted,
     "anomaly_zscore"       -> anomalyZscore,
     "multimodal_dedup"     -> multimodalDedup,
+    "join_bloom"           -> joinBloom,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1644,5 +1677,6 @@ object ExtQueries {
     "index_inverted"      -> indexInvertedSql,
     "anomaly_zscore"      -> anomalyZscoreSql,
     "multimodal_dedup"    -> multimodalDedupSql,
+    "join_bloom"          -> joinBloomSql,
   )
 }
