@@ -636,6 +636,38 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(one == Seq(2L))
   }
 
+  test("chunkTokens invariants hold across window/stride combinations") {
+    // property-style sweep: every token covered, chunk sizes within
+    // window, adjacent chunks overlap by exactly window - stride (when
+    // full), ids dense from 0
+    val rnd = new Random(7)
+    val docs = (1L to 12L).map { id =>
+      (id, (0 until (1 + rnd.nextInt(300))).map(i => s"t${id}_$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((w, st) <- Seq((64, 48), (32, 32), (10, 3))) {
+      val chunks = Packing.chunkTokens(docs, "doc_id", "text", w, st)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.as[(Long, String)].collect().foreach { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val cs = chunks(id)
+        assert(cs.map(_._2).toSeq == cs.indices.map(_.toLong), "chunk ids not dense")
+        assert(cs.forall(_._3 <= w), "chunk exceeds window")
+        // coverage: the union of [k*st, k*st + n_in_chunk) is [0, n)
+        val covered = cs.flatMap(c =>
+          (c._2 * st) until (c._2 * st + c._3)).toSet
+        assert(covered == toks.indices.map(_.toLong).toSet,
+          s"doc $id window=$w stride=$st: coverage gap")
+        // text slices reassemble from the token array
+        cs.foreach { c =>
+          val want = toks.slice((c._2 * st).toInt, (c._2 * st).toInt + w)
+            .mkString(" ")
+          assert(c._4 == want)
+        }
+      }
+    }
+  }
+
   test("invertedIndex: df counts distinct docs, postings sorted") {
     val docs = Seq(
       (3L, "spark join join spark"),   // dup tokens: one posting only

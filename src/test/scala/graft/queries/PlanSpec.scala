@@ -196,6 +196,62 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("join_bloom: the Bloom prefilter sits below the big side's exchange") {
+    val p = plan(ExtQueries.joinBloom(spark, dir))
+    // the UDF filter must appear (it drops rows before any join machinery);
+    // region selectivity is pushed into its scan as usual
+    assert(p.contains("Filter"), p)
+    assert(p.contains("EqualTo(r_name,EUROPE)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("anomaly_zscore: stats broadcast back — one aggregation exchange only") {
+    val df = ExtQueries.anomalyZscore(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the 5-group stats aggregate is the only hash exchange; the scoring
+    // join must be broadcast (no second shuffle of the event stream)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("AQE splits a skewed sort-merge join partition (skew=true)") {
+    // the runtime half of the skew story (Skew.saltedJoin is the static
+    // half): with thresholds scaled to the fixture, AQE must mark the
+    // hot-key partition as skewed and split it
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // NB the payload must be incompressible (per-row hashes): skew
+      // detection reads COMPRESSED map-output sizes, and a constant pad
+      // LZ4s to nothing, hiding the skew from the stats
+      val big = spark.range(0, 400000)
+        .selectExpr("IF(id % 20 < 19, 0L, id % 64) AS k", // 95% on key 0
+          "sha2(CAST(id AS STRING), 256) AS pad")
+      val small = spark.range(0, 64).selectExpr("id AS k", "id * 2 AS v")
+      val joined = big.join(small, "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("skew=true"), "AQE did not mark the skewed join:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("snapshot_diff: two partial+final aggregates, key-equi full outer join") {
     val p = plan(ExtQueries.snapshotDiffQ(spark, dir))
     // each snapshot aggregates map-side before its exchange
