@@ -1125,6 +1125,21 @@ object CoreQueries {
         sumScaled(disc * disc, "syy"))
       .selectExpr(q58Combine: _*)
   }
+  // ---------------------------------------------------------------------------
+  // q59_bitwise — bitwise aggregate surface (bit_and/bit_or/bit_xor) plus a
+  // scalar mask: integer-exact, so the whole family hash-matches trivially.
+  // ---------------------------------------------------------------------------
+  val q59Sql: String =
+    """SELECT l_returnflag,
+      | bit_and(l_orderkey) AS band, bit_or(l_orderkey) AS bor,
+      | bit_xor(l_orderkey) AS bxor,
+      | CAST(sum(l_orderkey & 255) AS BIGINT) AS low_sum
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  val q59Bitwise: QueryFn = (s, dir) => {
+    graft.Graft.registerTables(s, dir)
+    s.sql(q59Sql)
+  }
+
   val q58Sql: String = {
     def s6(t: String) =
       s"CAST(sum(CAST(round($t, 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT)"
@@ -1144,6 +1159,7 @@ object CoreQueries {
   val all: Map[String, QueryFn] = Map(
     "q57_recursive_cte" -> q57RecursiveCte,
     "q58_corr_regr"     -> q58CorrRegr,
+    "q59_bitwise"       -> q59Bitwise,
     "q56_higher_order"  -> q56HigherOrder,
     "q52_lateral_topk"  -> q52LateralTopK,
     "q53_map_functions" -> q53MapFunctions,
@@ -1214,6 +1230,7 @@ object CoreQueries {
     "q56_higher_order"  -> q56Sql,
     "q57_recursive_cte" -> q57Sql,
     "q58_corr_regr"     -> q58Sql,
+    "q59_bitwise"       -> q59Sql,
     "q44_rank_family"   -> q44Sql,
     "q45_date_functions"-> q45Sql,
     "q46_array_functions"-> q46Sql,

@@ -7,12 +7,23 @@ import org.apache.spark.sql.functions._
   * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md §C).
   *
   * All loads are plain parquet scans so Catalyst's predicate pushdown /
-  * column pruning apply; no caching here (callers decide lifecycle).
+  * column pruning apply; no DATA caching here (callers decide lifecycle).
+  * The unresolved DataFrame handle itself IS memoized per
+  * (session, dir, table): `spark.read.parquet` does a driver-side file
+  * listing + schema read every call, and a suite of a hundred queries
+  * re-paid that for every table reference. The logical plan is immutable,
+  * so sharing the handle is safe — each query still plans/prunes its own
+  * scan from it.
   */
 object Tables {
 
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    handles.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
