@@ -31,14 +31,21 @@ object Analytics {
       col(typeCol).as("et"))
     // stages(k): (u, t_k) = earliest qualifying event per user for step k;
     // the whole funnel is one lazy plan (a union of stage counts), not a
-    // driver loop of actions
+    // driver loop of actions. Stage k's plan embeds stage k-1's, so a
+    // DEEP funnel would re-compute O(N²) stages — past 4 steps each stage
+    // gets a lazy checkpoint (linear, at the cost of opaque RDD scans in
+    // the plan); short funnels keep the fully-declarative plan so
+    // Catalyst shows the per-step pushed filters (PlanSpec pins this).
+    val barrier: DataFrame => DataFrame =
+      if (steps.length > 4) _.localCheckpoint(false) else identity
     val stages = steps.tail.scanLeft(
-      ev.where(col("et") === steps.head).groupBy("u").agg(min(col("t")).as("t"))
+      barrier(ev.where(col("et") === steps.head)
+        .groupBy("u").agg(min(col("t")).as("t")))
     ) { (prev, step) =>
-      ev.where(col("et") === step)
+      barrier(ev.where(col("et") === step)
         .join(prev.select(col("u"), col("t").as("t_prev")), Seq("u"))
         .where(col("t") > col("t_prev"))
-        .groupBy("u").agg(min(col("t")).as("t"))
+        .groupBy("u").agg(min(col("t")).as("t")))
     }
     stages.zip(steps).zipWithIndex.map { case ((stage, step), i) =>
       stage.agg(count(lit(1)).as("n_users"))

@@ -89,11 +89,15 @@ object TextAnalysis {
     * style: documents whose tokens are globally rare score low).
     *
     * Scale shape: one (doc, token, count) aggregation, one corpus-level
-    * token-frequency aggregation (vocabulary-sized, Zipf-bounded — it
-    * broadcasts), one join of the two keyed by token, then a per-doc
-    * fold. Per-token log-prob terms are rounded at 6 and summed in
-    * DECIMAL (the entropy/bm25 discipline), so the score is
-    * collect-order-independent and engine-identical.
+    * token-frequency aggregation, one equi-join of the two keyed by
+    * token, then a per-doc fold. The vocabulary join is deliberately NOT
+    * broadcast-hinted: a web-scale corpus has a hapax-heavy vocabulary of
+    * billions of types, so the scale-correct plan is a token-keyed
+    * shuffle join — AQE downgrades it to a broadcast automatically
+    * whenever the vocabulary is actually small (as here). Per-token
+    * log-prob terms are rounded at 6 and summed in DECIMAL (the
+    * entropy/bm25 discipline), so the score is collect-order-independent
+    * and engine-identical.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // localCheckpoint: the (doc, token) counts feed the vocabulary, the
@@ -107,7 +111,7 @@ object TextAnalysis {
       .localCheckpoint(false)
     val vocab = counts.groupBy("__tok").agg(sum(col("__c")).as("__cw"))
     val total = vocab.agg(sum(col("__cw"))).collect()(0).getLong(0)
-    counts.join(broadcast(vocab), Seq("__tok"))
+    counts.join(vocab, Seq("__tok"))
       .withColumn("__term",
         round(col("__c").cast("double") *
           round(log(col("__cw").cast("double") / lit(total.toDouble)), 6), 6)

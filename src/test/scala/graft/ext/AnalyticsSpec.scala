@@ -42,6 +42,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkTest {
     assert(got == Seq((1L, "view", 1L), (2L, "click", 0L)))
   }
 
+  test("funnel: deep funnels (checkpointed stages) agree with the shallow path") {
+    // 5 steps crosses the linearization threshold; u1 completes all 5,
+    // u2 stalls after step 2
+    val seq5 = Seq("a", "b", "c", "d", "e")
+    val ev = (seq5.zipWithIndex.map { case (t, i) =>
+      (1L, ts(f"2024-01-01 10:0$i:00"), t)
+    } ++ Seq((2L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-01 10:01:00"), "b")))
+      .toDF("user_id", "ts", "event_type")
+    val got = Analytics.funnel(ev, "user_id", "ts", "event_type", seq5)
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(got == Seq(2L, 2L, 1L, 1L, 1L))
+  }
+
   test("cohortRetention: offsets are whole weeks from the first-event week") {
     // 2024-01-01 is a Monday. u1 active in weeks 0 and 2 (twice in week 2 —
     // distinct per cell), u2 joins in week 1, active weeks 1 and 2.
