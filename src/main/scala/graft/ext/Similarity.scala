@@ -62,26 +62,15 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Random-hyperplane signature: bit b = sign(v · h_b). Hyperplanes are
-    * deterministic pseudo-random ±1 vectors baked into the plan as array
-    * literals (mix of a splitmix64-style hash of (bit, dim)), so each bit
-    * is one fused dot-product loop — no per-bit lambda re-evaluation.
-    * `maxDim` caps the plane length; dot_product stops at the shorter of
-    * the two arrays, so vectors up to maxDim dims are covered.
+  /** Random-hyperplane signature: bit b = sign(v · h_b), computed by the
+    * fused native kernel (`VectorExprs.RhpSignature` — one loop nest per
+    * row, one vector read for all bits; bit-exact with the previous
+    * per-plane-literal composition, whose analysis+codegen cost ~1 s of
+    * driver time per LSH query). `maxDim` caps the plane length; planes
+    * stop at the shorter of vector and maxDim.
     */
-  def rhpSignature(vec: Column, bits: Int = 16, maxDim: Int = 256): Column = {
-    def sign(b: Int, d: Int): Double = {
-      var h = b.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
-      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
-      if ((h & 1L) == 0L) 1.0 else -1.0
-    }
-    (0 until bits).map { b =>
-      // one array Literal per plane (NOT maxDim scalar literals — those
-      // blow up codegen compile time)
-      val plane = typedLit((0 until maxDim).map(d => sign(b, d)).toArray)
-      when(VectorExprs.dot_product(vec, plane) > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+  def rhpSignature(vec: Column, bits: Int = 16, maxDim: Int = 256): Column =
+    VectorExprs.rhp_signature(vec, bits, maxDim)
 
   /** LSH-bucketed ANN: queries probe only their signature bucket.
     * Approximate — recall depends on bits/band choices; `bands` splits the

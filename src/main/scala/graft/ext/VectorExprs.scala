@@ -1,11 +1,11 @@
 package graft.ext
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native dot product over two `array<double>` columns.
   *
@@ -56,4 +56,88 @@ object VectorExprs {
 
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Fused random-hyperplane signature: bit b = sign(v · h_b) over `bits`
+    * deterministic ±1 planes, all computed in ONE loop nest per row.
+    *
+    * The composed form (`bits` array Literals × when/bitwiseOR reduce)
+    * produced an expression tree whose analysis + janino compile cost ~1 s
+    * of driver time per LSH query and re-read the vector `bits` times per
+    * row; this kernel reads it once. Bit-exact with the composed form: the
+    * per-plane accumulation is the same ascending-dim IEEE fold
+    * dot_product used, and the plane values use the identical
+    * splitmix64-style (bit, dim) hash — which the DuckDB LSH oracle
+    * replays (`annLshSql`).
+    */
+  case class RhpSignature(child: Expression, bits: Int, maxDim: Int)
+      extends UnaryExpression {
+    require(bits >= 1 && bits <= 64 && maxDim >= 1)
+    override def dataType: DataType = LongType
+
+    @transient private lazy val planes: Array[Array[Double]] =
+      VectorExprs.rhpPlanes(bits, maxDim)
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), maxDim)
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val p = planes(b)
+        var acc = 0.0
+        var d = 0
+        while (d < n) { acc += x.getDouble(d) * p(d); d += 1 }
+        if (acc > 0.0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val tbl = ctx.addReferenceObj("rhpPlanes", planes, "double[][]")
+        val n = ctx.freshName("n")
+        val b = ctx.freshName("b")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        val p = ctx.freshName("p")
+        val sig = ctx.freshName("sig")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $maxDim);
+           |long $sig = 0L;
+           |for (int $b = 0; $b < $bits; $b++) {
+           |  double[] $p = $tbl[$b];
+           |  double $acc = 0.0;
+           |  for (int $d = 0; $d < $n; $d++) {
+           |    $acc += $a.getDouble($d) * $p[$d];
+           |  }
+           |  if ($acc > 0.0) $sig |= (1L << $b);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): RhpSignature =
+      copy(child = newChild)
+
+    override def prettyName: String = "rhp_signature"
+  }
+
+  /** The deterministic ±1 plane table (splitmix64-style hash of
+    * (bit, dim) — replayed verbatim by the DuckDB LSH oracle). Cached per
+    * (bits, maxDim); shared by interpreted and generated code.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  def rhpPlanes(bits: Int, maxDim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, maxDim), { case (nb, nd) =>
+      Array.tabulate(nb, nd) { (b, d) =>
+        var h = b.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+        h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+    })
+
+  def rhp_signature(vec: Column, bits: Int, maxDim: Int = 256): Column =
+    Bridge.column(RhpSignature(Bridge.expression(vec), bits, maxDim))
 }
