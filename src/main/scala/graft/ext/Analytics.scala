@@ -73,6 +73,72 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Exponentially-weighted moving average per key: fold
+    * `s ← value·alpha + s·(1−alpha)` over each key's events in
+    * (ts, tiebreak) order, starting from 0.0. The fold is an explicit
+    * left-to-right `aggregate` over a sorted collected list, so the float
+    * result is bit-reproducible (and replayable by an ordered
+    * `list_reduce`) — a window-function EWMA via `pow` would not be.
+    * Pick `alpha` binary-representable (0.25, 0.5, ...) to keep every
+    * step's arithmetic exact-identical across engines.
+    *
+    * Scale: sequential per key by definition, parallel across keys; the
+    * collected list is one key's history (bounded by per-user event
+    * counts). For keys with unbounded history, fold incrementally per
+    * time-slice and carry the state forward (the streaming form).
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, alpha: Double): DataFrame = {
+    val a = lit(alpha)
+    events.where(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col(tsCol), col(tieCol),
+          col(valCol).as("v")))).as("xs"))
+      .select(col(keyCol), col("n"),
+        aggregate(col("xs"), lit(0.0),
+          (s, x) => x.getField("v") * a + s * (lit(1.0) - a)).as("ewma"))
+  }
+
+  /** Robust per-group outlier flags via median absolute deviation. Both
+    * medians are LOWER medians picked by deterministic rank — `rn =
+    * (cnt+1) div 2` under a (value, id) total order — so the selected
+    * values are actual input doubles and the whole pipeline is exact (no
+    * interpolation, nothing to drift between engines). A point is an
+    * outlier when `|x − med| > k · MAD` with k = 3·1.4826 (the normal
+    * consistency constant), the robust analogue of `anomaly_zscore`'s
+    * 3σ rule — unlike the z-score it doesn't let the outliers themselves
+    * inflate the threshold.
+    *
+    * Scale: two rank passes partitioned by the group column. With few
+    * huge groups the rank becomes the skew point — swap the exact lower
+    * median for a distributed selection (binary search on value with one
+    * count-pass per step) or `approx_percentile`; the flag expression is
+    * unchanged.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, k: Double = 4.4478): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol))
+    val whole = Window.partitionBy(groupCol)
+    val med = df
+      .withColumn("__rn", row_number().over(byVal))
+      .withColumn("__cnt", count(lit(1)).over(whole))
+      .where(col("__rn") === expr("(__cnt + 1) div 2"))
+      .select(col(groupCol), col(valCol).as("__med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valCol) - col("__med")))
+    val byDev = Window.partitionBy(groupCol).orderBy(col("__dev"), col(idCol))
+    val mad = dev
+      .withColumn("__rn", row_number().over(byDev))
+      .withColumn("__cnt", count(lit(1)).over(whole))
+      .where(col("__rn") === expr("(__cnt + 1) div 2"))
+      .select(col(groupCol), col("__dev").as("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .select(col(idCol), col(groupCol), round(col("__dev"), 6).as("dev"),
+        (col("__dev") > lit(k) * col("__mad")).as("is_outlier"))
+  }
+
   /** CDC-style snapshot diff: compare per-key aggregate state between an
     * old snapshot and a new one, classifying each key as added / changed /
     * unchanged (removed cannot occur when old ⊆ new, as in append-only

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationship edges derived from relational data.
+  *
+  * The reference's data model is a graph in disguise — wallets own assets,
+  * assets belong to collections, transactions connect wallets
+  * (`app/main.py:109-330` walks those edges row by row). These operators
+  * make the graph view first-class: derive a co-occurrence edge list with
+  * one keyed self-join, then run the two canonical whole-graph analyses
+  * (PageRank, triangle counting) as iterative/compositional DataFrame
+  * plans that scale by shuffle-on-key, never by driver iteration over
+  * rows.
+  *
+  * PageRank is computed in EXACT integer arithmetic (ranks are scaled
+  * longs, shares are integer divisions) so a fixed-iteration run is
+  * bit-reproducible across partitionings, core counts, and engines — the
+  * same discipline as `vec_covariance`'s scaled-long sufficient statistics.
+  * Float PageRank would sum contributions in shuffle-arrival order and
+  * never hash-match a replay.
+  */
+object Graph {
+
+  /** Distinct co-occurrence edges: item pairs (`a < b`) that share a group
+    * (parts bought in the same order, assets touched by the same tx, ...).
+    *
+    * Scale: the self-join is keyed on the group column, so fan-out is
+    * bounded by the per-group squared size (TPC-H orders hold ≤ 7 items) —
+    * no cross join ever materializes. The exchange carries (group, item)
+    * pairs only; `distinct` shuffles the two item keys and nothing else.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    val l = df.select(col(groupCol).as("g"), col(itemCol).as("a"))
+    val r = df.select(col(groupCol).as("g"), col(itemCol).as("b"))
+    l.join(r, Seq("g")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Fixed-iteration PageRank on the undirected graph of `edges` (cols
+    * `a`, `b`; each treated as a symmetric link). Ranks live on a 1e12
+    * integer scale: rank0 = SCALE/N, and each step is
+    *
+    *   rank'(v) = (15·SCALE)/(100·N) + (85 · Σ_u rank(u) div deg(u)) div 100
+    *
+    * with every division an integer division — exact, associative-safe
+    * (long sums), so the result is independent of partitioning.
+    *
+    * Scale: the classic distributed PageRank — edges and degrees are
+    * computed once and barriered (`localCheckpoint`) so each iteration is
+    * exactly one join (rank × degree, key-partitioned) plus one
+    * shuffle-on-dst aggregation of (dst, share) longs. Dangling nodes
+    * cannot occur: symmetrization gives every node out-degree ≥ 1.
+    * The node count is the only driver-side scalar.
+    */
+  def pagerank(edges: DataFrame, iterations: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)
+    val n = deg.count()
+    require(n > 0, "pagerank needs a non-empty graph")
+    val base = (15L * scale) / (100L * n)
+    var ranks = deg.select(col("src").as("node"), lit(scale / n).as("r"))
+    for (_ <- 1 to iterations) {
+      val shares = ranks
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("node").as("src"), expr("r div d").as("share"))
+      ranks = sym.join(shares, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(base) + expr("(85 * sum(share)) div 100")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"),
+      expr("CAST(r AS DOUBLE) / 1000000000000.0").as("rank"))
+  }
+
+  /** Global triangle / edge / node counts of the undirected graph `edges`
+    * (cols `a`, `b`, already deduplicated with `a < b`).
+    *
+    * Scale: edges are re-oriented from the (degree, id)-smaller endpoint
+    * to the larger before the two-hop join — the standard O(m^1.5)
+    * orientation bound: every wedge is enumerated at the triangle's
+    * lowest-degree vertex, so hub nodes never fan out quadratically. The
+    * count is orientation-invariant (each triangle closes exactly once in
+    * any acyclic orientation), which is what lets a plain `a < b` SQL
+    * replay match it.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.select("a", "b").localCheckpoint(false)
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(false)
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+    val triangles = wedges
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u", "w"))
+      .agg(count(lit(1)).as("triangles"))
+    val sizes = und.agg(count(lit(1)).as("edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("nodes")))
+    triangles.crossJoin(sizes)
+  }
+}

@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
   type QueryFn = (SparkSession, String) => DataFrame
 
-  def all: Map[String, QueryFn] = CoreQueries.all ++ ExtQueries.all
+  def all: Map[String, QueryFn] =
+    CoreQueries.all ++ ExtQueries.all ++ GraphQueries.all
 
-  def oracles: Map[String, String] = CoreQueries.oracles ++ ExtQueries.oracles
+  def oracles: Map[String, String] =
+    CoreQueries.oracles ++ ExtQueries.oracles ++ GraphQueries.oracles
 }
