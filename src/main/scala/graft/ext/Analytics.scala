@@ -119,14 +119,18 @@ object Analytics {
   def madOutliers(df: DataFrame, groupCol: String, idCol: String,
       valCol: String, k: Double = 4.4478): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the two rank passes sort whole rows — never let them carry more
+    // than (group, id, value); wide payload columns (raw text, JSON
+    // props) would multiply both exchanges for no reason
+    val slim = df.select(col(groupCol), col(idCol), col(valCol))
     val byVal = Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol))
     val whole = Window.partitionBy(groupCol)
-    val med = df
+    val med = slim
       .withColumn("__rn", row_number().over(byVal))
       .withColumn("__cnt", count(lit(1)).over(whole))
       .where(col("__rn") === expr("(__cnt + 1) div 2"))
       .select(col(groupCol), col(valCol).as("__med"))
-    val dev = df.join(broadcast(med), Seq(groupCol))
+    val dev = slim.join(broadcast(med), Seq(groupCol))
       .withColumn("__dev", abs(col(valCol) - col("__med")))
     val byDev = Window.partitionBy(groupCol).orderBy(col("__dev"), col(idCol))
     val mad = dev

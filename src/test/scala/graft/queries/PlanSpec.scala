@@ -261,4 +261,38 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     // the old snapshot's date cutoff reaches the orders scan
     assert(p.contains("LessThan(o_orderdate,"), p)
   }
+
+  test("anomaly_mad: rank passes never carry the wide props column") {
+    val p = plan(GraphQueries.anomalyMad(spark, dir))
+    assert(!p.contains("props"), "props leaked into the MAD pipeline:\n" + p)
+    assert("Window".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ts_ewma: one aggregation, scan pruned to fold inputs only") {
+    val p = plan(GraphQueries.tsEwma(spark, dir))
+    assert(!p.contains("props"), "props leaked into the EWMA fold:\n" + p)
+    assert(!p.contains("event_type"), "event_type read but unused:\n" + p)
+    assert(!p.contains("Window"), "EWMA must not use a global window:\n" + p)
+  }
+
+  test("layout_zorder: pure projection + two-phase aggregate, 2-column scan") {
+    val p = plan(GraphQueries.layoutZorder(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("l_quantity"), "pruned column still read:\n" + p)
+    assert(!p.contains("l_orderkey"), "pruned column still read:\n" + p)
+    assert(p.contains("[codegen id :"), p)
+  }
+
+  test("graph_pagerank / graph_triangles: keyed joins only, no cartesian") {
+    val pr = plan(GraphQueries.graphPagerank(spark, dir))
+    assert(!pr.contains("CartesianProduct"), pr)
+    assert(!pr.contains("BroadcastNestedLoopJoin"), pr)
+    // triangles: the wedge/closure joins are equi-joins (the only
+    // cartesians are the final single-row count stitches)
+    val tr = plan(GraphQueries.graphTriangles(spark, dir))
+    val equiJoins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(tr).size
+    assert(equiJoins >= 2, tr)
+  }
 }
