@@ -100,44 +100,67 @@ object Analytics {
           (s, x) => x.getField("v") * a + s * (lit(1.0) - a)).as("ewma"))
   }
 
+  /** Exact lower median (the ((n+1) div 2)-th smallest VALUE, a multiset
+    * selection — unique regardless of row tie-breaks) of `v` per group,
+    * as a distributed selection rather than a per-group rank sort:
+    *
+    *  1. one aggregation: per-group count + an `approx_percentile`
+    *     [0.45, 0.55] band. GK rank error at accuracy 10000 is ±n/10000,
+    *     so the true median's rank always falls inside the band;
+    *  2. one aggregation: count of values strictly below the band, plus
+    *     the sorted band values (≈ 10% of the group), from which the
+    *     median is picked by exact rank.
+    *
+    * The approximate band only steers WHERE to look; the returned value
+    * is the exact order statistic, so results are independent of
+    * partitioning (and of the sketch's merge order). No per-group sort
+    * of the full data ever happens — with a handful of huge groups a
+    * `row_number` rank pass serializes each group on one core, while
+    * this stays parallel end to end (degenerating gracefully only when
+    * a group is one giant tie, in which case the "band" IS the answer).
+    */
+  private[ext] def lowerMedianByGroup(df: DataFrame, groupCol: String,
+      valCol: String, out: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      approx_percentile(col(valCol),
+        array(lit(0.45), lit(0.55)), lit(10000)).as("__pc"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol)).agg(
+        sum((col(valCol) < col("__pc")(0)).cast("long")).as("__below"),
+        sort_array(collect_list(
+          when(col(valCol).between(col("__pc")(0), col("__pc")(1)),
+            col(valCol)))).as("__band"),
+        first(col("__n")).as("__n"))
+      .select(col(groupCol),
+        element_at(col("__band"),
+          (expr("(__n + 1) div 2") - col("__below")).cast("int")).as(out))
+  }
+
   /** Robust per-group outlier flags via median absolute deviation. Both
-    * medians are LOWER medians picked by deterministic rank — `rn =
-    * (cnt+1) div 2` under a (value, id) total order — so the selected
-    * values are actual input doubles and the whole pipeline is exact (no
-    * interpolation, nothing to drift between engines). A point is an
+    * medians are LOWER medians — exact multiset order statistics
+    * (`lowerMedianByGroup`), so the selected values are actual input
+    * doubles and the whole pipeline is exact (no interpolation, nothing
+    * to drift between engines or across partitionings). A point is an
     * outlier when `|x − med| > k · MAD` with k = 3·1.4826 (the normal
     * consistency constant), the robust analogue of `anomaly_zscore`'s
     * 3σ rule — unlike the z-score it doesn't let the outliers themselves
     * inflate the threshold.
     *
-    * Scale: two rank passes partitioned by the group column. With few
-    * huge groups the rank becomes the skew point — swap the exact lower
-    * median for a distributed selection (binary search on value with one
-    * count-pass per step) or `approx_percentile`; the flag expression is
-    * unchanged.
+    * Scale: four group aggregations (two per median) + two broadcast
+    * joins — every pass is map-side-combining and fully parallel. The
+    * rank-sort alternative (`row_number` per group) serializes each
+    * group on one core, which with few huge groups is the skew point.
     */
   def madOutliers(df: DataFrame, groupCol: String, idCol: String,
       valCol: String, k: Double = 4.4478): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the two rank passes sort whole rows — never let them carry more
-    // than (group, id, value); wide payload columns (raw text, JSON
-    // props) would multiply both exchanges for no reason
+    // never carry more than (group, id, value) through the passes —
+    // wide payload columns (raw text, JSON props) stay at the scan
     val slim = df.select(col(groupCol), col(idCol), col(valCol))
-    val byVal = Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol))
-    val whole = Window.partitionBy(groupCol)
-    val med = slim
-      .withColumn("__rn", row_number().over(byVal))
-      .withColumn("__cnt", count(lit(1)).over(whole))
-      .where(col("__rn") === expr("(__cnt + 1) div 2"))
-      .select(col(groupCol), col(valCol).as("__med"))
+    val med = lowerMedianByGroup(slim, groupCol, valCol, "__med")
     val dev = slim.join(broadcast(med), Seq(groupCol))
       .withColumn("__dev", abs(col(valCol) - col("__med")))
-    val byDev = Window.partitionBy(groupCol).orderBy(col("__dev"), col(idCol))
-    val mad = dev
-      .withColumn("__rn", row_number().over(byDev))
-      .withColumn("__cnt", count(lit(1)).over(whole))
-      .where(col("__rn") === expr("(__cnt + 1) div 2"))
-      .select(col(groupCol), col("__dev").as("__mad"))
+    val mad = lowerMedianByGroup(dev, groupCol, "__dev", "__mad")
     dev.join(broadcast(mad), Seq(groupCol))
       .select(col(idCol), col(groupCol), round(col("__dev"), 6).as("dev"),
         (col("__dev") > lit(k) * col("__mad")).as("is_outlier"))

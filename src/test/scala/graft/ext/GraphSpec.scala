@@ -97,6 +97,31 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(out.count(_._4) == 1) // only the 1000 is an outlier
   }
 
+  test("lowerMedianByGroup: exact order statistic for every size and ties") {
+    // deterministic pseudo-random multiset per size, heavy on duplicates
+    val rows = (1 to 60).flatMap { n =>
+      (0 until n).map { i =>
+        (s"g$n", ((i * 2654435761L) % 97 % 7).toDouble) // many ties
+      }
+    }
+    val df = rows.toDF("grp", "v")
+    val got = Analytics.lowerMedianByGroup(df, "grp", "v", "med")
+      .as[(String, Double)].collect().toMap
+    (1 to 60).foreach { n =>
+      val vals = rows.filter(_._1 == s"g$n").map(_._2).sorted
+      val want = vals((n + 1) / 2 - 1)
+      assert(got(s"g$n") == want, s"n=$n: got ${got(s"g$n")}, want $want")
+    }
+  }
+
+  test("lowerMedianByGroup: one giant tie degenerates gracefully") {
+    val df = ((1 to 1000).map(i => ("g", 5.0, i)) :+ (("g", 4.0, 0)))
+      .toDF("grp", "v", "i").drop("i")
+    val got = Analytics.lowerMedianByGroup(df, "grp", "v", "med")
+      .as[(String, Double)].head()
+    assert(got == (("g", 5.0)))
+  }
+
   test("zValue: interleaves bits (x odd positions, y even)") {
     val df = Seq((3L, 1L)).toDF("x", "y")
     // x=0b11 -> bits at pos 1,3 = 0b1010; y=0b01 -> bit at pos 0 = 0b1

@@ -111,6 +111,24 @@ object ScaleAnalytics {
     assert(!diff.contains("removed"), s"append-only diff contains removed: $diff")
     assert(diff.values.sum == nUsers)
     println(s"  diff statuses: $diff")
+
+    // ewma: one row per user; values live in [0, 100) so any convex
+    // combination (and hence the fold) must too
+    val ewmaBad = t("ewma") {
+      Analytics.ewma(ev, "user_id", "ts", "event_id", "value", 0.25)
+        .where(col("n") =!= 8 || col("ewma") < 0.0 || col("ewma") >= 100.0 ||
+          isnan(col("ewma")))
+        .count()
+    }
+    assert(ewmaBad == 0L, s"$ewmaBad users with out-of-range EWMA state")
+
+    // MAD: uniform values have max |x − med| ≈ 50 < 4.4478·MAD (≈ 111),
+    // so the robust filter must flag nothing
+    val madOut = t("mad") {
+      Analytics.madOutliers(ev, "event_type", "event_id", "value")
+        .where(col("is_outlier")).count()
+    }
+    assert(madOut == 0L, s"uniform values produced $madOut MAD outliers")
     println("ALL SCALE-ANALYTICS ASSERTIONS PASSED")
     spark.stop()
   }
