@@ -1156,7 +1156,50 @@ object CoreQueries {
        |FROM g""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q60_filtered_agg — per-aggregate FILTER clauses (verbatim SQL both
+  // engines run): conditional counts, a DECIMAL-disciplined conditional
+  // sum, and a DISTINCT aggregate under a filter. Plans as one two-phase
+  // hash aggregate — the filters become per-row predicates on the
+  // aggregate inputs, never separate scans.
+  // ---------------------------------------------------------------------------
+  val q60Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+      |  CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(30,2)))
+      |    FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_open,
+      |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05)
+      |    AS BIGINT) AS n_disc_supp
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  val q60FilteredAgg: QueryFn = (s, dir) => {
+    graft.Graft.registerTables(s, dir)
+    s.sql(q60Sql)
+  }
+
+  // ---------------------------------------------------------------------------
+  // q61_try_cast — error-safe casting surface (verbatim SQL): TRY_CAST
+  // yields NULL instead of failing on malformed or overflowing input, so
+  // ingestion over dirty columns stays total. Counts of successful parses
+  // are integer-exact in both engines.
+  // ---------------------------------------------------------------------------
+  val q61Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(TRY_CAST(p_type AS DOUBLE)) AS BIGINT) AS type_numeric,
+      |  CAST(count(TRY_CAST(substr(p_brand, 7, 9) AS INTEGER)) AS BIGINT)
+      |    AS brand_numeric,
+      |  CAST(sum(coalesce(TRY_CAST(substr(p_brand, 7, 9) AS INTEGER), -1))
+      |    AS BIGINT) AS brand_sum,
+      |  CAST(count(TRY_CAST('99999999999999999999' AS BIGINT)) AS BIGINT)
+      |    AS overflow_nulls
+      |FROM part""".stripMargin
+  val q61TryCast: QueryFn = (s, dir) => {
+    graft.Graft.registerTables(s, dir)
+    s.sql(q61Sql)
+  }
+
   val all: Map[String, QueryFn] = Map(
+    "q60_filtered_agg"  -> q60FilteredAgg,
+    "q61_try_cast"      -> q61TryCast,
     "q57_recursive_cte" -> q57RecursiveCte,
     "q58_corr_regr"     -> q58CorrRegr,
     "q59_bitwise"       -> q59Bitwise,
@@ -1231,6 +1274,8 @@ object CoreQueries {
     "q57_recursive_cte" -> q57Sql,
     "q58_corr_regr"     -> q58Sql,
     "q59_bitwise"       -> q59Sql,
+    "q60_filtered_agg"  -> q60Sql,
+    "q61_try_cast"      -> q61Sql,
     "q44_rank_family"   -> q44Sql,
     "q45_date_functions"-> q45Sql,
     "q46_array_functions"-> q46Sql,

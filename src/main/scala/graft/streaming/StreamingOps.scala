@@ -95,6 +95,35 @@ object StreamingOps {
       }
   }
 
+  case class EwmaState(s: Double, n: Long)
+  case class EwmaPoint(user_id: Long, n: Long, ewma: Double)
+
+  /** Streaming EWMA: the incremental form of `Analytics.ewma` — O(1)
+    * state per key (the running smoothed value and a count), folded
+    * forward each micro-batch and emitted after every batch that touches
+    * the key. The per-step arithmetic (`x·alpha + s·(1−alpha)`, same
+    * operation order) is identical to the batch fold, so when events
+    * arrive per-key in event-time order across batches the final
+    * emission per key is bit-equal to the batch result — the unbounded-
+    * history shape the batch operator's collected list cannot cover.
+    */
+  def ewmaStream(events: Dataset[Event], alpha: Double): Dataset[EwmaPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          for (e <- sorted)
+            st = EwmaState(e.value * alpha + st.s * (1.0 - alpha), st.n + 1)
+          state.update(st)
+          Iterator(EwmaPoint(userId, st.n, st.s))
+      }
+  }
+
   /** Gap-based sessions per user: a session closes after `gapMinutes` of
     * silence (flushed via processing-time timeout). State per key is O(1).
     */

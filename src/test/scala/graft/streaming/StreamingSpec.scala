@@ -172,6 +172,41 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(batch(1) > 0 && batch(1) >= batch(2) && batch(2) >= batch(3))
   }
 
+  test("streaming EWMA final state is bit-equal to the batch fold, across batches") {
+    // stage events as two time-ordered files so the fold crosses a
+    // micro-batch boundary mid-key (FileStreamSource drains oldest-first)
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5)").head().getDouble(0)
+    val d = Files.createTempDirectory("events-ewma").toString
+    ev.where(col("ts").cast("double") <= cut).coalesce(1)
+      .write.mode("append").parquet(d)
+    Thread.sleep(1100) // distinct mtime: the second half must list later
+    ev.where(col("ts").cast("double") > cut).coalesce(1)
+      .write.mode("append").parquet(d)
+
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1").parquet(d)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val q = StreamingOps.ewmaStream(stream, alpha = 0.25)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // one emission per key per touching batch: the final one is max-n
+    val streamed = spark.table("ewma_out")
+      .groupBy("user_id").agg(max_by(struct(col("n"), col("ewma")), col("n")).as("f"))
+      .select(col("user_id"), col("f.n").as("n"), col("f.ewma").as("ewma"))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.ext.Analytics.ewma(ev, "user_id", "ts", "event_id", "value", 0.25)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch) // exact double equality — same fold, same order
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops cross-batch duplicates down to the batch distinct set") {
     // stage the same events twice (two files -> duplicates arrive across
     // micro-batch boundaries as well as within)
