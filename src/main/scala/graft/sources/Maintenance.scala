@@ -55,4 +55,39 @@ object Maintenance {
   def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
     df.withColumn("date", to_date(col(tsCol)))
       .write.mode("overwrite").partitionBy("date").parquet(path)
+
+  /** Write `df` clustered on the Z-order curve over two integral columns
+    * (`OPTIMIZE ZORDER BY`, minus the table format): min-max-normalize
+    * each column into `bits`-bit bins, range-partition by the interleaved
+    * z-value into `nFiles`, sort within each file, drop the helpers.
+    * Every output file then covers a small rectangle in (x, y) space, so
+    * parquet footer min/max stats prune scans on EITHER column — a
+    * time-ordered or single-key layout prunes only one.
+    *
+    * The normalization is what makes mismatched domains interleave
+    * fairly: raw interleaving of a 200-value column with a 2M-value
+    * column puts the wide column's high bits above every bit of the
+    * narrow one, and the curve degenerates to a single-key sort (this is
+    * why table formats bin columns before z-ordering too).
+    *
+    * Scale: one min/max aggregate + one range exchange (sampled bounds)
+    * + a per-partition sort — the cost of any global sort; run it as a
+    * maintenance rewrite, like `compact`.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+      path: String, nFiles: Int, bits: Int = 10): Unit = {
+    val r = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    val (xLo, xHi, yLo, yHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val m = (1L << bits) - 1
+    def bin(c: String, lo: Long, hi: Long) =
+      if (hi == lo) lit(0L)
+      else expr(s"(CAST($c AS BIGINT) - $lo) * $m div ${hi - lo}")
+    df.withColumn("__z",
+        graft.ext.Layout.zValue(bin(xCol, xLo, xHi), bin(yCol, yLo, yHi), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

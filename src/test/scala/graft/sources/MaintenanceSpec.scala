@@ -45,6 +45,34 @@ class MaintenanceSpec extends AnyFunSuite with SparkTest {
     assert(q.count() == expected && expected > 0)
   }
 
+  test("z-ordered layout: every file covers a small (x, y) envelope; " +
+      "a time-sorted layout does not") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey", "l_orderkey")
+    val zPath = Files.createTempDirectory("zorder").toString + "/t"
+    Maintenance.writeZOrdered(li, "l_partkey", "l_orderkey", zPath, nFiles = 16)
+    assert(Maintenance.parquetFileCount(spark, zPath) == 16)
+
+    def envelopes(path: String, sortCol: String, n: Int) = {
+      val src = if (path == null)
+        li.repartitionByRange(n, col(sortCol)).sortWithinPartitions(sortCol)
+          .withColumn("f", spark_partition_id().cast("string"))
+      else spark.read.parquet(path).withColumn("f", input_file_name())
+      src.groupBy("f").agg(
+          (max("l_partkey") - min("l_partkey")).as("xs"),
+          (max("l_orderkey") - min("l_orderkey")).as("ys"))
+        .select(avg("xs"), avg("ys")).as[(Double, Double)].head()
+    }
+    val (zx, zy) = envelopes(zPath, null, 16)
+    val (ox, oy) = envelopes(null, "l_suppkey", 16) // uncorrelated layout
+    // the z layout bounds BOTH dimensions; a layout clustered on an
+    // unrelated key leaves both near the full domain
+    assert(zx < ox / 2 && zy < oy / 2,
+      s"z envelopes ($zx, $zy) not tighter than suppkey-sorted ($ox, $oy)")
+    // row preservation
+    assert(spark.read.parquet(zPath).count() == li.count())
+  }
+
   test("heavyHitters candidates+verify equals exact heavy hitters") {
     import spark.implicits._
     // zipf-ish: key k appears ~ 2000/k times
