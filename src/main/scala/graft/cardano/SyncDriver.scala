@@ -3,7 +3,7 @@ package graft.cardano
 import java.sql.Timestamp
 import java.time.temporal.ChronoUnit
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental micro-batch driver (SURVEY.md §2.8 ST1-ST8,
@@ -19,7 +19,20 @@ class SyncDriver(
     spark: SparkSession,
     sourceDir: String,
     store: TableStore,
-    intervalMinutes: Long = 120) {
+    intervalMinutes: Long = 120,
+    compactEvery: Long = 8) {
+
+  /** Stage a mutable table's next version: an O(delta) upsert layer
+    * normally, the recomputed full base every `compactEvery`-th version
+    * (`full` and `upserts` describe the SAME post-period state, so the
+    * two stagings are interchangeable — compaction is just picking the
+    * materialized form).
+    */
+  private def stageMutable(name: String, upserts: DataFrame,
+      full: DataFrame): Long =
+    if ((store.currentVersion(name) + 1) % compactEvery == 0)
+      store.writeNext(name, full)
+    else store.upsertNext(name, upserts, "id")
 
   /** First native-asset block (`app/db/postgres.py:308`). */
   val genesis: Timestamp = Timestamp.valueOf("2021-03-01 21:47:00")
@@ -83,8 +96,12 @@ class SyncDriver(
       "collection"    -> store.appendNext("collection", d.collectionInserts),
       "asset_tx"      -> store.appendNext("asset_tx", d.assetTxInserts),
       "asset_mint_tx" -> store.appendNext("asset_mint_tx", d.assetMintTxInserts),
-      "asset"         -> store.writeNext("asset", d.assetUpdated),
-      "asset_ext"     -> store.writeNext("asset_ext", d.assetExtUpdated))
+      // mutable tables stage O(delta) upsert layers (merge-on-read MERGE,
+      // TableStore.upsertNext); every compactEvery-th version stages the
+      // recomputed full table instead, bounding read fan-in and
+      // amortizing the only O(dim) write to O(dim/K) per period
+      "asset"         -> stageMutable("asset", d.assetUpserts, d.assetUpdated),
+      "asset_ext"     -> stageMutable("asset_ext", d.assetExtUpserts, d.assetExtUpdated))
     store.commit(staged)
   }
 
