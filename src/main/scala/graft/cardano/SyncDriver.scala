@@ -20,13 +20,20 @@ class SyncDriver(
     sourceDir: String,
     store: TableStore,
     intervalMinutes: Long = 120,
-    compactEvery: Long = 8) {
+    compactEvery: Long = 1) {
 
-  /** Stage a mutable table's next version: an O(delta) upsert layer
-    * normally, the recomputed full base every `compactEvery`-th version
-    * (`full` and `upserts` describe the SAME post-period state, so the
-    * two stagings are interchangeable — compaction is just picking the
-    * materialized form).
+  /** Stage a mutable table's next version: the recomputed full base
+    * every `compactEvery`-th version, an O(delta) merge-on-read upsert
+    * layer otherwise (`full` and `upserts` describe the SAME post-period
+    * state, so the two stagings are interchangeable — compaction is just
+    * picking the materialized form; the E2E equivalence suite pins it).
+    *
+    * Default 1 = always stage the full table: the measured-fastest
+    * choice at test scale, where writing the whole (page-cached) dim
+    * table costs less than the layer path's per-read resolution — the
+    * 40-period A/B in PERFORMANCE.md. Set K > 1 when the table dwarfs
+    * the per-period delta (the production regime, where an O(dim) write
+    * per period is the bottleneck the layers exist to remove).
     */
   private def stageMutable(name: String, upserts: DataFrame,
       full: DataFrame): Long =
