@@ -248,6 +248,67 @@ object Similarity {
     spark.createDataFrame(rows).toDF("i", "j", "cov")
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space, then drop items whose cosine to an earlier item of
+    * the same cluster exceeds `tau`. This is the practical banded form:
+    * within a cluster, items are ordered by (distance-to-centroid, id)
+    * and each item is compared only to its `band` predecessors — linear
+    * in cluster size instead of quadratic, which is what makes the pass
+    * run at corpus scale (the full pairwise form is O(Σ|cluster|²)).
+    *
+    * Determinism/replayability: centroids are the `k` smallest-id
+    * vectors (a seeded single-assignment pass, not Lloyd iterations —
+    * iterated centroid means would need canonical-order float summation,
+    * the `ann_ivf` trade-off), distances and dot products are ordered
+    * left-to-right double folds, and every tie (equal distance, equal
+    * position) breaks by id. The whole chain replays in DuckDB.
+    *
+    * Scale shape: one broadcast of `k` seed rows against the corpus (the
+    * corpus is never shuffled for assignment), then one cluster-keyed
+    * exchange shared by the position window and the banded self-join.
+    * Returns `(vec_id, cluster, nn_cos, keep)` — `nn_cos` is the max
+    * cosine to any banded predecessor (rounded at 6; null when none).
+    */
+  def semanticDedup(df: DataFrame, k: Int = 16, band: Int = 8,
+      tau: Double = 0.4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = DataOps.parallelismFloor(
+        df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v")))
+      .localCheckpoint(false) // read twice: seed extraction + assignment
+    val seeds = base.orderBy("vec_id").limit(k)
+      .withColumn("__seed_idx",
+        row_number().over(Window.orderBy("vec_id")).cast("long") - 1L)
+      .select(col("__seed_idx"), col("__v").as("__seed"))
+    val assigned = base.crossJoin(broadcast(seeds))
+      .withColumn("__dist",
+        aggregate(zip_with(col("__v"), col("__seed"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("__dist"), col("__seed_idx"))))
+      .where(col("__rn") === 1)
+      .select(col("vec_id"), col("__v"), col("__seed_idx").as("cluster"), col("__dist"))
+    val positioned = assigned
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("__dist"), col("vec_id"))))
+      .withColumn("__sq", dot(col("__v"), col("__v")))
+      .localCheckpoint(false) // both sides of the banded self-join
+    val a = positioned.select(col("cluster"), col("__pos").as("__pa"),
+      col("__v").as("__va"), col("__sq").as("__sqa"))
+    val b = positioned.select(col("cluster").as("__clb"), col("vec_id").as("__idb"),
+      col("__pos").as("__pb"), col("__v").as("__vb"), col("__sq").as("__sqb"))
+    val nn = a.join(b,
+        col("cluster") === col("__clb") &&
+          col("__pb") > col("__pa") && col("__pb") <= col("__pa") + band)
+      .withColumn("__cos",
+        dot(col("__va"), col("__vb")) / (sqrt(col("__sqa")) * sqrt(col("__sqb"))))
+      .groupBy(col("__idb").as("vec_id"))
+      .agg(max(col("__cos")).as("__nn"))
+    positioned.join(nn, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        round(col("__nn"), 6).as("nn_cos"),
+        (col("__nn").isNull || col("__nn") < tau).as("keep"))
+  }
+
   def meanVectors(df: DataFrame, keyCol: String,
       vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -241,6 +242,107 @@ object TextAnalysis {
     * instead of gram strings (the `TextShingles` kernel; same counts up
     * to 64-bit collisions, which are negligible at corpus scale).
     */
+  /** Positional word n-grams `(pos, gram)` with 0-based positions; empty
+    * for docs shorter than `n` tokens (the span ops' shared unit).
+    */
+  private def posGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => struct(i.cast("long").as("pos"),
+          concat_ws(" ", slice(toks, i + 1, lit(n))).as("gram"))))
+      .otherwise(array().cast("array<struct<pos:long,gram:string>>"))
+  }
+
+  /** Duplicated-substring detection (the exact-substring dedup signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): a token position is *duplicated* when it is covered by some
+    * length-`k` token window that occurs at least twice in the corpus
+    * (across documents or within one). Returns per-doc
+    * `(id, n_tokens, dup_tokens, n_spans, dup_ratio)` where `n_spans`
+    * counts maximal runs of duplicated positions — the spans a trimming
+    * pass would cut.
+    *
+    * Scale shape: one explode into positional grams, one gram-keyed
+    * count to find repeated windows, one gram-keyed join back (the
+    * repeated-gram side is output-sized, tiny vs the corpus; AQE
+    * broadcasts it when small), then per-doc position set-union + island
+    * counting clustered by doc id. Production swaps the gram string for
+    * its 8-byte hash through the exchange (`TextShingles`); the string
+    * form keeps the DuckDB oracle byte-identical.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val base = DataOps.parallelismFloor(
+        df.select(col(idCol), col(textCol).as("__t")))
+      .withColumn("n_tokens", size(tokens(col("__t"))).cast("long"))
+      .localCheckpoint(false) // read by grams AND the final per-doc join
+    val grams = base
+      .select(col(idCol), explode(posGrams(col("__t"), k)).as("__g"))
+      .select(col(idCol), col("__g.pos").as("__pos"), col("__g.gram").as("__gram"))
+      .localCheckpoint(false) // feeds the repeated-gram count AND the probe join
+    val repeated = grams.groupBy("__gram").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("__gram")
+    val flagged = grams.join(repeated, Seq("__gram"))
+      .select(col(idCol), col("__pos")).distinct()
+    val covered = flagged
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__tp"))
+      .distinct()
+    val w = Window.partitionBy(idCol).orderBy(col("__tp"))
+    val spans = covered
+      .withColumn("__isl", col("__tp") - row_number().over(w))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("dup_tokens"),
+        countDistinct(col("__isl")).as("n_spans"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_ratio"))
+  }
+
+  /** Corpus-frequent-n-gram boilerplate removal (the word-window analog of
+    * C4's repeated-line filter): drop every token covered by one of the
+    * corpus's `topN` most frequent `n`-gram windows and re-assemble the
+    * remaining tokens in order. Returns
+    * `(id, n_tokens, n_removed, clean_text)`.
+    *
+    * Scale shape: the frequent-gram table is `topN` rows by construction
+    * (a vocabulary-sized aggregate + a global top-N, ties broken by gram
+    * text for determinism), so the probe join broadcasts; everything else
+    * is per-doc projection + one doc-keyed re-aggregation. Re-assembly
+    * sorts each doc's kept (pos, token) pairs locally — no global sort.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, topN: Int = 20): DataFrame = {
+    val base = DataOps.parallelismFloor(
+        df.select(col(idCol), col(textCol).as("__t")))
+      .localCheckpoint(false) // read by the gram count AND the token explode
+    val grams = base
+      .select(col(idCol), explode(posGrams(col("__t"), n)).as("__g"))
+      .select(col(idCol), col("__g.pos").as("__pos"), col("__g.gram").as("__gram"))
+      .localCheckpoint(false) // feeds the top-N count AND the flag join
+    val top = grams.groupBy("__gram").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__gram").asc).limit(topN)
+      .select("__gram")
+    val covered = grams.join(broadcast(top), Seq("__gram"))
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__tp"))
+      .distinct()
+      .withColumn("__cov", lit(true))
+    val posed = base
+      .select(col(idCol), posexplode(tokens(col("__t"))).as(Seq("__tp", "__tok")))
+      .withColumn("__tp", col("__tp").cast("long"))
+    posed.join(covered, Seq(idCol, "__tp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__cov")).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("__cov").isNull, struct(col("__tp"), col("__tok"))))),
+          p => p.getField("__tok")), " ").as("clean_text"))
+  }
+
   def ngramOverlap(corpus: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, n: Int, hashed: Boolean = false): DataFrame = {
     def grams(df: DataFrame, cols: Column*): DataFrame =

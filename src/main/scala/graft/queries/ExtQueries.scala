@@ -1566,8 +1566,119 @@ object ExtQueries {
        |FROM events e JOIN g USING (event_type)""".stripMargin
   }
 
+  // --- round-3 additions: substring dedup, boilerplate removal, SemDeDup ---
+
+  /** Exact-substring duplication signal (Lee et al. 2022): per-doc count
+    * of token positions covered by a corpus-repeated 8-token window, plus
+    * the number of maximal spans a trimming pass would cut.
+    */
+  val dedupSubstring: QueryFn = (s, dir) =>
+    TextAnalysis.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+  val dedupSubstringSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), grams AS (
+      |  SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-7, 0))) AS pos FROM toks)
+      |), dupg AS (
+      |  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+      |), flagged AS (
+      |  SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)
+      |), covered AS (
+      |  SELECT DISTINCT doc_id, pos + d AS tpos
+      |  FROM flagged CROSS JOIN (SELECT unnest(range(0, 8)) AS d)
+      |), islands AS (
+      |  SELECT doc_id, tpos,
+      |         tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS isl
+      |  FROM covered
+      |), span AS (
+      |  SELECT doc_id, count(*) AS dup_tokens, count(DISTINCT isl) AS n_spans
+      |  FROM islands GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+      |       round(coalesce(s.dup_tokens, 0)::DOUBLE / len(t.t), 6) AS dup_ratio
+      |FROM documents d JOIN toks t USING (doc_id)
+      |LEFT JOIN span s ON s.doc_id = d.doc_id""".stripMargin
+
+  /** C4-style boilerplate removal at the word-window level: strip tokens
+    * covered by the corpus's 20 most frequent trigram windows, re-emit
+    * the cleaned text.
+    */
+  val textBoilerplate: QueryFn = (s, dir) =>
+    TextAnalysis.removeBoilerplate(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, topN = 20)
+  val textBoilerplateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), grams AS (
+      |  SELECT doc_id, pos, array_to_string(t[pos+1:pos+3], ' ') AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-2, 0))) AS pos FROM toks)
+      |), topg AS (
+      |  SELECT gram FROM grams GROUP BY gram ORDER BY count(*) DESC, gram LIMIT 20
+      |), flagged AS (
+      |  SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN topg USING (gram)
+      |), covered AS (
+      |  SELECT DISTINCT doc_id, pos + d AS tpos
+      |  FROM flagged CROSS JOIN (SELECT unnest(range(0, 3)) AS d)
+      |), posed AS (
+      |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos FROM toks
+      |)
+      |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(count(c.tpos) AS BIGINT) AS n_removed,
+      |       coalesce(string_agg(p.tok, ' ' ORDER BY p.pos)
+      |         FILTER (WHERE c.tpos IS NULL), '') AS clean_text
+      |FROM posed p
+      |LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.tpos = p.pos
+      |GROUP BY p.doc_id""".stripMargin
+
+  /** SemDeDup (banded): seeded single-pass cluster assignment + max
+    * cosine to banded predecessors; replayed with the same ordered
+    * double folds (list_prepend(0.0, …) mirrors the kernel's acc=0.0).
+    */
+  val dedupSemantic: QueryFn = (s, dir) =>
+    Similarity.semanticDedup(Tables.embeddings(s, dir), k = 16, band = 8, tau = 0.4)
+  val dedupSemanticSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS seed_idx, v AS seed
+      |  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)
+      |), asg AS (
+      |  SELECT vec_id, v, seed_idx, dist,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_idx) AS rn
+      |  FROM (
+      |    SELECT b.vec_id, b.v, s.seed_idx,
+      |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(list_zip(b.v, s.seed),
+      |               p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, x) -> a + x) AS dist
+      |    FROM base b CROSS JOIN seeds s)
+      |), cl AS (
+      |  SELECT vec_id, v, seed_idx AS cluster, dist,
+      |         row_number() OVER (PARTITION BY seed_idx ORDER BY dist, vec_id) AS pos,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(v, x -> x * x)), (a, x) -> a + x) AS sq
+      |  FROM asg WHERE rn = 1
+      |), nn AS (
+      |  SELECT b.vec_id,
+      |         max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+      |           (x, y) -> x + y) / (sqrt(a.sq) * sqrt(b.sq))) AS nncos
+      |  FROM cl a JOIN cl b
+      |    ON a.cluster = b.cluster AND b.pos > a.pos AND b.pos <= a.pos + 8
+      |  GROUP BY b.vec_id
+      |)
+      |SELECT c.vec_id, c.cluster, round(n.nncos, 6) AS nn_cos,
+      |       (n.nncos IS NULL OR n.nncos < 0.4) AS keep
+      |FROM cl c LEFT JOIN nn n ON c.vec_id = n.vec_id""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "sessionize"           -> sessionize,
+    "dedup_substring"      -> dedupSubstring,
+    "text_boilerplate"     -> textBoilerplate,
+    "dedup_semantic"       -> dedupSemantic,
     "text_scrub"           -> textScrub,
     "text_quality_flags"   -> textQualityFlags,
     "dedup_exact"          -> dedupExact,
@@ -1626,6 +1737,9 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "sessionize"          -> sessionizeSql,
+    "dedup_substring"     -> dedupSubstringSql,
+    "text_boilerplate"    -> textBoilerplateSql,
+    "dedup_semantic"      -> dedupSemanticSql,
     "text_scrub"          -> textScrubSql,
     "text_langid"         -> textLangIdSql,
     "text_quality_flags"  -> textQualityFlagsSql,

@@ -681,4 +681,74 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(got == Seq(
       ("join", 1L, "3"), ("spark", 2L, "1,3"), ("vector", 1L, "1")))
   }
+
+  test("duplicatedSpans: planted shared run flagged, spans merge, unique doc clean") {
+    // docs 1 and 2 share tokens 0..9 (two overlapping 8-gram windows ->
+    // ONE merged span of 10 tokens); doc 3 shares nothing
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " a1 a2 a3 a4"),
+      (2L, shared + " b1 b2 b3 b4"),
+      (3L, (1 to 14).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 14L, 10L, 1L), (2L, 14L, 10L, 1L), (3L, 14L, 0L, 0L)))
+  }
+
+  test("duplicatedSpans: within-doc repeat counts as duplication") {
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq((1L, run + " mid " + run)).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", k = 8).head()
+    // both occurrences of the 8-run are covered; "mid" is not
+    assert(got.getAs[Long]("dup_tokens") == 16L)
+    assert(got.getAs[Long]("n_spans") == 2L)
+  }
+
+  test("removeBoilerplate: top trigram stripped everywhere, order preserved") {
+    // "x y z" appears in all three docs -> the single top-1 trigram;
+    // remaining tokens re-assemble in original order
+    val docs = Seq(
+      (1L, "a x y z b"),
+      (2L, "x y z c d"),
+      (3L, "e f x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(docs, "doc_id", "text", n = 3, topN = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 3L, "a b"), (2L, 5L, 3L, "c d"), (3L, 5L, 3L, "e f")))
+  }
+
+  test("semanticDedup: planted near-identical vectors dropped, keeper is nearest-to-centroid") {
+    val rnd = new Random(7)
+    // random directions (pairwise cosine ~ N(0, 1/16), never near 0.99)
+    // + one exact-duplicate pair
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0L until 20L).map(i => (i, vec()))
+    val dup = Seq((100L, base.head._2.clone())) // exact copy of vec 0
+    val df = (base ++ dup).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, k = 4, band = 8, tau = 0.99)
+      .orderBy("vec_id").collect()
+    val dropped = got.filter(r => !r.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id"))
+    assert(dropped.toSeq == Seq(100L)) // the copy goes, the original stays
+    val nn = got.find(_.getAs[Long]("vec_id") == 100L).get.getAs[Double]("nn_cos")
+    assert(nn == 1.0)
+    // everything else survives a 0.99 threshold in gaussian noise
+    assert(got.count(_.getAs[Boolean]("keep")) == 20)
+  }
+
+  test("semanticDedup: partitioning-invariant (1 vs 32 partitions)") {
+    val rnd = new Random(11)
+    val df = (0L until 200L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(p: Int) =
+      Similarity.semanticDedup(df.repartition(p), k = 8, band = 4, tau = 0.5)
+        .orderBy("vec_id")
+        .select("vec_id", "cluster", "nn_cos", "keep")
+        .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(run(1) == run(32))
+  }
 }
