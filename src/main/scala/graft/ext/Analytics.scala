@@ -100,6 +100,82 @@ object Analytics {
           (s, x) => x.getField("v") * a + s * (lit(1.0) - a)).as("ewma"))
   }
 
+  /** The interpolation formula shared VERBATIM with the DuckDB oracle:
+    * both engines evaluate this one SQL string over identical integer
+    * inputs (scaled-long bucket sums `psv`/`nsv`, counts `pn`/`nn`,
+    * epoch seconds `pt`/`t`/`nt`), so the float result is bit-identical.
+    * `pt = nt` marks an observed bucket (both anchors are the row
+    * itself); the NULL branches are edge fills (the spine is bounded by
+    * observations, so they only fire on degenerate inputs).
+    *
+    * No final `round()`: identical IEEE ops on identical inputs already
+    * give identical bits, and rounding would REINTRODUCE divergence —
+    * linear midpoints land exactly on .5 × 1e-6 ties, where Spark's
+    * HALF_UP and DuckDB's double-round disagree.
+    */
+  val interpValueExpr: String = {
+    val pv = "(CAST(psv AS DOUBLE) / 1000000.0 / pn)"
+    val nv = "(CAST(nsv AS DOUBLE) / 1000000.0 / nn)"
+    s"""CASE
+       |  WHEN psv IS NULL AND nsv IS NULL THEN NULL
+       |  WHEN psv IS NULL THEN $nv
+       |  WHEN nsv IS NULL OR nt = pt THEN $pv
+       |  ELSE $pv + ($nv - $pv)
+       |    * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+       |END""".stripMargin
+  }
+
+  /** Time-series densify + linear interpolation: bucket `valCol` per key
+    * into fixed intervals, emit EVERY bucket between each key's first and
+    * last observation, and fill the gaps by interpolating linearly
+    * between the neighbouring observed bucket means (edge gaps carry the
+    * nearest observation). Returns (keys..., bucket, n, value) where `n`
+    * is the observation count (0 for filled buckets) and `value` the
+    * observed-or-interpolated bucket mean, rounded at 6.
+    *
+    * Determinism: bucket means are exact scaled-long sufficient
+    * statistics (the anomaly_zscore / vec_covariance discipline), the
+    * anchor-carrying windows copy those integers (never re-sum floats),
+    * and the only float math is `interpValueExpr` — one shared
+    * expression string both engines run on identical inputs.
+    *
+    * Scale: one map-side-combining aggregate, a per-key spine explode
+    * proportional to each key's own span, and two window passes over the
+    * SAME (key, bucket) exchange — AQE reuses the partitioning, so the
+    * whole fill is a single shuffle of (key, bucket, longs).
+    */
+  def interpolateLinear(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, unit: String = "hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val c = df.where(col(valCol).isNotNull)
+      .groupBy(keys :+ date_trunc(unit, col(tsCol)).as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col(valCol), 6).cast("decimal(30,6)")) * lit(1000000))
+          .cast("long").as("sv"))
+    val spine = c.groupBy(keys: _*)
+      .agg(min(col("bucket")).as("__t0"), max(col("bucket")).as("__t1"))
+      .select(keys :+ explode(sequence(col("__t0"), col("__t1"),
+        expr(s"interval 1 $unit"))).as("bucket"): _*)
+    val g = spine.join(c, keyCols :+ "bucket", "left")
+      .withColumn("t", unix_timestamp(col("bucket")))
+    val wPrev = Window.partitionBy(keys: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keys: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    g.withColumn("psv", last(col("sv"), ignoreNulls = true).over(wPrev))
+      .withColumn("pn", last(col("n"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt",
+        last(when(col("sv").isNotNull, col("t")), ignoreNulls = true).over(wPrev))
+      .withColumn("nsv", first(col("sv"), ignoreNulls = true).over(wNext))
+      .withColumn("nn", first(col("n"), ignoreNulls = true).over(wNext))
+      .withColumn("nt",
+        first(when(col("sv").isNotNull, col("t")), ignoreNulls = true).over(wNext))
+      .select(keys ++ Seq(col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        expr(interpValueExpr).as("value")): _*)
+  }
+
   /** Exact lower median (the ((n+1) div 2)-th smallest VALUE, a multiset
     * selection — unique regardless of row tie-breaks) of `v` per group,
     * as a distributed selection rather than a per-group rank sort:

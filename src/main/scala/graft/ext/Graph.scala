@@ -78,6 +78,50 @@ object Graph {
       expr("CAST(r AS DOUBLE) / 1000000000000.0").as("rank"))
   }
 
+  /** Multi-source BFS: minimum hop count from any seed to every reachable
+    * node of the undirected graph `edges` (cols `a`, `b`), bounded at
+    * `maxHops`. Returns `(node, hops)` with seeds at 0; nodes not reached
+    * within the bound are absent. Seeds outside the graph still appear at
+    * hop 0 (they are their own component).
+    *
+    * Scale shape: textbook distributed frontier expansion — each level is
+    * ONE key-partitioned join of the frontier against the symmetrized
+    * edge list plus ONE anti-join against the visited set, both shuffling
+    * bare node keys. Frontier and visited set are barriered
+    * (`localCheckpoint`) so level N's plan never replays levels 1..N-1,
+    * and the loop exits on the first empty frontier (one `count()` scalar
+    * per level — the driver-side control every iterative traversal
+    * needs). Hop counts are integers, so the result is partitioning- and
+    * engine-invariant; a recursive-CTE `min(hops)` replay matches it
+    * exactly.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false)
+    var frontier = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().localCheckpoint(false)
+    var visited = frontier
+    var result = frontier.withColumn("hops", lit(0L))
+    var hop = 1
+    var growing = frontier.count() > 0
+    while (growing && hop <= maxHops) {
+      val next = sym
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      if (next.isEmpty) growing = false
+      else {
+        result = result.unionByName(next.withColumn("hops", lit(hop.toLong)))
+        visited = visited.unionByName(next).localCheckpoint(false)
+        frontier = next
+        hop += 1
+      }
+    }
+    result
+  }
+
   /** Global triangle / edge / node counts of the undirected graph `edges`
     * (cols `a`, `b`, already deduplicated with `a < b`).
     *

@@ -75,6 +75,33 @@ object GraphQueries {
        |JOIN pairs e2 ON e2.a = e1.b
        |JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
 
+  /** Multi-source BFS over the co-purchase graph: hop distance from the
+    * `node % 50 = 0` seed set, bounded at 4 hops. Integer hop counts make
+    * the frontier expansion bit-replayable by a recursive-CTE
+    * `min(hops)`.
+    */
+  val graphBfs: QueryFn = (s, dir) => {
+    val edges = coPurchase(s, dir)
+    val seeds = edges.select(col("a").as("node"))
+      .union(edges.select(col("b")))
+      .where(col("node") % 50 === 0).distinct()
+    Graph.bfsHops(edges, seeds, maxHops = 4)
+  }
+
+  val graphBfsSql: String =
+    s"""${pairsCte.replace("WITH ", "WITH RECURSIVE ")}, edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), seeds AS (
+       |  SELECT DISTINCT src AS node FROM edges WHERE src % 50 = 0
+       |), bfs(node, hops) AS (
+       |  SELECT node, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, b.hops + 1
+       |  FROM bfs b JOIN edges e ON e.src = b.node
+       |  WHERE b.hops < 4
+       |)
+       |SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM bfs GROUP BY node""".stripMargin
+
   /** Per-user EWMA (alpha = 0.25) of event values in time order. */
   val tsEwma: QueryFn = (s, dir) =>
     Analytics.ewma(Tables.events(s, dir),
@@ -88,6 +115,48 @@ object GraphQueries {
       |FROM events
       |WHERE value IS NOT NULL
       |GROUP BY 1""".stripMargin
+
+  /** Hourly per-user value series, densified and linearly interpolated
+    * (the gap-fill step before windowed models). Bucket means are exact
+    * scaled-long statistics; the interpolation itself is ONE shared
+    * expression string (`Analytics.interpValueExpr`) evaluated by both
+    * engines on identical integers — float output, bit-identical.
+    */
+  val tsInterpolate: QueryFn = (s, dir) =>
+    Analytics.interpolateLinear(Tables.events(s, dir),
+      Seq("user_id"), "ts", "value")
+
+  val tsInterpolateSql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sv
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+       |), b AS (
+       |  SELECT user_id,
+       |    unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+       |  FROM c GROUP BY user_id
+       |), g AS (
+       |  SELECT b.user_id, b.bucket, c.n, c.sv,
+       |    CAST(epoch(b.bucket) AS BIGINT) AS t
+       |  FROM b LEFT JOIN c USING (user_id, bucket)
+       |), w AS (
+       |  SELECT user_id, bucket, n, t,
+       |    last_value(sv IGNORE NULLS) OVER wp AS psv,
+       |    last_value(n IGNORE NULLS) OVER wp AS pn,
+       |    last_value(CASE WHEN sv IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+       |    first_value(sv IGNORE NULLS) OVER wn AS nsv,
+       |    first_value(n IGNORE NULLS) OVER wn AS nn,
+       |    first_value(CASE WHEN sv IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+       |  FROM g
+       |  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |  wn AS (PARTITION BY user_id ORDER BY bucket
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |)
+       |SELECT user_id, bucket, CAST(coalesce(n, 0) AS BIGINT) AS n,
+       |  ${Analytics.interpValueExpr} AS value
+       |FROM w""".stripMargin
 
   /** Median-absolute-deviation outlier flags per event type (robust
     * counterpart of `anomaly_zscore`).
@@ -143,7 +212,9 @@ object GraphQueries {
   val all: Map[String, QueryFn] = Map(
     "graph_pagerank"  -> graphPagerank,
     "graph_triangles" -> graphTriangles,
+    "graph_bfs"       -> graphBfs,
     "ts_ewma"         -> tsEwma,
+    "ts_interpolate"  -> tsInterpolate,
     "anomaly_mad"     -> anomalyMad,
     "layout_zorder"   -> layoutZorder,
   )
@@ -151,7 +222,9 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "graph_pagerank"  -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_bfs"       -> graphBfsSql,
     "ts_ewma"         -> tsEwmaSql,
+    "ts_interpolate"  -> tsInterpolateSql,
     "anomaly_mad"     -> anomalyMadSql,
     "layout_zorder"   -> layoutZorderSql,
   )

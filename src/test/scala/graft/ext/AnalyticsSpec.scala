@@ -103,4 +103,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkTest {
       (1L, 3L, r6(r6(3.0 * lpA) / 3.0)),
       (2L, 1L, r6(lpB))))
   }
+
+  test("interpolateLinear: gaps fill linearly, observed buckets keep their mean") {
+    // user 1: 10:00 -> mean 2.0 (two obs), 13:00 -> 8.0; the 3-hour gap
+    // interpolates 4.0 at 11:00 and 6.0 at 12:00. user 2: single bucket.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1.0),
+      (1L, ts("2024-01-01 10:40:00"), 3.0),
+      (1L, ts("2024-01-01 13:30:00"), 8.0),
+      (2L, ts("2024-01-01 00:10:00"), 5.5)).toDF("user_id", "ts", "value")
+    val got = Analytics.interpolateLinear(ev, Seq("user_id"), "ts", "value")
+      .orderBy("user_id", "bucket")
+      .select(col("user_id"), col("bucket").cast("string"), col("n"), col("value"))
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 10:00:00", 2L, 2.0),
+      (1L, "2024-01-01 11:00:00", 0L, 4.0),
+      (1L, "2024-01-01 12:00:00", 0L, 6.0),
+      (1L, "2024-01-01 13:00:00", 1L, 8.0),
+      (2L, "2024-01-01 00:00:00", 1L, 5.5)))
+  }
 }

@@ -122,6 +122,26 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(got == (("g", 5.0)))
   }
 
+  test("bfsHops: chain distances, hop bound, unreachable component") {
+    // chain 1-2-3-4-5, disconnected pair 10-11, isolated seed 99
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // node 5 is 4 hops out -> cut by the bound; 10/11 unreachable;
+    // 99 not in the graph but still a hop-0 source
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (99L, 0L)))
+  }
+
+  test("bfsHops: min distance wins when two seeds reach a node") {
+    // 1-2-3-4-5 with seeds at both ends: 3 is 2 hops from either side
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.bfsHops(edges, Seq(1L, 5L).toDF("node"), maxHops = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 0L)))
+  }
+
   test("zValue: interleaves bits (x odd positions, y even)") {
     val df = Seq((3L, 1L)).toDF("x", "y")
     // x=0b11 -> bits at pos 1,3 = 0b1010; y=0b01 -> bit at pos 0 = 0b1
