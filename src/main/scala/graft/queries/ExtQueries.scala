@@ -565,6 +565,39 @@ object ExtQueries {
       | count(*) AS n_orc, CAST(sum(n_chars) AS BIGINT) AS chars_orc
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Bucketed-table co-located join surfaced end to end: both fact tables
+    * are written through the bucketed catalog sink (bucketBy + sortBy on
+    * the join key) and re-read for the join — the layout that makes every
+    * subsequent equi-join on that key exchange-free at 100 TB (the
+    * BucketingSpec pins the no-Exchange plan; this query proves the
+    * write → catalog → read → join path returns exactly what the plain
+    * parquet join returns).
+    */
+  val joinBucketed: QueryFn = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+      "jb_lineitem", s"$tmp/li", "l_orderkey", 16)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+      "jb_orders", s"$tmp/o", "o_orderkey", 16)
+    graft.sources.Bucketing.table(s, "jb_lineitem")
+      .join(graft.sources.Bucketing.table(s, "jb_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,6)")).cast("double").as("revenue"))
+  }
+  val joinBucketedSql: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey""".stripMargin
+
   /** Word-distribution entropy + type-token ratio per doc (repetitive /
     * low-diversity text detector). Entropy terms are rounded at 6 and
     * folded in DECIMAL on both sides, so the double sum is order-
@@ -1733,6 +1766,7 @@ object ExtQueries {
     "anomaly_zscore"       -> anomalyZscore,
     "multimodal_dedup"     -> multimodalDedup,
     "join_bloom"           -> joinBloom,
+    "join_bucketed"        -> joinBucketed,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1792,5 +1826,6 @@ object ExtQueries {
     "anomaly_zscore"      -> anomalyZscoreSql,
     "multimodal_dedup"    -> multimodalDedupSql,
     "join_bloom"          -> joinBloomSql,
+    "join_bucketed"       -> joinBucketedSql,
   )
 }
