@@ -343,6 +343,55 @@ object TextAnalysis {
           p => p.getField("__tok")), " ").as("clean_text"))
   }
 
+  /** The lift formula shared VERBATIM with the DuckDB oracle — both
+    * engines evaluate this one string over identical integer counts
+    * (`cab` pair count, `ca`/`cb` unigram counts, `nt`/`np` totals), so
+    * the float output is bit-identical. Lift = p(a,b) / (p(a)·p(b));
+    * PMI is its log2 — deliberately NOT taken here because transcendental
+    * functions are not correctly-rounded and differ across engines by
+    * ulps, while the divisions below are IEEE-exact.
+    */
+  val liftExpr: String =
+    "(CAST(cab AS DOUBLE) / np) / ((CAST(ca AS DOUBLE) / nt) * (CAST(cb AS DOUBLE) / nt))"
+
+  /** Windowed token collocation: ordered pairs (a before b, at most
+    * `window` tokens apart) with their association lift. Pairs with
+    * fewer than `minCount` occurrences are dropped, so the emitted row
+    * set is defined by exact integer counts alone.
+    *
+    * Scale shape: pair generation is a PER-ROW projection (an
+    * index-lambda over the token array — never a positional self-join),
+    * so the corpus is read once and the only exchanges carry (token) and
+    * (token, token) keys into map-side-combining counts. The unigram and
+    * pair-count tables are vocabulary-sized, so every probe join
+    * broadcasts; the corpus totals ride along as one-row broadcasts.
+    */
+  def collocationLift(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, minCount: Long = 50): DataFrame = {
+    val base = DataOps.parallelismFloor(
+        df.select(col(idCol), col(textCol).as("__t")))
+      .select(tokens(col("__t")).as("__toks"))
+      .localCheckpoint(false) // read by pair counts AND unigram counts
+    val pc = base.select(explode(expr(
+        s"""flatten(transform(__toks, (x, i) ->
+           |  transform(slice(__toks, i + 2, $window),
+           |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .localCheckpoint(false) // feeds the pair total AND the output
+    val uc = base.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds the token total AND both probes
+    val nt = uc.agg(sum(col("c")).as("nt"))
+    val np = pc.agg(sum(col("cab")).as("np"))
+    pc.where(col("cab") >= minCount)
+      .join(broadcast(uc.select(col("tok").as("a"), col("c").as("ca"))), Seq("a"))
+      .join(broadcast(uc.select(col("tok").as("b"), col("c").as("cb"))), Seq("b"))
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(np))
+      .select(col("a"), col("b"), col("cab"), expr(liftExpr).as("lift"))
+  }
+
   def ngramOverlap(corpus: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, n: Int, hashed: Boolean = false): DataFrame = {
     def grams(df: DataFrame, cols: Column*): DataFrame =

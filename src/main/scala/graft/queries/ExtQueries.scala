@@ -1666,6 +1666,38 @@ object ExtQueries {
       |LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.tpos = p.pos
       |GROUP BY p.doc_id""".stripMargin
 
+  /** Windowed token collocation lift (PMI's exact-rational core): which
+    * word pairs co-occur within 4 tokens more than independence predicts.
+    * The row set is count-defined (cab >= 50) and the lift is ONE shared
+    * expression over exact integer counts — float output, bit-identical.
+    */
+  val textCollocations: QueryFn = (s, dir) =>
+    TextAnalysis.collocationLift(Tables.documents(s, dir), "doc_id", "text",
+      window = 4, minCount = 50)
+  val textCollocationsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+       |), posed AS (
+       |  SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok FROM toks
+       |), pairs AS (
+       |  SELECT p.tok AS a, q.tok AS b
+       |  FROM posed p JOIN posed q
+       |    ON q.doc_id = p.doc_id AND q.i > p.i AND q.i <= p.i + 4
+       |), pc AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM pairs GROUP BY 1, 2
+       |), uc AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM posed GROUP BY 1
+       |), nt AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS nt FROM uc
+       |), np AS (
+       |  SELECT CAST(sum(cab) AS BIGINT) AS np FROM pc
+       |)
+       |SELECT pc.a, pc.b, pc.cab, ${TextAnalysis.liftExpr} AS lift
+       |FROM pc
+       |JOIN (SELECT tok AS a, c AS ca FROM uc) ua USING (a)
+       |JOIN (SELECT tok AS b, c AS cb FROM uc) ub USING (b), nt, np
+       |WHERE pc.cab >= 50""".stripMargin
+
   /** SemDeDup (banded): seeded single-pass cluster assignment + max
     * cosine to banded predecessors; replayed with the same ordered
     * double folds (list_prepend(0.0, …) mirrors the kernel's acc=0.0).
@@ -1712,6 +1744,7 @@ object ExtQueries {
     "dedup_substring"      -> dedupSubstring,
     "text_boilerplate"     -> textBoilerplate,
     "dedup_semantic"       -> dedupSemantic,
+    "text_collocations"    -> textCollocations,
     "text_scrub"           -> textScrub,
     "text_quality_flags"   -> textQualityFlags,
     "dedup_exact"          -> dedupExact,
@@ -1774,6 +1807,7 @@ object ExtQueries {
     "dedup_substring"     -> dedupSubstringSql,
     "text_boilerplate"    -> textBoilerplateSql,
     "dedup_semantic"      -> dedupSemanticSql,
+    "text_collocations"   -> textCollocationsSql,
     "text_scrub"          -> textScrubSql,
     "text_langid"         -> textLangIdSql,
     "text_quality_flags"  -> textQualityFlagsSql,

@@ -721,6 +721,29 @@ class ExtSpec extends AnyFunSuite with SparkTest {
       (1L, 5L, 3L, "a b"), (2L, 5L, 3L, "c d"), (3L, 5L, 3L, "e f")))
   }
 
+  test("collocationLift: hand-computed lifts, window respects doc boundary") {
+    // 3 docs, 6 tokens, 3 pairs; lift(x,y) = (2/3)/((3/6)*(2/6)) = 4.0
+    // and lift(x,z) = (1/3)/((3/6)*(1/6)) = 4.0 — both exact in doubles
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocationLift(docs, "doc_id", "text",
+      window = 4, minCount = 1)
+      .orderBy("a", "b").as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("x", "y", 2L, 4.0), ("x", "z", 1L, 4.0)))
+  }
+
+  test("collocationLift: minCount prunes and window bounds the pair distance") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.collocationLift(docs, "doc_id", "text",
+      window = 2, minCount = 1)
+      .select("a", "b").as[(String, String)].collect().toSet
+    // distance <= 2 only: (a,b),(a,c) but never (a,d)
+    assert(pairs.contains(("a", "b")) && pairs.contains(("a", "c")))
+    assert(!pairs.contains(("a", "d")))
+    val none = TextAnalysis.collocationLift(docs, "doc_id", "text",
+      window = 2, minCount = 2)
+    assert(none.isEmpty)
+  }
+
   test("semanticDedup: planted near-identical vectors dropped, keeper is nearest-to-centroid") {
     val rnd = new Random(7)
     // random directions (pairwise cosine ~ N(0, 1/16), never near 0.99)
