@@ -41,15 +41,23 @@ object Ivf {
     * Collected straight to the driver: the result is nCells rows, so the
     * collect IS the cheapest possible materialization — no DataFrame
     * round-trip, no checkpoint job between Lloyd iterations.
+    *
+    * Each coordinate is rounded at scale 6 and summed as an exact scaled
+    * long (the `vec_covariance` discipline), so the partial sums are
+    * order-independent — the Lloyd step is bit-identical however the
+    * partitions merge, which is what makes the WHOLE index replayable by
+    * the driver's DuckDB oracle (float partial sums in shuffle-arrival
+    * order were the one non-deterministic link in the chain).
     */
   private def recomputeArrays(assigned: DataFrame): Array[(Int, Array[Double])] = {
     val spark = assigned.sparkSession
     import spark.implicits._
     assigned.select(col("cell"), col("v")).as[(Int, Seq[Double])].rdd
-      .aggregateByKey((Array.empty[Double], 0L))(
+      .aggregateByKey((Array.empty[Long], 0L))(
         { case ((acc, n), v) =>
-          val a = if (acc.isEmpty) new Array[Double](v.length) else acc
-          var i = 0; while (i < v.length) { a(i) += v(i); i += 1 }
+          val a = if (acc.isEmpty) new Array[Long](v.length) else acc
+          var i = 0
+          while (i < v.length) { a(i) += Similarity.round6Scaled(v(i)); i += 1 }
           (a, n + 1)
         },
         { case ((a, na), (b, nb)) =>
@@ -59,7 +67,9 @@ object Ivf {
             (a, na + nb)
           }
         })
-      .map { case (cell, (s, n)) => (cell, s.map(_ / n)) }
+      // identical double expression to the oracle's
+      // CAST(s AS DOUBLE) / 1000000.0 / n
+      .map { case (cell, (s, n)) => (cell, s.map(_.toDouble / 1e6 / n)) }
       .collect()
       .sortBy(_._1)
   }
@@ -81,7 +91,10 @@ object Ivf {
     val stride = math.max(n / (4L * nCells), 1L)
     val slim = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val picked = slim.where(pmod(xxhash64(col("id")), lit(stride)) === 0)
+    // splitmix64 (HashExprs.mix64), not xxhash64: any good hash works for
+    // stride sampling, and mix64 already has an exact HUGEINT replay in
+    // the DuckDB oracles (sample_bottomk) — keeping the init replayable.
+    val picked = slim.where(pmod(HashExprs.mix64(col("id")), lit(stride)) === 0)
       .orderBy("id").collect()
     val base =
       if (picked.length >= nCells) picked

@@ -185,7 +185,7 @@ object Similarity {
     * decimal HALF_UP) it falls back to exact BigDecimal rounding — the
     * same per-term discipline as the dsum/entropy/bm25 oracles.
     */
-  @inline private def round6Scaled(x: Double): Long = {
+  @inline private[ext] def round6Scaled(x: Double): Long = {
     val t = x * 1e6
     val fl = math.floor(t)
     if (math.abs(t - fl - 0.5) < 1e-6)

@@ -403,7 +403,13 @@ object ExtQueries {
       |FROM scored
       |QUALIFY rank <= 5""".stripMargin
 
-  /** IVF-probed ANN: k-means-lite cells, nProbe=2 (approximate — rows-only). */
+  /** IVF-probed ANN: k-means-lite cells, nProbe=2. The WHOLE index chain
+    * is bit-replayed: splitmix64 stride-sampled init (the sample_bottomk
+    * HUGEINT chain), normalized-centroid argmax assignment (ordered
+    * double folds, ties to the smallest cell), ONE Lloyd step with
+    * scaled-long coordinate sums (order-independent — the link that used
+    * to force rows-only), re-assignment, and the probed top-5.
+    */
   val annIvf: QueryFn = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.orderBy("vec_id").limit(20)
@@ -411,6 +417,121 @@ object ExtQueries {
     val assigned = graft.ext.Ivf.assign(emb, centroids)
     graft.ext.Ivf.search(queries, assigned, centroids, k = 5, nProbe = 2)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** The splitmix64 HUGEINT chain over `id` (same as sampleBottomKSql),
+    * ending in a signed BIGINT `hv`, with `cols` carried through.
+    */
+  private def mix64Cte(src: String, cols: String): String =
+    s"""h0 AS (SELECT $cols,
+       |    (id::HUGEINT + 11400714819323198485) % 18446744073709551616 AS x FROM $src
+       |), h1 AS (SELECT $cols, xor(x, x // 1073741824) AS x FROM h0
+       |), h2 AS (SELECT $cols,
+       |    ((x % 4294967296) * 13787848793156543929::HUGEINT
+       |     + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+       |    ) % 18446744073709551616 AS x FROM h1
+       |), h3 AS (SELECT $cols, xor(x, x // 134217728) AS x FROM h2
+       |), h4 AS (SELECT $cols,
+       |    ((x % 4294967296) * 10723151780598845931::HUGEINT
+       |     + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+       |    ) % 18446744073709551616 AS x FROM h3
+       |), h5 AS (SELECT $cols, xor(x, x // 2147483648) AS x FROM h4
+       |), hs AS (SELECT $cols,
+       |    CASE WHEN x >= 9223372036854775808
+       |         THEN (x - 18446744073709551616)::BIGINT ELSE x::BIGINT END AS hv FROM h5)""".stripMargin
+
+  /** Ordered-fold dot product of two list columns (the native DotProduct
+    * kernel's exact order: 0.0-seeded ascending adds — and adding the
+    * first term to 0.0 is float-exact, so the seedless list_reduce
+    * matches bit for bit).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (p, q) -> p + q)"
+
+  val annIvfSql: String = {
+    // one normalized-argmax assignment pass: cells from `cents`, output (id, v, cell)
+    def assignCte(cents: String, out: String): String =
+      s"""${out}_n AS (
+         |  SELECT cell, cv,
+         |    sqrt(list_reduce(list_transform(cv, x -> x * x), (p, q) -> p + q)) AS nrm
+         |  FROM $cents
+         |), ${out}_u AS (
+         |  SELECT cell,
+         |    CASE WHEN nrm = 0 THEN cv ELSE list_transform(cv, x -> x / nrm) END AS ncv
+         |  FROM ${out}_n
+         |), ${out}_s AS (
+         |  SELECT e.id, e.v, c.cell, ${dotSql("e.v", "c.ncv")} AS s
+         |  FROM emb e CROSS JOIN ${out}_u c
+         |), $out AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT id, v, cell,
+         |      row_number() OVER (PARTITION BY id ORDER BY s DESC, cell ASC) AS rn
+         |    FROM ${out}_s) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH emb AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), st AS (SELECT greatest(count(*) // 64, 1) AS stride FROM emb),
+       |${mix64Cte("emb", "id, v")},
+       |picked AS (
+       |  SELECT id, v FROM hs, st WHERE ((hv % stride) + stride) % stride = 0
+       |), pc AS (SELECT count(*) AS c FROM picked),
+       |base AS (
+       |  SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS idx
+       |  FROM picked WHERE (SELECT c FROM pc) >= 16
+       |  UNION ALL
+       |  SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS idx
+       |  FROM (SELECT id, v FROM emb ORDER BY id LIMIT 16)
+       |  WHERE (SELECT c FROM pc) < 16
+       |), stp AS (SELECT greatest(count(*) // 16, 1) AS step FROM base),
+       |cents0 AS (
+       |  SELECT CAST(idx // step AS INT) AS cell, v AS cv
+       |  FROM base, stp WHERE idx % step = 0 AND idx // step < 16
+       |),
+       |${assignCte("cents0", "asg0")},
+       |lloyd AS (
+       |  SELECT cell, d.i AS dim,
+       |    CAST(sum(CAST(round(v[d.i], 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sv,
+       |    count(*) AS n
+       |  FROM asg0, unnest(generate_series(1, len(v))) d(i)
+       |  GROUP BY 1, 2
+       |), cents1 AS (
+       |  SELECT cell, list(CAST(sv AS DOUBLE) / 1000000.0 / n ORDER BY dim) AS cv
+       |  FROM lloyd GROUP BY cell
+       |),
+       |${assignCte("cents1", "asg1")},
+       |qq AS (
+       |  SELECT id AS query_id, v AS qv,
+       |    sqrt(list_reduce(list_transform(v, x -> x * x), (p, q) -> p + q)) AS qn
+       |  FROM (SELECT id, v FROM emb ORDER BY id LIMIT 20)
+       |), cc AS (
+       |  SELECT cell, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x * x), (p, q) -> p + q)) AS cn
+       |  FROM cents1
+       |), probes AS (
+       |  SELECT query_id, qv, qn, cell FROM (
+       |    SELECT query_id, qv, qn, cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell ASC) AS pr
+       |    FROM (
+       |      SELECT q.query_id, q.qv, q.qn, c.cell,
+       |        ${dotSql("q.qv", "c.cv")} / (q.qn * c.cn) AS csim
+       |      FROM qq q CROSS JOIN cc c)) WHERE pr <= 2
+       |), corp AS (
+       |  SELECT id AS neighbor_id, v, cell,
+       |    sqrt(list_reduce(list_transform(v, x -> x * x), (p, q) -> p + q)) AS vn
+       |  FROM asg1
+       |), cand AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    ${dotSql("p.qv", "a.v")} / (p.qn * a.vn) AS cosine
+       |  FROM probes p JOIN corp a USING (cell)
+       |  WHERE p.query_id <> a.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |FROM cand
+       |QUALIFY rank <= 5""".stripMargin
   }
 
   // --- text analysis -------------------------------------------------------
@@ -1826,6 +1947,7 @@ object ExtQueries {
     "dedup_embed_cosine"  -> dedupEmbedCosineSql,
     "ann_topk"            -> annTopKSql,
     "ann_lsh"             -> annLshSql,
+    "ann_ivf"             -> annIvfSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,
     "text_entropy"        -> textEntropySql,
