@@ -127,6 +127,34 @@ object DataOps {
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
 
+  /** Per-key mergeable aggregate state — the maintained half of
+    * incremental view maintenance: (cnt, sum6, vmin, vmax) where `sum6`
+    * is the round-at-6 DECIMAL sum (exact, order-independent — the dsum
+    * discipline — and, critically, ASSOCIATIVE, which is what makes the
+    * state re-mergeable without drift).
+    */
+  def aggState(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(col(valCol)).as("cnt"),
+        sum(round(col(valCol), 6).cast("decimal(30,6)")).as("sum6"),
+        min(col(valCol)).as("vmin"), max(col(valCol)).as("vmax"))
+
+  /** Merge a delta batch's aggregate state into the maintained state —
+    * incremental view maintenance for the distributive aggregates
+    * (count/sum/min/max; avg = sum/cnt at read time). The 100 TB point:
+    * each refresh touches `O(|state| + |delta|)` rows — the fact history
+    * is NEVER re-scanned — and because every column is associative +
+    * commutative, merged state is bit-equal to a full recompute (the
+    * `agg_incremental` oracle pins exactly that equality).
+    */
+  def mergeAggState(state: DataFrame, deltaState: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    state.unionByName(deltaState)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum6")).cast("decimal(30,6)").as("sum6"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+
   /** Mixture weighting by integer epoch counts: each row is replicated
     * `weight(source)` times with a 1-based `rep` index (the "3 epochs of
     * wiki, 1 of web" dataset-assembly step). Weight-0 sources drop out.

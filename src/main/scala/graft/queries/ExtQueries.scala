@@ -686,6 +686,33 @@ object ExtQueries {
       | count(*) AS n_orc, CAST(sum(n_chars) AS BIGINT) AS chars_orc
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Incremental aggregate maintenance, proven against the full recompute:
+    * the event history is split at (max ts − 7 days), the old half's
+    * per-type aggregate state is merged with the new half's delta state,
+    * and the result must hash-match a single-pass aggregate over ALL
+    * events — the associativity guarantee that lets a 100 TB pipeline
+    * refresh aggregates from deltas without ever re-scanning history.
+    */
+  val aggIncremental: QueryFn = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val cut = ev.agg((max(col("ts")) - expr("interval 7 days")).as("__cut"))
+    val split = ev.crossJoin(broadcast(cut))
+    val history = split.where(col("ts") <= col("__cut"))
+    val delta = split.where(col("ts") > col("__cut"))
+    DataOps.mergeAggState(
+        DataOps.aggState(history, Seq("event_type"), "value"),
+        DataOps.aggState(delta, Seq("event_type"), "value"),
+        Seq("event_type"))
+      .select(col("event_type"), col("cnt"),
+        col("sum6").cast("double").as("sum_value"),
+        col("vmin").as("min_value"), col("vmax").as("max_value"))
+  }
+  val aggIncrementalSql: String =
+    """SELECT event_type, CAST(count(value) AS BIGINT) AS cnt,
+      | CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+      | min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Bucketed-table co-located join surfaced end to end: both fact tables
     * are written through the bucketed catalog sink (bucketBy + sortBy on
     * the join key) and re-read for the join — the layout that makes every
@@ -1921,6 +1948,7 @@ object ExtQueries {
     "multimodal_dedup"     -> multimodalDedup,
     "join_bloom"           -> joinBloom,
     "join_bucketed"        -> joinBucketed,
+    "agg_incremental"      -> aggIncremental,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1983,5 +2011,6 @@ object ExtQueries {
     "multimodal_dedup"    -> multimodalDedupSql,
     "join_bloom"          -> joinBloomSql,
     "join_bucketed"       -> joinBucketedSql,
+    "agg_incremental"     -> aggIncrementalSql,
   )
 }

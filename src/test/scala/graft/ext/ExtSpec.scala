@@ -701,6 +701,31 @@ class ExtSpec extends AnyFunSuite with SparkTest {
       ("join", 1L, "3"), ("spark", 2L, "1,3"), ("vector", 1L, "1")))
   }
 
+  test("mergeAggState: chained delta merges equal the single-pass aggregate") {
+    val full = Seq(
+      ("a", Some(1.5)), ("a", Some(-2.25)), ("a", None),
+      ("b", Some(7.0)), ("b", Some(0.125)), ("c", None))
+      .toDF("k", "value")
+    // three arbitrary delta batches, merged pairwise
+    val parts = Seq(full.limit(2), full.offset(2).limit(2), full.offset(4))
+    val merged = parts.map(p => DataOps.aggState(p, Seq("k"), "value"))
+      .reduce((a, b) => DataOps.mergeAggState(a, b, Seq("k")))
+      .select(col("k"), col("cnt"), col("sum6").cast("double"),
+        col("vmin"), col("vmax"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    val single = DataOps.aggState(full, Seq("k"), "value")
+      .select(col("k"), col("cnt"), col("sum6").cast("double"),
+        col("vmin"), col("vmax"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    assert(merged == single)
+    assert(single == Seq(
+      ("a", 2L, Some(-0.75), Some(-2.25), Some(1.5)),
+      ("b", 2L, Some(7.125), Some(0.125), Some(7.0)),
+      ("c", 0L, None, None, None)))
+  }
+
   test("duplicatedSpans: planted shared run flagged, spans merge, unique doc clean") {
     // docs 1 and 2 share tokens 0..9 (two overlapping 8-gram windows ->
     // ONE merged span of 10 tokens); doc 3 shares nothing
