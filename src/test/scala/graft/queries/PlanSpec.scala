@@ -296,4 +296,33 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       .findAllIn(tr).size
     assert(equiJoins >= 2, tr)
   }
+
+  test("ts_interpolate: scan pruned to the fold inputs; keyed joins only") {
+    val p = plan(GraphQueries.tsInterpolate(spark, dir))
+    assert(!p.contains("props"), "props leaked into the interpolation:\n" + p)
+    assert(!p.contains("event_type"), "event_type read but unused:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_collocations: vocabulary probes broadcast — the corpus never sort-merges") {
+    val p = plan(ExtQueries.textCollocations(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "unigram/pair probes must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-sized shuffle join crept into the probe path:\n" + p)
+  }
+
+  test("graph_bfs: frontier levels are keyed joins, never cartesian") {
+    val p = plan(GraphQueries.graphBfs(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("agg_incremental: two-phase aggregation, events scan pruned") {
+    val p = plan(ExtQueries.aggIncremental(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("props"), "props leaked into the aggregate state:\n" + p)
+    assert(!p.contains("user_id"), "user_id read but unused:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
