@@ -70,4 +70,38 @@ object Vocab {
     learned.result().toDF("rank", "left", "right", "merged", "pair_count")
       .withColumn("rank", col("rank").cast("long"))
   }
+
+  /** Apply learned merges to the corpus (Sennrich-style BPE ENCODE: each
+    * merge rewrites the whole corpus in learned-rank order) and return
+    * the resulting subword-piece frequency table (piece, cnt) — the
+    * tokenized-corpus unigram view an LLM pipeline feeds to sampling /
+    * vocab-coverage checks.
+    *
+    * Scale shape: identical to `bpeTrain` — one corpus pass builds the
+    * word-TYPE frequency table, and everything after runs on the compact
+    * type table. The merge chain compiles to ONE nested-`replace`
+    * projection (merges are driver-side constants — codegen'd, no UDF,
+    * no per-merge job), and `replace` is greedy left-to-right
+    * non-overlapping in both engines, so encode replays exactly: applying
+    * the k ranked merges to the initial word table IS the train chain's
+    * final state.
+    */
+  def bpeEncode(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = DataOps.parallelismFloor(docs.select(col(textCol).as("__t")))
+      .select(explode(TextAnalysis.tokens(col("__t"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("s",
+        concat(lit("|"),
+          array_join(transform(split(col("word"), ""), c => c), "|"),
+          lit("|")))
+    val enc = merges.foldLeft("s") { case (e, (l, r)) =>
+      s"replace($e, '|$l|$r|', '|$l$r|')"
+    }
+    words
+      .select(col("cnt"),
+        explode(expr(s"filter(split($enc, '\\\\|'), x -> x != '')")).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+  }
 }

@@ -597,6 +597,48 @@ object ExtQueries {
        |$rows""".stripMargin
   }
 
+  /** BPE encode over the corpus with the 6 trained merges: the subword
+    * piece frequency table. The oracle reuses the train chain's unrolled
+    * stages — applying ranked merges to the word table IS the chain's
+    * final state (`w6`), so encode replays for free.
+    */
+  val tokenizeBpe: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ext.Vocab.bpeTrain(docs, "text", merges = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ext.Vocab.bpeEncode(docs, "text", merges)
+  }
+  val tokenizeBpeSql: String = {
+    // the same six unrolled train stages as vocabBpeSql...
+    def stage(n: Int): String = {
+      val prev = s"w${n - 1}"
+      s"""p$n AS (
+         |  SELECT t[i] AS l, t[i + 1] AS r, sum(cnt) AS c
+         |  FROM (SELECT cnt, string_split(s, '|') AS t FROM $prev),
+         |       unnest(generate_series(2, len(t) - 2)) u(i)
+         |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1
+         |), w$n AS (
+         |  SELECT cnt, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
+         |  FROM $prev, p$n
+         |)""".stripMargin
+    }
+    val stages = (1 to 6).map(stage).mkString(",\n")
+    // ...but the encode output is just the final state's piece counts
+    s"""WITH w0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+       |    '|' || array_to_string(regexp_extract_all(word, '.'), '|') || '|' AS s
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY word
+       |),
+       |$stages
+       |SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+       |FROM (SELECT cnt, unnest(string_split(s, '|')) AS piece FROM w6)
+       |WHERE piece <> '' GROUP BY piece""".stripMargin
+  }
+
   /** Keyless range join at scale: events falling inside "incident windows"
     * (hours with >= 2 errors), via `Joins.pointInIntervalJoin` — the
     * binned equi-join form, never a nested loop over points × intervals.
@@ -1912,6 +1954,7 @@ object ExtQueries {
     "vec_covariance"       -> vecCovariance,
     "range_join_binned"    -> rangeJoinBinned,
     "vocab_bpe"            -> vocabBpe,
+    "tokenize_bpe"         -> tokenizeBpe,
     "dedup_containment"    -> dedupContainment,
     "text_langid"          -> textLangId,
     "text_fingerprint"     -> textFingerprint,
@@ -1983,6 +2026,7 @@ object ExtQueries {
     "vec_covariance"      -> vecCovarianceSql,
     "range_join_binned"   -> rangeJoinBinnedSql,
     "vocab_bpe"           -> vocabBpeSql,
+    "tokenize_bpe"        -> tokenizeBpeSql,
     "training_set"        -> trainingSetSql,
     "dedup_containment"   -> dedupContainmentSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -51,6 +51,29 @@ class ExtSpec extends AnyFunSuite with SparkTest {
       (3L, "e", "we", "ewe", 4L)))
   }
 
+  test("bpeEncode: ranked merges apply in order; unmerged words stay char-split") {
+    val docs = Seq((1L, "ab ab abc xy")).toDF("doc_id", "text")
+    val got = Vocab.bpeEncode(docs, "text", Seq(("a", "b"), ("ab", "c")))
+      .orderBy("piece").as[(String, Long)].collect().toSeq
+    // "ab"x2 -> one piece each; "abc" -> merge 1 gives |ab|c|, merge 2
+    // fuses it; "xy" has no applicable merge -> single chars
+    assert(got == Seq(("ab", 2L), ("abc", 1L), ("x", 1L), ("y", 1L)))
+  }
+
+  test("bpeEncode with bpeTrain's merges reproduces the train chain's final state") {
+    val docs = Seq(
+      (1L, "low low low"), (2L, "lower lower"),
+      (3L, "newest newest newest newest")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(docs, "text", merges = 3)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Vocab.bpeEncode(docs, "text", merges)
+      .orderBy("piece").as[(String, Long)].collect().toSeq
+    // after (w,e)(l,o)(e,we): low=|lo|w|, lower=|lo|we|r|, newest=|n|ewe|s|t|
+    assert(got == Seq(
+      ("ewe", 4L), ("lo", 5L), ("n", 4L), ("r", 2L),
+      ("s", 4L), ("t", 4L), ("w", 3L), ("we", 2L)))
+  }
+
   test("pointInIntervalJoin == naive range join; half-open boundaries") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val points = Seq(
