@@ -309,6 +309,42 @@ object Similarity {
         (col("__nn").isNull || col("__nn") < tau).as("keep"))
   }
 
+  /** The ±1 sign matrix of the sparse JL projection, keyed by
+    * splitmix64(i·k + d) — a pure function of the coordinates, so the
+    * "random" matrix needs no storage, no RNG state, and replays exactly
+    * (the sample_bottomk HUGEINT chain) in the DuckDB oracle.
+    */
+  private[ext] def projectionSigns(dIn: Int, k: Int): Array[Array[Double]] =
+    Array.tabulate(k, dIn)((d, i) =>
+      if (Aggs.mix64((i * k + d).toLong) >= 0L) 1.0 else -1.0)
+
+  /** Johnson–Lindenstrauss random projection to `k` dimensions: each
+    * output coordinate is Σᵢ vᵢ·±1, signs from the hash matrix above
+    * (apply 1/√k scaling downstream if unit-norm preservation matters —
+    * kept unscaled here so the output is an exact DECIMAL sum).
+    *
+    * Scale shape: the sign matrix is a driver-side LITERAL compiled into
+    * ONE codegen'd per-row projection — no matrix join, no explode, no
+    * shuffle of any kind (the matrix-join formulation would shuffle k×
+    * the corpus). Terms are rounded at 6 and accumulated in DECIMAL, so
+    * the sums are order-independent and engine-identical.
+    */
+  def randomProject(df: DataFrame, k: Int = 16, dIn: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val signs = projectionSigns(dIn, k)
+    val matLit = signs
+      .map(row => row.mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform($matLit, sd -> CAST(
+           |  aggregate(sequence(0, $dIn - 1), CAST(0.0 AS DECIMAL(30,6)),
+           |    (acc, i) -> CAST(acc + CAST(round(__v[i] * sd[i], 6)
+           |      AS DECIMAL(30,6)) AS DECIMAL(30,6)))
+           |  AS DOUBLE))""".stripMargin)))
+      .select(col(idCol), col("pos").cast("long").as("d"), col("col").as("proj"))
+  }
+
   def meanVectors(df: DataFrame, keyCol: String,
       vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession

@@ -666,6 +666,32 @@ object ExtQueries {
       |  ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 1 HOUR
       |GROUP BY 1""".stripMargin
 
+  /** JL random projection of the embedding corpus to 16 dims: the sign
+    * matrix is splitmix64-keyed (replayed with the HUGEINT chain), terms
+    * are round-at-6 DECIMAL sums — the Spark side runs it as one
+    * shuffle-free literal-matrix projection, the oracle as a matrix join,
+    * and the results must still agree exactly.
+    */
+  val vecProject: QueryFn = (s, dir) =>
+    graft.ext.Similarity.randomProject(Tables.embeddings(s, dir), k = 16, dIn = 64)
+  val vecProjectSql: String =
+    s"""WITH emb AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), keys AS (
+       |  SELECT i.i AS i, d.d AS d, CAST(i.i * 16 + d.d AS BIGINT) AS id
+       |  FROM range(0, 64) i(i), range(0, 16) d(d)
+       |),
+       |${mix64Cte("keys", "i, d")},
+       |mat AS (
+       |  SELECT i, d, CASE WHEN hv >= 0 THEN 1.0 ELSE -1.0 END AS sgn FROM hs
+       |)
+       |SELECT e.vec_id, CAST(m.d AS BIGINT) AS d,
+       |  CAST(sum(CAST(round(e.v[m.i + 1] * m.sgn, 6) AS DECIMAL(30,6))) AS DOUBLE) AS proj
+       |FROM emb e CROSS JOIN mat m
+       |GROUP BY 1, 2""".stripMargin
+
   /** Embedding-space covariance matrix (PCA/whitening precursor): one
     * treeAggregate pass, d(d+1)/2-cell accumulator, rounded at 6 (the
     * mean_vectors convention — see Similarity.covarianceMatrix).
@@ -1952,6 +1978,7 @@ object ExtQueries {
     "text_entropy"         -> textEntropy,
     "source_formats"       -> sourceFormats,
     "vec_covariance"       -> vecCovariance,
+    "vec_project"          -> vecProject,
     "range_join_binned"    -> rangeJoinBinned,
     "vocab_bpe"            -> vocabBpe,
     "tokenize_bpe"         -> tokenizeBpe,
@@ -2024,6 +2051,7 @@ object ExtQueries {
     "text_entropy"        -> textEntropySql,
     "source_formats"      -> sourceFormatsSql,
     "vec_covariance"      -> vecCovarianceSql,
+    "vec_project"         -> vecProjectSql,
     "range_join_binned"   -> rangeJoinBinnedSql,
     "vocab_bpe"           -> vocabBpeSql,
     "tokenize_bpe"        -> tokenizeBpeSql,

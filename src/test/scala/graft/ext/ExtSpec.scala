@@ -724,6 +724,26 @@ class ExtSpec extends AnyFunSuite with SparkTest {
       ("join", 1L, "3"), ("spark", 2L, "1,3"), ("vector", 1L, "1")))
   }
 
+  test("randomProject: matches the driver-side sign-matrix recompute") {
+    val rnd = new Random(5)
+    val data = (0L until 20L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df.repartition(7), k = 4, dIn = 8)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val signs = Similarity.projectionSigns(8, 4)
+    val want = (for {
+      (id, v) <- data
+      d <- 0 until 4
+    } yield {
+      val sum = (0 until 8).map { i =>
+        BigDecimal(v(i).toDouble * signs(d)(i))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (id, d.toLong, sum.toDouble)
+    }).sorted
+    assert(got == want)
+  }
+
   test("mergeAggState: chained delta merges equal the single-pass aggregate") {
     val full = Seq(
       ("a", Some(1.5)), ("a", Some(-2.25)), ("a", None),
