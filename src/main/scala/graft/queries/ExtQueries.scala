@@ -763,10 +763,14 @@ object ExtQueries {
     */
   val aggIncremental: QueryFn = (s, dir) => {
     val ev = Tables.events(s, dir)
+    // the cutoff is a driver-side scalar, not a broadcast join: as a
+    // LITERAL the two half-filters are plain pushable predicates (a
+    // runtime cutoff column rides a nested-loop broadcast join under
+    // every scan and blocks pushdown)
     val cut = ev.agg((max(col("ts")) - expr("interval 7 days")).as("__cut"))
-    val split = ev.crossJoin(broadcast(cut))
-    val history = split.where(col("ts") <= col("__cut"))
-    val delta = split.where(col("ts") > col("__cut"))
+      .head().getTimestamp(0)
+    val history = ev.where(col("ts") <= lit(cut))
+    val delta = ev.where(col("ts") > lit(cut))
     DataOps.mergeAggState(
         DataOps.aggState(history, Seq("event_type"), "value"),
         DataOps.aggState(delta, Seq("event_type"), "value"),
