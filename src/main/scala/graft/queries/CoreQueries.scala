@@ -1197,9 +1197,65 @@ object CoreQueries {
     s.sql(q61Sql)
   }
 
+  // ---------------------------------------------------------------------------
+  // q62_sliding_window — hopping (overlapping) event-time windows: 2-hour
+  // span sliding every 30 minutes, so each event lands in exactly 4
+  // windows. The oracle replays Spark's epoch-aligned assignment: the
+  // last covering start is floor(epoch/slide)·slide and the rest step
+  // back by the slide.
+  // ---------------------------------------------------------------------------
+  val q62SlidingWindow: QueryFn = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("value_sum"))
+  }
+  val q62Sql: String =
+    """SELECT make_timestamp(CAST((floor(epoch(ts)/1800)*1800 - k.k*1800)
+      |    * 1000000 AS BIGINT)) AS w_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+      |FROM events, unnest(generate_series(0, 3)) k(k)
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q63_session_window — native session windows (ST3's data-driven
+  // sibling): per-user activity sessions closed by a 30-minute gap;
+  // window end = last event + gap. Replayed by the gaps-and-islands
+  // construction — pinning Spark's session_window to the explicit SQL
+  // semantics the custom sessionize operator also uses.
+  // ---------------------------------------------------------------------------
+  val q63SessionWindow: QueryFn = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n"))
+  }
+  val q63Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), isl AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id, min(ts) AS s_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM isl GROUP BY user_id, sid""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "q60_filtered_agg"  -> q60FilteredAgg,
     "q61_try_cast"      -> q61TryCast,
+    "q62_sliding_window"-> q62SlidingWindow,
+    "q63_session_window"-> q63SessionWindow,
     "q57_recursive_cte" -> q57RecursiveCte,
     "q58_corr_regr"     -> q58CorrRegr,
     "q59_bitwise"       -> q59Bitwise,
@@ -1276,6 +1332,8 @@ object CoreQueries {
     "q59_bitwise"       -> q59Sql,
     "q60_filtered_agg"  -> q60Sql,
     "q61_try_cast"      -> q61Sql,
+    "q62_sliding_window"-> q62Sql,
+    "q63_session_window"-> q63Sql,
     "q44_rank_family"   -> q44Sql,
     "q45_date_functions"-> q45Sql,
     "q46_array_functions"-> q46Sql,
