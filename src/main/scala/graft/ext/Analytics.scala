@@ -100,6 +100,42 @@ object Analytics {
           (s, x) => x.getField("v") * a + s * (lit(1.0) - a)).as("ewma"))
   }
 
+  /** Linear (multi-touch) attribution: each conversion splits one unit of
+    * credit equally across the user's touch events in the lookback
+    * window (`(conv_ts − window, conv_ts]`). Returns per touch type:
+    * `(touch_type, conversions_touched, credit)`.
+    *
+    * Determinism: per-conversion credit is round(1/n, 6) (an exact
+    * integer-derived rational) summed in DECIMAL — order-independent,
+    * so the float total hash-matches the replay.
+    *
+    * Scale: the conversions×touches match is a USER-KEYED band join
+    * (per-user fan-out is bounded by per-user activity — never a
+    * cartesian), followed by two conversion-keyed aggregations; shuffles
+    * carry (user) and (conversion id) keys only.
+    */
+  def attributionLinear(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, convType: String,
+      touchTypes: Seq[String], windowDays: Int = 7): DataFrame = {
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(idCol).as("__cid"), col(userCol).as("__u"), col(tsCol).as("__ct"))
+    val touch = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(tsCol).as("__tt"),
+        col(typeCol).as("touch_type"))
+    val m = conv.join(touch,
+        Seq("__u"))
+      .where(col("__tt") <= col("__ct") &&
+        col("__tt") > col("__ct") - expr(s"interval $windowDays days"))
+      .select(col("__cid"), col("touch_type"))
+      .localCheckpoint(false) // read by the per-conversion total AND the credit sum
+    val tot = m.groupBy("__cid").agg(count(lit(1)).as("__n"))
+    m.join(tot, Seq("__cid"))
+      .groupBy("touch_type")
+      .agg(countDistinct(col("__cid")).as("conversions_touched"),
+        sum(round(lit(1.0) / col("__n"), 6).cast("decimal(30,6)"))
+          .cast("double").as("credit"))
+  }
+
   /** The interpolation formula shared VERBATIM with the DuckDB oracle:
     * both engines evaluate this one SQL string over identical integer
     * inputs (scaled-long bucket sums `psv`/`nsv`, counts `pn`/`nn`,

@@ -116,6 +116,33 @@ object GraphQueries {
       |WHERE value IS NOT NULL
       |GROUP BY 1""".stripMargin
 
+  /** Linear multi-touch attribution: purchases split unit credit across
+    * the user's views/clicks in the preceding 7 days. Per-conversion
+    * credits are round(1/n, 6) DECIMAL sums — order-independent floats.
+    */
+  val attributionLinear: QueryFn = (s, dir) =>
+    Analytics.attributionLinear(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "event_id", "purchase", Seq("view", "click"), windowDays = 7)
+
+  val attributionLinearSql: String =
+    """WITH conv AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |), touch AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('view', 'click')
+      |), m AS (
+      |  SELECT c.event_id, t.event_type AS touch_type
+      |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+      |    AND t.ts <= c.ts AND t.ts > c.ts - INTERVAL 7 DAY
+      |), tot AS (
+      |  SELECT event_id, count(*) AS n FROM m GROUP BY 1
+      |)
+      |SELECT m.touch_type,
+      |  CAST(count(DISTINCT m.event_id) AS BIGINT) AS conversions_touched,
+      |  CAST(sum(CAST(round(1.0 / tot.n, 6) AS DECIMAL(30,6))) AS DOUBLE) AS credit
+      |FROM m JOIN tot USING (event_id)
+      |GROUP BY 1""".stripMargin
+
   /** Hourly per-user value series, densified and linearly interpolated
     * (the gap-fill step before windowed models). Bucket means are exact
     * scaled-long statistics; the interpolation itself is ONE shared
@@ -215,6 +242,7 @@ object GraphQueries {
     "graph_bfs"       -> graphBfs,
     "ts_ewma"         -> tsEwma,
     "ts_interpolate"  -> tsInterpolate,
+    "attribution_linear" -> attributionLinear,
     "anomaly_mad"     -> anomalyMad,
     "layout_zorder"   -> layoutZorder,
   )
@@ -225,6 +253,7 @@ object GraphQueries {
     "graph_bfs"       -> graphBfsSql,
     "ts_ewma"         -> tsEwmaSql,
     "ts_interpolate"  -> tsInterpolateSql,
+    "attribution_linear" -> attributionLinearSql,
     "anomaly_mad"     -> anomalyMadSql,
     "layout_zorder"   -> layoutZorderSql,
   )

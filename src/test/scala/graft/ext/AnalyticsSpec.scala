@@ -104,6 +104,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkTest {
       (2L, 1L, r6(lpB))))
   }
 
+  test("attributionLinear: credit splits across in-window touches only") {
+    // u1 purchase at day 10: touches = view(d4, in window), click(d9, in
+    // window), view(d1, OUT of the 7-day window) -> 1/2 credit each.
+    // u2 purchase at d20: one click (d19) -> full credit. Another user's
+    // touch never matches.
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 1L, ts("2024-01-04 00:00:00"), "view"),
+      (3L, 1L, ts("2024-01-09 00:00:00"), "click"),
+      (4L, 1L, ts("2024-01-10 00:00:00"), "purchase"),
+      (5L, 2L, ts("2024-01-19 00:00:00"), "click"),
+      (6L, 2L, ts("2024-01-20 00:00:00"), "purchase"),
+      (7L, 3L, ts("2024-01-09 12:00:00"), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Analytics.attributionLinear(ev, "user_id", "ts", "event_type",
+      "event_id", "purchase", Seq("view", "click"), windowDays = 7)
+      .orderBy("touch_type")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("click", 2L, 1.5), ("view", 1L, 0.5)))
+  }
+
   test("interpolateLinear: gaps fill linearly, observed buckets keep their mean") {
     // user 1: 10:00 -> mean 2.0 (two obs), 13:00 -> 8.0; the 3-hour gap
     // interpolates 4.0 at 11:00 and 6.0 at 12:00. user 2: single bucket.

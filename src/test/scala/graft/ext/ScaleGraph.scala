@@ -58,6 +58,18 @@ object ScaleGraph {
       s"edges ${tri.getLong(1)}, want ${n + blocks * (k - 2)}")
     assert(tri.getLong(2) == n, s"nodes ${tri.getLong(2)}, want $n")
 
+    // multi-source BFS from every block center: the star edges put each
+    // non-center exactly 1 hop from its center — an exact closed form —
+    // and the empty hop-2 frontier exercises the early-exit path
+    val bfs = t("bfs-centers") {
+      val seeds = spark.range(0, n, k, spark.sparkContext.defaultParallelism)
+        .select(col("id").as("node"))
+      Graph.bfsHops(edges, seeds, maxHops = 2)
+        .groupBy("hops").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(bfs == Map(0L -> blocks, 1L -> (n - blocks)), s"bfs hops $bfs")
+
     val pr = t("pagerank-3") {
       Graph.pagerank(edges, iterations = 3)
         .select(col("node"), col("rank_scaled"), (col("node") % k === 0).as("c"))
