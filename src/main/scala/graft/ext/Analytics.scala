@@ -212,6 +212,57 @@ object Analytics {
         expr(interpValueExpr).as("value")): _*)
   }
 
+  /** The CUSUM reference and slack shared VERBATIM with the DuckDB
+    * oracle, over exact scaled-long sufficient statistics (cnt, sx,
+    * sxx): mu is the group mean, kappa = σ/2 the standard slack.
+    */
+  val cusumMuExpr: String = "(CAST(sx AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE))"
+  val cusumKappaExpr: String = {
+    val n = "CAST(cnt AS DOUBLE)"
+    val sx = "(CAST(sx AS DOUBLE) / 1000000.0)"
+    val sxx = "(CAST(sxx AS DOUBLE) / 1000000.0)"
+    s"(0.5 * sqrt(($n * $sxx - $sx * $sx) / ($n * ($n - 1.0))))"
+  }
+
+  /** One-sided CUSUM drift detection per key: the classic fold
+    * s_k = max(0, s_{k-1} + x_k − mu − kappa) over the key's time-ordered
+    * values, returning the final statistic and its running maximum —
+    * the change-point signal a pipeline uses to catch upstream drift
+    * (a source whose value distribution shifted mid-stream).
+    *
+    * Determinism: mu/kappa come from exact scaled-long statistics
+    * through ONE shared expression string, and the fold itself is an
+    * ordered left fold with a struct accumulator — both replayed exactly
+    * (DuckDB `list_reduce` over a struct-prepended list). No rounding:
+    * identical IEEE ops on identical inputs are bit-identical.
+    *
+    * Scale: one map-side-combining stats aggregate (broadcast back), one
+    * ordered collect per key — sequential per key BY DEFINITION (CUSUM
+    * is a recurrence), parallel across keys, same shape as `ewma`.
+    */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String): DataFrame = {
+    val stats = events.where(col(valCol).isNotNull)
+      .groupBy(col(keyCol)).agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col(valCol), 6).cast("decimal(30,6)")) * lit(1000000))
+          .cast("long").as("sx"),
+        (sum(round(col(valCol) * col(valCol), 6).cast("decimal(30,6)"))
+          * lit(1000000)).cast("long").as("sxx"))
+    val folded = events.where(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col(tsCol), col(tieCol),
+          col(valCol).as("v")))).as("__xs"))
+      .join(broadcast(stats), Seq(keyCol))
+    val step = s"greatest(0.0D, acc.s + x.v - $cusumMuExpr - $cusumKappaExpr)"
+    folded.selectExpr(keyCol, "n",
+      s"""aggregate(__xs, named_struct('s', 0.0D, 'm', 0.0D),
+         |  (acc, x) -> named_struct('s', $step, 'm', greatest(acc.m, $step))
+         |) AS __c""".stripMargin)
+      .selectExpr(keyCol, "n", "__c.s AS cusum_end", "__c.m AS cusum_max")
+  }
+
   /** Exact lower median (the ((n+1) div 2)-th smallest VALUE, a multiset
     * selection — unique regardless of row tie-breaks) of `v` per group,
     * as a distributed selection rather than a per-group rank sort:

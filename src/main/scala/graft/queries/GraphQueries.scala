@@ -185,6 +185,44 @@ object GraphQueries {
        |  ${Analytics.interpValueExpr} AS value
        |FROM w""".stripMargin
 
+  /** One-sided CUSUM drift statistic per event type: ordered struct-state
+    * fold with mu/kappa from exact scaled-long stats through the shared
+    * expression strings — final and max statistic, bit-identical.
+    */
+  val tsCusum: QueryFn = (s, dir) =>
+    Analytics.cusum(Tables.events(s, dir), "event_type", "ts", "event_id", "value")
+
+  /** NB: DuckDB evaluates struct_pack fields SEQUENTIALLY and rebinds
+    * `a.<field>` to the freshly computed value within one lambda
+    * application — a field whose expression reads `a.s` must come BEFORE
+    * the field that assigns `s`, or it silently folds with the updated
+    * state (Spark's named_struct reads one immutable accumulator, so the
+    * two engines diverge exactly there). Hence `m` first.
+    */
+  val tsCusumSql: String = {
+    val step = s"greatest(0.0, a.s + x.s - ${Analytics.cusumMuExpr} - ${Analytics.cusumKappaExpr})"
+    s"""WITH g AS (
+       |  SELECT event_type, count(*) AS cnt,
+       |    CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sx,
+       |    CAST(sum(CAST(round(value * value, 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sxx
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1
+       |), series AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    array_agg(value ORDER BY ts, event_id) AS xs
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1
+       |), f AS (
+       |  SELECT series.event_type, series.n,
+       |    list_reduce(
+       |      list_prepend(
+       |        struct_pack(m := CAST(0.0 AS DOUBLE), s := CAST(0.0 AS DOUBLE)),
+       |        list_transform(xs, v ->
+       |          struct_pack(m := CAST(0.0 AS DOUBLE), s := CAST(v AS DOUBLE)))),
+       |      (a, x) -> struct_pack(m := greatest(a.m, $step), s := $step)) AS c
+       |  FROM series JOIN g USING (event_type)
+       |)
+       |SELECT event_type, n, c.s AS cusum_end, c.m AS cusum_max FROM f""".stripMargin
+  }
+
   /** Median-absolute-deviation outlier flags per event type (robust
     * counterpart of `anomaly_zscore`).
     */
@@ -243,6 +281,7 @@ object GraphQueries {
     "ts_ewma"         -> tsEwma,
     "ts_interpolate"  -> tsInterpolate,
     "attribution_linear" -> attributionLinear,
+    "ts_cusum"        -> tsCusum,
     "anomaly_mad"     -> anomalyMad,
     "layout_zorder"   -> layoutZorder,
   )
@@ -254,6 +293,7 @@ object GraphQueries {
     "ts_ewma"         -> tsEwmaSql,
     "ts_interpolate"  -> tsInterpolateSql,
     "attribution_linear" -> attributionLinearSql,
+    "ts_cusum"        -> tsCusumSql,
     "anomaly_mad"     -> anomalyMadSql,
     "layout_zorder"   -> layoutZorderSql,
   )

@@ -125,6 +125,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkTest {
     assert(got == Seq(("click", 2L, 1.5), ("view", 1L, 0.5)))
   }
 
+  test("cusum: drift after a level shift, reset to zero below the reference") {
+    // key "a": 6 values at 0 then 6 at 10 — the shift accumulates;
+    // cusum_max lands at the end of the drifted run
+    val ev = ((1 to 6).map(i => (i.toLong, "a", ts(f"2024-01-01 00:0$i:00"), 0.0)) ++
+      (7 to 9).map(i => (i.toLong, "a", ts(f"2024-01-01 00:0$i:00"), 10.0)))
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = Analytics.cusum(ev, "event_type", "ts", "event_id", "value").head()
+    val n = 9.0
+    val mean = 30.0 / 9.0
+    val variance = (n * (6 * 0.0 + 3 * 100.0) - 30.0 * 30.0) / (n * (n - 1.0))
+    val kappa = 0.5 * math.sqrt(variance)
+    // 6 zeros: max(0, -mean-kappa) pins s at 0; then 3 steps of
+    // (10 - mean - kappa) each
+    val stepUp = 10.0 - mean - kappa
+    assert(got.getAs[Long]("n") == 9L)
+    assert(math.abs(got.getAs[Double]("cusum_end") - 3 * stepUp) < 1e-9)
+    assert(got.getAs[Double]("cusum_max") == got.getAs[Double]("cusum_end"))
+  }
+
   test("interpolateLinear: gaps fill linearly, observed buckets keep their mean") {
     // user 1: 10:00 -> mean 2.0 (two obs), 13:00 -> 8.0; the 3-hour gap
     // interpolates 4.0 at 11:00 and 6.0 at 12:00. user 2: single bucket.
