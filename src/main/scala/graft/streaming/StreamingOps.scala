@@ -124,6 +124,38 @@ object StreamingOps {
       }
   }
 
+  case class CusumState(s: Double, m: Double, n: Long)
+  case class CusumPoint(user_id: Long, n: Long, cusum_end: Double, cusum_max: Double)
+
+  /** Streaming one-sided CUSUM against a FIXED reference (mu, kappa) —
+    * the deployment shape of drift detection: the baseline is profiled
+    * offline (the batch operator's exact scaled-long stats), the stream
+    * folds O(1) state per key (current statistic, running max, count)
+    * and emits after every touching batch; an alert fires on the first
+    * emission whose max crosses the decision threshold. Identical
+    * per-step arithmetic to `Analytics.cusum`, so in-order arrival gives
+    * bit-equal finals across any micro-batch slicing.
+    */
+  def cusumStream(events: Dataset[Event], mu: Double,
+      kappa: Double): Dataset[CusumPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L))
+          for (e <- sorted) {
+            val s = math.max(0.0, st.s + e.value - mu - kappa)
+            st = CusumState(s, math.max(st.m, s), st.n + 1)
+          }
+          state.update(st)
+          Iterator(CusumPoint(userId, st.n, st.s, st.m))
+      }
+  }
+
   /** Gap-based sessions per user: a session closes after `gapMinutes` of
     * silence (flushed via processing-time timeout). State per key is O(1).
     */

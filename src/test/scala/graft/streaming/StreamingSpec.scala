@@ -207,6 +207,50 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming CUSUM finals are bit-equal to the in-order fold, across batches") {
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5)").head().getDouble(0)
+    val d = Files.createTempDirectory("events-cusum").toString
+    ev.where(col("ts").cast("double") <= cut).coalesce(1)
+      .write.mode("append").parquet(d)
+    Thread.sleep(1100)
+    ev.where(col("ts").cast("double") > cut).coalesce(1)
+      .write.mode("append").parquet(d)
+
+    val (mu, kappa) = (0.5, 0.25)
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1").parquet(d)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val q = StreamingOps.cusumStream(stream, mu, kappa)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("cusum_out")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("n"), col("cusum_end"), col("cusum_max")), col("n")).as("f"))
+      .select(col("user_id"), col("f.n"), col("f.cusum_end"), col("f.cusum_max"))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // driver-side reference: the same fold over each user's in-order history
+    val expected = ev.select("user_id", "ts", "event_id", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        var s = 0.0; var m = 0.0; var n = 0L
+        // micro-precision order, same as the stream's sort key
+        for ((_, _, _, v) <- rows.sortBy(r =>
+            (r._2.getTime * 1000L + (r._2.getNanos / 1000L) % 1000L, r._3))) {
+          s = math.max(0.0, s + v - mu - kappa); m = math.max(m, s); n += 1
+        }
+        (u, n, s, m)
+      }.toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops cross-batch duplicates down to the batch distinct set") {
     // stage the same events twice (two files -> duplicates arrive across
     // micro-batch boundaries as well as within)
