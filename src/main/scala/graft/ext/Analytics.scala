@@ -263,6 +263,46 @@ object Analytics {
       .selectExpr(keyCol, "n", "__c.s AS cusum_end", "__c.m AS cusum_max")
   }
 
+  /** Holt double exponential smoothing (level + trend) per key: the
+    * ordered fold
+    *   l_k = α·x_k + (1−α)(l_{k−1} + b_{k−1})
+    *   b_k = β(l_k − l_{k−1}) + (1−β)·b_{k−1}
+    * seeded l_1 = x_1, b_1 = 0. Returns (key, n, level, trend, forecast)
+    * with forecast = level + trend (the one-step-ahead prediction).
+    *
+    * Determinism: an ordered left fold with a THREE-field struct
+    * accumulator (previous level carried explicitly) — the DuckDB
+    * replay packs fields in (lp, l, b) order so the sequential
+    * struct_pack rebinding yields exactly the simultaneous-read
+    * semantics Spark's named_struct has. No rounding anywhere.
+    *
+    * Scale: same shape as `ewma`/`cusum` — sequential per key by
+    * definition, parallel across keys, one exchange of (key, fold
+    * inputs).
+    */
+  def holt(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, alpha: Double, beta: Double): DataFrame = {
+    val newL = s"CASE WHEN acc.n = 0L THEN x.v " +
+      s"ELSE $alpha * x.v + ${1 - alpha} * (acc.l + acc.b) END"
+    events.where(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col(tsCol), col(tieCol),
+          col(valCol).as("v")))).as("__xs"))
+      .selectExpr(keyCol, "n",
+        s"""aggregate(__xs,
+           |  named_struct('lp', 0.0D, 'l', 0.0D, 'b', 0.0D, 'n', 0L),
+           |  (acc, x) -> named_struct(
+           |    'lp', acc.l,
+           |    'l', $newL,
+           |    'b', CASE WHEN acc.n = 0L THEN 0.0D
+           |         ELSE $beta * (($newL) - acc.l) + ${1 - beta} * acc.b END,
+           |    'n', acc.n + 1L)
+           |) AS __h""".stripMargin)
+      .selectExpr(keyCol, "n", "__h.l AS level", "__h.b AS trend",
+        "__h.l + __h.b AS forecast")
+  }
+
   /** Exact lower median (the ((n+1) div 2)-th smallest VALUE, a multiset
     * selection — unique regardless of row tie-breaks) of `v` per group,
     * as a distributed selection rather than a per-group rank sort:

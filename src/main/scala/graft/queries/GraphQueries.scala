@@ -192,15 +192,53 @@ object GraphQueries {
   val tsCusum: QueryFn = (s, dir) =>
     Analytics.cusum(Tables.events(s, dir), "event_type", "ts", "event_id", "value")
 
-  /** NB: DuckDB evaluates struct_pack fields SEQUENTIALLY and rebinds
-    * `a.<field>` to the freshly computed value within one lambda
-    * application — a field whose expression reads `a.s` must come BEFORE
-    * the field that assigns `s`, or it silently folds with the updated
-    * state (Spark's named_struct reads one immutable accumulator, so the
-    * two engines diverge exactly there). Hence `m` first.
+  /** Holt level+trend smoothing per user (alpha = 0.25, beta = 0.125 —
+    * binary-exact literals, so both engines parse identical doubles).
+    * The replay state is a LIST [l, b, n] — DuckDB's struct-typed
+    * list_reduce accumulators alias their field vectors across
+    * iterations (reads see a mix of old and new state, value-dependent),
+    * while list accumulators are rebuilt per step; the level expression
+    * is recomputed inline in the trend slot, exactly as the Spark fold
+    * does, so every read is from the OLD state.
+    */
+  val tsHolt: QueryFn = (s, dir) =>
+    Analytics.holt(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "value", alpha = 0.25, beta = 0.125)
+
+  val tsHoltSql: String = {
+    val newL = "CASE WHEN a[3] = 0.0 THEN x[1] ELSE 0.25 * x[1] + 0.75 * (a[1] + a[2]) END"
+    s"""WITH series AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |    array_agg(value ORDER BY ts, event_id) AS xs
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1
+       |), f AS (
+       |  SELECT user_id, n,
+       |    list_reduce(
+       |      list_prepend(CAST([0.0, 0.0, 0.0] AS DOUBLE[]),
+       |        list_transform(xs, e -> CAST([e] AS DOUBLE[]))),
+       |      (a, x) -> [
+       |        $newL,
+       |        CASE WHEN a[3] = 0.0 THEN 0.0
+       |             ELSE 0.125 * (($newL) - a[1]) + 0.875 * a[2] END,
+       |        a[3] + 1.0
+       |      ]) AS h
+       |  FROM series
+       |)
+       |SELECT user_id, n, h[1] AS level, h[2] AS trend,
+       |  h[1] + h[2] AS forecast
+       |FROM f""".stripMargin
+  }
+
+  /** NB: the replay state is a LIST [s, m], not a struct — DuckDB's
+    * struct-typed list_reduce accumulators alias their field vectors
+    * across iterations (a field expression can read a MIX of old and
+    * freshly computed state, value-dependently), while list accumulators
+    * are rebuilt per step. Every read below is from the old `a`; the
+    * step expression is recomputed inline where needed, exactly as the
+    * Spark fold does.
     */
   val tsCusumSql: String = {
-    val step = s"greatest(0.0, a.s + x.s - ${Analytics.cusumMuExpr} - ${Analytics.cusumKappaExpr})"
+    val step = s"greatest(0.0, a[1] + x[1] - ${Analytics.cusumMuExpr} - ${Analytics.cusumKappaExpr})"
     s"""WITH g AS (
        |  SELECT event_type, count(*) AS cnt,
        |    CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sx,
@@ -213,14 +251,12 @@ object GraphQueries {
        |), f AS (
        |  SELECT series.event_type, series.n,
        |    list_reduce(
-       |      list_prepend(
-       |        struct_pack(m := CAST(0.0 AS DOUBLE), s := CAST(0.0 AS DOUBLE)),
-       |        list_transform(xs, v ->
-       |          struct_pack(m := CAST(0.0 AS DOUBLE), s := CAST(v AS DOUBLE)))),
-       |      (a, x) -> struct_pack(m := greatest(a.m, $step), s := $step)) AS c
+       |      list_prepend(CAST([0.0, 0.0] AS DOUBLE[]),
+       |        list_transform(xs, v -> CAST([v] AS DOUBLE[]))),
+       |      (a, x) -> [$step, greatest(a[2], $step)]) AS c
        |  FROM series JOIN g USING (event_type)
        |)
-       |SELECT event_type, n, c.s AS cusum_end, c.m AS cusum_max FROM f""".stripMargin
+       |SELECT event_type, n, c[1] AS cusum_end, c[2] AS cusum_max FROM f""".stripMargin
   }
 
   /** Median-absolute-deviation outlier flags per event type (robust
@@ -282,6 +318,7 @@ object GraphQueries {
     "ts_interpolate"  -> tsInterpolate,
     "attribution_linear" -> attributionLinear,
     "ts_cusum"        -> tsCusum,
+    "ts_holt"         -> tsHolt,
     "anomaly_mad"     -> anomalyMad,
     "layout_zorder"   -> layoutZorder,
   )
@@ -294,6 +331,7 @@ object GraphQueries {
     "ts_interpolate"  -> tsInterpolateSql,
     "attribution_linear" -> attributionLinearSql,
     "ts_cusum"        -> tsCusumSql,
+    "ts_holt"         -> tsHoltSql,
     "anomaly_mad"     -> anomalyMadSql,
     "layout_zorder"   -> layoutZorderSql,
   )

@@ -125,6 +125,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkTest {
     assert(got == Seq(("click", 2L, 1.5), ("view", 1L, 0.5)))
   }
 
+  test("holt: hand-computed level and trend, seed from the first value") {
+    // x = [10, 14, 18] with alpha=0.5, beta=0.5:
+    // l1=10, b1=0; l2=0.5*14+0.5*10=12, b2=0.5*2+0=1;
+    // l3=0.5*18+0.5*13=15.5, b3=0.5*3.5+0.5*1=2.25
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 00:01:00"), 10.0),
+      (2L, "a", ts("2024-01-01 00:02:00"), 14.0),
+      (3L, "a", ts("2024-01-01 00:03:00"), 18.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = Analytics.holt(ev, "event_type", "ts", "event_id", "value",
+      alpha = 0.5, beta = 0.5).head()
+    assert(got.getAs[Long]("n") == 3L)
+    assert(got.getAs[Double]("level") == 15.5)
+    assert(got.getAs[Double]("trend") == 2.25)
+    assert(got.getAs[Double]("forecast") == 17.75)
+  }
+
   test("cusum: drift after a level shift, reset to zero below the reference") {
     // key "a": 6 values at 0 then 6 at 10 — the shift accumulates;
     // cusum_max lands at the end of the drifted run
