@@ -270,11 +270,11 @@ object Analytics {
     * seeded l_1 = x_1, b_1 = 0. Returns (key, n, level, trend, forecast)
     * with forecast = level + trend (the one-step-ahead prediction).
     *
-    * Determinism: an ordered left fold with a THREE-field struct
-    * accumulator (previous level carried explicitly) — the DuckDB
-    * replay packs fields in (lp, l, b) order so the sequential
-    * struct_pack rebinding yields exactly the simultaneous-read
-    * semantics Spark's named_struct has. No rounding anywhere.
+    * Determinism: an ordered left fold with a struct accumulator; the
+    * DuckDB replay folds over DOUBLE[] list state (struct accumulators
+    * alias across list_reduce iterations there) with the level
+    * expression recomputed inline in the trend slot — identical ops on
+    * identical inputs, no rounding anywhere.
     *
     * Scale: same shape as `ewma`/`cusum` — sequential per key by
     * definition, parallel across keys, one exchange of (key, fold
@@ -338,6 +338,52 @@ object Analytics {
       .select(col(groupCol),
         element_at(col("__band"),
           (expr("(__n + 1) div 2") - col("__below")).cast("int")).as(out))
+  }
+
+  /** Exact multi-quantile selection per group — `lowerMedianByGroup`
+    * generalized: for each percentile in `pcts` (integer percents, so the
+    * target rank ⌈pct·n/100⌉ is computed in EXACT integer arithmetic —
+    * `ceil(p·n)` on doubles mis-ranks when p·n lands a ulp above an
+    * integer), ONE approx-banded pass + ONE exact in-band pick, all
+    * percentiles sharing the same two scans. Returns (group, pct, value)
+    * with `value` an actual input double (no interpolation — nothing to
+    * drift between engines or partitionings).
+    *
+    * Scale: same machinery as the median — no per-group rank sort of the
+    * full data; each band is ~10% of its group, every aggregation is
+    * map-side-combining, and a `row_number` replay only exists on the
+    * oracle side.
+    */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val slim = df.select(col(groupCol), col(valCol)).where(col(valCol).isNotNull)
+    val los = pcts.map(p => math.max(0.0, p / 100.0 - 0.05))
+    val his = pcts.map(p => math.min(1.0, p / 100.0 + 0.05))
+    val k = pcts.length
+    val stats = slim.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      approx_percentile(col(valCol),
+        array((los ++ his).map(lit): _*), lit(10000)).as("__pc"))
+    val aggs = pcts.indices.flatMap { i =>
+      Seq(
+        sum((col(valCol) < col("__pc")(i)).cast("long")).as(s"__below_$i"),
+        sort_array(collect_list(
+          when(col(valCol).between(col("__pc")(i), col("__pc")(k + i)),
+            col(valCol)))).as(s"__band_$i"))
+    }
+    val g = slim.join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("__n")).as("__n"), aggs: _*)
+    val picks = pcts.indices.map { i =>
+      // integer ceiling rank: (pct·n + 99) div 100 — never a double
+      struct(lit(pcts(i).toLong).as("pct"),
+        element_at(col(s"__band_$i"),
+          expr(s"CAST((${pcts(i)} * __n + 99) div 100 - __below_$i AS INT)"))
+          .as("value"))
+    }
+    g.select(col(groupCol), explode(array(picks: _*)).as("__q"))
+      .select(col(groupCol), col("__q.pct").as("pct"), col("__q.value").as("value"))
   }
 
   /** Robust per-group outlier flags via median absolute deviation. Both

@@ -259,6 +259,25 @@ object GraphQueries {
        |SELECT event_type, n, c[1] AS cusum_end, c[2] AS cusum_max FROM f""".stripMargin
   }
 
+  /** Exact p50/p90/p99 per event type via the distributed selection
+    * (approx band + exact in-band rank) — values are actual input
+    * doubles, so the full-sort row_number replay matches exactly.
+    */
+  val quantileExact: QueryFn = (s, dir) =>
+    Analytics.quantilesByGroup(Tables.events(s, dir),
+      "event_type", "value", Seq(50, 90, 99))
+
+  val quantileExactSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |)
+      |SELECT event_type, CAST(pct AS BIGINT) AS pct, value
+      |FROM r, (SELECT unnest([50, 90, 99]) AS pct)
+      |WHERE rn = (pct * n + 99) // 100""".stripMargin
+
   /** Median-absolute-deviation outlier flags per event type (robust
     * counterpart of `anomaly_zscore`).
     */
@@ -319,6 +338,7 @@ object GraphQueries {
     "attribution_linear" -> attributionLinear,
     "ts_cusum"        -> tsCusum,
     "ts_holt"         -> tsHolt,
+    "quantile_exact"  -> quantileExact,
     "anomaly_mad"     -> anomalyMad,
     "layout_zorder"   -> layoutZorder,
   )
@@ -332,6 +352,7 @@ object GraphQueries {
     "attribution_linear" -> attributionLinearSql,
     "ts_cusum"        -> tsCusumSql,
     "ts_holt"         -> tsHoltSql,
+    "quantile_exact"  -> quantileExactSql,
     "anomaly_mad"     -> anomalyMadSql,
     "layout_zorder"   -> layoutZorderSql,
   )

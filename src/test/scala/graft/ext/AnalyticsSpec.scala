@@ -2,6 +2,8 @@ package graft.ext
 
 import java.sql.Timestamp
 
+import scala.util.Random
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -123,6 +125,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkTest {
       .orderBy("touch_type")
       .as[(String, Long, Double)].collect().toSeq
     assert(got == Seq(("click", 2L, 1.5), ("view", 1L, 0.5)))
+  }
+
+  test("quantilesByGroup: exact order statistics, partitioning-invariant") {
+    val rnd = new Random(3)
+    val vals = (1 to 997).map(_ => rnd.nextGaussian() * 10).toSeq
+    val df = vals.zipWithIndex.map { case (v, i) => (s"g${i % 2}", v) }
+      .toDF("g", "value")
+    def expectPct(g: String, pct: Int): Double = {
+      val s = vals.zipWithIndex.filter(_._2 % 2 == (if (g == "g0") 0 else 1))
+        .map(_._1).sorted
+      s((pct * s.length + 99) / 100 - 1)
+    }
+    for (parts <- Seq(1, 16)) {
+      val got = Analytics.quantilesByGroup(df.repartition(parts), "g", "value",
+        Seq(50, 90, 99))
+        .as[(String, Long, Double)].collect().toSeq.sortBy(t => (t._1, t._2))
+      val want = (for (g <- Seq("g0", "g1"); p <- Seq(50, 90, 99))
+        yield (g, p.toLong, expectPct(g, p))).sortBy(t => (t._1, t._2))
+      assert(got == want, s"parts=$parts")
+    }
   }
 
   test("holt: hand-computed level and trend, seed from the first value") {
