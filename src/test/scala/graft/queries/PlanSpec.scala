@@ -318,6 +318,22 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("quantile_exact: distributed selection — no rank-sort window, no wide columns") {
+    val p = plan(GraphQueries.quantileExact(spark, dir))
+    assert(!p.contains("Window"), "full-data rank sort crept back in:\n" + p)
+    assert(!p.contains("props"), "props leaked into the selection:\n" + p)
+    assert(!p.contains("user_id"), "user_id read but unused:\n" + p)
+  }
+
+  test("ts_cusum / ts_holt: one ordered-fold aggregation, pruned scans") {
+    for (q <- Seq(GraphQueries.tsCusum(spark, dir), GraphQueries.tsHolt(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("props"), "props leaked into the fold:\n" + p)
+      assert(!p.contains("Window"), "fold must not use a global window:\n" + p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("agg_incremental: two-phase aggregation, events scan pruned") {
     val p = plan(ExtQueries.aggIncremental(spark, dir))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
