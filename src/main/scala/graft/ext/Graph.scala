@@ -78,6 +78,18 @@ object Graph {
       expr("CAST(r AS DOUBLE) / 1000000000000.0").as("rank"))
   }
 
+  /** Degree distribution of the undirected graph `edges` (cols `a`, `b`,
+    * distinct `a < b` pairs): one row per occurring degree with the node
+    * count — the first thing to look at before sizing any graph job
+    * (hub-heavy distributions need the orientation/salting paths).
+    * Two map-side-combining aggregations, integer-exact.
+    */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("n"))
+      .unionByName(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+
   /** Multi-source BFS: minimum hop count from any seed to every reachable
     * node of the undirected graph `edges` (cols `a`, `b`), bounded at
     * `maxHops`. Returns `(node, hops)` with seeds at 0; nodes not reached

@@ -75,6 +75,21 @@ object GraphQueries {
        |JOIN pairs e2 ON e2.a = e1.b
        |JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
 
+  /** Degree histogram of the co-purchase graph — the skew profile that
+    * decides whether the wedge orientation / salting paths are needed.
+    */
+  val graphDegrees: QueryFn = (s, dir) =>
+    Graph.degreeDistribution(coPurchase(s, dir))
+
+  val graphDegreesSql: String =
+    s"""$pairsCte, deg AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS degree FROM (
+       |    SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs)
+       |  GROUP BY n
+       |)
+       |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM deg GROUP BY degree""".stripMargin
+
   /** Multi-source BFS over the co-purchase graph: hop distance from the
     * `node % 50 = 0` seed set, bounded at 4 hops. Integer hop counts make
     * the frontier expansion bit-replayable by a recursive-CTE
@@ -333,6 +348,7 @@ object GraphQueries {
     "graph_pagerank"  -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_bfs"       -> graphBfs,
+    "graph_degrees"   -> graphDegrees,
     "ts_ewma"         -> tsEwma,
     "ts_interpolate"  -> tsInterpolate,
     "attribution_linear" -> attributionLinear,
@@ -347,6 +363,7 @@ object GraphQueries {
     "graph_pagerank"  -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_bfs"       -> graphBfsSql,
+    "graph_degrees"   -> graphDegreesSql,
     "ts_ewma"         -> tsEwmaSql,
     "ts_interpolate"  -> tsInterpolateSql,
     "attribution_linear" -> attributionLinearSql,

@@ -122,6 +122,13 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(got == (("g", 5.0)))
   }
 
+  test("degreeDistribution: star graph gives one hub and k leaves") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val got = Graph.degreeDistribution(edges)
+      .orderBy("degree").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L), (4L, 1L)))
+  }
+
   test("bfsHops: chain distances, hop bound, unreachable component") {
     // chain 1-2-3-4-5, disconnected pair 10-11, isolated seed 99
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
