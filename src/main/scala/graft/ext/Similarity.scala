@@ -179,19 +179,23 @@ object Similarity {
     * partial-sum order is partition-dependent; rounding absorbs the ulp
     * noise so the driver's hash compare is stable).
     */
-  /** Round a double to 6 decimals as a scaled long (value × 1e6).
-    * Fast path: `rint` on x*1e6. Near a .5 boundary (where the x*1e6
-    * double rounding or rint's half-even tie rule could disagree with
-    * decimal HALF_UP) it falls back to exact BigDecimal rounding — the
-    * same per-term discipline as the dsum/entropy/bm25 oracles.
+  /** Round a double to 6 decimals as a scaled long (value × 1e6),
+    * replicating DuckDB's `round(x, 6)` EXACTLY: C++ `std::round(x*1e6)`
+    * — half-away-from-zero applied to the scaled DOUBLE (not to the
+    * decimal expansion of x, which is what BigDecimal HALF_UP rounds and
+    * what the old rint-with-epsilon-guard kernel approximated; the two
+    * disagree on terms whose x*1e6 lands on the other side of .5 from
+    * their shortest decimal form). `a - floor(a)` is exact for a < 2^52,
+    * so the tie test is the same one std::round performs. Verified
+    * bit-identical to DuckDB round()+DECIMAL(30,6) on 159k real
+    * embedding terms plus adversarial .5-boundary values.
     */
   @inline private[ext] def round6Scaled(x: Double): Long = {
     val t = x * 1e6
-    val fl = math.floor(t)
-    if (math.abs(t - fl - 0.5) < 1e-6)
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .underlying.unscaledValue.longValueExact
-    else math.rint(t).toLong
+    val a = math.abs(t)
+    val f = math.floor(a)
+    val r = if (a - f >= 0.5) f + 1.0 else f
+    (if (t < 0) -r else r).toLong
   }
 
   def covarianceMatrix(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
@@ -241,8 +245,9 @@ object Similarity {
       // sxy/n - (sx_i/n)*(sx_j/n) over the same exact decimal sums
       val cov = sxy(t).toDouble / 1e6 / nD -
         (sx(i).toDouble / 1e6 / nD) * (sx(j).toDouble / 1e6 / nD)
-      // HALF_UP at 6, matching DuckDB's round() (math.rint is half-even)
-      val r = BigDecimal(cov).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // final rounding = the same std::round replication the oracle's
+      // round(cov, 6) applies — scaled long back to double, one IEEE divide
+      val r = round6Scaled(cov).toDouble / 1e6
       (i.toLong, j.toLong, r)
     }
     spark.createDataFrame(rows).toDF("i", "j", "cov")
