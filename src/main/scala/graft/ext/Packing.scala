@@ -1,6 +1,5 @@
 package graft.ext
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -9,6 +8,9 @@ import org.apache.spark.sql.functions._
   */
 case class PackedDoc(id: Long, n_tokens: Long, pack_id: Long, pack_seq: Int,
     oversize: Boolean)
+
+/** Internal: a (bucket, id, n_tokens) row for the bucketed packer. */
+case class BucketedDoc(bucket: Long, id: Long, n_tokens: Long)
 
 /** One packed document in the group-scoped variant: pack identity is
   * (group, pack_idx), independent of physical partitioning.
@@ -19,38 +21,53 @@ case class PackedGroupDoc(group: String, id: Long, n_tokens: Long,
 /** Greedy next-fit sequence packing: assemble documents into fixed
   * token-budget packs (context windows) — the dataset-assembly step that
   * turns a deduped corpus into training sequences.
-  *
-  * Genuinely imperative per-partition logic (running fill state), so this
-  * is the rare legitimate `mapPartitions`: each partition packs its own
-  * documents independently (packs never span partitions — at scale that's
-  * exactly what you want: no cross-executor coordination), deterministic
-  * via sortWithinPartitions + hash repartition on the id.
   */
 object Packing {
 
+  /** Deterministic bucketed greedy next-fit packing: documents are hashed
+    * into `nBuckets` buckets (`floorMod(mix64(id), nBuckets)`), each
+    * bucket packs its own documents in ascending-id order, and the pack
+    * id is `bucket * 2^32 + packIdx` — a pure function of (data,
+    * nBuckets), independent of cluster layout, partition count, or
+    * restarts.
+    *
+    * This replaced an earlier physical-partition-scoped form (pack ids
+    * derived from `TaskContext.getPartitionId`): that one had the same
+    * zero-coordination scale shape but its output changed with the
+    * physical layout, which made it untestable against an oracle and
+    * unstable across restarts — and it had no capability this form
+    * lacks. Scale shape is unchanged: packs never span buckets, so the
+    * whole pass is ONE shuffle on the bucket key with a secondary sort
+    * on id (`flatMapSortedGroups` — no per-group buffering), and
+    * cross-executor coordination is zero. Parallelism = `nBuckets`; set
+    * it to the cluster's target parallelism at scale (default 32
+    * matches the local shuffle-partition count and the oracle replay).
+    */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, nBuckets: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"),
         col(tokensCol).cast("long").as("n_tokens"))
-      .repartition(col("id"))
-      .sortWithinPartitions("id")
       .as[(Long, Long)]
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId().toLong
+      .map { case (id, n) =>
+        BucketedDoc(Math.floorMod(Aggs.mix64(id), nBuckets.toLong), id, n)
+      }
+      .groupByKey(_.bucket)
+      .flatMapSortedGroups(col("id")) { (bucket, it) =>
         var packIdx = -1L
         var fill = 0L
         var seqNo = 0
-        it.map { case (id, n) =>
-          val oversize = n > budget
-          if (packIdx < 0 || fill + n > budget) {
+        it.map { d =>
+          val oversize = d.n_tokens > budget
+          if (packIdx < 0 || fill + d.n_tokens > budget) {
             packIdx += 1; fill = 0L; seqNo = 0
           }
-          fill += n
+          fill += d.n_tokens
           seqNo += 1
-          // partition-unique pack ids without any global counter
-          PackedDoc(id, n, pid * 1000000000L + packIdx, seqNo - 1, oversize)
+          // bucket-unique pack ids without any global counter
+          PackedDoc(d.id, d.n_tokens, bucket * 4294967296L + packIdx,
+            seqNo - 1, oversize)
         }
       }
       .toDF()

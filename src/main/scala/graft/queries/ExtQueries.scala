@@ -1536,13 +1536,42 @@ object ExtQueries {
       |SELECT doc_id, h, row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
       |FROM h""".stripMargin
 
-  /** Greedy next-fit packing (rows-only: imperative per-partition state). */
+  /** Deterministic bucketed greedy next-fit packing: 32 mix64 buckets,
+    * ascending-id next-fit within each — pack ids are a pure function of
+    * the data, so the whole pass replays in DuckDB (mix64 HUGEINT chain
+    * for the bucket + one recursive CTE per bucket for the running fill).
+    */
   val packSequences: QueryFn = (s, dir) =>
     Packing.packSequences(
       Tables.documents(s, dir)
         .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
-      "doc_id", "n_tokens", budget = 256)
+      "doc_id", "n_tokens", budget = 256, nBuckets = 32)
       .select("id", "n_tokens", "pack_id", "pack_seq", "oversize")
+  val packSequencesSql: String =
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id AS id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |${mix64Cte("d0", "id, n_tokens")},
+       |d AS (
+       |  SELECT ((hv % 32) + 32) % 32 AS bucket, id, n_tokens,
+       |    row_number() OVER (PARTITION BY ((hv % 32) + 32) % 32 ORDER BY id) AS rn
+       |  FROM hs
+       |), p AS (
+       |  SELECT bucket, id, n_tokens, rn,
+       |    0::BIGINT AS pack_idx, n_tokens AS fill, 0 AS pack_seq
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.bucket, d.id, d.n_tokens, d.rn,
+       |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.pack_idx + 1 ELSE p.pack_idx END,
+       |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens ELSE p.fill + d.n_tokens END,
+       |    CASE WHEN p.fill + d.n_tokens > 256 THEN 0 ELSE p.pack_seq + 1 END
+       |  FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+       |)
+       |SELECT id, n_tokens, bucket * 4294967296 + pack_idx AS pack_id,
+       |  pack_seq::INTEGER AS pack_seq, (n_tokens > 256) AS oversize
+       |FROM p""".stripMargin
 
   /** Group-scoped deterministic next-fit packing: per source, ascending
     * doc_id — a pure function of the data, so the oracle can replay the
@@ -2043,6 +2072,7 @@ object ExtQueries {
     "dedup_incremental"   -> dedupIncrementalSql,
     "sample_bottomk"      -> sampleBottomKSql,
     "pack_greedy"         -> packGreedySql,
+    "pack_sequences"      -> packSequencesSql,
     "quality_gopher"      -> qualityGopherSql,
     "mixture_fractional"  -> mixtureFractionalSql,
     "shuffle_deterministic" -> shuffleDeterministicSql,
