@@ -105,7 +105,21 @@ object Schemas {
     StructField("latest_mint_tx_id", LongType, nullable = true),
     StructField("latest_tx_id", LongType, nullable = true)))
 
+  /** App-owned user accounts (`app/db/postgres.py:96-104`): the sync
+    * never writes a row here, but the table is part of the 7-table DDL
+    * bootstrap because it is the FK target of `wallet.user_id`
+    * (`postgres.py:243`) — a user of the reference expects it to exist.
+    */
+  val user: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("pfp_asset_id", LongType, nullable = true),
+    StructField("alias", StringType, nullable = false),       // varchar(16) UNIQUE
+    StructField("created_on", TimestampType, nullable = false),
+    StructField("modified", TimestampType, nullable = false),
+    StructField("last_login", TimestampType, nullable = true)))
+
   val targetTables: Map[String, StructType] = Map(
-    "wallet" -> wallet, "collection" -> collection, "asset" -> asset,
-    "asset_tx" -> assetTx, "asset_mint_tx" -> assetMintTx, "asset_ext" -> assetExt)
+    "user" -> user, "wallet" -> wallet, "collection" -> collection,
+    "asset" -> asset, "asset_tx" -> assetTx, "asset_mint_tx" -> assetMintTx,
+    "asset_ext" -> assetExt)
 }

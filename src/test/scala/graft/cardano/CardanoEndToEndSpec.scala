@@ -131,6 +131,21 @@ class CardanoEndToEndSpec extends AnyFunSuite with SparkTest {
     assert(before == after)
   }
 
+  test("user: 7th app-owned table bootstraps; wallet.user_id FK holds") {
+    // postgres.py:96-104 — the sync never inserts users, but the table
+    // must exist (empty, right schema) as the FK target of wallet.user_id
+    assert(Schemas.targetTables.size == 7)
+    val user = store.read("user")
+    assert(user.schema == Schemas.user)
+    assert(user.count() == 0L)
+    // referential integrity (postgres.py:243): every non-null
+    // wallet.user_id must resolve to a user row — anti-join must be empty
+    val orphans = store.read("wallet")
+      .where(org.apache.spark.sql.functions.col("user_id").isNotNull)
+      .join(user.selectExpr("id AS user_id"), Seq("user_id"), "left_anti")
+    assert(orphans.count() == 0L, "wallet.user_id rows without a user")
+  }
+
   test("tip probes: cardano tip lags 3 blocks; pantasia tip tracks facts") {
     val driver = new SyncDriver(spark, srcDir, store, 120)
     assert(driver.cardanoTip().contains(ts("2021-03-02 16:00:00")))
