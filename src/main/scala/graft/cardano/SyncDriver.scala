@@ -20,7 +20,9 @@ class SyncDriver(
     sourceDir: String,
     store: TableStore,
     intervalMinutes: Long = 120,
-    compactEvery: Long = 1) {
+    compactEvery: Long = 1,
+    maxRetries: Int = 2,
+    backoffMillis: Long = 500) {
 
   /** Stage a mutable table's next version: the recomputed full base
     * every `compactEvery`-th version, an O(delta) merge-on-read upsert
@@ -112,6 +114,34 @@ class SyncDriver(
     store.commit(staged)
   }
 
+  /** ST8: bounded retry with exponential backoff around one period
+    * (reference `app/main.py:421-425` catches a transient-error taxonomy;
+    * here ANY non-fatal failure is retried up to `maxRetries` times).
+    * Safe to re-execute blindly because a failed attempt commits nothing
+    * (fail-before-commit atomicity, `FailureAtomicitySpec`) — the retry
+    * re-runs the identical period from the same committed state and
+    * overwrites its own staged dirs. A stop request cancels the backoff
+    * and rethrows so shutdown is never delayed by a failing source.
+    */
+  def syncPeriodWithRetry(from: Timestamp, to: Timestamp): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { syncPeriod(from, to); done = true }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          attempt += 1
+          if (attempt > maxRetries || stopRequested) throw e
+          var slept = 0L
+          val delay = backoffMillis << (attempt - 1)
+          while (!stopRequested && slept < delay) {
+            val step = math.min(100L, delay - slept)
+            Thread.sleep(step); slept += step
+          }
+      }
+    }
+  }
+
   @volatile private var stopRequested = false
 
   /** ST7: request a graceful stop — the current period finishes (and
@@ -158,7 +188,7 @@ class SyncDriver(
         val periods = periodList(pantasiaTip(), tip)
         var n = 0
         periods.sliding(2).takeWhile(_ => !stopRequested).foreach {
-          case Seq(from, to) => syncPeriod(from, to); n += 1
+          case Seq(from, to) => syncPeriodWithRetry(from, to); n += 1
           case _ =>
         }
         n
@@ -175,7 +205,7 @@ class SyncDriver(
         val periods = periodList(pantasiaTip(), tip)
         var n = 0
         periods.sliding(2).foreach {
-          case Seq(from, to) => syncPeriod(from, to); n += 1
+          case Seq(from, to) => syncPeriodWithRetry(from, to); n += 1
           case _ =>
         }
         n

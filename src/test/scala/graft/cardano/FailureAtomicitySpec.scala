@@ -56,6 +56,60 @@ class FailureAtomicitySpec extends AnyFunSuite with SparkTest {
         s"table $t diverged after failure+retry")
   }
 
+  test("transient fault self-heals: bounded retry converges without intervention") {
+    val srcDir = Files.createTempDirectory("retry-src").toString
+    Fixture.write(spark, srcDir)
+    val out = Files.createTempDirectory("retry-out").toString
+    val store = new TableStore(spark, out)
+
+    // every period fails twice before succeeding — inside the retry
+    // budget, so the catch-up must complete with no operator action
+    var faultsInjected = 0
+    val flaky = new SyncDriver(spark, srcDir, store, 120,
+        maxRetries = 3, backoffMillis = 1) {
+      private var failuresLeft = 2
+      override def syncPeriod(from: java.sql.Timestamp,
+          to: java.sql.Timestamp): Unit = {
+        if (failuresLeft > 0) {
+          failuresLeft -= 1; faultsInjected += 1
+          throw new java.io.IOException("transient source hiccup")
+        }
+        failuresLeft = 2 // re-arm for the next period
+        super.syncPeriod(from, to)
+      }
+    }
+    val periods = flaky.catchUp()
+    assert(periods > 0 && faultsInjected == periods * 2)
+
+    // converged state == a clean sync with no faults
+    val clean = {
+      val s2 = new TableStore(spark, Files.createTempDirectory("retry-clean").toString)
+      new SyncDriver(spark, srcDir, s2, 120).catchUp()
+      s2
+    }
+    for (t <- Seq("wallet", "collection", "asset", "asset_tx", "asset_mint_tx", "asset_ext"))
+      assert(
+        store.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString).toSeq ==
+        clean.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString).toSeq,
+        s"table $t diverged under transient faults")
+
+    // beyond the budget the failure surfaces (and still commits nothing)
+    val versionsBefore = Schemas.targetTables.keys
+      .map(t => t -> store.currentVersion(t)).toMap
+    val hopeless = new SyncDriver(spark, srcDir, store, 120,
+        maxRetries = 2, backoffMillis = 1) {
+      override def syncPeriod(from: java.sql.Timestamp,
+          to: java.sql.Timestamp): Unit =
+        throw new java.io.IOException("hard down")
+    }
+    intercept[java.io.IOException] {
+      hopeless.syncPeriodWithRetry(hopeless.genesis,
+        java.sql.Timestamp.valueOf("2021-03-02 12:00:00"))
+    }
+    assert(Schemas.targetTables.keys.map(t => t -> store.currentVersion(t)).toMap
+      == versionsBefore)
+  }
+
   test("commit is one root-manifest rename: tables flip together, stale tmp is inert") {
     val out = Files.createTempDirectory("manifest-out").toString
     val store = new TableStore(spark, out)
