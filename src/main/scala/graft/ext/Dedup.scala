@@ -76,13 +76,15 @@ object Dedup {
     // each evaluated once per row, no HOF lambda fan-out — and need only a
     // single projection + ONE plan barrier. (The barrier still matters: the
     // signature feeds both the band-explode and the per-pair re-attach, and
-    // without the lazy localCheckpoint the whole scan->shingle->sig chain
-    // would re-run once per downstream branch.)
+    // without the localCheckpoint the whole scan->shingle->sig chain
+    // would re-run once per downstream branch. Eager for the same reason
+    // as ngramJaccardPairs below: lazy materialization inside the
+    // consuming job races task completions against SQLMetrics GC.)
     val sigs = DataOps.parallelismFloor(
         df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"), MinHashSig.minhash_signature(
         TextShingles.word_shingle_hashes(col("__t"), 3), numHashes).as("sig"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
 
     // Bucket join carries ONLY (band, h, id): the 64-long signatures are
     // re-attached once per surviving pair, not fanned out per band — the
@@ -306,7 +308,15 @@ object Dedup {
         df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"), TextShingles.word_shingle_hashes(col("__t"), n).as("sh"))
       .withColumn("set_size", size(col("sh")).cast("long"))
-      .localCheckpoint(false) // reused by candidate gen AND verification
+      // Eager on purpose (sole exception to the lazy convention): this
+      // checkpoint is consumed by four downstream leaves inside one write
+      // job, and materializing it lazily inside that job lets the upstream
+      // stage's SQLMetrics lose their last strong reference mid-job
+      // (markCheckpointed clears deps) — a GC then produces benign but
+      // noisy "non-existent accumulator" DAGScheduler errors in the tail.
+      // A dedicated materialization job processes every task-completion
+      // event while references are still strong.
+      .localCheckpoint(true) // reused by candidate gen AND verification
 
     // Candidate generation on the df-pruned inverted index (skew guard: a
     // shingle in f docs fans out f² — stop-shingles carry no signal).
@@ -361,7 +371,8 @@ object Dedup {
         df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"), TextShingles.word_shingle_hashes(col("__t"), n).as("sh"))
       .withColumn("set_size", size(col("sh")).cast("long"))
-      .localCheckpoint(false)
+      .localCheckpoint(true) // eager: same four-leaf reuse (and the same
+      // mid-job accumulator-GC race) as ngramJaccardPairs above
 
     val inv = sh.select(col("id"), explode(col("sh")).as("g"))
     val keep = inv.groupBy("g").agg(count(lit(1)).as("df"))

@@ -268,22 +268,34 @@ object Similarity {
     * left-to-right double folds, and every tie (equal distance, equal
     * position) breaks by id. The whole chain replays in DuckDB.
     *
+    * `k <= 0` (the default) derives the cluster count from the corpus:
+    * `max(16, ceil(n / 10_000))`. A fixed k caps the cluster-keyed
+    * exchange at k partitions no matter the corpus — at 100× the data the
+    * banded pass would funnel through the same 16 reducers; the derived k
+    * keeps mean cluster size (and so per-reducer work) roughly constant.
+    *
     * Scale shape: one broadcast of `k` seed rows against the corpus (the
     * corpus is never shuffled for assignment), then one cluster-keyed
     * exchange shared by the position window and the banded self-join.
-    * Returns `(vec_id, cluster, nn_cos, keep)` — `nn_cos` is the max
-    * cosine to any banded predecessor (rounded at 6; null when none).
+    * Seeds are enumerated on the driver (k rows by construction — the
+    * broadcast already requires them to fit there), not via a global
+    * row_number window. Returns `(vec_id, cluster, nn_cos, keep)` —
+    * `nn_cos` is the max cosine to any banded predecessor (rounded at 6;
+    * null when none).
     */
-  def semanticDedup(df: DataFrame, k: Int = 16, band: Int = 8,
+  def semanticDedup(df: DataFrame, k: Int = 0, band: Int = 8,
       tau: Double = 0.4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val base = DataOps.parallelismFloor(
         df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v")))
       .localCheckpoint(false) // read twice: seed extraction + assignment
-    val seeds = base.orderBy("vec_id").limit(k)
-      .withColumn("__seed_idx",
-        row_number().over(Window.orderBy("vec_id")).cast("long") - 1L)
-      .select(col("__seed_idx"), col("__v").as("__seed"))
+    val kEff = if (k > 0) k else autoClusterCount(base.count())
+    val seedRows = base.orderBy("vec_id").limit(kEff).collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seeds = seedRows.toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+      .toDF("__seed_idx", "__seed")
     val assigned = base.crossJoin(broadcast(seeds))
       .withColumn("__dist",
         aggregate(zip_with(col("__v"), col("__seed"), (x, y) => (x - y) * (x - y)),
@@ -313,6 +325,13 @@ object Similarity {
         round(col("__nn"), 6).as("nn_cos"),
         (col("__nn").isNull || col("__nn") < tau).as("keep"))
   }
+
+  /** Cluster count for `semanticDedup`'s auto mode: one cluster per 10k
+    * vectors, floored at 16 — cluster-keyed parallelism grows linearly
+    * with the corpus while mean cluster size stays ~constant.
+    */
+  private[graft] def autoClusterCount(n: Long): Int =
+    math.max(16L, (n + 9999L) / 10000L).min(Int.MaxValue.toLong).toInt
 
   /** The ±1 sign matrix of the sparse JL projection, keyed by
     * splitmix64(i·k + d) — a pure function of the coordinates, so the

@@ -253,13 +253,17 @@ object CoreQueries {
   val q12Sql: String = "SELECT DISTINCT lang, source FROM documents"
 
   // ---------------------------------------------------------------------------
-  // q13_surrogate_ids — T3 (contiguous surrogate ids): dense row_number over
-  // the (small) new-entity set with a pinned order. The single-partition
-  // window is confined to the distinct key set — the documented skew point.
+  // q13_surrogate_ids — T3 (contiguous surrogate ids): dense 1-based ids over
+  // the new-entity set, assigned the same way as the sync path —
+  // range-repartition + sortWithinPartitions + zipWithIndex
+  // (SurrogateIds.assign), never a global-window row_number. Same result as
+  // the oracle's row_number OVER (ORDER BY p_brand), without the
+  // single-partition WindowExec.
   // ---------------------------------------------------------------------------
   val q13SurrogateIds: QueryFn = (s, dir) => {
-    Tables.part(s, dir).select("p_brand").distinct()
-      .withColumn("id", row_number().over(Window.orderBy("p_brand")).cast("long"))
+    graft.cardano.SurrogateIds.assign(
+      Tables.part(s, dir).select("p_brand").distinct(),
+      "id", offset = 1L, orderCols = Seq(col("p_brand")))
   }
   val q13Sql: String =
     "SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS id FROM (SELECT DISTINCT p_brand FROM part)"

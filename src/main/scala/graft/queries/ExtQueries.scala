@@ -1952,14 +1952,17 @@ object ExtQueries {
     * double folds (list_prepend(0.0, …) mirrors the kernel's acc=0.0).
     */
   val dedupSemantic: QueryFn = (s, dir) =>
-    Similarity.semanticDedup(Tables.embeddings(s, dir), k = 16, band = 8, tau = 0.4)
+    // k = 0 → auto: max(16, ceil(n/10k)); the oracle's computed LIMIT
+    // replays the same formula, so both engines stay in lockstep at any SF
+    Similarity.semanticDedup(Tables.embeddings(s, dir), k = 0, band = 8, tau = 0.4)
   val dedupSemanticSql: String =
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |), seeds AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS seed_idx, v AS seed
-      |  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)
+      |  FROM (SELECT vec_id, v FROM base ORDER BY vec_id
+      |        LIMIT (SELECT greatest(16, CAST(ceil(count(*) / 10000.0) AS BIGINT)) FROM base))
       |), asg AS (
       |  SELECT vec_id, v, seed_idx, dist,
       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_idx) AS rn

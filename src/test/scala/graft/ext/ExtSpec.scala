@@ -849,6 +849,23 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(got.count(_.getAs[Boolean]("keep")) == 20)
   }
 
+  test("semanticDedup: auto cluster count scales with the corpus, floored at 16") {
+    assert(Similarity.autoClusterCount(0L) == 16)
+    assert(Similarity.autoClusterCount(500L) == 16)
+    assert(Similarity.autoClusterCount(160000L) == 16)
+    assert(Similarity.autoClusterCount(160001L) == 17)
+    assert(Similarity.autoClusterCount(1000000L) == 100)
+    assert(Similarity.autoClusterCount(10000000000L) == 1000000)
+    // auto mode (k=0) routes through the formula: 21 vectors -> 16 seeds
+    val rnd = new Random(13)
+    val df = (0L until 21L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val clusters = Similarity.semanticDedup(df)
+      .select("cluster").distinct().count()
+    assert(clusters == 16)
+  }
+
   test("semanticDedup: partitioning-invariant (1 vs 32 partitions)") {
     val rnd = new Random(11)
     val df = (0L until 200L)

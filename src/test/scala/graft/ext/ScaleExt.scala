@@ -83,6 +83,23 @@ object ScaleExt {
 
     t("cluster-keep")(Dedup.clusterKeep(docs, "doc_id", pairs).count())
 
+    // semanticDedup auto-k: the cluster-keyed exchange must widen with the
+    // corpus (k = max(16, ceil(n/10k))), not stay pinned at the floor —
+    // every seed claims its own cluster (self-distance 0), so the distinct
+    // cluster count observed downstream equals k exactly.
+    val nVec = math.max(n * 2, 200000L) // past the k=16 floor (>160k)
+    val vecs = spark.range(0, nVec)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(8)),
+          d => (pmod(xxhash64(col("id") * 8 + d), lit(1000)) / lit(500.0)) - 1.0)
+          .as("embedding"))
+    val expectedK = Similarity.autoClusterCount(nVec)
+    require(expectedK > 16, s"vector corpus too small (n=$nVec -> k=$expectedK)")
+    val semClusters = t("semantic-dedup-auto-k")(
+      Similarity.semanticDedup(vecs).select("cluster").distinct().count())
+    require(semClusters == expectedK,
+      s"auto-k cluster parallelism $semClusters != expected $expectedK")
+
     val bench = generate(spark, 500).select(col("doc_id") + 10000000L alias "doc_id",
       col("text"), lit("bench").as("source"))
     val packed = t("training-set-assemble")(
