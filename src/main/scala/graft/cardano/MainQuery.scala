@@ -26,11 +26,17 @@ import graft.functions.CipJson
   */
 object MainQuery {
 
-  /** Load one source table from `$dir/<name>.parquet` with the declared
-    * schema enforced on read.
+  /** Load one source table with the declared schema enforced on read.
+    * `dir` is either a fixture/export directory (`$dir/<name>.parquet`)
+    * or a JDBC URL — the reference's live ingress
+    * (`/root/reference/app/db/postgres.py:23-50`) — in which case the
+    * table is a partitioned JDBC relation (see [[JdbcSource]]).
     */
   def sourceTable(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(Schemas.sourceTables(name)).parquet(s"$dir/$name.parquet")
+    if (JdbcSource.isJdbc(dir))
+      JdbcSource.table(spark, dir, name, Schemas.sourceTables(name))
+    else
+      spark.read.schema(Schemas.sourceTables(name)).parquet(s"$dir/$name.parquet")
 
   /** All asset activity in `(from, to]`, one row per (asset, tx[, output]),
     * ordered by block time — the reference's record stream.
