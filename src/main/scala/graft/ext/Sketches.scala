@@ -57,4 +57,77 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(percentile_approx(col(valueCol),
         array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
+
+  // --- deterministic, replayable sketches -----------------------------------
+  // The built-ins above (HLL, FreqItems, KLL) are engine-internal binary
+  // state: correct, but not comparable across engines. The two below are
+  // pure functions of the data via splitmix64, so a DuckDB oracle replays
+  // them bit-for-bit — mergeability without giving up the correctness gate.
+
+  /** Deterministic Count-Min counters over a 64-bit key column: `depth`
+    * independent rows, row `r` bucketing each key at
+    * `mix64(key XOR r) & (width-1)`.
+    *
+    * Scale shape: the per-partition partial aggregation condenses every
+    * partition to at most depth×width counter cells, so the shuffle (and
+    * the result) is a fixed-size depth×width table no matter the corpus —
+    * the whole point of the sketch. Counters built per period/partition
+    * merge by summing matching cells (countersMerge is just a groupBy sum
+    * of unions), the CMS property.
+    */
+  def countMinCounters(keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require((width & (width - 1)) == 0, s"width $width must be a power of two")
+    keys
+      .select(explode(array((0 until depth).map(r => lit(r.toLong)): _*)).as("r"),
+        col(keyCol).as("__k"))
+      .select(col("r"),
+        HashExprs.mix64(col("__k").bitwiseXOR(col("r")))
+          .bitwiseAND(lit((width - 1).toLong)).as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+  }
+
+  /** Point estimates from Count-Min counters: for each probe key, the
+    * minimum over the depth rows of that key's cell count — an upper bound
+    * on the key's true frequency (CMS never undercounts). The counter
+    * table is depth×width rows, so it broadcasts; probes are never
+    * shuffled.
+    */
+  def countMinEstimate(counters: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require((width & (width - 1)) == 0, s"width $width must be a power of two")
+    probes
+      .select(col(keyCol),
+        explode(array((0 until depth).map(r => lit(r.toLong)): _*)).as("r"))
+      .select(col(keyCol), col("r"),
+        HashExprs.mix64(col(keyCol).bitwiseXOR(col("r")))
+          .bitwiseAND(lit((width - 1).toLong)).as("cell"))
+      .join(broadcast(counters), Seq("r", "cell"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("n"), lit(0L))).as("cm_est"))
+  }
+
+  /** Deterministic KMV (bottom-k minimum values) distinct-count estimate
+    * per group: keep the k keys with the smallest `mix64(key)` (an O(k)
+    * mergeable state, `Aggs.bottomKByHash`), and estimate
+    * `(k-1) / fraction-of-hash-space-below-the-kth` — exact when the
+    * group has fewer than k distinct keys. `df` must already be distinct
+    * on (groupCols, keyCol).
+    *
+    * The fraction maps the SIGNED k-th hash into [0,1) as
+    * `(h + 2^63) / 2^64` — one long→double cast plus one add and two
+    * divides, all IEEE-exact-ordered, so the oracle replays the estimate
+    * bit-for-bit.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int = 64): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_exact"),
+        Aggs.bottomKByHash(col(keyCol), k).as("__s"))
+      .withColumn("kmv_est",
+        when(size(col("__s")) < k, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((HashExprs.mix64(element_at(col("__s"), k)).cast("double")
+              + lit(9.223372036854775808e18)) / lit(1.8446744073709552e19))))
+      .drop("__s")
 }

@@ -1991,6 +1991,143 @@ object ExtQueries {
       |       (n.nncos IS NULL OR n.nncos < 0.4) AS keep
       |FROM cl c LEFT JOIN nn n ON c.vec_id = n.vec_id""".stripMargin
 
+  /** Deterministic Count-Min sketch over token document-frequencies:
+    * counters are a fixed 4×1024 table built from the distinct-per-doc
+    * token hashes (`word_shingle_hashes(text, 1)` — the same FNV-1a the
+    * dedup family uses), probes are the 30 highest-df tokens, output is
+    * (token, exact df, CMS estimate). The estimate never undercounts
+    * (also pinned in ExtSpec). At corpus scale the counter table stays
+    * 4096 rows — the per-partition partial agg condenses before the
+    * shuffle — and the probe join broadcasts it; only the exact-df pass
+    * (which exists to exhibit the error, and IS the oracle's check) touches
+    * the full token set.
+    */
+  val sketchCountMin: QueryFn = (s, dir) => {
+    import graft.ext.{Sketches, TextShingles}
+    val docs = DataOps.parallelismFloor(Tables.documents(s, dir))
+    val tokHashes = docs.select(col("doc_id"),
+      explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
+    val counters = Sketches.countMinCounters(tokHashes, "th")
+    // (token string, hash) pairs: the kernel's distinct-by-hash order is
+    // first-appearance, exactly array_distinct's order on the tokens
+    val pairs = docs.select(col("doc_id"),
+        array_distinct(split(trim(lower(col("text"))), "\\s+")).as("ta"),
+        TextShingles.word_shingle_hashes(col("text"), 1).as("ha"))
+      .select(col("doc_id"),
+        explode(expr("zip_with(ta, ha, (t, h) -> named_struct('token', t, 'th', h))")).as("p"))
+      .select(col("p.token").as("token"), col("p.th").as("th"))
+    val top = pairs.groupBy("token", "th").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(30)
+    Sketches.countMinEstimate(counters, top.select("th"), "th")
+      .join(top, Seq("th"))
+      .select(col("token"), col("df"), col("cm_est"))
+  }
+  /** Full replay: FNV-1a64 per distinct (doc, token) (the vocab oracle's
+    * chain), the splitmix64 cell chain per (hash, row) in the unsigned
+    * HUGEINT domain (low 10 bits == the kernel's `& 1023`), counter sums,
+    * min over the 4 rows for the top-30 probes.
+    */
+  val sketchCountMinSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, tok
+      |  FROM (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+      |       UNNEST(regexp_split_to_array(t, '\s+')) u(tok)
+      |), fnv AS (
+      |  SELECT doc_id, tok,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(regexp_extract_all(tok, '.'), c -> unicode(c)::HUGEINT)),
+      |      (acc, cp) -> ((xor(acc, cp) % 4294967296) * 1099511628211::HUGEINT
+      |        + (((xor(acc, cp) // 4294967296) * 1099511628211::HUGEINT) % 4294967296) * 4294967296
+      |      ) % 18446744073709551616) AS h
+      |  FROM toks
+      |), hset AS (SELECT DISTINCT tok, h FROM fnv
+      |), m0 AS (
+      |  SELECT tok, h, r, (xor(h, r::HUGEINT) + 11400714819323198485) % 18446744073709551616 AS x
+      |  FROM hset, UNNEST(generate_series(0, 3)) rr(r)
+      |), m1 AS (SELECT tok, h, r, xor(x, x // 1073741824) AS x FROM m0
+      |), m2 AS (SELECT tok, h, r,
+      |    ((x % 4294967296) * 13787848793156543929::HUGEINT
+      |     + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS x FROM m1
+      |), m3 AS (SELECT tok, h, r, xor(x, x // 134217728) AS x FROM m2
+      |), m4 AS (SELECT tok, h, r,
+      |    ((x % 4294967296) * 10723151780598845931::HUGEINT
+      |     + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS x FROM m3
+      |), m5 AS (SELECT tok, h, r, xor(x, x // 2147483648) AS x FROM m4
+      |), hcell AS (SELECT tok, h, r, (x % 1024)::BIGINT AS cell FROM m5
+      |), counters AS (
+      |  SELECT hc.r, hc.cell, count(*) AS n
+      |  FROM fnv f JOIN hcell hc ON hc.h = f.h AND hc.tok = f.tok
+      |  GROUP BY 1, 2
+      |), exact AS (
+      |  SELECT tok, h, count(*) AS df FROM fnv GROUP BY 1, 2
+      |), top AS (SELECT * FROM exact ORDER BY df DESC, tok ASC LIMIT 30)
+      |SELECT t.tok AS token, CAST(t.df AS BIGINT) AS df, min(c.n) AS cm_est
+      |FROM top t
+      |JOIN hcell hc ON hc.h = t.h AND hc.tok = t.tok
+      |JOIN counters c ON c.r = hc.r AND c.cell = hc.cell
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Deterministic KMV distinct-count estimate of each source's token
+    * vocabulary: O(k) mergeable state per group (`bottomKByHash`), the
+    * classic (k-1)/u_k estimator, exact below k. Output
+    * (source, n_exact, kmv_est); the exact column exists to exhibit the
+    * error and feed the oracle — a production run at scale drops it.
+    */
+  val sketchKmv: QueryFn = (s, dir) => {
+    import graft.ext.{Sketches, TextShingles}
+    val vocab = DataOps.parallelismFloor(Tables.documents(s, dir))
+      .select(col("source"),
+        explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
+      .distinct()
+    Sketches.kmvDistinct(vocab, Seq("source"), "th", k = 64)
+  }
+  /** Replay: FNV per token, distinct (source, hash), splitmix64 chain to
+    * the SIGNED hv (the aggregator ranks signed longs), row_number per
+    * source, and the same add-then-two-divides estimate expression.
+    */
+  val sketchKmvSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT source, tok
+      |  FROM (SELECT source, trim(lower(text)) AS t FROM documents),
+      |       UNNEST(regexp_split_to_array(t, '\s+')) u(tok)
+      |), fnv AS (
+      |  SELECT DISTINCT source,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(regexp_extract_all(tok, '.'), c -> unicode(c)::HUGEINT)),
+      |      (acc, cp) -> ((xor(acc, cp) % 4294967296) * 1099511628211::HUGEINT
+      |        + (((xor(acc, cp) // 4294967296) * 1099511628211::HUGEINT) % 4294967296) * 4294967296
+      |      ) % 18446744073709551616) AS h
+      |  FROM toks
+      |), m0 AS (SELECT source, h, (h + 11400714819323198485) % 18446744073709551616 AS x FROM fnv
+      |), m1 AS (SELECT source, h, xor(x, x // 1073741824) AS x FROM m0
+      |), m2 AS (SELECT source, h,
+      |    ((x % 4294967296) * 13787848793156543929::HUGEINT
+      |     + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS x FROM m1
+      |), m3 AS (SELECT source, h, xor(x, x // 134217728) AS x FROM m2
+      |), m4 AS (SELECT source, h,
+      |    ((x % 4294967296) * 10723151780598845931::HUGEINT
+      |     + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS x FROM m3
+      |), m5 AS (SELECT source, h, xor(x, x // 2147483648) AS x FROM m4
+      |), hv AS (
+      |  SELECT source, CASE WHEN x >= 9223372036854775808
+      |    THEN (x - 18446744073709551616)::BIGINT ELSE x::BIGINT END AS hv FROM m5
+      |), ranked AS (
+      |  SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n_exact
+      |  FROM hv)
+      |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+      |  CASE WHEN n_exact < 64 THEN n_exact::DOUBLE
+      |       ELSE 63.0 / ((hv::DOUBLE + 9223372036854775808) / 18446744073709551616)
+      |  END AS kmv_est
+      |FROM ranked
+      |WHERE rn = CASE WHEN n_exact < 64 THEN n_exact ELSE 64 END""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "sessionize"           -> sessionize,
     "dedup_substring"      -> dedupSubstring,
@@ -2039,6 +2176,8 @@ object ExtQueries {
     "asof_join"            -> asofJoinGeneral,
     "training_set"         -> trainingSet,
     "sample_bottomk"       -> sampleBottomK,
+    "sketch_countmin"      -> sketchCountMin,
+    "sketch_kmv"           -> sketchKmv,
     "mean_vectors"         -> meanVectors,
     "vec_quantize"         -> vecQuantize,
     "rank_tfidf"           -> rankTfidf,
@@ -2074,6 +2213,8 @@ object ExtQueries {
     "dedup_exact"         -> dedupExactSql,
     "dedup_incremental"   -> dedupIncrementalSql,
     "sample_bottomk"      -> sampleBottomKSql,
+    "sketch_countmin"     -> sketchCountMinSql,
+    "sketch_kmv"          -> sketchKmvSql,
     "pack_greedy"         -> packGreedySql,
     "pack_sequences"      -> packSequencesSql,
     "quality_gopher"      -> qualityGopherSql,

@@ -849,6 +849,48 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(got.count(_.getAs[Boolean]("keep")) == 20)
   }
 
+  test("countMin: never undercounts, counters stay depth x width, halves merge by summing") {
+    val keys = spark.range(0, 5000)
+      .select((col("id") % 37).as("k")) // skewed key set with known counts
+    val counters = Sketches.countMinCounters(keys, "k", depth = 4, width = 256)
+    assert(counters.count() <= 4L * 256)
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("n"))
+    val est = Sketches.countMinEstimate(counters, exact.select("k"), "k",
+      depth = 4, width = 256)
+    val joined = est.join(exact, Seq("k")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("n"),
+        s"CMS undercounted key ${r.getAs[Long]("k")}"))
+
+    // mergeability: counters(first half) + counters(second half) == counters(all)
+    val a = Sketches.countMinCounters(keys.where(col("k") < 18), "k", 4, 256)
+    val b = Sketches.countMinCounters(keys.where(col("k") >= 18), "k", 4, 256)
+    val merged = a.unionByName(b).groupBy("r", "cell").agg(sum("n").as("n"))
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val whole = counters.as[(Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(merged == whole)
+  }
+
+  test("kmvDistinct: exact below k, bounded error above, partitioning-invariant") {
+    // group "small" has 40 distinct keys (< k=64 -> exact), "big" has 5000
+    val df = spark.range(0, 40).select(lit("small").as("g"), col("id").as("k"))
+      .unionByName(spark.range(1000000, 1005000)
+        .select(lit("big").as("g"), col("id").as("k")))
+    def run(p: Int) = Sketches.kmvDistinct(df.repartition(p), Seq("g"), "k", k = 64)
+      .select("g", "n_exact", "kmv_est").as[(String, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val r = run(4)
+    val small = r.find(_._1 == "small").get
+    assert(small._2 == 40L && small._3 == 40.0)
+    val big = r.find(_._1 == "big").get
+    assert(big._2 == 5000L)
+    assert(math.abs(big._3 - 5000.0) / 5000.0 < 0.5,
+      s"KMV estimate ${big._3} too far from 5000")
+    assert(run(1) == run(32)) // O(k) state merges deterministically
+  }
+
   test("semanticDedup: auto cluster count scales with the corpus, floored at 16") {
     assert(Similarity.autoClusterCount(0L) == 16)
     assert(Similarity.autoClusterCount(500L) == 16)
