@@ -2128,6 +2128,72 @@ object ExtQueries {
       |FROM ranked
       |WHERE rn = CASE WHEN n_exact < 64 THEN n_exact ELSE 64 END""".stripMargin
 
+  // Shared final expressions for stats_moments: both engines parse the
+  // SAME strings over the exact integer sums, so every IEEE operation
+  // (casts of DECIMAL sums, divides, multiplies, sqrt — all correctly
+  // rounded; never pow/log, which differ across libms by ulps) agrees
+  // bit-for-bit.
+  private val momMean = "(CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))"
+  private def momD(c: String) = s"(CAST($c AS DOUBLE) / CAST(cnt AS DOUBLE))"
+  private val momVar = s"(${momD("s2")} - $momMean * $momMean)"
+  private val momSkew =
+    s"""CASE WHEN $momVar = 0.0 THEN NULL ELSE
+       |(${momD("s3")} - 3.0 * $momMean * ${momD("s2")}
+       | + 2.0 * $momMean * $momMean * $momMean)
+       | / ($momVar * sqrt($momVar)) END""".stripMargin.replace("\n", " ")
+  private val momKurt =
+    s"""CASE WHEN $momVar = 0.0 THEN NULL ELSE
+       |(${momD("s4")} - 4.0 * $momMean * ${momD("s3")}
+       | + 6.0 * $momMean * $momMean * ${momD("s2")}
+       | - 3.0 * $momMean * $momMean * $momMean * $momMean)
+       | / ($momVar * $momVar) END""".stripMargin.replace("\n", " ")
+
+  /** Per-source distribution profile of document token counts: exact
+    * DECIMAL(38,0) power sums (x through x^4 — per-row powers stay under
+    * 2^63, corpus sums don't, hence DECIMAL) plus mean/variance/skewness/
+    * kurtosis derived from them by the shared expressions above. One
+    * partial-aggregating pass over the corpus; the moment state is 4
+    * decimals + a count per group — mergeable across periods/partitions
+    * like any algebraic aggregate.
+    */
+  val statsMoments: QueryFn = (s, dir) => {
+    val x = size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+    DataOps.parallelismFloor(Tables.documents(s, dir))
+      .select(col("source"), x.as("x"))
+      .groupBy("source").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("x").cast("decimal(38,0)")).as("s1"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"),
+        sum((col("x") * col("x") * col("x")).cast("decimal(38,0)")).as("s3"),
+        sum((col("x") * col("x") * col("x") * col("x")).cast("decimal(38,0)")).as("s4"))
+      .selectExpr("source", "cnt",
+        // the sums travel as strings: DECIMAL(38,0) exceeds float64 past
+        // 2^53, and the oracle compare goes through pandas — digits are
+        // exact at any magnitude
+        "CAST(s1 AS STRING) AS s1", "CAST(s2 AS STRING) AS s2",
+        "CAST(s3 AS STRING) AS s3", "CAST(s4 AS STRING) AS s4",
+        s"$momMean AS mean", s"$momVar AS variance",
+        s"$momSkew AS skewness", s"$momKurt AS kurtosis")
+  }
+  val statsMomentsSql: String =
+    s"""WITH b AS (
+       |  SELECT source, len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT AS x
+       |  FROM documents
+       |), g AS (
+       |  SELECT source, count(*) AS cnt,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS s1,
+       |    sum(CAST(x * x AS DECIMAL(38,0))) AS s2,
+       |    sum(CAST(x * x * x AS DECIMAL(38,0))) AS s3,
+       |    sum(CAST(x * x * x * x AS DECIMAL(38,0))) AS s4
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT source, cnt,
+       |  CAST(s1 AS VARCHAR) AS s1, CAST(s2 AS VARCHAR) AS s2,
+       |  CAST(s3 AS VARCHAR) AS s3, CAST(s4 AS VARCHAR) AS s4,
+       |  $momMean AS mean, $momVar AS variance,
+       |  $momSkew AS skewness, $momKurt AS kurtosis
+       |FROM g""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "sessionize"           -> sessionize,
     "dedup_substring"      -> dedupSubstring,
@@ -2178,6 +2244,7 @@ object ExtQueries {
     "sample_bottomk"       -> sampleBottomK,
     "sketch_countmin"      -> sketchCountMin,
     "sketch_kmv"           -> sketchKmv,
+    "stats_moments"        -> statsMoments,
     "mean_vectors"         -> meanVectors,
     "vec_quantize"         -> vecQuantize,
     "rank_tfidf"           -> rankTfidf,
@@ -2215,6 +2282,7 @@ object ExtQueries {
     "sample_bottomk"      -> sampleBottomKSql,
     "sketch_countmin"     -> sketchCountMinSql,
     "sketch_kmv"          -> sketchKmvSql,
+    "stats_moments"       -> statsMomentsSql,
     "pack_greedy"         -> packGreedySql,
     "pack_sequences"      -> packSequencesSql,
     "quality_gopher"      -> qualityGopherSql,

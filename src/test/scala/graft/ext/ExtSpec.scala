@@ -891,6 +891,25 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(run(1) == run(32)) // O(k) state merges deterministically
   }
 
+  test("stats_moments: decimal-sum moments agree with Spark's built-in skewness/kurtosis") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.ExtQueries.statsMoments(spark, dir)
+      .select("source", "skewness", "kurtosis")
+      .as[(String, Option[Double], Option[Double])].collect().sortBy(_._1)
+    val x = size(split(trim(lower(col("text"))), "\\s+")).cast("double")
+    val ref = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), x.as("x"))
+      .groupBy("source").agg(skewness(col("x")).as("sk"), kurtosis(col("x")).as("ku"))
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == ref.length && got.nonEmpty)
+    got.zip(ref).foreach { case ((s, sk, ku), (s2, rsk, rku)) =>
+      assert(s == s2)
+      // built-in kurtosis is EXCESS kurtosis (m4/m2^2 - 3); ours is m4/m2^2
+      assert(math.abs(sk.get - rsk) < 1e-9, s"skew mismatch on $s: $sk vs $rsk")
+      assert(math.abs(ku.get - (rku + 3.0)) < 1e-9, s"kurt mismatch on $s: $ku vs $rku")
+    }
+  }
+
   test("semanticDedup: auto cluster count scales with the corpus, floored at 16") {
     assert(Similarity.autoClusterCount(0L) == 16)
     assert(Similarity.autoClusterCount(500L) == 16)
