@@ -341,4 +341,33 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("user_id"), "user_id read but unused:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("sketch_countmin: counters aggregate partially and broadcast to the probes") {
+    val p = plan(ExtQueries.sketchCountMin(spark, dir))
+    // the counter build and the estimate min are both two-phase
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    // the 4096-row counter table reaches the probes as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("sketch_kmv: O(k) mergeable state — partial+final agg, no window, no sort") {
+    val p = plan(ExtQueries.sketchKmv(spark, dir))
+    // the bottom-k Aggregator is an ObjectHashAggregate with a partial pass
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("stats_moments: one two-phase aggregation, no joins, no window") {
+    val p = plan(ExtQueries.statsMoments(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // final plan: the parallelism-floor repartition + the one agg exchange
+    val fin = p.substring(p.indexOf("== Final Plan =="),
+      math.max(p.indexOf("== Initial Plan =="), p.indexOf("== Final Plan ==") + 16))
+    assert("Exchange \\(".r.findAllIn(fin).size <= 2,
+      "more exchanges than the one agg needs:\n" + p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
