@@ -114,6 +114,19 @@ class JdbcSourceSpec extends AnyFunSuite with SparkTest {
     assert(df.count() == 4)
   }
 
+  test("full extract over JDBC: the period predicate still reaches the block relation") {
+    val records = MainQuery.extract(spark, derbyUrl,
+      Timestamp.valueOf("2021-03-02 10:00:00"),
+      Timestamp.valueOf("2021-03-02 14:00:00"))
+    records.collect() // finalize AQE
+    val plan = records.queryExecution.executedPlan.toString
+    // the (from, to] filter must sit inside the block JDBC scan, pushed
+    // through the branch projections and joins — not as a post-join filter
+    assert(plan.contains("JDBCRelation(block)"), plan)
+    assert(plan.contains("GreaterThan(time"), s"lower bound not pushed:\n$plan")
+    assert(plan.contains("LessThanOrEqual(time"), s"upper bound not pushed:\n$plan")
+  }
+
   test("reads are split into id-range partitions; a no-id table falls back to 1") {
     spark.conf.set(JdbcSource.NumPartitionsConf, "3")
     try {
