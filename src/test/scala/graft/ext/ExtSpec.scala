@@ -849,6 +849,32 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(got.count(_.getAs[Boolean]("keep")) == 20)
   }
 
+  test("IVF index maintenance is incremental: assign deltas, never refit") {
+    // the production pattern at scale: fit once, then per period assign
+    // only the new vectors against the frozen centroids — assignment is
+    // per-row, so (assign all) == (assign v1) UNION (assign delta) and
+    // search over the union is search over the full index
+    val rnd = new Random(19)
+    val all = (0L until 300L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val v1 = all.take(200).toDF("vec_id", "embedding")
+    val delta = all.drop(200).toDF("vec_id", "embedding")
+    val full = all.toDF("vec_id", "embedding")
+    val centroids = Ivf.fit(v1, nCells = 8, iterations = 2)
+    val incremental = Ivf.assign(v1, centroids)
+      .unionByName(Ivf.assign(delta, centroids))
+    val oneShot = Ivf.assign(full, centroids)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(rows(incremental) == rows(oneShot))
+    val queries = full.orderBy("vec_id").limit(5)
+    def hits(a: org.apache.spark.sql.DataFrame) =
+      Ivf.search(queries, a, centroids, k = 3, nProbe = 2)
+        .selectExpr("query_id", "neighbor_id", "CAST(rank AS LONG) AS rank")
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(hits(incremental) == hits(oneShot))
+  }
+
   test("countMin: never undercounts, counters stay depth x width, halves merge by summing") {
     val keys = spark.range(0, 5000)
       .select((col("id") % 37).as("k")) // skewed key set with known counts
