@@ -143,6 +143,36 @@ class JdbcSourceSpec extends AnyFunSuite with SparkTest {
     } finally spark.conf.unset(JdbcSource.NumPartitionsConf)
   }
 
+  test("a 100k-row remote table splits into balanced, complete id ranges") {
+    val url = "jdbc:derby:memory:bigsrc"
+    val conn = DriverManager.getConnection(url + ";create=true")
+    try {
+      conn.createStatement().execute("CREATE TABLE big (id BIGINT NOT NULL, v BIGINT)")
+      conn.setAutoCommit(false)
+      val ps = conn.prepareStatement("INSERT INTO big VALUES (?, ?)")
+      (0L until 100000L).foreach { i =>
+        ps.setLong(1, i); ps.setLong(2, i * 7); ps.addBatch()
+        if (i % 10000 == 9999) ps.executeBatch()
+      }
+      ps.executeBatch(); conn.commit(); ps.close()
+    } finally conn.close()
+
+    spark.conf.set(JdbcSource.NumPartitionsConf, "8")
+    try {
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", LongType, nullable = true)))
+      val df = JdbcSource.table(spark, url, "big", schema)
+      assert(df.rdd.getNumPartitions == 8)
+      val perPart = df.rdd
+        .mapPartitions(it => Iterator.single(it.size.toLong)).collect().sorted
+      assert(perPart.sum == 100000L)
+      // dense serial ids -> uniform ranges: no partition more than 2% off
+      assert(perPart.head >= 12250 && perPart.last <= 12750,
+        s"unbalanced splits: ${perPart.mkString(",")}")
+    } finally spark.conf.unset(JdbcSource.NumPartitionsConf)
+  }
+
   test("JDBC-backed sync produces tables identical to the parquet path") {
     val jdbcStore = new TableStore(spark,
       Files.createTempDirectory("jdbc-sync-out").toString)
