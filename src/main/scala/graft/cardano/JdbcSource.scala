@@ -45,7 +45,11 @@ object JdbcSource {
   val FetchSizeConf = "spark.graft.jdbc.fetchSize"
 
   /** Driver-side `(min(id), max(id))` probe — one scalar round trip; None
-    * when the table is empty or has no `id` column.
+    * when the table is empty or has no `id` column. Only a
+    * missing-column/table error (SQLState class 42, e.g. Derby 42X04 /
+    * Postgres 42703) selects the unsplit fallback; transient failures
+    * (timeout, connection) propagate so the period-level retry handles
+    * them instead of the read silently collapsing to one connection.
     */
   private def idBounds(url: String, table: String): Option[(Long, Long)] = {
     val conn = DriverManager.getConnection(url)
@@ -61,7 +65,9 @@ object JdbcSource {
         }
       } finally rs.close()
     } catch {
-      case _: java.sql.SQLException => None // no id column -> unsplit read
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(_.startsWith("42")) =>
+        None // no id column (or no such table) -> unsplit read
     } finally conn.close()
   }
 

@@ -138,6 +138,9 @@ class SyncDriver(
             val step = math.min(100L, delay - slept)
             Thread.sleep(step); slept += step
           }
+          // a stop that arrived mid-backoff must not trigger another
+          // attempt against a failing source — rethrow immediately
+          if (stopRequested) throw e
       }
     }
   }

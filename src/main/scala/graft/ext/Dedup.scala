@@ -308,14 +308,14 @@ object Dedup {
         df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"), TextShingles.word_shingle_hashes(col("__t"), n).as("sh"))
       .withColumn("set_size", size(col("sh")).cast("long"))
-      // Eager on purpose (sole exception to the lazy convention): this
-      // checkpoint is consumed by four downstream leaves inside one write
-      // job, and materializing it lazily inside that job lets the upstream
-      // stage's SQLMetrics lose their last strong reference mid-job
-      // (markCheckpointed clears deps) — a GC then produces benign but
-      // noisy "non-existent accumulator" DAGScheduler errors in the tail.
-      // A dedicated materialization job processes every task-completion
-      // event while references are still strong.
+      // Eager on purpose (like the other multi-leaf checkpoints in this
+      // file): this checkpoint is consumed by four downstream leaves
+      // inside one write job, and materializing it lazily inside that job
+      // lets the upstream stage's SQLMetrics lose their last strong
+      // reference mid-job (markCheckpointed clears deps) — a GC then
+      // produces benign but noisy "non-existent accumulator" DAGScheduler
+      // errors in the tail. A dedicated materialization job processes
+      // every task-completion event while references are still strong.
       .localCheckpoint(true) // reused by candidate gen AND verification
 
     // Candidate generation on the df-pruned inverted index (skew guard: a

@@ -24,6 +24,27 @@ case class PackedGroupDoc(group: String, id: Long, n_tokens: Long,
   */
 object Packing {
 
+  /** The ONE streaming next-fit fold both packers share: (id, n_tokens)
+    * in iteration order → (id, n_tokens, pack_idx, pack_seq, oversize).
+    * A new pack opens when the next document would overflow the budget;
+    * an oversize document gets a pack of its own, flagged.
+    */
+  private def nextFit(it: Iterator[(Long, Long)], budget: Long)
+      : Iterator[(Long, Long, Long, Int, Boolean)] = {
+    var packIdx = -1L
+    var fill = 0L
+    var seqNo = 0
+    it.map { case (id, n) =>
+      val oversize = n > budget
+      if (packIdx < 0 || fill + n > budget) {
+        packIdx += 1; fill = 0L; seqNo = 0
+      }
+      fill += n
+      seqNo += 1
+      (id, n, packIdx, seqNo - 1, oversize)
+    }
+  }
+
   /** Deterministic bucketed greedy next-fit packing: documents are hashed
     * into `nBuckets` buckets (`floorMod(mix64(id), nBuckets)`), each
     * bucket packs its own documents in ascending-id order, and the pack
@@ -55,36 +76,28 @@ object Packing {
       }
       .groupByKey(_.bucket)
       .flatMapSortedGroups(col("id")) { (bucket, it) =>
-        var packIdx = -1L
-        var fill = 0L
-        var seqNo = 0
-        it.map { d =>
-          val oversize = d.n_tokens > budget
-          if (packIdx < 0 || fill + d.n_tokens > budget) {
-            packIdx += 1; fill = 0L; seqNo = 0
-          }
-          fill += d.n_tokens
-          seqNo += 1
-          // bucket-unique pack ids without any global counter
-          PackedDoc(d.id, d.n_tokens, bucket * 4294967296L + packIdx,
-            seqNo - 1, oversize)
+        nextFit(it.map(d => (d.id, d.n_tokens)), budget).map {
+          case (id, n, packIdx, seq, oversize) =>
+            // bucket-unique pack ids without any global counter
+            PackedDoc(id, n, bucket * 4294967296L + packIdx, seq, oversize)
         }
       }
       .toDF()
   }
 
   /** Deterministic greedy next-fit packing scoped to a GROUP key (e.g. the
-    * document source): within each group, documents are packed in ascending
-    * id order, so the result is a pure function of the data — independent
-    * of partition count or layout (unlike `packSequences`, whose packs
-    * follow physical partitions for zero-coordination scale-out).
+    * document source). Both packers are pure functions of the data and run
+    * the same `nextFit` fold after one shuffle with a secondary sort; they
+    * differ only in the scope of a pack: here it is a *semantic* key
+    * (pack_idx is meaningful per source, parallelism = number of groups),
+    * while `packSequences` scopes by mix64 hash bucket (pack identity is
+    * synthetic, parallelism = nBuckets regardless of the key cardinality —
+    * the scale form when groups are few or skewed).
     *
     * `flatMapSortedGroups` is the Spark-idiomatic form: one shuffle on the
     * group key, Spark sorts within each group (secondary sort — no
     * per-group buffering in user code), and the running-fill fold streams
-    * over the sorted iterator. Parallelism = number of groups; use it when
-    * pack identity must be reproducible, `packSequences` when raw
-    * throughput matters.
+    * over the sorted iterator.
     */
   def packSequencesByGroup(df: DataFrame, groupCol: String, idCol: String,
       tokensCol: String, budget: Long): DataFrame = {
@@ -95,17 +108,9 @@ object Packing {
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapSortedGroups(col("_2")) { (group, it) =>
-        var packIdx = -1L
-        var fill = 0L
-        var seqNo = 0
-        it.map { case (_, id, n) =>
-          val oversize = n > budget
-          if (packIdx < 0 || fill + n > budget) {
-            packIdx += 1; fill = 0L; seqNo = 0
-          }
-          fill += n
-          seqNo += 1
-          PackedGroupDoc(group, id, n, packIdx, seqNo - 1, oversize)
+        nextFit(it.map(t => (t._2, t._3)), budget).map {
+          case (id, n, packIdx, seq, oversize) =>
+            PackedGroupDoc(group, id, n, packIdx, seq, oversize)
         }
       }
       .toDF()

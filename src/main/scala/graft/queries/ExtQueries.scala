@@ -2009,9 +2009,14 @@ object ExtQueries {
       explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
     val counters = Sketches.countMinCounters(tokHashes, "th")
     // (token string, hash) pairs: the kernel's distinct-by-hash order is
-    // first-appearance, exactly array_distinct's order on the tokens
+    // first-appearance, exactly array_distinct's order on the tokens.
+    // Tokenize exactly like the kernel — split on space/tab/nl/cr and drop
+    // empties (Spark's trim strips only spaces, so trim-then-split would
+    // emit a phantom leading "" on tab/newline-led text and shift every
+    // zip pair by one)
     val pairs = docs.select(col("doc_id"),
-        array_distinct(split(trim(lower(col("text"))), "\\s+")).as("ta"),
+        array_distinct(array_remove(
+          split(lower(col("text")), "[ \\t\\n\\r]+"), "")).as("ta"),
         TextShingles.word_shingle_hashes(col("text"), 1).as("ha"))
       .select(col("doc_id"),
         explode(expr("zip_with(ta, ha, (t, h) -> named_struct('token', t, 'th', h))")).as("p"))
@@ -2137,12 +2142,12 @@ object ExtQueries {
   private def momD(c: String) = s"(CAST($c AS DOUBLE) / CAST(cnt AS DOUBLE))"
   private val momVar = s"(${momD("s2")} - $momMean * $momMean)"
   private val momSkew =
-    s"""CASE WHEN $momVar = 0.0 THEN NULL ELSE
+    s"""CASE WHEN $momVar <= 0.0 THEN NULL ELSE
        |(${momD("s3")} - 3.0 * $momMean * ${momD("s2")}
        | + 2.0 * $momMean * $momMean * $momMean)
        | / ($momVar * sqrt($momVar)) END""".stripMargin.replace("\n", " ")
   private val momKurt =
-    s"""CASE WHEN $momVar = 0.0 THEN NULL ELSE
+    s"""CASE WHEN $momVar <= 0.0 THEN NULL ELSE
        |(${momD("s4")} - 4.0 * $momMean * ${momD("s3")}
        | + 6.0 * $momMean * $momMean * ${momD("s2")}
        | - 3.0 * $momMean * $momMean * $momMean * $momMean)

@@ -110,6 +110,33 @@ class FailureAtomicitySpec extends AnyFunSuite with SparkTest {
       == versionsBefore)
   }
 
+  test("a stop during the retry backoff rethrows promptly, no extra attempt") {
+    val srcDir = Files.createTempDirectory("stopretry-src").toString
+    Fixture.write(spark, srcDir)
+    val store = new TableStore(spark,
+      Files.createTempDirectory("stopretry-out").toString)
+    var attempts = 0
+    val drv = new SyncDriver(spark, srcDir, store, 120,
+        maxRetries = 5, backoffMillis = 30000) {
+      override def syncPeriod(from: java.sql.Timestamp,
+          to: java.sql.Timestamp): Unit = {
+        attempts += 1
+        throw new java.io.IOException("source down")
+      }
+    }
+    val stopper = new Thread(() => { Thread.sleep(200); drv.requestStop() })
+    stopper.start()
+    val t0 = System.nanoTime()
+    intercept[java.io.IOException] {
+      drv.syncPeriodWithRetry(drv.genesis,
+        java.sql.Timestamp.valueOf("2021-03-02 12:00:00"))
+    }
+    stopper.join()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(attempts == 1, s"retried after stop: $attempts attempts")
+    assert(elapsedMs < 5000, s"stop did not cancel the 30s backoff (${elapsedMs}ms)")
+  }
+
   test("commit is one root-manifest rename: tables flip together, stale tmp is inert") {
     val out = Files.createTempDirectory("manifest-out").toString
     val store = new TableStore(spark, out)

@@ -28,12 +28,39 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTest {
 
     // export after the first period only, then after full catch-up: the
     // second export must replace (not append to) the first's rows
+    // the app owns the user table and its DDL (PK + the FK the reference
+    // schema advertises from wallet.user_id) — pre-create it so export
+    // appends into existing DDL rather than creating its own
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE "user" (
+          |  id INTEGER NOT NULL PRIMARY KEY,
+          |  pfp_asset_id BIGINT,
+          |  alias VARCHAR(16) NOT NULL,
+          |  created_on TIMESTAMP NOT NULL,
+          |  modified TIMESTAMP NOT NULL,
+          |  last_login TIMESTAMP)""".stripMargin)
+    } finally conn.close()
+
     val drv = new SyncDriver(spark, srcDir, store, 120)
     val tip = drv.cardanoTip().get
     val periods = drv.periodList(drv.pantasiaTip(), tip)
     drv.syncPeriod(periods(0), periods(1))
     val first = JdbcSink.export(store, url)
-    assert(first.map(_._1) == Schemas.targetTables.keys.toSeq.sorted)
+    assert(first.map(_._1) == JdbcSink.insertOrder)
+    assert(JdbcSink.insertOrder.sorted == Schemas.targetTables.keys.toSeq.sorted)
+
+    // an application adds the advertised FK on the target — the
+    // delete-children-first / append-parents-first export must survive it
+    // (TRUNCATE-based overwrite would fail here: Postgres refuses TRUNCATE
+    // on FK-referenced tables)
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    try {
+      conn2.createStatement().execute(
+        """ALTER TABLE "wallet" ADD CONSTRAINT wallet_user_fk
+          |FOREIGN KEY ("user_id") REFERENCES "user"(id)""".stripMargin)
+    } finally conn2.close()
 
     drv.catchUp()
     JdbcSink.export(store, url)
