@@ -117,6 +117,28 @@ object GraphQueries {
        |)
        |SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM bfs GROUP BY node""".stripMargin
 
+  /** Connected components of the co-purchase graph: each node labeled
+    * with its component's smallest node id. Same engine as the near-dup
+    * clustering (`Dedup.components` — driver union-find under the pair
+    * threshold, co-partitioned label propagation above), applied to a
+    * general graph; the oracle is the recursive min-label closure.
+    */
+  val graphCc: QueryFn = (s, dir) =>
+    graft.ext.Dedup.components(coPurchase(s, dir)
+        .select(col("a").as("id_a"), col("b").as("id_b")))
+      .select(col("id").as("node"), col("cluster_id").as("component"))
+
+  val graphCcSql: String =
+    s"""${pairsCte.replace("WITH ", "WITH RECURSIVE ")}, edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), lbl(node, lab) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT e.dst, l.lab FROM lbl l JOIN edges e ON e.src = l.node
+       |)
+       |SELECT node, CAST(min(lab) AS BIGINT) AS component
+       |FROM lbl GROUP BY node""".stripMargin
+
   /** Per-user EWMA (alpha = 0.25) of event values in time order. */
   val tsEwma: QueryFn = (s, dir) =>
     Analytics.ewma(Tables.events(s, dir),
@@ -349,6 +371,7 @@ object GraphQueries {
     "graph_triangles" -> graphTriangles,
     "graph_bfs"       -> graphBfs,
     "graph_degrees"   -> graphDegrees,
+    "graph_cc"        -> graphCc,
     "ts_ewma"         -> tsEwma,
     "ts_interpolate"  -> tsInterpolate,
     "attribution_linear" -> attributionLinear,
@@ -364,6 +387,7 @@ object GraphQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_bfs"       -> graphBfsSql,
     "graph_degrees"   -> graphDegreesSql,
+    "graph_cc"        -> graphCcSql,
     "ts_ewma"         -> tsEwmaSql,
     "ts_interpolate"  -> tsInterpolateSql,
     "attribution_linear" -> attributionLinearSql,
