@@ -193,4 +193,49 @@ object DataOps {
       .withColumn("rep", explode(sequence(lit(1L), col("__base") + col("__extra"))))
       .drop("__w", "__base", "__extra")
   }
+
+  /** Deterministic train/val/test assignment: each row's split is a pure
+    * function of its id (`mix64(id) mod 100` against cumulative percent
+    * bounds), so the partition a document lands in survives reruns,
+    * repartitions, corpus growth (new ids don't move old ones), and
+    * engine changes — the property that keeps eval sets uncontaminated
+    * across pipeline versions. Zero shuffles: a narrow codegen projection.
+    *
+    * `bounds` are (name, exclusiveUpperPercent) pairs in ascending order,
+    * e.g. ("train",80),("val",90),("test",100).
+    */
+  def datasetSplit(df: DataFrame, idCol: String,
+      bounds: Seq[(String, Int)]): DataFrame = {
+    require(bounds.nonEmpty && bounds.last._2 == 100,
+      "split bounds must end at 100")
+    val bucket = pmod(HashExprs.mix64(col(idCol).cast("long")), lit(100L))
+    val split = bounds.tail.foldLeft(
+      when(bucket < bounds.head._2, bounds.head._1)) {
+      case (acc, (name, hi)) => acc.when(bucket < hi, name)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** CDC changelog materialization: collapse an (op, payload) event log to
+    * the current state per key — last op in `orderCols` order wins, and a
+    * trailing delete tombstone removes the key entirely. This is the
+    * apply step of a Debezium/Delta-CDF style feed, as ONE map-side-
+    * combining aggregation (`max_by` of the op struct): no window, no
+    * sort, one exchange on the key — the shape that survives a 100 TB
+    * changelog where a per-key `row_number` window would sort every
+    * partition.
+    */
+  def cdcApply(log: DataFrame, keyCols: Seq[String], opCol: String,
+      orderCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    val fields = (opCol +: payloadCols).map(col)
+    val ord = struct(orderCols.map(col): _*)
+    val agg = log.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(fields: _*), ord).as("__last"),
+        count(lit(1)).as("n_ops"),
+        sum(when(col(opCol) === "D", 1L).otherwise(0L)).as("n_deletes"))
+    agg.where(col(s"__last.$opCol") =!= "D")
+      .select(keyCols.map(col) ++
+        payloadCols.map(p => col(s"__last.$p").as(p)) ++
+        Seq(col("n_ops"), col("n_deletes")): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, designed
@@ -403,5 +404,46 @@ object Dedup {
         col("p.id_container").as("id_container"),
         col("p.containment").as("containment"))
       .where(col("containment") >= threshold)
+  }
+
+  /** Consecutive-duplicate collapse (event-stream compaction): within each
+    * `partCol` stream ordered by (`tsCol`, `idCol`), runs of equal
+    * `markerCol` values fold into one row carrying the run's head id/value,
+    * its time span, and the collapsed count. The classic gaps-and-islands
+    * dedup for telemetry or state feeds where repeated identical readings
+    * are noise.
+    *
+    * Scale: every window clusters by the SAME partition key, so the whole
+    * pass is one exchange on `partCol` + per-key sorts — no global
+    * ordering anywhere. Run ids restart per key (`run` is the per-key
+    * island index), keeping the aggregation key (`partCol`, `run`)
+    * co-partitioned with the windows: the groupBy reuses the exchange.
+    */
+  def collapseConsecutive(df: DataFrame, partCol: String, tsCol: String,
+      idCol: String, markerCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(markerCol), 1).over(w)
+    // `lag` is null BOTH at the stream head and after a null marker, so
+    // the head needs its own flag — null-safe compare alone would fold a
+    // leading null marker into "no change" and 0-base the run ids.
+    val runs = df
+      .withColumn("__chg",
+        when(row_number().over(w) === 1 || !(prev <=> col(markerCol)), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__head_id", first(col(idCol)).over(
+        Window.partitionBy(col(partCol), col("run"))
+          .orderBy(col(tsCol), col(idCol))))
+      .withColumn("__head_val", first(col(valueCol)).over(
+        Window.partitionBy(col(partCol), col("run"))
+          .orderBy(col(tsCol), col(idCol))))
+    runs.groupBy(col(partCol), col("run"))
+      .agg(min(col("__head_id")).as(idCol),
+        first(col(markerCol)).as(markerCol),
+        min(col("__head_val")).as(valueCol),
+        count(lit(1)).as("n_in_run"),
+        min(col(tsCol)).as("ts_start"),
+        max(col(tsCol)).as("ts_end"))
   }
 }

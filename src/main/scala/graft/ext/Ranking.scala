@@ -82,6 +82,36 @@ object Ranking {
       .agg(sum(round(col("contrib"), 6).cast("decimal(30,6)")).cast("double").as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) of N candidate
+    * rankings — the standard way to combine lexical (BM25) and semantic
+    * (embedding) retrieval into one list without score calibration. Each
+    * input is a (doc_id, score) frame; a document's fused score is
+    * `Σ_lists 1 / (k + rank_in_list)`.
+    *
+    * Rank assignment is the total order (score desc, doc_id asc) — ties
+    * pinned — computed with the range-repartition + zipWithIndex dense
+    * ranker, NOT a global `row_number()` window: candidate lists at 100 TB
+    * retrieval fan-out are large enough that a single-partition WindowExec
+    * is the classic scale-killer. Per-list contributions are rounded at a
+    * fixed scale and summed in DECIMAL so the fused score is
+    * partition-order-independent and engine-replayable.
+    */
+  def rrfFusion(rankings: Seq[DataFrame], k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFusion needs at least one ranking")
+    val ranked = rankings.map { df =>
+      graft.cardano.SurrogateIds.withSequence(
+          df.select(col("doc_id"), col("score")), "__seq",
+          Seq(col("score").desc, col("doc_id").asc))
+        .select(col("doc_id"), (col("__seq") + 1L).as("rank"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lists"),
+        min(col("rank")).as("best_rank"),
+        sum(round(lit(1.0) / (lit(k.toDouble) + col("rank")), 9)
+          .cast("decimal(30,9)")).cast("double").as("rrf_score"))
+  }
+
   /** Inverted index over a term subset: per term, its document frequency
     * and the sorted posting list. The build side of lexical retrieval —
     * one explode + distinct + one term-keyed aggregation; the shuffle

@@ -422,7 +422,7 @@ object ExtQueries {
   /** The splitmix64 HUGEINT chain over `id` (same as sampleBottomKSql),
     * ending in a signed BIGINT `hv`, with `cols` carried through.
     */
-  private def mix64Cte(src: String, cols: String): String =
+  private[queries] def mix64Cte(src: String, cols: String): String =
     s"""h0 AS (SELECT $cols,
        |    (id::HUGEINT + 11400714819323198485) % 18446744073709551616 AS x FROM $src
        |), h1 AS (SELECT $cols, xor(x, x // 1073741824) AS x FROM h0

@@ -7,8 +7,9 @@ object Queries {
   type QueryFn = (SparkSession, String) => DataFrame
 
   def all: Map[String, QueryFn] =
-    CoreQueries.all ++ ExtQueries.all ++ GraphQueries.all
+    CoreQueries.all ++ ExtQueries.all ++ GraphQueries.all ++ PipelineQueries.all
 
   def oracles: Map[String, String] =
-    CoreQueries.oracles ++ ExtQueries.oracles ++ GraphQueries.oracles
+    CoreQueries.oracles ++ ExtQueries.oracles ++ GraphQueries.oracles ++
+      PipelineQueries.oracles
 }

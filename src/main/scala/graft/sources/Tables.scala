@@ -35,31 +35,49 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark's schema converter rejects (PARQUET_TYPE_ILLEGAL). We read the
-    * nanos as a plain long (`spark.sql.legacy.parquet.nanosAsLong`) and
-    * truncate to microseconds — exactly what DuckDB's µs TIMESTAMP does,
-    * so oracle comparisons line up.
+  /** `events.parquet` has shipped in two physical encodings of `ts`:
+    * parquet INT64 TIMESTAMP(NANOS) (which Spark reads as a plain long
+    * under `spark.sql.legacy.parquet.nanosAsLong`, truncated here to µs)
+    * and native TIMESTAMP(MICROS) without a timezone (which Spark reads
+    * as TIMESTAMP_NTZ). Both normalize to a session-TZ TimestampType µs
+    * column — exactly DuckDB's µs TIMESTAMP under the UTC session, so
+    * oracle comparisons line up regardless of the fixture vintage.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
-  /** Half-open time-range scan of events with parquet-pushdown: a filter on
-    * the *converted* ts column sits above a projection and never reaches
-    * the scan, so we filter the raw nanos long first (shows up in
-    * `PushedFilters`, prunes row groups via footer stats) and convert after.
+  /** Half-open time-range scan of events with parquet-pushdown: a filter
+    * on the *converted* ts column would sit above a projection and never
+    * reach the scan, so we filter the storage-typed column first (shows up
+    * in `PushedFilters`, prunes row groups via footer stats) and convert
+    * after.
     */
   def eventsInRange(spark: SparkSession, dir: String,
       fromExclusive: java.sql.Timestamp, toInclusive: java.sql.Timestamp): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // exact under ns->µs truncation: µs(ns) > from  <=>  ns > from_ns + 999
-    val fromNs = fromExclusive.getTime * 1000000L + 999L
-    val toNs = toInclusive.getTime * 1000000L + 999L
-    table(spark, dir, "events")
-      .where(col("ts") > fromNs && col("ts") <= toNs)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // exact under ns->µs truncation: µs(ns) > from  <=>  ns > from_ns + 999
+        val fromNs = fromExclusive.getTime * 1000000L + 999L
+        val toNs = toInclusive.getTime * 1000000L + 999L
+        df.where(col("ts") > fromNs && col("ts") <= toNs)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // native µs storage: compare as NTZ (value-preserving under the
+        // UTC session), pushed straight to the parquet scan
+        df.where(col("ts") > lit(fromExclusive).cast("timestamp_ntz") &&
+            col("ts") <= lit(toInclusive).cast("timestamp_ntz"))
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

@@ -1,0 +1,137 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Dataset-lifecycle operators: deterministic split assignment, CDC
+  * changelog materialization, consecutive-run compaction, RRF fusion.
+  */
+class PipelineOpsSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ---- datasetSplit ----
+
+  test("datasetSplit: pure function of id — stable under repartition and growth") {
+    val ids = (1L to 1000L).toDF("id")
+    val bounds = Seq(("train", 80), ("val", 90), ("test", 100))
+    val a = DataOps.datasetSplit(ids, "id", bounds)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = DataOps.datasetSplit(ids.repartition(7), "id", bounds)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "split must not depend on partitioning")
+    // corpus growth: ids 1..500's assignment is identical inside 1..1000
+    val sub = DataOps.datasetSplit((1L to 500L).toDF("id"), "id", bounds)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (k, v) => a(k) == v },
+      "new ids must not move old assignments")
+  }
+
+  test("datasetSplit: fractions near bounds, all rows assigned") {
+    val n = 20000L
+    val got = DataOps.datasetSplit((1L to n).toDF("id"), "id",
+        Seq(("train", 80), ("val", 90), ("test", 100)))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(got.values.sum == n)
+    // mix64 is a strong mixer: each 1% bucket holds ~n/100 ids
+    assert(math.abs(got("train") - 0.80 * n) < 0.02 * n, got.toString)
+    assert(math.abs(got("val") - 0.10 * n) < 0.02 * n, got.toString)
+    assert(math.abs(got("test") - 0.10 * n) < 0.02 * n, got.toString)
+  }
+
+  test("datasetSplit: bounds must end at 100") {
+    intercept[IllegalArgumentException] {
+      DataOps.datasetSplit(Seq(1L).toDF("id"), "id", Seq(("train", 80)))
+    }
+  }
+
+  // ---- cdcApply ----
+
+  test("cdcApply: last op wins, trailing delete tombstones the key") {
+    val log = Seq(
+      // k1: insert, update — survives with last value
+      (1L, ts("2024-01-01 10:00:00"), 1L, "U", 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "U", 20.0),
+      // k2: insert then delete — gone
+      (2L, ts("2024-01-01 10:00:00"), 3L, "U", 30.0),
+      (2L, ts("2024-01-01 12:00:00"), 4L, "D", 0.0),
+      // k3: delete then re-insert — survives (delete is not terminal)
+      (3L, ts("2024-01-01 10:00:00"), 5L, "D", 0.0),
+      (3L, ts("2024-01-01 13:00:00"), 6L, "U", 60.0)
+    ).toDF("k", "ts", "seq", "op", "value")
+    val got = DataOps.cdcApply(log, Seq("k"), "op", Seq("ts", "seq"), Seq("value"))
+      .select("k", "value", "n_ops", "n_deletes")
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 20.0, 2L, 0L), (3L, 60.0, 2L, 1L)))
+  }
+
+  test("cdcApply: same-timestamp ties broken by the trailing order column") {
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "U", 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "U", 2.0)
+    ).toDF("k", "ts", "seq", "op", "value")
+    val got = DataOps.cdcApply(log, Seq("k"), "op", Seq("ts", "seq"), Seq("value"))
+      .select("value").as[Double].collect()
+    assert(got.toSeq == Seq(2.0))
+  }
+
+  // ---- collapseConsecutive ----
+
+  test("collapseConsecutive: folds runs, keeps head id/value and span") {
+    val ev = Seq(
+      // u1: AAB A — runs (A×2)(B×1)(A×1): value change mid-run is noise
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A", 1.0),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "A", 9.0),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "B", 2.0),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "A", 3.0),
+      // u2: single event
+      (2L, ts("2024-01-01 11:00:00"), 5L, "C", 4.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Dedup.collapseConsecutive(ev, "user_id", "ts", "event_id",
+        "event_type", "value")
+      .select("user_id", "run", "event_id", "event_type", "value", "n_in_run")
+      .as[(Long, Long, Long, String, Double, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, "A", 1.0, 2L),
+      (1L, 2L, 3L, "B", 2.0, 1L),
+      (1L, 3L, 4L, "A", 3.0, 1L),
+      (2L, 1L, 5L, "C", 4.0, 1L)))
+  }
+
+  test("collapseConsecutive: null markers are a run (null-safe change detect)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, null.asInstanceOf[String], 1.0),
+      (1L, ts("2024-01-01 10:01:00"), 2L, null.asInstanceOf[String], 2.0),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "A", 3.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Dedup.collapseConsecutive(ev, "user_id", "ts", "event_id",
+        "event_type", "value")
+      .select("run", "n_in_run").as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  // ---- rrfFusion ----
+
+  test("rrfFusion: known two-list fusion, ties pinned by doc_id") {
+    // list1 ranks: d1=1, d2=2, d3=3  (tie between d2/d3 broken by id)
+    val l1 = Seq((1L, 9.0), (2L, 5.0), (3L, 5.0)).toDF("doc_id", "score")
+    // list2 ranks: d3=1, d1=2  (d2 absent)
+    val l2 = Seq((3L, 8.0), (1L, 4.0)).toDF("doc_id", "score")
+    val got = Ranking.rrfFusion(Seq(l1, l2), k = 60)
+      .select("doc_id", "n_lists", "best_rank", "rrf_score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    def c(r: Int): BigDecimal =
+      BigDecimal(1.0 / (60.0 + r)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0) == ((1L, 2L, 1L, (c(1) + c(2)).toDouble)))
+    assert(got(1) == ((2L, 1L, 2L, c(2).toDouble)))
+    assert(got(2) == ((3L, 2L, 1L, (c(3) + c(1)).toDouble)))
+  }
+}
