@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Event-analytics and snapshot-comparison operators.
@@ -437,5 +437,31 @@ object Analytics {
           .when(col("n_new").isNull, lit("removed"))
           .when(col("n_old") =!= col("n_new"), lit("changed"))
           .otherwise(lit("unchanged")))
+  }
+
+  /** Equi-width histogram: two passes — one scalar aggregate for the
+    * global [min, max] envelope, then one map-side-combining bucket
+    * count. Bucket edges are `min + i·width` in plain IEEE arithmetic
+    * (no rounding anywhere), so any engine that replays the same two
+    * expressions lands every value in the same bucket bit-for-bit; the
+    * top edge is closed (`least(…, nb-1)`) so max lands in the last
+    * bucket instead of overflowing.
+    *
+    * Scale: the envelope pass is a 2-value aggregate; the count pass
+    * shuffles `nb` longs per partition. No sort, no window.
+    */
+  def histogram(df: DataFrame, valCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0)
+    val Row(mn: Double, mx: Double) = df
+      .agg(min(col(valCol).cast("double")), max(col(valCol).cast("double")))
+      .collect()(0)
+    val width = if (mx > mn) (mx - mn) / nBuckets else 1.0
+    val bucket = least(floor((col(valCol).cast("double") - mn) / width),
+      lit(nBuckets - 1.0)).cast("long")
+    df.select(bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", lit(mn) + col("bucket") * lit(width))
+      .withColumn("hi", lit(mn) + (col("bucket") + 1L) * lit(width))
   }
 }

@@ -216,6 +216,31 @@ object DataOps {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** k-anonymity suppression: rows grouped by the quasi-identifier
+    * columns survive only when the group has at least `k` members;
+    * smaller groups collapse into one `*`-masked bucket so no published
+    * row isolates fewer than k individuals. Output is the anonymized
+    * GROUP table (quasi-ids, group size, summed measure) — the release
+    * shape of a privacy-gated aggregate feed.
+    *
+    * Scale: one hash aggregation on the quasi-identifier, then a second
+    * trivial aggregation over only the suppressed groups (bounded by the
+    * distinct-group count, not the row count).
+    */
+  def kAnonymize(df: DataFrame, quasiIdCols: Seq[String], measureCol: String,
+      k: Long): DataFrame = {
+    val grouped = df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(measureCol).cast("long")).as("measure"))
+    val kept = grouped.where(col("n") >= k)
+    val masked = grouped.where(col("n") < k)
+      .select(quasiIdCols.map(_ => lit("*")) ++ Seq(col("n"), col("measure")): _*)
+      .toDF(quasiIdCols ++ Seq("n", "measure"): _*)
+      .groupBy(quasiIdCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("measure")).as("measure"))
+    kept.unionByName(masked)
+  }
+
   /** CDC changelog materialization: collapse an (op, payload) event log to
     * the current state per key — last op in `orderCols` order wins, and a
     * trailing delete tombstone removes the key entirely. This is the

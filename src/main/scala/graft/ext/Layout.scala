@@ -50,4 +50,21 @@ object Layout {
         min("x").as("x_min"), max("x").as("x_max"),
         min("y").as("y_min"), max("y").as("y_max"))
   }
+
+  /** Zone-map (data-skipping index) build: per fixed-size id range
+    * ("file"), the min/max/null-count of a filter column — the footer
+    * stats a lakehouse table format serves to the planner so a predicate
+    * like `v > T` scans only ranges whose `v_max` crosses T. One narrow
+    * projection + one hash aggregation on the zone id; the index is
+    * ~rows/`zoneRows` rows, broadcastable to the planner at any scale.
+    */
+  def zoneMap(df: DataFrame, idCol: String, valCol: String,
+      zoneRows: Long): DataFrame = {
+    require(zoneRows > 0)
+    df.select((col(idCol) / zoneRows).cast("long").as("zone"), col(valCol))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valCol).isNull.cast("long")).as("n_null"),
+        min(valCol).as("v_min"), max(valCol).as("v_max"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DataOps, Dedup, Ranking}
+import graft.ext.{Analytics, DataOps, Dedup, Layout, Ranking, VectorExprs}
 import graft.sources.Tables
 
 /** Round-4b pipeline operators: the dataset-lifecycle steps a production
@@ -160,11 +160,92 @@ object PipelineQueries {
       |  CAST(sum(CAST(round(1.0 / (60.0 + rank), 9) AS DECIMAL(30,9))) AS DOUBLE) AS rrf_score
       |FROM ranked GROUP BY doc_id""".stripMargin
 
+  /** Equi-width 20-bucket histogram of lineitem extended price. Both
+    * engines replay the identical IEEE edge arithmetic (no rounding), so
+    * bucket ids, bounds, and counts hash-match exactly.
+    */
+  val statsHistogram: QueryFn = (s, dir) =>
+    Analytics.histogram(Tables.lineitem(s, dir), "l_extendedprice", 20)
+
+  val statsHistogramSql: String =
+    """WITH env AS (
+      |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+      |         CAST(max(l_extendedprice) AS DOUBLE) AS mx FROM lineitem
+      |), p AS (
+      |  SELECT mn, CASE WHEN mx > mn THEN (mx - mn) / 20 ELSE 1.0 END AS width
+      |  FROM env
+      |), b AS (
+      |  SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - p.mn) / p.width),
+      |              19.0) AS BIGINT) AS bucket
+      |  FROM lineitem, p
+      |)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+      |  p.mn + bucket * p.width AS lo, p.mn + (bucket + 1) * p.width AS hi
+      |FROM b, p GROUP BY bucket, p.mn, p.width""".stripMargin
+
+  /** k-anonymity release of per-(lang, source) document counts: groups
+    * under 5 members collapse into one masked bucket.
+    */
+  val anonymizeK: QueryFn = (s, dir) =>
+    DataOps.kAnonymize(Tables.documents(s, dir), Seq("lang", "source"),
+      "n_chars", k = 5)
+
+  val anonymizeKSql: String =
+    """WITH g AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(n_chars) AS BIGINT) AS measure
+      |  FROM documents GROUP BY 1, 2
+      |)
+      |SELECT lang, source, n, measure FROM g WHERE n >= 5
+      |UNION ALL
+      |SELECT '*', '*', CAST(sum(n) AS BIGINT) AS n,
+      |  CAST(sum(measure) AS BIGINT) AS measure
+      |FROM g WHERE n < 5 HAVING count(*) > 0""".stripMargin
+
+  /** Zone-map build over documents: per 100-id range, the min/max/null
+    * stats of `n_chars` — the data-skipping index a lakehouse planner
+    * prunes with.
+    */
+  val indexMinmax: QueryFn = (s, dir) =>
+    Layout.zoneMap(Tables.documents(s, dir), "doc_id", "n_chars", 100L)
+
+  val indexMinmaxSql: String =
+    """SELECT CAST(floor(doc_id / 100.0) AS BIGINT) AS zone,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  min(n_chars) AS v_min, max(n_chars) AS v_max
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** L2 normalization of the embedding column, exploded to scalar rows;
+    * the norm is the native sequential dot-product kernel, which DuckDB's
+    * list_inner_product replays bit-for-bit.
+    */
+  val vecNormalize: QueryFn = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(VectorExprs.dot_product(col("e"), col("e"))))
+      .select(col("vec_id"), col("nrm"), posexplode(col("e")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        round(col("x") / col("nrm"), 6).as("nv"))
+
+  val vecNormalizeSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v
+      |)
+      |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, round(e[i] / nrm, 6) AS nv
+      |FROM n, unnest(generate_series(1, len(e))) s(i)""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "dataset_split"     -> datasetSplit,
     "dedup_consecutive" -> dedupConsecutive,
     "cdc_apply"         -> cdcApply,
     "rank_fusion"       -> rankFusion,
+    "stats_histogram"   -> statsHistogram,
+    "anonymize_k"       -> anonymizeK,
+    "index_minmax"      -> indexMinmax,
+    "vec_normalize"     -> vecNormalize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +253,9 @@ object PipelineQueries {
     "dedup_consecutive" -> dedupConsecutiveSql,
     "cdc_apply"         -> cdcApplySql,
     "rank_fusion"       -> rankFusionSql,
+    "stats_histogram"   -> statsHistogramSql,
+    "anonymize_k"       -> anonymizeKSql,
+    "index_minmax"      -> indexMinmaxSql,
+    "vec_normalize"     -> vecNormalizeSql,
   )
 }

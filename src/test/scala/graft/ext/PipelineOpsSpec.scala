@@ -117,6 +117,59 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTest {
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
   }
 
+  // ---- histogram ----
+
+  test("histogram: equi-width buckets, closed top edge, exact counts") {
+    val df = Seq(0.0, 1.0, 2.5, 5.0, 9.9, 10.0).toDF("v")
+    val got = Analytics.histogram(df, "v", 4)
+      .select("bucket", "cnt").as[(Long, Long)].collect().toMap
+    // width 2.5: [0,2.5) [2.5,5) [5,7.5) [7.5,10]; max (10.0) clamps into
+    // bucket 3 — 0,1→b0; 2.5→b1; 5→b2; 9.9,10→b3
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("histogram: degenerate all-equal input lands in bucket 0") {
+    val got = Analytics.histogram(Seq(7.0, 7.0, 7.0).toDF("v"), "v", 5)
+      .select("bucket", "cnt").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L)))
+  }
+
+  // ---- kAnonymize ----
+
+  test("kAnonymize: small groups collapse into one masked bucket") {
+    val df = Seq(
+      ("en", "a", 10L), ("en", "a", 20L), ("en", "a", 30L), // n=3 kept
+      ("de", "b", 5L), ("de", "b", 6L),                     // n=2 masked
+      ("fr", "c", 7L)                                       // n=1 masked
+    ).toDF("lang", "source", "chars")
+    val got = DataOps.kAnonymize(df, Seq("lang", "source"), "chars", k = 3)
+      .select("lang", "source", "n", "measure")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("en", "a", 3L, 60L), ("*", "*", 3L, 18L)))
+  }
+
+  test("kAnonymize: no masked row when every group clears k") {
+    val df = Seq(("en", "a", 1L), ("en", "a", 2L)).toDF("lang", "source", "c")
+    val got = DataOps.kAnonymize(df, Seq("lang", "source"), "c", k = 2)
+      .select("lang").as[String].collect().toSeq
+    assert(got == Seq("en"))
+  }
+
+  // ---- zoneMap ----
+
+  test("zoneMap: per-range min/max/null stats") {
+    val df = Seq((0L, Some(5L)), (1L, None), (99L, Some(1L)),
+      (100L, Some(7L)), (250L, Some(2L))).toDF("id", "v")
+    val got = Layout.zoneMap(df, "id", "v", 100L)
+      .select("zone", "cnt", "n_null", "v_min", "v_max")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 3L, 1L, Some(1L), Some(5L)),
+      (1L, 1L, 0L, Some(7L), Some(7L)),
+      (2L, 1L, 0L, Some(2L), Some(2L))))
+  }
+
   // ---- rrfFusion ----
 
   test("rrfFusion: known two-list fusion, ties pinned by doc_id") {
