@@ -439,6 +439,25 @@ object Analytics {
           .otherwise(lit("unchanged")))
   }
 
+  /** Next-event training pairs: per entity stream in (`tsCol`, `idCol`)
+    * order, a sliding window of the previous `ctx` event types as the
+    * context string and the current type as the label — the
+    * sequence-model dataset construction step (next-action prediction).
+    * All windows cluster on the entity key: one exchange, per-key sorts,
+    * no global ordering. Rows with an empty context (stream head) keep
+    * an empty string, so every event becomes an example.
+    */
+  def nextEventPairs(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, ctx: Int = 3): DataFrame = {
+    require(ctx >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val lags = (ctx to 1 by -1).map(i => lag(col(typeCol), i).over(w))
+    events.select(col(userCol), col(tsCol), col(idCol),
+      concat_ws(" ", lags: _*).as("context"),
+      col(typeCol).as("label"))
+  }
+
   /** Equi-width histogram: two passes — one scalar aggregate for the
     * global [min, max] envelope, then one map-side-combining bucket
     * count. Bucket edges are `min + i·width` in plain IEEE arithmetic

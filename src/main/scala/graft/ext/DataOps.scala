@@ -216,6 +216,50 @@ object DataOps {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * group (query/user/order), emit `k` candidate ids drawn
+    * pseudo-randomly from `[0, nItems)` by hashing `(group, slot)` with
+    * mix64, then anti-join away any candidate that is a true positive of
+    * that group. No RNG state — the sample is a pure function of the
+    * data, so restarts, retries, and engine swaps reproduce it exactly.
+    *
+    * Scale: candidate generation is a row-local explode of `k` slots;
+    * the anti-join is key-equi on (group, item) against the positives —
+    * one co-partitioned exchange, no broadcast of the item universe.
+    */
+  def negativeSample(positives: DataFrame, groupCol: String, itemCol: String,
+      nItems: Long, k: Int): DataFrame = {
+    require(k > 0 && nItems > 0)
+    val groups = positives.select(col(groupCol)).distinct()
+    val cand = groups
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn(itemCol,
+        pmod(HashExprs.mix64(col(groupCol).cast("long") * lit(k.toLong) +
+          col("slot").cast("long")), lit(nItems)))
+    cand.join(positives.select(col(groupCol), col(itemCol)).distinct(),
+        Seq(groupCol, itemCol), "left_anti")
+      .select(col(groupCol), col("slot").cast("long").as("slot"), col(itemCol))
+  }
+
+  /** Budget-capped selection ("token budget curation"): within each
+    * group, rank rows by `ordCols` and keep a prefix whose cumulative
+    * `costCol` stays within `budget` — the top-quality slice of each
+    * source that fits the training-token allowance. The cumulative sum
+    * is a running-total window co-partitioned with the group, so the
+    * whole pass is one exchange + per-group sort; a row is kept when the
+    * INCLUSIVE running cost is within budget (the first over-budget row
+    * is dropped, not truncated).
+    */
+  def selectByBudget(df: DataFrame, groupCol: String, ordCols: Seq[Column],
+      costCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(ordCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_cost", sum(col(costCol)).over(w))
+      .where(col("cum_cost") <= budget)
+  }
+
   /** k-anonymity suppression: rows grouped by the quasi-identifier
     * columns survive only when the group has at least `k` members;
     * smaller groups collapse into one `*`-masked bucket so no published

@@ -63,15 +63,24 @@ object Ranking {
     // would each re-materialize the checkpointed frame)
     val statsRow = withLen.agg(count(lit(1)), sum(col("dl"))).collect()(0)
     val nDocs = statsRow.getLong(0)
-    val totalTokens = statsRow.getLong(1)
-    val avgdl = totalTokens.toDouble / nDocs.toDouble
+    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+    bm25FromTf(tf, withLen.select("doc_id", "dl"), nDocs, avgdl,
+      queryTerms, k1, b)
+  }
 
+  /** BM25 scoring from a prebuilt (doc_id, term, tf) table + (doc_id, dl)
+    * lengths — the shared-scan core of `bm25`, exposed so a fusion
+    * pipeline scoring the corpus several ways tokenizes it ONCE.
+    */
+  def bm25FromTf(tf: DataFrame, docLengths: DataFrame, nDocs: Long,
+      avgdl: Double, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dfTable = documentFrequencies(tf)
       .where(col("term").isInCollection(queryTerms))
       .withColumn("idf", idf(nDocs))
     tf.where(col("term").isInCollection(queryTerms))
       .join(broadcast(dfTable), Seq("term"))
-      .join(withLen.select("doc_id", "dl"), Seq("doc_id"))
+      .join(docLengths, Seq("doc_id"))
       .withColumn("contrib",
         col("idf") * (col("tf") * (lit(k1) + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
@@ -81,6 +90,18 @@ object Ranking {
       // order-independent (the same dsum discipline as CoreQueries)
       .agg(sum(round(col("contrib"), 6).cast("decimal(30,6)")).cast("double").as("score"))
   }
+
+  /** Summed TF-IDF relevance over `queryTerms` from a prebuilt tf table;
+    * `df` comes from the FULL corpus vocabulary (same as `tfidf`).
+    */
+  def tfidfSumFromTf(tf: DataFrame, nDocs: Long,
+      queryTerms: Seq[String]): DataFrame =
+    tf.join(broadcast(documentFrequencies(tf)), Seq("term"))
+      .where(col("term").isInCollection(queryTerms))
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .groupBy("doc_id")
+      .agg(sum(round(col("tfidf"), 6).cast("decimal(30,6)"))
+        .cast("double").as("score"))
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) of N candidate
     * rankings — the standard way to combine lexical (BM25) and semantic

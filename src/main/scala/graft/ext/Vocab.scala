@@ -104,4 +104,34 @@ object Vocab {
         explode(expr(s"filter(split($enc, '\\\\|'), x -> x != '')")).as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
   }
+
+  /** Bigram language-model counts: adjacent whitespace-token pairs per
+    * document, aggregated corpus-wide, with the unigram count of the
+    * left word attached (the sufficient statistics for a smoothed
+    * conditional P(w2 | w1)).
+    *
+    * The pairing is ROW-LOCAL — `transform` over the token array, no
+    * positional self-join — so the only exchanges carry (w1, w2, count)
+    * and (w1, count): at 100 TB the corpus is read once and the shuffle
+    * is vocabulary-sized, with map-side combine collapsing repeats.
+    */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = DataOps.parallelismFloor(
+      docs.select(TextAnalysis.tokens(col(textCol)).as("t")))
+      .localCheckpoint(false)
+    // guard the 1-token doc: Spark's sequence(0, -1) DESCENDS instead of
+    // returning empty, which would fabricate a null bigram
+    val bi = toks
+      .select(explode(expr(
+        """CASE WHEN size(t) >= 2
+          |  THEN transform(sequence(0, size(t) - 2),
+          |         i -> struct(t[i] AS w1, t[i+1] AS w2))
+          |  ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |END""".stripMargin)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(uni, Seq("w1"))
+  }
 }

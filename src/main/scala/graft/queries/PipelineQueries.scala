@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Analytics, DataOps, Dedup, Layout, Ranking, VectorExprs}
+import graft.ext.{Analytics, DataOps, Dedup, Layout, Ranking, VectorExprs, Vocab}
 import graft.sources.Tables
 
 /** Round-4b pipeline operators: the dataset-lifecycle steps a production
@@ -102,13 +102,20 @@ object PipelineQueries {
   val rankFusion: QueryFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val terms = Seq("join", "vector", "spark", "window")
-    val bm25 = Ranking.bm25(docs, "doc_id", "text", terms)
+    // ONE tokenization pass feeds both scorers — at 100 TB the corpus
+    // scan dominates, so the fusion must not re-read it per ranking
+    val withLen = docs.select(col("doc_id"), col("text").as("__text"),
+      size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+      .localCheckpoint(false)
+    val tf = Ranking.termFrequencies(withLen, "doc_id", "__text")
+      .localCheckpoint(false)
+    val statsRow = withLen.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+    val bm25 = Ranking.bm25FromTf(tf, withLen.select("doc_id", "dl"),
+        nDocs, avgdl, terms)
       .withColumn("score", round(col("score"), 6))
-    val tfidfSum = Ranking.tfidf(docs, "doc_id", "text")
-      .where(col("term").isInCollection(terms))
-      .groupBy("doc_id")
-      .agg(sum(round(col("tfidf"), 6).cast("decimal(30,6)"))
-        .cast("double").as("score"))
+    val tfidfSum = Ranking.tfidfSumFromTf(tf, nDocs, terms)
     Ranking.rrfFusion(Seq(bm25, tfidfSum))
       .select(col("doc_id"), col("n_lists"), col("best_rank"),
         col("rrf_score"))
@@ -237,6 +244,94 @@ object PipelineQueries {
       |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, round(e[i] / nrm, 6) AS nv
       |FROM n, unnest(generate_series(1, len(e))) s(i)""".stripMargin
 
+  /** Bigram LM sufficient statistics (pairs with count ≥ 3): row-local
+    * pairing, vocabulary-sized shuffles; MLE P(w2|w1) rounded at 6 on
+    * both engines.
+    */
+  val lmBigrams: QueryFn = (s, dir) =>
+    Vocab.bigramCounts(Tables.documents(s, dir), "text")
+      .where(col("c12") >= 3)
+      .withColumn("p", round(col("c12").cast("double") / col("c1"), 6))
+
+  val lmBigramsSql: String =
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), bi AS (
+      |  SELECT t[i] AS w1, t[i+1] AS w2
+      |  FROM toks, unnest(generate_series(1, len(t) - 1)) s(i)
+      |), bc AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
+      |), uc AS (
+      |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1
+      |)
+      |SELECT bc.w1, bc.w2, c12, c1,
+      |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
+      |FROM bc JOIN uc USING (w1) WHERE c12 >= 3""".stripMargin
+
+  /** Deterministic contrastive negatives: 8 hash-drawn candidates per
+    * order (groups bounded to keep the dump small), minus true
+    * positives via anti-join; the mix64 chain replays in DuckDB.
+    */
+  val negativeSample: QueryFn = (s, dir) =>
+    DataOps.negativeSample(
+      Tables.lineitem(s, dir).where(col("l_orderkey") <= 1000),
+      "l_orderkey", "l_partkey", nItems = 10000L, k = 8)
+
+  val negativeSampleSql: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT l_orderkey AS grp FROM lineitem WHERE l_orderkey <= 1000
+       |), c0 AS (
+       |  SELECT grp, s.i AS slot, grp * 8 + s.i AS id
+       |  FROM g, unnest(generate_series(0, 7)) s(i)
+       |),
+       |${ExtQueries.mix64Cte("c0", "grp, slot")},
+       |cand AS (
+       |  SELECT grp, slot, ((hv % 10000) + 10000) % 10000 AS item FROM hs
+       |), pos AS (
+       |  SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+       |  FROM lineitem WHERE l_orderkey <= 1000
+       |)
+       |SELECT c.grp AS l_orderkey, CAST(c.slot AS BIGINT) AS slot,
+       |  c.item AS l_partkey
+       |FROM cand c
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM pos p WHERE p.grp = c.grp AND p.item = c.item)""".stripMargin
+
+  /** Token-budget curation: per source, keep the longest documents while
+    * the inclusive running character count stays within 4k.
+    */
+  val selectBudget: QueryFn = (s, dir) =>
+    DataOps.selectByBudget(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      "source", Seq(col("n_chars").desc, col("doc_id").asc),
+      "n_chars", budget = 4000L)
+
+  val selectBudgetSql: String =
+    """SELECT doc_id, source, n_chars, cum_cost FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(sum(n_chars) OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
+      |  FROM documents
+      |) WHERE cum_cost <= 4000""".stripMargin
+
+  /** Next-event prediction pairs: previous-3-event context string +
+    * current label per user stream (empty context at the head).
+    */
+  val trainPairs: QueryFn = (s, dir) =>
+    Analytics.nextEventPairs(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type", ctx = 3)
+
+  val trainPairsSql: String =
+    """SELECT user_id, ts, event_id,
+      |  concat_ws(' ',
+      |    lag(event_type, 3) OVER w, lag(event_type, 2) OVER w,
+      |    lag(event_type, 1) OVER w) AS context,
+      |  event_type AS label
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "dataset_split"     -> datasetSplit,
     "dedup_consecutive" -> dedupConsecutive,
@@ -246,6 +341,10 @@ object PipelineQueries {
     "anonymize_k"       -> anonymizeK,
     "index_minmax"      -> indexMinmax,
     "vec_normalize"     -> vecNormalize,
+    "lm_bigrams"        -> lmBigrams,
+    "negative_sample"   -> negativeSample,
+    "select_budget"     -> selectBudget,
+    "train_pairs"       -> trainPairs,
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,5 +356,9 @@ object PipelineQueries {
     "anonymize_k"       -> anonymizeKSql,
     "index_minmax"      -> indexMinmaxSql,
     "vec_normalize"     -> vecNormalizeSql,
+    "lm_bigrams"        -> lmBigramsSql,
+    "negative_sample"   -> negativeSampleSql,
+    "select_budget"     -> selectBudgetSql,
+    "train_pairs"       -> trainPairsSql,
   )
 }

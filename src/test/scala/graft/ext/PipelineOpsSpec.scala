@@ -170,6 +170,64 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTest {
       (2L, 1L, 0L, Some(2L), Some(2L))))
   }
 
+  // ---- bigramCounts ----
+
+  test("bigramCounts: adjacent pairs with left-unigram counts; 1-token docs safe") {
+    val docs = Seq("a b a b", "b a", "x").toDF("text")
+    val got = Vocab.bigramCounts(docs, "text")
+      .select("w1", "w2", "c12", "c1")
+      .as[(String, String, Long, Long)].collect().toSet
+    // bigrams: (a,b)x2 (b,a)x2; unigrams: a=3 b=3 x=1 — "x" alone makes
+    // no pair and must not fabricate a null bigram
+    assert(got == Set(("a", "b", 2L, 3L), ("b", "a", 2L, 3L)))
+  }
+
+  // ---- negativeSample ----
+
+  test("negativeSample: k hash-drawn candidates minus true positives, stable") {
+    val pos = Seq((1L, 3L), (1L, 7L), (2L, 0L)).toDF("grp", "item")
+    val a = DataOps.negativeSample(pos, "grp", "item", nItems = 10L, k = 4)
+      .select("grp", "slot", "item").as[(Long, Long, Long)].collect().toSet
+    val b = DataOps.negativeSample(pos.repartition(5), "grp", "item", 10L, 4)
+      .select("grp", "slot", "item").as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "sample must be a pure function of the data")
+    assert(a.forall { case (_, _, item) => item >= 0 && item < 10 })
+    assert(!a.exists { case (g, _, item) =>
+      Set((1L, 3L), (1L, 7L), (2L, 0L))((g, item)) },
+      "positives must be excluded")
+    assert(a.count(_._1 == 1L) <= 4 && a.count(_._1 == 2L) <= 4)
+  }
+
+  // ---- selectByBudget ----
+
+  test("selectByBudget: inclusive running cost, first over-budget row dropped") {
+    val df = Seq(("s", 1L, 60L), ("s", 2L, 30L), ("s", 3L, 20L), ("s", 4L, 5L),
+      ("t", 5L, 100L)).toDF("source", "doc_id", "cost")
+    val got = DataOps.selectByBudget(df, "source",
+        Seq(col("cost").desc, col("doc_id").asc), "cost", budget = 95L)
+      .select("doc_id", "cum_cost").as[(Long, Long)].collect().toSet
+    // s ordered by cost desc: 60 (cum 60), 30 (90), 20 (110 — dropped),
+    // 5 (115 — dropped, prefix is not re-opened); t: 100 > 95 dropped
+    assert(got == Set((1L, 60L), (2L, 90L)))
+  }
+
+  // ---- nextEventPairs ----
+
+  test("nextEventPairs: previous-k context string, empty at the stream head") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "c"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "d")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.nextEventPairs(ev, "user_id", "ts", "event_id",
+        "event_type", ctx = 3)
+      .select("event_id", "context", "label")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "", "a"), (2L, "a", "b"), (3L, "a b", "c"), (4L, "a b c", "d")))
+  }
+
   // ---- rrfFusion ----
 
   test("rrfFusion: known two-list fusion, ties pinned by doc_id") {
