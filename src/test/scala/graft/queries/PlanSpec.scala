@@ -370,4 +370,72 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Join"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("dataset_split: pure projection — zero exchanges, zero windows") {
+    val p = plan(PipelineQueries.datasetSplit(spark, dir))
+    assert(!p.contains("Exchange"), "split must not shuffle:\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("[codegen id :"), p)
+  }
+
+  test("cdc_apply: one exchange, partial+final max_by aggregation, no window") {
+    val p = plan(PipelineQueries.cdcApply(spark, dir))
+    // max_by carries a struct buffer, so Spark picks SortAggregate — the
+    // property that matters is PARTIAL aggregation (one struct per key
+    // per partition crosses the exchange, never the raw changelog) and a
+    // single key exchange; a row_number window would shuffle every row
+    assert("SortAggregate".r.findAllIn(p).size >= 2 ||
+      "HashAggregate".r.findAllIn(p).size >= 2, p)
+    val fin = if (p.contains("== Final Plan =="))
+      p.substring(p.indexOf("== Final Plan =="),
+        math.max(p.indexOf("== Initial Plan =="), p.length)) else p
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 1, p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("dedup_consecutive: windows and final agg share ONE exchange on user_id") {
+    val p = plan(PipelineQueries.dedupConsecutive(spark, dir))
+    val fin = if (p.contains("== Final Plan =="))
+      p.substring(p.indexOf("== Final Plan =="),
+        math.max(p.indexOf("== Initial Plan =="), p.length)) else p
+    // one hash exchange for (user_id); the (user_id, run) window/agg reuse it
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size <= 2,
+      "run windows re-shuffled:\n" + p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "global window crept in:\n" + p)
+  }
+
+  test("select_budget: one exchange, per-group running sum, no global sort") {
+    val p = plan(PipelineQueries.selectBudget(spark, dir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), "global window:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("lm_bigrams: row-local pairing — no join between bigram and pair explode") {
+    val p = plan(PipelineQueries.lmBigrams(spark, dir))
+    // the pairing itself is a Generate (row-local explode), never a
+    // positional self-join; the only join attaches unigram counts
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("negative_sample: anti-join on the group key, no broadcast of the item space") {
+    val p = plan(PipelineQueries.negativeSample(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("stats_histogram: two-phase count on the bucket id, no sort") {
+    val p = plan(PipelineQueries.statsHistogram(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Sort"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("index_minmax: one two-phase aggregation over the zone id") {
+    val p = plan(PipelineQueries.indexMinmax(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
 }
