@@ -272,4 +272,32 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed.length == expected.length)
     assert(streamed.toSeq == expected.toSeq)
   }
+
+  test("streaming CDC apply: the BATCH cdcApply plan runs unchanged on the stream") {
+    // the unified-API claim: DataOps.cdcApply (one partial max_by agg)
+    // accepts an unbounded log as-is; Structured Streaming keeps ONE
+    // struct per key in the state store (bounded by key cardinality, not
+    // stream length) and each micro-batch's partial merges into it
+    // exactly like batch partials merge across partitions
+    def withOp(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+    val streamed = graft.ext.DataOps.cdcApply(
+      withOp(StreamingOps.eventsStream(spark, eventsDir)),
+      Seq("user_id"), "op", Seq("ts", "event_id"), Seq("value"))
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName("cdc_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("cdc_out")
+      .select("user_id", "value", "n_ops", "n_deletes")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.DataOps.cdcApply(
+      withOp(Tables.events(spark, sfDir)),
+      Seq("user_id"), "op", Seq("ts", "event_id"), Seq("value"))
+      .select("user_id", "value", "n_ops", "n_deletes")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
 }
