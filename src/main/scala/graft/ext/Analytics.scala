@@ -439,6 +439,41 @@ object Analytics {
           .otherwise(lit("unchanged")))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per group: the max
+    * gap between the empirical CDFs of cohort A (`inA`) and cohort B over
+    * `valCol` — the standard distribution-drift alarm between a new data
+    * batch and the reference corpus. Exact and engine-replayable: the
+    * running counts stay integers and the max is taken over
+    * |ca·nB − cb·nA| (all integer), with ONE final division — no float
+    * accumulation anywhere.
+    *
+    * Scale: one aggregation to (group, value) granularity, one
+    * co-partitioned running-count window per group, one tiny totals join.
+    * No global sort; state is distinct-value-sized, not row-sized.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valCol: String,
+      inA: Column): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valCol))
+      .agg(sum(inA.cast("long")).as("__a"),
+        sum((!inA).cast("long")).as("__b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(valCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts
+      .withColumn("__ca", sum(col("__a")).over(w))
+      .withColumn("__cb", sum(col("__b")).over(w))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))
+    cum.join(broadcast(totals), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(abs(col("__ca") * col("n_b") - col("__cb") * col("n_a"))).as("__d"))
+      .withColumn("ks",
+        col("__d").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+      .drop("__d")
+  }
+
   /** Next-event training pairs: per entity stream in (`tsCol`, `idCol`)
     * order, a sliding window of the previous `ctx` event types as the
     * context string and the current type as the label — the

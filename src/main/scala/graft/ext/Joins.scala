@@ -83,4 +83,26 @@ object Joins {
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Blocked fuzzy self-join (the candidate step of entity resolution):
+    * pairs of rows sharing a cheap blocking key, kept when the edit
+    * distance of their names is within `maxDist`. The block join is
+    * key-equi — candidate generation is NEVER all-pairs; at 100 TB the
+    * block key (phonetic code, prefix, sorted-token hash) bounds each
+    * bucket, and the O(len²) levenshtein runs only inside buckets.
+    * Emits (id_a, id_b, lev) with id_a < id_b.
+    */
+  def fuzzySelfJoin(df: DataFrame, idCol: String, nameCol: String,
+      blockExpr: Column, maxDist: Int): DataFrame = {
+    val blocked = df.select(col(idCol), col(nameCol), blockExpr.as("__blk"))
+    val a = blocked.select(col(idCol).as("id_a"),
+      col(nameCol).as("name_a"), col("__blk"))
+    val b = blocked.select(col(idCol).as("id_b"),
+      col(nameCol).as("name_b"), col("__blk"))
+    a.join(b, Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .where(col("lev") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("lev").cast("long").as("lev"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Analytics, DataOps, Dedup, Layout, Ranking, VectorExprs, Vocab}
+import graft.ext.{Analytics, DataOps, Dedup, Joins, Layout, Ranking, VectorExprs, Vocab}
 import graft.sources.Tables
 
 /** Round-4b pipeline operators: the dataset-lifecycle steps a production
@@ -332,6 +332,58 @@ object PipelineQueries {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** Blocked fuzzy self-join over customer names: the 6-digit-prefix
+    * block bounds candidates (key-equi, never all-pairs); pairs kept at
+    * edit distance ≤ 1.
+    */
+  val joinFuzzy: QueryFn = (s, dir) =>
+    Joins.fuzzySelfJoin(Tables.customer(s, dir), "c_custkey", "c_name",
+      substring(col("c_name"), 10, 6), maxDist = 1)
+      .select(col("id_a").as("c_a"), col("id_b").as("c_b"), col("lev"))
+
+  val joinFuzzySql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name, substring(c_name, 10, 6) AS blk
+      |  FROM customer
+      |)
+      |SELECT a.c_custkey AS c_a, b.c_custkey AS c_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+      |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
+  /** KS distribution-drift per language: sources src0-src9 vs the rest
+    * over document length. Integer CDF gaps, one final division — exact
+    * on both engines.
+    */
+  val driftKs: QueryFn = (s, dir) =>
+    Analytics.ksDrift(Tables.documents(s, dir), "lang", "n_chars",
+      col("source").isin((0 to 9).map(i => s"src$i"): _*))
+      .select(col("lang"), col("n_a"), col("n_b"), col("ks"))
+
+  val driftKsSql: String =
+    """WITH counts AS (
+      |  SELECT lang, n_chars,
+      |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4',
+      |      'src5','src6','src7','src8','src9') THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4',
+      |      'src5','src6','src7','src8','src9') THEN 0 ELSE 1 END) AS BIGINT) AS b
+      |  FROM documents GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT lang, n_chars, a, b,
+      |    CAST(sum(a) OVER w AS BIGINT) AS ca,
+      |    CAST(sum(b) OVER w AS BIGINT) AS cb
+      |  FROM counts
+      |  WINDOW w AS (PARTITION BY lang ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+      |), tot AS (
+      |  SELECT lang, CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+      |  FROM counts GROUP BY 1
+      |)
+      |SELECT c.lang, t.n_a, t.n_b,
+      |  CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS DOUBLE)
+      |    / (t.n_a * t.n_b) AS ks
+      |FROM cum c JOIN tot t USING (lang)
+      |GROUP BY c.lang, t.n_a, t.n_b""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "dataset_split"     -> datasetSplit,
     "dedup_consecutive" -> dedupConsecutive,
@@ -345,6 +397,8 @@ object PipelineQueries {
     "negative_sample"   -> negativeSample,
     "select_budget"     -> selectBudget,
     "train_pairs"       -> trainPairs,
+    "join_fuzzy"        -> joinFuzzy,
+    "drift_ks"          -> driftKs,
   )
 
   val oracles: Map[String, String] = Map(
@@ -360,5 +414,7 @@ object PipelineQueries {
     "negative_sample"   -> negativeSampleSql,
     "select_budget"     -> selectBudgetSql,
     "train_pairs"       -> trainPairsSql,
+    "join_fuzzy"        -> joinFuzzySql,
+    "drift_ks"          -> driftKsSql,
   )
 }

@@ -228,6 +228,44 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTest {
       (1L, "", "a"), (2L, "a", "b"), (3L, "a b", "c"), (4L, "a b c", "d")))
   }
 
+  // ---- fuzzySelfJoin ----
+
+  test("fuzzySelfJoin: blocked candidates, distance-filtered, ordered pairs") {
+    val df = Seq((1L, "smith"), (2L, "smyth"), (3L, "smith"),
+      (4L, "jones"), (5L, "sandy")).toDF("id", "name")
+    val got = Joins.fuzzySelfJoin(df, "id", "name",
+        substring(col("name"), 1, 1), maxDist = 1)
+      .select("id_a", "id_b", "lev").as[(Long, Long, Long)].collect().toSet
+    // (1,2) lev 1, (1,3) lev 0, (2,3) lev 1; sandy shares block 's' but
+    // lev(smith,sandy)=3 is filtered; jones is in another block entirely
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+  }
+
+  // ---- ksDrift ----
+
+  test("ksDrift: identical cohorts give 0, disjoint supports give 1") {
+    val same = Seq(("g", 1L, true), ("g", 2L, true), ("g", 1L, false),
+      ("g", 2L, false)).toDF("grp", "v", "a")
+    val ks0 = Analytics.ksDrift(same, "grp", "v", col("a"))
+      .select("ks").as[Double].collect()(0)
+    assert(ks0 == 0.0)
+    val disjoint = Seq(("g", 1L, true), ("g", 2L, true), ("g", 10L, false),
+      ("g", 20L, false)).toDF("grp", "v", "a")
+    val ks1 = Analytics.ksDrift(disjoint, "grp", "v", col("a"))
+      .select("n_a", "n_b", "ks").as[(Long, Long, Double)].collect()(0)
+    assert(ks1 == ((2L, 2L, 1.0)))
+  }
+
+  test("ksDrift: known shifted distribution") {
+    // A: {1,2,3}, B: {2,3,4} — max CDF gap is 1/3 (at v=1 and v=3)
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 3L, true),
+      ("g", 2L, false), ("g", 3L, false), ("g", 4L, false))
+      .toDF("grp", "v", "a")
+    val ks = Analytics.ksDrift(df, "grp", "v", col("a"))
+      .select("ks").as[Double].collect()(0)
+    assert(math.abs(ks - 1.0 / 3.0) < 1e-15)
+  }
+
   // ---- rrfFusion ----
 
   test("rrfFusion: known two-list fusion, ties pinned by doc_id") {
