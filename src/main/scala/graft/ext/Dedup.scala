@@ -432,18 +432,19 @@ object Dedup {
           .otherwise(0L))
       .withColumn("run", sum(col("__chg")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__head_id", first(col(idCol)).over(
-        Window.partitionBy(col(partCol), col("run"))
-          .orderBy(col(tsCol), col(idCol))))
-      .withColumn("__head_val", first(col(valueCol)).over(
-        Window.partitionBy(col(partCol), col("run"))
-          .orderBy(col(tsCol), col(idCol))))
+    // run-head id/value via min_by in the SAME aggregation — adding two
+    // more (partCol, run) window passes just for the head was measurably
+    // superlinear at 5M rows (each pass re-sorts every partition)
     runs.groupBy(col(partCol), col("run"))
-      .agg(min(col("__head_id")).as(idCol),
+      .agg(min_by(struct(col(idCol), col(valueCol)),
+          struct(col(tsCol), col(idCol))).as("__head"),
         first(col(markerCol)).as(markerCol),
-        min(col("__head_val")).as(valueCol),
         count(lit(1)).as("n_in_run"),
         min(col(tsCol)).as("ts_start"),
         max(col(tsCol)).as("ts_end"))
+      .select(col(partCol), col("run"),
+        col(s"__head.$idCol").as(idCol), col(markerCol),
+        col(s"__head.$valueCol").as(valueCol),
+        col("n_in_run"), col("ts_start"), col("ts_end"))
   }
 }
