@@ -19,6 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class SessionState(startMs: Long, endMs: Long, numEvents: Long, totalValue: Double)
 
+/** Open run (consecutive equal markers) carried across micro-batches —
+  * the streaming half of `Dedup.collapseConsecutive`.
+  */
+case class RunState(marker: String, headId: Long, headVal: Double,
+    n: Long, startUs: Long, endUs: Long)
+
 object StreamingOps {
 
   /** Schema-pinned streaming read of an events-shaped parquet directory.
@@ -193,6 +199,58 @@ object StreamingOps {
               }
             }
             cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMinutes * 60000L) }
+            closed.result().iterator
+          }
+      }
+  }
+
+  case class Run(user_id: Long, event_id: Long, event_type: String,
+      value: Double, n_in_run: Long, ts_start: Timestamp, ts_end: Timestamp)
+
+  /** Streaming event-stream compaction — `Dedup.collapseConsecutive` on
+    * an unbounded log: per key, runs of equal markers fold into one open
+    * run in the state store (O(1) per key); a marker change emits the
+    * closed run downstream, and idle keys flush on the processing-time
+    * timeout. The telemetry-ingest dedup that cuts repeated identical
+    * readings at the edge, BEFORE they ever land in storage.
+    */
+  def collapseStream(events: Dataset[Event],
+      timeoutMinutes: Long = 30): Dataset[Run] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, Run](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[RunState]) =>
+          def toRun(s: RunState): Run =
+            Run(userId, s.headId, s.marker, s.headVal, s.n,
+              fromMicros(s.startUs), fromMicros(s.endUs))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(toRun(s))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Run]
+            for (e <- sorted) {
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if s.marker == e.event_type =>
+                  cur = Some(s.copy(n = s.n + 1, endUs = t))
+                case Some(s) =>
+                  closed += toRun(s)
+                  cur = Some(RunState(e.event_type, e.event_id, e.value, 1, t, t))
+                case None =>
+                  cur = Some(RunState(e.event_type, e.event_id, e.value, 1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(timeoutMinutes * 60000L)
+            }
             closed.result().iterator
           }
       }

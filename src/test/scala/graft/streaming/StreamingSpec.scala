@@ -273,6 +273,43 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed.toSeq == expected.toSeq)
   }
 
+  test("streaming run compaction matches the batch collapseConsecutive") {
+    // closed runs stream out on each marker change; each user's final run
+    // stays open in the state store (it would flush on the timeout in a
+    // live query), so expect the batch runs minus each user's last one
+    val stream = StreamingOps.eventsStream(spark, eventsDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val q = StreamingOps.collapseStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("runs_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2),
+        math.round(r.getDouble(3) * 100), r.getLong(4),
+        r.getTimestamp(5).getTime, r.getTimestamp(6).getTime)
+
+    val streamed = spark.table("runs_out")
+      .select("user_id", "event_id", "event_type", "value", "n_in_run",
+        "ts_start", "ts_end")
+      .collect().map(norm).toSet
+
+    val batchAll = graft.ext.Dedup.collapseConsecutive(
+      Tables.events(spark, sfDir), "user_id", "ts", "event_id",
+        "event_type", "value")
+      .select("user_id", "event_id", "event_type", "value", "n_in_run",
+        "ts_start", "ts_end")
+      .collect().map(norm)
+    val lastPerUser = batchAll.groupBy(_._1)
+      .map { case (_, rs) => rs.maxBy(_._6) }.toSet
+    val expectedClosed = batchAll.toSet -- lastPerUser
+
+    assert(streamed == expectedClosed)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming CDC apply: the BATCH cdcApply plan runs unchanged on the stream") {
     // the unified-API claim: DataOps.cdcApply (one partial max_by agg)
     // accepts an unbounded log as-is; Structured Streaming keeps ONE
