@@ -44,4 +44,13 @@ object Graft {
     names.foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(n))
     Tables.events(spark, dir).createOrReplaceTempView("events")
   }
+
+  /** Expose the native kernels (`graft_mix64`, `graft_dot`,
+    * `graft_simhash64`, `graft_minhash`) as SQL functions on a live
+    * session — same codegen'd expressions the DataFrame operators use.
+    * (New sessions can set `spark.sql.extensions=graft.GraftExtensions`
+    * instead.)
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    GraftExtensions.register(spark)
 }
