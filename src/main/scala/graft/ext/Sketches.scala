@@ -107,6 +107,23 @@ object Sketches {
       .agg(min(coalesce(col("n"), lit(0L))).as("cm_est"))
   }
 
+  /** Equi-join cardinality estimate from two Count-Min counter tables
+    * (the AMS inner-product bound): |A ⋈ B on k| = Σ_k fA(k)·fB(k) ≤
+    * min over depth rows r of Σ_cell nA[r,cell]·nB[r,cell]. This is how
+    * a planner decides broadcast-vs-shuffle-vs-salt BEFORE running the
+    * join — from two fixed-size sketches that were built with one pass
+    * per side (and merge across periods by cell-wise sum). Never
+    * underestimates; overshoot is bounded by n_A·n_B/width per row.
+    * Products are summed in DECIMAL so giant-table sketches can't
+    * overflow the long domain.
+    */
+  def countMinJoinSize(countersA: DataFrame, countersB: DataFrame): DataFrame =
+    countersA.withColumnRenamed("n", "na")
+      .join(countersB.withColumnRenamed("n", "nb"), Seq("r", "cell"))
+      .groupBy("r")
+      .agg(sum(col("na").cast("decimal(38,0)") * col("nb")).as("row_est"))
+      .agg(min(col("row_est")).cast("long").as("join_size_est"))
+
   /** Deterministic KMV (bottom-k minimum values) distinct-count estimate
     * per group: keep the k keys with the smallest `mix64(key)` (an O(k)
     * mergeable state, `Aggs.bottomKByHash`), and estimate

@@ -384,6 +384,50 @@ object PipelineQueries {
       |FROM cum c JOIN tot t USING (lang)
       |GROUP BY c.lang, t.n_a, t.n_b""".stripMargin
 
+  /** CMS join-size estimation: sketch both join columns once, estimate
+    * |orders ⋈ lineitem| from the counter inner product, and carry the
+    * exact size alongside — the estimate must upper-bound it.
+    */
+  val joinSizeCms: QueryFn = (s, dir) => {
+    val a = graft.ext.Sketches.countMinCounters(
+      Tables.orders(s, dir).select(col("o_orderkey").as("k")), "k")
+    val b = graft.ext.Sketches.countMinCounters(
+      Tables.lineitem(s, dir).select(col("l_orderkey").as("k")), "k")
+    val est = graft.ext.Sketches.countMinJoinSize(a, b)
+    val tru = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("true_size"))
+    est.crossJoin(broadcast(tru))
+  }
+
+  val joinSizeCmsSql: String =
+    s"""WITH c0 AS (
+       |  SELECT 'A' AS side, r, xor(o_orderkey::HUGEINT, r::HUGEINT) AS id
+       |  FROM orders, UNNEST(generate_series(0, 3)) rr(r)
+       |  UNION ALL
+       |  SELECT 'B', r, xor(l_orderkey::HUGEINT, r::HUGEINT)
+       |  FROM lineitem, UNNEST(generate_series(0, 3)) rr(r)
+       |),
+       |${ExtQueries.mix64Cte("c0", "side, r")},
+       |cells AS (
+       |  SELECT side, r, ((hv % 1024) + 1024) % 1024 AS cell FROM hs
+       |), ca AS (
+       |  SELECT r, cell, CAST(count(*) AS BIGINT) AS n
+       |  FROM cells WHERE side = 'A' GROUP BY 1, 2
+       |), cb AS (
+       |  SELECT r, cell, CAST(count(*) AS BIGINT) AS n
+       |  FROM cells WHERE side = 'B' GROUP BY 1, 2
+       |), est AS (
+       |  SELECT ca.r, sum(ca.n::HUGEINT * cb.n) AS row_est
+       |  FROM ca JOIN cb USING (r, cell) GROUP BY 1
+       |), tru AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS true_size
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |)
+       |SELECT CAST(min(row_est) AS BIGINT) AS join_size_est, tru.true_size
+       |FROM est, tru GROUP BY tru.true_size""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "dataset_split"     -> datasetSplit,
     "dedup_consecutive" -> dedupConsecutive,
@@ -399,6 +443,7 @@ object PipelineQueries {
     "train_pairs"       -> trainPairs,
     "join_fuzzy"        -> joinFuzzy,
     "drift_ks"          -> driftKs,
+    "join_size_cms"     -> joinSizeCms,
   )
 
   val oracles: Map[String, String] = Map(
@@ -416,5 +461,6 @@ object PipelineQueries {
     "train_pairs"       -> trainPairsSql,
     "join_fuzzy"        -> joinFuzzySql,
     "drift_ks"          -> driftKsSql,
+    "join_size_cms"     -> joinSizeCmsSql,
   )
 }

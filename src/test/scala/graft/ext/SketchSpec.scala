@@ -66,4 +66,29 @@ class SketchSpec extends AnyFunSuite with SparkTest {
       assert(math.abs(a - e) / e <= 0.02, s"group $k: approx=$a exact=$e")
     }
   }
+
+  test("CMS join-size estimate: never under, exact when keys don't collide") {
+    // small key domain (20 keys << 1024 cells): at least one depth row
+    // hashes them collision-free (deterministic — fixed mix64), so the
+    // min-row estimate recovers Σ fA(k)·fB(k) EXACTLY
+    val a = spark.range(0, 300).select((col("id") % 20).as("k"))
+    val b = spark.range(0, 500).select((col("id") % 20).as("k"))
+    val est = Sketches.countMinJoinSize(
+        Sketches.countMinCounters(a, "k"), Sketches.countMinCounters(b, "k"))
+      .as[Long].collect()(0)
+    val exact = a.join(b, "k").count()
+    assert(est == exact, s"collision-free CMS estimate $est != exact $exact")
+
+    // colliding regime (20k keys, 1024 cells): still an upper bound, and
+    // within the AMS expectation est <= exact + 4 * nA*nB/width
+    val a2 = spark.range(0, 20000).select(col("id").as("k"))
+    val b2 = spark.range(0, 20000).select(col("id").as("k"))
+    val est2 = Sketches.countMinJoinSize(
+        Sketches.countMinCounters(a2, "k"), Sketches.countMinCounters(b2, "k"))
+      .as[Long].collect()(0)
+    val exact2 = 20000L
+    assert(est2 >= exact2, s"CMS under-estimated: $est2 < $exact2")
+    assert(est2 <= exact2 + 4L * 20000L * 20000L / 1024L,
+      s"estimate $est2 above the AMS bound")
+  }
 }
