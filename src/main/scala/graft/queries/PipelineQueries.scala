@@ -332,24 +332,29 @@ object PipelineQueries {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
-  /** Blocked fuzzy self-join over customer names: the 6-digit-prefix
-    * block bounds candidates (key-equi, never all-pairs); pairs kept at
-    * edit distance ≤ 1.
+  /** EXACT lev-1 fuzzy self-join over customer names via FastSS
+    * deletion-neighborhood blocking — every lev ≤ 1 pair found,
+    * candidate volume output-sized at any SF (a fixed prefix block was
+    * 24× slower at sf0.1 and silently missed cross-block pairs).
     */
   val joinFuzzy: QueryFn = (s, dir) =>
-    Joins.fuzzySelfJoin(Tables.customer(s, dir), "c_custkey", "c_name",
-      substring(col("c_name"), 10, 6), maxDist = 1)
+    Joins.fuzzySelfJoinLev1(Tables.customer(s, dir), "c_custkey", "c_name")
       .select(col("id_a").as("c_a"), col("id_b").as("c_b"), col("lev"))
 
   val joinFuzzySql: String =
-    """WITH c AS (
-      |  SELECT c_custkey, c_name, substring(c_name, 10, 6) AS blk
-      |  FROM customer
+    """WITH c AS (SELECT c_custkey AS id, c_name AS n FROM customer),
+      |v AS (
+      |  SELECT id, n, n AS v FROM c
+      |  UNION
+      |  SELECT id, n,
+      |    substring(n, 1, i - 1) || substring(n, i + 1) AS v
+      |  FROM c, UNNEST(generate_series(1, length(n))) s(i)
+      |), p AS (
+      |  SELECT DISTINCT a.id AS c_a, b.id AS c_b, a.n AS na, b.n AS nb
+      |  FROM v a JOIN v b ON a.v = b.v AND a.id < b.id
       |)
-      |SELECT a.c_custkey AS c_a, b.c_custkey AS c_b,
-      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
-      |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-      |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+      |SELECT c_a, c_b, CAST(levenshtein(na, nb) AS BIGINT) AS lev
+      |FROM p WHERE levenshtein(na, nb) <= 1""".stripMargin
 
   /** KS distribution-drift per language: sources src0-src9 vs the rest
     * over document length. Integer CDF gaps, one final division — exact

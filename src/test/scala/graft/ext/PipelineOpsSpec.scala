@@ -241,6 +241,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTest {
     assert(got == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
   }
 
+  test("fuzzySelfJoinLev1: deletion blocking finds ALL lev<=1 pair kinds") {
+    val df = Seq((1L, "smith"), (2L, "smyth"),   // substitution
+      (3L, "smith"),                             // exact duplicate
+      (4L, "smiths"),                            // insertion
+      (5L, "mith"),                              // deletion (head!)
+      (6L, "smythe")                             // lev 2 from smith — excluded
+    ).toDF("id", "name")
+    val got = Joins.fuzzySelfJoinLev1(df, "id", "name")
+      .select("id_a", "id_b", "lev").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L), (1L, 3L, 0L), (1L, 4L, 1L), (1L, 5L, 1L),
+      (2L, 3L, 1L), (2L, 6L, 1L), (3L, 4L, 1L), (3L, 5L, 1L)))
+  }
+
   // ---- ksDrift ----
 
   test("ksDrift: identical cohorts give 0, disjoint supports give 1") {

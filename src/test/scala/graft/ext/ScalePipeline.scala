@@ -120,8 +120,7 @@ object ScalePipeline {
         concat(lit("n"), (col("id") / 2).cast("long"),
           when(pmod(col("id"), lit(2)) === 0, "x").otherwise("y")).as("name"))
     val fuzz = t("fuzzy-join")(
-      Joins.fuzzySelfJoin(names, "id", "name",
-        expr("substring(name, 1, length(name) - 1)"), maxDist = 1))
+      Joins.fuzzySelfJoinLev1(names, "id", "name"))
     val gotPairs = fuzz.count()
     require(gotPairs == nNames / 2,
       s"fuzzy pairs $gotPairs != planted ${nNames / 2}")
