@@ -506,9 +506,14 @@ object Analytics {
     */
   def histogram(df: DataFrame, valCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0)
-    val Row(mn: Double, mx: Double) = df
+    val envRow = df
       .agg(min(col(valCol).cast("double")), max(col(valCol).cast("double")))
       .collect()(0)
+    if (envRow.isNullAt(0)) // empty or all-null input: no envelope, no rows
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("bucket"), lit(0L).as("cnt"),
+          lit(0.0).as("lo"), lit(0.0).as("hi"))
+    val (mn, mx) = (envRow.getDouble(0), envRow.getDouble(1))
     val width = if (mx > mn) (mx - mn) / nBuckets else 1.0
     val bucket = least(floor((col(valCol).cast("double") - mn) / width),
       lit(nBuckets - 1.0)).cast("long")

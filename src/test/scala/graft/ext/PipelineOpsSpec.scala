@@ -128,6 +128,15 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("histogram: empty and all-null inputs yield an empty histogram") {
+    val empty = Seq.empty[Double].toDF("v")
+    assert(Analytics.histogram(empty, "v", 4).count() == 0)
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    val h = Analytics.histogram(nulls, "v", 4)
+    assert(h.count() == 0)
+    assert(h.columns.toSeq == Seq("bucket", "cnt", "lo", "hi"))
+  }
+
   test("histogram: degenerate all-equal input lands in bucket 0") {
     val got = Analytics.histogram(Seq(7.0, 7.0, 7.0).toDF("v"), "v", 5)
       .select("bucket", "cnt").as[(Long, Long)].collect().toSeq
