@@ -433,6 +433,43 @@ object PipelineQueries {
        |SELECT CAST(min(row_est) AS BIGINT) AS join_size_est, tru.true_size
        |FROM est, tru GROUP BY tru.true_size""".stripMargin
 
+  /** Typo-dedup end to end: FastSS lev-1 pairs → connected components →
+    * keep the smallest id per cluster. The oracle replays the deletion
+    * blocking AND the transitive closure in one recursive CTE.
+    */
+  val dedupLev1: QueryFn = (s, dir) => {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val pairs = Joins.fuzzySelfJoinLev1(cust, "c_custkey", "c_name")
+      .select(col("id_a"), col("id_b"))
+    Dedup.clusterKeep(cust, "c_custkey", pairs)
+      .select(col("id").as("c_custkey"), col("cluster_id"), col("keep"))
+  }
+
+  val dedupLev1Sql: String =
+    """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS n FROM customer),
+      |v AS (
+      |  SELECT id, n, n AS v FROM c
+      |  UNION
+      |  SELECT id, n,
+      |    substring(n, 1, i - 1) || substring(n, i + 1) AS v
+      |  FROM c, UNNEST(generate_series(1, length(n))) s(i)
+      |), p AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb
+      |  FROM v a JOIN v b ON a.v = b.v AND a.id < b.id
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM p WHERE levenshtein(na, nb) <= 1
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT id, id AS lab FROM c
+      |  UNION
+      |  SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id
+      |)
+      |SELECT id AS c_custkey, min(lab) AS cluster_id,
+      |  (id = min(lab)) AS keep
+      |FROM reach GROUP BY id""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "dataset_split"     -> datasetSplit,
     "dedup_consecutive" -> dedupConsecutive,
@@ -449,6 +486,7 @@ object PipelineQueries {
     "join_fuzzy"        -> joinFuzzy,
     "drift_ks"          -> driftKs,
     "join_size_cms"     -> joinSizeCms,
+    "dedup_lev1"        -> dedupLev1,
   )
 
   val oracles: Map[String, String] = Map(
@@ -467,5 +505,6 @@ object PipelineQueries {
     "join_fuzzy"        -> joinFuzzySql,
     "drift_ks"          -> driftKsSql,
     "join_size_cms"     -> joinSizeCmsSql,
+    "dedup_lev1"        -> dedupLev1Sql,
   )
 }
