@@ -411,4 +411,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
   }
+
+  /** Flesch reading-ease per document from three row-local integer
+    * counts — words (whitespace tokens), sentences (`[.!?]+` runs,
+    * floored at 1), syllables (`[aeiouy]+` vowel groups, the standard
+    * heuristic) — combined by the classic
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    * A common corpus quality-filter feature; zero shuffles, and the
+    * counts are integers so any engine reproduces the score exactly
+    * from the same expression.
+    */
+  def fleschReadingEase(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_words", size(tokens(t)).cast("long"))
+      .withColumn("n_sentences",
+        greatest(size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")), lit(1))
+          .cast("long"))
+      .withColumn("n_syllables",
+        size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+          .cast("long"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6))
+  }
 }

@@ -470,6 +470,26 @@ object PipelineQueries {
       |  (id = min(lab)) AS keep
       |FROM reach GROUP BY id""".stripMargin
 
+  /** Flesch reading-ease quality feature — integer counts, one shared
+    * final expression, zero shuffles.
+    */
+  val textReadability: QueryFn = (s, dir) =>
+    graft.ext.TextAnalysis.fleschReadingEase(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch"))
+
+  val textReadabilitySql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+      |  round(206.835
+      |    - 1.015 * (CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+      |               / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+      |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+      |              / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS flesch
+      |FROM documents""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "dataset_split"     -> datasetSplit,
     "dedup_consecutive" -> dedupConsecutive,
@@ -487,6 +507,7 @@ object PipelineQueries {
     "drift_ks"          -> driftKs,
     "join_size_cms"     -> joinSizeCms,
     "dedup_lev1"        -> dedupLev1,
+    "text_readability"  -> textReadability,
   )
 
   val oracles: Map[String, String] = Map(
@@ -506,5 +527,6 @@ object PipelineQueries {
     "drift_ks"          -> driftKsSql,
     "join_size_cms"     -> joinSizeCmsSql,
     "dedup_lev1"        -> dedupLev1Sql,
+    "text_readability"  -> textReadabilitySql,
   )
 }
