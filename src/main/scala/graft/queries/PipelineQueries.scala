@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Analytics, DataOps, Dedup, Joins, Layout, Ranking, VectorExprs, Vocab}
 import graft.sources.Tables
 
-/** Round-4b pipeline operators: the dataset-lifecycle steps a production
-  * training-data pipeline runs AROUND the per-document transforms —
-  * deterministic split assignment, changelog materialization, event-stream
-  * compaction, weighted sampling, ranking fusion. Each pairs a
+/** Dataset-lifecycle operators: the steps a production training-data
+  * pipeline runs AROUND the per-document transforms — deterministic
+  * split assignment, changelog materialization, event-stream compaction,
+  * retrieval fusion, LM statistics, negative sampling, budget curation,
+  * drift detection, fuzzy entity resolution, planner sketches, privacy
+  * release, layout indexes, readability scoring. Each pairs a
   * shuffle-minimal Spark pipeline with a bit-exact DuckDB replay.
   */
 object PipelineQueries {
