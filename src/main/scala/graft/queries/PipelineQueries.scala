@@ -492,6 +492,35 @@ object PipelineQueries {
       |              / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS flesch
       |FROM documents""".stripMargin
 
+  /** Rolling per-entity features (last-3-event mean/max/count of the
+    * value) — the feature-engineering window shape: co-partitioned with
+    * the entity key, bounded ROWS frame, no global ordering. The 3-term
+    * float sum folds left-to-right identically on both engines; rounded
+    * at 6 to pin it.
+    */
+  val featureRolling: QueryFn = (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("roll_mean", round(avg(col("value")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)), 6))
+      .withColumn("roll_max", max(col("value")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)))
+      .withColumn("roll_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)))
+      .select("user_id", "event_id", "ts", "value", "roll_mean",
+        "roll_max", "roll_n")
+
+  val featureRollingSql: String =
+    """SELECT user_id, event_id, ts, value,
+      |  round(avg(value) OVER w, 6) AS roll_mean,
+      |  max(value) OVER w AS roll_max,
+      |  CAST(count(*) OVER w AS BIGINT) AS roll_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "dataset_split"     -> datasetSplit,
     "dedup_consecutive" -> dedupConsecutive,
@@ -510,6 +539,7 @@ object PipelineQueries {
     "join_size_cms"     -> joinSizeCms,
     "dedup_lev1"        -> dedupLev1,
     "text_readability"  -> textReadability,
+    "feature_rolling"   -> featureRolling,
   )
 
   val oracles: Map[String, String] = Map(
@@ -530,5 +560,6 @@ object PipelineQueries {
     "join_size_cms"     -> joinSizeCmsSql,
     "dedup_lev1"        -> dedupLev1Sql,
     "text_readability"  -> textReadabilitySql,
+    "feature_rolling"   -> featureRollingSql,
   )
 }

@@ -438,4 +438,18 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
+
+  test("join_fuzzy: deletion variants via Generate, key-equi join, no cartesian") {
+    val p = plan(PipelineQueries.joinFuzzy(spark, dir))
+    assert(p.contains("Generate"), "variant expansion must be an explode:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("feature_rolling: bounded ROWS frame co-partitioned with the key") {
+    val p = plan(PipelineQueries.featureRolling(spark, dir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), "global window:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
 }
