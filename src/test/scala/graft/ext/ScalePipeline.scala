@@ -113,17 +113,27 @@ object ScalePipeline {
       s"same-distribution cohorts drifted: ks=$maxKs") // identical value cycle per cohort
 
     // --- fuzzySelfJoin: planted near-names ------------------------------
-    // names n<id>x / n<id>y for even/odd of a pair -> lev 1 inside block n<id>
+    // base = 16-hex-digit mix64 of the pair id (decimal bases would make
+    // numeric neighbors like n123x/n124x GENUINE lev-1 pairs — the exact
+    // matcher finds them all, so the fixture must not plant any by
+    // accident); suffix x/y for the even/odd sibling -> exactly one
+    // planted lev-1 pair per base
     val nNames = math.min(n / 10, 200000L)
     val names = spark.range(0, nNames)
       .select(col("id"),
-        concat(lit("n"), (col("id") / 2).cast("long"),
+        concat(lit("n"),
+          lpad(hex(graft.ext.HashExprs.mix64((col("id") / 2).cast("long"))),
+            16, "0"),
           when(pmod(col("id"), lit(2)) === 0, "x").otherwise("y")).as("name"))
     val fuzz = t("fuzzy-join")(
-      Joins.fuzzySelfJoinLev1(names, "id", "name"))
+      Joins.fuzzySelfJoinLev1(names, "id", "name").localCheckpoint())
     val gotPairs = fuzz.count()
     require(gotPairs == nNames / 2,
       s"fuzzy pairs $gotPairs != planted ${nNames / 2}")
+    // and they are exactly the planted sibling pairs, not lookalikes
+    val badPairs = fuzz.where(col("id_b") =!= col("id_a") + 1 ||
+      (col("id_a") % 2) =!= 0).count()
+    require(badPairs == 0, s"$badPairs non-sibling pairs matched")
 
     // --- datasetSplit: fractions at 1M; prefix stability -----------------
     val split = t("dataset-split")(
