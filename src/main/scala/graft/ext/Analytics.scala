@@ -453,7 +453,12 @@ object Analytics {
     */
   def ksDrift(df: DataFrame, groupCol: String, valCol: String,
       inA: Column): DataFrame = {
-    val counts = df.groupBy(col(groupCol), col(valCol))
+    // Null values are excluded up front: a null ECDF point is meaningless,
+    // and engines disagree on where nulls sort in the cumulative window
+    // (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), so keeping them
+    // would make the statistic engine-dependent.
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol))
       .agg(sum(inA.cast("long")).as("__a"),
         sum((!inA).cast("long")).as("__b"))
     val w = org.apache.spark.sql.expressions.Window
@@ -506,7 +511,11 @@ object Analytics {
     */
   def histogram(df: DataFrame, valCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0)
-    val envRow = df
+    // Nulls are excluded, not binned: floor(null/width) is null and
+    // least(null, nb-1) skips the null, which would silently dump every
+    // null row into the TOP bucket and inflate its count.
+    val nn = df.where(col(valCol).isNotNull)
+    val envRow = nn
       .agg(min(col(valCol).cast("double")), max(col(valCol).cast("double")))
       .collect()(0)
     if (envRow.isNullAt(0)) // empty or all-null input: no envelope, no rows
@@ -517,7 +526,7 @@ object Analytics {
     val width = if (mx > mn) (mx - mn) / nBuckets else 1.0
     val bucket = least(floor((col(valCol).cast("double") - mn) / width),
       lit(nBuckets - 1.0)).cast("long")
-    df.select(bucket.as("bucket"))
+    nn.select(bucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("lo", lit(mn) + col("bucket") * lit(width))

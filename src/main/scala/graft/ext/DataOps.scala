@@ -230,6 +230,19 @@ object DataOps {
   def negativeSample(positives: DataFrame, groupCol: String, itemCol: String,
       nItems: Long, k: Int): DataFrame = {
     require(k > 0 && nItems > 0)
+    // The mix64 draw hashes the raw long key; a non-numeric group column
+    // would cast to null, making every candidate null — and null items
+    // always survive the anti-join, so the caller would silently get
+    // garbage rows. Fail loudly instead.
+    require({
+      import org.apache.spark.sql.types._
+      positives.schema(groupCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }, s"negativeSample: group column '$groupCol' must be integral " +
+      s"(got ${positives.schema(groupCol).dataType.simpleString}) — " +
+      "hash or dictionary-encode string keys first")
     val groups = positives.select(col(groupCol)).distinct()
     val cand = groups
       .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
@@ -263,9 +276,13 @@ object DataOps {
   /** k-anonymity suppression: rows grouped by the quasi-identifier
     * columns survive only when the group has at least `k` members;
     * smaller groups collapse into one `*`-masked bucket so no published
-    * row isolates fewer than k individuals. Output is the anonymized
-    * GROUP table (quasi-ids, group size, summed measure) — the release
-    * shape of a privacy-gated aggregate feed.
+    * row isolates fewer than k individuals — and if the masked bucket
+    * ITSELF holds fewer than k (e.g. a single suppressed group of one),
+    * it is dropped entirely, so the guarantee holds for every published
+    * row. Quasi-ids are cast to string so the `*` mask types against
+    * numeric columns too. Output is the anonymized GROUP table
+    * (quasi-ids, group size, summed measure) — the release shape of a
+    * privacy-gated aggregate feed.
     *
     * Scale: one hash aggregation on the quasi-identifier, then a second
     * trivial aggregation over only the suppressed groups (bounded by the
@@ -273,7 +290,10 @@ object DataOps {
     */
   def kAnonymize(df: DataFrame, quasiIdCols: Seq[String], measureCol: String,
       k: Long): DataFrame = {
-    val grouped = df.groupBy(quasiIdCols.map(col): _*)
+    val grouped = df
+      .select(quasiIdCols.map(c => col(c).cast("string").as(c)) :+
+        col(measureCol): _*)
+      .groupBy(quasiIdCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(col(measureCol).cast("long")).as("measure"))
     val kept = grouped.where(col("n") >= k)
@@ -282,6 +302,7 @@ object DataOps {
       .toDF(quasiIdCols ++ Seq("n", "measure"): _*)
       .groupBy(quasiIdCols.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("measure")).as("measure"))
+      .where(col("n") >= k) // the bucket must satisfy k-anonymity too
     kept.unionByName(masked)
   }
 

@@ -422,17 +422,22 @@ object TextAnalysis {
     * from the same expression.
     */
   def fleschReadingEase(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // Built from the Column, not an interpolated expr() string, so column
+    // names that need backtick quoting work; the syllables/word divisor is
+    // floored at 1 like n_sentences so an empty text scores instead of
+    // yielding a null flesch via 0-division.
     val t = col(textCol)
     df.withColumn("n_words", size(tokens(t)).cast("long"))
       .withColumn("n_sentences",
-        greatest(size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")), lit(1))
+        greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
           .cast("long"))
       .withColumn("n_syllables",
-        size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
           .cast("long"))
       .withColumn("flesch",
         round(lit(206.835)
           - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
-          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / greatest(col("n_words"), lit(1L))), 6))
   }
 }

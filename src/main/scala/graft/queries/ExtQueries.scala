@@ -698,33 +698,52 @@ object ExtQueries {
     */
   val vecCovariance: QueryFn = (s, dir) =>
     graft.ext.Similarity.covarianceMatrix(Tables.embeddings(s, dir))
-  /** Replays covarianceMatrix bit-exactly: every term is rounded at scale
-    * 6 and summed as an exact DECIMAL (order-independent, matching the
-    * kernel's scaled-long accumulators); the sums are surfaced as scaled
-    * BIGINTs so both sides then evaluate the *same* double expression
-    * sxy/1e6/n - (sx_i/1e6/n)*(sx_j/1e6/n) on identical inputs.
+  /** Replays covarianceMatrix bit-exactly WITHOUT DuckDB's `round()`,
+    * whose DOUBLE semantics have shifted across DuckDB releases (the r03
+    * and r04 gates both failed this query under the driver's DuckDB while
+    * the same SQL hash-matched under the local 1.0.0 — the only
+    * version-sensitive primitive in the query was `round`). Instead the
+    * kernel's `round6Scaled` (t = x*1e6; f = floor(|t|); f+1 iff
+    * |t|-f >= 0.5; re-signed) is spelled out with floor/abs/compare —
+    * IEEE-exact in every engine version — so each term, the scaled-long
+    * sums, and the final double expression
+    * sxy/1e6/n - (sx_i/1e6/n)*(sx_j/1e6/n) are computed identically to
+    * the JVM kernel by construction, not by agreement between two
+    * independently-implemented rounding functions.
     */
+  private def half6ScaledSql(t: String): String =
+    s"""CAST(CASE WHEN $t < 0
+       |      THEN -(floor(abs($t)) + (CASE WHEN abs($t) - floor(abs($t)) >= 0.5 THEN 1 ELSE 0 END))
+       |      ELSE   floor(abs($t)) + (CASE WHEN abs($t) - floor(abs($t)) >= 0.5 THEN 1 ELSE 0 END)
+       |    END AS BIGINT)""".stripMargin
+
   val vecCovarianceSql: String =
-    """WITH e AS (
-      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings
-      |), m AS (
-      |  SELECT i,
-      |    CAST(sum(CAST(round(v[i], 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sx,
-      |    CAST(count(*) AS DOUBLE) AS n
-      |  FROM e, unnest(generate_series(1, len(v))) s(i) GROUP BY i
-      |), p AS (
-      |  SELECT s.i AS i, t.j AS j,
-      |    CAST(sum(CAST(round(v[s.i] * v[t.j], 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sxy
-      |  FROM e, unnest(generate_series(1, len(v))) s(i),
-      |          unnest(generate_series(1, len(v))) t(j)
-      |  WHERE t.j >= s.i GROUP BY 1, 2
-      |)
-      |SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
-      |  round(CAST(p.sxy AS DOUBLE) / 1000000.0 / mi.n
-      |    - (CAST(mi.sx AS DOUBLE) / 1000000.0 / mi.n)
-      |      * (CAST(mj.sx AS DOUBLE) / 1000000.0 / mi.n), 6) AS cov
-      |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j""".stripMargin
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), xs AS (
+       |  SELECT s.i AS i, v[s.i] * 1000000.0 AS tv
+       |  FROM e, unnest(generate_series(1, len(v))) s(i)
+       |), m AS (
+       |  SELECT i, CAST(sum(${half6ScaledSql("tv")}) AS BIGINT) AS sx,
+       |    CAST(count(*) AS DOUBLE) AS n
+       |  FROM xs GROUP BY i
+       |), ps AS (
+       |  SELECT s.i AS i, t.j AS j, (v[s.i] * v[t.j]) * 1000000.0 AS tv
+       |  FROM e, unnest(generate_series(1, len(v))) s(i),
+       |          unnest(generate_series(1, len(v))) t(j)
+       |  WHERE t.j >= s.i
+       |), p AS (
+       |  SELECT i, j, CAST(sum(${half6ScaledSql("tv")}) AS BIGINT) AS sxy
+       |  FROM ps GROUP BY 1, 2
+       |), c AS (
+       |  SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+       |    (CAST(p.sxy AS DOUBLE) / 1000000.0 / mi.n
+       |      - (CAST(mi.sx AS DOUBLE) / 1000000.0 / mi.n)
+       |        * (CAST(mj.sx AS DOUBLE) / 1000000.0 / mi.n)) * 1000000.0 AS tv
+       |  FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+       |)
+       |SELECT i, j, ${half6ScaledSql("tv")} / 1000000.0 AS cov FROM c""".stripMargin
 
   /** Multi-format source layer: the documents table round-trips through
     * CSV, JSON-lines, and ORC (explicit schema on read — inference would

@@ -186,7 +186,7 @@ object PipelineQueries {
       |), b AS (
       |  SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - p.mn) / p.width),
       |              19.0) AS BIGINT) AS bucket
-      |  FROM lineitem, p
+      |  FROM lineitem, p WHERE l_extendedprice IS NOT NULL
       |)
       |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
       |  p.mn + bucket * p.width AS lo, p.mn + (bucket + 1) * p.width AS hi
@@ -209,7 +209,7 @@ object PipelineQueries {
       |UNION ALL
       |SELECT '*', '*', CAST(sum(n) AS BIGINT) AS n,
       |  CAST(sum(measure) AS BIGINT) AS measure
-      |FROM g WHERE n < 5 HAVING count(*) > 0""".stripMargin
+      |FROM g WHERE n < 5 HAVING count(*) > 0 AND sum(n) >= 5""".stripMargin
 
   /** Zone-map build over documents: per 100-id range, the min/max/null
     * stats of `n_chars` — the data-skipping index a lakehouse planner
@@ -374,7 +374,7 @@ object PipelineQueries {
       |      'src5','src6','src7','src8','src9') THEN 1 ELSE 0 END) AS BIGINT) AS a,
       |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4',
       |      'src5','src6','src7','src8','src9') THEN 0 ELSE 1 END) AS BIGINT) AS b
-      |  FROM documents GROUP BY 1, 2
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
       |), cum AS (
       |  SELECT lang, n_chars, a, b,
       |    CAST(sum(a) OVER w AS BIGINT) AS ca,
@@ -489,7 +489,7 @@ object PipelineQueries {
       |    - 1.015 * (CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
       |               / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
       |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
-      |              / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS flesch
+      |              / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)), 6) AS flesch
       |FROM documents""".stripMargin
 
   /** Rolling per-entity features (last-3-event mean/max/count of the

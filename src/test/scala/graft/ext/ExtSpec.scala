@@ -23,6 +23,22 @@ class ExtSpec extends AnyFunSuite with SparkTest {
     assert(q.getAs[Long]("n_punct") == 3L)      // , ! .
   }
 
+  test("fleschReadingEase: known counts; odd column names and empty text safe") {
+    // "See Spot run." — 3 words, 1 sentence run, syllable groups:
+    // e-e / o / u → see=1, spot=1, run=1 = 3
+    val df = Seq((1L, "See Spot run."), (2L, ""))
+      .toDF("doc_id", "the text") // space in the name breaks expr() strings
+    val got = TextAnalysis.fleschReadingEase(df, "the text")
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val (_, nw, ns, sy, fl) = got(0)
+    assert((nw, ns, sy) == ((3L, 1L, 3L)))
+    assert(math.abs(fl - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-6)
+    // empty text: split("") yields one empty token; the floored divisor
+    // must keep the score finite and non-null either way
+    assert(!got(1)._5.isNaN)
+  }
+
   test("containmentPairs: subset doc detected one-way; jaccard misses it") {
     val small = "one two three four five six" // 4 trigrams, all inside big
     val big = small + " " + (1 to 20).map(i => s"extra$i").mkString(" ")

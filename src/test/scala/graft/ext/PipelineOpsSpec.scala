@@ -143,6 +143,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTest {
     assert(got == Seq((0L, 3L)))
   }
 
+  test("histogram: null values are excluded, not dumped into the top bucket") {
+    val df = Seq[Option[Double]](Some(0.0), Some(10.0), None, None, None)
+      .toDF("v")
+    val got = Analytics.histogram(df, "v", 4)
+      .select("bucket", "cnt").as[(Long, Long)].collect().toMap
+    // 3 nulls: least(floor(null/width), nb-1) = nb-1 would have put them
+    // all in bucket 3 — they must instead vanish from every count
+    assert(got == Map(0L -> 1L, 3L -> 1L))
+    assert(got.values.sum == 2L)
+  }
+
   // ---- kAnonymize ----
 
   test("kAnonymize: small groups collapse into one masked bucket") {
@@ -162,6 +173,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTest {
     val got = DataOps.kAnonymize(df, Seq("lang", "source"), "c", k = 2)
       .select("lang").as[String].collect().toSeq
     assert(got == Seq("en"))
+  }
+
+  test("kAnonymize: a sub-k masked bucket is suppressed, not published") {
+    // one suppressed group of size 1 — the '*' bucket would itself isolate
+    // a single individual, so nothing below k may appear at all
+    val df = Seq(("en", "a", 10L), ("en", "a", 20L), ("en", "a", 30L),
+      ("fr", "c", 7L)).toDF("lang", "source", "chars")
+    val got = DataOps.kAnonymize(df, Seq("lang", "source"), "chars", k = 3)
+      .select("lang", "source", "n", "measure")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("en", "a", 3L, 60L)))
+  }
+
+  test("kAnonymize: numeric quasi-id columns mask as strings") {
+    val df = Seq((2024, 10L), (2024, 20L), (2023, 5L)).toDF("year", "c")
+    val got = DataOps.kAnonymize(df, Seq("year"), "c", k = 2)
+      .select("year", "n", "measure")
+      .as[(String, Long, Long)].collect().toSet
+    // int quasi-id casts to string so the masked branch unions cleanly;
+    // the lone 2023 row is below k AND its bucket total (1) is below k
+    assert(got == Set(("2024", 2L, 30L)))
   }
 
   // ---- zoneMap ----
@@ -205,6 +237,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTest {
       Set((1L, 3L), (1L, 7L), (2L, 0L))((g, item)) },
       "positives must be excluded")
     assert(a.count(_._1 == 1L) <= 4 && a.count(_._1 == 2L) <= 4)
+  }
+
+  test("negativeSample: non-integral group column is rejected loudly") {
+    // a string key would cast to null, null candidates always survive the
+    // anti-join, and the caller would silently train on garbage
+    val pos = Seq(("u1", 3L), ("u2", 7L)).toDF("grp", "item")
+    val e = intercept[IllegalArgumentException] {
+      DataOps.negativeSample(pos, "grp", "item", nItems = 10L, k = 2)
+    }
+    assert(e.getMessage.contains("must be integral"))
   }
 
   // ---- selectByBudget ----
@@ -287,6 +329,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTest {
     val ks = Analytics.ksDrift(df, "grp", "v", col("a"))
       .select("ks").as[Double].collect()(0)
     assert(math.abs(ks - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("ksDrift: null values are excluded from both cohorts") {
+    // nulls sort FIRST in Spark windows but LAST in DuckDB — keeping them
+    // would make the statistic engine-dependent; they must not count
+    val df = Seq(("g", Some(1L), true), ("g", Some(2L), true),
+      ("g", None, true), ("g", Some(1L), false), ("g", Some(2L), false),
+      ("g", None, false), ("g", None, false)).toDF("grp", "v", "a")
+    val got = Analytics.ksDrift(df, "grp", "v", col("a"))
+      .select("n_a", "n_b", "ks").as[(Long, Long, Double)].collect()(0)
+    assert(got == ((2L, 2L, 0.0)))
   }
 
   // ---- rrfFusion ----
