@@ -491,8 +491,12 @@ object ExtQueries {
        |),
        |${assignCte("cents0", "asg0")},
        |lloyd AS (
+       |  -- the kernel's round6Scaled spelled out (floor/abs/compare), not
+       |  -- DuckDB round(): round()'s DOUBLE semantics vary across DuckDB
+       |  -- releases, and this sum must mirror Ivf's scaled-long
+       |  -- accumulator bit-for-bit under ANY engine version
        |  SELECT cell, d.i AS dim,
-       |    CAST(sum(CAST(round(v[d.i], 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS sv,
+       |    CAST(sum(${half6ScaledSql("(v[d.i] * 1000000.0)")}) AS BIGINT) AS sv,
        |    count(*) AS n
        |  FROM asg0, unnest(generate_series(1, len(v))) d(i)
        |  GROUP BY 1, 2
