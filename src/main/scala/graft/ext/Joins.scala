@@ -121,21 +121,33 @@ object Joins {
     * Cost is name-length× expansion of the key stream, nothing more.
     */
   def fuzzySelfJoinLev1(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
-    val blocked = df.select(col(idCol).as("__id"), col(nameCol).as("__n"))
-      .select(col("__id"), col("__n"), explode(expr(
-        """array_union(array(__n),
-          |  transform(sequence(1, length(__n)),
-          |    i -> concat(substring(__n, 1, i - 1),
-          |                substring(__n, i + 1, length(__n)))))""".stripMargin))
-        .as("__v"))
-    val a = blocked.select(col("__id").as("id_a"), col("__n").as("name_a"),
-      col("__v"))
-    val b = blocked.select(col("__id").as("id_b"), col("__n").as("name_b"),
-      col("__v"))
-    a.join(b, Seq("__v"))
+    val names = df.select(col(idCol).as("__id"), col(nameCol).as("__n"))
+    // The exchange carries (8-byte key hash, id) ONLY — variant strings are
+    // hashed before the shuffle, so key-stream volume is 16 bytes × (len+1)
+    // per record regardless of name length. A hash collision can only ADD a
+    // candidate (never lose one), and every candidate is verified by the
+    // exact levenshtein below, so blocking stays exact.
+    val keys = names.select(col("__id"), explode(expr(
+      """transform(
+        |  array_union(array(__n),
+        |    transform(sequence(1, length(__n)),
+        |      i -> concat(substring(__n, 1, i - 1),
+        |                  substring(__n, i + 1, length(__n))))),
+        |  v -> xxhash64(v))""".stripMargin)).as("__k"))
+    val a = keys.select(col("__k"), col("__id").as("id_a"))
+    val b = keys.select(col("__k"), col("__id").as("id_b"))
+    val cand = a.join(b, Seq("__k"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
-      .distinct()
+      .select("id_a", "id_b")
+      .distinct() // 16-byte pair rows, candidate volume is output-sized
+    // Name rejoin for verification touches only the candidate pairs; the
+    // name side auto-broadcasts when small and stays a key-equi join at
+    // any scale.
+    cand
+      .join(names.select(col("__id").as("id_a"), col("__n").as("name_a")),
+        Seq("id_a"))
+      .join(names.select(col("__id").as("id_b"), col("__n").as("name_b")),
+        Seq("id_b"))
       .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
       .where(col("lev") <= 1)
       .select(col("id_a"), col("id_b"), col("lev").cast("long").as("lev"))
