@@ -51,6 +51,57 @@ object Layout {
         min("y").as("y_min"), max("y").as("y_max"))
   }
 
+  /** One Hilbert-curve refinement level of the classic xy→d fold
+    * (Hamilton's public algorithm) as three engine-neutral SQL
+    * expressions over columns named `x`, `y`, `d` — CASE/`&`/`+`/`*`
+    * only, so Spark and the DuckDB oracle evaluate the SAME strings and
+    * the index is identical by construction (the `interpValueExpr`
+    * discipline). The XOR in `d += s²·((3rx) ^ ry)` is spelled as
+    * `CASE WHEN rx=0 THEN ry ELSE 3-ry END` (its value table for
+    * rx∈{0,1}, ry∈{0,1}) because XOR syntax differs across engines.
+    * Returns (d', x', y') — the new x/y are the quadrant rotation, which
+    * must be computed from the OLD x/y simultaneously (callers project
+    * all three in one SELECT).
+    */
+  def hilbertLevelExprs(s: Long): (String, String, String) = {
+    val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+    val dE = s"d + ${s * s} * (CASE WHEN $rx = 0 THEN $ry ELSE 3 - $ry END)"
+    val nx = s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END"
+    val ny = s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END"
+    (dE, nx, ny)
+  }
+
+  /** Bucket rows by the top bits of the HILBERT index over
+    * (`xCol` mod 2^bits, `yCol` mod 2^bits) — same contract as
+    * `zOrderBuckets`, better layout: the Hilbert curve never jumps, so
+    * consecutive index ranges are always edge-connected rectangles and
+    * the per-file envelopes it produces are tighter than Z-order's
+    * (Z-order's big-seam jumps give some buckets a full-width envelope).
+    * `bits` unrolled levels of pure integer CASE arithmetic — one narrow
+    * projection (codegen'd, no UDF, no join), then one hash aggregation;
+    * at write time the same index feeds `repartitionByRange`.
+    */
+  def hilbertBuckets(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 10, bucketBits: Int = 8): DataFrame = {
+    val m = lit(1L << bits)
+    var cur = df.select((col(xCol) % m).cast("long").as("x"),
+        (col(yCol) % m).cast("long").as("y"))
+      .withColumn("x0", col("x")).withColumn("y0", col("y"))
+      .withColumn("d", lit(0L))
+    for (lvl <- (bits - 1) to 0 by -1) {
+      val (dE, nxE, nyE) = hilbertLevelExprs(1L << lvl)
+      cur = cur.select(col("x0"), col("y0"),
+        expr(dE).as("d"), expr(nxE).as("x"), expr(nyE).as("y"))
+    }
+    cur.select(shiftright(col("d"), 2 * bits - bucketBits).as("bucket"),
+        col("x0").as("x"), col("y0").as("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+  }
+
   /** Zone-map (data-skipping index) build: per fixed-size id range
     * ("file"), the min/max/null-count of a filter column — the footer
     * stats a lakehouse table format serves to the planner so a predicate

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -108,5 +108,77 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.map(m => m.copy(width = w, height = h))
+  }
+
+  // --- perceptual-hash near-duplicates (dHash over the stubbed decode) ----
+
+  /** ==== STUB decode for the perceptual hash ====
+    * The 65-"pixel" grayscale probe is derived from the payload's SHA-256
+    * hex digest (byte `(5i+1) mod 32` of the digest is pixel `i` — stride
+    * 5 is coprime to 32 so all digest bytes are used), because no image
+    * codec exists on this classpath. A REAL deployment replaces only this
+    * function with downsampled luma from the decoded image; the dHash
+    * gradient bits, the band join, and the hamming verification below are
+    * the production operator unchanged. Digest-derived pixels also make
+    * the whole operator exactly replayable by any engine with sha256.
+    */
+  private def stubPixels(payload: Column): IndexedSeq[Column] = {
+    val dh = sha2(payload.cast("binary"), 256) // 64 lowercase hex chars
+    def hexPair(bytePos: Int): Column =
+      conv(dh.substr(bytePos * 2 + 1, 2), 16, 10).cast("int")
+    (0 to 64).map(i => hexPair((i * 5 + 1) % 32))
+  }
+
+  /** The four 16-bit dHash bands of a payload: dHash (public technique)
+    * sets bit b iff pixel(b) > pixel(b+1); band q packs bits 16q..16q+15.
+    * Band values never exceed 2^16, so no engine hits signed-shift
+    * overflow replaying them. Pure static projection — stays inside
+    * whole-stage codegen, no UDF, no HOF lambda.
+    */
+  def dhashBands(payload: Column): IndexedSeq[Column] = {
+    val pix = stubPixels(payload)
+    (0 until 4).map { q =>
+      (0 until 16).map { j =>
+        val b = 16 * q + j
+        when(pix(b) > pix(b + 1), lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+  }
+
+  /** Perceptual-hash near-duplicate pairs over media payloads — the
+    * image analog of SimHash text dedup. Candidates come from 4×16-bit
+    * band equality (pigeonhole-complete for hamming <= 3 when any of the
+    * 4 bands must match); every candidate is verified by the exact
+    * hamming distance over the four band values.
+    *
+    * Scale shape (the SimHash discipline exactly): signature build is a
+    * per-row projection; the self-join exchange carries
+    * (band, 16-bit value, id, 4 band ints) only — payloads never shuffle;
+    * bucketing by band value bounds the candidate fan-out.
+    */
+  def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = dhashBands(col("__p"))
+    val sigs = DataOps.parallelismFloor(
+        media.select(col(idCol).as("id"), col(payloadCol).as("__p")))
+      .select(col("id") +: (0 until 4).map(q => bands(q).as(s"b$q")): _*)
+      .localCheckpoint(false) // feeds BOTH sides of the band self-join
+    val banded = sigs.select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("band"), col(s"b$q").as("h"))): _*)).as("__bh"))
+      .select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("__bh.band").as("band"), col("__bh.h").as("h"))
+    val l = banded.select(col("band"), col("h"), col("id").as("id_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val r = banded.select(col("band"), col("h"), col("id").as("id_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    l.join(r, Seq("band", "h"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        (0 until 4).map(q => bit_count(col(s"a$q").bitwiseXOR(col(s"c$q"))))
+          .reduce(_ + _).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 }

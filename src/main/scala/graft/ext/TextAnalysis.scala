@@ -303,6 +303,110 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("dup_ratio"))
   }
 
+  /** Exact-substring deduplication REWRITE — the removal pass of Lee et
+    * al. 2022 (where `duplicatedSpans` only reports duplicated windows,
+    * this drops them): for every length-`k` token window that occurs more
+    * than once in the corpus, the single FIRST occurrence survives and the
+    * token positions of every other occurrence are removed; each
+    * document's surviving tokens are re-assembled in order. A document
+    * that is an exact copy of an earlier one collapses to an empty
+    * `clean_text` while the earliest copy is untouched. Returns
+    * `(id, n_tokens, n_removed, clean_text)`.
+    *
+    * Policy pin (the part Lee et al. leave implementation-defined): a
+    * token is removed iff it is covered by at least one non-first
+    * occurrence of a duplicated window — even if some other window
+    * covering it is itself a first occurrence. "First" is the arg-min of
+    * the single integer `doc·2^20 + pos` (positions < 2^20 per doc; doc
+    * ids < 2^43), one exact MIN aggregate — no window function, no sort,
+    * and any engine replays it bit-for-bit.
+    *
+    * Scale shape: gram-keyed count+argmin (map-side combining), one
+    * gram-keyed probe join whose duplicated-gram side is output-sized
+    * (AQE broadcasts it when small), a position explode bounded by
+    * k × duplicated occurrences, and a doc-keyed re-aggregation. The
+    * corpus text rides only the doc-local projections and the final
+    * doc-keyed exchange — never the gram-keyed ones.
+    */
+  def substringRewrite(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val base = DataOps.parallelismFloor(
+        df.select(col(idCol), col(textCol).as("__t")))
+      .localCheckpoint(false) // read by the gram explode AND the token explode
+    val grams = base
+      .select(col(idCol), explode(posGrams(col("__t"), k)).as("__g"))
+      .select(col(idCol), col("__g.pos").as("__pos"), col("__g.gram").as("__gram"))
+      .withColumn("__okey", col(idCol).cast("long") * (1L << 20) + col("__pos"))
+      .localCheckpoint(false) // feeds the argmin AND the probe join
+    val dupFirsts = grams.groupBy("__gram")
+      .agg(count(lit(1)).as("__c"), min(col("__okey")).as("__first"))
+      .where(col("__c") >= 2)
+      .select("__gram", "__first")
+    val covered = grams.join(dupFirsts, Seq("__gram"))
+      .where(col("__okey") =!= col("__first"))
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__tp"))
+      .distinct()
+      .withColumn("__cov", lit(true))
+    val posed = base
+      .select(col(idCol), posexplode(tokens(col("__t"))).as(Seq("__tp", "__tok")))
+      .withColumn("__tp", col("__tp").cast("long"))
+    posed.join(covered, Seq(idCol, "__tp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__cov")).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("__cov").isNull, struct(col("__tp"), col("__tok"))))),
+          p => p.getField("__tok")), " ").as("clean_text"))
+  }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the exact-unigram form
+    * of its hashed-ngram feature space): per document, the mean token
+    * log-ratio of an add-one-smoothed target-corpus unigram LM (documents
+    * matching `targetPred`) against the raw-corpus LM. High scores mark
+    * documents whose vocabulary looks like the target domain — the
+    * standard cheap domain-selection signal before pretraining.
+    *
+    * Scale shape: one (doc, token) count aggregation (checkpointed once),
+    * ONE vocabulary-sized aggregate producing both LMs as conditional
+    * sums, a 3-scalar totals collect, then a token-keyed scoring join and
+    * a per-doc fold — the `unigramLogProb` plan with one extra column.
+    * The vocabulary join is deliberately not broadcast-hinted (hapax-heavy
+    * web vocabularies are huge; AQE broadcasts when actually small).
+    * Per-token log-ratio terms are rounded at 6 and folded in DECIMAL
+    * (the entropy/bm25 discipline) so the score is order-independent and
+    * engine-identical.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column): DataFrame = {
+    val counts = DataOps.parallelismFloor(
+        df.select(col(idCol), col(textCol).as("__t"), targetPred.as("__in_t")))
+      .select(col(idCol), col("__in_t"), explode(tokens(col("__t"))).as("__tok"))
+      .groupBy(col(idCol), col("__in_t"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // feeds the vocabulary LMs AND the scoring join
+    val vocab = counts.groupBy("__tok")
+      .agg(sum(col("__c")).as("__cr"),
+        sum(when(col("__in_t"), col("__c")).otherwise(lit(0L))).as("__ct"))
+      .localCheckpoint(false) // read by the totals AND the scoring join
+    val tot = vocab.agg(sum(col("__cr")), sum(col("__ct")), count(lit(1))).collect()(0)
+    val (rTot, tTot, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    counts.join(vocab, Seq("__tok"))
+      .withColumn("__term",
+        round(col("__c").cast("double") *
+          round(log(
+            ((col("__ct") + lit(1L)).cast("double") * lit((rTot + v).toDouble)) /
+              ((col("__cr") + lit(1L)).cast("double") * lit((tTot + v).toDouble))), 6), 6)
+          .cast("decimal(30,6)"))
+      .groupBy(idCol)
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__term")).cast("double").as("__lr"))
+      .withColumn("dsir_logratio",
+        round(col("__lr") / col("n_tokens").cast("double"), 6))
+      .select(col(idCol), col("n_tokens"), col("dsir_logratio"))
+  }
+
   /** Corpus-frequent-n-gram boilerplate removal (the word-window analog of
     * C4's repeated-line filter): drop every token covered by one of the
     * corpus's `topN` most frequent `n`-gram windows and re-assemble the

@@ -538,6 +538,54 @@ object ExtQueries {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** Product-quantization ADC search (Jégou et al. 2011): stride-sample
+    * codebooks, all-integer scale-6 subspace distances, packed-key argmin
+    * encode, ADC top-10 for the 5 smallest-id queries. Bit-replayable
+    * end to end (the IVF discipline).
+    */
+  val annPq: QueryFn = (s, dir) =>
+    graft.ext.Pq.search(Tables.embeddings(s, dir), m = 4, k = 16, nq = 5, topK = 10)
+
+  val annPqSql: String = {
+    // scale-6 term of one (subspace-element difference)²; replays
+    // Pq.dist6's round6Scaled exactly (t >= 0, so no sign branch needed —
+    // but half6ScaledSql handles it anyway).
+    val el = "(e.v[u.q*16 + i.i] - c.cv[u.q*16 + i.i])"
+    val term = half6ScaledSql(s"$el * $el * 1000000.0")
+    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS cv
+       |  FROM (SELECT e.vec_id AS id, e.v FROM e, n
+       |        WHERE e.vec_id % greatest(n.n // 16, 1) = 0
+       |        ORDER BY e.vec_id LIMIT 16)
+       |), dist AS (
+       |  SELECT e.vec_id, u.q, c.c, sum($term) AS d2
+       |  FROM e
+       |  CROSS JOIN cent c
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS q) u
+       |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, q, min(d2 * 16 + c) % 16 AS code FROM dist GROUP BY 1, 2
+       |), qs AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 5),
+       |adist AS (
+       |  SELECT q0.query_id, co.vec_id AS neighbor_id, sum(d.d2) AS adist
+       |  FROM qs q0
+       |  CROSS JOIN codes co
+       |  JOIN dist d ON d.vec_id = q0.query_id AND d.q = co.q AND d.c = co.code
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, adist, rank FROM (
+       |  SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM adist WHERE query_id <> neighbor_id
+       |) WHERE rank <= 10""".stripMargin
+  }
+
   // --- text analysis -------------------------------------------------------
 
   val textTokens: QueryFn = (s, dir) =>
@@ -1907,6 +1955,125 @@ object ExtQueries {
       |FROM documents d JOIN toks t USING (doc_id)
       |LEFT JOIN span s ON s.doc_id = d.doc_id""".stripMargin
 
+  /** Exact-substring dedup REWRITE (the removal pass of Lee et al. 2022):
+    * every non-first occurrence of a corpus-repeated 8-token window is
+    * dropped and the surviving tokens re-assembled; an exact-duplicate
+    * document collapses to empty text while its earliest copy survives.
+    */
+  val dedupRewrite: QueryFn = (s, dir) =>
+    TextAnalysis.substringRewrite(Tables.documents(s, dir), "doc_id", "text", k = 8)
+  val dedupRewriteSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), grams AS (
+      |  SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS gram,
+      |         doc_id * 1048576 + pos AS okey
+      |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t)-7, 0))) AS pos FROM toks)
+      |), dupg AS (
+      |  SELECT gram, min(okey) AS first_key FROM grams GROUP BY gram HAVING count(*) >= 2
+      |), covered AS (
+      |  SELECT DISTINCT g.doc_id, g.pos + dd.d AS tpos
+      |  FROM grams g JOIN dupg USING (gram)
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS d) dd
+      |  WHERE g.okey <> dupg.first_key
+      |), posed AS (
+      |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos FROM toks
+      |)
+      |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(count(c.tpos) AS BIGINT) AS n_removed,
+      |       coalesce(string_agg(p.tok, ' ' ORDER BY p.pos)
+      |         FILTER (WHERE c.tpos IS NULL), '') AS clean_text
+      |FROM posed p
+      |LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.tpos = p.pos
+      |GROUP BY p.doc_id""".stripMargin
+
+  /** DSIR importance weights (Xie et al. 2023): per-doc mean token
+    * log-ratio of the add-one-smoothed English-subset unigram LM against
+    * the whole-corpus LM — the domain-selection score, exact-unigram
+    * feature space.
+    */
+  val selectDsir: QueryFn = (s, dir) =>
+    TextAnalysis.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+      col("lang") === "en")
+  val selectDsirSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, in_t, tok, count(*) AS c
+      |  FROM (SELECT doc_id, (lang = 'en') AS in_t,
+      |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2, 3
+      |), v AS (
+      |  SELECT tok, sum(c) AS cr, sum(CASE WHEN in_t THEN c ELSE 0 END) AS ct
+      |  FROM c GROUP BY 1
+      |), t AS (
+      |  SELECT sum(cr) AS rtot, sum(ct) AS ttot, count(*) AS nv FROM v
+      |), s AS (
+      |  SELECT c.doc_id, c.c,
+      |    round(ln( (CAST(v.ct + 1 AS DOUBLE) * CAST(t.rtot + t.nv AS DOUBLE))
+      |            / (CAST(v.cr + 1 AS DOUBLE) * CAST(t.ttot + t.nv AS DOUBLE))), 6) AS lr
+      |  FROM c JOIN v USING (tok) CROSS JOIN t
+      |)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(CAST(round(c * lr, 6) AS DECIMAL(30,6))) AS DOUBLE)
+      |    / CAST(sum(c) AS DOUBLE), 6) AS dsir_logratio
+      |FROM s GROUP BY 1""".stripMargin
+
+  /** Perceptual-hash (dHash) near-duplicate pairs over media payloads:
+    * 4×16-bit band candidates, exact hamming verification — the image
+    * analog of SimHash dedup, decode stubbed via the payload digest.
+    */
+  val multimodalPhash: QueryFn = (s, dir) => {
+    // The corpus plus a re-ingested copy of every asset (same bytes, new
+    // media id — the duplicate-upload / re-encode scenario a perceptual
+    // hash exists to catch). With the digest-based decode STUB, identical
+    // payloads are the only hamming<=3 neighbours (digest pixels are
+    // 0-or-random distance); a real decoder restores the gradient and
+    // everything downstream — banding, join, verification — is unchanged.
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val media = Multimodal.mediaTable(
+      docs.unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("payload"))),
+      "doc_id", "payload", kind = "image", format = "fake")
+    Multimodal.phashPairs(media.toDF(), "media_id", "payload", maxHamming = 3)
+  }
+  val multimodalPhashSql: String = {
+    // Replays dhashBands: pixel i = digest hex pair at byte (5i+1) mod 32;
+    // band q packs bits 16q..16q+15 of pixel(b) > pixel(b+1).
+    def hexPair(bytePos: Int): String = {
+      val hi = s"(strpos('0123456789abcdef', substr(dh, ${bytePos * 2 + 1}, 1)) - 1)"
+      val lo = s"(strpos('0123456789abcdef', substr(dh, ${bytePos * 2 + 2}, 1)) - 1)"
+      s"($hi * 16 + $lo)"
+    }
+    def pix(i: Int): String = hexPair((i * 5 + 1) % 32)
+    def band(q: Int): String = (0 until 16).map { j =>
+      val b = 16 * q + j
+      s"(CASE WHEN ${pix(b)} > ${pix(b + 1)} THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val bandCols = (0 until 4).map(q => s"${band(q)} AS b$q").mkString(", ")
+    s"""WITH sig AS (
+       |  SELECT id, $bandCols
+       |  FROM (SELECT doc_id AS id, sha256(text) AS dh FROM documents
+       |        UNION ALL
+       |        SELECT doc_id + 1000000 AS id, sha256(text) AS dh FROM documents)
+       |), banded AS (
+       |  SELECT id, b0, b1, b2, b3, u.band AS band,
+       |    CASE u.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS h
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u
+       |), pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+       |    b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.h = b.h AND a.id < b.id
+       |)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+       |     + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+       |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3""".stripMargin
+  }
+
   /** C4-style boilerplate removal at the word-window level: strip tokens
     * covered by the corpus's 20 most frequent trigram windows, re-emit
     * the cleaned text.
@@ -2225,6 +2392,9 @@ object ExtQueries {
   val all: Map[String, QueryFn] = Map(
     "sessionize"           -> sessionize,
     "dedup_substring"      -> dedupSubstring,
+    "dedup_rewrite"        -> dedupRewrite,
+    "select_dsir"          -> selectDsir,
+    "multimodal_phash"     -> multimodalPhash,
     "text_boilerplate"     -> textBoilerplate,
     "dedup_semantic"       -> dedupSemantic,
     "text_collocations"    -> textCollocations,
@@ -2240,6 +2410,7 @@ object ExtQueries {
     "ann_topk"             -> annTopK,
     "ann_lsh"              -> annLsh,
     "ann_ivf"              -> annIvf,
+    "ann_pq"               -> annPq,
     "text_tokens"          -> textTokens,
     "text_quality"         -> textQuality,
     "text_entropy"         -> textEntropy,
@@ -2294,6 +2465,9 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "sessionize"          -> sessionizeSql,
     "dedup_substring"     -> dedupSubstringSql,
+    "dedup_rewrite"       -> dedupRewriteSql,
+    "select_dsir"         -> selectDsirSql,
+    "multimodal_phash"    -> multimodalPhashSql,
     "text_boilerplate"    -> textBoilerplateSql,
     "dedup_semantic"      -> dedupSemanticSql,
     "text_collocations"   -> textCollocationsSql,
@@ -2320,6 +2494,7 @@ object ExtQueries {
     "ann_topk"            -> annTopKSql,
     "ann_lsh"             -> annLshSql,
     "ann_ivf"             -> annIvfSql,
+    "ann_pq"              -> annPqSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,
     "text_entropy"        -> textEntropySql,

@@ -366,6 +366,37 @@ object GraphQueries {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Hilbert-curve layout buckets over the same (l_partkey, l_suppkey)
+    * pair — the no-seam space-filling curve; the oracle replays the SAME
+    * per-level expression strings the operator projects
+    * (`Layout.hilbertLevelExprs`), so the index is identical by
+    * construction.
+    */
+  val layoutHilbert: QueryFn = (s, dir) =>
+    Layout.hilbertBuckets(Tables.lineitem(s, dir), "l_partkey", "l_suppkey")
+
+  val layoutHilbertSql: String = {
+    val bits = 10
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (lvl, i) =>
+      val (dE, nxE, nyE) = Layout.hilbertLevelExprs(1L << lvl)
+      s"l${i + 1} AS (SELECT x0, y0, $dE AS d, $nxE AS x, $nyE AS y FROM l$i)"
+    }.mkString(",\n")
+    s"""WITH l0 AS (
+       |  SELECT CAST(l_partkey % 1024 AS BIGINT) AS x,
+       |         CAST(l_suppkey % 1024 AS BIGINT) AS y,
+       |         CAST(l_partkey % 1024 AS BIGINT) AS x0,
+       |         CAST(l_suppkey % 1024 AS BIGINT) AS y0,
+       |         CAST(0 AS BIGINT) AS d
+       |  FROM lineitem
+       |),
+       |$levels
+       |SELECT CAST(d >> 12 AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS cnt,
+       |  CAST(min(x0) AS BIGINT) AS x_min, CAST(max(x0) AS BIGINT) AS x_max,
+       |  CAST(min(y0) AS BIGINT) AS y_min, CAST(max(y0) AS BIGINT) AS y_max
+       |FROM l$bits GROUP BY 1""".stripMargin
+  }
+
   val all: Map[String, QueryFn] = Map(
     "graph_pagerank"  -> graphPagerank,
     "graph_triangles" -> graphTriangles,
@@ -380,6 +411,7 @@ object GraphQueries {
     "quantile_exact"  -> quantileExact,
     "anomaly_mad"     -> anomalyMad,
     "layout_zorder"   -> layoutZorder,
+    "layout_hilbert"  -> layoutHilbert,
   )
 
   val oracles: Map[String, String] = Map(
@@ -396,5 +428,6 @@ object GraphQueries {
     "quantile_exact"  -> quantileExactSql,
     "anomaly_mad"     -> anomalyMadSql,
     "layout_zorder"   -> layoutZorderSql,
+    "layout_hilbert"  -> layoutHilbertSql,
   )
 }
