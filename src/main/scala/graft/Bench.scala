@@ -41,17 +41,21 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex.map { case ((name, fn), i) =>
-      // checkpoint/broadcast blocks from earlier queries are only freed
-      // by the ContextCleaner AFTER a GC notices the dead references;
-      // across 150 queries the block store otherwise accretes and every
-      // later query pays eviction + GC pressure (measured: a uniform
-      // run-tail slowdown). A periodic explicit GC keeps the run flat
-      // and is outside every per-query timing window.
-      if (i % 25 == 24) System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint blocks from the finished query are only freed by
+      // the ContextCleaner AFTER a GC notices the dead references; across
+      // 150+ queries the block store otherwise accretes and WHICH later
+      // queries pay the eviction + GC pressure shifts with run order
+      // (measured: multi-second noise moving between runs). Dropping the
+      // finished query's persistent RDDs explicitly — outside its timing
+      // window — keeps every query's block-store state identical, plus a
+      // periodic GC for broadcast/shuffle state.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (i % 25 == 24) System.gc()
       (name, if (ok) secs else -1.0, ok)
     }
     def fmt(v: Double): String = f"$v%.3f"
