@@ -532,4 +532,48 @@ object Analytics {
       .withColumn("lo", lit(mn) + col("bucket") * lit(width))
       .withColumn("hi", lit(mn) + (col("bucket") + 1L) * lit(width))
   }
+
+  /** The Pearson formula shared VERBATIM with the DuckDB oracle over the
+    * five integer sufficient statistics — one final float expression, so
+    * both engines see identical bits; round(6) for the sqrt ties.
+    */
+  val autocorrExpr: String =
+    "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) " +
+      "/ (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+      "* sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+
+  /** Lag-`lagUnits` autocorrelation of each group's activity series: Pearson
+    * correlation between the per-bucket event count at time t and at
+    * t + lag, paired by calendar bucket (both buckets must be observed —
+    * gaps are excluded pairwise, not zero-filled). The seasonality /
+    * periodicity probe of a pipeline's drift suite: near 1 at the
+    * period, near 0 off it.
+    *
+    * Exactness: counts and their pairwise products stay integers through
+    * the aggregation; the ONE float expression is `autocorrExpr` on both
+    * engines. Scale: one map-side-combining aggregate to (group, bucket)
+    * granularity, a self-equi-join on the shifted bucket (both sides the
+    * SAME tiny aggregate), and a final group-sized aggregation.
+    */
+  def autocorr(df: DataFrame, groupCol: String, tsCol: String,
+      unit: String = "hour", lagUnits: Int = 1): DataFrame = {
+    val c = df.groupBy(col(groupCol),
+        date_trunc(unit, col(tsCol)).as("__b"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint(false) // both sides of the lag self-join
+    val lagged = c.select(col(groupCol),
+      (col("__b") - expr(s"interval $lagUnits $unit")).as("__b"),
+      col("__x").as("__y"))
+    c.join(lagged, Seq(groupCol, "__b"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"),
+        sum(col("__x") * col("__y")).cast("double").as("sxy"))
+      .where(col("n") >= 3 &&
+        col("n") * col("sxx") > col("sx") * col("sx") &&
+        col("n") * col("syy") > col("sy") * col("sy"))
+      .withColumn("autocorr", expr(autocorrExpr))
+  }
 }

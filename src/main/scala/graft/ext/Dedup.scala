@@ -277,9 +277,15 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // One plan barrier after the signature projection: both self-join
+    // sides re-alias the banded columns, so without it the whole
+    // scan->tokenize->simhash chain (the dominant cost — per-token FNV
+    // over every character) is evaluated once PER SIDE. Eager for the
+    // same SQLMetrics-GC reason as minhashPairs above.
     val sigs = DataOps.parallelismFloor(
         df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"), SimHash64.simhash64(lower(trim(col("__t")))).as("sig"))
+      .localCheckpoint(true)
     val bandSpec = Seq(0, 16, 32, 48)
     val banded = sigs.select(col("id"), col("sig"),
       explode(array(bandSpec.map(o =>

@@ -181,4 +181,63 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  // --- audio frame features (stub decode over the payload bytes) ----------
+
+  /** One analysis frame of a stub-decoded audio payload: exact integer
+    * sufficient statistics (centered sample sum, energy, zero crossings)
+    * plus the one derived float (RMS — IEEE sqrt of exact integers, so
+    * engines agree without rounding).
+    */
+  case class AudioFrame(
+      media_id: Long,
+      frame_idx: Int,
+      n_samples: Int,
+      sum_c: Long,       // sum of centered samples (byte - 128)
+      energy: Long,      // sum of squared centered samples
+      zero_crossings: Long,
+      rms: Double)
+
+  /** ==== STUB decode ====
+    * Frame-level audio features — RMS energy and zero-crossing rate, the
+    * first two features of any audio-quality / silence-trim pass. No
+    * audio codec exists on this classpath, so the "decode" treats the
+    * payload bytes THEMSELVES as unsigned 8-bit PCM centered at 128
+    * (deterministic, and exactly replayable by any engine that can read
+    * the same bytes); a real deployment swaps only the byte→sample step.
+    *
+    * Runs in the mapPartitions batch shape (the mapInPandas contract):
+    * one iterator in, one out, one frame row per full `frameSize` window
+    * — the trailing partial window is dropped, as annotated. Per-frame
+    * state is three longs, so a partition streams regardless of payload
+    * sizes.
+    */
+  def audioFrames(media: Dataset[MediaRow], frameSize: Int = 256): Dataset[AudioFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val p = if (m.payload == null) Array.emptyByteArray else m.payload
+        val nFrames = p.length / frameSize
+        (0 until nFrames).iterator.map { f =>
+          var i = f * frameSize
+          val end = i + frameSize
+          var sum = 0L; var energy = 0L; var zc = 0L
+          var prev = 0
+          while (i < end) {
+            val s = (p(i) & 0xff) - 128
+            sum += s
+            energy += s.toLong * s
+            // adjacent-pair strict sign change (a zero sample breaks the
+            // crossing) — the definition the oracle replays verbatim
+            if (i > f * frameSize && s.toLong * prev < 0) zc += 1
+            prev = s
+            i += 1
+          }
+          AudioFrame(m.media_id, f, frameSize, sum, energy, zc,
+            math.sqrt(energy.toDouble / frameSize))
+        }
+      }
+    }
+  }
 }

@@ -124,6 +124,63 @@ object Sketches {
       .agg(sum(col("na").cast("decimal(38,0)") * col("nb")).as("row_est"))
       .agg(min(col("row_est")).cast("long").as("join_size_est"))
 
+  /** Deterministic HyperLogLog register table over a 64-bit key column
+    * (p=8, m=256 registers): bucket from the top 8 bits of `mix64(key)`,
+    * rank `rho` = leading-zero count of the remaining 56 bits + 1
+    * (via `length(bin(w))` — pure integer/string math both engines share).
+    * Unlike the engine-internal `hll_sketch_agg` binary state above, this
+    * register table IS the sketch: 256 (bucket, r) integer rows that an
+    * oracle replays bit-for-bit, and that merge across periods/partitions
+    * by cell-wise `max` — the HLL property.
+    *
+    * Scale shape: the narrow projection is codegen'd; the partial
+    * aggregation collapses every partition to <= 256 rows before the
+    * exchange, so the shuffle is a fixed-size register table no matter
+    * the corpus — same rationale as countMinCounters.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .select(HashExprs.mix64(col(keyCol).cast("long")).as("__hv"))
+      .select(
+        shiftrightunsigned(col("__hv"), 56).cast("int").as("bucket"),
+        col("__hv").bitwiseAND(lit(0x00FFFFFFFFFFFFFFL)).as("__w"))
+      .select(col("bucket"),
+        when(col("__w") === 0L, lit(57))
+          .otherwise(lit(57) - length(bin(col("__w")))).cast("int").as("rho"))
+      .groupBy("bucket").agg(max("rho").as("r"))
+
+  /** The HLL raw-estimate formula shared VERBATIM with the DuckDB oracle:
+    * `s_total` is the exact DECIMAL sum of 2^(57-r) over all 256
+    * registers (absent register => r=0 => 2^57), so both engines divide
+    * the same exact constants — identical bits, then round(6) for safety.
+    * alpha_256 * m^2 * 2^57 / s_total, with alpha kept symbolic.
+    */
+  val hllEstimateExpr: String =
+    // every division is anchored in DOUBLE: bare decimal literals would
+    // otherwise run Spark's DECIMAL division rules (and diverge from
+    // DuckDB's IEEE evaluation) before ever touching a float
+    "round(CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0) " +
+      "* 256.0 * 256.0 * 144115188075855872.0 / CAST(s_total AS DOUBLE), 6)"
+
+  /** Collapse an HLL register table to one summary row: registers in
+    * use, empty registers (the linear-counting input), the exact scaled
+    * harmonic sum, and the raw HLL estimate. Pure single-row arithmetic
+    * over the 256-row table.
+    */
+  def hllSummary(registers: DataFrame): DataFrame =
+    registers
+      .agg(count(lit(1)).as("used"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - r) AS DECIMAL(38,0))"))
+          .as("__sp"))
+      .select(lit(256).as("m"), col("used").cast("long").as("used"),
+        (lit(256L) - col("used")).as("zeros"),
+        (col("__sp") + (lit(256L) - col("used")).cast("decimal(38,0)")
+          * lit(144115188075855872L)).as("s_total"))
+      .withColumn("hll_est", expr(hllEstimateExpr))
+      // the exact decimal can exceed the long domain (up to 256 * 2^57);
+      // publish it as a double (same nearest-even cast both engines)
+      .withColumn("s_total", col("s_total").cast("double"))
+
   /** Deterministic KMV (bottom-k minimum values) distinct-count estimate
     * per group: keep the k keys with the smallest `mix64(key)` (an O(k)
     * mergeable state, `Aggs.bottomKByHash`), and estimate

@@ -544,4 +544,40 @@ object TextAnalysis {
           - lit(84.6) * (col("n_syllables").cast("double")
             / greatest(col("n_words"), lit(1L))), 6))
   }
+
+  /** The logistic squashing shared VERBATIM with the DuckDB oracle: both
+    * engines evaluate this one SQL string over identical integer inputs
+    * (`raw_score`, `n_features`), then round(6) to absorb libm exp() ulp
+    * differences (the tf-idf ln() discipline).
+    */
+  val classifierScoreExpr: String =
+    "round(1.0 / (1.0 + exp(-(CAST(raw_score AS DOUBLE) " +
+      "/ (1000.0 * CAST(n_features AS DOUBLE))))), 6)"
+
+  /** fastText-style linear quality classifier with hashed features: each
+    * DISTINCT lowercased token contributes an integer weight derived from
+    * its 64-bit FNV hash (`pmod(h, 2001) - 1000`, i.e. a fixed
+    * pseudo-random weight vector indexed by feature hash — the hashing
+    * trick, so no vocabulary table ships with the model), and the mean
+    * weight is squashed through a sigmoid. Stands in for the
+    * classifier-based quality filters of web-scale pipelines (the wiring
+    * — hashed features, integer margins, per-doc score, keep flag — is
+    * the production shape; a trained model swaps in real weights).
+    *
+    * Scale: zero-shuffle. Feature hashing is the native one-pass
+    * TextShingles kernel and the weight sum is a row-local higher-order
+    * fold over 8-byte hashes — whole-stage codegen end to end, no
+    * explode, no vocabulary join.
+    */
+  def classifierScore(df: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    val feats = TextShingles.word_shingle_hashes(col(textCol), 1)
+    df.select(col(idCol), feats.as("__f"))
+      .select(col(idCol),
+        size(col("__f")).cast("long").as("n_features"),
+        aggregate(col("__f"), lit(0L),
+          (acc, h) => acc + pmod(h, lit(2001L)) - lit(1000L)).as("raw_score"))
+      .withColumn("score", expr(classifierScoreExpr))
+      .withColumn("keep", col("score") >= lit(0.5))
+  }
 }

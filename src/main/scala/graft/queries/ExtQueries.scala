@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DataOps, Dedup, Multimodal, Packing, Quantize, Ranking, Similarity, TextAnalysis}
+import graft.ext.{DataOps, Dedup, Multimodal, Packing, Quantize, Ranking, Similarity, Sketches, TextAnalysis}
 import graft.sources.Tables
 
 /** Phase-E extension operators exposed through SparkEntry.
@@ -2074,6 +2074,131 @@ object ExtQueries {
        |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3""".stripMargin
   }
 
+  /** Frame-level audio features over stub-decoded payloads: RMS energy +
+    * zero-crossing count per 256-sample frame, run in the mapPartitions
+    * batch shape (see [[graft.ext.Multimodal.audioFrames]]).
+    */
+  val multimodalAudio: QueryFn = (s, dir) => {
+    val media = Multimodal.mediaTable(
+      Tables.documents(s, dir).select(col("doc_id"),
+        encode(col("text"), "utf-8").as("payload")),
+      "doc_id", "payload", kind = "audio", format = "pcm_u8")
+    Multimodal.audioFrames(media, frameSize = 256).toDF()
+  }
+  /** Replays the stub decode exactly: the corpus is ASCII (the simhash
+    * oracle's standing assumption), so payload byte i == codepoint of
+    * char i, and each centered sample is `unicode(text[i]) - 128`.
+    * Trailing partial frames are dropped on both sides; zero crossings
+    * are strict adjacent-pair sign changes (a zero sample breaks the
+    * run); rms is the IEEE sqrt of exact integers — no rounding needed.
+    */
+  val multimodalAudioSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, length(text)),
+      |      i -> unicode(text[i]) - 128) AS s
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, t.f AS frame_idx,
+      |    list_slice(s, t.f * 256 + 1, t.f * 256 + 256) AS w
+      |  FROM chars, UNNEST(generate_series(0,
+      |    CAST(len(s) // 256 AS INTEGER) - 1)) t(f)
+      |  WHERE len(s) >= 256
+      |)
+      |SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(256 AS INTEGER) AS n_samples,
+      |  CAST(list_sum(w) AS BIGINT) AS sum_c,
+      |  CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS energy,
+      |  CAST(coalesce(list_sum(list_transform(generate_series(2, 256),
+      |    i -> CASE WHEN w[i - 1] * w[i] < 0 THEN 1 ELSE 0 END)), 0) AS BIGINT)
+      |    AS zero_crossings,
+      |  sqrt(CAST(list_sum(list_transform(w, x -> x * x)) AS DOUBLE) / 256.0)
+      |    AS rms
+      |FROM fr""".stripMargin
+
+  /** Replayable HyperLogLog distinct-count sketch over `events.user_id`:
+    * the 256-register table collapsed to one summary row with the raw
+    * HLL estimate (see [[graft.ext.Sketches.hllRegisters]]).
+    */
+  val sketchHll: QueryFn = (s, dir) =>
+    Sketches.hllSummary(
+      Sketches.hllRegisters(Tables.events(s, dir), "user_id"))
+  val sketchHllSql: String =
+    s"""WITH src AS (
+       |  SELECT DISTINCT user_id AS id FROM events WHERE user_id IS NOT NULL
+       |), ${mix64Cte("src", "id")},
+       |u AS (
+       |  SELECT CASE WHEN hv < 0 THEN hv::HUGEINT + 18446744073709551616
+       |              ELSE hv::HUGEINT END AS x FROM hs
+       |), br AS (
+       |  -- bucket = top 8 bits (2^56 split); 2^57 appears only as the
+       |  -- rho-sum scale below
+       |  SELECT CAST(x // 72057594037927936 AS INTEGER) AS bucket,
+       |         CAST(x % 72057594037927936 AS BIGINT) AS w FROM u
+       |), regs AS (
+       |  SELECT bucket, CAST(max(CASE WHEN w = 0 THEN 57
+       |    ELSE 57 - length(bin(w)) END) AS INTEGER) AS r
+       |  FROM br GROUP BY 1
+       |), summ AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS used,
+       |    sum(CAST((1::BIGINT << (57 - r)) AS DECIMAL(38,0))) AS sp
+       |  FROM regs
+       |), tot AS (
+       |  SELECT used,
+       |    sp + (256 - used)::DECIMAL(38,0) * 144115188075855872 AS s_total
+       |  FROM summ
+       |)
+       |SELECT 256 AS m, used, 256 - used AS zeros,
+       |  ${Sketches.hllEstimateExpr} AS hll_est,
+       |  CAST(s_total AS DOUBLE) AS s_total
+       |FROM tot""".stripMargin
+
+  /** Hashed-feature linear quality classifier (fastText shape) over the
+    * corpus — zero-shuffle row-local scoring; weights are a pure function
+    * of each distinct token's 64-bit FNV hash, so the whole model
+    * replays in SQL (see [[graft.ext.TextAnalysis.classifierScore]]).
+    */
+  val qualityClassifier: QueryFn = (s, dir) =>
+    TextAnalysis.classifierScore(
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull && trim(col("text")) =!= ""),
+      "doc_id", "text")
+  /** The FNV-1a-64 per-token chain is the dedupSimhash oracle's (HUGEINT
+    * wrap-around multiply); distinctness per doc mirrors the kernel's
+    * first-appearance dedup; the sigmoid is the shared
+    * `classifierScoreExpr` over integer (raw_score, n_features).
+    */
+  val qualityClassifierSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE text IS NOT NULL AND trim(text) != ''
+       |), toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+'), x -> x != '')) AS tok
+       |  FROM docs
+       |), th AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        list_transform(regexp_extract_all(tok, '.'), c -> unicode(c)::HUGEINT)),
+       |      (acc, cp) -> ((xor(acc, cp) % 4294967296) * 1099511628211::HUGEINT
+       |        + (((xor(acc, cp) // 4294967296) * 1099511628211::HUGEINT) % 4294967296) * 4294967296
+       |        ) % 18446744073709551616
+       |    ) AS h
+       |  FROM toks
+       |), sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+       |    CAST(sum(((hv % 2001) + 2001) % 2001 - 1000) AS BIGINT) AS raw_score
+       |  FROM (SELECT doc_id, CASE WHEN h >= 9223372036854775808
+       |          THEN (h - 18446744073709551616)::BIGINT ELSE h::BIGINT END AS hv
+       |        FROM th)
+       |  GROUP BY 1
+       |)
+       |SELECT doc_id, n_features, raw_score,
+       |  ${TextAnalysis.classifierScoreExpr} AS score,
+       |  (${TextAnalysis.classifierScoreExpr} >= 0.5) AS keep
+       |FROM sc""".stripMargin
+
   /** C4-style boilerplate removal at the word-window level: strip tokens
     * covered by the corpus's 20 most frequent trigram windows, re-emit
     * the cleaned text.
@@ -2395,6 +2520,9 @@ object ExtQueries {
     "dedup_rewrite"        -> dedupRewrite,
     "select_dsir"          -> selectDsir,
     "multimodal_phash"     -> multimodalPhash,
+    "multimodal_audio"     -> multimodalAudio,
+    "sketch_hll"           -> sketchHll,
+    "quality_classifier"   -> qualityClassifier,
     "text_boilerplate"     -> textBoilerplate,
     "dedup_semantic"       -> dedupSemantic,
     "text_collocations"    -> textCollocations,
@@ -2468,6 +2596,9 @@ object ExtQueries {
     "dedup_rewrite"       -> dedupRewriteSql,
     "select_dsir"         -> selectDsirSql,
     "multimodal_phash"    -> multimodalPhashSql,
+    "multimodal_audio"    -> multimodalAudioSql,
+    "sketch_hll"          -> sketchHllSql,
+    "quality_classifier"  -> qualityClassifierSql,
     "text_boilerplate"    -> textBoilerplateSql,
     "dedup_semantic"      -> dedupSemanticSql,
     "text_collocations"   -> textCollocationsSql,

@@ -397,8 +397,69 @@ object GraphQueries {
        |FROM l$bits GROUP BY 1""".stripMargin
   }
 
+  /** Neighbor-set Jaccard of every co-purchase edge — link strength for
+    * entity-merge / recommendation candidates. Integer common-neighbor
+    * and degree counts; one exact division.
+    */
+  val graphJaccard: QueryFn = (s, dir) =>
+    Graph.neighborJaccard(coPurchase(s, dir))
+
+  val graphJaccardSql: String =
+    s"""$pairsCte, sym AS (
+       |  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), deg AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+       |), common AS (
+       |  SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS common
+       |  FROM pairs p
+       |  JOIN sym s1 ON s1.u = p.a
+       |  JOIN sym s2 ON s2.u = p.b AND s2.v = s1.v
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.a, p.b, coalesce(c.common, 0) AS common,
+       |  da.d AS da, db.d AS db,
+       |  CAST(coalesce(c.common, 0) AS DOUBLE)
+       |    / CAST(da.d + db.d - coalesce(c.common, 0) AS DOUBLE) AS jaccard
+       |FROM pairs p
+       |LEFT JOIN common c ON c.a = p.a AND c.b = p.b
+       |JOIN deg da ON da.u = p.a
+       |JOIN deg db ON db.u = p.b""".stripMargin
+
+  /** Lag-1 hourly autocorrelation of each event type's activity series —
+    * the seasonality probe (see [[graft.ext.Analytics.autocorr]]).
+    */
+  val tsAutocorr: QueryFn = (s, dir) =>
+    Analytics.autocorr(Tables.events(s, dir), "event_type", "ts",
+      unit = "hour", lagUnits = 1)
+
+  val tsAutocorrSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS b,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2
+       |), p AS (
+       |  SELECT c1.event_type, c1.x AS x, c2.x AS y
+       |  FROM c c1 JOIN c c2
+       |    ON c2.event_type = c1.event_type
+       |   AND c2.b = c1.b + INTERVAL 1 HOUR
+       |), st AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(x * y) AS DOUBLE) AS sxy
+       |  FROM p GROUP BY 1
+       |  HAVING count(*) >= 3
+       |    AND count(*) * sum(x * x) > sum(x) * sum(x)
+       |    AND count(*) * sum(y * y) > sum(y) * sum(y)
+       |)
+       |SELECT event_type, n, sx, sy, sxx, syy, sxy,
+       |  ${Analytics.autocorrExpr} AS autocorr
+       |FROM st""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "graph_pagerank"  -> graphPagerank,
+    "graph_jaccard"   -> graphJaccard,
+    "ts_autocorr"     -> tsAutocorr,
     "graph_triangles" -> graphTriangles,
     "graph_bfs"       -> graphBfs,
     "graph_degrees"   -> graphDegrees,
@@ -416,6 +477,8 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank"  -> graphPagerankSql,
+    "graph_jaccard"   -> graphJaccardSql,
+    "ts_autocorr"     -> tsAutocorrSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_bfs"       -> graphBfsSql,
     "graph_degrees"   -> graphDegreesSql,

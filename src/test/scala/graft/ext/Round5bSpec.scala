@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Round-5 continuation operators: replayable HLL registers, hashed-feature
+  * quality classifier, neighbor Jaccard, lag autocorrelation, audio frames.
+  */
+class Round5bSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // ---- HLL registers ------------------------------------------------------
+
+  test("hll: registers are a pure function of the key set and merge by max") {
+    val a = (1L to 400L).toDF("k")
+    val regsA = Sketches.hllRegisters(a, "k")
+    val rows = regsA.as[(Int, Int)].collect()
+    assert(rows.nonEmpty && rows.forall { case (b, r) => b >= 0 && b < 256 && r >= 1 && r <= 57 })
+    // duplicates don't move any register (max is idempotent)
+    val regsDup = Sketches.hllRegisters(a.union(a), "k")
+    assert(regsDup.as[(Int, Int)].collect().sortBy(_._1).toSeq ==
+      rows.sortBy(_._1).toSeq)
+    // sketch of a union == cell-wise max of the two sketches
+    val b = (301L to 700L).toDF("k")
+    val direct = Sketches.hllRegisters(a.union(b), "k")
+      .as[(Int, Int)].collect().sortBy(_._1).toSeq
+    val merged = Sketches.hllRegisters(a, "k").unionByName(Sketches.hllRegisters(b, "k"))
+      .groupBy("bucket").agg(max("r").as("r"))
+      .as[(Int, Int)].collect().sortBy(_._1).toSeq
+    assert(direct == merged)
+  }
+
+  test("hll: estimate lands within 15% of the true distinct count") {
+    val n = 20000L
+    val df = (1L to n).toDF("k")
+    val est = Sketches.hllSummary(Sketches.hllRegisters(df, "k"))
+      .select("hll_est").as[Double].head()
+    assert(math.abs(est - n) / n < 0.15, s"estimate $est vs true $n")
+  }
+
+  // ---- classifier score ---------------------------------------------------
+
+  test("classifierScore: deterministic, bounded, keep consistent with score") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .select("doc_id", "n_features", "raw_score", "score", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got(0)._2 == 3L && got(2)._2 == 5L)
+    assert(got(0) == got(1).copy(_1 = 1L))         // same text, same score
+    got.foreach { r =>
+      assert(r._4 > 0.0 && r._4 < 1.0)
+      assert(math.abs(r._3) <= 1000L * r._2)       // weights bounded by 1000
+      assert(r._5 == (r._4 >= 0.5))
+    }
+  }
+
+  test("classifierScore: repeated tokens are one feature (distinct hashing)") {
+    val docs = Seq((1L, "word word word word"), (2L, "word")).toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .select("n_features", "raw_score").as[(Long, Long)].collect()
+    assert(got(0) == got(1))
+  }
+
+  // ---- neighbor Jaccard ---------------------------------------------------
+
+  test("neighborJaccard: triangle edges score 1/3, pendant edge 0") {
+    // triangle 1-2-3 plus pendant 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.neighborJaccard(edges)
+      .select("a", "b", "common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // edge (1,2): common neighbor {3}; |N(1) u N(2)| = {1,2,3} = 3
+    assert(got((1L, 2L)) == ((1L, 1.0 / 3.0)))
+    assert(got((1L, 3L))._1 == 1L && got((2L, 3L))._1 == 1L)
+    assert(got((3L, 4L)) == ((0L, 0.0)))           // pendant: no common neighbor
+  }
+
+  // ---- autocorrelation ----------------------------------------------------
+
+  test("autocorr: alternating hourly series has lag-1 autocorrelation -1") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 24).flatMap { h =>
+      val n = if (h % 2 == 0) 3 else 1             // 3,1,3,1,... per hour
+      (0 until n).map(i => ("a", new java.sql.Timestamp(t0.getTime + h * 3600000L + i)))
+    }
+    val df = rows.toDF("g", "ts")
+    val got = Analytics.autocorr(df, "g", "ts", unit = "hour", lagUnits = 1)
+      .select("n", "autocorr").as[(Long, Double)].head()
+    assert(got._1 == 23L)
+    assert(got._2 == -1.0)
+  }
+
+  test("autocorr: constant series is filtered (zero variance, no NaN row)") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 10).map(h => ("c", new java.sql.Timestamp(t0.getTime + h * 3600000L)))
+    val got = Analytics.autocorr(rows.toDF("g", "ts"), "g", "ts")
+    assert(got.count() == 0L)
+  }
+
+  // ---- audio frames -------------------------------------------------------
+
+  test("audioFrames: exact stats over a known byte pattern") {
+    // 256 bytes alternating 138 / 118 => centered +10/-10: sum 0,
+    // energy 256*100, a sign change at every adjacent pair (255 of them)
+    val payload = Array.tabulate[Byte](256)(i => if (i % 2 == 0) 138.toByte else 118.toByte)
+    val media = Multimodal.mediaTable(
+      Seq((1L, payload)).toDF("id", "p"), "id", "p", kind = "audio", format = "pcm_u8")
+    val got = Multimodal.audioFrames(media, frameSize = 256).collect()
+    assert(got.length == 1)
+    val f = got(0)
+    assert(f.frame_idx == 0 && f.n_samples == 256)
+    assert(f.sum_c == 0L && f.energy == 25600L && f.zero_crossings == 255L)
+    assert(f.rms == math.sqrt(100.0))
+  }
+
+  test("audioFrames: trailing partial frame is dropped, frames index in order") {
+    val payload = Array.fill[Byte](700)(130.toByte)  // 2 full frames + 188 tail
+    val media = Multimodal.mediaTable(
+      Seq((9L, payload)).toDF("id", "p"), "id", "p", kind = "audio", format = "pcm_u8")
+    val got = Multimodal.audioFrames(media, frameSize = 256).collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 1))
+    assert(got.forall(f => f.sum_c == 2L * 256 && f.energy == 4L * 256 && f.zero_crossings == 0L))
+  }
+}
