@@ -194,6 +194,42 @@ object DataOps {
       .drop("__w", "__base", "__extra")
   }
 
+  /** The temperature-weight expression shared VERBATIM with the DuckDB
+    * oracle: pow over exact integer ratios, rounded at 6 to absorb libm
+    * pow() ulp differences (the tf-idf ln() discipline).
+    */
+  def temperatureWeightExpr(invT: Double): String =
+    s"round(pow(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), $invT), 6)"
+
+  /** Temperature-scaled mixture weights per source (the multilingual /
+    * multi-source sampling-ratio computation): raw share p_s = n_s/N is
+    * flattened to p_s^(1/T) and renormalized, so low-resource sources are
+    * upsampled as T grows (T=1 keeps natural ratios). This computes the
+    * WEIGHTS that `weightedMixtureFractional` above then applies — the
+    * two halves of the standard temperature-resampling recipe.
+    *
+    * Determinism: the pow outputs are rounded at 6 and renormalized via
+    * an exact DECIMAL total, so the published ratios are identical bits
+    * in any engine. Scale: one map-side-combining aggregate to the
+    * source-sized table; everything after is arithmetic on that tiny
+    * frame.
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String,
+      temperature: Double = 2.0): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds the total AND the per-source ratios
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val w = counts.crossJoin(broadcast(total))
+      .withColumn("p_raw", col("n").cast("double") / col("tot").cast("double"))
+      .withColumn("w_temp", expr(temperatureWeightExpr(1.0 / temperature)))
+    val wTot = w.agg(sum(col("w_temp").cast("decimal(30,6)")).as("wt"))
+    w.crossJoin(broadcast(wTot))
+      .withColumn("p_temp",
+        round(col("w_temp") / col("wt").cast("double"), 6))
+      .select(col(sourceCol), col("n"), col("p_raw"), col("w_temp"), col("p_temp"))
+  }
+
   /** Deterministic train/val/test assignment: each row's split is a pure
     * function of its id (`mix64(id) mod 100` against cumulative percent
     * bounds), so the partition a document lands in survives reruns,

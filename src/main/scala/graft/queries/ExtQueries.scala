@@ -2199,6 +2199,87 @@ object ExtQueries {
        |  (${TextAnalysis.classifierScoreExpr} >= 0.5) AS keep
        |FROM sc""".stripMargin
 
+  /** kNN label-agreement evaluation — the standard embedding-quality
+    * probe: each probe vector's label vs the majority label of its 5
+    * exact cosine neighbors (ties to the smallest label). Reuses the
+    * proven-bit-compatible cosineTopK kernel; votes and the argmax are
+    * pure integers, so the whole eval replays exactly.
+    *
+    * Scale: the probe set broadcasts against the corpus (cosineTopK's
+    * shape — the corpus is never shuffled), then two label-sized
+    * aggregations.
+    */
+  val evalKnn: QueryFn = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.orderBy("vec_id").limit(20)
+    val nn = Similarity.cosineTopK(queries, emb, k = 5)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val votes = nn
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), Seq("neighbor_id"))
+      .groupBy("query_id", "nl").agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy("query_id")
+      .agg(expr("max_by(nl, struct(votes, -nl))").as("pred_label"),
+        max(col("votes")).as("top_votes"))
+    pred
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("pred_label").cast("int").as("pred_label"),
+        col("top_votes"),
+        (col("true_label") === col("pred_label")).as("correct"))
+  }
+  val evalKnnSql: String =
+    """WITH q AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT 20),
+      |nn AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+      |                 e.vec_id ASC) AS rank
+      |    FROM q, embeddings e WHERE q.vec_id <> e.vec_id
+      |  ) WHERE rank <= 5
+      |), votes AS (
+      |  SELECT nn.query_id, e.label AS nl, CAST(count(*) AS BIGINT) AS votes
+      |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+      |  GROUP BY 1, 2
+      |), pred AS (
+      |  SELECT query_id, nl AS pred_label, votes AS top_votes FROM (
+      |    SELECT query_id, nl, votes,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY votes DESC, nl ASC) AS rn
+      |    FROM votes
+      |  ) WHERE rn = 1
+      |)
+      |SELECT p.query_id, e.label AS true_label,
+      |  CAST(p.pred_label AS INTEGER) AS pred_label, p.top_votes,
+      |  (e.label = p.pred_label) AS correct
+      |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id""".stripMargin
+
+  /** Temperature-scaled source mixture ratios (T=2): the sampling-weight
+    * computation of multi-source pretraining (see
+    * [[graft.ext.DataOps.temperatureMixture]]).
+    */
+  val mixtureTemperature: QueryFn = (s, dir) =>
+    DataOps.temperatureMixture(Tables.documents(s, dir), "source",
+      temperature = 2.0)
+  val mixtureTemperatureSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts
+       |), w AS (
+       |  SELECT source, n,
+       |    CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p_raw,
+       |    ${DataOps.temperatureWeightExpr(0.5)} AS w_temp
+       |  FROM counts, tot
+       |), wt AS (
+       |  SELECT CAST(sum(CAST(w_temp AS DECIMAL(30,6))) AS DOUBLE) AS wt FROM w
+       |)
+       |SELECT source, n, p_raw, w_temp,
+       |  round(w_temp / wt, 6) AS p_temp
+       |FROM w, wt""".stripMargin
+
   /** C4-style boilerplate removal at the word-window level: strip tokens
     * covered by the corpus's 20 most frequent trigram windows, re-emit
     * the cleaned text.
@@ -2522,6 +2603,8 @@ object ExtQueries {
     "multimodal_phash"     -> multimodalPhash,
     "multimodal_audio"     -> multimodalAudio,
     "sketch_hll"           -> sketchHll,
+    "eval_knn"             -> evalKnn,
+    "mixture_temperature"  -> mixtureTemperature,
     "quality_classifier"   -> qualityClassifier,
     "text_boilerplate"     -> textBoilerplate,
     "dedup_semantic"       -> dedupSemantic,
@@ -2598,6 +2681,8 @@ object ExtQueries {
     "multimodal_phash"    -> multimodalPhashSql,
     "multimodal_audio"    -> multimodalAudioSql,
     "sketch_hll"          -> sketchHllSql,
+    "eval_knn"            -> evalKnnSql,
+    "mixture_temperature" -> mixtureTemperatureSql,
     "quality_classifier"  -> qualityClassifierSql,
     "text_boilerplate"    -> textBoilerplateSql,
     "dedup_semantic"      -> dedupSemanticSql,

@@ -102,6 +102,41 @@ class Round5bSpec extends AnyFunSuite with SparkTest {
     assert(got.count() == 0L)
   }
 
+  // ---- temperature mixture ------------------------------------------------
+
+  test("temperatureMixture: T=1 keeps natural ratios, T=inf-ward flattens") {
+    val docs = (Seq.fill(90)("big") ++ Seq.fill(10)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val t1 = DataOps.temperatureMixture(docs, "source", temperature = 1.0)
+      .select("source", "p_temp").as[(String, Double)].collect().toMap
+    assert(math.abs(t1("big") - 0.9) < 1e-6 && math.abs(t1("small") - 0.1) < 1e-6)
+    val t4 = DataOps.temperatureMixture(docs, "source", temperature = 4.0)
+      .select("source", "p_temp").as[(String, Double)].collect().toMap
+    // flattening: the small source's share grows toward parity
+    assert(t4("small") > 0.1 && t4("small") < 0.5)
+    assert(math.abs(t4("big") + t4("small") - 1.0) < 2e-6)
+  }
+
+  // ---- kNN eval -----------------------------------------------------------
+
+  test("evalKnn query: clustered embeddings classify correctly") {
+    // two tight clusters along different axes; every vector's 5-NN are its
+    // own cluster, so the majority label must equal the true label
+    val vecs = (0 until 10).map { i =>
+      val base = if (i < 5) Array(1.0f, 0.0f, 0.01f * i) else Array(0.0f, 1.0f, 0.01f * i)
+      (i.toLong, base.toSeq, if (i < 5) 0 else 1)
+    }.toDF("vec_id", "embedding", "label")
+    val nn = Similarity.cosineTopK(vecs.limit(10), vecs, k = 3)
+    val labels = vecs.select(col("vec_id"), col("label"))
+    val votes = nn.join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), Seq("neighbor_id"))
+      .groupBy("query_id", "nl").agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy("query_id")
+      .agg(expr("max_by(nl, struct(votes, -nl))").as("pred_label"))
+      .join(labels.select(col("vec_id").as("query_id"), col("label")), Seq("query_id"))
+    assert(pred.where(col("pred_label") =!= col("label")).count() == 0L)
+  }
+
   // ---- audio frames -------------------------------------------------------
 
   test("audioFrames: exact stats over a known byte pattern") {

@@ -452,4 +452,39 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Exchange SinglePartition"), "global window:\n" + p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
+
+  test("quality_classifier: zero-shuffle row-local scoring") {
+    val p = plan(ExtQueries.qualityClassifier(spark, dir))
+    assert(!p.contains("Exchange"), "row-local fold must not shuffle:\n" + p)
+    assert(!p.contains("Generate"), "no explode — the fold is in-row:\n" + p)
+    assert(p.contains("[codegen id :"), p)
+  }
+
+  test("sketch_hll: partial aggregation collapses before the exchange") {
+    val p = plan(ExtQueries.sketchHll(spark, dir))
+    // register build: partial + final HashAggregate pair (each partition
+    // ships <= 256 rows), never a window or a sort of the key stream
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_jaccard: key-equi wedge joins only, no cartesian") {
+    val p = plan(GraphQueries.graphJaccard(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ts_autocorr: counts aggregate map-side; lag join is key-equi") {
+    val p = plan(GraphQueries.tsAutocorr(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("multimodal_audio: typed per-partition decode, zero shuffle") {
+    val p = plan(ExtQueries.multimodalAudio(spark, dir))
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("Exchange"), "frame extraction must not shuffle:\n" + p)
+  }
 }
