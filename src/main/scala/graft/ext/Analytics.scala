@@ -533,6 +533,34 @@ object Analytics {
       .withColumn("hi", lit(mn) + (col("bucket") + 1L) * lit(width))
   }
 
+  /** The Gini formula shared VERBATIM with the DuckDB oracle over the
+    * three integer sufficient statistics (rank-weighted sum, total, n).
+    */
+  val giniExpr: String =
+    "round(2.0 * CAST(s_rank AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) " +
+      "- (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)"
+
+  /** Gini concentration of per-key activity: how unequally the rows of
+    * `df` are distributed over `keyCol` (0 = uniform, →1 = one key owns
+    * everything) — the corpus-balance / contributor-concentration index
+    * of a dataset audit. Computed from the sorted-rank identity
+    * `G = 2·Σ i·x_i / (n·Σ x_i) − (n+1)/n`, which is tie-order-invariant
+    * (equal x swap freely), so the pinned (count, key) rank order makes
+    * it deterministic without mattering mathematically.
+    *
+    * Scale: one map-side-combining count aggregation to key granularity,
+    * the range-partition + zipWithIndex dense ranker (NO single-partition
+    * window), and one final integer fold to a single row.
+    */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    graft.cardano.SurrogateIds.withSequence(
+        counts, "__i", Seq(col("cnt").asc, col(keyCol).asc))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum((col("__i") + 1L) * col("cnt")).as("s_rank"))
+      .withColumn("gini", expr(giniExpr))
+  }
+
   /** The Pearson formula shared VERBATIM with the DuckDB oracle over the
     * five integer sufficient statistics — one final float expression, so
     * both engines see identical bits; round(6) for the sqrt ties.

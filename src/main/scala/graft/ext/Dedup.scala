@@ -29,6 +29,23 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** The canonical text form shared with the oracle: lowercase, every
+    * non-alphanumeric run collapsed to one space, trimmed — the
+    * normalization that makes casing/punctuation/whitespace variants of
+    * one document collide on a single digest.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Near-exact dedup after normalization (the RefinedWeb/C4-style step
+    * between byte-exact and fuzzy dedup): group by the digest of
+    * `normalized`, keep the smallest id. Same scale shape as `exact` —
+    * the exchange carries 32-byte digests, never text.
+    */
+  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(normalized(col(textCol)), 256).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Word n-gram shingles (lowercased). */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(lower(trim(text)), "\\s+")

@@ -26,6 +26,19 @@ object ExtQueries {
     """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY text""".stripMargin
 
+  /** Near-exact dedup after canonicalization — casing/punctuation/
+    * whitespace variants collide on one digest (see
+    * [[graft.ext.Dedup.exactNormalized]]).
+    */
+  val dedupNormalized: QueryFn = (s, dir) =>
+    Dedup.exactNormalized(Tables.documents(s, dir), "doc_id", "text")
+      .select("keep_id", "n_copies")
+  val dedupNormalizedSql: String =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents
+      |GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))""".stripMargin
+
   val dedupMinhash: QueryFn = (s, dir) =>
     Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
       numHashes = 64, bands = 16, threshold = 0.8)
@@ -2604,6 +2617,7 @@ object ExtQueries {
     "multimodal_audio"     -> multimodalAudio,
     "sketch_hll"           -> sketchHll,
     "eval_knn"             -> evalKnn,
+    "dedup_normalized"     -> dedupNormalized,
     "mixture_temperature"  -> mixtureTemperature,
     "quality_classifier"   -> qualityClassifier,
     "text_boilerplate"     -> textBoilerplate,
@@ -2682,6 +2696,7 @@ object ExtQueries {
     "multimodal_audio"    -> multimodalAudioSql,
     "sketch_hll"          -> sketchHllSql,
     "eval_knn"            -> evalKnnSql,
+    "dedup_normalized"    -> dedupNormalizedSql,
     "mixture_temperature" -> mixtureTemperatureSql,
     "quality_classifier"  -> qualityClassifierSql,
     "text_boilerplate"    -> textBoilerplateSql,

@@ -456,10 +456,33 @@ object GraphQueries {
        |  ${Analytics.autocorrExpr} AS autocorr
        |FROM st""".stripMargin
 
+  /** Gini concentration of per-user event activity — the contributor-
+    * concentration index of a dataset audit (see
+    * [[graft.ext.Analytics.giniConcentration]]).
+    */
+  val statsGini: QueryFn = (s, dir) =>
+    Analytics.giniConcentration(Tables.events(s, dir), "user_id")
+
+  val statsGiniSql: String =
+    s"""WITH counts AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1
+       |), ranked AS (
+       |  SELECT cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS i
+       |  FROM counts
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+       |    CAST(sum(i * cnt) AS BIGINT) AS s_rank
+       |  FROM ranked
+       |)
+       |SELECT n, s, s_rank, ${Analytics.giniExpr} AS gini FROM st""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "graph_pagerank"  -> graphPagerank,
     "graph_jaccard"   -> graphJaccard,
     "ts_autocorr"     -> tsAutocorr,
+    "stats_gini"      -> statsGini,
     "graph_triangles" -> graphTriangles,
     "graph_bfs"       -> graphBfs,
     "graph_degrees"   -> graphDegrees,
@@ -479,6 +502,7 @@ object GraphQueries {
     "graph_pagerank"  -> graphPagerankSql,
     "graph_jaccard"   -> graphJaccardSql,
     "ts_autocorr"     -> tsAutocorrSql,
+    "stats_gini"      -> statsGiniSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_bfs"       -> graphBfsSql,
     "graph_degrees"   -> graphDegreesSql,

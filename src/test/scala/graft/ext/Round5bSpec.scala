@@ -102,6 +102,32 @@ class Round5bSpec extends AnyFunSuite with SparkTest {
     assert(got.count() == 0L)
   }
 
+  // ---- normalized dedup ---------------------------------------------------
+
+  test("exactNormalized: casing/punctuation/whitespace variants collide") {
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-WORLD"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val got = Dedup.exactNormalized(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L), (4L, 1L)))
+  }
+
+  // ---- Gini concentration -------------------------------------------------
+
+  test("giniConcentration: uniform => 0; concentrated => near 1") {
+    val uniform = (1L to 40L).map(i => ((i % 4) + 1, i)).toDF("k", "v")
+    val g0 = Analytics.giniConcentration(uniform, "k")
+      .select("gini").as[Double].head()
+    assert(g0 == 0.0)
+    // one key owns 97 of 100 rows; 3 keys own 1 each
+    val skewed = ((1L to 97L).map(_ => 1L) ++ Seq(2L, 3L, 4L))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val g1 = Analytics.giniConcentration(skewed, "k")
+      .select("gini").as[Double].head()
+    assert(g1 > 0.7, s"gini $g1")
+  }
+
   // ---- temperature mixture ------------------------------------------------
 
   test("temperatureMixture: T=1 keeps natural ratios, T=inf-ward flattens") {
