@@ -138,16 +138,28 @@ object Sketches {
     * exchange, so the shuffle is a fixed-size register table no matter
     * the corpus — same rationale as countMinCounters.
     */
-  def hllRegisters(df: DataFrame, keyCol: String): DataFrame =
+  /** The per-row (bucket, rho) projection of the register build — narrow
+    * and codegen'd; shared by the batch aggregation below and the
+    * streaming register maintenance (`StreamingOps.hllRegisterStream`,
+    * where `max` is the associative streaming-safe combine). Extra
+    * columns in `df` (e.g. an event-time column for watermarking) are
+    * carried through.
+    */
+  def hllRho(df: DataFrame, keyCol: String, carryCols: Seq[String] = Nil): DataFrame =
     df.where(col(keyCol).isNotNull)
-      .select(HashExprs.mix64(col(keyCol).cast("long")).as("__hv"))
-      .select(
+      .select(HashExprs.mix64(col(keyCol).cast("long")).as("__hv") +:
+        carryCols.map(col): _*)
+      .select(Seq(
         shiftrightunsigned(col("__hv"), 56).cast("int").as("bucket"),
-        col("__hv").bitwiseAND(lit(0x00FFFFFFFFFFFFFFL)).as("__w"))
-      .select(col("bucket"),
+        col("__hv").bitwiseAND(lit(0x00FFFFFFFFFFFFFFL)).as("__w")) ++
+        carryCols.map(col): _*)
+      .select(Seq(col("bucket"),
         when(col("__w") === 0L, lit(57))
-          .otherwise(lit(57) - length(bin(col("__w")))).cast("int").as("rho"))
-      .groupBy("bucket").agg(max("rho").as("r"))
+          .otherwise(lit(57) - length(bin(col("__w")))).cast("int").as("rho")) ++
+        carryCols.map(col): _*)
+
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame =
+    hllRho(df, keyCol).groupBy("bucket").agg(max("rho").as("r"))
 
   /** The HLL raw-estimate formula shared VERBATIM with the DuckDB oracle:
     * `s_total` is the exact DECIMAL sum of 2^(57-r) over all 256

@@ -330,6 +330,22 @@ object StreamingOps {
         hll_sketch_estimate(col("sketch")).as("approx_distinct"),
         col("sketch"))
 
+  /** Deterministic streaming HyperLogLog: maintains the SAME 256-register
+    * integer table as `Sketches.hllRegisters`, incrementally — the
+    * per-row (bucket, rho) projection is the shared batch kernel and the
+    * combine is `max`, which is associative and order-free, so after any
+    * micro-batch the registers equal the batch build over everything seen
+    * (pinned by the streaming==batch spec). State is bounded at 256 rows
+    * forever, the extreme case of sketch-sized streaming state; unlike
+    * `sketchDistinctStream`'s engine-internal binary above, these
+    * registers are engine-portable: persist them per period and any
+    * system that can `max` integers merges them.
+    */
+  def hllRegisterStream(events: DataFrame, keyCol: String): DataFrame =
+    graft.ext.Sketches.hllRho(events, keyCol)
+      .groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.max("rho").as("r"))
+
   /** Stream-static enrichment join: attach dimension attributes to a
     * stream without any stream-side state. The static side is re-planned
     * per micro-batch (so dim updates are picked up) and broadcast, so the

@@ -68,6 +68,23 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     // the sketch aggregate is deterministic for a fixed value set, so
     // streaming and batch estimates are identical, not merely close
     assert(streamed == batch)
+  }
+
+  test("replayable HLL registers: streaming table == batch build") {
+    val q = StreamingOps.hllRegisterStream(
+      StreamingOps.eventsStream(spark, eventsDir), "user_id")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hll_out")
+      .as[(Int, Int)].collect().sortBy(_._1).toSeq
+    val batch = graft.ext.Sketches
+      .hllRegisters(Tables.events(spark, sfDir), "user_id")
+      .as[(Int, Int)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.size <= 256)
 
     // merging the per-window sketches == one sketch over everything
     val merged = spark.table("sketch_out").groupBy("event_type")
