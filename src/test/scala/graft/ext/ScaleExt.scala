@@ -100,6 +100,61 @@ object ScaleExt {
     require(semClusters == expectedK,
       s"auto-k cluster parallelism $semClusters != expected $expectedK")
 
+    // simhash recall regime: its features are UNIGRAMS, so the 64-word
+    // soup above collapses every signature into a few hamming balls (the
+    // adversarial regime the bucket cap guards — un-capped this corpus
+    // OOMs). Recall is asserted on a wide-vocab (65k tokens) variant of
+    // the same planted layout, where planted exact copies are hamming-0
+    // pairs the band join MUST catch (pigeonhole is exact at hamming 0).
+    val wideDocs = {
+      val isCopy = pmod(col("id"), lit(7)).isin(1, 2)
+      val seed2 = when(isCopy, col("id") - pmod(col("id"), lit(7))).otherwise(col("id"))
+      spark.range(0, n)
+        .withColumn("seed", seed2)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(
+            sequence(lit(1), (pmod(xxhash64(col("seed")), lit(100)) + 30).cast("int")),
+            i => concat(lit("w"), pmod(xxhash64(col("seed") * 4096 + i), lit(65536)))))
+            .as("text"))
+        .localCheckpoint()
+    }
+    val shPairs = t("simhash-pairs")(
+      Dedup.simhashPairs(wideDocs, "doc_id", "text").localCheckpoint())
+    val copyCaught = shPairs
+      .where(col("hamming") === 0 &&
+        pmod(col("id_b"), lit(7)).isin(1, 2) &&
+        col("id_a") === col("id_b") - pmod(col("id_b"), lit(7)))
+      .count()
+    val copyPairsPlanted = wideDocs.where(pmod(col("doc_id"), lit(7)).isin(1, 2)).count()
+    require(copyCaught == copyPairsPlanted,
+      s"simhash missed planted hamming-0 copies: $copyCaught/$copyPairsPlanted")
+
+    // the low-entropy corpus itself must now be SAFE (capped), not fast:
+    // the guard turns the would-be-quadratic join into a bounded one.
+    t("simhash-lowentropy-capped")(
+      Dedup.simhashPairs(docs, "doc_id", "text").count())
+
+    // replayable HLL: state is 256 integer rows NO MATTER the corpus, and
+    // the raw estimate lands within 10% of the true distinct count well
+    // past the small-range regime.
+    val hllKeys = docs.select((col("doc_id") * 37L).as("k"))
+    val regs = t("hll-registers")(Sketches.hllRegisters(hllKeys, "k").localCheckpoint())
+    require(regs.count() <= 256, "HLL register table exceeded 256 rows")
+    val est = Sketches.hllSummary(regs).select("hll_est").head.getDouble(0)
+    val truth = docs.count().toDouble
+    require(math.abs(est - truth) / truth < 0.10,
+      s"HLL estimate $est vs true $truth drifted past 10%")
+    println(f"SCALEEXT hll est=$est%.0f true=$truth%.0f")
+
+    // hashed classifier: the whole scoring pass must stay a zero-exchange
+    // codegen projection at ANY corpus size (the structural claim, checked
+    // on the scaled corpus itself, not a small fixture).
+    val scored = TextAnalysis.classifierScore(docs, "doc_id", "text")
+    val classifierPlan = scored.queryExecution.executedPlan.toString
+    require(!classifierPlan.contains("Exchange"),
+      "classifierScore shuffled at scale:\n" + classifierPlan)
+    t("classifier-score")(scored.agg(sum(col("raw_score"))).head)
+
     val bench = generate(spark, 500).select(col("doc_id") + 10000000L alias "doc_id",
       col("text"), lit("bench").as("source"))
     val packed = t("training-set-assemble")(
