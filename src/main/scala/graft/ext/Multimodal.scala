@@ -157,7 +157,7 @@ object Multimodal {
     * bucketing by band value bounds the candidate fan-out.
     */
   def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Long = 2000): DataFrame = {
     val bands = dhashBands(col("__p"))
     val sigs = DataOps.parallelismFloor(
         media.select(col(idCol).as("id"), col(payloadCol).as("__p")))
@@ -168,6 +168,15 @@ object Multimodal {
         struct(lit(q).as("band"), col(s"b$q").as("h"))): _*)).as("__bh"))
       .select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
         col("__bh.band").as("band"), col("__bh.h").as("h"))
+      // Skew guard (the simhash/minhash discipline): a 16-bit band value
+      // shared by b images fans the self-join out b² — low-entropy media
+      // (solid frames, boilerplate thumbnails) would otherwise go
+      // quadratic. One window pass over (band, h); the cap never binds on
+      // a diverse library, so the all-pairs oracle stays exact.
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "h")))
+      .where(col("__bn") >= 2 && col("__bn") <= maxBucket)
+      .drop("__bn")
     val l = banded.select(col("band"), col("h"), col("id").as("id_a"),
       col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val r = banded.select(col("band"), col("h"), col("id").as("id_b"),
