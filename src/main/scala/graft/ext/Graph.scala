@@ -177,12 +177,15 @@ object Graph {
     * Exactness: common-neighbor and degree counts are integers; the one
     * division is of exact sub-2^53 doubles, identical bits either engine.
     *
-    * Scale: common neighbors are counted by joining each edge's two
-    * endpoints against the symmetric adjacency on the SHARED neighbor —
-    * two key-equi hash joins and one (a, b)-keyed aggregation, all on
-    * 8-byte id pairs. Degrees attach by two more key-equi joins of a
-    * node-sized table. No adjacency list is ever materialized per row, so
-    * hub nodes cost their degree, not degree².
+    * Scale: common neighbors are counted by enumerating each edge's
+    * wedges from its LOWER-degree endpoint (ties to the smaller id) and
+    * verifying the shared neighbor against the other endpoint's adjacency
+    * — two key-equi hash joins and one (a, b)-keyed aggregation, all on
+    * 8-byte id tuples. Fan-out per edge is min(deg a, deg b), the same
+    * orientation bound as triangleStats above: a hub's edges enumerate
+    * from their cheap ends, so hubs cost their neighbors' degrees, not
+    * their own squared. Degrees attach by key-equi joins of a node-sized
+    * table; no adjacency list is ever materialized per row.
     */
   def neighborJaccard(edges: DataFrame): DataFrame = {
     val und = edges.select("a", "b").localCheckpoint(false)
@@ -190,15 +193,23 @@ object Graph {
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(false) // adjacency: reused by the wedge join AND degrees
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
-    val common = und
-      .join(sym.select(col("u").as("a"), col("v").as("w")), Seq("a"))
-      .join(sym.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    und
-      .join(common, Seq("a", "b"), "left")
-      .withColumn("common", coalesce(col("common"), lit(0L)))
+    val withDeg = und
       .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .localCheckpoint(false) // reused by the wedge join AND the output attach
+    val oriented = withDeg.select(col("a"), col("b"),
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("lo"), col("b").as("hi")))
+        .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("e"))
+      .select(col("a"), col("b"), col("e.lo").as("lo"), col("e.hi").as("hi"))
+    val common = oriented
+      .join(sym.select(col("u").as("lo"), col("v").as("w")), Seq("lo"))
+      .join(sym.select(col("u").as("hi"), col("v").as("w")), Seq("hi", "w"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    withDeg
+      .join(common, Seq("a", "b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("da") + col("db") - col("common")).cast("double"))
