@@ -187,6 +187,43 @@ object Graph {
     * their own squared. Degrees attach by key-equi joins of a node-sized
     * table; no adjacency list is ever materialized per row.
     */
+  /** Adamic–Adar link score of each existing edge: Σ over common
+    * neighbors w of 1/ln(deg w) — rare shared neighbors weigh more than
+    * hub ones, the refinement of the common-neighbor count that wins on
+    * real link-prediction benchmarks.
+    *
+    * Exactness: each witness term is round(1/ln d, 6) summed in DECIMAL
+    * (order-independent, engine-identical — the attribution-credit
+    * discipline; ln's libm ulp is absorbed by the per-term round).
+    * Degree-1 witnesses (ln 1 = 0) cannot exist: a common neighbor has
+    * degree >= 2 by construction. Scale: identical wedge orientation and
+    * join shape as neighborJaccard below.
+    */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val und = edges.select("a", "b").localCheckpoint(false)
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+    val oriented = withDeg.select(col("a"), col("b"),
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("lo"), col("b").as("hi")))
+        .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("e"))
+      .select(col("a"), col("b"), col("e.lo").as("lo"), col("e.hi").as("hi"))
+    oriented
+      .join(sym.select(col("u").as("lo"), col("v").as("w")), Seq("lo"))
+      .join(sym.select(col("u").as("hi"), col("v").as("w")), Seq("hi", "w"))
+      .join(deg.select(col("u").as("w"), col("d").as("dw")), Seq("w"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"),
+        sum(round(lit(1.0) / log(col("dw").cast("double")), 6)
+          .cast("decimal(30,6)")).cast("double").as("adamic_adar"))
+  }
+
   def neighborJaccard(edges: DataFrame): DataFrame = {
     val und = edges.select("a", "b").localCheckpoint(false)
     val sym = und.select(col("a").as("u"), col("b").as("v"))

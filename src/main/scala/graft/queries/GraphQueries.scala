@@ -425,6 +425,29 @@ object GraphQueries {
        |JOIN deg da ON da.u = p.a
        |JOIN deg db ON db.u = p.b""".stripMargin
 
+  /** Adamic–Adar link scores over the co-purchase edges — the
+    * hub-discounted sibling of `graph_jaccard` (see
+    * [[graft.ext.Graph.adamicAdar]]). Only edges with at least one
+    * common neighbor appear.
+    */
+  val graphAdamicAdar: QueryFn = (s, dir) =>
+    Graph.adamicAdar(coPurchase(s, dir))
+
+  val graphAdamicAdarSql: String =
+    s"""$pairsCte, sym AS (
+       |  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), deg AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+       |)
+       |SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS common,
+       |  CAST(sum(CAST(round(1.0 / ln(CAST(dw.d AS DOUBLE)), 6)
+       |    AS DECIMAL(30,6))) AS DOUBLE) AS adamic_adar
+       |FROM pairs p
+       |JOIN sym s1 ON s1.u = p.a
+       |JOIN sym s2 ON s2.u = p.b AND s2.v = s1.v
+       |JOIN deg dw ON dw.u = s1.v
+       |GROUP BY 1, 2""".stripMargin
+
   /** Lag-1 hourly autocorrelation of each event type's activity series —
     * the seasonality probe (see [[graft.ext.Analytics.autocorr]]).
     */
@@ -481,6 +504,7 @@ object GraphQueries {
   val all: Map[String, QueryFn] = Map(
     "graph_pagerank"  -> graphPagerank,
     "graph_jaccard"   -> graphJaccard,
+    "graph_adamic_adar" -> graphAdamicAdar,
     "ts_autocorr"     -> tsAutocorr,
     "stats_gini"      -> statsGini,
     "graph_triangles" -> graphTriangles,
@@ -501,6 +525,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "graph_pagerank"  -> graphPagerankSql,
     "graph_jaccard"   -> graphJaccardSql,
+    "graph_adamic_adar" -> graphAdamicAdarSql,
     "ts_autocorr"     -> tsAutocorrSql,
     "stats_gini"      -> statsGiniSql,
     "graph_triangles" -> graphTrianglesSql,

@@ -80,6 +80,19 @@ class Round5bSpec extends AnyFunSuite with SparkTest {
     assert(got((3L, 4L)) == ((0L, 0.0)))           // pendant: no common neighbor
   }
 
+  test("adamicAdar: hub-discounted witness weights; witness-less edges drop") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.adamicAdar(edges)
+      .select("a", "b", "common", "adamic_adar")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // edge (1,2): witness 3 with degree 3 -> round(1/ln 3, 6)
+    assert(got((1L, 2L)) == ((1L, 0.910239)))
+    // edge (1,3): witness 2 with degree 2 -> round(1/ln 2, 6)
+    assert(got((1L, 3L)) == ((1L, 1.442695)))
+    assert(!got.contains((3L, 4L))) // pendant edge: no witness, no row
+  }
+
   // ---- autocorrelation ----------------------------------------------------
 
   test("autocorr: alternating hourly series has lag-1 autocorrelation -1") {
