@@ -561,6 +561,36 @@ object Analytics {
       .withColumn("gini", expr(giniExpr))
   }
 
+  /** Mean/variance expressions shared VERBATIM with the DuckDB oracle
+    * over integer (nb, sx, sxx) — exact divisions of sub-2^53 integers.
+    */
+  val seasonalMeanExpr: String =
+    "CAST(sx AS DOUBLE) / CAST(nb AS DOUBLE)"
+  val seasonalVarExpr: String =
+    "round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) " +
+      "/ CAST(nb AS DOUBLE)) / CAST(nb AS DOUBLE), 6)"
+
+  /** Seasonal (hour-of-day) activity baseline per group: bucket events
+    * into hours, then profile each (group, hour-of-day) slot across days
+    * — observed-slot count, exact integer sums, mean and population
+    * variance. The baseline table that seasonal anomaly detection
+    * (compare tonight's 02:00 against ALL 02:00s, not the global mean)
+    * and load forecasting start from.
+    *
+    * Exactness: hourly counts and their squares stay integers; the two
+    * float expressions are shared verbatim. Scale: two map-side-combining
+    * aggregations — (group, hour) then (group, hour-of-day); the second
+    * operates on a bucket-sized table, and the profile is 24×groups rows.
+    */
+  def seasonalProfile(df: DataFrame, groupCol: String, tsCol: String): DataFrame =
+    df.groupBy(col(groupCol), date_trunc("hour", col(tsCol)).as("__b"))
+      .agg(count(lit(1)).as("__x"))
+      .groupBy(col(groupCol), hour(col("__b")).as("hod"))
+      .agg(count(lit(1)).as("nb"), sum(col("__x")).as("sx"),
+        sum(col("__x") * col("__x")).as("sxx"))
+      .withColumn("mean", expr(seasonalMeanExpr))
+      .withColumn("variance", expr(seasonalVarExpr))
+
   /** The Pearson formula shared VERBATIM with the DuckDB oracle over the
     * five integer sufficient statistics — one final float expression, so
     * both engines see identical bits; round(6) for the sqrt ties.

@@ -479,6 +479,28 @@ object GraphQueries {
        |  ${Analytics.autocorrExpr} AS autocorr
        |FROM st""".stripMargin
 
+  /** Hour-of-day seasonal activity baseline per event type (see
+    * [[graft.ext.Analytics.seasonalProfile]]).
+    */
+  val tsSeasonal: QueryFn = (s, dir) =>
+    Analytics.seasonalProfile(Tables.events(s, dir), "event_type", "ts")
+
+  val tsSeasonalSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS b,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2
+       |), st AS (
+       |  SELECT event_type, CAST(hour(b) AS INTEGER) AS hod,
+       |    CAST(count(*) AS BIGINT) AS nb, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM c GROUP BY 1, 2
+       |)
+       |SELECT event_type, hod, nb, sx, sxx,
+       |  ${Analytics.seasonalMeanExpr} AS mean,
+       |  ${Analytics.seasonalVarExpr} AS variance
+       |FROM st""".stripMargin
+
   /** Gini concentration of per-user event activity — the contributor-
     * concentration index of a dataset audit (see
     * [[graft.ext.Analytics.giniConcentration]]).
@@ -506,6 +528,7 @@ object GraphQueries {
     "graph_jaccard"   -> graphJaccard,
     "graph_adamic_adar" -> graphAdamicAdar,
     "ts_autocorr"     -> tsAutocorr,
+    "ts_seasonal"     -> tsSeasonal,
     "stats_gini"      -> statsGini,
     "graph_triangles" -> graphTriangles,
     "graph_bfs"       -> graphBfs,
@@ -527,6 +550,7 @@ object GraphQueries {
     "graph_jaccard"   -> graphJaccardSql,
     "graph_adamic_adar" -> graphAdamicAdarSql,
     "ts_autocorr"     -> tsAutocorrSql,
+    "ts_seasonal"     -> tsSeasonalSql,
     "stats_gini"      -> statsGiniSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_bfs"       -> graphBfsSql,

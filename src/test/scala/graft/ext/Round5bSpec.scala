@@ -108,6 +108,25 @@ class Round5bSpec extends AnyFunSuite with SparkTest {
     assert(got._2 == -1.0)
   }
 
+  test("seasonalProfile: hour-of-day slots aggregate across days exactly") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // two days; hour 5 gets 2 events on day 1 and 4 on day 2, hour 6 gets 1+1
+    val rows =
+      (0 until 2).flatMap(i => Seq(("a", ts(t0, 5, 0, i)))) ++
+      (0 until 4).map(i => ("a", ts(t0, 29, 0, i))) ++
+      Seq(("a", ts(t0, 6, 0, 0)), ("a", ts(t0, 30, 0, 0)))
+    val got = Analytics.seasonalProfile(rows.toDF("g", "ts"), "g", "ts")
+      .select("hod", "nb", "sx", "sxx", "mean", "variance")
+      .as[(Int, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((5, 2L, 6L, 20L), (6, 2L, 2L, 2L)))
+    assert(got(0)._5 == 3.0 && got(0)._6 == 1.0)   // counts 2,4: mean 3, var 1
+    assert(got(1)._5 == 1.0 && got(1)._6 == 0.0)
+  }
+
+  private def ts(t0: java.sql.Timestamp, hours: Int, mins: Int, ms: Int) =
+    new java.sql.Timestamp(t0.getTime + hours * 3600000L + mins * 60000L + ms)
+
   test("autocorr: constant series is filtered (zero variance, no NaN row)") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val rows = (0 until 10).map(h => ("c", new java.sql.Timestamp(t0.getTime + h * 3600000L)))
