@@ -92,6 +92,34 @@ object ScaleGraph {
     assert(cLo > iHi,
       s"some center ranked below a non-center: centers ≥ $cLo, interior ≤ $iHi")
     println(f"  mass conserved: $mass (loss ${1000000000000L - mass})")
+
+    // link scores through the hub regime: every strict-interior star edge
+    // (center c, j) with j in [c+3, c+k-3] has a closed form — N(j) =
+    // {j-1, j+1, c}, both witnesses degree 3, center degree k — so
+    // jaccard = 2/(k+1) and adamic-adar = 2·round(1/ln 3, 6). The wedge
+    // orientation enumerates these from the degree-3 end; un-oriented,
+    // each hub edge would fan out the center's k neighbors instead.
+    val strictPerBlock = k - 5
+    val jac = t("neighbor-jaccard") {
+      Graph.neighborJaccard(edges).localCheckpoint()
+    }
+    assert(jac.count() == n + blocks * (k - 2), "jaccard must emit every edge")
+    val strict = jac.where(col("a") % k === 0 &&
+      (col("b") - col("a")).between(3, k - 3))
+    val okStrict = strict.where(col("common") === 2 && col("da") === k &&
+      col("db") === 3 && col("jaccard") === lit(2.0 / (k + 1))).count()
+    assert(okStrict == blocks * strictPerBlock,
+      s"strict hub-edge jaccard: $okStrict ok, want ${blocks * strictPerBlock}")
+
+    val aa = t("adamic-adar") {
+      Graph.adamicAdar(edges)
+        .where(col("a") % k === 0 && (col("b") - col("a")).between(3, k - 3))
+        .where(col("common") === 2 && col("adamic_adar") === lit(1.820478))
+        .count()
+    }
+    assert(aa == blocks * strictPerBlock,
+      s"strict hub-edge adamic-adar: $aa ok, want ${blocks * strictPerBlock}")
+
     println("ALL SCALE-GRAPH ASSERTIONS PASSED")
     spark.stop()
   }
