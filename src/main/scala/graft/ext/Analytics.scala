@@ -583,7 +583,9 @@ object Analytics {
     * operates on a bucket-sized table, and the profile is 24×groups rows.
     */
   def seasonalProfile(df: DataFrame, groupCol: String, tsCol: String): DataFrame =
-    df.groupBy(col(groupCol), date_trunc("hour", col(tsCol)).as("__b"))
+    // null timestamps would emit a meaningless null-hod profile row
+    df.where(col(tsCol).isNotNull)
+      .groupBy(col(groupCol), date_trunc("hour", col(tsCol)).as("__b"))
       .agg(count(lit(1)).as("__x"))
       .groupBy(col(groupCol), hour(col("__b")).as("hod"))
       .agg(count(lit(1)).as("nb"), sum(col("__x")).as("sx"),
@@ -615,7 +617,9 @@ object Analytics {
     */
   def autocorr(df: DataFrame, groupCol: String, tsCol: String,
       unit: String = "hour", lagUnits: Int = 1): DataFrame = {
-    val c = df.groupBy(col(groupCol),
+    // null timestamps would form a null bucket that silently never joins
+    // its lag (the ksDrift null rule) — exclude them up front
+    val c = df.where(col(tsCol).isNotNull).groupBy(col(groupCol),
         date_trunc(unit, col(tsCol)).as("__b"))
       .agg(count(lit(1)).as("__x"))
       .localCheckpoint(false) // both sides of the lag self-join

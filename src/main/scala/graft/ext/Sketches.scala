@@ -145,7 +145,18 @@ object Sketches {
     * columns in `df` (e.g. an event-time column for watermarking) are
     * carried through.
     */
-  def hllRho(df: DataFrame, keyCol: String, carryCols: Seq[String] = Nil): DataFrame =
+  def hllRho(df: DataFrame, keyCol: String, carryCols: Seq[String] = Nil): DataFrame = {
+    // the negativeSample rule: a silent cast of a string key to long
+    // would null out (and so drop) every row — refuse instead
+    require({
+      import org.apache.spark.sql.types._
+      df.schema(keyCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }, s"hllRho: key column '$keyCol' must be integral " +
+      s"(got ${df.schema(keyCol).dataType.simpleString}) — " +
+      "hash or dictionary-encode other key types first")
     df.where(col(keyCol).isNotNull)
       .select(HashExprs.mix64(col(keyCol).cast("long")).as("__hv") +:
         carryCols.map(col): _*)
@@ -157,6 +168,7 @@ object Sketches {
         when(col("__w") === 0L, lit(57))
           .otherwise(lit(57) - length(bin(col("__w")))).cast("int").as("rho")) ++
         carryCols.map(col): _*)
+  }
 
   def hllRegisters(df: DataFrame, keyCol: String): DataFrame =
     hllRho(df, keyCol).groupBy("bucket").agg(max("rho").as("r"))

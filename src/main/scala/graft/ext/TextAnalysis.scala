@@ -571,8 +571,13 @@ object TextAnalysis {
     */
   def classifierScore(df: DataFrame, idCol: String,
       textCol: String = "text"): DataFrame = {
+    // null text has no features to score (dropped, the histogram null
+    // rule); an all-whitespace text scores its single whole-text
+    // fallback hash — callers that want empties dropped too filter
+    // `trim(text) != ''` first (the quality_classifier query does)
     val feats = TextShingles.word_shingle_hashes(col(textCol), 1)
-    df.select(col(idCol), feats.as("__f"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), feats.as("__f"))
       .select(col(idCol),
         size(col("__f")).cast("long").as("n_features"),
         aggregate(col("__f"), lit(0L),
