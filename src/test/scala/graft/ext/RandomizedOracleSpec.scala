@@ -101,5 +101,89 @@ class RandomizedOracleSpec extends AnyFunSuite with SparkTest {
       }.toSet
       assert(got == expected)
     }
+
+    test(s"hllRegisters == in-memory register fold (seed $seed)") {
+      val rnd = new Random(seed)
+      // duplicates and negative keys on purpose
+      val keys = (0 until 3000).map(_ => rnd.nextLong() % 500L)
+      val got = Sketches.hllRegisters(keys.toDF("k").repartition(6), "k")
+        .as[(Int, Int)].collect().sortBy(_._1).toSeq
+
+      val expected = keys.map(Aggs.mix64).groupBy(h => (h >>> 56).toInt)
+        .map { case (bucket, hs) =>
+          bucket -> hs.map { h =>
+            val w = h & 0x00FFFFFFFFFFFFFFL
+            if (w == 0L) 57 else 57 - java.lang.Long.toBinaryString(w).length
+          }.max
+        }.toSeq.sortBy(_._1)
+      assert(got == expected)
+    }
+
+    test(s"autocorr == in-memory Pearson over the lag pairs (seed $seed)") {
+      val rnd = new Random(seed)
+      val rows = (0 until 4000).map { _ =>
+        ("g" + rnd.nextInt(3), ts(rnd.nextInt(96) * 3600000L + rnd.nextInt(1000)))
+      }
+      val got = Analytics.autocorr(rows.toDF("g", "ts").repartition(5), "g", "ts")
+        .select("g", "n", "autocorr").as[(String, Long, Double)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val counts = rs.groupBy(r => r._2.getTime / 3600000L)
+          .map { case (h, v) => h -> v.size.toLong }
+        val pairs = counts.toSeq.flatMap { case (h, x) =>
+          counts.get(h + 1).map(y => (x, y)) }
+        val n = pairs.size.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+        if (n < 3 || n * sxx <= sx * sx || n * syy <= sy * sy) None
+        else {
+          val r = (n.toDouble * sxy - sx.toDouble * sy.toDouble) /
+            (math.sqrt(n.toDouble * sxx - sx.toDouble * sx.toDouble) *
+             math.sqrt(n.toDouble * syy - sy.toDouble * sy.toDouble))
+          Some(g -> (n, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+      assert(got == expected)
+    }
+
+    test(s"neighborJaccard == in-memory brute force (seed $seed)") {
+      val rnd = new Random(seed)
+      val raw = (0 until 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val got = Graph.neighborJaccard(raw.toDF("a", "b").repartition(3))
+        .select("a", "b", "common", "da", "db", "jaccard")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+
+      val adj = (raw ++ raw.map(_.swap)).groupBy(_._1)
+        .map { case (u, vs) => u -> vs.map(_._2).toSet }
+      val expected = raw.map { case (a, b) =>
+        val na = adj(a); val nb = adj(b)
+        val c = (na & nb).size.toLong
+        (a, b, c, na.size.toLong, nb.size.toLong,
+          c.toDouble / (na.size + nb.size - c).toDouble)
+      }.toSet
+      assert(got == expected)
+    }
+
+    test(s"giniConcentration == in-memory rank formula (seed $seed)") {
+      val rnd = new Random(seed)
+      val rows = (0 until 2000).map(_ => rnd.nextInt(25).toLong)
+      val got = Analytics.giniConcentration(rows.toDF("k").repartition(4), "k")
+        .select("n", "s", "s_rank", "gini")
+        .as[(Long, Long, Long, Double)].head()
+
+      val counts = rows.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+        .toSeq.sortBy { case (k, c) => (c, k) }
+      val n = counts.size.toLong
+      val s = counts.map(_._2).sum
+      val sRank = counts.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
+      val gini = BigDecimal(2.0 * sRank / (n.toDouble * s) - (n + 1.0) / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == ((n, s, sRank, gini)))
+    }
   }
 }
