@@ -194,6 +194,45 @@ object DataOps {
       .drop("__w", "__base", "__extra")
   }
 
+  /** The A-ES priority shared VERBATIM with the DuckDB oracle, over
+    * integer inputs (`__un` = top-53-bits-plus-1 of the key's mix64, so
+    * the uniform lives in (0, 1] and ln never sees 0; `__w` = the
+    * positive integer weight): round(9) absorbs libm ln() ulp.
+    * Maximizing u^(1/w) is maximizing ln(u)/w (ln is monotone), so the
+    * classic priority needs no pow().
+    */
+  val weightedSamplePriorityExpr: String =
+    "round(ln(CAST(__un AS DOUBLE) / 9007199254740992.0) " +
+      "/ CAST(__w AS DOUBLE), 9)"
+
+  /** Deterministic weighted sampling without replacement per group
+    * (Efraimidis–Spirakis A-ES): keep each group's top-`k` rows by
+    * priority u^(1/w) with u a splitmix64 uniform of the row id — heavier
+    * rows win proportionally more often, yet the sample is a pure
+    * function of (ids, weights): reruns, repartitions, and the DuckDB
+    * oracle all draw the same rows. The weighted companion of
+    * `sample_capped`'s uniform per-key cap.
+    *
+    * Scale: a narrow codegen projection computes priorities; the top-k
+    * is one co-partitioned window per group (never a global sort). Ties
+    * are impossible in practice (53-bit priorities) and pinned by the id
+    * tiebreak anyway.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val p = df
+      .withColumn("__un",
+        shiftrightunsigned(HashExprs.mix64(col(idCol)), 11) + lit(1L))
+      .withColumn("__w", greatest(col(weightCol).cast("long"), lit(1L)))
+      .withColumn("priority", expr(weightedSamplePriorityExpr))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("priority").desc, col(idCol).asc)
+    p.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col(idCol), col("__w").as("weight"),
+        col("priority"), col("rank"))
+  }
+
   /** The temperature-weight expression shared VERBATIM with the DuckDB
     * oracle: pow over exact integer ratios, rounded at 6 to absorb libm
     * pow() ulp differences (the tf-idf ln() discipline).

@@ -1586,6 +1586,50 @@ object ExtQueries {
       |FROM reps, UNNEST(generate_series(1::BIGINT, n_rep)) t(r)
       |WHERE n_rep >= 1""".stripMargin
 
+  /** Length-weighted deterministic sampling: 20 docs per source, heavier
+    * (longer) docs proportionally likelier (see
+    * [[graft.ext.DataOps.weightedSample]]).
+    */
+  val sampleWeighted: QueryFn = (s, dir) =>
+    DataOps.weightedSample(Tables.documents(s, dir), "source", "doc_id",
+      "n_chars", k = 20)
+  /** Replays the splitmix64 uniform with the sample_bottomk HUGEINT
+    * chain; `x // 2048 + 1` is `shiftrightunsigned(hv, 11) + 1` — the
+    * (0, 1]-safe 53-bit uniform — and the priority is the shared
+    * `weightedSamplePriorityExpr` over integer (__un, __w).
+    */
+  val sampleWeightedSql: String =
+    s"""WITH s0 AS (
+       |  SELECT source, doc_id, GREATEST(n_chars, 1) AS __w,
+       |    (doc_id::HUGEINT + 11400714819323198485) % 18446744073709551616 AS x
+       |  FROM documents
+       |), s1 AS (SELECT source, doc_id, __w, xor(x, x // 1073741824) AS x FROM s0
+       |), s2 AS (SELECT source, doc_id, __w,
+       |    ((x % 4294967296) * 13787848793156543929::HUGEINT
+       |     + (((x // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296) * 4294967296
+       |    ) % 18446744073709551616 AS x FROM s1
+       |), s3 AS (SELECT source, doc_id, __w, xor(x, x // 134217728) AS x FROM s2
+       |), s4 AS (SELECT source, doc_id, __w,
+       |    ((x % 4294967296) * 10723151780598845931::HUGEINT
+       |     + (((x // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296) * 4294967296
+       |    ) % 18446744073709551616 AS x FROM s3
+       |), s5 AS (SELECT source, doc_id, __w, xor(x, x // 2147483648) AS x FROM s4
+       |), pri AS (
+       |  SELECT source, doc_id, __w,
+       |    CAST((x // 2048) + 1 AS BIGINT) AS __un
+       |  FROM s5
+       |), scored AS (
+       |  SELECT source, doc_id, __w AS weight,
+       |    ${graft.ext.DataOps.weightedSamplePriorityExpr} AS priority
+       |  FROM pri
+       |)
+       |SELECT source, doc_id, weight, priority, rank FROM (
+       |  SELECT source, doc_id, weight, priority,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY priority DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored
+       |) WHERE rank <= 20""".stripMargin
+
   /** Deterministic global shuffle: every document gets a dense 0-based
     * position in mix64(doc_id) order — the reproducible corpus reorder
     * before sequence packing. Distributed via range-partition +
@@ -2618,6 +2662,7 @@ object ExtQueries {
     "sketch_hll"           -> sketchHll,
     "eval_knn"             -> evalKnn,
     "dedup_normalized"     -> dedupNormalized,
+    "sample_weighted"      -> sampleWeighted,
     "mixture_temperature"  -> mixtureTemperature,
     "quality_classifier"   -> qualityClassifier,
     "text_boilerplate"     -> textBoilerplate,
@@ -2697,6 +2742,7 @@ object ExtQueries {
     "sketch_hll"          -> sketchHllSql,
     "eval_knn"            -> evalKnnSql,
     "dedup_normalized"    -> dedupNormalizedSql,
+    "sample_weighted"     -> sampleWeightedSql,
     "mixture_temperature" -> mixtureTemperatureSql,
     "quality_classifier"  -> qualityClassifierSql,
     "text_boilerplate"    -> textBoilerplateSql,

@@ -134,6 +134,27 @@ class Round5bSpec extends AnyFunSuite with SparkTest {
     assert(got.count() == 0L)
   }
 
+  // ---- weighted sampling --------------------------------------------------
+
+  test("weightedSample: heavy items dominate k=1 draws; k >= n keeps all") {
+    // 100 groups: one weight-1000 item + nine weight-1 items each
+    val rows = (0 until 100).flatMap { g =>
+      (0 until 10).map(i => (g.toLong, (g * 10 + i).toLong,
+        if (i == 0) 1000L else 1L))
+    }
+    val df = rows.toDF("g", "id", "w")
+    val picked = DataOps.weightedSample(df, "g", "id", "w", k = 1)
+      .select("id").as[Long].collect()
+    assert(picked.length == 100)
+    val heavyWins = picked.count(_ % 10 == 0)
+    // P(heavy) = 1000/1009 per group; 100 deterministic draws land >= 85
+    assert(heavyWins >= 85, s"heavy item won only $heavyWins/100 draws")
+    // k >= group size keeps everything, ranks dense 1..10
+    val all = DataOps.weightedSample(df.where(col("g") === 0), "g", "id", "w", k = 100)
+      .select("rank").as[Long].collect().sorted
+    assert(all.toSeq == (1L to 10L))
+  }
+
   // ---- normalized dedup ---------------------------------------------------
 
   test("exactNormalized: casing/punctuation/whitespace variants collide") {
