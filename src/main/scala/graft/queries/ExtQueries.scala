@@ -2313,6 +2313,72 @@ object ExtQueries {
       |  (e.label = p.pred_label) AS correct
       |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id""".stripMargin
 
+  /** The ideal-DCG lookup shared VERBATIM with the oracle: with binary
+    * relevance and k=5, ideal DCG is a pure function of the relevant
+    * count — five per-term-rounded constants, so no engine evaluates a
+    * log at all here.
+    */
+  private val idcgExpr: String = {
+    def t(i: Int) = BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val cum = (1 to 5).scanLeft(BigDecimal(0))((a, i) => a + t(i)).tail
+    s"CASE n_rel ${(1 to 5).map(i => s"WHEN $i THEN ${cum(i - 1)}")
+      .mkString(" ")} ELSE 0.0 END"
+  }
+
+  /** NDCG@5 of binary label relevance over the exact cosine ranking —
+    * the position-weighted retrieval-quality eval (rank-1 agreement
+    * counts more than rank-5). Per-term gains are round(6) DECIMAL sums
+    * (order-independent), ideal DCG is the shared constant lookup, and
+    * the one division is round(6) on both engines.
+    */
+  val evalNdcg: QueryFn = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.orderBy("vec_id").limit(20)
+    val nn = Similarity.cosineTopK(queries, emb, k = 5)
+    val labels = emb.select(col("vec_id"), col("label"))
+    nn
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), Seq("neighbor_id"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), Seq("query_id"))
+      .withColumn("rel", (col("nl") === col("ql")).cast("long"))
+      .groupBy("query_id")
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(round(col("rel").cast("double") /
+            log2(col("rank").cast("double") + lit(1.0)), 6)
+          .cast("decimal(30,6)")).cast("double").as("dcg"))
+      .withColumn("ndcg",
+        when(col("n_rel") === 0L, lit(0.0))
+          .otherwise(expr(s"round(dcg / ($idcgExpr), 6)")))
+  }
+  val evalNdcgSql: String =
+    s"""WITH q AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT 20),
+       |nn AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+       |                 e.vec_id ASC) AS rank
+       |    FROM q, embeddings e WHERE q.vec_id <> e.vec_id
+       |  ) WHERE rank <= 5
+       |), rel AS (
+       |  SELECT nn.query_id, nn.rank,
+       |    CASE WHEN en.label = eq.label THEN 1 ELSE 0 END AS rel
+       |  FROM nn JOIN embeddings en ON en.vec_id = nn.neighbor_id
+       |          JOIN embeddings eq ON eq.vec_id = nn.query_id
+       |), agg AS (
+       |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+       |    CAST(sum(CAST(round(CAST(rel AS DOUBLE)
+       |      / log2(CAST(rank AS DOUBLE) + 1.0), 6) AS DECIMAL(30,6)))
+       |      AS DOUBLE) AS dcg
+       |  FROM rel GROUP BY 1
+       |)
+       |SELECT query_id, n_rel, dcg,
+       |  CASE WHEN n_rel = 0 THEN 0.0
+       |       ELSE round(dcg / ($idcgExpr), 6) END AS ndcg
+       |FROM agg""".stripMargin
+
   /** Temperature-scaled source mixture ratios (T=2): the sampling-weight
     * computation of multi-source pretraining (see
     * [[graft.ext.DataOps.temperatureMixture]]).
@@ -2661,6 +2727,7 @@ object ExtQueries {
     "multimodal_audio"     -> multimodalAudio,
     "sketch_hll"           -> sketchHll,
     "eval_knn"             -> evalKnn,
+    "eval_ndcg"            -> evalNdcg,
     "dedup_normalized"     -> dedupNormalized,
     "sample_weighted"      -> sampleWeighted,
     "mixture_temperature"  -> mixtureTemperature,
@@ -2741,6 +2808,7 @@ object ExtQueries {
     "multimodal_audio"    -> multimodalAudioSql,
     "sketch_hll"          -> sketchHllSql,
     "eval_knn"            -> evalKnnSql,
+    "eval_ndcg"           -> evalNdcgSql,
     "dedup_normalized"    -> dedupNormalizedSql,
     "sample_weighted"     -> sampleWeightedSql,
     "mixture_temperature" -> mixtureTemperatureSql,
