@@ -346,6 +346,28 @@ object StreamingOps {
       .groupBy("bucket")
       .agg(org.apache.spark.sql.functions.max("rho").as("r"))
 
+  /** Deterministic streaming Count-Min: maintains the SAME depth×width
+    * integer counter table as `Sketches.countMinCounters`, incrementally
+    * — the per-row (row, cell) projection is shared and the combine is
+    * `sum`, associative and order-free, so after any micro-batch the
+    * counters equal the batch build over everything seen. State is
+    * bounded at depth×width rows forever; like the HLL registers above,
+    * the counters are engine-portable period state (merge = cell-wise
+    * add).
+    */
+  def countMinStream(events: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require((width & (width - 1)) == 0, s"width $width must be a power of two")
+    events
+      .select(explode(array((0 until depth).map(r => lit(r.toLong)): _*)).as("r"),
+        col(keyCol).as("__k"))
+      .select(col("r"),
+        graft.ext.HashExprs.mix64(col("__k").bitwiseXOR(col("r")))
+          .bitwiseAND(lit((width - 1).toLong)).as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+  }
+
   /** Stream-static enrichment join: attach dimension attributes to a
     * stream without any stream-side state. The static side is re-planned
     * per micro-batch (so dim updates are picked up) and broadcast, so the

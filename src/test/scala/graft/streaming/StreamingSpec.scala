@@ -70,6 +70,23 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("replayable Count-Min counters: streaming table == batch build") {
+    val q = StreamingOps.countMinStream(
+      StreamingOps.eventsStream(spark, eventsDir), "user_id")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cm_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("cm_out")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = graft.ext.Sketches
+      .countMinCounters(Tables.events(spark, sfDir), "user_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed == batch)
+    assert(streamed.size <= 4 * 1024)
+  }
+
   test("replayable HLL registers: streaming table == batch build") {
     val q = StreamingOps.hllRegisterStream(
       StreamingOps.eventsStream(spark, eventsDir), "user_id")
