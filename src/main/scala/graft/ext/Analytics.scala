@@ -533,6 +533,30 @@ object Analytics {
       .withColumn("hi", lit(mn) + (col("bucket") + 1L) * lit(width))
   }
 
+  /** Shannon entropy of the per-key row distribution, in nats, plus the
+    * [0, 1] normalization by ln(k) — the companion balance metric to
+    * `giniConcentration` below (dataset cards usually report both).
+    * Per-key terms −p·ln p are round(6) DECIMAL sums (order-independent,
+    * ln ulp absorbed — the attribution discipline); p itself is an exact
+    * integer ratio.
+    *
+    * Scale: one map-side-combining count aggregation to key granularity,
+    * a broadcast single-row total, one key-sized aggregation.
+    */
+  def entropyConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // feeds the total AND the term sum
+    val total = counts.agg(sum(col("cnt")).as("s"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("__p", col("cnt").cast("double") / col("s").cast("double"))
+      .agg(count(lit(1)).as("n"), first(col("s")).as("s"),
+        sum(round(-col("__p") * log(col("__p")), 6).cast("decimal(30,6)"))
+          .cast("double").as("entropy"))
+      .withColumn("entropy_norm",
+        when(col("n") === 1L, lit(0.0))
+          .otherwise(round(col("entropy") / log(col("n").cast("double")), 6)))
+  }
+
   /** The Gini formula shared VERBATIM with the DuckDB oracle over the
     * three integer sufficient statistics (rank-weighted sum, total, n).
     */

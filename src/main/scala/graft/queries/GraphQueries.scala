@@ -501,6 +501,34 @@ object GraphQueries {
        |  ${Analytics.seasonalVarExpr} AS variance
        |FROM st""".stripMargin
 
+  /** Shannon entropy of the per-source document distribution — the
+    * dataset-card balance metric (see
+    * [[graft.ext.Analytics.entropyConcentration]]).
+    */
+  val statsEntropy: QueryFn = (s, dir) =>
+    Analytics.entropyConcentration(Tables.documents(s, dir), "source")
+
+  val statsEntropySql: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS s FROM counts
+      |), terms AS (
+      |  SELECT cnt, s,
+      |    CAST(cnt AS DOUBLE) / CAST(s AS DOUBLE) AS p
+      |  FROM counts, tot
+      |), agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(s) AS BIGINT) AS s,
+      |    CAST(sum(CAST(round(-p * ln(p), 6) AS DECIMAL(30,6))) AS DOUBLE)
+      |      AS entropy
+      |  FROM terms
+      |)
+      |SELECT n, s, entropy,
+      |  CASE WHEN n = 1 THEN 0.0
+      |       ELSE round(entropy / ln(CAST(n AS DOUBLE)), 6) END AS entropy_norm
+      |FROM agg""".stripMargin
+
   /** Gini concentration of per-user event activity — the contributor-
     * concentration index of a dataset audit (see
     * [[graft.ext.Analytics.giniConcentration]]).
@@ -530,6 +558,7 @@ object GraphQueries {
     "ts_autocorr"     -> tsAutocorr,
     "ts_seasonal"     -> tsSeasonal,
     "stats_gini"      -> statsGini,
+    "stats_entropy"   -> statsEntropy,
     "graph_triangles" -> graphTriangles,
     "graph_bfs"       -> graphBfs,
     "graph_degrees"   -> graphDegrees,
@@ -552,6 +581,7 @@ object GraphQueries {
     "ts_autocorr"     -> tsAutocorrSql,
     "ts_seasonal"     -> tsSeasonalSql,
     "stats_gini"      -> statsGiniSql,
+    "stats_entropy"   -> statsEntropySql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_bfs"       -> graphBfsSql,
     "graph_degrees"   -> graphDegreesSql,

@@ -181,6 +181,19 @@ class Round5bSpec extends AnyFunSuite with SparkTest {
     assert(g1 > 0.7, s"gini $g1")
   }
 
+  test("entropyConcentration: uniform => norm 1; single key => 0") {
+    val uniform = (1L to 40L).map(i => (i % 4) + 1).toDF("k")
+    val e1 = Analytics.entropyConcentration(uniform, "k")
+      .select("entropy_norm").as[Double].head()
+    // per-term round(6) can overshoot by a few 1e-6 — that's the price of
+    // order-independent DECIMAL sums, not an error
+    assert(math.abs(e1 - 1.0) <= 5e-6, s"entropy_norm $e1")
+    val single = Seq.fill(10)(7L).toDF("k")
+    val e0 = Analytics.entropyConcentration(single, "k")
+      .select("entropy", "entropy_norm").as[(Double, Double)].head()
+    assert(e0 == ((0.0, 0.0)))
+  }
+
   // ---- temperature mixture ------------------------------------------------
 
   test("temperatureMixture: T=1 keeps natural ratios, T=inf-ward flattens") {
