@@ -662,4 +662,33 @@ object Analytics {
         col("n") * col("syy") > col("sy") * col("sy"))
       .withColumn("autocorr", expr(autocorrExpr))
   }
+
+  /** First-order Markov transition matrix over each entity's event
+    * stream: counts of consecutive (from_type → to_type) steps and the
+    * row-normalized transition probability — the behavioral-model /
+    * sequence-prior estimation step (also the input to the next-event
+    * perplexity check on `nextEventPairs` output).
+    *
+    * Exactness: counts are integers end to end; `prob` is one integer
+    * ratio rounded at 6. Scale: the lag window co-partitions with the
+    * entity key (one exchange, per-key sorts), then two aggregations at
+    * type-pair granularity — state is |types|², not row-sized; the
+    * row-total join broadcasts.
+    */
+  def markovTransitions(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .select(col(keyCol), lag(col(typeCol), 1).over(w).as("from_type"),
+        col(typeCol).as("to_type"))
+      .where(col("from_type").isNotNull)
+    val counts = steps.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("from_type").agg(sum(col("cnt")).as("__t"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .withColumn("prob",
+        round(col("cnt").cast("double") / col("__t").cast("double"), 6))
+      .drop("__t")
+  }
 }

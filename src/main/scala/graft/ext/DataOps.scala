@@ -403,4 +403,51 @@ object DataOps {
         payloadCols.map(p => col(s"__last.$p").as(p)) ++
         Seq(col("n_ops"), col("n_deletes")): _*)
   }
+
+  /** Ordered quality-filter funnel: each row is charged to the FIRST
+    * stage whose predicate rejects it (stages are sequential — a row
+    * failing stage 2 never reaches stage 3, the production filter-chain
+    * semantics), and the output is one row per stage with the
+    * entering / rejected / surviving counts — the rejection-budget
+    * report a pipeline publishes with every corpus release.
+    *
+    * Scale: ONE map-side-combining scalar aggregation (|stages|+1 longs
+    * of state), then a driver-free explode of the per-stage structs (the
+    * `profile` shape) — the running `n_in` arithmetic happens inside the
+    * single aggregated row, so there is no window and no second pass.
+    */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty)
+    // first failing stage, 1-based; 0 = survived the whole chain
+    val firstFail = stages.zipWithIndex.foldRight(lit(0)) {
+      case (((_, pred), i), acc) => when(!coalesce(pred, lit(false)), i + 1)
+        .otherwise(acc)
+    }
+    val aggs = count(lit(1)).as("__total") +:
+      stages.indices.map(i =>
+        sum((col("__ff") === (i + 1)).cast("long")).as(s"__rej_$i"))
+    val row = df.select(firstFail.as("__ff")).agg(aggs.head, aggs.tail: _*)
+    val perStage = stages.zipWithIndex.map { case ((name, _), i) =>
+      val before = (0 until i).map(j => col(s"__rej_$j"))
+        .foldLeft(lit(0L))(_ + _)
+      val nIn = col("__total") - before
+      struct(lit(i + 1).as("stage"), lit(name).as("stage_name"),
+        nIn.as("n_in"), col(s"__rej_$i").as("n_rejected"),
+        (nIn - col(s"__rej_$i")).as("n_out"))
+    }
+    row.select(explode(array(perStage: _*)).as("s")).select("s.*")
+  }
+
+  /** Curriculum buckets: per group (source/domain), rank rows by the
+    * given order and split them into `nBuckets` equal `ntile` buckets —
+    * the difficulty-staging step of curriculum training (bucket 1 first).
+    * The window co-partitions with the group key: one exchange, per-group
+    * sorts, no global ordering anywhere.
+    */
+  def curriculumBuckets(df: DataFrame, groupCol: String,
+      ordCols: Seq[Column], nBuckets: Int): DataFrame = {
+    require(nBuckets > 0)
+    df.withColumn("bucket", ntile(nBuckets).over(
+      Window.partitionBy(groupCol).orderBy(ordCols: _*)))
+  }
 }

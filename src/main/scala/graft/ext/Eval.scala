@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier / filter evaluation operators for a training-data
+  * pipeline: once a quality filter or heuristic classifier produces
+  * per-row scores, these score it against a reference label — per data
+  * slice, because aggregate metrics hide slice regressions (the standard
+  * eval discipline for web-scale corpus filters).
+  *
+  * Determinism discipline: every metric is derived from INTEGER
+  * confusion / rank counts with exactly one final division rounded at 6
+  * — no float accumulation anywhere — so each query replays bit-for-bit
+  * in any engine.
+  */
+object Eval {
+
+  /** Per-slice confusion counts for a boolean prediction vs a boolean
+    * label, with accuracy / precision / recall / F1. ONE map-side
+    * combining aggregation to slice granularity (4 longs of state per
+    * slice); each derived metric is a single integer-ratio division.
+    * Zero-denominator conventions: precision with no positive
+    * predictions, recall with no positive labels, and F1 with neither
+    * all report 0.0 (the filter-evaluation convention — an empty slice
+    * is a failing slice, not a null one).
+    */
+  def binaryConfusion(df: DataFrame, sliceCol: String, label: Column,
+      predicted: Column): DataFrame = {
+    val y = label.cast("boolean")
+    val p = predicted.cast("boolean")
+    def ratio(num: Column, den: Column): Column =
+      round(num.cast("double") / greatest(den, lit(1L)).cast("double"), 6)
+    df.groupBy(col(sliceCol))
+      .agg(
+        sum((y && p).cast("long")).as("tp"),
+        sum((!y && p).cast("long")).as("fp"),
+        sum((y && !p).cast("long")).as("fn"),
+        sum((!y && !p).cast("long")).as("tn"))
+      .withColumn("accuracy", ratio(col("tp") + col("tn"),
+        col("tp") + col("fp") + col("fn") + col("tn")))
+      .withColumn("precision", ratio(col("tp"), col("tp") + col("fp")))
+      .withColumn("recall", ratio(col("tp"), col("tp") + col("fn")))
+      .withColumn("f1", ratio(lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn")))
+  }
+
+  /** Per-slice ROC AUC of a score column against a boolean label, exact
+    * under ties (Mann–Whitney with the standard tied-rank half-credit).
+    *
+    * The kernel never ranks rows globally: it first aggregates to
+    * (slice, score) granularity — the compressed ECDF table, the ksDrift
+    * shape — then runs ONE cumulative-count window co-partitioned with
+    * the slice. The AUC numerator is kept in integer half-units,
+    * `Σ pos_g · (2·neg_below + neg_tied)`, so the only float operation
+    * is the final division by `2·P·N`. Slices with no positives or no
+    * negatives report a null AUC (undefined, not zero).
+    *
+    * Scale: state is distinct-score-sized, not row-sized; the window
+    * partitions on the slice key, so a 1000-executor run sorts each
+    * slice's score table locally after one exchange.
+    */
+  def aucBySlice(df: DataFrame, sliceCol: String, scoreCol: String,
+      label: Column): DataFrame = {
+    val y = label.cast("boolean")
+    val counts = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(sliceCol), col(scoreCol))
+      .agg(sum(y.cast("long")).as("__p"), sum((!y).cast("long")).as("__n"))
+    val w = Window.partitionBy(sliceCol).orderBy(scoreCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cn", sum(col("__n")).over(w))
+    cum.groupBy(col(sliceCol))
+      .agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__n")).as("n_neg"),
+        sum(col("__p") * (lit(2L) * (col("__cn") - col("__n")) + col("__n")))
+          .as("__num2"))
+      .withColumn("auc",
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+        .otherwise(round(col("__num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6)))
+      .drop("__num2")
+  }
+
+  /** Reliability (calibration) table: scores in [0, 1] bucketed into
+    * `nBins` equi-width bins; per bin the count, mean predicted score,
+    * and observed positive fraction — the curve a pipeline plots before
+    * trusting a classifier threshold. The mean score is a round(6)
+    * DECIMAL sum (order-independent, the entropy-term discipline);
+    * frac_pos is an exact integer ratio.
+    *
+    * Scale: one map-side-combining aggregation to bin granularity —
+    * `nBins` rows of (long, long, decimal) state per partition.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0)
+    val bin = least(floor(col(scoreCol) * nBins), lit(nBins - 1.0)).cast("long")
+    df.where(col(scoreCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(label.cast("long")).as("n_pos"),
+        sum(round(col(scoreCol), 6).cast("decimal(30,6)")).as("__s"))
+      .withColumn("mean_score",
+        round(col("__s").cast("double") / col("n").cast("double"), 6))
+      .withColumn("frac_pos",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+      .drop("__s")
+  }
+}

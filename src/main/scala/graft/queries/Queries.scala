@@ -7,9 +7,10 @@ object Queries {
   type QueryFn = (SparkSession, String) => DataFrame
 
   def all: Map[String, QueryFn] =
-    CoreQueries.all ++ ExtQueries.all ++ GraphQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ ExtQueries.all ++ GraphQueries.all ++
+      PipelineQueries.all ++ EvalQueries.all
 
   def oracles: Map[String, String] =
     CoreQueries.oracles ++ ExtQueries.oracles ++ GraphQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++ EvalQueries.oracles
 }

@@ -1,0 +1,195 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Round-6 operators: PII detect/redact, per-slice classifier evals
+  * (confusion / AUC / calibration), the ordered filter funnel,
+  * curriculum buckets, and Markov transitions.
+  */
+class Round6Spec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // ---- Pii ----------------------------------------------------------------
+
+  test("pii: detect counts each category exactly, null text counts zero") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or root@sub.domain.io today"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up, call +4915123456789"),
+      (3L, "card 4111222233334444 expires soon"),
+      (4L, "nothing sensitive here"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Pii.detect(docs, "doc_id", "text")
+      .select("doc_id", "n_email", "n_ipv4", "n_phone", "n_id_number", "n_pii")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 0L, 0L, 0L, 2L)))
+    // categories count independently on the raw text: the 13-digit phone
+    // run is also a \b-delimited id-number match (documented behavior)
+    assert(got(1) == ((2L, 0L, 2L, 1L, 1L, 4L)))
+    assert(got(2) == ((3L, 0L, 0L, 0L, 1L, 1L)))
+    assert(got(3) == ((4L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(4) == ((5L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("pii: redact replaces every match with its placeholder, in order") {
+    val docs = Seq(
+      (1L, "write x@y.com or 1.2.3.4 or +12345678 or 123456789012 end"))
+      .toDF("doc_id", "text")
+    val got = Pii.redact(docs, "doc_id", "text")
+      .as[(Long, String, Long)].head()
+    assert(got._2 == "write <EMAIL> or <IP> or <PHONE> or <ID> end")
+    assert(got._3 == 4L)
+  }
+
+  test("pii: redact never double-counts a span two categories match") {
+    // the 13-digit run is both a phone (+ prefix) and an id-number match;
+    // redaction claims it for phone first, so n_redacted is 1, not 2
+    val docs = Seq((1L, "call +4915123456789 now")).toDF("doc_id", "text")
+    val got = Pii.redact(docs, "doc_id", "text").as[(Long, String, Long)].head()
+    assert(got._2 == "call <PHONE> now")
+    assert(got._3 == 1L)
+  }
+
+  test("pii: email claims its digits before the id-number pattern") {
+    // the 12-digit run inside an email local part must NOT double-count
+    val docs = Seq((1L, "acct 123456789012x@mail.example done"))
+      .toDF("doc_id", "text")
+    val got = Pii.detect(docs, "doc_id", "text")
+      .select("n_email", "n_id_number").as[(Long, Long)].head()
+    // detect counts on the raw text: the email regex matches the whole
+    // token; the id regex finds no \b-delimited 12-digit run (the run is
+    // followed by 'x', a word char, so the boundary fails)
+    assert(got == ((1L, 0L)))
+  }
+
+  // ---- Eval.binaryConfusion ----------------------------------------------
+
+  test("eval: confusion counts and derived metrics are exact") {
+    // slice A: tp=2 fp=1 fn=1 tn=1; slice B: all negative, none predicted
+    val rows = Seq(
+      ("A", true, true), ("A", true, true), ("A", false, true),
+      ("A", true, false), ("A", false, false),
+      ("B", false, false), ("B", false, false))
+    val df = rows.toDF("slice", "y", "p")
+    val got = Eval.binaryConfusion(df, "slice", col("y"), col("p"))
+      .select("slice", "tp", "fp", "fn", "tn", "accuracy", "precision",
+        "recall", "f1")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got(0) == (("A", 2L, 1L, 1L, 1L, 0.6, 2.0 / 3, 2.0 / 3, 2.0 / 3))
+      || got(0) == (("A", 2L, 1L, 1L, 1L, 0.6, 0.666667, 0.666667, 0.666667)))
+    // zero-denominator convention: no positives anywhere -> 0.0, not null
+    assert(got(1) == (("B", 0L, 0L, 0L, 2L, 1.0, 0.0, 0.0, 0.0)))
+  }
+
+  // ---- Eval.aucBySlice ----------------------------------------------------
+
+  test("eval: AUC is exact under ties and degenerate slices are null") {
+    // slice S: scores pos={3,2}, neg={2,1} -> pairs: (3>2)=1, (3>1)=1,
+    // (2~2)=0.5, (2>1)=1 => AUC = 3.5/4 = 0.875
+    val df = Seq(
+      ("S", 3.0, true), ("S", 2.0, true), ("S", 2.0, false), ("S", 1.0, false),
+      ("T", 5.0, true), ("T", 9.0, true)).toDF("slice", "score", "y")
+    val got = Eval.aucBySlice(df, "slice", "score", col("y"))
+      .select("slice", "n_pos", "n_neg", "auc")
+      .as[(String, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got(0) == (("S", 2L, 2L, Some(0.875))))
+    assert(got(1) == (("T", 2L, 0L, None))) // no negatives: undefined
+  }
+
+  test("eval: AUC hits 1.0 on perfect separation and 0.0 on inverted") {
+    val perfect = Seq(("X", 10, true), ("X", 9, true), ("X", 1, false))
+      .toDF("slice", "score", "y")
+    val inverted = Seq(("X", 1, true), ("X", 9, false), ("X", 10, false))
+      .toDF("slice", "score", "y")
+    assert(Eval.aucBySlice(perfect, "slice", "score", col("y"))
+      .select("auc").as[Double].head() == 1.0)
+    assert(Eval.aucBySlice(inverted, "slice", "score", col("y"))
+      .select("auc").as[Double].head() == 0.0)
+  }
+
+  // ---- Eval.calibrationBins ----------------------------------------------
+
+  test("eval: calibration bins bucket scores and report exact fractions") {
+    val df = Seq(
+      (0.05, false), (0.08, false),          // bin 0: 0/2 positive
+      (0.55, true), (0.58, false),           // bin 5: 1/2 positive
+      (1.0, true))                           // score 1.0 clamps to bin 9
+      .toDF("score", "y")
+    val got = Eval.calibrationBins(df, "score", col("y"), nBins = 10)
+      .select("bin", "n", "n_pos", "mean_score", "frac_pos")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0L, 2L, 0L), (5L, 2L, 1L), (9L, 1L, 1L)))
+    assert(got(0)._4 == 0.065 && got(0)._5 == 0.0)
+    assert(got(1)._4 == 0.565 && got(1)._5 == 0.5)
+    assert(got(2)._4 == 1.0 && got(2)._5 == 1.0)
+  }
+
+  // ---- DataOps.filterFunnel ----------------------------------------------
+
+  test("funnel: rows are charged to the FIRST failing stage only") {
+    val df = Seq(
+      (1L, 10, 10),  // passes both
+      (2L, -1, 10),  // fails stage 1 (and would fail 2 — charged to 1)
+      (3L, 10, -1),  // fails stage 2
+      (4L, -1, -1))  // fails stage 1
+      .toDF("id", "a", "b")
+    val got = DataOps.filterFunnel(df, Seq(
+        ("a_pos", col("a") > 0), ("b_pos", col("b") > 0)))
+      .select("stage", "stage_name", "n_in", "n_rejected", "n_out")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1, "a_pos", 4L, 2L, 2L)))
+    assert(got(1) == ((2, "b_pos", 2L, 1L, 1L)))
+  }
+
+  test("funnel: a null predicate rejects at that stage") {
+    val df = Seq((1L, Some(5)), (2L, None)).toDF("id", "v")
+    val got = DataOps.filterFunnel(df, Seq(("v_big", col("v") > 1)))
+      .select("n_in", "n_rejected", "n_out").as[(Long, Long, Long)].head()
+    assert(got == ((2L, 1L, 1L)))
+  }
+
+  // ---- DataOps.curriculumBuckets ------------------------------------------
+
+  test("curriculum: ntile buckets are balanced per group, order pinned") {
+    val df = (1 to 10).map(i => ("g", i.toLong)).toDF("src", "v")
+    val got = DataOps.curriculumBuckets(df, "src", Seq(col("v")), 4)
+      .select("v", "bucket").as[(Long, Int)].collect().sortBy(_._1)
+    // ntile(4) over 10 rows: buckets of 3,3,2,2 in order
+    assert(got.map(_._2).toSeq == Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4))
+  }
+
+  // ---- Analytics.markovTransitions ----------------------------------------
+
+  test("markov: transition counts and row-normalized probabilities") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // user 1: a -> b -> a ; user 2: a -> b  => a->b: 2, b->a: 1
+    val ev = Seq(
+      (1L, ts(0), 1L, "a"), (1L, ts(1), 2L, "b"), (1L, ts(2), 3L, "a"),
+      (2L, ts(0), 4L, "a"), (2L, ts(1), 5L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.markovTransitions(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .select("from_type", "to_type", "cnt", "prob")
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("markov: probabilities sum to 1 per from_type on real-shaped data") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = (1 to 200).map { i =>
+      (i.toLong % 7, new java.sql.Timestamp(t0.getTime + i * 1000L),
+        i.toLong, Seq("a", "b", "c")(i % 3))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val sums = Analytics.markovTransitions(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .groupBy("from_type").agg(sum("prob").as("s"))
+      .select("s").as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-4))
+  }
+}
