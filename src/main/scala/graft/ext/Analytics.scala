@@ -663,6 +663,56 @@ object Analytics {
       .withColumn("autocorr", expr(autocorrExpr))
   }
 
+  /** The Welch t statistic shared VERBATIM with the DuckDB oracle:
+    * evaluated over the six exact DECIMAL-derived sufficient statistics
+    * (na, sa, qa, nb, sb, qb — counts, per-term-rounded sums, sums of
+    * squares), so both engines run the identical double arithmetic in
+    * the identical order on identical inputs (the q58 / vecCovariance
+    * discipline).
+    */
+  /** The pooled standard-error term (the sqrt argument): also the
+    * definedness guard — per-term rounding can push a constant cohort's
+    * variance slightly NEGATIVE (qa − sa²/na < 0), so the guard must be
+    * on this exact weighted expression, not on the raw variances.
+    */
+  val welchSeExpr: String =
+    "((qa - sa * sa / na) / (na - 1.0)) / na + " +
+      "((qb - sb * sb / nb) / (nb - 1.0)) / nb"
+
+  val welchTExpr: String =
+    s"round((sa / na - sb / nb) / sqrt($welchSeExpr), 6)"
+
+  /** Two-cohort Welch's t statistic per group: the mean-shift drift test
+    * between cohort A (`inA`) and cohort B over `valCol` — the
+    * parametric companion to [[ksDrift]] (KS alarms on shape, Welch on
+    * level). Sufficient statistics are per-term round(6) DECIMAL sums
+    * (order-independent); the final expression is ONE shared SQL string.
+    * Groups where either cohort has n < 2 or zero variance are dropped
+    * (t undefined). Scale: one map-side-combining aggregation to group
+    * granularity — six numbers of state per group, no window, no sort.
+    */
+  def welchT(df: DataFrame, groupCol: String, valCol: String,
+      inA: Column): DataFrame = {
+    val v = col(valCol)
+    def dsum(c: Column, in: Column): Column =
+      sum(when(in, round(c, 6).cast("decimal(30,6)")).otherwise(lit(null)))
+    val agg = df.where(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(inA.cast("long")).as("na0"), sum((!inA).cast("long")).as("nb0"),
+        dsum(v, inA).cast("double").as("sa"),
+        dsum(v * v, inA).cast("double").as("qa"),
+        dsum(v, !inA).cast("double").as("sb"),
+        dsum(v * v, !inA).cast("double").as("qb"))
+      .withColumn("na", col("na0").cast("double"))
+      .withColumn("nb", col("nb0").cast("double"))
+    agg
+      .where(col("na0") >= 2 && col("nb0") >= 2 && expr(s"$welchSeExpr > 0.0"))
+      .withColumn("t_welch", expr(welchTExpr))
+      .select(col(groupCol), col("na0").as("n_a"), col("nb0").as("n_b"),
+        col("t_welch"))
+  }
+
   /** First-order Markov transition matrix over each entity's event
     * stream: counts of consecutive (from_type → to_type) steps and the
     * row-normalized transition probability — the behavioral-model /

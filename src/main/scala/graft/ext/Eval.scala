@@ -84,6 +84,76 @@ object Eval {
       .drop("__num2")
   }
 
+  /** Per-class multiclass metrics from a (label, predicted) pair: the
+    * confusion table collapses to class granularity first (|classes|²
+    * rows), so the per-class tp / support / predicted-count joins touch
+    * only that tiny table — never the corpus. Derived metrics follow the
+    * [[binaryConfusion]] integer-ratio discipline (macro averages are
+    * one further tiny aggregation the caller can run on this output).
+    */
+  def multiclassMetrics(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val cm = df.groupBy(col(labelCol).as("__y"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // three class-sized readers below
+    def ratio(num: Column, den: Column): Column =
+      round(num.cast("double") / greatest(den, lit(1L)).cast("double"), 6)
+    val byLabel = cm.groupBy(col("__y").as("clazz"))
+      .agg(sum(col("__c")).as("n_true"),
+        sum(when(col("__p") === col("__y"), col("__c")).otherwise(0L)).as("tp"))
+    val byPred = cm.groupBy(col("__p").as("clazz"))
+      .agg(sum(col("__c")).as("n_pred"))
+    byLabel.join(byPred, Seq("clazz"), "full_outer")
+      .na.fill(0L, Seq("n_true", "tp", "n_pred"))
+      .withColumn("precision", ratio(col("tp"), col("n_pred")))
+      .withColumn("recall", ratio(col("tp"), col("n_true")))
+      .withColumn("f1", ratio(lit(2L) * col("tp"),
+        col("n_pred") + col("n_true")))
+  }
+
+  /** Reciprocal-rank table from a ranked retrieval result: per query the
+    * rank of the FIRST relevant hit within the top `k` (null if none)
+    * and its reciprocal — the building block of MRR (group this output
+    * by any slice and average `rr`). `rr` is a 6-dp constant per rank
+    * (1/rank rounded half-up at build time — a CASE lookup, no division
+    * at run time), so slice averages replay as DECIMAL sums.
+    */
+  def reciprocalRanks(ranked: DataFrame, queryCol: String, rankCol: String,
+      relevant: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    val firstRel = ranked.where(col(rankCol) <= k)
+      .groupBy(col(queryCol))
+      .agg(min(when(relevant, col(rankCol))).as("first_rel_rank"))
+    val rrLookup = (1 to k).foldLeft(when(col("first_rel_rank").isNull, 0.0)) {
+      case (acc, r) => acc.when(col("first_rel_rank") === r,
+        BigDecimal(1.0 / r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    firstRel.withColumn("rr", rrLookup)
+  }
+
+  /** Per-slice regression error metrics (MAE / RMSE) for a prediction
+    * column: per-term round(6) DECIMAL sums (order-independent), one
+    * division each, one final sqrt — the forecast-quality gate for the
+    * lag/seasonal predictors. Rows with a null prediction (stream heads)
+    * are excluded.
+    */
+  def regressionMetrics(df: DataFrame, sliceCol: String, yCol: String,
+      yhatCol: String): DataFrame = {
+    val err = col(yCol) - col(yhatCol)
+    df.where(col(yhatCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(sliceCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(abs(err), 6).cast("decimal(30,6)")).as("__sa"),
+        sum(round(err * err, 6).cast("decimal(30,6)")).as("__sq"))
+      .withColumn("mae",
+        round(col("__sa").cast("double") / col("n").cast("double"), 6))
+      .withColumn("rmse",
+        round(sqrt(col("__sq").cast("double") / col("n").cast("double")), 6))
+      .drop("__sa", "__sq")
+  }
+
   /** Reliability (calibration) table: scores in [0, 1] bucketed into
     * `nBins` equi-width bins; per bin the count, mean predicted score,
     * and observed positive fraction — the curve a pipeline plots before

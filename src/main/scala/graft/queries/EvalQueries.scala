@@ -301,6 +301,267 @@ object EvalQueries {
       |  round(CAST(c.cnt AS DOUBLE) / CAST(t.tt AS DOUBLE), 6) AS prob
       |FROM c JOIN t USING (from_type)""".stripMargin
 
+  // ------------------------------------------------- batch 2: eval/audit
+
+  /** Per-class metrics of a pseudo-classifier (mix64 of the vector id,
+    * the hashing-trick stand-in — wiring, not weights) against the true
+    * embedding labels. The confusion table is class-sized before any
+    * join touches it.
+    */
+  val evalMulticlass: QueryFn = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("y"),
+        pmod(graft.ext.HashExprs.mix64(col("vec_id")), lit(10L)).as("p"))
+    graft.ext.Eval.multiclassMetrics(emb, "y", "p")
+      .select("clazz", "n_true", "tp", "n_pred", "precision", "recall", "f1")
+  }
+
+  val evalMulticlassSql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, label FROM embeddings),
+       |${ExtQueries.mix64Cte("e0", "id, label")},
+       |pr AS (
+       |  SELECT CAST(label AS BIGINT) AS y, ((hv % 10) + 10) % 10 AS p FROM hs
+       |), cm AS (
+       |  SELECT y, p, count(*) AS c FROM pr GROUP BY 1, 2
+       |), bl AS (
+       |  SELECT y AS clazz, CAST(sum(c) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN p = y THEN c ELSE 0 END) AS BIGINT) AS tp
+       |  FROM cm GROUP BY 1
+       |), bp AS (
+       |  SELECT p AS clazz, CAST(sum(c) AS BIGINT) AS n_pred FROM cm GROUP BY 1
+       |)
+       |SELECT clazz, coalesce(n_true, 0) AS n_true, coalesce(tp, 0) AS tp,
+       |  coalesce(n_pred, 0) AS n_pred,
+       |  round(CAST(coalesce(tp, 0) AS DOUBLE) / greatest(coalesce(n_pred, 0), 1), 6) AS precision,
+       |  round(CAST(coalesce(tp, 0) AS DOUBLE) / greatest(coalesce(n_true, 0), 1), 6) AS recall,
+       |  round(CAST(2 * coalesce(tp, 0) AS DOUBLE)
+       |        / greatest(coalesce(n_pred, 0) + coalesce(n_true, 0), 1), 6) AS f1
+       |FROM bl FULL OUTER JOIN bp USING (clazz)""".stripMargin
+
+  /** The 1/rank reciprocal lookup shared between the kernel and the
+    * oracle — ten 6-dp constants, no run-time division (the idcgExpr
+    * discipline).
+    */
+  private val rrCaseSql: String = {
+    val terms = (1 to 10).map { r =>
+      s"WHEN $r THEN ${BigDecimal(1.0 / r)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)}"
+    }.mkString(" ")
+    s"CASE first_rel_rank $terms ELSE 0.0 END"
+  }
+
+  /** MRR@10 of exact cosine retrieval with same-label relevance, sliced
+    * by the query's label — the retrieval eval that weights only the
+    * first hit (NDCG weights them all). Reciprocals are 6-dp constants;
+    * slice means are DECIMAL sums.
+    */
+  val rankMrr: QueryFn = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.orderBy("vec_id").limit(20)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val nn = graft.ext.Similarity.cosineTopK(queries, emb, k = 10)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), Seq("neighbor_id"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), Seq("query_id"))
+    graft.ext.Eval.reciprocalRanks(nn, "query_id", "rank",
+        col("nl") === col("ql"), k = 10)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("label")), Seq("query_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("first_rel_rank").isNotNull.cast("long")).as("n_hit"),
+        round(sum(round(col("rr"), 6).cast("decimal(30,6)")).cast("double")
+          / count(lit(1)), 6).as("mrr"))
+  }
+
+  val rankMrrSql: String =
+    s"""WITH q AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT 20),
+       |nn AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+       |                 e.vec_id ASC) AS rank
+       |    FROM q, embeddings e WHERE q.vec_id <> e.vec_id
+       |  ) WHERE rank <= 10
+       |), fr AS (
+       |  SELECT nn.query_id,
+       |    min(CASE WHEN en.label = eq.label THEN nn.rank END) AS first_rel_rank
+       |  FROM nn
+       |  JOIN embeddings en ON en.vec_id = nn.neighbor_id
+       |  JOIN embeddings eq ON eq.vec_id = nn.query_id
+       |  GROUP BY 1
+       |), rr AS (
+       |  SELECT f.query_id, f.first_rel_rank, $rrCaseSql AS rr,
+       |    CAST(e.label AS BIGINT) AS label
+       |  FROM fr f JOIN embeddings e ON e.vec_id = f.query_id
+       |)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(CASE WHEN first_rel_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CAST(round(rr, 6) AS DECIMAL(30,6))) AS DOUBLE)
+       |        / count(*), 6) AS mrr
+       |FROM rr GROUP BY label""".stripMargin
+
+  /** MAE/RMSE of the naive lag-1 forecaster per event type — the
+    * baseline every forecasting eval reports first. Per-term round(6)
+    * DECIMAL error sums; stream heads (no lag) excluded.
+    */
+  val evalRegression: QueryFn = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withPred = Tables.events(s, dir)
+      .withColumn("yhat", lag(col("value"), 1).over(w))
+    graft.ext.Eval.regressionMetrics(withPred, "event_type", "value", "yhat")
+      .select("event_type", "n", "mae", "rmse")
+  }
+
+  val evalRegressionSql: String =
+    """WITH p AS (
+      |  SELECT event_type, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS yhat
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(round(abs(value - yhat), 6) AS DECIMAL(30,6))) AS DOUBLE)
+      |        / count(*), 6) AS mae,
+      |  round(sqrt(CAST(sum(CAST(round((value - yhat) * (value - yhat), 6) AS DECIMAL(30,6))) AS DOUBLE)
+      |        / count(*)), 6) AS rmse
+      |FROM p WHERE yhat IS NOT NULL AND value IS NOT NULL
+      |GROUP BY event_type""".stripMargin
+
+  /** Welch's t per event type between even- and odd-id users — the
+    * mean-level drift alarm (ksDrift's parametric companion); shared
+    * final expression over exact sufficient statistics.
+    */
+  val statsWelch: QueryFn = (s, dir) =>
+    Analytics.welchT(Tables.events(s, dir), "event_type", "value",
+      col("user_id") % 2 === 0)
+
+  val statsWelchSql: String =
+    s"""WITH a AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb0,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0
+       |      THEN CAST(round(value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS sa,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0
+       |      THEN CAST(round(value * value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS qa,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0
+       |      THEN CAST(round(value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS sb,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0
+       |      THEN CAST(round(value * value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS qb
+       |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+       |), g AS (
+       |  SELECT *, CAST(na0 AS DOUBLE) AS na, CAST(nb0 AS DOUBLE) AS nb FROM a
+       |)
+       |SELECT event_type, na0 AS n_a, nb0 AS n_b,
+       |  ${Analytics.welchTExpr} AS t_welch
+       |FROM g
+       |WHERE na0 >= 2 AND nb0 >= 2 AND ${Analytics.welchSeExpr} > 0.0""".stripMargin
+
+  /** Tokenizer/vocabulary OOV audit: per language, the fraction of token
+    * instances outside the corpus top-1000 vocabulary (ties pinned by
+    * word) — the coverage check before committing to a tokenizer vocab.
+    * The vocab is a 1000-row broadcast; the corpus tokenizes ONCE.
+    */
+  val vocabCoverage: QueryFn = (s, dir) => {
+    val toks = DataOps.parallelismFloor(Tables.documents(s, dir))
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .where(col("word") =!= "")
+      .localCheckpoint(false) // feeds vocab build AND coverage join
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("word").asc).limit(1000)
+      .select(col("word"), lit(1L).as("__in"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__in").isNull.cast("long")).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      |  FROM documents
+      |), t2 AS (
+      |  SELECT * FROM toks WHERE word <> ''
+      |), v AS (
+      |  SELECT word FROM (SELECT word, count(*) AS cnt FROM t2 GROUP BY 1)
+      |  QUALIFY row_number() OVER (ORDER BY cnt DESC, word ASC) <= 1000
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  round(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS oov_rate
+      |FROM t2 LEFT JOIN v USING (word)
+      |GROUP BY lang""".stripMargin
+
+  /** Deterministic 32-way shard assignment with the balance audit — the
+    * export-layout step of a 100 TB corpus write (shards = output files /
+    * partitions; `load_ratio` 1.0 = perfectly even). Pure mix64
+    * projection + one shard-sized aggregation.
+    */
+  val shardAssign: QueryFn = (s, dir) => {
+    val sharded = Tables.documents(s, dir)
+      .select(pmod(graft.ext.HashExprs.mix64(col("doc_id")), lit(32L))
+        .as("shard"), col("n_chars"))
+    val agg = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val total = agg.agg(sum(col("n_docs")).as("__t"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("load_ratio",
+        round(col("n_docs") * lit(32L) / col("__t").cast("double"), 6))
+      .drop("__t")
+  }
+
+  val shardAssignSql: String =
+    s"""WITH d0 AS (SELECT doc_id AS id, n_chars FROM documents),
+       |${ExtQueries.mix64Cte("d0", "id, n_chars")},
+       |sh AS (
+       |  SELECT ((hv % 32) + 32) % 32 AS shard, n_chars FROM hs
+       |), agg AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |  FROM sh GROUP BY 1
+       |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tt FROM agg)
+       |SELECT shard, n_docs, n_chars,
+       |  round(n_docs * 32 / CAST(tt AS DOUBLE), 6) AS load_ratio
+       |FROM agg, t""".stripMargin
+
+  /** Content-addressed release manifest: per source, row count, char
+    * volume, and an order-independent corpus checksum (bit-XOR of each
+    * document's 48-bit md5 prefix) — the audit record that detects a
+    * corrupted / partial export without re-reading the corpus twice.
+    * XOR is commutative, so the exchange order never matters; state is
+    * one long per source.
+    */
+  val checksumManifest: QueryFn = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"),
+        coalesce(conv(substring(md5(col("text")), 1, 12), 16, 10)
+          .cast("long"), lit(0L)).as("__d"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(__d)").as("checksum"))
+
+  val checksumManifestSql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars,
+      |    coalesce(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_extract_all(substr(md5(text), 1, 12), '.'),
+      |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      |      (a, x) -> a * 16 + x), 0) AS dg
+      |  FROM documents
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(bit_xor(dg) AS BIGINT) AS checksum
+      |FROM d GROUP BY source""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -311,6 +572,13 @@ object EvalQueries {
     "filter_funnel"    -> filterFunnelQ,
     "curriculum_ntile" -> curriculumNtile,
     "ts_markov"        -> tsMarkov,
+    "eval_multiclass"  -> evalMulticlass,
+    "rank_mrr"         -> rankMrr,
+    "eval_regression"  -> evalRegression,
+    "stats_welch"      -> statsWelch,
+    "vocab_coverage"   -> vocabCoverage,
+    "shard_assign"     -> shardAssign,
+    "checksum_manifest" -> checksumManifest,
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,5 +591,12 @@ object EvalQueries {
     "filter_funnel"    -> filterFunnelSql,
     "curriculum_ntile" -> curriculumNtileSql,
     "ts_markov"        -> tsMarkovSql,
+    "eval_multiclass"  -> evalMulticlassSql,
+    "rank_mrr"         -> rankMrrSql,
+    "eval_regression"  -> evalRegressionSql,
+    "stats_welch"      -> statsWelchSql,
+    "vocab_coverage"   -> vocabCoverageSql,
+    "shard_assign"     -> shardAssignSql,
+    "checksum_manifest" -> checksumManifestSql,
   )
 }

@@ -163,6 +163,84 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(got.map(_._2).toSeq == Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4))
   }
 
+  // ---- Eval.multiclassMetrics ---------------------------------------------
+
+  test("eval: multiclass per-class counts include classes never predicted") {
+    // y=0 predicted {0,0,1}; y=1 predicted {0}; class 2 never appears as y
+    val df = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 0L), (2L, 2L))
+      .toDF("y", "p")
+    val got = Eval.multiclassMetrics(df, "y", "p")
+      .select("clazz", "n_true", "tp", "n_pred", "precision", "recall", "f1")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((0L, 3L, 2L, 3L, 0.666667, 0.666667, 0.666667)))
+    assert(got(1) == ((1L, 1L, 0L, 1L, 0.0, 0.0, 0.0)))
+    assert(got(2) == ((2L, 1L, 1L, 1L, 1.0, 1.0, 1.0)))
+  }
+
+  // ---- Eval.reciprocalRanks -----------------------------------------------
+
+  test("eval: reciprocal rank takes the FIRST relevant hit within k") {
+    val ranked = Seq(
+      (1L, 1, false), (1L, 2, true), (1L, 3, true),  // first rel at 2
+      (2L, 1, false), (2L, 2, false), (2L, 3, false), // no rel
+      (3L, 1, true))                                  // rel at 1
+      .toDF("query_id", "rank", "rel")
+    val got = Eval.reciprocalRanks(ranked, "query_id", "rank", col("rel"), 3)
+      .select("query_id", "first_rel_rank", "rr")
+      .as[(Long, Option[Int], Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, Some(2), 0.5)))
+    assert(got(1) == ((2L, None, 0.0)))
+    assert(got(2) == ((3L, Some(1), 1.0)))
+  }
+
+  test("eval: a relevant hit beyond k does not count") {
+    val ranked = Seq((1L, 4, true), (1L, 1, false)).toDF("query_id", "rank", "rel")
+    val got = Eval.reciprocalRanks(ranked, "query_id", "rank", col("rel"), 3)
+      .select("rr").as[Double].head()
+    assert(got == 0.0)
+  }
+
+  // ---- Eval.regressionMetrics ---------------------------------------------
+
+  test("eval: MAE/RMSE are exact on integer-valued errors") {
+    // errors: +1, -3 -> MAE 2, RMSE sqrt(5)
+    val df = Seq(("a", 5.0, Some(4.0)), ("a", 1.0, Some(4.0)),
+      ("a", 9.0, Option.empty[Double])).toDF("slice", "y", "yhat")
+    val got = Eval.regressionMetrics(df, "slice", "y", "yhat")
+      .select("n", "mae", "rmse").as[(Long, Double, Double)].head()
+    assert(got._1 == 2L)             // the null-yhat row is excluded
+    assert(got._2 == 2.0)
+    assert(got._3 == BigDecimal(math.sqrt(5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  // ---- Analytics.welchT ---------------------------------------------------
+
+  test("welch: t statistic matches the textbook value; degenerate groups drop") {
+    // A = {1,2,3}, B = {7,9}: mA=2 vA=1, mB=8 vB=2
+    // t = (2-8)/sqrt(1/3 + 2/2) = -6/sqrt(4/3)
+    val df = Seq(
+      ("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, true),
+      ("g", 7.0, false), ("g", 9.0, false),
+      ("h", 5.0, true), ("h", 5.0, false))   // n<2 per cohort: dropped
+      .toDF("grp", "v", "a")
+    val got = Analytics.welchT(df.withColumn("__a", col("a")), "grp", "v",
+        col("__a"))
+      .select("grp", "n_a", "n_b", "t_welch")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val expected = BigDecimal(-6.0 / math.sqrt(4.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == (("g", 3L, 2L, expected)))
+  }
+
+  test("welch: a zero-variance pair of cohorts is dropped, not NaN") {
+    val df = Seq(("z", 4.0, true), ("z", 4.0, true),
+      ("z", 4.0, false), ("z", 4.0, false)).toDF("grp", "v", "a")
+    assert(Analytics.welchT(df, "grp", "v", col("a")).count() == 0L)
+  }
+
   // ---- Analytics.markovTransitions ----------------------------------------
 
   test("markov: transition counts and row-normalized probabilities") {
