@@ -30,10 +30,13 @@ object Pii {
 
   /** Per-row match counts per category plus the total. Null text counts
     * as zero matches (kept, not dropped — the scrub decision usually
-    * happens downstream of detection).
+    * happens downstream of detection). Every input column except the
+    * text rides through, so the audit composes with grouping keys
+    * (see `StreamingOps.piiAuditStream`).
     */
   def detect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counted = categories.foldLeft(df.select(col(idCol), col(textCol))) {
+    require(df.columns.contains(idCol) && df.columns.contains(textCol))
+    val counted = categories.foldLeft(df) {
       case (acc, (name, pat, _)) =>
         acc.withColumn(s"n_$name",
           coalesce(regexp_count(col(textCol), lit(pat)), lit(0)).cast("long"))

@@ -368,6 +368,23 @@ object StreamingOps {
       .groupBy("r", "cell").agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming PII audit: per-group counts of every PII category over a
+    * document stream — `Pii.detect`'s zero-shuffle row-local projection
+    * composed with a sum aggregation (associative, order-free), so after
+    * any micro-batch the table equals the batch audit over everything
+    * seen. State is one row of longs per group, forever — the ingestion-
+    * time scrub monitor a corpus pipeline keeps next to its source feed.
+    */
+  def piiAuditStream(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val det = graft.ext.Pii.detect(docs, idCol, textCol)
+    val sums = graft.ext.Pii.categories.map { case (n, _, _) =>
+      sum(col(s"n_$n")).as(s"n_$n")
+    } :+ sum(col("n_pii")).as("n_pii") :+ count(lit(1)).as("n_docs")
+    det.groupBy(col(groupCol)).agg(sums.head, sums.tail: _*)
+  }
+
   /** Stream-static enrichment join: attach dimension attributes to a
     * stream without any stream-side state. The static side is re-planned
     * per micro-batch (so dim updates are picked up) and broadcast, so the

@@ -371,4 +371,34 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .collect().map(_.toSeq).toSet
     assert(got == batch)
   }
+
+  test("streaming PII audit: per-source counts match the batch audit") {
+    // stage a documents stream with deterministic PII planted in every
+    // third row (the raw synthetic corpus has no digits at all)
+    val docsDir = Files.createTempDirectory("docs-stream").toString
+    def augment(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), col("source"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+          lit("@ex.org ip 10.0.0."), (col("doc_id") % 250).cast("string")))
+        .otherwise(col("text")).as("text"))
+    augment(Tables.documents(spark, sfDir))
+      .coalesce(2).write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING").parquet(docsDir)
+
+    val q = StreamingOps.piiAuditStream(stream, "doc_id", "text", "source")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("pii_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("pii_out").collect().map(_.toSeq).toSet
+    val batch = StreamingOps.piiAuditStream(
+      augment(Tables.documents(spark, sfDir)), "doc_id", "text", "source")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+    // and the planted PII is actually seen, not vacuously zero
+    assert(spark.table("pii_out").agg(sum("n_email")).as[Long].head() > 0L)
+  }
 }
