@@ -585,4 +585,22 @@ object TextAnalysis {
       .withColumn("score", expr(classifierScoreExpr))
       .withColumn("keep", col("score") >= lit(0.5))
   }
+
+  /** Sentence segmentation: split each document on `[.!?]` terminator
+    * runs, keeping the punctuation with its sentence and the 0-based
+    * position. The pattern avoids lookbehind (RE2 has none, so the same
+    * regex replays in any engine): a sentence is a run of
+    * non-terminators plus its trailing terminator run; whitespace-only
+    * segments are dropped AFTER position assignment, so positions are
+    * stable. Row-local Generate — zero shuffles at any corpus size.
+    */
+  def segmentSentences(df: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        posexplode(expr(
+          s"regexp_extract_all($textCol, '[^.!?]+[.!?]*', 0)"))
+          .as(Seq("seg_idx", "__raw")))
+      .select(col(idCol), col("seg_idx"), trim(col("__raw")).as("sentence"))
+      .where(col("sentence") =!= "")
+      .withColumn("n_chars", length(col("sentence")).cast("long"))
 }

@@ -562,6 +562,82 @@ object EvalQueries {
       |  CAST(bit_xor(dg) AS BIGINT) AS checksum
       |FROM d GROUP BY source""".stripMargin
 
+  /** Sentence segmentation: each document split into terminator-delimited
+    * sentences with their position — the row-level unit for sentence-
+    * grade filtering/dedup (the paragraph/sentence analog of
+    * `chunk_documents`' fixed-stride windows). The pattern avoids
+    * lookbehind (RE2 has none): a sentence is a run of non-terminators
+    * plus its trailing `[.!?]` run. Row-local Generate — zero shuffles.
+    */
+  val segmentSentences: QueryFn = (s, dir) =>
+    TextAnalysis.segmentSentences(Tables.documents(s, dir), "doc_id")
+
+  val segmentSentencesSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS segs
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(i - 1 AS INTEGER) AS seg_idx,
+      |  trim(segs[i]) AS sentence,
+      |  CAST(length(trim(segs[i])) AS BIGINT) AS n_chars
+      |FROM l, UNNEST(generate_series(1, len(segs))) AS g(i)
+      |WHERE trim(segs[i]) <> ''""".stripMargin
+
+  /** The dataset card: the one-table corpus summary published with a
+    * release (counts, volume, language mix, duplication) — every value
+    * an exact count or a single integer-ratio division. ONE aggregation
+    * pass over the corpus (md5-distinct included), then a driver-free
+    * explode of the metric rows (the filterFunnel shape).
+    */
+  val datasetCard: QueryFn = (s, dir) => {
+    val row = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("__tok"),
+        md5(col("text")).as("__dig"))
+      .agg(
+        count(lit(1)).as("__n"),
+        countDistinct(col("source")).as("__src"),
+        countDistinct(col("lang")).as("__lang"),
+        sum(col("n_chars")).as("__chars"),
+        sum(col("__tok")).as("__toks"),
+        countDistinct(col("__dig")).as("__uniq"),
+        sum((col("lang") === "en").cast("long")).as("__en"))
+    val metrics = Seq(
+      ("n_docs", col("__n").cast("double")),
+      ("n_sources", col("__src").cast("double")),
+      ("n_langs", col("__lang").cast("double")),
+      ("total_chars", col("__chars").cast("double")),
+      ("total_tokens", col("__toks").cast("double")),
+      ("dup_docs", (col("__n") - col("__uniq")).cast("double")),
+      ("mean_chars", round(col("__chars").cast("double") /
+        col("__n").cast("double"), 6)),
+      ("frac_en", round(col("__en").cast("double") /
+        col("__n").cast("double"), 6)))
+    row.select(explode(array(metrics.map { case (m, v) =>
+      struct(lit(m).as("metric"), v.as("value"))
+    }: _*)).as("s")).select("s.*")
+  }
+
+  val datasetCardSql: String =
+    """WITH a AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(count(DISTINCT source) AS DOUBLE) AS src,
+      |    CAST(count(DISTINCT lang) AS DOUBLE) AS lng,
+      |    CAST(sum(n_chars) AS DOUBLE) AS chars,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) AS toks,
+      |    CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) AS dups,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS en
+      |  FROM documents
+      |)
+      |SELECT 'n_docs' AS metric, n AS value FROM a
+      |UNION ALL SELECT 'n_sources', src FROM a
+      |UNION ALL SELECT 'n_langs', lng FROM a
+      |UNION ALL SELECT 'total_chars', chars FROM a
+      |UNION ALL SELECT 'total_tokens', toks FROM a
+      |UNION ALL SELECT 'dup_docs', dups FROM a
+      |UNION ALL SELECT 'mean_chars', round(chars / n, 6) FROM a
+      |UNION ALL SELECT 'frac_en', round(en / n, 6) FROM a""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -579,6 +655,8 @@ object EvalQueries {
     "vocab_coverage"   -> vocabCoverage,
     "shard_assign"     -> shardAssign,
     "checksum_manifest" -> checksumManifest,
+    "segment_sentences" -> segmentSentences,
+    "dataset_card"     -> datasetCard,
   )
 
   val oracles: Map[String, String] = Map(
@@ -598,5 +676,7 @@ object EvalQueries {
     "vocab_coverage"   -> vocabCoverageSql,
     "shard_assign"     -> shardAssignSql,
     "checksum_manifest" -> checksumManifestSql,
+    "segment_sentences" -> segmentSentencesSql,
+    "dataset_card"     -> datasetCardSql,
   )
 }

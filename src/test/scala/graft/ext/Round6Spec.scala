@@ -241,6 +241,25 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(Analytics.welchT(df, "grp", "v", col("a")).count() == 0L)
   }
 
+  // ---- TextAnalysis.segmentSentences --------------------------------------
+
+  test("sentences: terminators stay attached, positions stable, empties drop") {
+    val docs = Seq(
+      (1L, "First one. Second?! Third has no end"),
+      (2L, "..."),                 // punctuation only: one empty run kept? no
+      (3L, "One sentence only"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.segmentSentences(docs, "doc_id")
+      .select("doc_id", "seg_idx", "sentence")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq("First one.", "Second?!", "Third has no end"))
+    // seg positions count RAW segments; trimming never renumbers
+    assert(got.filter(_._1 == 1L).map(_._2).toSeq == Seq(0, 1, 2))
+    assert(!got.exists(_._1 == 2L))   // "..." has no non-terminator run
+    assert(got.filter(_._1 == 3L).map(_._3).toSeq == Seq("One sentence only"))
+  }
+
   // ---- Analytics.markovTransitions ----------------------------------------
 
   test("markov: transition counts and row-normalized probabilities") {
