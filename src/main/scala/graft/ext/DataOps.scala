@@ -438,6 +438,21 @@ object DataOps {
     row.select(explode(array(perStage: _*)).as("s")).select("s.*")
   }
 
+  /** Incremental equi-join view maintenance for append-only deltas:
+    * given the materialized halves of both sides, the NEW join rows are
+    *   ΔV = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    * so `V_new = V_old ∪ ΔV` without re-joining the old halves — the
+    * algebra behind every incremental materialized view. At 100 TB the
+    * point is that the two big `old` tables NEVER join each other again:
+    * each term joins at least one delta side, which broadcasts when the
+    * period is small.
+    */
+  def incrementalJoinDelta(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame, keys: Seq[String]): DataFrame =
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+
   /** Curriculum buckets: per group (source/domain), rank rows by the
     * given order and split them into `nBuckets` equal `ntile` buckets —
     * the difficulty-staging step of curriculum training (bucket 1 first).

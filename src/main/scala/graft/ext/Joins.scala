@@ -152,4 +152,75 @@ object Joins {
       .where(col("lev") <= 1)
       .select(col("id_a"), col("id_b"), col("lev").cast("long").as("lev"))
   }
+
+  /** EXACT set-similarity self-join (ppjoin-style prefix filtering):
+    * all document pairs whose n-token shingle sets have Jaccard ≥ p/q —
+    * the precise companion to the probabilistic MinHash/SimHash dedup
+    * (those can miss or over-claim; this one is exact by construction).
+    *
+    * Prefix principle: order every shingle by ascending global frequency
+    * (rarest first, ties by hash); if J(a,b) ≥ τ, the two prefixes of
+    * length |s| − ⌈τ·|s|⌉ + 1 MUST share an element, so joining on
+    * prefix shingles alone loses no true pair. Candidates are then
+    * verified exactly with integer cross-multiplication
+    * (q·inter ≥ p·union) — no float thresholds anywhere.
+    *
+    * Scale: the exchange under the candidate join carries (hash, id)
+    * pairs from PREFIXES only (rare shingles → tiny buckets — the
+    * frequency ordering is itself the skew guard); a length filter
+    * (q·min ≥ p·max) prunes before the pair explodes; verification
+    * re-joins the shingle table per surviving candidate — pair-sized,
+    * not corpus-sized. Shingles are 8-byte hashes end to end.
+    */
+  def setSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, p: Int = 1, q: Int = 2): DataFrame = {
+    require(p > 0 && q >= p, "threshold p/q must be in (0, 1]")
+    // one hashed-shingle set per doc (first-appearance-deduped by the
+    // kernel); docs with < n tokens drop out (the contamination rule)
+    val sh = DataOps.parallelismFloor(
+        docs.where(size(TextAnalysis.tokens(col(textCol))) >= n)
+          .select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"),
+        explode(TextShingles.word_shingle_hashes(col("__t"), n)).as("h"))
+      .localCheckpoint(false) // feeds freq, prefixes, AND verification
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("__f"))
+    // per-doc shingles sorted by (freq, hash): the global order exists
+    // only inside each row's array — no rank table, no global window
+    val sorted = sh.join(freq, Seq("h"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__f"), col("h"))))
+        .as("__s"))
+      .withColumn("__n", size(col("__s")).cast("long"))
+      // ⌈p·n/q⌉ = (p·n + q − 1) div q, all integer
+      .withColumn("__plen",
+        (col("__n") - floor((lit(p) * col("__n") + q - 1) / q) + 1L)
+          .cast("int"))
+      .localCheckpoint(false) // sizes reused for the length filter + union
+    // slice to the prefix: posexplode keeps the position to compare
+    val pref = sorted.select(col("__id"), col("__n"),
+        posexplode(col("__s")).as(Seq("__pos", "__e")), col("__plen"))
+      .where(col("__pos") < col("__plen"))
+      .select(col("__id"), col("__n"), col("__e.h").as("h"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.__id") < col("b.__id") &&
+          // J ≥ p/q forces q·min(n) ≥ p·max(n)
+          lit(q) * least(col("a.__n"), col("b.__n")) >=
+            lit(p) * greatest(col("a.__n"), col("b.__n")))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__n").as("n_a"), col("b.__n").as("n_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("__id").as("id_a"), col("h")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        count(lit(1)).as("inter"))
+    inter
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .where(lit(q) * col("inter") >= lit(p) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6)
+          .as("jac"))
+  }
 }

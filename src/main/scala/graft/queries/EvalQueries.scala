@@ -638,6 +638,66 @@ object EvalQueries {
       |UNION ALL SELECT 'mean_chars', round(chars / n, 6) FROM a
       |UNION ALL SELECT 'frac_en', round(en / n, 6) FROM a""".stripMargin
 
+  /** Incrementally-maintained join view: the click⋈view-by-user join
+    * materialized as V_old (both sides before the cutover) plus the
+    * three delta terms — proven equal to the direct full join by the
+    * oracle itself (which IS the direct join). The old halves never
+    * re-join each other.
+    */
+  val joinIncremental: QueryFn = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    def side(tpe: String, alias: String, delta: Boolean) =
+      ev.where(col("event_type") === tpe &&
+          (if (delta) col("ts") >= cut else col("ts") < cut))
+        .select(col("user_id"), col("event_id").as(s"${alias}_id"))
+    val (aOld, aDelta) = (side("click", "a", false), side("click", "a", true))
+    val (bOld, bDelta) = (side("view", "b", false), side("view", "b", true))
+    aOld.join(bOld, Seq("user_id")) // V_old
+      .unionByName(DataOps.incrementalJoinDelta(
+        aOld, aDelta, bOld, bDelta, Seq("user_id")))
+      .select("user_id", "a_id", "b_id")
+  }
+
+  val joinIncrementalSql: String =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+      |FROM (SELECT user_id, event_id FROM events WHERE event_type = 'click') a
+      |JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'view') b
+      |USING (user_id)""".stripMargin
+
+  /** Exact Jaccard ≥ 1/2 self-join over 5-token shingle sets via prefix
+    * filtering — the exact companion to the MinHash screen (see
+    * [[graft.ext.Joins.setSimilarityJoin]]).
+    */
+  val joinSetSimilarity: QueryFn = (s, dir) =>
+    graft.ext.Joins.setSimilarityJoin(
+      Tables.documents(s, dir), "doc_id", "text", n = 5, p = 1, q = 2)
+
+  val joinSetSimilaritySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+      |), sz AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1
+      |), cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(count(*) AS BIGINT) AS inter
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), j AS (
+      |  SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+      |    sa.n + sb.n - inter AS uni
+      |  FROM cand
+      |  JOIN sz sa ON sa.doc_id = id_a
+      |  JOIN sz sb ON sb.doc_id = id_b
+      |)
+      |SELECT id_a, id_b, n_a, n_b, inter, uni,
+      |  round(CAST(inter AS DOUBLE) / uni, 6) AS jac
+      |FROM j WHERE 2 * inter >= uni""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -657,6 +717,8 @@ object EvalQueries {
     "checksum_manifest" -> checksumManifest,
     "segment_sentences" -> segmentSentences,
     "dataset_card"     -> datasetCard,
+    "join_incremental" -> joinIncremental,
+    "join_set_similarity" -> joinSetSimilarity,
   )
 
   val oracles: Map[String, String] = Map(
@@ -678,5 +740,7 @@ object EvalQueries {
     "checksum_manifest" -> checksumManifestSql,
     "segment_sentences" -> segmentSentencesSql,
     "dataset_card"     -> datasetCardSql,
+    "join_incremental" -> joinIncrementalSql,
+    "join_set_similarity" -> joinSetSimilaritySql,
   )
 }

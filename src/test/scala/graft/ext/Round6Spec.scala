@@ -241,6 +241,63 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(Analytics.welchT(df, "grp", "v", col("a")).count() == 0L)
   }
 
+  // ---- Joins.setSimilarityJoin --------------------------------------------
+
+  test("setsim: exact Jaccard pairs with integer verification") {
+    // doc 1 and 2 share 9 of 10 5-gram shingles (one-token suffix change):
+    // J = 9/11 ≥ 1/2; doc 3 is disjoint
+    val base = (1 to 14).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"),
+      (3L, (1 to 14).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Joins.setSimilarityJoin(docs, "doc_id", "text", n = 5)
+      .select("id_a", "id_b", "n_a", "n_b", "inter", "uni", "jac")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 10L, 11L, 10L, 11L, 0.909091)))
+  }
+
+  test("setsim: prefix filtering is COMPLETE vs brute force") {
+    // deterministic corpus with heavy shingle reuse (every doc draws its
+    // tokens from a 9-word pool) — brute force over all pairs is the truth
+    val docs = (0 until 60).map { i =>
+      val toks = (0 until 12).map(j => s"t${(i * 7 + j * j) % 9}")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Joins.setSimilarityJoin(docs, "doc_id", "text", n = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force: shingle sets via the same kernel, all pairs
+    val sets = docs.select(col("doc_id"),
+        TextShingles.word_shingle_hashes(col("text"), 5).as("s"))
+      .as[(Long, Seq[Long])].collect().map { case (i, s) => i -> s.toSet }
+    val truth = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if 2 * inter >= uni
+    } yield (ia, ib)).toSet
+    assert(fast == truth, s"missing=${truth -- fast} extra=${fast -- truth}")
+    assert(truth.nonEmpty, "fixture produced no similar pairs — not a test")
+  }
+
+  // ---- DataOps.incrementalJoinDelta ---------------------------------------
+
+  test("incremental join: old + delta terms == direct full join, disjointly") {
+    val aOld = Seq((1L, 10L), (2L, 20L)).toDF("k", "a_id")
+    val aNew = Seq((1L, 11L)).toDF("k", "a_id")
+    val bOld = Seq((1L, 100L)).toDF("k", "b_id")
+    val bNew = Seq((1L, 101L), (2L, 200L)).toDF("k", "b_id")
+    val vOld = aOld.join(bOld, Seq("k"))
+    val delta = DataOps.incrementalJoinDelta(aOld, aNew, bOld, bNew, Seq("k"))
+    val maintained = vOld.unionByName(delta)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val direct = aOld.unionByName(aNew).join(bOld.unionByName(bNew), Seq("k"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(maintained == direct)
+    // and the delta terms never regenerate an old row
+    assert(!delta.as[(Long, Long, Long)].collect()
+      .exists(r => r == ((1L, 10L, 100L))))
+  }
+
   // ---- TextAnalysis.segmentSentences --------------------------------------
 
   test("sentences: terminators stay attached, positions stable, empties drop") {
