@@ -185,8 +185,12 @@ object Joins {
       .localCheckpoint(false) // feeds freq, prefixes, AND verification
     val freq = sh.groupBy("h").agg(count(lit(1)).as("__f"))
     // per-doc shingles sorted by (freq, hash): the global order exists
-    // only inside each row's array — no rank table, no global window
-    val sorted = sh.join(freq, Seq("h"))
+    // only inside each row's array — no rank table, no global window.
+    // Every corpus-scale join below is pinned shuffle-hash: the
+    // checkpointed frames carry no size statistics, so the planner would
+    // otherwise gamble on broadcasting a corpus-sized side (observed OOM
+    // at 100k docs — the shingle table is ~160 rows per doc)
+    val sorted = sh.join(freq.hint("shuffle_hash"), Seq("h"))
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__f"), col("h"))))
         .as("__s"))
@@ -201,7 +205,7 @@ object Joins {
         posexplode(col("__s")).as(Seq("__pos", "__e")), col("__plen"))
       .where(col("__pos") < col("__plen"))
       .select(col("__id"), col("__n"), col("__e.h").as("h"))
-    val cand = pref.as("a").join(pref.as("b"),
+    val cand = pref.as("a").join(pref.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.__id") < col("b.__id") &&
           // J ≥ p/q forces q·min(n) ≥ p·max(n)
           lit(q) * least(col("a.__n"), col("b.__n")) >=
@@ -210,8 +214,10 @@ object Joins {
         col("a.__n").as("n_a"), col("b.__n").as("n_b"))
       .distinct()
     val inter = cand
-      .join(sh.select(col("__id").as("id_a"), col("h")), Seq("id_a"))
-      .join(sh.select(col("__id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .join(sh.select(col("__id").as("id_a"), col("h"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("h"))
+        .hint("shuffle_hash"), Seq("id_b", "h"))
       .groupBy("id_a", "id_b")
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
         count(lit(1)).as("inter"))

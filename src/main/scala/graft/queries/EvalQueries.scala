@@ -698,6 +698,60 @@ object EvalQueries {
       |  round(CAST(inter AS DOUBLE) / uni, 6) AS jac
       |FROM j WHERE 2 * inter >= uni""".stripMargin
 
+  /** Pairwise association rules over per-user event-type baskets:
+    * support, confidence, and lift for every ordered type pair — the
+    * market-basket co-occurrence miner (the event-stream analog of
+    * `text_collocations`' PMI). Baskets collapse to DISTINCT
+    * (user, type) first, so the pair join fans out |types|² per user at
+    * most; counts are integers and lift is one rounded ratio of integer
+    * products.
+    */
+  val assocRules: QueryFn = (s, dir) => {
+    val baskets = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(false) // item counts AND the pair self-join
+    val nUsers = baskets.select("user_id").distinct().count()
+    val item = baskets.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), Seq("user_id"))
+      .where(col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("ante"),
+        col("b.event_type").as("cons"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(item.select(col("t").as("ante"), col("c").as("c_a"))),
+        Seq("ante"))
+      .join(broadcast(item.select(col("t").as("cons"), col("c").as("c_b"))),
+        Seq("cons"))
+      .select(col("ante"), col("cons"), col("c_ab"), col("c_a"), col("c_b"),
+        round(col("c_ab").cast("double") / lit(nUsers.toDouble), 6)
+          .as("support"),
+        round(col("c_ab").cast("double") / col("c_a").cast("double"), 6)
+          .as("confidence"),
+        round((lit(nUsers) * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"), 6).as("lift"))
+  }
+
+  val assocRulesSql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |), n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM b),
+      |item AS (
+      |  SELECT event_type AS t, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1
+      |), p AS (
+      |  SELECT a.event_type AS ante, bb.event_type AS cons,
+      |    CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM b a JOIN b bb USING (user_id)
+      |  WHERE a.event_type <> bb.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ante, cons, c_ab, ia.c AS c_a, ib.c AS c_b,
+      |  round(CAST(c_ab AS DOUBLE) / nu, 6) AS support,
+      |  round(CAST(c_ab AS DOUBLE) / ia.c, 6) AS confidence,
+      |  round(CAST(nu * c_ab AS DOUBLE) / (ia.c * ib.c), 6) AS lift
+      |FROM p JOIN item ia ON ia.t = ante JOIN item ib ON ib.t = cons, n""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -719,6 +773,7 @@ object EvalQueries {
     "dataset_card"     -> datasetCard,
     "join_incremental" -> joinIncremental,
     "join_set_similarity" -> joinSetSimilarity,
+    "assoc_rules"      -> assocRules,
   )
 
   val oracles: Map[String, String] = Map(
@@ -742,5 +797,6 @@ object EvalQueries {
     "dataset_card"     -> datasetCardSql,
     "join_incremental" -> joinIncrementalSql,
     "join_set_similarity" -> joinSetSimilaritySql,
+    "assoc_rules"      -> assocRulesSql,
   )
 }

@@ -100,6 +100,24 @@ object ScaleAudit {
     require(tokTotal == toks.count(),
       "coverage dropped or duplicated token instances")
 
+    // 5a. exact set-similarity join at scale: planted exact copies are
+    //     J=1 pairs it MUST return; candidate volume stays output-sized
+    //     because the rarest-first prefixes of unrelated word-soup docs
+    //     never collide (64^5 shingle space)
+    val simDocs = base.localCheckpoint() // un-augmented: copies stay exact
+    val sim = t("set-similarity-join")(
+      Joins.setSimilarityJoin(simDocs, "doc_id", "text", n = 5)
+        .localCheckpoint())
+    val copyPairs = sim.where(col("jac") === 1.0 &&
+        pmod(col("id_b"), lit(7)).isin(1, 2) &&
+        col("id_a") === col("id_b") - pmod(col("id_b"), lit(7))).count()
+    // donors with >= 5 tokens always yield both copy pairs; count planted
+    val copyPlanted = simDocs.where(pmod(col("doc_id"), lit(7)).isin(1, 2) &&
+        size(TextAnalysis.tokens(col("text"))) >= 5).count()
+    require(copyPairs >= copyPlanted,
+      s"set-sim join missed planted copies: $copyPairs < $copyPlanted")
+    println(s"SCALEAUDIT set-sim pairs=${sim.count()} planted-copy=$copyPairs")
+
     // 5. checksum manifest: identical under any partitioning
     def checksums(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
       df.select(col("source"),
