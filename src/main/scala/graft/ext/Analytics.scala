@@ -729,7 +729,10 @@ object Analytics {
       idCol: String, typeCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
-    val steps = events
+    // null event types are excluded BEFORE the lag: inside the stream
+    // they would both form (x, null) rows and silently break the chain
+    // around them (the ksDrift null rule)
+    val steps = events.where(col(typeCol).isNotNull)
       .select(col(keyCol), lag(col(typeCol), 1).over(w).as("from_type"),
         col(typeCol).as("to_type"))
       .where(col("from_type").isNotNull)

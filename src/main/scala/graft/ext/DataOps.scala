@@ -462,7 +462,10 @@ object DataOps {
   def curriculumBuckets(df: DataFrame, groupCol: String,
       ordCols: Seq[Column], nBuckets: Int): DataFrame = {
     require(nBuckets > 0)
+    // pin null ordering explicitly: Spark ASC defaults to NULLS FIRST,
+    // DuckDB (and Postgres) to NULLS LAST, so an unpinned order makes
+    // bucket assignment engine-dependent the moment a score is null
     df.withColumn("bucket", ntile(nBuckets).over(
-      Window.partitionBy(groupCol).orderBy(ordCols: _*)))
+      Window.partitionBy(groupCol).orderBy(ordCols.map(_.asc_nulls_first): _*)))
   }
 }

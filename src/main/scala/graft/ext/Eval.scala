@@ -32,7 +32,12 @@ object Eval {
     val p = predicted.cast("boolean")
     def ratio(num: Column, den: Column): Column =
       round(num.cast("double") / greatest(den, lit(1L)).cast("double"), 6)
-    df.groupBy(col(sliceCol))
+    // a null label or prediction belongs to NO confusion cell: keeping
+    // such rows would silently shrink tp+fp+fn+tn below the row count
+    // (sum skips null terms), so they are excluded up front (the
+    // ksDrift null rule)
+    df.where(y.isNotNull && p.isNotNull)
+      .groupBy(col(sliceCol))
       .agg(
         sum((y && p).cast("long")).as("tp"),
         sum((!y && p).cast("long")).as("fp"),
@@ -64,7 +69,8 @@ object Eval {
   def aucBySlice(df: DataFrame, sliceCol: String, scoreCol: String,
       label: Column): DataFrame = {
     val y = label.cast("boolean")
-    val counts = df.where(col(scoreCol).isNotNull)
+    // null scores have no rank and null labels belong to neither cohort
+    val counts = df.where(col(scoreCol).isNotNull && y.isNotNull)
       .groupBy(col(sliceCol), col(scoreCol))
       .agg(sum(y.cast("long")).as("__p"), sum((!y).cast("long")).as("__n"))
     val w = Window.partitionBy(sliceCol).orderBy(scoreCol)
@@ -93,7 +99,9 @@ object Eval {
     */
   def multiclassMetrics(df: DataFrame, labelCol: String,
       predCol: String): DataFrame = {
-    val cm = df.groupBy(col(labelCol).as("__y"), col(predCol).as("__p"))
+    val cm = df
+      .where(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).as("__y"), col(predCol).as("__p"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint(false) // three class-sized readers below
     def ratio(num: Column, den: Column): Column =
@@ -168,7 +176,7 @@ object Eval {
       nBins: Int = 10): DataFrame = {
     require(nBins > 0)
     val bin = least(floor(col(scoreCol) * nBins), lit(nBins - 1.0)).cast("long")
-    df.where(col(scoreCol).isNotNull)
+    df.where(col(scoreCol).isNotNull && label.isNotNull)
       .groupBy(bin.as("bin"))
       .agg(
         count(lit(1)).as("n"),

@@ -273,7 +273,8 @@ object EvalQueries {
 
   val curriculumNtileSql: String =
     """SELECT doc_id, source, n_chars,
-      |  CAST(ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+      |  CAST(ntile(4) OVER (PARTITION BY source
+      |    ORDER BY n_chars NULLS FIRST, doc_id NULLS FIRST)
       |       AS INTEGER) AS bucket
       |FROM documents""".stripMargin
 

@@ -241,6 +241,58 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(Analytics.welchT(df, "grp", "v", col("a")).count() == 0L)
   }
 
+  // ---- null hardening ------------------------------------------------------
+
+  test("null hardening: eval kernels exclude null labels/predictions/scores") {
+    val conf = Eval.binaryConfusion(
+      Seq(("s", Some(true), Some(true)), ("s", None, Some(true)),
+        ("s", Some(true), Option.empty[Boolean]))
+        .toDF("slice", "y", "p"), "slice", col("y"), col("p"))
+      .select("tp", "fp", "fn", "tn").as[(Long, Long, Long, Long)].head()
+    assert(conf == ((1L, 0L, 0L, 0L))) // cells still sum to the kept rows
+    val auc = Eval.aucBySlice(
+      Seq(("s", Some(2.0), Some(true)), ("s", Some(1.0), Some(false)),
+        ("s", Option.empty[Double], Some(true)), ("s", Some(9.0), Option.empty[Boolean]))
+        .toDF("slice", "score", "y"), "slice", "score", col("y"))
+      .select("n_pos", "n_neg", "auc").as[(Long, Long, Double)].head()
+    assert(auc == ((1L, 1L, 1.0)))
+    val cal = Eval.calibrationBins(
+      Seq((Some(0.55), Some(true)), (Some(0.55), Option.empty[Boolean]))
+        .toDF("score", "y"), "score", col("y"))
+      .select("n", "n_pos").as[(Long, Long)].head()
+    assert(cal == ((1L, 1L)))
+    val mc = Eval.multiclassMetrics(
+      Seq((Some(1L), Some(1L)), (Option.empty[Long], Some(1L)),
+        (Some(2L), Option.empty[Long])).toDF("y", "p"), "y", "p")
+      .select("clazz", "n_true", "tp", "n_pred")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(mc == Seq((1L, 1L, 1L, 1L)))
+  }
+
+  test("null hardening: markov excludes null types without breaking chains") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // a -> (null) -> b: the null row is dropped BEFORE the lag, so the
+    // observed transition is a -> b (the null never forms a pair)
+    val ev = Seq((1L, ts(0), 1L, Some("a")), (1L, ts(1), 2L, Option.empty[String]),
+        (1L, ts(2), 3L, Some("b")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.markovTransitions(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .select("from_type", "to_type", "cnt").as[(String, String, Long)].collect()
+    assert(got.toSeq == Seq(("a", "b", 1L)))
+  }
+
+  test("null hardening: curriculum null scores bucket first on every engine") {
+    val df = Seq(("g", Some(5L)), ("g", Option.empty[Long]), ("g", Some(1L)),
+      ("g", Some(9L))).toDF("src", "v")
+    val got = DataOps.curriculumBuckets(df, "src", Seq(col("v")), 2)
+      .select("v", "bucket").as[(Option[Long], Int)].collect()
+    // pinned NULLS FIRST: the null row leads bucket 1
+    assert(got.find(_._1.isEmpty).get._2 == 1)
+    assert(got.find(_._1.contains(9L)).get._2 == 2)
+  }
+
   // ---- Joins.setSimilarityJoin --------------------------------------------
 
   test("setsim: exact Jaccard pairs with integer verification") {
