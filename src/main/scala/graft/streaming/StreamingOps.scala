@@ -25,6 +25,14 @@ case class SessionState(startMs: Long, endMs: Long, numEvents: Long, totalValue:
 case class RunState(marker: String, headId: Long, headVal: Double,
     n: Long, startUs: Long, endUs: Long)
 
+/** Last-seen event type per entity, carried across micro-batches — the
+  * streaming half of `Analytics.markovTransitions`.
+  */
+case class LastTypeState(marker: String, lastUs: Long, lastId: Long)
+
+/** One observed transition step (the unit the Markov matrix counts). */
+case class TransitionStep(user_id: Long, from_type: String, to_type: String)
+
 object StreamingOps {
 
   /** Schema-pinned streaming read of an events-shaped parquet directory.
@@ -366,6 +374,36 @@ object StreamingOps {
         graft.ext.HashExprs.mix64(col("__k").bitwiseXOR(col("r")))
           .bitwiseAND(lit((width - 1).toLong)).as("cell"))
       .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+  }
+
+  /** Streaming Markov transition steps — `Analytics.markovTransitions`'
+    * pairing half on an unbounded log: per entity the state store keeps
+    * ONLY the last seen event type (O(1) per key, forever), and each
+    * arriving event emits its (from, to) step downstream, where any
+    * order-free count aggregation maintains the transition matrix. A
+    * transition spanning two micro-batches is paired correctly because
+    * the previous batch's tail type is in the state. Null types are
+    * dropped before pairing (the batch kernel's rule).
+    */
+  def markovPairsStream(events: Dataset[Event]): Dataset[TransitionStep] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.filter(e => e.event_type != null)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTypeState, TransitionStep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LastTypeState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = Seq.newBuilder[TransitionStep]
+          var last = state.getOption
+          for (e <- sorted) {
+            last.foreach(l => out += TransitionStep(userId, l.marker, e.event_type))
+            last = Some(LastTypeState(e.event_type, micros(e.ts), e.event_id))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
   }
 
   /** Streaming PII audit: per-group counts of every PII category over a

@@ -372,6 +372,28 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got == batch)
   }
 
+  test("streaming Markov steps match the batch transition counts") {
+    val stream = StreamingOps.eventsStream(spark, eventsDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val q = StreamingOps.markovPairsStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("markov_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // any order-free count over the emitted steps == the batch matrix
+    val streamed = spark.table("markov_out")
+      .groupBy("from_type", "to_type").count()
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = graft.ext.Analytics.markovTransitions(
+        Tables.events(spark, sfDir), "user_id", "ts", "event_id", "event_type")
+      .select("from_type", "to_type", "cnt")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._3).sum > 0L)
+  }
+
   test("streaming PII audit: per-source counts match the batch audit") {
     // stage a documents stream with deterministic PII planted in every
     // third row (the raw synthetic corpus has no digits at all)
