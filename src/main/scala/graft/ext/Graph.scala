@@ -78,6 +78,41 @@ object Graph {
       expr("CAST(r AS DOUBLE) / 1000000000000.0").as("rank"))
   }
 
+  /** Synchronous label-propagation communities on the undirected graph
+    * of `edges` (cols `a`, `b`), a FIXED number of rounds: labels start
+    * as node ids; each round every node adopts the most frequent label
+    * among its neighbors, ties to the smallest label. Both rules are
+    * deterministic (no async sweep order, no RNG), so the result is
+    * partitioning- and engine-invariant and replays round-for-round in
+    * SQL — the usual async LPA converges faster but is run-order-defined,
+    * which is unusable for a reproducible pipeline. Known property of the
+    * deterministic rule: at the all-distinct start EVERY round-1 vote is
+    * a tie, so a community holds against a single outside bridge only
+    * when its internal degree majority is ≥ 2 (a 3-clique's bridge
+    * endpoint leaks; a 4-clique's does not — pinned in Round6Spec).
+    *
+    * Scale: per round ONE key-partitioned join (labels onto edge
+    * sources) and ONE (dst, label)-granular counting aggregation with a
+    * `max_by` argmax — label volume is edge-sized, state node-sized;
+    * edges are computed once and barriered.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").cast("long").as("lab"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("max_by(lab, struct(__c, -lab))").as("lab"))
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
   /** Degree distribution of the undirected graph `edges` (cols `a`, `b`,
     * distinct `a < b` pairs): one row per occurring degree with the node
     * count — the first thing to look at before sizing any graph job

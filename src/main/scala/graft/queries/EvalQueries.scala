@@ -753,6 +753,37 @@ object EvalQueries {
       |  round(CAST(nu * c_ab AS DOUBLE) / (ia.c * ib.c), 6) AS lift
       |FROM p JOIN item ia ON ia.t = ante JOIN item ib ON ib.t = cons, n""".stripMargin
 
+  /** MATCH_RECOGNIZE-style sequence pattern detection (the Trino/Flink
+    * feature, Spark-first): each entity's ordered event-type stream
+    * becomes a compact symbol string (the five types have distinct
+    * initials), and a regex counts non-overlapping occurrences of the
+    * behavioral pattern "one-or-more views, then a click, then a
+    * purchase". One exchange to the entity key; the match itself is a
+    * row-local codegen regex — no NFA state machine, no self-joins.
+    */
+  val sequencePattern: QueryFn = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        e => e.getField("c"))).as("seq"))
+      .select(col("user_id"), length(col("seq")).cast("long").as("seq_len"),
+        coalesce(regexp_count(col("seq"), lit("v+cp")), lit(0))
+          .cast("long").as("n_matches"))
+      .where(col("n_matches") > 0)
+
+  val sequencePatternSql: String =
+    """WITH seqs AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'v+cp')) AS BIGINT) AS n_matches
+      |FROM seqs
+      |WHERE len(regexp_extract_all(seq, 'v+cp')) > 0""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -775,6 +806,7 @@ object EvalQueries {
     "join_incremental" -> joinIncremental,
     "join_set_similarity" -> joinSetSimilarity,
     "assoc_rules"      -> assocRules,
+    "sequence_pattern" -> sequencePattern,
   )
 
   val oracles: Map[String, String] = Map(
@@ -799,5 +831,6 @@ object EvalQueries {
     "join_incremental" -> joinIncrementalSql,
     "join_set_similarity" -> joinSetSimilaritySql,
     "assoc_rules"      -> assocRulesSql,
+    "sequence_pattern" -> sequencePatternSql,
   )
 }

@@ -117,6 +117,32 @@ object GraphQueries {
        |)
        |SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM bfs GROUP BY node""".stripMargin
 
+  /** 4-round synchronous label-propagation communities (deterministic
+    * most-frequent-neighbor rule, ties to the smallest label).
+    */
+  val graphLabelProp: QueryFn = (s, dir) =>
+    graft.ext.Graph.labelPropagation(coPurchase(s, dir), rounds = 4)
+
+  val graphLabelPropSql: String = {
+    def round(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT node, lab FROM (
+         |    SELECT e.dst AS node, l.lab, count(*) AS c
+         |    FROM edges e JOIN $prev l ON l.node = e.src
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, lab ASC) = 1
+         |)""".stripMargin
+    s"""$pairsCte, edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), l0 AS (
+       |  SELECT src AS node, CAST(src AS BIGINT) AS lab
+       |  FROM (SELECT DISTINCT src FROM edges)
+       |), ${round("l0", "l1")}, ${round("l1", "l2")},
+       |${round("l2", "l3")}, ${round("l3", "l4")}
+       |SELECT node, lab AS community FROM l4""".stripMargin
+  }
+
   /** Connected components of the co-purchase graph: each node labeled
     * with its component's smallest node id. Same engine as the near-dup
     * clustering (`Dedup.components` — driver union-find under the pair
@@ -563,6 +589,7 @@ object GraphQueries {
     "graph_bfs"       -> graphBfs,
     "graph_degrees"   -> graphDegrees,
     "graph_cc"        -> graphCc,
+    "graph_label_prop" -> graphLabelProp,
     "ts_ewma"         -> tsEwma,
     "ts_interpolate"  -> tsInterpolate,
     "attribution_linear" -> attributionLinear,
@@ -586,6 +613,7 @@ object GraphQueries {
     "graph_bfs"       -> graphBfsSql,
     "graph_degrees"   -> graphDegreesSql,
     "graph_cc"        -> graphCcSql,
+    "graph_label_prop" -> graphLabelPropSql,
     "ts_ewma"         -> tsEwmaSql,
     "ts_interpolate"  -> tsInterpolateSql,
     "attribution_linear" -> attributionLinearSql,

@@ -350,6 +350,34 @@ class Round6Spec extends AnyFunSuite with SparkTest {
       .exists(r => r == ((1L, 10L, 100L))))
   }
 
+  // ---- Graph.labelPropagation ---------------------------------------------
+
+  test("label propagation: two cliques joined by one bridge separate") {
+    // cliques {1..4} and {10..13} with bridge 4-10: the in-clique
+    // majority (3 neighbors) must defeat the single bridge vote — the
+    // documented requirement for a community to hold under the
+    // deterministic tie-to-min rule (at all-distinct init, EVERY round-1
+    // vote is a tie, so a 3-clique's bridge endpoint would leak)
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((4L, 10L))).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Set(1L, 2L, 3L, 4L).map(got) == Set(1L))
+    assert(Set(10L, 11L, 12L, 13L).map(got) == Set(10L))
+  }
+
+  test("label propagation: deterministic across partitionings") {
+    val edges = (0 until 300).map(i =>
+      ((i % 40).toLong, (40 + (i * 7) % 25).toLong)).toDF("a", "b")
+    val r1 = Graph.labelPropagation(edges.repartition(13), rounds = 4)
+      .as[(Long, Long)].collect().toSet
+    val r2 = Graph.labelPropagation(edges.repartition(2), rounds = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(r1 == r2)
+  }
+
   // ---- TextAnalysis.segmentSentences --------------------------------------
 
   test("sentences: terminators stay attached, positions stable, empties drop") {
