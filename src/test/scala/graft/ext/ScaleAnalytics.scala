@@ -129,6 +129,71 @@ object ScaleAnalytics {
         .where(col("is_outlier")).count()
     }
     assert(madOut == 0L, s"uniform values produced $madOut MAD outliers")
+
+    // markov: each user's stream is v,c,p,e,s,v,c,p — the transition
+    // matrix is closed-form: v→c ×2/user, c→p ×2/user, p→e, e→s, s→v
+    val markov = t("markov") {
+      Analytics.markovTransitions(ev, "user_id", "ts", "event_id",
+          "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+    }
+    val wantMk = Map(
+      ("view", "click") -> 2L * nUsers, ("click", "purchase") -> 2L * nUsers,
+      ("purchase", "error") -> nUsers, ("error", "signup") -> nUsers,
+      ("signup", "view") -> nUsers)
+    assert(markov.keySet == wantMk.keySet, s"transition set ${markov.keySet}")
+    wantMk.foreach { case (k, n) =>
+      assert(markov(k)._1 == n, s"$k count ${markov(k)._1} != $n")
+      assert(markov(k)._2 == 1.0, s"$k prob ${markov(k)._2} != 1.0 (cycle)")
+    }
+
+    // welch: even- vs odd-user values draw from the SAME uniform hash
+    // distribution, so |t| stays small at any scale; counts are exact
+    val welch = t("welch") {
+      Analytics.welchT(ev, "event_type", "value", col("user_id") % 2 === 0)
+        .collect()
+    }
+    assert(welch.length == types.size)
+    welch.foreach { r =>
+      val (na, nb, tW) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val perType = if (Seq("view", "click", "purchase")
+          .contains(r.getString(0))) 2L * nUsers else nUsers
+      assert(na + nb == perType, s"${r.getString(0)} cohorts $na+$nb")
+      assert(math.abs(tW) < 6.0, s"same-distribution |t| = $tW")
+    }
+
+    // lag-1 forecast metrics: exactly one head row per user drops (the
+    // user's first event is a 'view'), errors live in (-100, 100)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val reg = t("regression") {
+      Eval.regressionMetrics(
+        ev.withColumn("yhat", lag(col("value"), 1).over(w)),
+        "event_type", "value", "yhat").collect()
+    }
+    val regN = reg.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(regN("view") == nUsers && regN("click") == 2L * nUsers,
+      s"lag-1 head accounting off: $regN")
+    reg.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 100.0 &&
+        r.getDouble(3) >= r.getDouble(2) && r.getDouble(3) < 100.0,
+        s"${r.getString(0)} mae/rmse out of range")
+    }
+
+    // sequence pattern: every user's symbol string is 'vcpesvcp' —
+    // exactly two 'v+cp' matches, at any scale
+    val seqBad = t("seq-pattern") {
+      ev.groupBy("user_id")
+        .agg(concat_ws("", transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")))),
+          e => e.getField("c"))).as("seq"))
+        .where(expr("regexp_count(seq, 'v+cp')") =!= 2)
+        .count()
+    }
+    assert(seqBad == 0L, s"$seqBad users without exactly 2 pattern matches")
+
     println("ALL SCALE-ANALYTICS ASSERTIONS PASSED")
     spark.stop()
   }
