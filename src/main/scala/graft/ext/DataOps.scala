@@ -453,6 +453,32 @@ object DataOps {
       .unionByName(aOld.join(bDelta, keys))
       .unionByName(aDelta.join(bDelta, keys))
 
+  /** Data-contract validation: evaluate a set of named row-level rules
+    * and report one row per rule with its violation count and rate —
+    * the schema/range gate a pipeline runs on every ingested batch
+    * (unlike [[filterFunnel]], rules are INDEPENDENT: a row is checked
+    * against all of them, so the report localizes every defect class).
+    * A null rule verdict counts as a violation (unknown = not proven
+    * valid). ONE scalar aggregation, |rules|+1 longs of state, then the
+    * driver-free struct explode.
+    */
+  def validateContract(df: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty)
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        sum((!coalesce(pred, lit(false))).cast("long")).as(s"__v_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perRule = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col("__n").as("n_rows"),
+        col(s"__v_$i").as("n_violations"),
+        round(col(s"__v_$i").cast("double") /
+          greatest(col("__n"), lit(1L)).cast("double"), 6).as("violation_rate"))
+    }
+    row.select(explode(array(perRule: _*)).as("s")).select("s.*")
+  }
+
   /** Curriculum buckets: per group (source/domain), rank rows by the
     * given order and split them into `nBuckets` equal `ntile` buckets —
     * the difficulty-staging step of curriculum training (bucket 1 first).

@@ -784,6 +784,44 @@ object EvalQueries {
       |FROM seqs
       |WHERE len(regexp_extract_all(seq, 'v+cp')) > 0""".stripMargin
 
+  /** Data-contract gate over the documents batch: independent named
+    * rules, one violation-count row each (see
+    * [[graft.ext.DataOps.validateContract]]).
+    */
+  val validateContractQ: QueryFn = (s, dir) =>
+    DataOps.validateContract(Tables.documents(s, dir), Seq(
+      ("doc_id_present", col("doc_id").isNotNull),
+      ("text_nonempty", col("text").isNotNull && trim(col("text")) =!= ""),
+      ("lang_known", col("lang").isin("en", "es", "de", "fr", "zh")),
+      ("n_chars_consistent", col("n_chars") === length(col("text"))),
+      ("n_chars_range", col("n_chars").between(1, 100000))))
+
+  val validateContractSql: String =
+    """WITH a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN NOT coalesce(doc_id IS NOT NULL, false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(sum(CASE WHEN NOT coalesce(text IS NOT NULL AND trim(text) <> '', false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |    CAST(sum(CASE WHEN NOT coalesce(lang IN ('en','es','de','fr','zh'), false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |    CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+      |    CAST(sum(CASE WHEN NOT coalesce(n_chars BETWEEN 1 AND 100000, false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v5
+      |  FROM documents
+      |)
+      |SELECT 'doc_id_present' AS rule, n AS n_rows, v1 AS n_violations,
+      |  round(CAST(v1 AS DOUBLE) / greatest(n, 1), 6) AS violation_rate FROM a
+      |UNION ALL SELECT 'text_nonempty', n, v2,
+      |  round(CAST(v2 AS DOUBLE) / greatest(n, 1), 6) FROM a
+      |UNION ALL SELECT 'lang_known', n, v3,
+      |  round(CAST(v3 AS DOUBLE) / greatest(n, 1), 6) FROM a
+      |UNION ALL SELECT 'n_chars_consistent', n, v4,
+      |  round(CAST(v4 AS DOUBLE) / greatest(n, 1), 6) FROM a
+      |UNION ALL SELECT 'n_chars_range', n, v5,
+      |  round(CAST(v5 AS DOUBLE) / greatest(n, 1), 6) FROM a""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -807,6 +845,7 @@ object EvalQueries {
     "join_set_similarity" -> joinSetSimilarity,
     "assoc_rules"      -> assocRules,
     "sequence_pattern" -> sequencePattern,
+    "validate_contract" -> validateContractQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -832,5 +871,6 @@ object EvalQueries {
     "join_set_similarity" -> joinSetSimilaritySql,
     "assoc_rules"      -> assocRulesSql,
     "sequence_pattern" -> sequencePatternSql,
+    "validate_contract" -> validateContractSql,
   )
 }

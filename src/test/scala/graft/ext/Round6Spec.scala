@@ -153,6 +153,25 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(got == ((2L, 1L, 1L)))
   }
 
+  // ---- DataOps.validateContract -------------------------------------------
+
+  test("contract: rules are independent — one row can violate several") {
+    val df = Seq((1L, 5), (2L, -1), (-3L, -2)).toDF("id", "v")
+    val got = DataOps.validateContract(df, Seq(
+        ("id_pos", col("id") > 0), ("v_pos", col("v") > 0)))
+      .select("rule", "n_rows", "n_violations")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    // row 3 violates BOTH rules (unlike the funnel's first-fail charge)
+    assert(got.toSeq == Seq(("id_pos", 3L, 1L), ("v_pos", 3L, 2L)))
+  }
+
+  test("contract: a null verdict is a violation, not a pass") {
+    val df = Seq(Some(1), None).toDF("v")
+    val got = DataOps.validateContract(df, Seq(("v_pos", col("v") > 0)))
+      .select("n_violations").as[Long].head()
+    assert(got == 1L)
+  }
+
   // ---- DataOps.curriculumBuckets ------------------------------------------
 
   test("curriculum: ntile buckets are balanced per group, order pinned") {
