@@ -822,6 +822,51 @@ object EvalQueries {
       |UNION ALL SELECT 'n_chars_range', n, v5,
       |  round(CAST(v5 AS DOUBLE) / greatest(n, 1), 6) FROM a""".stripMargin
 
+  /** Deterministic bootstrap of a classifier metric: 200 resamples of
+    * the corpus WITH replacement — each draw a pure mix64 function of
+    * (replica, slot), no RNG — and per-replica accuracy of the length
+    * classifier, the distribution a confidence interval is read from.
+    * Restart/engine-invariant where classical bootstrap is not; the
+    * resample join is key-equi on dense doc ids (draws broadcast at this
+    * replica count, corpus never reshuffles).
+    */
+  val evalBootstrap: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        ((col("lang") === "en") === (col("n_chars") >= 300)).as("__correct"))
+    val n = docs.count()
+    val B = 200L
+    val draws = s.range(0, n * B).select(
+      expr(s"id div $n").as("replica"),
+      pmod(graft.ext.HashExprs.mix64(col("id")), lit(n)).as("doc_id"))
+    draws.join(docs, Seq("doc_id"))
+      .groupBy("replica")
+      .agg(count(lit(1)).as("n_drawn"),
+        round(sum(col("__correct").cast("long")).cast("double") /
+          count(lit(1)), 6).as("acc"))
+  }
+
+  val evalBootstrapSql: String =
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |d0 AS (
+       |  SELECT unnest(generate_series(0,
+       |    (SELECT n * 200 - 1 FROM nn))) AS id
+       |),
+       |${ExtQueries.mix64Cte("d0", "id")},
+       |draws AS (
+       |  SELECT id // nn.n AS replica,
+       |    ((hv % nn.n) + nn.n) % nn.n AS doc_id
+       |  FROM hs, nn
+       |), d AS (
+       |  SELECT doc_id, ((lang = 'en') = (n_chars >= 300)) AS correct
+       |  FROM documents
+       |)
+       |SELECT replica, CAST(count(*) AS BIGINT) AS n_drawn,
+       |  round(CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 6) AS acc
+       |FROM draws JOIN d USING (doc_id)
+       |GROUP BY replica""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -846,6 +891,7 @@ object EvalQueries {
     "assoc_rules"      -> assocRules,
     "sequence_pattern" -> sequencePattern,
     "validate_contract" -> validateContractQ,
+    "eval_bootstrap"   -> evalBootstrap,
   )
 
   val oracles: Map[String, String] = Map(
@@ -872,5 +918,6 @@ object EvalQueries {
     "assoc_rules"      -> assocRulesSql,
     "sequence_pattern" -> sequencePatternSql,
     "validate_contract" -> validateContractSql,
+    "eval_bootstrap"   -> evalBootstrapSql,
   )
 }
