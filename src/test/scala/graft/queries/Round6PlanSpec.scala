@@ -79,4 +79,25 @@ class Round6PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Window"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("join_set_similarity: shuffle-hash joins, never a corpus broadcast") {
+    val p = plan(EvalQueries.joinSetSimilarity(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    // the checkpointed shingle frames must not gamble on broadcast
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("assoc_rules: item counts broadcast onto the pair table") {
+    val p = plan(EvalQueries.assocRules(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sequence_pattern: one entity-keyed aggregation, regex row-local") {
+    val p = plan(EvalQueries.sequencePattern(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
