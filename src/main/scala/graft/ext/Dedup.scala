@@ -137,6 +137,60 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Incremental MinHash-LSH maintenance: near-dup pairs INVOLVING the
+    * rows marked by `isNew` — the per-period fuzzy-dedup step (the fuzzy
+    * counterpart of [[incrementalNew]]'s exact digest anti-join). The
+    * result equals the full [[minhashPairs]] output filtered to pairs
+    * with a new side, but the candidate join fans out ONLY the new
+    * batch's band rows against the corpus index: exchange volume scales
+    * with the period, not the corpus². In production the old side's
+    * (band, h, id) table IS the stored LSH index (rebuilt here from text
+    * so the oracle can replay it); the bucket-occupancy skew gate counts
+    * the FULL index either way — batch parity requires it, and a bucket
+    * that is noise for the corpus is noise for the period too.
+    */
+  def minhashPairsIncremental(
+      df: DataFrame, isNew: Column, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Long = 500): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = DataOps.parallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("__t"),
+          isNew.as("__new")))
+      .select(col("id"), col("__new"), MinHashSig.minhash_signature(
+        TextShingles.word_shingle_hashes(col("__t"), 3), numHashes).as("sig"))
+      .localCheckpoint(true)
+    val banded = sigs
+      .select(col("id"), col("__new"),
+        explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+      .select(col("id"), col("__new"), col("bh.band").as("band"),
+        col("bh.h").as("h"))
+    val pruned = banded
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "h")))
+      .where(col("__bn") >= 2 && col("__bn") <= maxBucket)
+      .drop("__bn")
+    val newSide = pruned.where(col("__new"))
+    val candidates = newSide
+      .select(col("band"), col("h"), col("id").as("id_n"))
+      .join(pruned.select(col("band"), col("h"), col("id").as("id_o")),
+        Seq("band", "h"))
+      .where(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast("double") / lit(numHashes.toDouble))
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Connected components over a near-duplicate pair list: min-label
     * propagation with pointer jumping to a fixed point, returning
     * (id, cluster_id).

@@ -867,6 +867,20 @@ object EvalQueries {
        |FROM draws JOIN d USING (doc_id)
        |GROUP BY replica""".stripMargin
 
+  /** Incremental fuzzy dedup: MinHash-LSH pairs involving the latest
+    * period (doc_id % 5 = 0 standing in for the new batch) — the oracle
+    * is the FULL batch chain filtered to new-side pairs, proving the
+    * index-probe path returns exactly the batch answer.
+    */
+  val dedupMinhashIncremental: QueryFn = (s, dir) =>
+    graft.ext.Dedup.minhashPairsIncremental(
+      Tables.documents(s, dir), col("doc_id") % 5 === 0, "doc_id", "text")
+
+  val dedupMinhashIncrementalSql: String =
+    s"""SELECT id_a, id_b FROM (
+       |${ExtQueries.dedupMinhashSql}
+       |) WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -892,6 +906,7 @@ object EvalQueries {
     "sequence_pattern" -> sequencePattern,
     "validate_contract" -> validateContractQ,
     "eval_bootstrap"   -> evalBootstrap,
+    "dedup_minhash_incremental" -> dedupMinhashIncremental,
   )
 
   val oracles: Map[String, String] = Map(
@@ -919,5 +934,6 @@ object EvalQueries {
     "sequence_pattern" -> sequencePatternSql,
     "validate_contract" -> validateContractSql,
     "eval_bootstrap"   -> evalBootstrapSql,
+    "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
   )
 }

@@ -350,6 +350,21 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(truth.nonEmpty, "fixture produced no similar pairs — not a test")
   }
 
+  // ---- Dedup.minhashPairsIncremental --------------------------------------
+
+  test("incremental minhash == batch pairs filtered to the new side") {
+    val docs = ScaleExt.generate(spark, 3000)
+    val batch = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val inc = Dedup.minhashPairsIncremental(docs,
+        col("doc_id") % 5 === 0, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val expected = batch.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(inc == expected)
+    assert(inc.nonEmpty, "planted corpus must yield new-side pairs")
+    assert(batch.size > inc.size, "filter must actually restrict")
+  }
+
   // ---- DataOps.incrementalJoinDelta ---------------------------------------
 
   test("incremental join: old + delta terms == direct full join, disjointly") {
