@@ -94,6 +94,22 @@ class Round6PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("eval_bootstrap: the corpus side broadcasts under the draw table") {
+    val p = plan(EvalQueries.evalBootstrap(spark, dir))
+    // the n×B draw table must NOT be the build side — the (doc_id,
+    // correct) projection is the small one at every SF ratio
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("dedup_minhash_incremental: new-side candidates, no corpus broadcast") {
+    val p = plan(EvalQueries.dedupMinhashIncremental(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the band-bucket candidate join is a key-equi join on (band, h)
+    assert(p.contains("Join"), p)
+  }
+
   test("sequence_pattern: one entity-keyed aggregation, regex row-local") {
     val p = plan(EvalQueries.sequencePattern(spark, dir))
     assert(!p.contains("Window"), p)
