@@ -713,6 +713,79 @@ object Analytics {
         col("t_welch"))
   }
 
+  /** Chi-squared independence test between two categorical columns,
+    * with degrees of freedom and Cramér's V — the association audit
+    * between, say, language and source (a corpus where they correlate
+    * has a sampling skew to explain). Exactness: each cell's statistic
+    * is `(o·n − r·c)² / (r·c·n)` — an INTEGER numerator and denominator
+    * with one division, rounded at 6 and summed in DECIMAL, so the
+    * whole test replays bit-for-bit. Rows with a null in either column
+    * are excluded (they belong to no cell).
+    *
+    * Scale: one aggregation to cell granularity (k·m rows), two tiny
+    * marginal aggregations broadcast back onto the cells.
+    */
+  def chi2Independence(df: DataFrame, colA: String,
+      colB: String): DataFrame = {
+    val cells = df.where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(false) // feeds both marginals and the term sum
+    val rowT = cells.groupBy("__a").agg(sum(col("__o")).as("__r"))
+    val colT = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__k"), countDistinct(col("__b")).as("__m"))
+    val num = (col("__o") * col("__n") - col("__r") * col("__c"))
+    cells.join(broadcast(rowT), Seq("__a"))
+      .join(broadcast(colT), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(
+        first(col("__n")).as("n"),
+        ((first(col("__k")) - 1L) * (first(col("__m")) - 1L)).as("df"),
+        sum(round((num * num).cast("double") /
+          (col("__r") * col("__c") * col("__n")).cast("double"), 6)
+          .cast("decimal(30,6)")).cast("double").as("chi2"),
+        least(first(col("__k")), first(col("__m"))).as("__minkm"))
+      .withColumn("cramers_v",
+        round(sqrt(col("chi2") /
+          (col("n") * (col("__minkm") - 1L)).cast("double")), 6))
+      .drop("__minkm")
+  }
+
+  /** Per-group KL divergence of a key distribution from the global one
+    * — the domain-shift / mixture audit (how far each source's token
+    * mix sits from the corpus blend). Probabilities are exact integer
+    * ratios; each `p·ln(p/q)` term is round(6) DECIMAL-summed (the
+    * entropy-term discipline — the ln ulp is absorbed by the rounding).
+    * Q has full support over every group's keys by construction
+    * (the global distribution includes every group), so no term is
+    * ever log-of-zero.
+    *
+    * Scale: one aggregation to (group, key), one to key, one tiny
+    * totals frame — the global key table joins the group table
+    * key-partitioned; state is vocabulary-sized, never row-sized.
+    */
+  def klFromGlobal(df: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    val gk = df.where(col(keyCol).isNotNull)
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(false)
+    val g = gk.groupBy(col(groupCol)).agg(sum(col("__o")).as("__ng"))
+    val k = gk.groupBy(col(keyCol)).agg(sum(col("__o")).as("__ok"))
+    val tot = gk.agg(sum(col("__o")).as("__n"))
+    gk.join(broadcast(g), Seq(groupCol))
+      .join(k, Seq(keyCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("__p", col("__o").cast("double") / col("__ng").cast("double"))
+      .withColumn("__q", col("__ok").cast("double") / col("__n").cast("double"))
+      .groupBy(col(groupCol))
+      .agg(first(col("__ng")).as("n_keys_obs"),
+        sum(round(col("__p") * log(col("__p") / col("__q")), 6)
+          .cast("decimal(30,6)")).cast("double").as("kl"))
+      .withColumnRenamed("n_keys_obs", "n_obs")
+  }
+
   /** First-order Markov transition matrix over each entity's event
     * stream: counts of consecutive (from_type → to_type) steps and the
     * row-normalized transition probability — the behavioral-model /

@@ -881,6 +881,71 @@ object EvalQueries {
        |${ExtQueries.dedupMinhashSql}
        |) WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin
 
+  /** Chi-squared independence of language × source — the sampling-skew
+    * audit (integer-numerator cells, one division each; see
+    * [[graft.ext.Analytics.chi2Independence]]).
+    */
+  val statsChi2: QueryFn = (s, dir) =>
+    Analytics.chi2Independence(Tables.documents(s, dir), "lang", "source")
+      .select("n", "df", "chi2", "cramers_v")
+
+  val statsChi2Sql: String =
+    """WITH cells AS (
+      |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      |  GROUP BY 1, 2
+      |), r AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT a) AS BIGINT) AS k,
+      |    CAST(count(DISTINCT b) AS BIGINT) AS m
+      |  FROM cells
+      |), agg AS (
+      |  SELECT any_value(t.n) AS n,
+      |    (any_value(t.k) - 1) * (any_value(t.m) - 1) AS df,
+      |    CAST(sum(CAST(round(
+      |      CAST((o * t.n - rt * ct) * (o * t.n - rt * ct) AS DOUBLE)
+      |        / (rt * ct * t.n), 6) AS DECIMAL(30,6))) AS DOUBLE) AS chi2,
+      |    least(any_value(t.k), any_value(t.m)) AS minkm
+      |  FROM cells JOIN r USING (a) JOIN c USING (b), t
+      |)
+      |SELECT n, df, chi2,
+      |  round(sqrt(chi2 / (n * (minkm - 1))), 6) AS cramers_v
+      |FROM agg""".stripMargin
+
+  /** Per-source KL divergence of the token distribution from the corpus
+    * blend — the domain-shift audit behind mixture reweighting (see
+    * [[graft.ext.Analytics.klFromGlobal]]).
+    */
+  val mixtureKl: QueryFn = (s, dir) =>
+    Analytics.klFromGlobal(
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+        .where(col("word") =!= ""),
+      "source", "word")
+      .select("source", "n_obs", "kl")
+
+  val mixtureKlSql: String =
+    """WITH t2 AS (
+      |  SELECT source, word FROM (
+      |    SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      |    FROM documents)
+      |  WHERE word <> ''
+      |), gk AS (
+      |  SELECT source, word, CAST(count(*) AS BIGINT) AS o
+      |  FROM t2 GROUP BY 1, 2
+      |), g AS (SELECT source, CAST(sum(o) AS BIGINT) AS ng FROM gk GROUP BY 1),
+      |k AS (SELECT word, CAST(sum(o) AS BIGINT) AS ok FROM gk GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM gk)
+      |SELECT source, any_value(ng) AS n_obs,
+      |  CAST(sum(CAST(round(
+      |    (CAST(o AS DOUBLE) / ng) * ln((CAST(o AS DOUBLE) / ng)
+      |      / (CAST(ok AS DOUBLE) / t.n)), 6) AS DECIMAL(30,6))) AS DOUBLE) AS kl
+      |FROM gk JOIN g USING (source) JOIN k USING (word), t
+      |GROUP BY source""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -907,6 +972,8 @@ object EvalQueries {
     "validate_contract" -> validateContractQ,
     "eval_bootstrap"   -> evalBootstrap,
     "dedup_minhash_incremental" -> dedupMinhashIncremental,
+    "stats_chi2"       -> statsChi2,
+    "mixture_kl"       -> mixtureKl,
   )
 
   val oracles: Map[String, String] = Map(
@@ -935,5 +1002,7 @@ object EvalQueries {
     "validate_contract" -> validateContractSql,
     "eval_bootstrap"   -> evalBootstrapSql,
     "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
+    "stats_chi2"       -> statsChi2Sql,
+    "mixture_kl"       -> mixtureKlSql,
   )
 }

@@ -431,6 +431,43 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(got.filter(_._1 == 3L).map(_._3).toSeq == Seq("One sentence only"))
   }
 
+  // ---- Analytics.chi2Independence / klFromGlobal ---------------------------
+
+  test("chi2: textbook 2x2 value; independent table scores ~0") {
+    // contingency [[10, 20], [30, 40]]: chi2 = n*(ad-bc)^2/(r1*r2*c1*c2)
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(40)(("y", "v"))
+    val got = Analytics.chi2Independence(rows.toDF("a", "b"), "a", "b")
+      .select("n", "df", "chi2", "cramers_v")
+      .as[(Long, Long, Double, Double)].head()
+    val expected = 100.0 * math.pow(10 * 40 - 20 * 30, 2) /
+      (30.0 * 70.0 * 40.0 * 60.0)
+    assert(got._1 == 100L && got._2 == 1L)
+    assert(math.abs(got._3 - expected) < 1e-4, s"chi2 ${got._3} != $expected")
+    // perfectly proportional table: chi2 exactly 0
+    val indep = Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(20)(("y", "v"))
+    val z = Analytics.chi2Independence(indep.toDF("a", "b"), "a", "b")
+      .select("chi2").as[Double].head()
+    assert(z == 0.0)
+  }
+
+  test("kl: identical-mix groups diverge 0; skewed group positive") {
+    // group g1 matches the global mix exactly when both groups do;
+    // here g1 is all-'a', g2 all-'b' -> each diverges ln(2) from the blend
+    val rows = Seq.fill(10)(("g1", "a")) ++ Seq.fill(10)(("g2", "b"))
+    val got = Analytics.klFromGlobal(rows.toDF("g", "w"), "g", "w")
+      .select("g", "kl").as[(String, Double)].collect().toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("g1") == ln2 && got("g2") == ln2)
+    val same = Seq.fill(5)(("g1", "a")) ++ Seq.fill(5)(("g1", "b")) ++
+      Seq.fill(5)(("g2", "a")) ++ Seq.fill(5)(("g2", "b"))
+    val z = Analytics.klFromGlobal(same.toDF("g", "w"), "g", "w")
+      .select("kl").as[Double].collect()
+    assert(z.forall(_ == 0.0))
+  }
+
   // ---- Analytics.markovTransitions ----------------------------------------
 
   test("markov: transition counts and row-normalized probabilities") {
