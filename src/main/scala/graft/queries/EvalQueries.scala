@@ -946,6 +946,28 @@ object EvalQueries {
       |FROM gk JOIN g USING (source) JOIN k USING (word), t
       |GROUP BY source""".stripMargin
 
+  /** l-diversity audit — k-anonymity's companion check: a quasi-id
+    * group can be large enough (k) yet still leak if every member
+    * shares one sensitive value, so each (lang, source) group reports
+    * its size, its count of DISTINCT sensitive values (the length
+    * quartile standing in for the sensitive attribute), and whether it
+    * meets l=2. One aggregation to group granularity.
+    */
+  val anonymizeLdiv: QueryFn = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 125").as("__sens")) // integer div == DuckDB //
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("__sens")).as("n_sensitive"))
+      .withColumn("meets_l2", col("n_sensitive") >= 2)
+
+  val anonymizeLdivSql: String =
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT n_chars // 125) AS BIGINT) AS n_sensitive,
+      |  count(DISTINCT n_chars // 125) >= 2 AS meets_l2
+      |FROM documents GROUP BY lang, source""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -974,6 +996,7 @@ object EvalQueries {
     "dedup_minhash_incremental" -> dedupMinhashIncremental,
     "stats_chi2"       -> statsChi2,
     "mixture_kl"       -> mixtureKl,
+    "anonymize_ldiv"   -> anonymizeLdiv,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1004,5 +1027,6 @@ object EvalQueries {
     "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
     "stats_chi2"       -> statsChi2Sql,
     "mixture_kl"       -> mixtureKlSql,
+    "anonymize_ldiv"   -> anonymizeLdivSql,
   )
 }
