@@ -140,6 +140,32 @@ object Eval {
     firstRel.withColumn("rr", rrLookup)
   }
 
+  /** Average precision per query from a ranked result: AP =
+    * (Σ over relevant hits at rank i of precision@i) / n_relevant,
+    * within the top `k`. precision@i = hits_so_far / i is one integer
+    * ratio rounded at 6; the AP division is one more — so slice-level
+    * MAP (a DECIMAL mean of `ap`) replays exactly. Queries with no
+    * relevant hit in the top k score 0 (the retrieval convention).
+    */
+  def averagePrecision(ranked: DataFrame, queryCol: String, rankCol: String,
+      relevant: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    val w = Window.partitionBy(col(queryCol)).orderBy(col(rankCol))
+    ranked.where(col(rankCol) <= k)
+      .withColumn("__hits", sum(relevant.cast("long")).over(w))
+      .withColumn("__pAt",
+        when(relevant, round(col("__hits").cast("double") /
+          col(rankCol).cast("double"), 6)))
+      .groupBy(col(queryCol))
+      .agg(max(col("__hits")).as("n_rel"),
+        coalesce(sum(col("__pAt").cast("decimal(30,6)")), lit(0))
+          .cast("double").as("__sum"))
+      .withColumn("ap",
+        when(col("n_rel") === 0L, 0.0)
+          .otherwise(round(col("__sum") / col("n_rel").cast("double"), 6)))
+      .drop("__sum")
+  }
+
   /** Per-slice regression error metrics (MAE / RMSE) for a prediction
     * column: per-term round(6) DECIMAL sums (order-independent), one
     * division each, one final sqrt — the forecast-quality gate for the

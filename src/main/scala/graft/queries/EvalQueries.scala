@@ -968,6 +968,65 @@ object EvalQueries {
       |  count(DISTINCT n_chars // 125) >= 2 AS meets_l2
       |FROM documents GROUP BY lang, source""".stripMargin
 
+  /** MAP@10 of exact cosine retrieval with same-label relevance, sliced
+    * by query label — completes the retrieval-eval triad (MRR weights
+    * the first hit, NDCG the positions, MAP the precision profile).
+    * Each precision@i is one integer ratio; slice means are DECIMAL.
+    */
+  val rankMap: QueryFn = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.orderBy("vec_id").limit(20)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val nn = graft.ext.Similarity.cosineTopK(queries, emb, k = 10)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), Seq("neighbor_id"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), Seq("query_id"))
+    graft.ext.Eval.averagePrecision(nn, "query_id", "rank",
+        col("nl") === col("ql"), k = 10)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("label")), Seq("query_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(round(col("ap"), 6).cast("decimal(30,6)")).cast("double")
+          / count(lit(1)), 6).as("map"))
+  }
+
+  val rankMapSql: String =
+    """WITH q AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT 20),
+      |nn AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+      |                 e.vec_id ASC) AS rank
+      |    FROM q, embeddings e WHERE q.vec_id <> e.vec_id
+      |  ) WHERE rank <= 10
+      |), r AS (
+      |  SELECT nn.query_id, nn.rank, (en.label = eq.label) AS rel
+      |  FROM nn
+      |  JOIN embeddings en ON en.vec_id = nn.neighbor_id
+      |  JOIN embeddings eq ON eq.vec_id = nn.query_id
+      |), h AS (
+      |  SELECT query_id, rank, rel,
+      |    sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (PARTITION BY query_id
+      |      ORDER BY rank ROWS UNBOUNDED PRECEDING) AS hits
+      |  FROM r
+      |), ap AS (
+      |  SELECT query_id, max(hits) AS n_rel,
+      |    CASE WHEN max(hits) = 0 THEN 0.0
+      |         ELSE round(CAST(coalesce(sum(CASE WHEN rel THEN
+      |                CAST(round(CAST(hits AS DOUBLE) / rank, 6) AS DECIMAL(30,6))
+      |              END), 0) AS DOUBLE) / max(hits), 6) END AS ap
+      |  FROM h GROUP BY query_id
+      |)
+      |SELECT CAST(e.label AS BIGINT) AS label,
+      |  CAST(count(*) AS BIGINT) AS n_queries,
+      |  round(CAST(sum(CAST(round(ap.ap, 6) AS DECIMAL(30,6))) AS DOUBLE)
+      |        / count(*), 6) AS map
+      |FROM ap JOIN embeddings e ON e.vec_id = ap.query_id
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -997,6 +1056,7 @@ object EvalQueries {
     "stats_chi2"       -> statsChi2,
     "mixture_kl"       -> mixtureKl,
     "anonymize_ldiv"   -> anonymizeLdiv,
+    "rank_map"         -> rankMap,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1028,5 +1088,6 @@ object EvalQueries {
     "stats_chi2"       -> statsChi2Sql,
     "mixture_kl"       -> mixtureKlSql,
     "anonymize_ldiv"   -> anonymizeLdivSql,
+    "rank_map"         -> rankMapSql,
   )
 }

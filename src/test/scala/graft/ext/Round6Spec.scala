@@ -220,6 +220,50 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(got == 0.0)
   }
 
+  // ---- Eval.averagePrecision ----------------------------------------------
+
+  test("eval: average precision matches the hand-computed profile") {
+    // query 1: rel at ranks 1 and 3 -> AP = (1/1 + 2/3) / 2 = 0.833334
+    // (each precision@i is rounded at 6 BEFORE the mean — the replay rule)
+    // query 2: no relevant -> AP = 0
+    val ranked = Seq(
+      (1L, 1, true), (1L, 2, false), (1L, 3, true),
+      (2L, 1, false), (2L, 2, false)).toDF("query_id", "rank", "rel")
+    val got = Eval.averagePrecision(ranked, "query_id", "rank",
+        col("rel"), k = 10)
+      .select("query_id", "n_rel", "ap")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val ap1 = BigDecimal((1.0 + BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, 2L, ap1)))
+    assert(got(1) == ((2L, 0L, 0.0)))
+  }
+
+  // ---- eval_bootstrap cross-check ------------------------------------------
+
+  test("bootstrap replicas == in-memory mix64 resampling") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.EvalQueries.evalBootstrap(spark, dir)
+      .select("replica", "n_drawn", "acc")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val correct = docs.map(d => d._1 -> ((d._2 == "en") == (d._3 >= 300))).toMap
+    val n = docs.length.toLong
+    val expected = (0L until 200L).map { b =>
+      val hits = (0L until n).count { i =>
+        val id = b * n + i
+        val pick = java.lang.Math.floorMod(Aggs.mix64(id), n)
+        correct(pick)
+      }
+      b -> ((n, BigDecimal(hits.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    assert(got == expected)
+  }
+
   // ---- Eval.regressionMetrics ---------------------------------------------
 
   test("eval: MAE/RMSE are exact on integer-valued errors") {

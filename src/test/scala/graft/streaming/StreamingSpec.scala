@@ -394,6 +394,43 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed.map(_._3).sum > 0L)
   }
 
+  test("streaming Markov pairs transitions ACROSS micro-batches via state") {
+    // stage two time-ordered files and force one file per trigger, so a
+    // user's stream is split across two batches: the cut-spanning
+    // transition can only be paired through the persisted last-type state
+    val dir = Files.createTempDirectory("markov-batches").toString
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.selectExpr("percentile_approx(ts, 0.5)").as[java.sql.Timestamp].head()
+    ev.where(col("ts") <= cut).coalesce(1).write.parquet(s"$dir/b=0")
+    ev.where(col("ts") > cut).coalesce(1).write.parquet(s"$dir/b=1")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/b=*")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val q = StreamingOps.markovPairsStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("markov_xbatch")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("markov_xbatch")
+      .groupBy("from_type", "to_type").count()
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = graft.ext.Analytics.markovTransitions(ev,
+        "user_id", "ts", "event_id", "event_type")
+      .select("from_type", "to_type", "cnt")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed == batch)
+    // and transitions genuinely spanned the cut (state was exercised)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val nSpan = ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("prev_ts") <= cut && col("ts") > cut).count()
+    assert(nSpan > 0L, "fixture produced no cut-spanning transitions")
+  }
+
   test("streaming PII audit: per-source counts match the batch audit") {
     // stage a documents stream with deterministic PII planted in every
     // third row (the raw synthetic corpus has no digits at all)
