@@ -21,8 +21,12 @@ import graft.ext.{HashExprs, MinHashSig, SimHash64, VectorExprs}
   * BIGINT-array of shingle hashes; k must be a literal).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // token-count idiom -> native one-pass kernel (bit-identical; see
+    // RewriteTokenCount)
+    ext.injectOptimizerRule(_ => RewriteTokenCount)
+  }
 }
 
 object GraftExtensions {
