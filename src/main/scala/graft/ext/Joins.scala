@@ -186,11 +186,13 @@ object Joins {
     val freq = sh.groupBy("h").agg(count(lit(1)).as("__f"))
     // per-doc shingles sorted by (freq, hash): the global order exists
     // only inside each row's array — no rank table, no global window.
-    // Every corpus-scale join below is pinned shuffle-hash: the
+    // Every corpus-scale join below is pinned sort-merge: the
     // checkpointed frames carry no size statistics, so the planner would
     // otherwise gamble on broadcasting a corpus-sized side (observed OOM
-    // at 100k docs — the shingle table is ~160 rows per doc)
-    val sorted = sh.join(freq.hint("shuffle_hash"), Seq("h"))
+    // at 100k docs — the shingle table is ~160 rows per doc), and a
+    // shuffle-hash build side has no spill path (observed "cannot
+    // acquire memory to build hash relation" at 200k docs); SMJ spills
+    val sorted = sh.join(freq.hint("merge"), Seq("h"))
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__f"), col("h"))))
         .as("__s"))
@@ -205,7 +207,7 @@ object Joins {
         posexplode(col("__s")).as(Seq("__pos", "__e")), col("__plen"))
       .where(col("__pos") < col("__plen"))
       .select(col("__id"), col("__n"), col("__e.h").as("h"))
-    val cand = pref.as("a").join(pref.as("b").hint("shuffle_hash"),
+    val cand = pref.as("a").join(pref.as("b").hint("merge"),
         col("a.h") === col("b.h") && col("a.__id") < col("b.__id") &&
           // J ≥ p/q forces q·min(n) ≥ p·max(n)
           lit(q) * least(col("a.__n"), col("b.__n")) >=
@@ -215,9 +217,9 @@ object Joins {
       .distinct()
     val inter = cand
       .join(sh.select(col("__id").as("id_a"), col("h"))
-        .hint("shuffle_hash"), Seq("id_a"))
+        .hint("merge"), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("h"))
-        .hint("shuffle_hash"), Seq("id_b", "h"))
+        .hint("merge"), Seq("id_b", "h"))
       .groupBy("id_a", "id_b")
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
         count(lit(1)).as("inter"))

@@ -118,6 +118,18 @@ object ScaleAudit {
       s"set-sim join missed planted copies: $copyPairs < $copyPlanted")
     println(s"SCALEAUDIT set-sim pairs=${sim.count()} planted-copy=$copyPairs")
 
+    // 5b. TokenCount kernel vs the split idiom on the scaled corpus:
+    //     identical totals, and the one-pass kernel should not lose
+    //     (the win is allocation elimination — GC pressure at corpus
+    //     scale more than wall time in one pass)
+    val idiomSum = t("tokens-idiom")(
+      docs.agg(sum(size(split(trim(col("text")), "\\s+")))).head.getLong(0))
+    val kernelSum = t("tokens-kernel")(
+      docs.agg(sum(TokenCountExpr.token_count(col("text")).cast("long")))
+        .head.getLong(0))
+    require(idiomSum == kernelSum,
+      s"token-count kernel diverged: $kernelSum != $idiomSum")
+
     // 5. checksum manifest: identical under any partitioning
     def checksums(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
       df.select(col("source"),

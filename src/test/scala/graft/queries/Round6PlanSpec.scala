@@ -80,12 +80,14 @@ class Round6PlanSpec extends AnyFunSuite with SparkTest {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
-  test("join_set_similarity: shuffle-hash joins, never a corpus broadcast") {
+  test("join_set_similarity: spillable sort-merge joins, never a broadcast") {
     val p = plan(EvalQueries.joinSetSimilarity(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("ShuffledHashJoin"), p)
-    // the checkpointed shingle frames must not gamble on broadcast
+    assert(p.contains("SortMergeJoin"), p)
+    // the checkpointed shingle frames must not gamble on broadcast, and
+    // a hash build side has no spill path at corpus scale
     assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
   }
 
   test("assoc_rules: item counts broadcast onto the pair table") {
