@@ -1027,6 +1027,116 @@ object EvalQueries {
       |FROM ap JOIN embeddings e ON e.vec_id = ap.query_id
       |GROUP BY 1""".stripMargin
 
+  /** Cohen's kappa between two quality filters (the length threshold vs
+    * the hashed classifier's keep flag) — chance-corrected agreement,
+    * the standard check before swapping one gate for another. Integer
+    * agreement/marginal counts; po, pe, kappa are three divisions.
+    */
+  val evalKappa: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
+    val a = docs.select(col("doc_id"), (col("n_chars") >= 300).as("ra"))
+    val b = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("rb"))
+    a.join(b, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("ra") && col("rb")).cast("long")).as("yy"),
+        sum((col("ra") && !col("rb")).cast("long")).as("yn"),
+        sum((!col("ra") && col("rb")).cast("long")).as("ny"),
+        sum((!col("ra") && !col("rb")).cast("long")).as("nn"))
+      .withColumn("po", round((col("yy") + col("nn")).cast("double") /
+        col("n").cast("double"), 6))
+      .withColumn("pe", round(
+        ((col("yy") + col("yn")) * (col("yy") + col("ny")) +
+         (col("ny") + col("nn")) * (col("yn") + col("nn"))).cast("double") /
+        (col("n") * col("n")).cast("double"), 6))
+      .withColumn("kappa",
+        when(col("pe") === 1.0, lit(1.0))
+          .otherwise(round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)))
+  }
+
+  val evalKappaSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, (${TextAnalysis.classifierScoreExpr} >= 0.5) AS rb
+       |  FROM (
+       |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+       |      CAST(sum(((hv % 2001) + 2001) % 2001 - 1000) AS BIGINT) AS raw_score
+       |    FROM (
+       |      SELECT DISTINCT doc_id,
+       |        CASE WHEN h >= 9223372036854775808
+       |             THEN (h - 18446744073709551616)::BIGINT ELSE h::BIGINT END AS hv
+       |      FROM (
+       |        SELECT doc_id,
+       |          list_reduce(
+       |            list_prepend(14695981039346656037::HUGEINT,
+       |              list_transform(regexp_extract_all(tok, '.'), c -> unicode(c)::HUGEINT)),
+       |            (acc, cp) -> ((xor(acc, cp) % 4294967296) * 1099511628211::HUGEINT
+       |              + (((xor(acc, cp) // 4294967296) * 1099511628211::HUGEINT) % 4294967296) * 4294967296
+       |              ) % 18446744073709551616) AS h
+       |        FROM (
+       |          SELECT doc_id, unnest(list_filter(
+       |            string_split_regex(lower(trim(text)), '[ \\t\\n\\r]+'), x -> x != '')) AS tok
+       |          FROM documents WHERE text IS NOT NULL AND trim(text) != ''))
+       |    ) GROUP BY doc_id
+       |  )
+       |), j AS (
+       |  SELECT (d.n_chars >= 300) AS ra, b.rb
+       |  FROM documents d JOIN b USING (doc_id)
+       |  WHERE d.text IS NOT NULL AND trim(d.text) != ''
+       |), c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS yy,
+       |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS yn,
+       |    CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+       |    CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM j
+       |), p AS (
+       |  SELECT *, round(CAST(yy + nn AS DOUBLE) / n, 6) AS po,
+       |    round(CAST((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn) AS DOUBLE)
+       |          / (n * n), 6) AS pe
+       |  FROM c
+       |)
+       |SELECT n, yy, yn, ny, nn, po, pe,
+       |  CASE WHEN pe = 1.0 THEN 1.0
+       |       ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+       |FROM p""".stripMargin
+
+  /** Mann–Kendall trend statistic per event type over the compressed
+    * DAILY count series: S = Σ sign pairs and Kendall tau-a — both
+    * integer-exact (S is a sum of {-1,0,1}; tau is one division). The
+    * pair join runs on the day-granular aggregate (≤31 rows per type at
+    * any corpus size), never the raw events — the compression IS the
+    * scale story.
+    */
+  val tsTrend: QueryFn = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(false) // both sides of the pair join
+    daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        signum((col("b.x") - col("a.x")).cast("double")).cast("long").as("sg"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sg")).as("s"))
+      .withColumn("tau",
+        round(col("s").cast("double") / col("n_pairs").cast("double"), 6))
+  }
+
+  val tsTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s,
+      |  round(CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS tau
+      |FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -1057,6 +1167,8 @@ object EvalQueries {
     "mixture_kl"       -> mixtureKl,
     "anonymize_ldiv"   -> anonymizeLdiv,
     "rank_map"         -> rankMap,
+    "eval_kappa"       -> evalKappa,
+    "ts_trend"         -> tsTrend,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1089,5 +1201,7 @@ object EvalQueries {
     "mixture_kl"       -> mixtureKlSql,
     "anonymize_ldiv"   -> anonymizeLdivSql,
     "rank_map"         -> rankMapSql,
+    "eval_kappa"       -> evalKappaSql,
+    "ts_trend"         -> tsTrendSql,
   )
 }
