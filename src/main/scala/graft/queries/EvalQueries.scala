@@ -1137,6 +1137,113 @@ object EvalQueries {
       |FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
       |GROUP BY 1""".stripMargin
 
+  /** Population Stability Index between the train and test splits over
+    * length deciles — THE production drift gate (PSI < 0.1 stable,
+    * > 0.25 alarm). Bins are integer-width length buckets; bin shares
+    * are exact integer ratios; each (pa − pb)·ln(pa/pb) term is
+    * round(6) DECIMAL-summed (the KL discipline). Bins empty on either
+    * side are excluded (the standard convention — ln would blow up;
+    * with 50-char buckets over a shared corpus both sides populate).
+    */
+  val evalPsi: QueryFn = (s, dir) => {
+    val split = DataOps.datasetSplit(Tables.documents(s, dir), "doc_id",
+        Seq(("train", 80), ("val", 90), ("test", 100)))
+      .where(col("split").isin("train", "test"))
+      .select(col("split"), expr("n_chars div 50").as("bin"))
+    val bins = split.groupBy("split", "bin").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val totals = bins.groupBy("split").agg(sum(col("c")).as("t"))
+    val wide = bins.join(broadcast(totals), Seq("split"))
+      .withColumn("__p", col("c").cast("double") / col("t").cast("double"))
+      .groupBy("bin")
+      .agg(sum(when(col("split") === "train", col("__p"))).as("pa"),
+        sum(when(col("split") === "test", col("__p"))).as("pb"))
+      .where(col("pa").isNotNull && col("pb").isNotNull)
+    wide.agg(count(lit(1)).as("n_bins"),
+      sum(round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6)
+        .cast("decimal(30,6)")).cast("double").as("psi"))
+  }
+
+  val evalPsiSql: String =
+    s"""WITH d0 AS (SELECT doc_id AS id, n_chars FROM documents),
+       |${ExtQueries.mix64Cte("d0", "id, n_chars")},
+       |sp AS (
+       |  SELECT CASE WHEN ((hv % 100) + 100) % 100 < 80 THEN 'train'
+       |              WHEN ((hv % 100) + 100) % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    n_chars // 50 AS bin
+       |  FROM hs
+       |), bins AS (
+       |  SELECT split, bin, CAST(count(*) AS BIGINT) AS c
+       |  FROM sp WHERE split IN ('train', 'test') GROUP BY 1, 2
+       |), t AS (SELECT split, CAST(sum(c) AS BIGINT) AS tt FROM bins GROUP BY 1),
+       |wide AS (
+       |  SELECT bin,
+       |    sum(CASE WHEN b.split = 'train' THEN CAST(c AS DOUBLE) / tt END) AS pa,
+       |    sum(CASE WHEN b.split = 'test' THEN CAST(c AS DOUBLE) / tt END) AS pb
+       |  FROM bins b JOIN t USING (split) GROUP BY bin
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       |  CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 6) AS DECIMAL(30,6)))
+       |       AS DOUBLE) AS psi
+       |FROM wide WHERE pa IS NOT NULL AND pb IS NOT NULL""".stripMargin
+
+  /** Benford first-digit audit over the event values: observed share of
+    * each leading digit vs the Benford expectation (6-dp constants) and
+    * the total absolute deviation — the fabricated-data / corrupted-feed
+    * smell test. Digit extraction is string-based (exact); shares are
+    * integer ratios.
+    */
+  val statsBenford: QueryFn = (s, dir) => {
+    // arithmetic digit extraction over the [0.1, 100) value band — no
+    // string formatting (engines disagree on format rounding modes);
+    // the same IEEE divisions/floors run on both sides
+    val v = abs(col("value"))
+    val digit = when(v >= 10.0, floor(v / 10.0))
+      .when(v >= 1.0, floor(v))
+      .otherwise(floor(v * 10.0))
+    val counts = Tables.events(s, dir)
+      .where(col("value").isNotNull && v >= 0.1 && v < 100.0)
+      .select(digit.cast("long").as("d"))
+      .where(col("d").between(1, 9))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("t"))
+    val benford = (1 to 9).foldLeft(when(lit(false), 0.0)) {
+      case (acc, dd) => acc.when(col("d") === dd,
+        BigDecimal(math.log10(1.0 + 1.0 / dd))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("observed", round(col("n").cast("double") /
+        col("t").cast("double"), 6))
+      .withColumn("expected", benford)
+      .withColumn("abs_dev", round(abs(col("observed") - col("expected")), 6))
+      .select("d", "n", "observed", "expected", "abs_dev")
+  }
+
+  val statsBenfordSql: String = {
+    val cases = (1 to 9).map { d =>
+      s"WHEN $d THEN ${BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)}"
+    }.mkString(" ")
+    s"""WITH c AS (
+       |  SELECT CAST(CASE WHEN abs(value) >= 10.0 THEN floor(abs(value) / 10.0)
+       |              WHEN abs(value) >= 1.0 THEN floor(abs(value))
+       |              ELSE floor(abs(value) * 10.0) END AS BIGINT) AS d,
+       |    count(*) AS n0
+       |  FROM events
+       |  WHERE value IS NOT NULL AND abs(value) >= 0.1 AND abs(value) < 100.0
+       |  GROUP BY 1
+       |), k AS (
+       |  SELECT d, CAST(n0 AS BIGINT) AS n FROM c WHERE d BETWEEN 1 AND 9
+       |), t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM k)
+       |SELECT d, n, round(CAST(n AS DOUBLE) / tt, 6) AS observed,
+       |  CASE d $cases END AS expected,
+       |  round(abs(round(CAST(n AS DOUBLE) / tt, 6) - CASE d $cases END), 6)
+       |    AS abs_dev
+       |FROM k, t""".stripMargin
+  }
+
   val all: Map[String, QueryFn] = Map(
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
@@ -1169,6 +1276,8 @@ object EvalQueries {
     "rank_map"         -> rankMap,
     "eval_kappa"       -> evalKappa,
     "ts_trend"         -> tsTrend,
+    "eval_psi"         -> evalPsi,
+    "stats_benford"    -> statsBenford,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1203,5 +1312,7 @@ object EvalQueries {
     "rank_map"         -> rankMapSql,
     "eval_kappa"       -> evalKappaSql,
     "ts_trend"         -> tsTrendSql,
+    "eval_psi"         -> evalPsiSql,
+    "stats_benford"    -> statsBenfordSql,
   )
 }
