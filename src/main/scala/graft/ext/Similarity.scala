@@ -274,14 +274,21 @@ object Similarity {
     * banded pass would funnel through the same 16 reducers; the derived k
     * keeps mean cluster size (and so per-reducer work) roughly constant.
     *
-    * Scale shape: one broadcast of `k` seed rows against the corpus (the
-    * corpus is never shuffled for assignment), then one cluster-keyed
-    * exchange shared by the position window and the banded self-join.
-    * Seeds are enumerated on the driver (k rows by construction — the
-    * broadcast already requires them to fit there), not via a global
-    * row_number window. Returns `(vec_id, cluster, nn_cos, keep)` —
-    * `nn_cos` is the max cosine to any banded predecessor (rounded at 6;
-    * null when none).
+    * Scale shape — TWO-LEVEL assignment, because k itself grows with the
+    * corpus: a flat nearest-of-k scan is O(n·k) = O(n²/10k) under auto-k
+    * (the round-6 scale-killer). Instead the first `ceil(√k)` seeds act as
+    * coarse centroids; every fine seed is pinned to its nearest coarse
+    * cell once (k·√k driver-side work, bounded by the same budget that
+    * lets the seeds broadcast), and each row then probes nearest-coarse →
+    * nearest fine seed *within that cell* — O(√k + k/√k) = O(√k) per row,
+    * computed as ONE codegen-adjacent projection against the broadcast
+    * seed tables: the corpus is never joined or shuffled for assignment.
+    * Rows only probe cells that own ≥1 fine seed (a duplicate-vector seed
+    * can leave its own cell empty). For k ≤ coarse-floor (4) this
+    * degenerates to the exact flat scan. The cluster-keyed exchange for
+    * the banded pass is unchanged. Returns `(vec_id, cluster, nn_cos,
+    * keep)` — `nn_cos` is the max cosine to any banded predecessor
+    * (rounded at 6; null when none).
     */
   def semanticDedup(df: DataFrame, k: Int = 0, band: Int = 8,
       tau: Double = 0.4, idCol: String = "vec_id",
@@ -291,19 +298,48 @@ object Similarity {
       .localCheckpoint(false) // read twice: seed extraction + assignment
     val kEff = if (k > 0) k else autoClusterCount(base.count())
     val seedRows = base.orderBy("vec_id").limit(kEff).collect()
+    val seedVecs: Array[Array[Double]] =
+      seedRows.map(_.getSeq[Double](1).toArray)
+    val c = autoCoarseCount(seedVecs.length)
+    val coarseVecs = seedVecs.take(c)
+    // fine seed -> coarse cell, then fine seeds grouped per live cell
+    // (ascending seed idx so the strict-< argmin ties to the smallest idx,
+    // identical to the oracle's ORDER BY dist, seed_idx)
+    val cellOf: Array[Int] = seedVecs.map(nearestIdx(_, coarseVecs))
+    val liveCells: Array[Int] = cellOf.distinct.sorted
+    val fineByCell: Map[Int, Array[(Int, Array[Double])]] =
+      cellOf.zipWithIndex.groupBy(_._1).map { case (cell, xs) =>
+        cell -> xs.map { case (_, i) => (i, seedVecs(i)) }.sortBy(_._1)
+      }
     val spark = df.sparkSession
-    import spark.implicits._
-    val seeds = seedRows.toSeq.zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
-      .toDF("__seed_idx", "__seed")
-    val assigned = base.crossJoin(broadcast(seeds))
-      .withColumn("__dist",
-        aggregate(zip_with(col("__v"), col("__seed"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("__dist"), col("__seed_idx"))))
-      .where(col("__rn") === 1)
-      .select(col("vec_id"), col("__v"), col("__seed_idx").as("cluster"), col("__dist"))
+    val bcCoarse = spark.sparkContext.broadcast(
+      (liveCells, liveCells.map(coarseVecs(_))))
+    val bcFine = spark.sparkContext.broadcast(fineByCell)
+    val assignUdf = udf { v: Seq[Double] =>
+      val arr = v.toArray
+      val (live, cvs) = bcCoarse.value
+      // nearest live coarse cell (strict < keeps the smallest live cidx)
+      var bi = 0
+      var bd = Double.PositiveInfinity
+      var j = 0
+      while (j < cvs.length) {
+        val d = sqDist(arr, cvs(j))
+        if (d < bd) { bd = d; bi = j }
+        j += 1
+      }
+      // nearest fine seed within that cell
+      var cluster = -1L
+      var dist = Double.PositiveInfinity
+      for ((si, sv) <- bcFine.value(live(bi))) {
+        val d = sqDist(arr, sv)
+        if (d < dist) { dist = d; cluster = si.toLong }
+      }
+      (cluster, dist)
+    }
+    val assigned = base
+      .withColumn("__a", assignUdf(col("__v")))
+      .select(col("vec_id"), col("__v"),
+        col("__a._1").as("cluster"), col("__a._2").as("__dist"))
     val positioned = assigned
       .withColumn("__pos", row_number().over(
         Window.partitionBy("cluster").orderBy(col("__dist"), col("vec_id"))))
@@ -332,6 +368,39 @@ object Similarity {
     */
   private[graft] def autoClusterCount(n: Long): Int =
     math.max(16L, (n + 9999L) / 10000L).min(Int.MaxValue.toLong).toInt
+
+  /** Coarse-cell count for the two-level assignment: ceil(√k), floored at
+    * 4 — per-row assignment work is then c + k/c ≈ 2√k distance folds.
+    */
+  private[graft] def autoCoarseCount(k: Int): Int =
+    math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** Ordered left-fold squared distance — the exact double sequence of the
+    * oracle's `list_reduce(list_prepend(0.0, list_transform(list_zip(a,b),
+    * p -> (p[1]-p[2])²)), +)`, so driver/executor/DuckDB agree bit-for-bit.
+    */
+  private[graft] def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) { val d = a(i) - b(i); acc = acc + d * d; i += 1 }
+    acc
+  }
+
+  /** Index of the nearest centroid under strict-< (ties keep the smallest
+    * index — `ORDER BY dist, idx` rn=1 in the oracle).
+    */
+  private[graft] def nearestIdx(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var bi = 0
+    var bd = Double.PositiveInfinity
+    var j = 0
+    while (j < cents.length) {
+      val d = sqDist(v, cents(j))
+      if (d < bd) { bd = d; bi = j }
+      j += 1
+    }
+    bi
+  }
 
   /** The ±1 sign matrix of the sparse JL projection, keyed by
     * splitmix64(i·k + d) — a pure function of the coordinates, so the

@@ -2466,9 +2466,12 @@ object ExtQueries {
        |JOIN (SELECT tok AS b, c AS cb FROM uc) ub USING (b), nt, np
        |WHERE pc.cab >= 50""".stripMargin
 
-  /** SemDeDup (banded): seeded single-pass cluster assignment + max
-    * cosine to banded predecessors; replayed with the same ordered
-    * double folds (list_prepend(0.0, …) mirrors the kernel's acc=0.0).
+  /** SemDeDup (banded): seeded TWO-LEVEL cluster assignment (nearest of
+    * √k coarse cells, then nearest fine seed within the cell — the shape
+    * that stays O(n·√k) when auto-k grows with the corpus) + max cosine
+    * to banded predecessors; replayed with the same ordered double folds
+    * (list_prepend(0.0, …) mirrors the kernel's acc=0.0) and the same
+    * strict-< / smallest-idx tie rule at every level.
     */
   val dedupSemantic: QueryFn = (s, dir) =>
     // k = 0 → auto: max(16, ceil(n/10k)); the oracle's computed LIMIT
@@ -2482,15 +2485,40 @@ object ExtQueries {
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS seed_idx, v AS seed
       |  FROM (SELECT vec_id, v FROM base ORDER BY vec_id
       |        LIMIT (SELECT greatest(16, CAST(ceil(count(*) / 10000.0) AS BIGINT)) FROM base))
+      |), coarse AS (
+      |  SELECT seed_idx AS cidx, seed AS cvec FROM seeds
+      |  WHERE seed_idx < (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM seeds)
+      |), scell AS (
+      |  SELECT seed_idx, seed, cell FROM (
+      |    SELECT s.seed_idx, s.seed, c.cidx AS cell,
+      |           row_number() OVER (PARTITION BY s.seed_idx ORDER BY
+      |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(list_zip(s.seed, c.cvec),
+      |                 p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, x) -> a + x),
+      |             c.cidx) AS rn
+      |    FROM seeds s CROSS JOIN coarse c)
+      |  WHERE rn = 1
+      |), rcell AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT b.vec_id, b.v, c.cidx AS cell,
+      |           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(list_zip(b.v, c.cvec),
+      |                 p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, x) -> a + x),
+      |             c.cidx) AS rn
+      |    FROM base b CROSS JOIN (
+      |      SELECT cidx, cvec FROM coarse
+      |      WHERE cidx IN (SELECT DISTINCT cell FROM scell)) c)
+      |  WHERE rn = 1
       |), asg AS (
       |  SELECT vec_id, v, seed_idx, dist,
       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_idx) AS rn
       |  FROM (
-      |    SELECT b.vec_id, b.v, s.seed_idx,
+      |    SELECT r.vec_id, r.v, s.seed_idx,
       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |             list_transform(list_zip(b.v, s.seed),
+      |             list_transform(list_zip(r.v, s.seed),
       |               p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, x) -> a + x) AS dist
-      |    FROM base b CROSS JOIN seeds s)
+      |    FROM rcell r JOIN scell s ON r.cell = s.cell)
       |), cl AS (
       |  SELECT vec_id, v, seed_idx AS cluster, dist,
       |         row_number() OVER (PARTITION BY seed_idx ORDER BY dist, vec_id) AS pos,

@@ -100,6 +100,45 @@ object ScaleExt {
     require(semClusters == expectedK,
       s"auto-k cluster parallelism $semClusters != expected $expectedK")
 
+    // Two-level assignment linearity: auto-k grows with the corpus
+    // (k = n/10k), so a flat nearest-of-k scan makes PER-ROW assignment
+    // work grow linearly with n (the round-6 scale-killer: O(n²/10k)
+    // total). The two-level form bounds per-row work at ~2√k. Measure the
+    // exact per-row distance-fold count from the OUTPUT cluster histogram
+    // (work = |live coarse cells| + |fine seeds in the row's cell|) at n
+    // and 5n: k grows 5× but per-row work may grow at most ~√5× (bound
+    // 3× with slack for cell imbalance; the flat scan would measure 5×).
+    def embeddingsOf(m: Long): DataFrame = spark.range(0, m)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(8)),
+          d => (pmod(xxhash64(col("id") * 8 + d), lit(1000)) / lit(500.0)) - 1.0)
+          .as("embedding"))
+    def perRowAssignWork(m: Long): Double = {
+      val df = embeddingsOf(m)
+      val kEff = Similarity.autoClusterCount(m)
+      val seedVecs = df.orderBy("vec_id").limit(kEff).collect()
+        .map(_.getSeq[Double](1).toArray)
+      val coarse = seedVecs.take(Similarity.autoCoarseCount(seedVecs.length))
+      val cellOf = seedVecs.map(Similarity.nearestIdx(_, coarse))
+      val live = cellOf.distinct.length
+      val cellSize = cellOf.groupBy(identity).map { case (c, xs) => (c, xs.length) }
+      val hist = t(s"semantic-assign-n$m")(
+        Similarity.semanticDedup(df).groupBy("cluster").count().collect())
+      val total = hist.map { r =>
+        r.getLong(1) * (live + cellSize(cellOf(r.getLong(0).toInt)))
+      }.sum
+      total.toDouble / m
+    }
+    val w1 = perRowAssignWork(nVec)
+    val w2 = perRowAssignWork(nVec * 5)
+    println(f"SCALEEXT semantic per-row assign work: n=$nVec -> $w1%.1f folds, " +
+      f"n=${nVec * 5} -> $w2%.1f folds (flat scan would be " +
+      s"${Similarity.autoClusterCount(nVec)} and ${Similarity.autoClusterCount(nVec * 5)})")
+    require(w2 / w1 <= 3.0,
+      f"two-level assignment no longer sub-linear: per-row work grew ${w2 / w1}%.2fx on 5x data")
+    require(w2 < Similarity.autoClusterCount(nVec * 5),
+      f"per-row work $w2%.1f not below the flat-scan k=${Similarity.autoClusterCount(nVec * 5)}")
+
     // simhash recall regime: its features are UNIGRAMS, so the 64-word
     // soup above collapses every signature into a few hamming balls (the
     // adversarial regime the bucket cap guards — un-capped this corpus
