@@ -207,17 +207,25 @@ object CoreQueries {
       |FROM events GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // q9_anti_join — J6/implicit anti (insert-when-missing): parts never shipped.
+  // q9_anti_join — J6/implicit anti (insert-when-missing): parts with no
+  // shipment before the cutoff. The right side is date-filtered so the
+  // result is NON-EMPTY at every SF (~11% of parts; unfiltered, every part
+  // ships and a 0-row result would hash-match any query returning empty —
+  // the round-6 vacuous-evidence finding). The filter lands on the scan;
+  // the anti-join shuffles both sides on partkey (neither broadcastable).
   // ---------------------------------------------------------------------------
   val q9AntiJoin: QueryFn = (s, dir) => {
     val p  = Tables.part(s, dir)
     val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
     p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
       .select("p_partkey", "p_name")
   }
   val q9Sql: String =
     """SELECT p_partkey, p_name FROM part
-      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey
+      |                    AND l_shipdate < TIMESTAMP '1995-07-01')""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q10_semi_join — EXISTS: customers with at least one 'F' order.
@@ -512,11 +520,21 @@ object CoreQueries {
   val q28Sql: String =
     "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier"
 
+  // q29: part keys minus early-shipped part keys — the date filter keeps
+  // the difference NON-EMPTY at every SF (~1.2% of parts; the previous
+  // customer-minus-supplier nation form was provably empty at sf>=0.01,
+  // so its oracle hash-match was vacuous). Distinct semantics exercised
+  // for real: the right side has ~30 lineitems per surviving key.
   val q29Except: QueryFn = (s, dir) =>
-    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
-      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+    Tables.part(s, dir).select(col("p_partkey").as("partkey"))
+      .except(Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_partkey").as("partkey")))
   val q29Sql: String =
-    "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey AS nationkey FROM supplier"
+    """SELECT p_partkey AS partkey FROM part
+      |EXCEPT
+      |SELECT l_partkey AS partkey FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-01-01'""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q30_correlated_subquery — customers above their nation's average balance.

@@ -172,16 +172,27 @@ object StreamingOps {
 
   /** Gap-based sessions per user: a session closes after `gapMinutes` of
     * silence (flushed via processing-time timeout). State per key is O(1).
+    *
+    * `timeoutMinutes <= 0` disables the idle flush (NoTimeout): open
+    * sessions stay in the state store. That is the DRAIN mode for
+    * `Trigger.AvailableNow` — with a processing-time timeout registered,
+    * the micro-batch loop keeps scheduling empty batches to service the
+    * future deadline and the query never self-terminates (it would spin
+    * hundreds of no-op epochs until killed). Live queries keep the
+    * default flush.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30,
+      timeoutMinutes: Long = 30): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
     def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val gst = if (timeoutMinutes > 0) GroupStateTimeout.ProcessingTimeTimeout
+              else GroupStateTimeout.NoTimeout
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, gst) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -206,7 +217,10 @@ object StreamingOps {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMinutes * 60000L) }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeoutMinutes > 0) state.setTimeoutDuration(timeoutMinutes * 60000L)
+            }
             closed.result().iterator
           }
       }
@@ -227,10 +241,14 @@ object StreamingOps {
     val spark = events.sparkSession
     import spark.implicits._
     def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    // <= 0 -> NoTimeout drain mode: see sessionize — a registered
+    // processing-time deadline keeps AvailableNow spinning no-op batches
+    val gst = if (timeoutMinutes > 0) GroupStateTimeout.ProcessingTimeTimeout
+              else GroupStateTimeout.NoTimeout
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[RunState, Run](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, gst) {
         (userId: Long, rows: Iterator[Event], state: GroupState[RunState]) =>
           def toRun(s: RunState): Run =
             Run(userId, s.headId, s.marker, s.headVal, s.n,
@@ -257,7 +275,7 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(timeoutMinutes * 60000L)
+              if (timeoutMinutes > 0) state.setTimeoutDuration(timeoutMinutes * 60000L)
             }
             closed.result().iterator
           }

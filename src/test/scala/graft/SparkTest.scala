@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** One shared local session per suite (lazy). */
 trait SparkTest {
@@ -10,4 +11,23 @@ trait SparkTest {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
+
+  /** Await a streaming query, then STOP it if it is still active — a
+    * query left running past its test races the JVM-exit
+    * `SparkContext.stop` hook and dies with a spurious ERROR ("Job
+    * cancelled because SparkContext was shut down"), polluting an
+    * otherwise clean log. Re-throws the query's own failure if it
+    * terminated with an error.
+    */
+  protected def awaitDone(q: StreamingQuery, ms: Long = 120000): Unit =
+    try q.awaitTermination(ms)
+    finally if (q.isActive) q.stop()
+
+  /** Stop every still-active streaming query on the shared session —
+    * call from suite afterAll so nothing outlives the suite.
+    */
+  protected def stopActiveStreams(): Unit =
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Exception => () }
+    }
 }

@@ -4,13 +4,21 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTest
 import graft.sources.Tables
 
 /** Streaming == batch equivalence on the same events data. */
-class StreamingSpec extends AnyFunSuite with SparkTest {
+class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
+
+  // No streaming query may outlive the suite: one left active races the
+  // JVM-exit SparkContext.stop hook and logs a spurious ERROR.
+  override def afterAll(): Unit = {
+    stopActiveStreams()
+    super.afterAll()
+  }
 
   import spark.implicits._
 
@@ -30,7 +38,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("stream_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     val streamed = spark.table("stream_out")
       .select("w_start", "event_type", "n", "value_sum")
@@ -52,7 +60,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .writeStream.outputMode("complete")
       .format("memory").queryName("sketch_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     val streamed = spark.table("sketch_out")
       .select("w_start", "event_type", "approx_distinct")
@@ -76,7 +84,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .writeStream.outputMode("complete")
       .format("memory").queryName("cm_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     val streamed = spark.table("cm_out")
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
@@ -93,7 +101,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .writeStream.outputMode("complete")
       .format("memory").queryName("hll_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     val streamed = spark.table("hll_out")
       .as[(Int, Int)].collect().sortBy(_._1).toSeq
@@ -121,7 +129,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val q = enriched.writeStream.outputMode("complete")
       .format("memory").queryName("enrich_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     val streamed = spark.table("enrich_out").as[(String, Long)].collect().toMap
     val batch = Tables.events(spark, sfDir).join(dim, Seq("user_id"))
@@ -136,7 +144,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .writeStream.outputMode("append")
       .format("memory").queryName("corr_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(180000)
+    awaitDone(q, 180000)
     val streamed = spark.table("corr_out")
       .select("l_id", "r_id").as[(Long, Long)].collect().toSet
 
@@ -160,11 +168,13 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val stream = StreamingOps.eventsStream(spark, eventsDir)
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamingOps.Event]
-    val q = StreamingOps.sessionize(stream, gapMinutes = 30)
+    // timeoutMinutes = 0: drain mode, so AvailableNow self-terminates
+    // instead of spinning empty batches against the 30-min deadline
+    val q = StreamingOps.sessionize(stream, gapMinutes = 30, timeoutMinutes = 0)
       .writeStream.outputMode("append")
       .format("memory").queryName("sessions_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     def norm(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
@@ -194,7 +204,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .writeStream.outputMode("append")
       .format("memory").queryName("funnel_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
     val streamed = spark.table("funnel_out")
       .groupBy("step").count()
       .as[(Int, Long)].collect().toMap
@@ -228,7 +238,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .writeStream.outputMode("append")
       .format("memory").queryName("ewma_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     // one emission per key per touching batch: the final one is max-n
     val streamed = spark.table("ewma_out")
@@ -262,7 +272,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .writeStream.outputMode("append")
       .format("memory").queryName("cusum_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     val streamed = spark.table("cusum_out")
       .groupBy("user_id")
@@ -298,7 +308,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     val streamed = spark.table("dedup_out").select("event_id")
       .as[Long].collect().sorted
@@ -314,11 +324,11 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val stream = StreamingOps.eventsStream(spark, eventsDir)
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamingOps.Event]
-    val q = StreamingOps.collapseStream(stream)
+    val q = StreamingOps.collapseStream(stream, timeoutMinutes = 0)
       .writeStream.outputMode("append")
       .format("memory").queryName("runs_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     def norm(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getString(2),
@@ -359,7 +369,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val q = streamed.writeStream.outputMode("complete")
       .format("memory").queryName("cdc_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     val got = spark.table("cdc_out")
       .select("user_id", "value", "n_ops", "n_deletes")
@@ -380,7 +390,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .writeStream.outputMode("append")
       .format("memory").queryName("markov_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     // any order-free count over the emitted steps == the batch matrix
     val streamed = spark.table("markov_out")
@@ -413,7 +423,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .writeStream.outputMode("append")
       .format("memory").queryName("markov_xbatch")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     val streamed = spark.table("markov_xbatch")
       .groupBy("from_type", "to_type").count()
@@ -450,7 +460,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .writeStream.outputMode("complete")
       .format("memory").queryName("pii_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q, 120000)
 
     val got = spark.table("pii_out").collect().map(_.toSeq).toSet
     val batch = StreamingOps.piiAuditStream(

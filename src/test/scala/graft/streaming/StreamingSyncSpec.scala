@@ -2,12 +2,20 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{Graft, SparkTest}
 import graft.cardano.{Fixture, SyncDriver, TableStore}
 
-class StreamingSyncSpec extends AnyFunSuite with SparkTest {
+class StreamingSyncSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
+
+  // No streaming query may outlive the suite: one left active races the
+  // JVM-exit SparkContext.stop hook and logs a spurious ERROR.
+  override def afterAll(): Unit = {
+    stopActiveStreams()
+    super.afterAll()
+  }
 
   test("streaming front-end produces exactly the batch driver's tables") {
     val srcDir = Files.createTempDirectory("ss-src").toString
@@ -23,13 +31,64 @@ class StreamingSyncSpec extends AnyFunSuite with SparkTest {
     val streamStore = new TableStore(spark, streamOut)
     val driver = new StreamingSyncDriver(spark, srcDir, streamStore, 120)
     val q = driver.start(availableNow = true)
-    q.awaitTermination(180000)
+    awaitDone(q, 180000)
     assert(driver.periodsRun > 0)
 
     for (t <- Seq("wallet", "collection", "asset", "asset_tx", "asset_mint_tx", "asset_ext")) {
       val b = batchStore.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
       val s = streamStore.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
       assert(b.toSeq == s.toSeq, s"table $t differs")
+    }
+  }
+
+  test("streaming front-end crash between staging and commit: restart is exactly-once") {
+    // The batch path pins this via FailureAtomicitySpec; the streaming
+    // front-end must inherit it: a "process death" after a period's
+    // versions are STAGED but before the manifest flip leaves half-staged
+    // files on disk — a restarted query must converge to exactly the
+    // clean-sync state (no dropped period, no double-applied rows).
+    val srcDir = Files.createTempDirectory("sscrash-src").toString
+    Fixture.write(spark, srcDir)
+    val out = Files.createTempDirectory("sscrash-out").toString
+
+    // crash injection: from the SECOND period on, every commit dies after
+    // staging is complete (commit is the last step of syncPeriod) — a
+    // process death in the staged-but-not-committed window, persistent so
+    // the driver's transient-fault retry budget cannot paper over it
+    var commits = 0
+    val crashingStore = new TableStore(spark, out) {
+      override def commit(versions: Map[String, Long]): Unit = {
+        commits += 1
+        if (commits >= 2) throw new java.io.IOException("simulated crash before manifest flip")
+        super.commit(versions)
+      }
+    }
+    val crashed = new StreamingSyncDriver(spark, srcDir, crashingStore, 120)
+    // the query IS expected to die here — keep the intentional failure's
+    // ERROR+stack out of the suite log (a clean log is the teardown gate)
+    spark.sparkContext.setLogLevel("FATAL")
+    val err =
+      try intercept[Throwable] { awaitDone(crashed.start(availableNow = true), 180000) }
+      finally spark.sparkContext.setLogLevel("WARN")
+    val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(e => String.valueOf(e.getMessage)).toSeq
+    assert(chain.exists(_.contains("simulated crash")), s"unexpected failure: $chain")
+
+    // restart over the SAME store directory with a fresh driver+query
+    // (fresh temp checkpoint — state lives in the tables, not the stream)
+    val store = new TableStore(spark, out)
+    val resumed = new StreamingSyncDriver(spark, srcDir, store, 120)
+    val q2 = resumed.start(availableNow = true)
+    awaitDone(q2, 180000)
+    assert(resumed.periodsRun > 0)
+
+    // exactly-once: contents == a clean, crash-free sync
+    val cleanStore = new TableStore(spark, Files.createTempDirectory("sscrash-clean").toString)
+    new SyncDriver(spark, srcDir, cleanStore, 120).catchUp()
+    for (t <- Seq("wallet", "collection", "asset", "asset_tx", "asset_mint_tx", "asset_ext")) {
+      val c = cleanStore.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+      val s = store.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+      assert(c.toSeq == s.toSeq, s"table $t diverged after crash+restart")
     }
   }
 
