@@ -38,26 +38,47 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev profiling; the driver
     // never sets it, so its runs always cover the full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .zipWithIndex.map { case ((name, fn), i) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // localCheckpoint blocks from the finished query are only freed by
-      // the ContextCleaner AFTER a GC notices the dead references; across
-      // 150+ queries the block store otherwise accretes and WHICH later
-      // queries pay the eviction + GC pressure shifts with run order
-      // (measured: multi-second noise moving between runs). Dropping the
-      // finished query's persistent RDDs explicitly — outside its timing
-      // window — keeps every query's block-store state identical, plus a
-      // periodic GC for broadcast/shuffle state.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      if (i % 25 == 24) System.gc()
-      (name, if (ok) secs else -1.0, ok)
+    // Median-of-N protocol (default 3): single-pass totals moved ±15%
+    // between the round-6 driver run and an identical closing run on the
+    // same host (co-tenant noise); per-query medians across passes make
+    // the recorded number reproducible within ~2%. SPARK_GRAFT_BENCH_RUNS=1
+    // restores the old single-pass mode for dev iteration.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def onePass(): Seq[(String, Double, Boolean)] =
+      queries.zipWithIndex.map { case ((name, fn), i) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // localCheckpoint blocks from the finished query are only freed by
+        // the ContextCleaner AFTER a GC notices the dead references; across
+        // 150+ queries the block store otherwise accretes and WHICH later
+        // queries pay the eviction + GC pressure shifts with run order
+        // (measured: multi-second noise moving between runs). Dropping the
+        // finished query's persistent RDDs explicitly — outside its timing
+        // window — keeps every query's block-store state identical, plus a
+        // periodic GC for broadcast/shuffle state.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        if (i % 25 == 24) System.gc()
+        (name, if (ok) secs else -1.0, ok)
+      }
+    val passes: Seq[Seq[(String, Double, Boolean)]] = (1 to nRuns).map(_ => onePass())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // per-query median across passes; a query failing in ANY pass reports
+    // -1 (a flaky failure must surface, not vanish into a median)
+    val results: Seq[(String, Double, Boolean)] = queries.indices.map { qi =>
+      val name = queries(qi)._1
+      val runs = passes.map(_(qi))
+      val ok = runs.forall(_._3)
+      (name, if (ok) median(runs.map(_._2)) else -1.0, ok)
+    }
+    val runTotals = passes.map(p => p.collect { case (_, v, true) => v }.sum)
     def fmt(v: Double): String = f"$v%.3f"
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -72,8 +93,9 @@ object Bench {
     // carries the slowest 50 queries verbatim plus one rollup bucket.
     val detail = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val runTotalsJson = runTotals.map(fmt).mkString("[", ",", "]")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"errors":$errors,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"protocol":"median-of-$nRuns","run_totals":$runTotalsJson,"queries":$detail,"errors":$errors,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),

@@ -6,22 +6,34 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.cardano.CardanoDemo <sourceDir> <targetDir> [intervalMin]
   * Prints each target table after catch-up.
+  *
+  * Env-configured like the reference daemon (`app/settings.py:1-12`):
+  * `PANTASIA_TIME_INTERVAL` (an explicit argv interval wins),
+  * `PANTASIA_COMPACT_EVERY`, `PANTASIA_MAX_RETRIES`,
+  * `PANTASIA_BACKOFF_MILLIS`, `PANTASIA_LOG_LEVEL`, with an optional
+  * `.env` file underneath the process env.
   */
 object CardanoDemo {
   def main(args: Array[String]): Unit = {
     val sourceDir = args(0)
     val targetDir = args(1)
-    val interval = if (args.length > 2) args(2).toLong else 120L
+    val settings0 = Settings.load()
+    val settings =
+      if (args.length > 2) settings0.copy(timeInterval = args(2).toLong)
+      else settings0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(settings.logLevel match {
+      case "DEBUG" => "INFO" // spark DEBUG drowns the demo output
+      case l => l
+    })
 
     val store = new TableStore(spark, targetDir)
-    val driver = new SyncDriver(spark, sourceDir, store, interval)
+    val driver = new SyncDriver(spark, sourceDir, store, settings)
     val n = driver.catchUp()
     println(s"DEMO: ran $n periods; cardanoTip=${driver.cardanoTip()}, pantasiaTip=${driver.pantasiaTip()}")
     for (t <- Seq("wallet", "collection", "asset", "asset_tx", "asset_mint_tx", "asset_ext")) {

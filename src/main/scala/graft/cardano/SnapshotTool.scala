@@ -73,4 +73,107 @@ class SnapshotTool(store: TableStore) {
     }
     n
   }
+
+  // --- single-artifact backups (reference scripts/backup_restore.py:53-117,
+  // 211-222, 331-353: one compressed file per backup, list/pick UX) --------
+
+  /** Walk every regular file under the store root (checksum sidecars
+    * skipped — they are local-FS cache state, regenerated on write, and
+    * would couple the artifact to one filesystem's checksum layout).
+    * Returns root-relative '/'-separated names, sorted for determinism.
+    */
+  private def storeFiles(): Seq[String] = {
+    val rootPath = fs.makeQualified(new Path(store.root))
+    val rootUri = rootPath.toUri.getPath
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      if (st.isFile && !st.getPath.getName.endsWith(".crc")) out += rel
+    }
+    out.result().sorted
+  }
+
+  /** Archive the ENTIRE store (manifest + every version directory of
+    * every table) as ONE portable compressed file
+    * `<backupDir>/<tag>.zip` — the engine's `pg_dump -Fc | gzip`: a
+    * single shippable artifact per backup instead of a directory tree.
+    * Entry order is sorted and entry timestamps are pinned, so archiving
+    * the same store twice yields byte-identical artifacts. Streams
+    * through the Hadoop FS API on both ends (runs against HDFS/S3A).
+    */
+  def archive(backupDir: String, tag: String): String = {
+    require(tag.nonEmpty && !tag.contains('/'), s"bad tag: $tag")
+    val dst = new Path(backupDir, s"$tag.zip")
+    val dstFs = dst.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    dstFs.mkdirs(new Path(backupDir))
+    val tmp = new Path(backupDir, s"$tag.zip.tmp")
+    val zos = new java.util.zip.ZipOutputStream(dstFs.create(tmp, true))
+    val buf = new Array[Byte](1 << 16)
+    try {
+      zos.setLevel(9) // the reference gzips at --compress=9
+      for (rel <- storeFiles()) {
+        val e = new java.util.zip.ZipEntry(rel)
+        e.setTime(0L) // pinned: identical trees -> identical artifacts
+        zos.putNextEntry(e)
+        val in = fs.open(new Path(store.root, rel))
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) zos.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        zos.closeEntry()
+      }
+    } finally zos.close()
+    // visible only when complete (a crashed backup never lists)
+    if (!dstFs.rename(tmp, dst)) {
+      dstFs.delete(dst, true)
+      require(dstFs.rename(tmp, dst), s"archive rename failed: $tmp -> $dst")
+    }
+    dst.toString
+  }
+
+  /** Restore a store from a single archive file into `destRoot` (which
+    * must not already hold a store — restores never clobber silently;
+    * the swap is the caller's explicit rollback/rename, as in the
+    * reference's `<db>_restore` + swap flow).
+    */
+  def restoreArchive(archiveFile: String, destRoot: String): Unit = {
+    val conf = store.spark.sparkContext.hadoopConfiguration
+    val src = new Path(archiveFile)
+    val srcFs = src.getFileSystem(conf)
+    val dest = new Path(destRoot)
+    val destFs = dest.getFileSystem(conf)
+    require(!destFs.exists(new Path(dest, "_manifest")),
+      s"refusing to restore over an existing store at $destRoot")
+    val zis = new java.util.zip.ZipInputStream(srcFs.open(src))
+    val buf = new Array[Byte](1 << 16)
+    try {
+      var e = zis.getNextEntry
+      while (e != null) {
+        require(!e.getName.contains(".."), s"unsafe entry: ${e.getName}")
+        if (!e.isDirectory) {
+          val out = destFs.create(new Path(dest, e.getName), true)
+          try {
+            var n = zis.read(buf)
+            while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = zis.read(buf) }
+          } finally out.close()
+        }
+        zis.closeEntry()
+        e = zis.getNextEntry
+      }
+    } finally zis.close()
+  }
+
+  /** List available archives in `backupDir`, newest-name-last — the
+    * reference's list-and-pick UX (`backup_restore.py:211-222`).
+    */
+  def listArchives(backupDir: String): Seq[String] = {
+    val d = new Path(backupDir)
+    val dFs = d.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (!dFs.exists(d)) Seq.empty
+    else dFs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".zip") && !n.endsWith(".tmp"))
+      .map(_.stripSuffix(".zip")).sorted
+  }
 }

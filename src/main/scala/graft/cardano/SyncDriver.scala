@@ -24,6 +24,14 @@ class SyncDriver(
     maxRetries: Int = 2,
     backoffMillis: Long = 500) {
 
+  /** Env-configured construction (reference parity: the daemon is
+    * configured entirely through `PANTASIA_*`, `app/settings.py:1-12`).
+    */
+  def this(spark: SparkSession, sourceDir: String, store: TableStore,
+      settings: Settings) =
+    this(spark, sourceDir, store, settings.timeInterval,
+      settings.compactEvery, settings.maxRetries, settings.backoffMillis)
+
   /** Stage a mutable table's next version: the recomputed full base
     * every `compactEvery`-th version, an O(delta) merge-on-read upsert
     * layer otherwise (`full` and `upserts` describe the SAME post-period
