@@ -27,8 +27,12 @@ object RewriteTokenCount extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // match ONLY the non-legacy Size form (legacySizeOfNull = false):
+      // under spark.sql.legacy.sizeOfNull=true, size(split(trim(null),
+      // '\s+')) returns -1 while TokenCount returns null — rewriting
+      // there would silently change results under that config
       case Size(StringSplit(StringTrim(src, None),
-          Literal(pat: UTF8String, StringType), Literal(-1, _)), _)
+          Literal(pat: UTF8String, StringType), Literal(-1, _)), false)
           if pat == wsPattern && src.dataType == StringType =>
         ext.TokenCountExpr.TokenCount(src)
     }

@@ -717,10 +717,15 @@ object Analytics {
     * with degrees of freedom and Cramér's V — the association audit
     * between, say, language and source (a corpus where they correlate
     * has a sampling skew to explain). Exactness: each cell's statistic
-    * is `(o·n − r·c)² / (r·c·n)` — an INTEGER numerator and denominator
-    * with one division, rounded at 6 and summed in DECIMAL, so the
-    * whole test replays bit-for-bit. Rows with a null in either column
-    * are excluded (they belong to no cell).
+    * is `(o·n − r·c)² / (r·c·n)`, every term promoted to DOUBLE BEFORE
+    * the first multiply — `o·n` is row-count-squared scale, which in
+    * LONG silently wraps (non-ANSI) past ~3e9 rows, a silent-corruption
+    * class at the 100 TB target. Both engines evaluate the identical
+    * left-associated double chain, each cell rounds at 6 and sums in
+    * DECIMAL, so the test still replays bit-for-bit (double products
+    * are exact to 2^53; past that both engines share the same ulp).
+    * Rows with a null in either column are excluded (they belong to no
+    * cell).
     *
     * Scale: one aggregation to cell granularity (k·m rows), two tiny
     * marginal aggregations broadcast back onto the cells.
@@ -735,15 +740,16 @@ object Analytics {
     val colT = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
     val tot = cells.agg(sum(col("__o")).as("__n"),
       countDistinct(col("__a")).as("__k"), countDistinct(col("__b")).as("__m"))
-    val num = (col("__o") * col("__n") - col("__r") * col("__c"))
+    val num = (col("__o").cast("double") * col("__n") -
+      col("__r").cast("double") * col("__c"))
     cells.join(broadcast(rowT), Seq("__a"))
       .join(broadcast(colT), Seq("__b"))
       .crossJoin(broadcast(tot))
       .agg(
         first(col("__n")).as("n"),
         ((first(col("__k")) - 1L) * (first(col("__m")) - 1L)).as("df"),
-        sum(round((num * num).cast("double") /
-          (col("__r") * col("__c") * col("__n")).cast("double"), 6)
+        sum(round((num * num) /
+          (col("__r").cast("double") * col("__c") * col("__n")), 6)
           .cast("decimal(30,6)")).cast("double").as("chi2"),
         least(first(col("__k")), first(col("__m"))).as("__minkm"))
       .withColumn("cramers_v",

@@ -129,6 +129,11 @@ object Eval {
   def reciprocalRanks(ranked: DataFrame, queryCol: String, rankCol: String,
       relevant: Column, k: Int): DataFrame = {
     require(k >= 1)
+    // aggregate over the DISTINCT query set, not the top-k-filtered rows:
+    // a query with zero rows inside the top k must surface with rr = 0
+    // (the "no relevant hit scores 0" convention), not silently drop out
+    // of downstream MRR slice means
+    val queries = ranked.select(col(queryCol)).distinct()
     val firstRel = ranked.where(col(rankCol) <= k)
       .groupBy(col(queryCol))
       .agg(min(when(relevant, col(rankCol))).as("first_rel_rank"))
@@ -137,32 +142,41 @@ object Eval {
         BigDecimal(1.0 / r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
           .toDouble)
     }
-    firstRel.withColumn("rr", rrLookup)
+    queries.join(firstRel, Seq(queryCol), "left")
+      .withColumn("rr", rrLookup)
   }
 
-  /** Average precision per query from a ranked result: AP =
-    * (Σ over relevant hits at rank i of precision@i) / n_relevant,
-    * within the top `k`. precision@i = hits_so_far / i is one integer
-    * ratio rounded at 6; the AP division is one more — so slice-level
-    * MAP (a DECIMAL mean of `ap`) replays exactly. Queries with no
-    * relevant hit in the top k score 0 (the retrieval convention).
+  /** Average precision per query from a ranked result — standard MAP@k:
+    * AP = (Σ over relevant hits at rank i ≤ k of precision@i) /
+    * least(n_rel, k), where `n_rel` counts the query's relevant rows in
+    * the WHOLE ranked frame (so relevant docs the ranking pushed beyond
+    * k are penalized — dividing by hits-found-within-k would score a
+    * query that retrieved 1 of its 50 relevant docs at rank 1 a perfect
+    * 1.0). precision@i = hits_so_far / i is one integer ratio rounded at
+    * 6; the AP division is one more — so slice-level MAP (a DECIMAL mean
+    * of `ap`) replays exactly. The output covers the DISTINCT query set:
+    * a query with no relevant rows (or none inside the top k) scores 0
+    * instead of disappearing from downstream slice means.
     */
   def averagePrecision(ranked: DataFrame, queryCol: String, rankCol: String,
       relevant: Column, k: Int): DataFrame = {
     require(k >= 1)
     val w = Window.partitionBy(col(queryCol)).orderBy(col(rankCol))
-    ranked.where(col(rankCol) <= k)
+    val totals = ranked.groupBy(col(queryCol))
+      .agg(coalesce(sum(relevant.cast("long")), lit(0L)).as("n_rel"))
+    val topk = ranked.where(col(rankCol) <= k)
       .withColumn("__hits", sum(relevant.cast("long")).over(w))
       .withColumn("__pAt",
         when(relevant, round(col("__hits").cast("double") /
           col(rankCol).cast("double"), 6)))
       .groupBy(col(queryCol))
-      .agg(max(col("__hits")).as("n_rel"),
-        coalesce(sum(col("__pAt").cast("decimal(30,6)")), lit(0))
-          .cast("double").as("__sum"))
+      .agg(coalesce(sum(col("__pAt").cast("decimal(30,6)")), lit(0))
+        .cast("double").as("__sum"))
+    totals.join(topk, Seq(queryCol), "left")
       .withColumn("ap",
         when(col("n_rel") === 0L, 0.0)
-          .otherwise(round(col("__sum") / col("n_rel").cast("double"), 6)))
+          .otherwise(round(coalesce(col("__sum"), lit(0.0)) /
+            least(col("n_rel"), lit(k.toLong)).cast("double"), 6)))
       .drop("__sum")
   }
 

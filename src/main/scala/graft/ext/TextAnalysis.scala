@@ -596,9 +596,12 @@ object TextAnalysis {
     */
   def segmentSentences(df: DataFrame, idCol: String,
       textCol: String = "text"): DataFrame =
+    // built from the Column API, never an interpolated expr() string — a
+    // column name needing backtick quoting would break the SQL form (the
+    // fleschReadingEase rule)
     df.select(col(idCol),
-        posexplode(expr(
-          s"regexp_extract_all($textCol, '[^.!?]+[.!?]*', 0)"))
+        posexplode(regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]*"), lit(0)))
           .as(Seq("seg_idx", "__raw")))
       .select(col(idCol), col("seg_idx"), trim(col("__raw")).as("sentence"))
       .where(col("sentence") =!= "")

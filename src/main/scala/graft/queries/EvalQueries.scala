@@ -905,8 +905,9 @@ object EvalQueries {
       |  SELECT any_value(t.n) AS n,
       |    (any_value(t.k) - 1) * (any_value(t.m) - 1) AS df,
       |    CAST(sum(CAST(round(
-      |      CAST((o * t.n - rt * ct) * (o * t.n - rt * ct) AS DOUBLE)
-      |        / (rt * ct * t.n), 6) AS DECIMAL(30,6))) AS DOUBLE) AS chi2,
+      |      (CAST(o AS DOUBLE) * t.n - CAST(rt AS DOUBLE) * ct)
+      |        * (CAST(o AS DOUBLE) * t.n - CAST(rt AS DOUBLE) * ct)
+      |        / (CAST(rt AS DOUBLE) * ct * t.n), 6) AS DECIMAL(30,6))) AS DOUBLE) AS chi2,
       |    least(any_value(t.k), any_value(t.m)) AS minkm
       |  FROM cells JOIN r USING (a) JOIN c USING (b), t
       |)

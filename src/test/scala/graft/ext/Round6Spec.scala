@@ -240,6 +240,31 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(got(1) == ((2L, 0L, 0.0)))
   }
 
+  test("eval: relevant docs pushed beyond k raise the MAP denominator") {
+    // 3 relevant total, only rank-1 inside k=2 -> AP = 1.0 / min(3, 2)
+    val ranked = Seq(
+      (1L, 1, true), (1L, 2, false), (1L, 3, true), (1L, 4, true))
+      .toDF("query_id", "rank", "rel")
+    val got = Eval.averagePrecision(ranked, "query_id", "rank", col("rel"), k = 2)
+      .select("query_id", "n_rel", "ap")
+      .as[(Long, Long, Double)].head()
+    assert(got == ((1L, 3L, 0.5)))
+  }
+
+  test("eval: queries with zero rows inside the top k still surface with rr/ap = 0") {
+    // query 2's rows all sit beyond k -> it must appear with score 0,
+    // not vanish from the output (slice means would silently exclude it)
+    val ranked = Seq(
+      (1L, 1, true),
+      (2L, 5, true), (2L, 6, false)).toDF("query_id", "rank", "rel")
+    val rr = Eval.reciprocalRanks(ranked, "query_id", "rank", col("rel"), 3)
+      .select("query_id", "rr").as[(Long, Double)].collect().sortBy(_._1)
+    assert(rr.toSeq == Seq((1L, 1.0), (2L, 0.0)))
+    val ap = Eval.averagePrecision(ranked, "query_id", "rank", col("rel"), 3)
+      .select("query_id", "ap").as[(Long, Double)].collect().sortBy(_._1)
+    assert(ap.toSeq == Seq((1L, 1.0), (2L, 0.0)))
+  }
+
   // ---- eval_bootstrap cross-check ------------------------------------------
 
   test("bootstrap replicas == in-memory mix64 resampling") {

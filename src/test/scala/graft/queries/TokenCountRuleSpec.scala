@@ -80,6 +80,29 @@ class TokenCountRuleSpec extends AnyFunSuite with SparkTest
     assert(!df2.queryExecution.optimizedPlan.toString.contains("token_count"))
   }
 
+  test("legacy sizeOfNull mode is NOT rewritten (size would return -1, kernel null)") {
+    val prev = spark.conf.get("spark.sql.legacy.sizeOfNull", "false")
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    // ANSI (default-on in Spark 4) masks the legacy flag — the reachable
+    // legacy regime is ansi=false + legacy=true
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val df = docs.select(size(split(trim(col("text")), "\\s+")).as("n"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("token_count"),
+        "legacy-mode Size must keep the split form: " +
+          df.queryExecution.optimizedPlan.toString)
+      // and the legacy semantics survive on a null input
+      val legacy = Seq[String](null).toDF("t")
+        .select(size(split(trim(col("t")), "\\s+")).as("n"))
+      assert(legacy.head().getInt(0) == -1)
+    } finally {
+      spark.conf.set("spark.sql.legacy.sizeOfNull", prev)
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    }
+  }
+
   test("SQL surface: the rewrite fires through spark.sql too") {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .createOrReplaceTempView("tcr_docs")
