@@ -78,6 +78,56 @@ object Graph {
       expr("CAST(r AS DOUBLE) / 1000000000000.0").as("rank"))
   }
 
+  /** Fixed-iteration HITS (Kleinberg hubs/authorities) on the DIRECTED
+    * graph of `edges` (cols `a` → `b`): auth'(v) = Σ_{u→v} hub(u),
+    * hub'(u) = Σ_{u→v} auth'(v), each vector renormalized after its
+    * update. Normalization is integer floor-division by
+    * `max(1, max(raw) div scale)` — the true L2 norm needs a sqrt over
+    * a float sum (order-dependent), while the max-ratio form keeps every
+    * score an exact long, so the result is partitioning- and
+    * engine-invariant, and rankings (the product anyone consumes) are
+    * unaffected by the norm choice. Overflow-safe by construction:
+    * raw sums are ≤ N·scale ≈ 1e15 at a billion nodes — values are
+    * always renormalized into [0, ~scale] before the next multiply,
+    * unlike the (raw·scale) formulation which wraps past ~9e6 nodes.
+    *
+    * Scale: edges/nodes computed once and barriered; each iteration is
+    * two key-partitioned join+agg passes (src-keyed, then dst-keyed) and
+    * two node-count-bounded scalar maxima. Returns every node —
+    * sources-only get auth 0, sinks-only hub 0.
+    */
+  def hits(edges: DataFrame, iterations: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+      .distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(false)
+    var hub = nodes.select(col("node"), lit(scale).as("h"))
+    var auth = nodes.select(col("node"), lit(0L).as("a_s")).limit(0)
+    for (_ <- 1 to iterations) {
+      val araw = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint(false) // read for the max AND the division
+      val am = math.max(1L, araw.agg(max(col("ar"))).head().getLong(0) / scale)
+      auth = araw.select(col("node"), expr(s"ar div $am").as("a_s"))
+      val hraw = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a_s")).as("hr"))
+        .localCheckpoint(false)
+      val hm = math.max(1L, hraw.agg(max(col("hr"))).head().getLong(0) / scale)
+      hub = hraw.select(col("node"), expr(s"hr div $hm").as("h"))
+    }
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("h"), lit(0L)).as("hub_scaled"),
+        coalesce(col("a_s"), lit(0L)).as("auth_scaled"))
+      .withColumn("hub", col("hub_scaled").cast("double") / scale.toDouble)
+      .withColumn("auth", col("auth_scaled").cast("double") / scale.toDouble)
+  }
+
   /** Synchronous label-propagation communities on the undirected graph
     * of `edges` (cols `a`, `b`), a FIXED number of rounds: labels start
     * as node ids; each round every node adopts the most frequent label

@@ -84,6 +84,37 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval × interval overlap join (half-open `[start, end)` on both
+    * sides): pairs of intervals with `lStart < rEnd AND rStart < lEnd`.
+    *
+    * Same scale rationale as [[pointInIntervalJoin]] — the naive
+    * inequality join plans as a nested loop — but with BOTH sides
+    * exploded into their covered time bins and hash-joined on the bin.
+    * An overlapping pair shares a CONTIGUOUS run of bins, so instead of
+    * a dedup shuffle the pair is kept only in its first shared bin
+    * (`bin == greatest(firstBin(l), firstBin(r))` — an exact, local
+    * predicate): each matching pair emerges exactly once. Bin width
+    * trades the explode factor of long intervals against per-bin
+    * candidate density; a hot bin splits under AQE.
+    */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binMinutes: Int = 60): DataFrame = {
+    val binUs = binMinutes * 60L * 1000000L
+    def binned(df: DataFrame, s: String, e: String, first: String) = df
+      .withColumn(first, floor(unix_micros(col(s)) / binUs))
+      .withColumn("__bin", explode(sequence(
+        col(first),
+        // end is exclusive: the bin of the last included microsecond
+        floor((unix_micros(col(e)) - 1) / binUs))))
+    val lb = binned(left, lStart, lEnd, "__lf")
+    val rb = binned(right, rStart, rEnd, "__rf")
+    lb.join(rb, Seq("__bin"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("__bin") === greatest(col("__lf"), col("__rf")))
+      .drop("__bin", "__lf", "__rf")
+  }
+
   /** Blocked fuzzy self-join (the candidate step of entity resolution):
     * pairs of rows sharing a cheap blocking key, kept when the edit
     * distance of their names is within `maxDist`. The block join is

@@ -107,6 +107,28 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Diversity sample for eval-set / seed curation: ONE representative
+    * (smallest id) per random-hyperplane bucket, with the bucket's
+    * population. 2^bits buckets stratify the embedding space by angular
+    * region, so the representatives spread across the corpus's directions
+    * instead of oversampling its dense clusters — the cheap deterministic
+    * stand-in for k-center greedy (which is inherently sequential and
+    * does not distribute). Signatures are computed on the raw
+    * double-cast vectors so the DuckDB replay shares the exact fold.
+    *
+    * Scale: one codegen'd signature projection (no joins), one
+    * 2^bits-bounded aggregation with map-side combine. min-id and count
+    * are both order-independent — partitioning-invariant by
+    * construction.
+    */
+  def diversitySample(df: DataFrame, bits: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    DataOps.parallelismFloor(
+        df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v")))
+      .select(col("vec_id"), rhpSignature(col("__v"), bits).as("bucket"))
+      .groupBy("bucket")
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("n_members"))
+
   /** Embedding-cosine near-duplicate pairs (cos >= threshold), LSH-bucketed
     * candidate generation + exact verification; the embedding flavor of
     * Dedup.

@@ -416,6 +416,47 @@ object ExtQueries {
       |FROM scored
       |QUALIFY rank <= 5""".stripMargin
 
+  /** Angular-stratified diversity sample: one representative (min id)
+    * per 16-bit random-hyperplane bucket + bucket population — eval-set
+    * curation that spreads picks across embedding-space directions
+    * instead of oversampling dense clusters. Replays via the ann_lsh
+    * hyperplane chain on the RAW double vectors (no normalization:
+    * signs are scale-invariant, and skipping the divide keeps the fold
+    * one step shorter on both engines).
+    */
+  val sampleDiverse: QueryFn = (s, dir) =>
+    Similarity.diversitySample(Tables.embeddings(s, dir), bits = 16)
+  val sampleDiverseSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |), ph AS (
+      |  SELECT b, d,
+      |    ((b::HUGEINT * 11400714819323198485::HUGEINT)
+      |     + (d::HUGEINT * 14029467366897019727::HUGEINT)) % 18446744073709551616 AS h0
+      |  FROM UNNEST(generate_series(0, 15)) bb(b), UNNEST(generate_series(0, 63)) dd(d)
+      |), ph2 AS (
+      |  SELECT b, d,
+      |    ((xor(h0, h0 // 8589934592) % 4294967296) * 18397679294719823053::HUGEINT
+      |     + (((xor(h0, h0 // 8589934592) // 4294967296) * 18397679294719823053::HUGEINT) % 4294967296) * 4294967296
+      |    ) % 18446744073709551616 AS h2
+      |  FROM ph
+      |), planes AS (
+      |  SELECT b, list(CASE WHEN xor(h2, h2 // 8589934592) % 2 = 0
+      |                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS p
+      |  FROM ph2 GROUP BY b
+      |), sigs AS (
+      |  SELECT vec_id,
+      |    sum(CASE WHEN list_reduce(
+      |          list_transform(generate_series(1, len(e)), i -> e[i] * p[i]),
+      |          (a, x) -> a + x) > 0
+      |        THEN floor(pow(2, b))::BIGINT ELSE 0 END)::BIGINT AS bucket
+      |  FROM v, planes GROUP BY vec_id
+      |)
+      |SELECT bucket, CAST(min(vec_id) AS BIGINT) AS rep_id,
+      |       CAST(count(*) AS BIGINT) AS n_members
+      |FROM sigs GROUP BY bucket""".stripMargin
+
   /** IVF-probed ANN: k-means-lite cells, nProbe=2. The WHOLE index chain
     * is bit-replayed: splitmix64 stride-sampled init (the sample_bottomk
     * HUGEINT chain), normalized-centroid argmax assignment (ordered
@@ -750,6 +791,44 @@ object ExtQueries {
       |FROM events e JOIN w
       |  ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 1 HOUR
       |GROUP BY 1""".stripMargin
+
+  /** Interval×interval overlap at scale: per-(user, day) activity spans
+    * against the same incident hours, via `Joins.intervalOverlapJoin` —
+    * both sides explode into hour bins, the pair joins on its FIRST
+    * shared bin only (exact local dedup, no distinct shuffle), and the
+    * half-open overlap predicate verifies. The oracle is the plain
+    * inequality join DuckDB can afford at this SF.
+    */
+  val joinIntervalOverlap: QueryFn = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val act = ev.groupBy(col("user_id"),
+        date_trunc("DAY", col("ts")).as("day"))
+      .agg(min(col("ts")).as("a_start"),
+        (max(col("ts")) + expr("INTERVAL 1 MICROSECOND")).as("a_end"))
+    val inc = ev.where(col("event_type") === "error")
+      .groupBy(date_trunc("HOUR", col("ts")).as("inc_start"))
+      .agg(count(lit(1)).as("n_err"))
+      .where(col("n_err") >= 2)
+      .withColumn("inc_end", col("inc_start") + expr("INTERVAL 1 HOUR"))
+    graft.ext.Joins.intervalOverlapJoin(
+        act, "a_start", "a_end", inc, "inc_start", "inc_end", binMinutes = 60)
+      .select(col("user_id"), col("day"), col("inc_start"), col("n_err"))
+  }
+  val joinIntervalOverlapSql: String =
+    """WITH act AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    min(ts) AS a_start, max(ts) + INTERVAL 1 MICROSECOND AS a_end
+      |  FROM events GROUP BY 1, 2
+      |), inc AS (
+      |  SELECT date_trunc('hour', ts) AS inc_start,
+      |    CAST(count(*) AS BIGINT) AS n_err
+      |  FROM events WHERE event_type = 'error'
+      |  GROUP BY 1 HAVING count(*) >= 2
+      |)
+      |SELECT act.user_id, act.day, inc.inc_start, inc.n_err
+      |FROM act JOIN inc
+      |  ON act.a_start < inc.inc_start + INTERVAL 1 HOUR
+      | AND inc.inc_start < act.a_end""".stripMargin
 
   /** JL random projection of the embedding corpus to 16 dims: the sign
     * matrix is splitmix64-keyed (replayed with the HUGEINT chain), terms
@@ -2778,6 +2857,7 @@ object ExtQueries {
     "eval_ndcg"            -> evalNdcg,
     "dedup_normalized"     -> dedupNormalized,
     "sample_weighted"      -> sampleWeighted,
+    "sample_diverse"       -> sampleDiverse,
     "mixture_temperature"  -> mixtureTemperature,
     "quality_classifier"   -> qualityClassifier,
     "text_boilerplate"     -> textBoilerplate,
@@ -2803,6 +2883,7 @@ object ExtQueries {
     "vec_covariance"       -> vecCovariance,
     "vec_project"          -> vecProject,
     "range_join_binned"    -> rangeJoinBinned,
+    "join_interval_overlap" -> joinIntervalOverlap,
     "vocab_bpe"            -> vocabBpe,
     "tokenize_bpe"         -> tokenizeBpe,
     "dedup_containment"    -> dedupContainment,
@@ -2859,6 +2940,7 @@ object ExtQueries {
     "eval_ndcg"           -> evalNdcgSql,
     "dedup_normalized"    -> dedupNormalizedSql,
     "sample_weighted"     -> sampleWeightedSql,
+    "sample_diverse"      -> sampleDiverseSql,
     "mixture_temperature" -> mixtureTemperatureSql,
     "quality_classifier"  -> qualityClassifierSql,
     "text_boilerplate"    -> textBoilerplateSql,
@@ -2895,6 +2977,7 @@ object ExtQueries {
     "vec_covariance"      -> vecCovarianceSql,
     "vec_project"         -> vecProjectSql,
     "range_join_binned"   -> rangeJoinBinnedSql,
+    "join_interval_overlap" -> joinIntervalOverlapSql,
     "vocab_bpe"           -> vocabBpeSql,
     "tokenize_bpe"        -> tokenizeBpeSql,
     "training_set"        -> trainingSetSql,

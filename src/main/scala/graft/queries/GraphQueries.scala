@@ -61,6 +61,50 @@ object GraphQueries {
        |FROM it3""".stripMargin
   }
 
+  /** 2-iteration integer-normalized HITS over the DIRECTED co-purchase
+    * graph (a→b as the `a < b` pair orientation): hubs are parts that
+    * point at high-authority parts and vice versa. Renormalization is
+    * floor-division by `max(1, max(raw) div 1e6)` — exact longs, so the
+    * unrolled CTE replay matches bit-for-bit.
+    */
+  val graphHits: QueryFn = (s, dir) =>
+    Graph.hits(coPurchase(s, dir), iterations = 2)
+
+  val graphHitsSql: String = {
+    def authStep(hubPrev: String, n: Int) =
+      s"""a${n}raw AS (
+         |  SELECT e.dst AS node, CAST(sum($hubPrev.h) AS BIGINT) AS ar
+         |  FROM edges e JOIN $hubPrev ON $hubPrev.node = e.src
+         |  GROUP BY 1
+         |), a$n AS (
+         |  SELECT node, ar // greatest(1, (SELECT max(ar) FROM a${n}raw) // 1000000) AS a_s
+         |  FROM a${n}raw
+         |), h${n}raw AS (
+         |  SELECT e.src AS node, CAST(sum(a$n.a_s) AS BIGINT) AS hr
+         |  FROM edges e JOIN a$n ON a$n.node = e.dst
+         |  GROUP BY 1
+         |), h$n AS (
+         |  SELECT node, hr // greatest(1, (SELECT max(hr) FROM h${n}raw) // 1000000) AS h
+         |  FROM h${n}raw
+         |)""".stripMargin
+    s"""$pairsCte, edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |  UNION SELECT DISTINCT dst FROM edges
+       |), h0 AS (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes
+       |), ${authStep("h0", 1)}, ${authStep("h1", 2)}
+       |SELECT n.node,
+       |  CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_scaled,
+       |  CAST(coalesce(a2.a_s, 0) AS BIGINT) AS auth_scaled,
+       |  CAST(coalesce(h2.h, 0) AS DOUBLE) / 1000000.0 AS hub,
+       |  CAST(coalesce(a2.a_s, 0) AS DOUBLE) / 1000000.0 AS auth
+       |FROM nodes n
+       |LEFT JOIN h2 ON h2.node = n.node
+       |LEFT JOIN a2 ON a2.node = n.node""".stripMargin
+  }
+
   /** Triangle / edge / node counts of the co-purchase graph. */
   val graphTriangles: QueryFn = (s, dir) =>
     Graph.triangleStats(coPurchase(s, dir))
@@ -590,6 +634,7 @@ object GraphQueries {
     "graph_degrees"   -> graphDegrees,
     "graph_cc"        -> graphCc,
     "graph_label_prop" -> graphLabelProp,
+    "graph_hits"      -> graphHits,
     "ts_ewma"         -> tsEwma,
     "ts_interpolate"  -> tsInterpolate,
     "attribution_linear" -> attributionLinear,
@@ -614,6 +659,7 @@ object GraphQueries {
     "graph_degrees"   -> graphDegreesSql,
     "graph_cc"        -> graphCcSql,
     "graph_label_prop" -> graphLabelPropSql,
+    "graph_hits"      -> graphHitsSql,
     "ts_ewma"         -> tsEwmaSql,
     "ts_interpolate"  -> tsInterpolateSql,
     "attribution_linear" -> attributionLinearSql,

@@ -1,0 +1,125 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Round-7 operators: HITS hubs/authorities, the angular diversity
+  * sample, and the binned interval-overlap join.
+  */
+class Round7Spec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // ---- Graph.hits ----------------------------------------------------------
+
+  test("hits: star graph — the hub points everywhere, leaves hold the authority") {
+    // directed star 1 -> {2,3,4}: node 1 is the only hub, 2/3/4 are the
+    // (equal) authorities; 1 has no in-links so auth(1) = 0, and the
+    // leaves have no out-links so hub(leaf) = 0
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.hits(edges, iterations = 2)
+      .select("node", "hub_scaled", "auth_scaled")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val hub1 = got(0)
+    assert(hub1._1 == 1L && hub1._3 == 0L, s"root must have auth 0: $hub1")
+    val leaves = got.drop(1)
+    assert(leaves.forall(_._2 == 0L), s"leaves must have hub 0: ${leaves.toSeq}")
+    assert(leaves.map(_._3).distinct.length == 1, "equal authorities expected")
+    assert(hub1._2 > 0L && leaves.head._3 > 0L)
+  }
+
+  test("hits: authority concentrates on the most-pointed-at node") {
+    // 1->3, 2->3, 4->5: node 3 (two in-links) must out-rank node 5 (one)
+    val edges = Seq((1L, 3L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val m = Graph.hits(edges, iterations = 2)
+      .select("node", "auth_scaled").as[(Long, Long)].collect().toMap
+    assert(m(3L) > m(5L), s"auth(3)=${m(3L)} !> auth(5)=${m(5L)}")
+    // and hubs pointing at the stronger authority out-rank the other hub
+    val h = Graph.hits(edges, iterations = 2)
+      .select("node", "hub_scaled").as[(Long, Long)].collect().toMap
+    assert(h(1L) > h(4L) && h(2L) > h(4L))
+  }
+
+  test("hits: partitioning-invariant (1 vs 16 partitions)") {
+    val edges = (0L until 400L).map(i => (i % 37, (i * 7) % 41 + 100)).toDF("a", "b")
+    def run(p: Int) = Graph.hits(edges.repartition(p), iterations = 2)
+      .select("node", "hub_scaled", "auth_scaled")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(1) == run(16))
+  }
+
+  // ---- Similarity.diversitySample -----------------------------------------
+
+  test("diversitySample: reps are bucket members, counts partition the corpus") {
+    val vecs = (0L until 300L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 13.7 + d * 0.9)).toArray)
+    }.toDF("vec_id", "embedding")
+    val sample = Similarity.diversitySample(vecs, bits = 8)
+    val rows = sample.select("bucket", "rep_id", "n_members")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._3).sum == 300L, "bucket populations must partition the corpus")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // every representative really carries its bucket's signature and is
+    // the smallest id in it
+    val sigs = vecs.select(col("vec_id"),
+        Similarity.rhpSignature(col("embedding").cast("array<double>"), 8).as("bucket"))
+      .as[(Long, Long)].collect()
+    val byBucket = sigs.groupBy(_._2).map { case (b, xs) => b -> xs.map(_._1).min }
+    for ((b, rep, _) <- rows) assert(byBucket(b) == rep, s"bucket $b rep $rep")
+  }
+
+  test("diversitySample: partitioning-invariant") {
+    val vecs = (0L until 200L).map { i =>
+      (i, (0 until 8).map(d => ((i * 31 + d * 17) % 100) / 50.0 - 1.0).toArray)
+    }.toDF("vec_id", "embedding")
+    def run(p: Int) = Similarity.diversitySample(vecs.repartition(p), bits = 8)
+      .select("bucket", "rep_id", "n_members")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(1) == run(16))
+  }
+
+  // ---- Joins.intervalOverlapJoin ------------------------------------------
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("intervalOverlapJoin: each overlapping pair appears EXACTLY once") {
+    // left interval spans 3 hours; right intervals overlap it in several
+    // bins (the dedup trap), just-touch it (half-open: no match), and
+    // miss it entirely
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 13:00:00"))
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), ts("2024-01-01 12:30:00")), // 3 shared bins
+      (11L, ts("2024-01-01 12:59:59"), ts("2024-01-01 14:00:00")), // 1 shared bin
+      (12L, ts("2024-01-01 13:00:00"), ts("2024-01-01 14:00:00")), // touches: NO
+      (13L, ts("2024-01-01 08:00:00"), ts("2024-01-01 10:00:00")), // touches: NO
+      (14L, ts("2024-01-01 15:00:00"), ts("2024-01-01 16:00:00"))  // disjoint
+    ).toDF("rid", "rs", "re")
+    val got = Joins.intervalOverlapJoin(left, "ls", "le", right, "rs", "re",
+        binMinutes = 60)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 10L), (1L, 11L)), got.toString)
+  }
+
+  test("intervalOverlapJoin: matches the naive inequality join on random intervals") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def mk(seed: Int, n: Int) = (0 until n).map { i =>
+      val s = base + ((i * 7919L + seed * 104729L) % (72L * 3600)) * 1000L
+      val len = (1L + (i * 613L + seed) % 7200L) * 1000L
+      (seed * 1000L + i, new Timestamp(s), new Timestamp(s + len))
+    }
+    val l = mk(1, 120).toDF("lid", "ls", "le")
+    val r = mk(2, 90).toDF("rid", "rs", "re")
+    val got = Joins.intervalOverlapJoin(l, "ls", "le", r, "rs", "re",
+        binMinutes = 30)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = l.join(r, col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive && naive.nonEmpty)
+  }
+}
