@@ -438,27 +438,22 @@ object Similarity {
     * (apply 1/√k scaling downstream if unit-norm preservation matters —
     * kept unscaled here so the output is an exact DECIMAL sum).
     *
-    * Scale shape: the sign matrix is a driver-side LITERAL compiled into
-    * ONE codegen'd per-row projection — no matrix join, no explode, no
+    * Scale shape: the sign matrix rides inside ONE native fused kernel
+    * (`VectorExprs.JlProject`) — no matrix join, no explode of terms, no
     * shuffle of any kind (the matrix-join formulation would shuffle k×
-    * the corpus). Terms are rounded at 6 and accumulated in DECIMAL, so
-    * the sums are order-independent and engine-identical.
+    * the corpus). Terms are rounded at 6 and accumulated as exact scaled
+    * longs (≡ the previous DECIMAL(30,6) fold term-for-term), so the
+    * sums are order-independent and engine-identical; the kernel
+    * replaced an interpreted k×dIn decimal lambda that WAS the whole
+    * cost of the `vec_project` bench entry (3.6 s → sub-second at
+    * sf0.1).
     */
   def randomProject(df: DataFrame, k: Int = 16, dIn: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val signs = projectionSigns(dIn, k)
-    val matLit = signs
-      .map(row => row.mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .select(col(idCol), posexplode(expr(
-        s"""transform($matLit, sd -> CAST(
-           |  aggregate(sequence(0, $dIn - 1), CAST(0.0 AS DECIMAL(30,6)),
-           |    (acc, i) -> CAST(acc + CAST(round(__v[i] * sd[i], 6)
-           |      AS DECIMAL(30,6)) AS DECIMAL(30,6)))
-           |  AS DOUBLE))""".stripMargin)))
+      .select(col(idCol),
+        posexplode(VectorExprs.jl_project(col("__v"), k, dIn)))
       .select(col(idCol), col("pos").cast("long").as("d"), col("col").as("proj"))
-  }
 
   def meanVectors(df: DataFrame, keyCol: String,
       vecCol: String = "embedding"): DataFrame = {

@@ -123,6 +123,88 @@ object VectorExprs {
     override def prettyName: String = "rhp_signature"
   }
 
+  /** Fused Johnson–Lindenstrauss projection: all `k` output coordinates
+    * of the ±1-sign projection in ONE loop nest per row, each coordinate
+    * an exact scaled-long sum of round-at-6 terms (`Σ round6(vᵢ·±1)`),
+    * emitted as `acc/1e6` doubles — bit-identical to the previous
+    * DECIMAL(30,6)-fold SQL expression (exact integer sum, one correctly
+    * rounded IEEE divide) and to the DuckDB oracle's
+    * `CAST(sum(DECIMAL) AS DOUBLE)`. The SQL higher-order form
+    * interpreted a k×dIn decimal lambda per row (the whole cost of the
+    * `vec_project` bench entry); this kernel is the same arithmetic as
+    * straight-line JVM code.
+    */
+  case class JlProject(child: Expression, k: Int, dIn: Int)
+      extends UnaryExpression {
+    require(k >= 1 && dIn >= 1)
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+    @transient private lazy val signs: Array[Array[Double]] =
+      Similarity.projectionSigns(dIn, k)
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), dIn)
+      val out = new Array[Double](k)
+      var d = 0
+      while (d < k) {
+        val sg = signs(d)
+        var acc = 0L
+        var i = 0
+        while (i < n) {
+          acc += Similarity.round6Scaled(x.getDouble(i) * sg(i))
+          i += 1
+        }
+        out(d) = acc.toDouble / 1e6
+        d += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val tbl = ctx.addReferenceObj("jlSigns", signs, "double[][]")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val sg = ctx.freshName("sg")
+        val out = ctx.freshName("out")
+        val t = ctx.freshName("t")
+        val ab = ctx.freshName("ab")
+        val fl = ctx.freshName("fl")
+        val r = ctx.freshName("r")
+        // the rounding below is Similarity.round6Scaled inlined verbatim —
+        // half-away-from-zero on x*1e6, the engines' shared round(x, 6)
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $dIn);
+           |double[] $out = new double[$k];
+           |for (int $d = 0; $d < $k; $d++) {
+           |  double[] $sg = $tbl[$d];
+           |  long $acc = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $t = $a.getDouble($i) * $sg[$i] * 1.0E6;
+           |    double $ab = java.lang.Math.abs($t);
+           |    double $fl = java.lang.Math.floor($ab);
+           |    double $r = ($ab - $fl >= 0.5) ? $fl + 1.0 : $fl;
+           |    $acc += (long) ($t < 0 ? -$r : $r);
+           |  }
+           |  $out[$d] = ((double) $acc) / 1.0E6;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): JlProject =
+      copy(child = newChild)
+
+    override def prettyName: String = "jl_project"
+  }
+
+  def jl_project(vec: Column, k: Int, dIn: Int): Column =
+    Bridge.column(JlProject(Bridge.expression(vec), k, dIn))
+
   /** The deterministic ±1 plane table (splitmix64-style hash of
     * (bit, dim) — replayed verbatim by the DuckDB LSH oracle). Cached per
     * (bits, maxDim); shared by interpreted and generated code.
