@@ -120,6 +120,28 @@ object ScaleGraph {
     assert(aa == blocks * strictPerBlock,
       s"strict hub-edge adamic-adar: $aa ok, want ${blocks * strictPerBlock}")
 
+    // HITS on the directed (a < b) orientation: every star edge leaves
+    // its center (the block min), so centers are pure hubs (out-degree
+    // ~k+1 vs ≤ 2) and members pure authorities — after 2 iterations the
+    // hub/authority split must be TOTAL: every center's hub above every
+    // non-center's, every member's authority above every center's.
+    val hits = t("hits-2") {
+      Graph.hits(edges, iterations = 2)
+        .withColumn("c", col("node") % k === 0)
+        .groupBy("c").agg(count(lit(1)).as("cnt"),
+          min("hub_scaled").as("hLo"), max("hub_scaled").as("hHi"),
+          min("auth_scaled").as("aLo"), max("auth_scaled").as("aHi"))
+        .collect().map(r => r.getBoolean(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    }
+    val (hcCnt, hcHubLo, _, _, hcAuthHi) = hits(true)
+    val (hiCnt, _, hiHubHi, hiAuthLo, _) = hits(false)
+    assert(hcCnt + hiCnt == n, s"hits rows ${hcCnt + hiCnt}, want $n")
+    assert(hcHubLo > hiHubHi,
+      s"a non-center out-hubbed a center: centers ≥ $hcHubLo, interior ≤ $hiHubHi")
+    assert(hiAuthLo > hcAuthHi,
+      s"a center out-authed a member: members ≥ $hiAuthLo, centers ≤ $hcAuthHi")
+
     println("ALL SCALE-GRAPH ASSERTIONS PASSED")
     spark.stop()
   }
