@@ -180,6 +180,33 @@ object Eval {
       .drop("__sum")
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, the Codex estimator): per
+    * problem with `n ≥ k` samples of which `c` are correct,
+    * `1 − C(n−c, k)/C(n, k)`, computed as the ordered product
+    * `1 − Π_{i<k} (n−c−i)/(n−i)` — numerically safe at any n (no
+    * factorials) and an exact left-to-right IEEE fold both engines
+    * replay identically; rounded at 6. Problems with fewer than k
+    * incorrect samples score exactly 1.0 (the binomial term is 0) —
+    * emitted through the CASE so no 0/0 division ever evaluates.
+    *
+    * Scale: ONE map-side-combining count aggregation to problem
+    * granularity; the estimator is a row-local projection of the two
+    * counts. k is a literal, never data.
+    */
+  def passAtK(df: DataFrame, problemCol: String, correct: Column,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    df.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"), sum(correct.cast("long")).as("c"))
+      .where(col("n") >= k)
+      .withColumn(s"pass_at_$k",
+        when(col("n") - col("c") < k, 1.0)
+          .otherwise(round(lit(1.0) -
+            aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+              (acc, i) => acc * ((col("n") - col("c") - i).cast("double") /
+                (col("n") - i).cast("double"))), 6)))
+  }
+
   /** Per-slice regression error metrics (MAE / RMSE) for a prediction
     * column: per-term round(6) DECIMAL sums (order-independent), one
     * division each, one final sqrt — the forecast-quality gate for the

@@ -404,6 +404,30 @@ object EvalQueries {
        |        / count(*), 6) AS mrr
        |FROM rr GROUP BY label""".stripMargin
 
+  /** Unbiased pass@5 per user over the event stream (each user's events
+    * are the "samples", purchases the "correct" ones) — the Codex
+    * estimator 1 − Π (n−c−i)/(n−i), an ordered IEEE product both
+    * engines fold identically (see [[graft.ext.Eval.passAtK]]).
+    */
+  val evalPassAtK: QueryFn = (s, dir) =>
+    graft.ext.Eval.passAtK(Tables.events(s, dir), "user_id",
+      col("event_type") === "purchase", k = 5)
+
+  val evalPassAtKSql: String =
+    """WITH g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT user_id, n, c,
+      |  CASE WHEN n - c < 5 THEN 1.0
+      |       ELSE round(1.0 - list_reduce(
+      |         list_prepend(CAST(1.0 AS DOUBLE),
+      |           list_transform(generate_series(0, 4),
+      |             i -> CAST(n - c - i AS DOUBLE) / (n - i))),
+      |         (a, x) -> a * x), 6) END AS pass_at_5
+      |FROM g WHERE n >= 5""".stripMargin
+
   /** MAE/RMSE of the naive lag-1 forecaster per event type — the
     * baseline every forecasting eval reports first. Per-term round(6)
     * DECIMAL error sums; stream heads (no lag) excluded.
@@ -1278,6 +1302,7 @@ object EvalQueries {
     "eval_kappa"       -> evalKappa,
     "ts_trend"         -> tsTrend,
     "eval_psi"         -> evalPsi,
+    "eval_pass_at_k"   -> evalPassAtK,
     "stats_benford"    -> statsBenford,
   )
 
@@ -1314,6 +1339,7 @@ object EvalQueries {
     "eval_kappa"       -> evalKappaSql,
     "ts_trend"         -> tsTrendSql,
     "eval_psi"         -> evalPsiSql,
+    "eval_pass_at_k"   -> evalPassAtKSql,
     "stats_benford"    -> statsBenfordSql,
   )
 }

@@ -82,6 +82,27 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     assert(run(1) == run(16))
   }
 
+  // ---- Eval.passAtK --------------------------------------------------------
+
+  test("passAtK matches the closed-form binomial estimator") {
+    // problem 1: n=10, c=3 -> 1 - C(7,5)/C(10,5) = 1 - 21/252 = 0.916667
+    // problem 2: n=6, c=2  -> n-c=4 < 5 -> exactly 1.0 (no 0/0 division)
+    // problem 3: n=5, c=0  -> 0.0;  problem 4: n=4 -> filtered (n < k)
+    val rows =
+      (1 to 10).map(i => (1L, i <= 3)) ++
+      (1 to 6).map(i => (2L, i <= 2)) ++
+      (1 to 5).map(_ => (3L, false)) ++
+      (1 to 4).map(_ => (4L, true))
+    val df = rows.toDF("problem", "ok")
+    val got = Eval.passAtK(df, "problem", col("ok"), k = 5)
+      .select("problem", "n", "c", "pass_at_5")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), "n < k problems must drop")
+    assert(got(0) == ((1L, 10L, 3L, 0.916667)))
+    assert(got(1) == ((2L, 6L, 2L, 1.0)))
+    assert(got(2) == ((3L, 5L, 0L, 0.0)))
+  }
+
   // ---- Joins.intervalOverlapJoin ------------------------------------------
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
