@@ -207,6 +207,61 @@ object Eval {
                 (col("n") - i).cast("double"))), 6)))
   }
 
+  /** Bradley–Terry preference ratings (the arena-style ranking behind
+    * pairwise LLM evals), fixed MM iterations (Hunter 2004): from a
+    * DIRECTED win-count table `(i, j, w)` (= times i beat j),
+    *
+    *   γ_i ← round6( W_i / Σ_j n_ij / (γ_i + γ_j) ),  γ⁰ = 1
+    *
+    * with `W_i` i's total wins and `n_ij = w_ij + w_ji`. The opponent
+    * sum folds over the j-ASCENDING collected term list (per-team
+    * opponent counts are bounded by the comparison design, so the
+    * collect_list state is row-bounded), and each iteration's γ rounds
+    * at 6 — the float chain is a fixed ordered sequence both engines
+    * replay bit-for-bit. Returns `(team, gamma, n_wins)`.
+    *
+    * Scale: per iteration two team-keyed broadcast-or-hash joins of the
+    * pair table onto the (team-sized) rating table and one team-keyed
+    * aggregation — pair-table-sized exchanges, never sample-sized.
+    */
+  def bradleyTerry(wins: DataFrame, iCol: String, jCol: String,
+      wCol: String, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1)
+    val w = wins.select(col(iCol).as("__i"), col(jCol).as("__j"),
+        col(wCol).cast("double").as("__w"))
+      .localCheckpoint(false) // read every iteration
+    // every team that PLAYED is rated — a zero-win team must still
+    // appear (γ → 0) and its matches must still weigh on its opponents'
+    // denominators, so totals covers the full participant set
+    val teams = w.select(col("__i").as("team"))
+      .unionByName(w.select(col("__j").as("team"))).distinct()
+    val totals = teams
+      .join(w.groupBy(col("__i").as("team")).agg(sum(col("__w")).as("__w0")),
+        Seq("team"), "left")
+      .select(col("team"), coalesce(col("__w0"), lit(0.0)).as("__wi"))
+      .localCheckpoint(false)
+    val nij = w.select(col("__i"), col("__j"), col("__w"))
+      .unionByName(w.select(col("__j").as("__i"), col("__i").as("__j"), col("__w")))
+      .groupBy("__i", "__j").agg(sum(col("__w")).as("__n"))
+      .localCheckpoint(false)
+    var g = totals.select(col("team"), lit(1.0).as("gamma"))
+    for (_ <- 1 to iterations) {
+      val gi = g.select(col("team").as("__i"), col("gamma").as("__gi"))
+      val gj = g.select(col("team").as("__j"), col("gamma").as("__gj"))
+      g = nij.join(gi, Seq("__i")).join(gj, Seq("__j"))
+        .select(col("__i"), col("__j"),
+          (col("__n") / (col("__gi") + col("__gj"))).as("__t"))
+        .groupBy(col("__i").as("team"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("__j"), col("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t")).as("__den"))
+        .join(totals, Seq("team"))
+        .select(col("team"), round(col("__wi") / col("__den"), 6).as("gamma"))
+    }
+    g.join(totals, Seq("team"))
+      .select(col("team"), col("gamma"), col("__wi").cast("long").as("n_wins"))
+  }
+
   /** Per-slice regression error metrics (MAE / RMSE) for a prediction
     * column: per-term round(6) DECIMAL sums (order-independent), one
     * division each, one final sqrt — the forecast-quality gate for the

@@ -428,6 +428,72 @@ object EvalQueries {
       |         (a, x) -> a * x), 6) END AS pass_at_5
       |FROM g WHERE n >= 5""".stripMargin
 
+  /** Bradley–Terry ratings over event types (arena-style pairwise
+    * ranking): each user "prefers" the type with the higher mean value —
+    * compared EXACTLY via cross-multiplied scaled-long sums, no float
+    * means — and the directed win counts feed 2 MM iterations
+    * ([[graft.ext.Eval.bradleyTerry]]; ties contribute no match).
+    */
+  val evalBradleyTerry: QueryFn = (s, dir) => {
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(round(col("value"), 6).cast("decimal(30,6)")) * lit(1000000))
+          .cast("long").as("sv"))
+    val a = u.select(col("user_id"), col("event_type").as("ta"),
+      col("cnt").as("ca"), col("sv").as("sa"))
+    val b = u.select(col("user_id"), col("event_type").as("tb"),
+      col("cnt").as("cb"), col("sv").as("sb"))
+    val wins = a.join(b, Seq("user_id")).where(col("ta") < col("tb"))
+      .withColumn("__d", col("sa") * col("cb") - col("sb") * col("ca"))
+      .where(col("__d") =!= 0)
+      .select(when(col("__d") > 0, col("ta")).otherwise(col("tb")).as("i"),
+        when(col("__d") > 0, col("tb")).otherwise(col("ta")).as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("w"))
+    graft.ext.Eval.bradleyTerry(wins, "i", "j", "w", iterations = 2)
+  }
+
+  val evalBradleyTerrySql: String = {
+    def step(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT nn.i AS team, round(any_value(t2.wi) / list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(nn.n / (gi.gamma + gj.gamma) ORDER BY nn.j)),
+         |      (a, x) -> a + x), 6) AS gamma
+         |  FROM nn
+         |  JOIN $prev gi ON gi.team = nn.i
+         |  JOIN $prev gj ON gj.team = nn.j
+         |  JOIN tot t2 ON t2.team = nn.i
+         |  GROUP BY nn.i
+         |)""".stripMargin
+    s"""WITH u AS (
+       |  SELECT user_id, event_type AS t, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS s
+       |  FROM events GROUP BY 1, 2
+       |), cmp AS (
+       |  SELECT CASE WHEN a.s * b.c > b.s * a.c THEN a.t ELSE b.t END AS i,
+       |         CASE WHEN a.s * b.c > b.s * a.c THEN b.t ELSE a.t END AS j
+       |  FROM u a JOIN u b ON a.user_id = b.user_id AND a.t < b.t
+       |  WHERE a.s * b.c <> b.s * a.c
+       |), wns AS (
+       |  SELECT i, j, CAST(count(*) AS DOUBLE) AS w FROM cmp GROUP BY 1, 2
+       |), tot AS (
+       |  -- all participants, zero-win teams included (gamma -> 0)
+       |  SELECT t.team, coalesce(s.wi, CAST(0.0 AS DOUBLE)) AS wi
+       |  FROM (SELECT i AS team FROM wns UNION SELECT j FROM wns) t
+       |  LEFT JOIN (SELECT i AS team, sum(w) AS wi FROM wns GROUP BY 1) s
+       |    USING (team)
+       |), nn AS (
+       |  SELECT i, j, sum(w) AS n FROM (
+       |    SELECT i, j, w FROM wns UNION ALL SELECT j, i, w FROM wns)
+       |  GROUP BY 1, 2
+       |), g0 AS (
+       |  SELECT team, CAST(1.0 AS DOUBLE) AS gamma FROM tot
+       |), ${step("g0", "it1")}, ${step("it1", "it2")}
+       |SELECT t.team, it2.gamma, CAST(t.wi AS BIGINT) AS n_wins
+       |FROM it2 JOIN tot t USING (team)""".stripMargin
+  }
+
   /** MAE/RMSE of the naive lag-1 forecaster per event type — the
     * baseline every forecasting eval reports first. Per-term round(6)
     * DECIMAL error sums; stream heads (no lag) excluded.
@@ -1303,6 +1369,7 @@ object EvalQueries {
     "ts_trend"         -> tsTrend,
     "eval_psi"         -> evalPsi,
     "eval_pass_at_k"   -> evalPassAtK,
+    "eval_bradley_terry" -> evalBradleyTerry,
     "stats_benford"    -> statsBenford,
   )
 
@@ -1340,6 +1407,7 @@ object EvalQueries {
     "ts_trend"         -> tsTrendSql,
     "eval_psi"         -> evalPsiSql,
     "eval_pass_at_k"   -> evalPassAtKSql,
+    "eval_bradley_terry" -> evalBradleyTerrySql,
     "stats_benford"    -> statsBenfordSql,
   )
 }

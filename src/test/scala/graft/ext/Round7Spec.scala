@@ -103,6 +103,36 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     assert(got(2) == ((3L, 5L, 0L, 0.0)))
   }
 
+  // ---- Eval.bradleyTerry ---------------------------------------------------
+
+  test("bradleyTerry: two teams converge to the odds ratio") {
+    // A beats B 3:1 -> the MM fixed point is γ_A/γ_B = 3 (reached in
+    // one iteration here: γ_A = 3/(4/2) = 1.5, γ_B = 1/(4/2) = 0.5)
+    val wins = Seq(("A", "B", 3L), ("B", "A", 1L)).toDF("i", "j", "w")
+    val got = Eval.bradleyTerry(wins, "i", "j", "w", iterations = 2)
+      .select("team", "gamma", "n_wins")
+      .as[(String, Double, Long)].collect().sortBy(_._1)
+    assert(got(0) == (("A", 1.5, 3L)))
+    assert(got(1) == (("B", 0.5, 1L)))
+  }
+
+  test("bradleyTerry: zero-win teams stay rated (gamma 0) and weigh on opponents") {
+    // C never wins: it must appear with gamma 0, and its matches must
+    // still enter A's and B's denominators
+    val wins = Seq(("A", "B", 2L), ("B", "C", 2L), ("A", "C", 2L))
+      .toDF("i", "j", "w")
+    val got = Eval.bradleyTerry(wins, "i", "j", "w", iterations = 2)
+      .select("team", "gamma", "n_wins")
+      .as[(String, Double, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("A", "B", "C"), "C must not drop")
+    assert(got(2)._2 == 0.0 && got(2)._3 == 0L)
+    assert(got(0)._2 > got(1)._2, s"transitive order broken: ${got.toSeq}")
+    // A's denominator includes the A-C matches: with C dropped γ_A
+    // would be 4/(4/2) = 2.0 after it1; with C in, it1 gives
+    // 4/(4/2 + 2/1) = 1.0
+    assert(got(0)._2 != 2.0)
+  }
+
   // ---- Joins.intervalOverlapJoin ------------------------------------------
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
