@@ -185,5 +185,70 @@ class RandomizedOracleSpec extends AnyFunSuite with SparkTest {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(got == ((n, s, sRank, gini)))
     }
+
+    test(s"hits == in-memory integer iteration (seed $seed)") {
+      val rnd = new Random(seed)
+      val edges = (0 until 1500).map(_ =>
+        (rnd.nextInt(60).toLong, (60 + rnd.nextInt(60)).toLong))
+        .distinct
+      val got = Graph.hits(edges.toDF("a", "b").repartition(5), iterations = 3)
+        .select("node", "hub_scaled", "auth_scaled")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+      // straight-line reference: same longs, same floor-divisions
+      val scale = 1000000L
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      var hub = nodes.map(_ -> scale).toMap
+      var auth = Map.empty[Long, Long]
+      for (_ <- 1 to 3) {
+        val araw = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => hub(e._1)).sum }
+        val am = math.max(1L, araw.values.max / scale)
+        auth = araw.map { case (v, r) => v -> r / am }
+        val hraw = edges.groupBy(_._1).map { case (u, es) =>
+          u -> es.map(e => auth(e._2)).sum }
+        val hm = math.max(1L, hraw.values.max / scale)
+        hub = hraw.map { case (u, r) => u -> r / hm }
+      }
+      val expected = nodes.map(v =>
+        (v, hub.getOrElse(v, 0L), auth.getOrElse(v, 0L)))
+      assert(got == expected)
+    }
+
+    test(s"bradleyTerry == in-memory MM fold (seed $seed)") {
+      val rnd = new Random(seed)
+      val teams = (0 until 8).map(i => s"t$i")
+      val wins = (for {
+        i <- teams; j <- teams if i < j
+        wij = rnd.nextInt(5); wji = rnd.nextInt(5)
+        row <- Seq((i, j, wij.toLong), (j, i, wji.toLong))
+        if row._3 > 0
+      } yield row).toSeq
+      val got = Eval.bradleyTerry(wins.toDF("i", "j", "w").repartition(3),
+          "i", "j", "w", iterations = 3)
+        .select("team", "gamma", "n_wins")
+        .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+
+      def round6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val participants = (wins.map(_._1) ++ wins.map(_._2)).distinct.sorted
+      val wTot = participants.map(t =>
+        t -> wins.filter(_._1 == t).map(_._3.toDouble).sum).toMap
+      val nij = wins.groupBy(w => (w._1, w._2)).map { case (k, v) =>
+        k -> v.map(_._3.toDouble).sum }
+      def n(a: String, b: String) =
+        nij.getOrElse((a, b), 0.0) + nij.getOrElse((b, a), 0.0)
+      var g = participants.map(_ -> 1.0).toMap
+      for (_ <- 1 to 3) {
+        g = participants.map { t =>
+          // j-ascending ordered fold, matching the operator's sort
+          val den = participants.filter(o => o != t && n(t, o) > 0.0)
+            .sorted.foldLeft(0.0)((acc, o) => acc + n(t, o) / (g(t) + g(o)))
+          t -> round6(wTot(t) / den)
+        }.toMap
+      }
+      val expected = participants.map(t => (t, g(t), wTot(t).toLong))
+      assert(got == expected)
+    }
   }
 }
