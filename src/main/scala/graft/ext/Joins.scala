@@ -53,6 +53,75 @@ object Joins {
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
 
+  /** Forward as-of join — the mirror of [[asofJoin]]: attach the
+    * EARLIEST right row with `right.ts >= left.ts` (inclusive). Same
+    * union + one-window shape (no range self-join): rights sort after
+    * lefts on timestamp ties so simultaneous rows are visible, tie
+    * columns descending so the greatest tie value wins (matching the
+    * backward direction's convention), and `first(_, ignoreNulls)` over
+    * the FOLLOWING frame does the linear scan.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valueCols: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(!leftCols.contains(_)),
+      s"valueCols ${valueCols.filter(leftCols.contains)} collide with left columns — alias them on the right side first")
+    val keys = keyCols.map(col)
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(keys ++ Seq(col(tsCol), col("__side")) ++
+        tieCols.map(c => lit(null).cast("long").as(s"__tie_$c")) ++
+        leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(keys ++ Seq(col(tsCol), col("__side")) ++
+        tieCols.map(c => col(c).cast("long").as(s"__tie_$c")) ++
+        leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy((Seq(col(tsCol), col("__side").desc) ++
+        tieCols.map(c => col(s"__tie_$c").desc)): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val attached = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(c, first(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    attached.where(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): the
+    * right row minimizing |right.ts − left.ts| per key; exact-distance
+    * ties go BACKWARD (the earlier row — the deterministic pin pandas
+    * leaves unspecified). Composed from one backward and one forward
+    * pass (two key-partitioned window scans — still no range
+    * self-join); each pass also carries the matched timestamp so the
+    * chooser is a row-local projection.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valueCols: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    def tagged(prefix: String) = right.select(
+      (keyCols.map(col) :+ col(tsCol)) ++
+        (col(tsCol).as(s"${prefix}_ts") +:
+          valueCols.map(c => col(c).as(s"${prefix}_$c"))) ++
+        tieCols.map(col): _*)
+    val bCols = s"__b_ts" +: valueCols.map(c => s"__b_$c")
+    val fCols = s"__f_ts" +: valueCols.map(c => s"__f_$c")
+    val withB = asofJoin(left, tagged("__b"), keyCols, tsCol, bCols, tieCols)
+    val withBF = asofJoinForward(withB, tagged("__f"), keyCols, tsCol, fCols, tieCols)
+    val db = unix_micros(col(tsCol)) - unix_micros(col("__b_ts"))
+    val df_ = unix_micros(col("__f_ts")) - unix_micros(col(tsCol))
+    val useB = col("__f_ts").isNull || (col("__b_ts").isNotNull && db <= df_)
+    val chosen = valueCols.map(c =>
+      when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c)) :+
+      when(useB, col("__b_ts")).otherwise(col("__f_ts")).as("asof_ts")
+    withBF.select(leftCols.map(col) ++ chosen: _*)
+  }
+
   /** Keyless point-in-interval join via time binning: each interval
     * explodes to the fixed-width bins it covers, each point lands in
     * exactly one bin, and the join becomes an equi-join on the bin id

@@ -1310,6 +1310,35 @@ object ExtQueries {
       |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
+  /** Nearest as-of join (pandas merge_asof direction='nearest'): each
+    * purchase attaches its user's closest error by |Δts|, exact ties
+    * going backward. Two window passes (backward + forward), never a
+    * range self-join; the oracle ranks the full per-key candidate set —
+    * affordable for DuckDB at oracle SF, the shape the operator exists
+    * to avoid.
+    */
+  val asofJoinNearest: QueryFn = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    graft.ext.Joins.asofJoinNearest(
+      ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value").as("err_value")),
+      Seq("user_id"), "ts", Seq("err_value"))
+      .select("event_id", "user_id", "err_value", "asof_ts")
+  }
+  val asofJoinNearestSql: String =
+    """SELECT event_id, user_id, err_value, asof_ts FROM (
+      |  SELECT l.event_id, l.user_id, r.value AS err_value, r.ts AS asof_ts,
+      |    row_number() OVER (PARTITION BY l.event_id ORDER BY
+      |      CASE WHEN r.ts <= l.ts THEN epoch_us(l.ts) - epoch_us(r.ts)
+      |           ELSE epoch_us(r.ts) - epoch_us(l.ts) END,
+      |      CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END) AS rn
+      |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+      |  LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+      |    USING (user_id)
+      |) WHERE rn = 1""".stripMargin
+
   /** Exact corpus-vocabulary heavy hitters (the verification pass of the
     * two-pass heavy-hitter pattern; `Sketches.heavyHitters` is the
     * candidate pass).
@@ -2905,6 +2934,7 @@ object ExtQueries {
     "vocab_heavy_hitters"  -> vocabHeavyHitters,
     "resample_hourly"      -> resampleHourly,
     "asof_join"            -> asofJoinGeneral,
+    "asof_join_nearest"    -> asofJoinNearest,
     "training_set"         -> trainingSet,
     "sample_bottomk"       -> sampleBottomK,
     "sketch_countmin"      -> sketchCountMin,
@@ -2993,6 +3023,7 @@ object ExtQueries {
     "vocab_heavy_hitters" -> vocabHeavyHittersSql,
     "resample_hourly"     -> resampleHourlySql,
     "asof_join"           -> asofJoinGeneralSql,
+    "asof_join_nearest"   -> asofJoinNearestSql,
     "mean_vectors"        -> meanVectorsSql,
     "vec_quantize"        -> vecQuantizeSql,
     "rank_tfidf"          -> rankTfidfSql,

@@ -82,6 +82,35 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     assert(run(1) == run(16))
   }
 
+  // ---- Joins.asofJoinForward / asofJoinNearest ----------------------------
+
+  test("asof forward/nearest: directions, inclusivity, and the backward tie pin") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), // b at 09:58 (d=2m), f at 10:03 (3m) -> b
+      (2L, 1L, ts("2024-01-01 10:05:00")), // b 10:03 (2m), f 10:07 (2m) TIE -> backward
+      (3L, 1L, ts("2024-01-01 10:07:00")), // exact hit -> inclusive both ways
+      (4L, 2L, ts("2024-01-01 10:00:00"))  // user 2 has no rights -> nulls
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:58:00"), 1.0),
+      (1L, ts("2024-01-01 10:03:00"), 2.0),
+      (1L, ts("2024-01-01 10:07:00"), 3.0)
+    ).toDF("user_id", "ts", "v")
+
+    val fwd = Joins.asofJoinForward(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(fwd == Map(1L -> Some(2.0), 2L -> Some(3.0),
+      3L -> Some(3.0), 4L -> None))
+
+    val near = Joins.asofJoinNearest(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(near == Map(
+      1L -> Some(1.0), // 2m back beats 3m forward
+      2L -> Some(2.0), // exact tie -> backward
+      3L -> Some(3.0), // simultaneous row, inclusive
+      4L -> None))
+  }
+
   // ---- Eval.passAtK --------------------------------------------------------
 
   test("passAtK matches the closed-form binomial estimator") {
