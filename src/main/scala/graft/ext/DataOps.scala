@@ -494,4 +494,69 @@ object DataOps {
     df.withColumn("bucket", ntile(nBuckets).over(
       Window.partitionBy(groupCol).orderBy(ordCols.map(_.asc_nulls_first): _*)))
   }
+
+  /** Token-budget epoch allocation — the waterfill that turns mixture
+    * WEIGHTS into an actual sampling plan: give each source
+    * `budget · w_i / Σw` tokens, cap any source at `cap` epochs of its
+    * own data (the repetition ceiling of data-constrained scaling), and
+    * redistribute capped surplus among the uncapped proportionally,
+    * for `rounds` rounds (default = one per source, which guarantees a
+    * fixed point: each non-final round caps ≥ 1 source; extra rounds
+    * are no-ops). Weights are temperature-flattened shares
+    * `round6((t_i/T)^(1/temperature))` — the `mixture_temperature`
+    * formula, so the two operators compose.
+    *
+    * The per-source table is collected and solved driver-side: mixture
+    * planning is SOURCE-granular by design (the same boundedness that
+    * lets IVF centroids collect), and every cross-source sum is a
+    * source-ascending ordered fold with 0.0 placeholders, so the double
+    * chain is a fixed sequence the DuckDB oracle replays term-for-term.
+    * Returns `(source, tokens, weight, epochs, target_tokens)`.
+    */
+  def epochAllocation(tokens: DataFrame, sourceCol: String, tokensCol: String,
+      budgetFactor: Double, cap: Double, temperature: Double = 2.0,
+      rounds: Int = 0): DataFrame = {
+    require(budgetFactor > 0 && cap > 0 && temperature > 0)
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val rows = tokens
+      .select(col(sourceCol).cast("string"), col(tokensCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(rows.nonEmpty, "epochAllocation needs at least one source")
+    val n = rows.length
+    val nRounds = if (rounds > 0) rounds else n
+    val tTot = rows.map(_._2).sum
+    val budget = budgetFactor * tTot.toDouble
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = rows.map { case (_, t) =>
+      round6(math.pow(t.toDouble / tTot.toDouble, 1.0 / temperature))
+    }
+    val capped = Array.fill(n)(false)
+    val e = Array.fill(n)(0.0)
+    for (_ <- 1 to nRounds) {
+      // both folds run over ALL sources ascending with 0.0 placeholders —
+      // the exact CASE-fold sequence of the SQL replay
+      var used = 0.0
+      var i = 0
+      while (i < n) {
+        used = used + (if (capped(i)) cap * rows(i)._2 else 0.0); i += 1
+      }
+      var wu = 0.0
+      i = 0
+      while (i < n) { wu = wu + (if (capped(i)) 0.0 else w(i)); i += 1 }
+      val r = budget - used
+      i = 0
+      while (i < n) {
+        if (!capped(i)) {
+          val e0 = ((r * w(i)) / wu) / rows(i)._2
+          if (e0 > cap) { capped(i) = true; e(i) = cap } else e(i) = e0
+        }
+        i += 1
+      }
+    }
+    rows.indices.map { i =>
+      (rows(i)._1, rows(i)._2, w(i), round6(e(i)), round6(e(i) * rows(i)._2))
+    }.toSeq.toDF("source", "tokens", "weight", "epochs", "target_tokens")
+  }
 }

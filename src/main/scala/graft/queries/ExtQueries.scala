@@ -2531,6 +2531,56 @@ object ExtQueries {
        |  round(w_temp / wt, 6) AS p_temp
        |FROM w, wt""".stripMargin
 
+  /** Token-budget epoch waterfill per language: 1.8× the corpus tokens,
+    * temperature-flattened target shares, 2-epoch repetition cap with
+    * proportional redistribution of capped surplus
+    * ([[graft.ext.DataOps.epochAllocation]]). On this corpus the four
+    * small languages cap and `en` absorbs the surplus — the oracle
+    * replays all five rounds of ordered folds.
+    */
+  val mixtureEpochs: QueryFn = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(trim(col("text")), "\\s+"))).cast("long").as("t"))
+    DataOps.epochAllocation(tok, "lang", "t",
+      budgetFactor = 1.8, cap = 2.0, temperature = 2.0, rounds = 5)
+  }
+  val mixtureEpochsSql: String = {
+    def fold(inner: String, from: String) =
+      s"""(SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list($inner ORDER BY source)), (a, x) -> a + x) FROM $from)""".stripMargin
+    def step(prev: String, out: String) = {
+      val used = fold("CASE WHEN capped THEN 2.0 * t ELSE CAST(0.0 AS DOUBLE) END", prev)
+      val wu = fold("CASE WHEN capped THEN CAST(0.0 AS DOUBLE) ELSE w END", prev)
+      s"""$out AS (
+         |  SELECT source, t, w,
+         |    CASE WHEN e0 > 2.0 THEN 2.0 ELSE e0 END AS e,
+         |    capped OR e0 > 2.0 AS capped
+         |  FROM (
+         |    SELECT source, t, w, capped,
+         |      CASE WHEN capped THEN e
+         |           ELSE ((((SELECT 1.8 * CAST(tot AS DOUBLE) FROM tt) - $used)
+         |                  * w) / $wu) / t END AS e0
+         |    FROM $prev)
+         |)""".stripMargin
+    }
+    s"""WITH tok AS (
+       |  SELECT lang AS source,
+       |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS t
+       |  FROM documents GROUP BY 1
+       |), tt AS (SELECT CAST(sum(t) AS BIGINT) AS tot FROM tok
+       |), r0 AS (
+       |  SELECT source, t,
+       |    round(pow(CAST(t AS DOUBLE) / CAST(tot AS DOUBLE), 0.5), 6) AS w,
+       |    CAST(0.0 AS DOUBLE) AS e, false AS capped
+       |  FROM tok, tt
+       |), ${step("r0", "r1")}, ${step("r1", "r2")}, ${step("r2", "r3")},
+       |${step("r3", "r4")}, ${step("r4", "r5")}
+       |SELECT source, t AS tokens, w AS weight,
+       |  round(e, 6) AS epochs, round(e * t, 6) AS target_tokens
+       |FROM r5""".stripMargin
+  }
+
   /** C4-style boilerplate removal at the word-window level: strip tokens
     * covered by the corpus's 20 most frequent trigram windows, re-emit
     * the cleaned text.
@@ -2888,6 +2938,7 @@ object ExtQueries {
     "sample_weighted"      -> sampleWeighted,
     "sample_diverse"       -> sampleDiverse,
     "mixture_temperature"  -> mixtureTemperature,
+    "mixture_epochs"       -> mixtureEpochs,
     "quality_classifier"   -> qualityClassifier,
     "text_boilerplate"     -> textBoilerplate,
     "dedup_semantic"       -> dedupSemantic,
@@ -2972,6 +3023,7 @@ object ExtQueries {
     "sample_weighted"     -> sampleWeightedSql,
     "sample_diverse"      -> sampleDiverseSql,
     "mixture_temperature" -> mixtureTemperatureSql,
+    "mixture_epochs"      -> mixtureEpochsSql,
     "quality_classifier"  -> qualityClassifierSql,
     "text_boilerplate"    -> textBoilerplateSql,
     "dedup_semantic"      -> dedupSemanticSql,
