@@ -45,6 +45,34 @@ object Ranking {
       .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
   }
 
+  /** Per-document IDF-novelty score — the rarity signal of corpus
+    * curation (near-boilerplate documents built from ubiquitous tokens
+    * score low, documents carrying rare vocabulary score high): the
+    * mean smoothed idf `round6(ln((N+1)/(df+1)))` over each document's
+    * DISTINCT tokens. Terms round at 6 and sum in DECIMAL, so the mean
+    * is one exact ratio both engines share. Returns
+    * (doc_id, n_terms, novelty).
+    *
+    * Scale: the same tf/df shape as tfidf — the exchange carries terms
+    * and counts, the idf table broadcasts back, and the per-doc mean is
+    * one doc-keyed aggregation.
+    */
+  def idfNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(false)
+    val nDocs = docs.count()
+    tf.join(broadcast(documentFrequencies(tf)), Seq("term"))
+      .withColumn("__idf",
+        round(log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        // NO final round: the exact DECIMAL sum casts and divides
+        // identically in both engines, while round-of-quotient sits on a
+        // half-boundary for some docs and the engines' rounding paths
+        // (exact-binary HALF_UP vs float multiply) split there
+        (sum(col("__idf").cast("decimal(30,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("novelty"))
+  }
+
   /** BM25 score of every document against a fixed term set. Returns one
     * row per document that matches at least one query term:
     * (doc_id, score). k1/b are the standard defaults.

@@ -1559,6 +1559,26 @@ object ExtQueries {
       |  round(tf.tf * ln(n.n / dfreq.df), 6) AS tfidf
       |FROM tf JOIN dfreq USING (term), n""".stripMargin
 
+  /** Per-document IDF-novelty (mean smoothed idf over distinct tokens) —
+    * the rarity curation signal ([[graft.ext.Ranking.idfNovelty]]);
+    * per-term round(6) DECIMAL sums, one exact mean ratio.
+    */
+  val textIdfNovelty: QueryFn = (s, dir) =>
+    Ranking.idfNovelty(Tables.documents(s, dir), "doc_id", "text")
+  val textIdfNoveltySql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+      |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST(round(ln((n.n + 1.0) / (dfreq.df + 1.0)), 6)
+      |          AS DECIMAL(30,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+      |FROM tf JOIN dfreq USING (term), n
+      |GROUP BY 1""".stripMargin
+
   /** Okapi BM25 against a fixed query-term set; per-term contributions are
     * rounded at 6 and summed in DECIMAL on both sides, so the score is
     * partition-order-independent and engine-identical.
@@ -2994,6 +3014,7 @@ object ExtQueries {
     "mean_vectors"         -> meanVectors,
     "vec_quantize"         -> vecQuantize,
     "rank_tfidf"           -> rankTfidf,
+    "text_idf_novelty"     -> textIdfNovelty,
     "rank_bm25"            -> rankBm25,
     "funnel_steps"         -> funnelSteps,
     "cohort_retention"     -> cohortRetentionQ,
@@ -3079,6 +3100,7 @@ object ExtQueries {
     "mean_vectors"        -> meanVectorsSql,
     "vec_quantize"        -> vecQuantizeSql,
     "rank_tfidf"          -> rankTfidfSql,
+    "text_idf_novelty"    -> textIdfNoveltySql,
     "rank_bm25"           -> rankBm25Sql,
     "funnel_steps"        -> funnelStepsSql,
     "cohort_retention"    -> cohortRetentionSql,

@@ -141,6 +141,35 @@ class Round7Spec extends AnyFunSuite with SparkTest {
       4L -> None))
   }
 
+  // ---- VectorExprs.JlProject ----------------------------------------------
+
+  test("jl_project: matches the sign-matrix fold, ragged vectors sum present dims") {
+    val dIn = 8; val k = 4
+    val signs = Similarity.projectionSigns(dIn, k)
+    def ref(v: Array[Double]): Seq[Double] = (0 until k).map { d =>
+      var acc = 0L
+      for (i <- 0 until math.min(v.length, dIn))
+        acc += Similarity.round6Scaled(v(i) * signs(d)(i))
+      acc.toDouble / 1e6
+    }
+    val vecs = Seq(
+      Array(0.5, -1.25, 3.0, 0.125, -0.75, 2.5, -0.0625, 1.0), // full width
+      Array(1.0, 2.0, 3.0),                                    // short: rest = 0
+      Array.empty[Double])                                     // empty -> all 0
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        VectorExprs.jl_project(col("embedding").cast("array<double>"), k, dIn).as("p"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    for ((v, i) <- vecs.zipWithIndex)
+      assert(got(i)._2 == ref(v), s"vector $i")
+    // null vector -> null projection
+    val nul = Seq((0L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding")
+      .select(VectorExprs.jl_project(col("embedding").cast("array<double>"), k, dIn))
+      .collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   // ---- Eval.passAtK --------------------------------------------------------
 
   test("passAtK matches the closed-form binomial estimator") {
