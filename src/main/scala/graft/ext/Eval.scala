@@ -310,4 +310,79 @@ object Eval {
         round(col("n_pos").cast("double") / col("n").cast("double"), 6))
       .drop("__s")
   }
+
+  /** Shared BLEU-2 final expressions, evaluated VERBATIM by both engines
+    * over the same six exact-long inputs (`ln`/`exp`/`least`/`round`
+    * spell identically in Spark SQL and ANSI DuckDB), so the only float
+    * work is one final scalar expression — libm ulp noise is absorbed by
+    * the round-at-6 (the per-term discipline used by tf-idf/adamic-adar).
+    */
+  private[graft] val bleuP1Expr =
+    "CASE WHEN total1 = 0 THEN 0.0 ELSE " +
+      "round(CAST(match1 AS DOUBLE) / CAST(total1 AS DOUBLE), 6) END"
+  private[graft] val bleuP2Expr =
+    "CASE WHEN total2 = 0 THEN 0.0 ELSE " +
+      "round(CAST(match2 AS DOUBLE) / CAST(total2 AS DOUBLE), 6) END"
+  private[graft] val bleuBpExpr =
+    "CASE WHEN cand_len = 0 THEN 0.0 ELSE round(least(1.0, " +
+      "exp(1.0 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE))), 6) END"
+  private[graft] val bleuExpr =
+    "CASE WHEN match1 = 0 OR match2 = 0 OR cand_len = 0 THEN 0.0 ELSE round(" +
+      "least(1.0, exp(1.0 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE))) * " +
+      "exp(0.5 * (ln(CAST(match1 AS DOUBLE) / CAST(total1 AS DOUBLE)) " +
+      "+ ln(CAST(match2 AS DOUBLE) / CAST(total2 AS DOUBLE)))), 6) END"
+
+  /** Corpus-level BLEU-2 (clipped modified n-gram precision for n=1,2,
+    * geometric mean, brevity penalty) between a reference text column
+    * and a synthetic candidate — the reference with every `dropEvery`-th
+    * token removed, the standard smoke harness for a generated-text eval
+    * (a 1/7 deletion should land BLEU well below 1 but far above 0).
+    * Plug a real generation in by swapping the candidate constructor.
+    *
+    * Everything up to the final scalar expression is exact long counts:
+    * per-(doc, gram) candidate counts clipped against reference counts
+    * (`least`), then ONE corpus-level sum per n.
+    *
+    * Scale: tokenization is touched once (checkpoint barrier); each n is
+    * one explode + (doc, gram)-keyed count + left join + global sum —
+    * gram-sized shuffles with map-side combining, no driver state.
+    */
+  def corpusBleu(docs: DataFrame, idCol: String, textCol: String,
+      dropEvery: Int = 7): DataFrame = {
+    require(dropEvery >= 2)
+    val toks = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("ref"))
+      .withColumn("cand",
+        expr(s"filter(ref, (x, i) -> (i + 1) % $dropEvery != 0)"))
+      .localCheckpoint(false) // feeds lens + 4 gram passes
+    // n-gram array of `arr`; the size guard dodges Spark's descending
+    // sequence(1, 0) (same trap as Vocab.bigramCounts)
+    def grams(arr: String, n: Int): Column =
+      if (n == 1) col(arr)
+      else expr(
+        s"""CASE WHEN size($arr) >= $n
+           |  THEN transform(sequence(1, size($arr) - ${n - 1}),
+           |         i -> concat(element_at($arr, i), ' ',
+           |                     element_at($arr, i + 1)))
+           |  ELSE CAST(array() AS ARRAY<STRING>)
+           |END""".stripMargin)
+    def matched(n: Int): DataFrame = {
+      val cc = toks.select(col("id"), explode(grams("cand", n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("cc"))
+      val rc = toks.select(col("id"), explode(grams("ref", n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("rc"))
+      cc.join(rc, Seq("id", "g"), "left")
+        .agg(
+          sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as(s"match$n"),
+          sum(col("cc")).as(s"total$n"))
+    }
+    val lens = toks.agg(
+      sum(size(col("ref"))).cast("long").as("ref_len"),
+      sum(size(col("cand"))).cast("long").as("cand_len"))
+    matched(1).crossJoin(matched(2)).crossJoin(lens)
+      .withColumn("p1", expr(bleuP1Expr))
+      .withColumn("p2", expr(bleuP2Expr))
+      .withColumn("bp", expr(bleuBpExpr))
+      .withColumn("bleu", expr(bleuExpr))
+  }
 }

@@ -337,4 +337,43 @@ object Graph {
           (col("da") + col("db") - col("common")).cast("double"))
       .select("a", "b", "common", "da", "db", "jaccard")
   }
+
+  /** Fixed-round k-core peeling on the undirected graph of `edges`
+    * (cols `a`, `b`): each round drops every node whose degree WITHIN
+    * the surviving subgraph is < k, the standard web-graph quality
+    * filter (low-coreness pages are link-farm leaves; the dense core is
+    * where organic content lives). A fixed round count (rather than
+    * run-to-fixpoint) keeps the operator replayable as an unrolled SQL
+    * CTE chain; peeling is monotone, so R rounds give the exact k-core
+    * whenever the peel converges within R (asserted non-trivially in the
+    * spec) and a sound over-approximation otherwise. Returns each
+    * surviving node with its residual degree — all exact longs.
+    *
+    * Scale: node-sized alive state, and per round exactly two
+    * key-partitioned semi-joins (edge endpoints vs alive) + one count
+    * aggregation — the same shuffle budget as a pagerank step. Edges are
+    * symmetrized/deduped once and barriered.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint(false)
+    var alive = sym.select(col("src").as("node")).distinct()
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = sym
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "semi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      alive = deg.where(col("degree") >= k).select("node")
+        .localCheckpoint(false) // barrier: each round's frontier feeds 2 joins
+    }
+    // residual degrees within the final alive set (one extra pass so the
+    // last dropped wave doesn't pollute the reported degrees)
+    sym
+      .join(alive.withColumnRenamed("node", "src"), Seq("src"), "semi")
+      .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -142,4 +142,45 @@ object Packing {
           slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
             lit(window)), " ").as("chunk_text"))
   }
+
+  /** T5-style span-corruption accounting: deterministically mark span
+    * STARTS at token positions where `mix64(doc·100003 + pos) mod every
+    * = 0`, extend each start over `spanLen` tokens (overlaps merge), and
+    * report per-document how many tokens and maximal spans the mask
+    * covers — the denoising-objective bookkeeping (mask rate, sentinel
+    * count = n_spans) a span-corruption data build needs before it
+    * materializes inputs/targets. The mask is a pure function of
+    * (doc id, position): restart/repartition-stable, replayable in SQL
+    * via the mix64 CTE chain.
+    *
+    * Scale: positions explode to token granularity, then everything is
+    * per-doc windows over the SAME doc-keyed exchange (coverage via a
+    * `spanLen`-preceding running max, span starts via lag) plus one
+    * doc-keyed count aggregation — one shuffle end to end, no RNG, no
+    * driver state.
+    */
+  def maskSpans(df: DataFrame, idCol: String, textCol: String,
+      every: Int = 5, spanLen: Int = 3): DataFrame = {
+    require(every >= 2 && spanLen >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("i"))
+    val pos = df
+      .select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"))
+      .withColumn("i", explode(sequence(lit(1L), col("__n"))))
+      .withColumn("st",
+        when(pmod(HashExprs.mix64(col(idCol).cast("long") * lit(100003L)
+          + col("i")), lit(every.toLong)) === 0L, 1L).otherwise(0L))
+      .withColumn("cv",
+        max(col("st")).over(w.rowsBetween(-(spanLen - 1L), 0L)))
+      .withColumn("pv", coalesce(lag(col("cv"), 1).over(w), lit(0L)))
+    pos.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cv")).as("n_masked"),
+        sum(when(col("cv") === 1L && col("pv") === 0L, 1L).otherwise(0L))
+          .as("n_spans"))
+      .withColumn("mask_rate",
+        round(col("n_masked").cast("double") /
+          col("n_tokens").cast("double"), 6))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Approximate, mergeable aggregates — the 100 TB substitute for exact
@@ -228,4 +228,47 @@ object Sketches {
             ((HashExprs.mix64(element_at(col("__s"), k)).cast("double")
               + lit(9.223372036854775808e18)) / lit(1.8446744073709552e19))))
       .drop("__s")
+
+  /** Mergeable equi-width histogram quantile sketch: two passes — an
+    * exact integer min/max (the values are mapped to an integer grid by
+    * `toGrid` first, e.g. price→cents, so binning is pure long math with
+    * zero float-boundary ambiguity), then `nBins` bin counts — and a
+    * quantile read-off that returns each requested quantile's bin lower
+    * bound (the conservative estimate; error ≤ one bin width). The bin
+    * array is the sketch: fixed-size, mergeable by elementwise add, and
+    * exactly what a streaming sink can maintain incrementally.
+    *
+    * Scale: ONE map-side-combining count per bin (`nBins` longs of state
+    * per partition) after a scalar min/max pass; the read-off runs on
+    * the `nBins`-row table. No sampling, no driver state beyond 2 longs.
+    */
+  def histogramQuantiles(df: DataFrame, toGrid: Column, nBins: Int,
+      quantilesPct: Seq[Int]): DataFrame = {
+    require(nBins >= 2 && quantilesPct.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(toGrid.cast("long").as("gv")).where(col("gv").isNotNull)
+      .localCheckpoint(false) // feeds the min/max pass AND the bin pass
+    val Row(lo: Long, hi: Long, n: Long) =
+      g.agg(min("gv"), max("gv"), count(lit(1))).head()
+    require(n > 0, "histogramQuantiles needs a non-empty column")
+    val span = hi - lo + 1
+    val binCounts = g
+      .groupBy(expr(s"(gv - $lo) * $nBins div $span").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // nBins rows; triangular cum + quantile probes
+    // cumulative counts via a triangular self-join on the nBins-row
+    // table (≤ nBins² tiny rows) — no global-order window anywhere
+    val cum = binCounts.alias("b")
+      .join(binCounts.alias("p"), col("p.bin") <= col("b.bin"))
+      .groupBy(col("b.bin").as("bin"))
+      .agg(sum(col("p.cnt")).as("cum"))
+    val qs = quantilesPct.map(_.toLong).toDF("q")
+      .withColumn("target", expr(s"(q * ${n}L + 99) div 100"))
+    qs.join(cum, col("cum") >= col("target"))
+      .groupBy("q", "target")
+      .agg(min("bin").as("bin"))
+      .withColumn("lo_grid", expr(s"${lo}L + bin * ${span}L div $nBins"))
+      .select("q", "target", "bin", "lo_grid")
+  }
 }

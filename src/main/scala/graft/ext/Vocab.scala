@@ -134,4 +134,55 @@ object Vocab {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     bi.join(uni, Seq("w1"))
   }
+
+  /** Per-document bigram-LM cross-entropy — the perplexity-style quality
+    * filter: train add-one-smoothed bigram probabilities on the corpus
+    * itself, then score every document by its average negative log
+    * likelihood (high avg_nll = improbable word transitions = boilerplate
+    * / gibberish candidates). Swap the self-trained model for a clean
+    * reference corpus to get the classic cross-corpus filter.
+    *
+    * Determinism: `-ln p` is rounded at 6 once per bigram TYPE (model
+    * row), then per-doc totals are exact DECIMAL sums of those rounded
+    * constants — order-independent, so the result replays bit-for-bit.
+    * Docs with fewer than 2 tokens have no bigrams and are absent.
+    *
+    * Scale: the corpus is tokenized once (checkpoint barrier); the model
+    * is vocabulary²-bounded-by-corpus (observed bigram types only); the
+    * scoring join keys on (w1, w2) — gram-sized shuffles, map-side
+    * combining on the per-doc sum, no driver state.
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = DataOps.parallelismFloor(
+      docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t")))
+      .localCheckpoint(false)
+    val bi = toks
+      .select(col(idCol), explode(expr(
+        """CASE WHEN size(t) >= 2
+          |  THEN transform(sequence(0, size(t) - 2),
+          |         i -> struct(t[i] AS w1, t[i+1] AS w2))
+          |  ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |END""".stripMargin)).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+      .localCheckpoint(false) // feeds the model counts AND the scoring join
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val model = bc.join(uni, Seq("w1")).crossJoin(broadcast(vocab))
+      .withColumn("nll6",
+        round(-log((col("c12") + lit(1)).cast("double") /
+          (col("c1") + col("v")).cast("double")), 6).cast("decimal(30,6)"))
+      .select("w1", "w2", "nll6")
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll6")).as("__s"))
+      .withColumn("nll_total", col("__s").cast("double"))
+      .withColumn("avg_nll",
+        round(col("__s").cast("double") / col("n_bigrams").cast("double"), 6))
+      .drop("__s")
+  }
 }

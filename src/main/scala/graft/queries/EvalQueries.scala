@@ -1335,7 +1335,62 @@ object EvalQueries {
        |FROM k, t""".stripMargin
   }
 
+  /** Corpus BLEU-2 of a synthetic candidate (reference text with every
+    * 7th token deleted) against the reference — the generated-text
+    * overlap metric (see [[graft.ext.Eval.corpusBleu]]). All counts are
+    * exact longs; the four derived scalars are ONE shared final
+    * expression string evaluated verbatim by both engines.
+    */
+  val evalBleu: QueryFn = (s, dir) =>
+    Eval.corpusBleu(Tables.documents(s, dir), "doc_id", "text", dropEvery = 7)
+
+  val evalBleuSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ref
+       |  FROM documents
+       |), cand AS (
+       |  SELECT doc_id, list(w ORDER BY i) AS cand FROM (
+       |    SELECT doc_id, i, ref[i] AS w
+       |    FROM toks, unnest(generate_series(1, len(ref))) s(i)
+       |    WHERE i % 7 <> 0)
+       |  GROUP BY 1
+       |), cu AS (
+       |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+       |    SELECT doc_id, unnest(cand) AS g FROM cand) GROUP BY 1, 2
+       |), ru AS (
+       |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM (
+       |    SELECT doc_id, unnest(ref) AS g FROM toks) GROUP BY 1, 2
+       |), m1 AS (
+       |  SELECT CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS match1,
+       |    CAST(sum(cc) AS BIGINT) AS total1
+       |  FROM cu LEFT JOIN ru USING (doc_id, g)
+       |), cb AS (
+       |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+       |    SELECT doc_id, cand[i] || ' ' || cand[i + 1] AS g
+       |    FROM cand, unnest(generate_series(1, len(cand) - 1)) s(i))
+       |  GROUP BY 1, 2
+       |), rb AS (
+       |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM (
+       |    SELECT doc_id, ref[i] || ' ' || ref[i + 1] AS g
+       |    FROM toks, unnest(generate_series(1, len(ref) - 1)) s(i))
+       |  GROUP BY 1, 2
+       |), m2 AS (
+       |  SELECT CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS match2,
+       |    CAST(sum(cc) AS BIGINT) AS total2
+       |  FROM cb LEFT JOIN rb USING (doc_id, g)
+       |), lens AS (
+       |  SELECT (SELECT CAST(sum(len(ref)) AS BIGINT) FROM toks) AS ref_len,
+       |    (SELECT CAST(sum(len(cand)) AS BIGINT) FROM cand) AS cand_len
+       |)
+       |SELECT match1, total1, match2, total2, ref_len, cand_len,
+       |  ${Eval.bleuP1Expr} AS p1,
+       |  ${Eval.bleuP2Expr} AS p2,
+       |  ${Eval.bleuBpExpr} AS bp,
+       |  ${Eval.bleuExpr} AS bleu
+       |FROM m1, m2, lens""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "eval_bleu"        -> evalBleu,
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
     "eval_confusion"   -> evalConfusion,
@@ -1374,6 +1429,7 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "eval_bleu"        -> evalBleuSql,
     "pii_detect"       -> piiDetectSql,
     "pii_redact"       -> piiRedactSql,
     "eval_confusion"   -> evalConfusionSql,

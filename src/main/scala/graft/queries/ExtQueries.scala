@@ -2826,6 +2826,44 @@ object ExtQueries {
     * (source, n_exact, kmv_est); the exact column exists to exhibit the
     * error and feed the oracle — a production run at scale drops it.
     */
+  /** Mergeable equi-width histogram quantile sketch over
+    * `floor(l_extendedprice · 100)` cents (integer grid — zero
+    * float-boundary ambiguity in the binning), 128 bins, read off at
+    * p25/50/75/90/99 as bin lower bounds
+    * (see [[graft.ext.Sketches.histogramQuantiles]]).
+    */
+  val sketchQuantile: QueryFn = (s, dir) =>
+    graft.ext.Sketches.histogramQuantiles(
+      Tables.lineitem(s, dir),
+      expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"),
+      nBins = 128, quantilesPct = Seq(25, 50, 75, 90, 99))
+
+  val sketchQuantileSql: String =
+    """WITH g AS (
+      |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS gv
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |), st AS (
+      |  SELECT min(gv) AS lo, max(gv) AS hi, CAST(count(*) AS BIGINT) AS n
+      |  FROM g
+      |), bins AS (
+      |  SELECT (gv - st.lo) * 128 // (st.hi - st.lo + 1) AS bin,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM g, st GROUP BY 1
+      |), cum AS (
+      |  SELECT b.bin, CAST(sum(p.cnt) AS BIGINT) AS cum
+      |  FROM bins b JOIN bins p ON p.bin <= b.bin GROUP BY 1
+      |), qs AS (
+      |  SELECT CAST(q AS BIGINT) AS q,
+      |    (CAST(q AS BIGINT) * st.n + 99) // 100 AS target
+      |  FROM (SELECT unnest([25, 50, 75, 90, 99]) AS q), st
+      |)
+      |SELECT q, target, CAST(min(bin) AS BIGINT) AS bin,
+      |  (SELECT lo FROM st)
+      |    + CAST(min(bin) AS BIGINT) * (SELECT hi - lo + 1 FROM st) // 128
+      |    AS lo_grid
+      |FROM qs JOIN cum ON cum.cum >= qs.target
+      |GROUP BY 1, 2""".stripMargin
+
   val sketchKmv: QueryFn = (s, dir) => {
     import graft.ext.{Sketches, TextShingles}
     val vocab = DataOps.parallelismFloor(Tables.documents(s, dir))
@@ -3010,6 +3048,7 @@ object ExtQueries {
     "sample_bottomk"       -> sampleBottomK,
     "sketch_countmin"      -> sketchCountMin,
     "sketch_kmv"           -> sketchKmv,
+    "sketch_quantile"      -> sketchQuantile,
     "stats_moments"        -> statsMoments,
     "mean_vectors"         -> meanVectors,
     "vec_quantize"         -> vecQuantize,
@@ -3062,6 +3101,7 @@ object ExtQueries {
     "sample_bottomk"      -> sampleBottomKSql,
     "sketch_countmin"     -> sketchCountMinSql,
     "sketch_kmv"          -> sketchKmvSql,
+    "sketch_quantile"     -> sketchQuantileSql,
     "stats_moments"       -> statsMomentsSql,
     "pack_greedy"         -> packGreedySql,
     "pack_sequences"      -> packSequencesSql,

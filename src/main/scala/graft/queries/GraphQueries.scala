@@ -621,7 +621,39 @@ object GraphQueries {
        |)
        |SELECT n, s, s_rank, ${Analytics.giniExpr} AS gini FROM st""".stripMargin
 
+  /** 3-round 3-core peeling of the co-purchase graph — the web-graph
+    * quality filter (drop nodes whose residual degree falls below k,
+    * iterate). Fixed rounds so the peel replays as an unrolled CTE
+    * chain; integer-exact throughout.
+    */
+  val graphKcore: QueryFn = (s, dir) =>
+    Graph.kcorePeel(coPurchase(s, dir), k = 3, rounds = 3)
+
+  val graphKcoreSql: String = {
+    def step(prevAlive: String, n: Int) =
+      s"""d$n AS (
+         |  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS degree
+         |  FROM edges e
+         |  JOIN $prevAlive sa ON sa.node = e.src
+         |  JOIN $prevAlive ta ON ta.node = e.dst
+         |  GROUP BY 1
+         |), a$n AS (
+         |  SELECT node FROM d$n WHERE degree >= 3
+         |)""".stripMargin
+    s"""$pairsCte, edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), a0 AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |), ${step("a0", 1)}, ${step("a1", 2)}, ${step("a2", 3)}
+       |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM edges e
+       |JOIN a3 sa ON sa.node = e.src
+       |JOIN a3 ta ON ta.node = e.dst
+       |GROUP BY 1""".stripMargin
+  }
+
   val all: Map[String, QueryFn] = Map(
+    "graph_kcore"     -> graphKcore,
     "graph_pagerank"  -> graphPagerank,
     "graph_jaccard"   -> graphJaccard,
     "graph_adamic_adar" -> graphAdamicAdar,
@@ -647,6 +679,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_kcore"     -> graphKcoreSql,
     "graph_pagerank"  -> graphPagerankSql,
     "graph_jaccard"   -> graphJaccardSql,
     "graph_adamic_adar" -> graphAdamicAdarSql,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Analytics, DataOps, Dedup, Joins, Layout, Ranking, VectorExprs, Vocab}
+import graft.ext.{Analytics, DataOps, Dedup, Joins, Layout, Packing, Ranking, VectorExprs, Vocab}
 import graft.sources.Tables
 
 /** Dataset-lifecycle operators: the steps a production training-data
@@ -271,6 +271,78 @@ object PipelineQueries {
       |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
       |FROM bc JOIN uc USING (w1) WHERE c12 >= 3""".stripMargin
 
+  /** Per-document bigram-LM cross-entropy — the perplexity-style quality
+    * filter (see [[graft.ext.Vocab.bigramCrossEntropy]]): add-one-
+    * smoothed bigram NLL, per-TYPE rounded at 6 then exactly summed, so
+    * the float work replays bit-for-bit.
+    */
+  val textPerplexity: QueryFn = (s, dir) =>
+    Vocab.bigramCrossEntropy(Tables.documents(s, dir), "doc_id", "text")
+
+  val textPerplexitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), bi AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM toks, unnest(generate_series(1, len(t) - 1)) s(i)
+      |), bc AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
+      |), uc AS (
+      |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1
+      |), voc AS (
+      |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      |  FROM (SELECT unnest(t) AS w FROM toks)
+      |), model AS (
+      |  SELECT w1, w2,
+      |    CAST(round(-ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+      |         AS DECIMAL(30,6)) AS nll6
+      |  FROM bc JOIN uc USING (w1), voc
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(nll6) AS DOUBLE) AS nll_total,
+      |  round(CAST(sum(nll6) AS DOUBLE) / count(*), 6) AS avg_nll
+      |FROM bi JOIN model USING (w1, w2)
+      |GROUP BY 1""".stripMargin
+
+  /** T5 span-corruption accounting over documents: hash-deterministic
+    * span starts (every≈5, spanLen 3), merged coverage, per-doc mask
+    * rate and sentinel count (see [[graft.ext.Packing.maskSpans]]).
+    */
+  val maskSpans: QueryFn = (s, dir) =>
+    Packing.maskSpans(Tables.documents(s, dir), "doc_id", "text",
+      every = 5, spanLen = 3)
+
+  val maskSpansSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n
+       |  FROM documents
+       |), pos0 AS (
+       |  SELECT doc_id, i, doc_id * 100003 + i AS id
+       |  FROM toks, unnest(generate_series(1, n)) s(i)
+       |),
+       |${ExtQueries.mix64Cte("pos0", "doc_id, i")},
+       |flags AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN ((hv % 5) + 5) % 5 = 0 THEN 1 ELSE 0 END AS st
+       |  FROM hs
+       |), cov AS (
+       |  SELECT doc_id, i, max(st) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cv
+       |  FROM flags
+       |), runs AS (
+       |  SELECT doc_id, cv,
+       |    coalesce(lag(cv) OVER (PARTITION BY doc_id ORDER BY i), 0) AS pv
+       |  FROM cov
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(cv) AS BIGINT) AS n_masked,
+       |  CAST(sum(CASE WHEN cv = 1 AND pv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_spans,
+       |  round(CAST(sum(cv) AS DOUBLE) / count(*), 6) AS mask_rate
+       |FROM runs GROUP BY 1""".stripMargin
+
   /** Deterministic contrastive negatives: 8 hash-drawn candidates per
     * order (groups bounded to keep the dump small), minus true
     * positives via anti-join; the mix64 chain replays in DuckDB.
@@ -531,6 +603,8 @@ object PipelineQueries {
     "index_minmax"      -> indexMinmax,
     "vec_normalize"     -> vecNormalize,
     "lm_bigrams"        -> lmBigrams,
+    "text_perplexity"   -> textPerplexity,
+    "mask_spans"        -> maskSpans,
     "negative_sample"   -> negativeSample,
     "select_budget"     -> selectBudget,
     "train_pairs"       -> trainPairs,
@@ -552,6 +626,8 @@ object PipelineQueries {
     "index_minmax"      -> indexMinmaxSql,
     "vec_normalize"     -> vecNormalizeSql,
     "lm_bigrams"        -> lmBigramsSql,
+    "text_perplexity"   -> textPerplexitySql,
+    "mask_spans"        -> maskSpansSql,
     "negative_sample"   -> negativeSampleSql,
     "select_budget"     -> selectBudgetSql,
     "train_pairs"       -> trainPairsSql,

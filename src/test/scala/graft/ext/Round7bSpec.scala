@@ -1,0 +1,192 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Round-7 batch 2: k-core peeling, corpus BLEU-2, bigram-LM
+  * cross-entropy, the histogram quantile sketch, and span-corruption
+  * accounting.
+  */
+class Round7bSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // ---- Graph.kcorePeel -----------------------------------------------------
+
+  /** 4-clique with a 3-node tail hanging off node 4. */
+  private def cliqueWithTail = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+
+  test("kcorePeel: the tail peels one node per round, the clique survives") {
+    // k=2: round 1 drops 7 (deg 1), round 2 drops 6, round 3 drops 5 —
+    // a genuinely multi-round peel (one round would keep 5 and 6)
+    val got = Graph.kcorePeel(cliqueWithTail, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"2-core must be the clique: $got")
+    assert(got.values.forall(_ == 3L), s"residual clique degrees must be 3: $got")
+    // with only 1 round the peel must NOT have converged yet
+    val oneRound = Graph.kcorePeel(cliqueWithTail, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"round 1 only removes the leaf: $oneRound")
+  }
+
+  test("kcorePeel: k=3 drops the whole tail in one round; empty 5-core") {
+    val got = Graph.kcorePeel(cliqueWithTail, k = 3, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(Graph.kcorePeel(cliqueWithTail, k = 5, rounds = 2).isEmpty)
+  }
+
+  test("kcorePeel: partitioning-invariant (1 vs 16 partitions)") {
+    val e = cliqueWithTail
+    val a = Graph.kcorePeel(e.repartition(1), k = 2, rounds = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = Graph.kcorePeel(e.repartition(16), k = 2, rounds = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  // ---- Eval.corpusBleu -----------------------------------------------------
+
+  test("corpusBleu: hand-computed counts on a 14-token doc") {
+    // tokens a..n; dropEvery=7 removes positions 7 ("g") and 14 ("n"):
+    // cand has 12 unigrams (all in ref -> match1 = total1 = 12) and 11
+    // bigrams, of which exactly one ("f h", bridging the deletion) is
+    // not a ref bigram -> match2 = 10, total2 = 11
+    val doc = Seq((1L, "a b c d e f g h i j k l m n")).toDF("doc_id", "text")
+    val r = Eval.corpusBleu(doc, "doc_id", "text", dropEvery = 7).head()
+    assert(r.getAs[Long]("match1") == 12L && r.getAs[Long]("total1") == 12L)
+    assert(r.getAs[Long]("match2") == 10L && r.getAs[Long]("total2") == 11L)
+    assert(r.getAs[Long]("ref_len") == 14L && r.getAs[Long]("cand_len") == 12L)
+    assert(r.getAs[Double]("p1") == 1.0)
+    val p2 = 10.0 / 11.0
+    val bp = math.exp(1.0 - 14.0 / 12.0)
+    val expect = BigDecimal(bp * math.exp(0.5 * (math.log(1.0) + math.log(p2))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("bleu") - expect) < 2e-6,
+      s"bleu=${r.getAs[Double]("bleu")} expect=$expect")
+    assert(r.getAs[Double]("bleu") > 0.0 && r.getAs[Double]("bleu") < 1.0)
+  }
+
+  test("corpusBleu: identical candidate scores BLEU 1.0 when nothing drops") {
+    // every doc shorter than dropEvery tokens -> candidate == reference
+    val docs = Seq((1L, "x y z"), (2L, "p q")).toDF("doc_id", "text")
+    val r = Eval.corpusBleu(docs, "doc_id", "text", dropEvery = 7).head()
+    assert(r.getAs[Long]("ref_len") == r.getAs[Long]("cand_len"))
+    assert(r.getAs[Double]("bleu") == 1.0 && r.getAs[Double]("bp") == 1.0)
+  }
+
+  // ---- Vocab.bigramCrossEntropy --------------------------------------------
+
+  test("bigramCrossEntropy: add-one-smoothed NLL on a 2-doc corpus") {
+    // corpus "a a a" + "a b": c1(a)=4, V=2; p(a|a)=(2+1)/(4+2)=1/2,
+    // p(b|a)=(1+1)/(4+2)=1/3
+    val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Vocab.bigramCrossEntropy(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val nllHalf = BigDecimal(-math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nllThird = BigDecimal(-math.log(1.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L), (2L, 1L)))
+    assert(math.abs(got(0)._3 - nllHalf) < 1e-9, s"${got(0)}")
+    assert(math.abs(got(1)._3 - nllThird) < 1e-9, s"${got(1)}")
+  }
+
+  test("bigramCrossEntropy: sub-2-token docs are absent; order-invariant") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "w w w w")).toDF("doc_id", "text")
+    val got = Vocab.bigramCrossEntropy(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(3L))
+    val big = (1L to 200L).map(i => (i, s"t$i u$i t$i u$i")).toDF("doc_id", "text")
+    val a = Vocab.bigramCrossEntropy(big.repartition(1), "doc_id", "text")
+      .select("doc_id", "nll_total").as[(Long, Double)].collect().sorted.toSeq
+    val b = Vocab.bigramCrossEntropy(big.repartition(16), "doc_id", "text")
+      .select("doc_id", "nll_total").as[(Long, Double)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  // ---- Sketches.histogramQuantiles -----------------------------------------
+
+  test("histogramQuantiles: uniform 1..100 grid reads off bin lower bounds") {
+    val df = (1L to 100L).toDF("v")
+    val got = Sketches.histogramQuantiles(df, col("v"), nBins = 10,
+      quantilesPct = Seq(50, 90))
+      .select("q", "target", "bin", "lo_grid")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // lo=1, span=100: bin b covers [1+10b, 10+10b]; target(50)=50 -> bin 4
+    assert(got == Seq((50L, 50L, 4L, 41L), (90L, 90L, 8L, 81L)), got.toString)
+  }
+
+  test("histogramQuantiles: estimate is within one bin width of exact") {
+    val vals = (1 to 3000).map(i => ((i.toLong * 7919L) % 10007L) + 1L)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val got = Sketches.histogramQuantiles(df, col("v"), nBins = 128,
+      quantilesPct = Seq(25, 50, 75, 99))
+      .select("q", "lo_grid").as[(Long, Long)].collect().toMap
+    val span = sorted.max - sorted.min + 1
+    val width = span / 128 + 1
+    for ((q, est) <- got) {
+      val exact = sorted(((q * vals.size + 99) / 100 - 1).toInt)
+      assert(est <= exact && exact - est <= width,
+        s"q=$q est=$est exact=$exact width=$width")
+    }
+  }
+
+  // ---- Packing.maskSpans ---------------------------------------------------
+
+  test("maskSpans: coverage matches a driver-side replay of the same hash") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two")).toDF("doc_id", "text")
+    val got = Packing.maskSpans(docs, "doc_id", "text", every = 3, spanLen = 2)
+      .select("doc_id", "n_tokens", "n_masked", "n_spans")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // replay: pull the start flags straight from the same kernel, then
+    // fold coverage/spans in plain Scala
+    val flags = docs
+      .select(col("doc_id"), explode(sequence(lit(1L),
+        size(split(trim(col("text")), "\\s+")).cast("long"))).as("i"))
+      .withColumn("st", pmod(HashExprs.mix64(col("doc_id") * lit(100003L)
+        + col("i")), lit(3L)) === 0L)
+      .as[(Long, Long, Boolean)].collect()
+      .groupBy(_._1).map { case (d, rows) =>
+        d -> rows.sortBy(_._2).map(_._3)
+      }
+    val expect = flags.map { case (d, st) =>
+      val cov = st.indices.map(i =>
+        (math.max(0, i - 1) to i).exists(st(_)))
+      val spans = cov.indices.count(i => cov(i) && (i == 0 || !cov(i - 1)))
+      (d, st.length.toLong, cov.count(identity).toLong, spans.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
+  test("maskSpans: invariants and partitioning-invariance at 500 docs") {
+    val docs = (1L to 500L)
+      .map(i => (i, (1 to (i % 37 + 1).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Packing.maskSpans(docs, "doc_id", "text")
+    val rows = r.select("doc_id", "n_tokens", "n_masked", "n_spans")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 500)
+    for ((_, n, m, sp) <- rows) {
+      assert(m >= 0L && m <= n)
+      assert((sp == 0L) == (m == 0L))
+      // each maximal run has >= 1 token; runs can chain past spanLen when
+      // starts overlap, so there is no 3-per-span upper bound
+      assert(m >= sp)
+    }
+    val b = Packing.maskSpans(docs.repartition(16), "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_masked", "n_spans")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.sorted.toSeq == b.sorted.toSeq)
+  }
+}
