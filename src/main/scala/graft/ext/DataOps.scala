@@ -559,4 +559,29 @@ object DataOps {
       (rows(i)._1, rows(i)._2, w(i), round6(e(i)), round6(e(i) * rows(i)._2))
     }.toSeq.toDF("source", "tokens", "weight", "epochs", "target_tokens")
   }
+
+  /** Materialize the deterministic training ORDER for a weighted source
+    * mixture: the k-th document of a weight-w source lands at virtual
+    * time k/w (scaled to the integer `key` = rn·10⁶ div w), so heavier
+    * sources surface proportionally more often early and the interleave
+    * is even rather than blocky — the data-order step after mixture
+    * weighting decides WHAT to train on, this decides WHEN. `pos` is the
+    * dense global position under (key, source, id) — a total order, so
+    * the output is restart/repartition-stable with no RNG.
+    *
+    * Scale: the per-source rank is one source-keyed window; the global
+    * position reuses the range-repartition + `zipWithIndex` dense-rank
+    * (SurrogateIds) — never a single-partition window. Weights ride
+    * along as a column: no driver-side weight table.
+    */
+  def interleaveWeighted(df: DataFrame, idCol: String, sourceCol: String,
+      weightExpr: Column): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val keyed = df
+      .select(col(idCol), col(sourceCol), weightExpr.cast("long").as("w"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("key", expr("rn * 1000000 div w"))
+    graft.cardano.SurrogateIds
+      .withSequence(keyed, "pos", Seq(col("key"), col(sourceCol), col(idCol)))
+  }
 }

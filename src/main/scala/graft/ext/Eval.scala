@@ -311,6 +311,44 @@ object Eval {
       .drop("__s")
   }
 
+  /** Shared Spearman final expression — exact (n, Σd²) in, one rounded
+    * double out, spelled identically in Spark SQL and DuckDB.
+    */
+  private[graft] val spearmanExpr =
+    "CASE WHEN n < 2 THEN 0.0 ELSE round(1.0 - 6.0 * CAST(d2 AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), " +
+      "6) END"
+
+  /** Per-slice Spearman rank correlation between two orderings — the
+    * ranking-agreement metric (does the cheap quality score order
+    * documents the way the expensive one does?). Ranks are `row_number`
+    * under a PINNED total order (value, then `tiebreak`), NOT fractional
+    * tied ranks: deterministic replay beats the textbook tie correction,
+    * and the two coincide when values are continuous. Σd² accumulates in
+    * DECIMAL(38,0) — d² reaches n² per row, so a long sum would wrap
+    * near 2M rows per slice (the silent-corruption trap flagged for
+    * chi2) — and ρ = 1 − 6Σd²/(n(n²−1)) is ONE shared final expression.
+    *
+    * Scale: both rank windows sort within the SAME slice-keyed exchange
+    * (one shuffle), then one map-side-combining aggregation to slice
+    * granularity; n³ never materializes in integer math.
+    */
+  def spearmanRho(df: DataFrame, sliceCol: String, xCol: String,
+      yCol: String, tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(sliceCol))
+    val rx = row_number().over(w.orderBy(col(xCol) +: tiebreak: _*))
+    val ry = row_number().over(w.orderBy(col(yCol) +: tiebreak: _*))
+    df.select(col(sliceCol), rx.cast("long").as("__rx"),
+        ry.cast("long").as("__ry"))
+      .withColumn("__d", col("__rx") - col("__ry"))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__d") * col("__d")).cast("decimal(38,0)")).as("__d2"))
+      .withColumn("d2", col("__d2").cast("double"))
+      .withColumn("rho", expr(spearmanExpr))
+      .drop("__d2")
+  }
+
   /** Shared BLEU-2 final expressions, evaluated VERBATIM by both engines
     * over the same six exact-long inputs (`ln`/`exp`/`least`/`round`
     * spell identically in Spark SQL and ANSI DuckDB), so the only float

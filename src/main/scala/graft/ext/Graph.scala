@@ -338,6 +338,54 @@ object Graph {
       .select("a", "b", "common", "da", "db", "jaccard")
   }
 
+  /** Fixed-iteration personalized PageRank: teleport mass returns ONLY
+    * to the `seeds` node set, so scores measure proximity to the seeds —
+    * the seed-expansion primitive of data curation (start from trusted
+    * domains/documents, walk the link/co-occurrence graph, harvest the
+    * high-score frontier). Same integer discipline as [[pagerank]]:
+    * rank0 = SCALE/|S| on seeds, and each step
+    *
+    *   rank'(v) = [v∈S]·(15·SCALE)/(100·|S|)
+    *            + (85 · Σ_u rank(u) div deg(u)) div 100
+    *
+    * with every division integer — exact long sums, partitioning- and
+    * engine-invariant. Non-seed sinks can't hoard mass: symmetrization
+    * gives every node out-degree ≥ 1.
+    *
+    * Scale: identical shuffle budget to [[pagerank]] (edges/degrees
+    * barriered once; per iteration one key-partitioned join + one
+    * dst-keyed aggregation) plus a seed-sized unionByName — seed state
+    * never broadcast, never collected.
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)
+    val seedNodes = seeds.select(col("node"))
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "semi")
+      .distinct().localCheckpoint(false)
+    val s = seedNodes.count()
+    require(s > 0, "personalizedPagerank needs at least one in-graph seed")
+    val base = (15L * scale) / (100L * s)
+    var ranks = seedNodes.select(col("node"), lit(scale / s).as("r"))
+    for (_ <- 1 to iterations) {
+      val shares = ranks
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("node").as("src"), expr("r div d").as("share"))
+      val walked = sym.join(shares, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("(85 * sum(share)) div 100").as("r"))
+      ranks = walked
+        .unionByName(seedNodes.select(col("node"), lit(base).as("r")))
+        .groupBy("node").agg(sum(col("r")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"),
+      expr(s"CAST(r AS DOUBLE) / $scale.0").as("rank"))
+  }
+
   /** Fixed-round k-core peeling on the undirected graph of `edges`
     * (cols `a`, `b`): each round drops every node whose degree WITHIN
     * the surviving subgraph is < k, the standard web-graph quality

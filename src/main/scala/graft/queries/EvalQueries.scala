@@ -1389,8 +1389,39 @@ object EvalQueries {
        |  ${Eval.bleuExpr} AS bleu
        |FROM m1, m2, lens""".stripMargin
 
+  /** Per-returnflag Spearman rank correlation between quantity and
+    * extended price (see [[graft.ext.Eval.spearmanRho]]) — pinned-
+    * tiebreak ranks, DECIMAL Σd², one shared ρ expression.
+    */
+  val evalSpearman: QueryFn = (s, dir) =>
+    Eval.spearmanRho(Tables.lineitem(s, dir), "l_returnflag",
+      "l_quantity", "l_extendedprice",
+      // (orderkey, linenumber) is NOT unique in the synthetic table —
+      // partkey+suppkey complete the total order
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")))
+
+  val evalSpearmanSql: String =
+    s"""WITH r AS (
+       |  SELECT l_returnflag,
+       |    CAST(row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey,
+       |        l_suppkey) AS BIGINT) AS rx,
+       |    CAST(row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey,
+       |        l_suppkey) AS BIGINT)
+       |      AS ry
+       |  FROM lineitem
+       |), a AS (
+       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE) AS d2
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT l_returnflag, n, d2, ${Eval.spearmanExpr} AS rho FROM a""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "eval_bleu"        -> evalBleu,
+    "eval_spearman"    -> evalSpearman,
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
     "eval_confusion"   -> evalConfusion,
@@ -1430,6 +1461,7 @@ object EvalQueries {
 
   val oracles: Map[String, String] = Map(
     "eval_bleu"        -> evalBleuSql,
+    "eval_spearman"    -> evalSpearmanSql,
     "pii_detect"       -> piiDetectSql,
     "pii_redact"       -> piiRedactSql,
     "eval_confusion"   -> evalConfusionSql,

@@ -621,6 +621,48 @@ object GraphQueries {
        |)
        |SELECT n, s, s_rank, ${Analytics.giniExpr} AS gini FROM st""".stripMargin
 
+  /** 3-iteration personalized PageRank seeded at parts divisible by 40
+    * (~10% of the co-purchase nodes) — the seed-expansion curation
+    * primitive: proximity-to-trusted-set scores, integer-exact.
+    */
+  val graphPpr: QueryFn = (s, dir) =>
+    Graph.personalizedPagerank(
+      coPurchase(s, dir),
+      Tables.part(s, dir).select(col("p_partkey").as("node"))
+        .where(col("node") % 40 === 0),
+      iterations = 3)
+
+  val graphPprSql: String = {
+    def step(prev: String, out: String) =
+      s"""${out}w AS (
+         |  SELECT e.dst AS node,
+         |    CAST((85 * sum($prev.r // deg.d)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN $prev ON $prev.node = e.src
+         |    JOIN deg ON deg.src = e.src
+         |  GROUP BY 1
+         |), $out AS (
+         |  SELECT node, CAST(sum(r) AS BIGINT) AS r FROM (
+         |    SELECT node, r FROM ${out}w
+         |    UNION ALL
+         |    SELECT node, (15 * 1000000000000) // (100 * ns.n) FROM seeds, ns
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    s"""$pairsCte, edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), deg AS (
+       |  SELECT src, count(*) AS d FROM edges GROUP BY 1
+       |), seeds AS (
+       |  SELECT src AS node FROM deg WHERE src % 40 = 0
+       |), ns AS (
+       |  SELECT count(*) AS n FROM seeds
+       |), it0 AS (
+       |  SELECT node, CAST(1000000000000 // n AS BIGINT) AS r FROM seeds, ns
+       |), ${step("it0", "it1")}, ${step("it1", "it2")}, ${step("it2", "it3")}
+       |SELECT node, r AS rank_scaled,
+       |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+       |FROM it3""".stripMargin
+  }
+
   /** 3-round 3-core peeling of the co-purchase graph — the web-graph
     * quality filter (drop nodes whose residual degree falls below k,
     * iterate). Fixed rounds so the peel replays as an unrolled CTE
@@ -654,6 +696,7 @@ object GraphQueries {
 
   val all: Map[String, QueryFn] = Map(
     "graph_kcore"     -> graphKcore,
+    "graph_ppr"       -> graphPpr,
     "graph_pagerank"  -> graphPagerank,
     "graph_jaccard"   -> graphJaccard,
     "graph_adamic_adar" -> graphAdamicAdar,
@@ -680,6 +723,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "graph_kcore"     -> graphKcoreSql,
+    "graph_ppr"       -> graphPprSql,
     "graph_pagerank"  -> graphPagerankSql,
     "graph_jaccard"   -> graphJaccardSql,
     "graph_adamic_adar" -> graphAdamicAdarSql,

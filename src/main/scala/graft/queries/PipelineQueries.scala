@@ -306,6 +306,30 @@ object PipelineQueries {
       |FROM bi JOIN model USING (w1, w2)
       |GROUP BY 1""".stripMargin
 
+  /** The deterministic weighted training order: k-th doc of a weight-w
+    * source at virtual time k/w (see
+    * [[graft.ext.DataOps.interleaveWeighted]]); weights 1..3 derived
+    * from the source id so the interleave is visibly non-uniform.
+    */
+  val datasetInterleave: QueryFn = (s, dir) =>
+    DataOps.interleaveWeighted(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      "doc_id", "source",
+      expr("1 + CAST(substring(source, 4, 10) AS BIGINT) % 3"))
+
+  val datasetInterleaveSql: String =
+    """WITH rn AS (
+      |  SELECT doc_id, source,
+      |    1 + (CAST(substr(source, 4) AS BIGINT) % 3) AS w,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS rn
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, w, rn, rn * 1000000 // w AS key,
+      |  CAST(row_number() OVER (ORDER BY rn * 1000000 // w, source, doc_id)
+      |    - 1 AS BIGINT) AS pos
+      |FROM rn""".stripMargin
+
   /** T5 span-corruption accounting over documents: hash-deterministic
     * span starts (every≈5, spanLen 3), merged coverage, per-doc mask
     * rate and sentinel count (see [[graft.ext.Packing.maskSpans]]).
@@ -605,6 +629,7 @@ object PipelineQueries {
     "lm_bigrams"        -> lmBigrams,
     "text_perplexity"   -> textPerplexity,
     "mask_spans"        -> maskSpans,
+    "dataset_interleave" -> datasetInterleave,
     "negative_sample"   -> negativeSample,
     "select_budget"     -> selectBudget,
     "train_pairs"       -> trainPairs,
@@ -628,6 +653,7 @@ object PipelineQueries {
     "lm_bigrams"        -> lmBigramsSql,
     "text_perplexity"   -> textPerplexitySql,
     "mask_spans"        -> maskSpansSql,
+    "dataset_interleave" -> datasetInterleaveSql,
     "negative_sample"   -> negativeSampleSql,
     "select_budget"     -> selectBudgetSql,
     "train_pairs"       -> trainPairsSql,

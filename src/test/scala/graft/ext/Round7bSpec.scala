@@ -50,6 +50,99 @@ class Round7bSpec extends AnyFunSuite with SparkTest {
     assert(a == b)
   }
 
+  // ---- Graph.personalizedPagerank ------------------------------------------
+
+  test("personalizedPagerank: proximity to the seed decays along a path") {
+    // path 1-2-3-4-5 seeded at 1: rank must strictly favor nodes near
+    // the seed (2 over 4; 1 holds the teleport mass)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val m = Graph.personalizedPagerank(edges, seeds, iterations = 3)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    assert(m(1L) > m(3L), s"seed must out-rank its 2-hop: $m")
+    assert(m(2L) > m(4L), s"1-hop must out-rank 3-hop: $m")
+    assert(m.getOrElse(5L, 0L) < m(2L))
+  }
+
+  test("personalizedPagerank: seeding every node reduces to pagerank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val allNodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val ppr = Graph.personalizedPagerank(edges, allNodes, iterations = 3)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().sorted.toSeq
+    val pr = Graph.pagerank(edges, iterations = 3)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().sorted.toSeq
+    assert(ppr == pr)
+  }
+
+  test("personalizedPagerank: partitioning-invariant; off-graph seeds dropped") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val seeds = Seq(1L, 4L, 99L).toDF("node") // 99 is not in the graph
+    val a = Graph.personalizedPagerank(edges.repartition(1), seeds, 3)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val b = Graph.personalizedPagerank(edges.repartition(16), seeds, 3)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(a == b)
+    assert(!a.exists(_._1 == 99L))
+  }
+
+  // ---- Eval.spearmanRho ----------------------------------------------------
+
+  test("spearmanRho: monotone agreement 1.0, reversal -1.0, permutation by hand") {
+    val mono = (1 to 50).map(i => ("s", i.toLong, i.toDouble, i * 2.0 + 1))
+      .toDF("slice", "id", "x", "y")
+    val r1 = Eval.spearmanRho(mono, "slice", "x", "y", Seq(col("id"))).head()
+    assert(r1.getAs[Double]("rho") == 1.0 && r1.getAs[Double]("d2") == 0.0)
+    val rev = (1 to 50).map(i => ("s", i.toLong, i.toDouble, -i.toDouble))
+      .toDF("slice", "id", "x", "y")
+    val r2 = Eval.spearmanRho(rev, "slice", "x", "y", Seq(col("id"))).head()
+    assert(r2.getAs[Double]("rho") == -1.0)
+    // x ranks 1,2,3 / y ranks 2,1,3 -> d2 = 2, rho = 1 - 12/24 = 0.5
+    val perm = Seq(("s", 1L, 1.0, 20.0), ("s", 2L, 2.0, 10.0),
+      ("s", 3L, 3.0, 30.0)).toDF("slice", "id", "x", "y")
+    val r3 = Eval.spearmanRho(perm, "slice", "x", "y", Seq(col("id"))).head()
+    assert(r3.getAs[Double]("d2") == 2.0 && r3.getAs[Double]("rho") == 0.5)
+  }
+
+  test("spearmanRho: slices are independent; ties break on the pinned key") {
+    val df = Seq(
+      ("a", 1L, 1.0, 1.0), ("a", 2L, 2.0, 2.0),
+      ("b", 1L, 1.0, 2.0), ("b", 2L, 2.0, 1.0),
+      // slice c: all-tied x -> ranks follow the id tiebreak, y agrees
+      ("c", 1L, 7.0, 1.0), ("c", 2L, 7.0, 2.0), ("c", 3L, 7.0, 3.0))
+      .toDF("slice", "id", "x", "y")
+    val m = Eval.spearmanRho(df, "slice", "x", "y", Seq(col("id")))
+      .select("slice", "rho").as[(String, Double)].collect().toMap
+    assert(m("a") == 1.0 && m("b") == -1.0 && m("c") == 1.0)
+  }
+
+  // ---- DataOps.interleaveWeighted ------------------------------------------
+
+  test("interleaveWeighted: hand-computed order, weight-2 source surfaces 2x") {
+    val df = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"),
+      (10L, "B"), (11L, "B")).toDF("doc_id", "source")
+    val got = DataOps.interleaveWeighted(df, "doc_id", "source",
+        when(col("source") === "A", 2L).otherwise(1L))
+      .select("pos", "doc_id", "source")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    // A keys: .5M, 1M, 1.5M, 2M; B keys: 1M, 2M; ties break source asc
+    val expect = Seq((0L, 1L, "A"), (1L, 2L, "A"), (2L, 10L, "B"),
+      (3L, 3L, "A"), (4L, 4L, "A"), (5L, 11L, "B"))
+    assert(got == expect, got.toString)
+  }
+
+  test("interleaveWeighted: dense total order, restart-stable at 600 docs") {
+    val df = (1L to 600L).map(i => (i, s"src${i % 6}")).toDF("doc_id", "source")
+    val wExpr = expr("1 + CAST(substring(source, 4, 10) AS BIGINT) % 3")
+    val a = DataOps.interleaveWeighted(df.repartition(1), "doc_id", "source", wExpr)
+      .select("pos", "doc_id").as[(Long, Long)].collect().sorted.toSeq
+    val b = DataOps.interleaveWeighted(df.repartition(16), "doc_id", "source", wExpr)
+      .select("pos", "doc_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.map(_._1) == (0L until 600L))
+  }
+
   // ---- Eval.corpusBleu -----------------------------------------------------
 
   test("corpusBleu: hand-computed counts on a 14-token doc") {
