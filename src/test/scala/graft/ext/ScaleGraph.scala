@@ -142,6 +142,48 @@ object ScaleGraph {
     assert(hiAuthLo > hcAuthHi,
       s"a center out-authed a member: members ≥ $hiAuthLo, centers ≤ $hcAuthHi")
 
+    // 3-core peel, 3 rounds: the block's c+1 node has degree 2 ({c, c+2}
+    // — its ring edge to c duplicates a star edge), so each round
+    // unravels exactly one more interior node per block: c+1, then c+2,
+    // then c+3. The survivor histogram has a closed form — per block one
+    // center at residual degree k-3, the chain head c+4 at 2 (its c+3
+    // neighbor just left), and k-5 interior nodes at 3.
+    val core = t("kcore-3x3") {
+      Graph.kcorePeel(edges, k = 3, rounds = 3)
+        .groupBy("degree").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(core == Map(k - 3 -> blocks, 2L -> blocks, 3L -> (k - 5) * blocks),
+      s"kcore degree histogram $core, want {${k - 3}: $blocks, 2: $blocks, " +
+        s"3: ${(k - 5) * blocks}}")
+
+    // personalized PageRank seeded at the centers: teleport mass returns
+    // only to hubs, so after 3 iterations every center must out-rank
+    // every member, and the integer mass obeys the same floor-loss bound
+    // as pagerank (floors only destroy)
+    val ppr = t("ppr-3") {
+      Graph.personalizedPagerank(edges,
+          spark.range(0, n, k, spark.sparkContext.defaultParallelism)
+            .select(col("id").as("node")),
+          iterations = 3)
+        .withColumn("c", col("node") % k === 0)
+        .groupBy("c").agg(count(lit(1)).as("cnt"),
+          sum("rank_scaled").as("mass"),
+          min("rank_scaled").as("lo"), max("rank_scaled").as("hi"))
+        .collect().map(r => r.getBoolean(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    }
+    val (pcCnt, pcMass, pcLo, _) = ppr(true)
+    val (piCnt, piMass, _, piHi) = ppr(false)
+    assert(pcCnt == blocks, s"ppr centers $pcCnt, want $blocks")
+    val pprMass = pcMass + piMass
+    assert(pprMass <= 1000000000000L && pprMass > 1000000000000L - 16 * n,
+      s"ppr mass $pprMass out of bounds")
+    assert(pcLo > piHi,
+      s"a member out-ranked a seed center: centers ≥ $pcLo, members ≤ $piHi")
+    println(s"  ppr rows ${pcCnt + piCnt}, mass $pprMass " +
+      s"(loss ${1000000000000L - pprMass})")
+
     println("ALL SCALE-GRAPH ASSERTIONS PASSED")
     spark.stop()
   }

@@ -61,4 +61,41 @@ class Round7PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("mask_spans: ONE doc-keyed exchange drives windows and the final agg") {
+    val df = PipelineQueries.maskSpans(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val tree = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(tree).size == 1,
+      tree)
+  }
+
+  test("eval_spearman: ONE slice-keyed exchange, two in-place sorts, no global window") {
+    val df = EvalQueries.evalSpearman(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val tree = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(l_returnflag".r.findAllIn(tree).size == 1,
+      tree)
+  }
+
+  test("graph_kcore / graph_ppr: keyed joins + aggs only, no nested loop") {
+    for (q <- Seq(GraphQueries.graphKcore, GraphQueries.graphPpr)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("Exchange SinglePartition"), p)
+    }
+  }
+
+  test("dataset_interleave: no global-order window anywhere in the DF plan") {
+    val df = PipelineQueries.datasetInterleave(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
