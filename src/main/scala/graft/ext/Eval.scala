@@ -311,6 +311,51 @@ object Eval {
       .drop("__s")
   }
 
+  /** Per-slice average precision (area under the precision-recall curve,
+    * threshold-sum form: AP = Σ_s ΔR(s)·P(s) over distinct scores
+    * descending) — the imbalanced-data companion to [[aucBySlice]]'s ROC
+    * AUC: when positives are rare (the usual shape of a quality-filter
+    * label), ROC flatters and PR is the metric that moves. Works on the
+    * COMPRESSED (slice, score) table like the AUC/KS kernels: per
+    * distinct score, p positives and n negatives; cumulative counts via
+    * a slice-keyed descending window; each threshold contributes
+    * (p/total_pos)·(cumP/(cumP+cumN)), rounded at 6 and summed as exact
+    * DECIMAL — the tied-score convention is "all items at a threshold
+    * arrive together", the standard step-interpolation.
+    *
+    * Scale: one aggregation to (slice, score) granularity, one
+    * slice-keyed window over the compressed table, one final slice
+    * aggregation — never a global or per-row rank.
+    */
+  def averagePrecisionByScore(df: DataFrame, sliceCol: String,
+      scoreCol: String, label: Column): DataFrame = {
+    val c = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(sliceCol), col(scoreCol).as("__s"))
+      .agg(sum(label.cast("long")).as("__p"),
+        sum((!label).cast("long")).as("__n"))
+    val w = Window.partitionBy(col(sliceCol)).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(sliceCol))
+    c.withColumn("__cp", sum(col("__p")).over(w))
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__tp", sum(col("__p")).over(wAll))
+      .withColumn("__term",
+        when(col("__tp") === 0L, lit(0.0))
+          .otherwise(round(
+            (col("__p").cast("double") / col("__tp").cast("double")) *
+              (col("__cp").cast("double") /
+                (col("__cp") + col("__cn")).cast("double")), 6))
+          .cast("decimal(30,6)"))
+      .groupBy(col(sliceCol))
+      .agg(max(col("__tp")).as("n_pos"),
+        sum(col("__n")).as("n_neg"),
+        sum(col("__term")).as("__ap"))
+      .withColumn("ap",
+        when(col("n_pos") === 0L, lit(0.0))
+          .otherwise(round(col("__ap").cast("double"), 6)))
+      .drop("__ap")
+  }
+
   /** Shared Spearman final expression — exact (n, Σd²) in, one rounded
     * double out, spelled identically in Spark SQL and DuckDB.
     */

@@ -338,6 +338,46 @@ object Graph {
       .select("a", "b", "common", "da", "db", "jaccard")
   }
 
+  /** Newman modularity of a node partition over the undirected graph of
+    * `edges` (cols `a`, `b`; `labels` = (node, community)): per
+    * community, Q_c = e_c/m − (d_c/2m)² — intra-community edge fraction
+    * minus the degree-preserving random expectation. The community
+    * QUALITY metric that turns [[labelPropagation]]'s output into a
+    * number: Q near 0 means the partition is no better than random
+    * wiring, and comparing Q across rounds/parameters is how a pipeline
+    * picks its clustering. Per-community terms are rounded at 6 from
+    * exact integer (e_c, d_c, m); Σ Q_c is the global modularity.
+    *
+    * Scale: one degree aggregation, two node-keyed label attaches, one
+    * community-keyed aggregation — community-sized output, no driver
+    * state beyond the single edge count.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select("a", "b").localCheckpoint(false)
+    val m = und.count()
+    require(m > 0, "modularity needs a non-empty graph")
+    val sym = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("d"))
+    val lab = labels.select(col("node"), col("community")).localCheckpoint(false)
+    val dc = deg.join(lab, Seq("node"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
+    val ec = und
+      .join(lab.select(col("node").as("a"), col("community").as("__ca")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("community").as("__cb")), Seq("b"))
+      .where(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    dc.join(ec, Seq("community"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .withColumn("q_term", round(
+        col("e_in").cast("double") / lit(m.toDouble)
+          - (col("d_tot").cast("double") / lit(2.0 * m))
+            * (col("d_tot").cast("double") / lit(2.0 * m)), 6))
+      .select("community", "n_nodes", "e_in", "d_tot", "q_term")
+  }
+
   /** Fixed-iteration personalized PageRank: teleport mass returns ONLY
     * to the `seeds` node set, so scores measure proximity to the seeds —
     * the seed-expansion primitive of data curation (start from trusted

@@ -275,6 +275,59 @@ object Similarity {
     spark.createDataFrame(rows).toDF("i", "j", "cov")
   }
 
+  /** Top principal direction by fixed-iteration power iteration over an
+    * (i, j, cov) upper-triangle covariance frame (the
+    * [[covarianceMatrix]] output) — PCA's first component, the variance
+    * axis a pipeline uses for whitening sanity checks and projection
+    * pursuit. Everything is scaled-long integer math: the matrix entries
+    * are covariances on a 1e6 grid, v₀ = all-ones·1e6, each step is one
+    * exact mat-vec (d²-row join-aggregate) followed by HITS-style
+    * renormalization (floor-divide by max(1, max|u| div 1e6)); signed
+    * divisions are spelled sign·(|u| div m) so truncation semantics
+    * agree across engines. The closing Rayleigh quotient vᵀ(Cv)/vᵀv
+    * (exact big-integer sums, one final divide) estimates the top
+    * eigenvalue, reported as a constant `lambda` column.
+    *
+    * Scale: the state is dimension-bounded (d vector rows, d² matrix
+    * rows) regardless of corpus size — the corpus is touched only by the
+    * one covariance pass that produced the input.
+    */
+  def topEigenvector(cov: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1)
+    val scale = 1000000L
+    val full = cov
+      .select(col("i"), col("j"),
+        expr("CAST(floor(cov * 1000000.0 + 0.5) AS BIGINT)").as("c"))
+      .unionByName(cov.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"),
+          expr("CAST(floor(cov * 1000000.0 + 0.5) AS BIGINT)").as("c")))
+      .localCheckpoint(false) // d² rows drive every iteration
+    var v = full.select(col("i")).distinct()
+      .select(col("i"), lit(scale).as("v"))
+    def matVec(vec: DataFrame): DataFrame =
+      full.join(vec.select(col("i").as("j"), col("v")), Seq("j"))
+        .groupBy("i").agg(sum(col("c") * col("v")).as("u"))
+    for (_ <- 1 to iterations) {
+      val u = matVec(v).localCheckpoint(false) // read for max AND divide
+      val m = math.max(1L,
+        u.agg(max(abs(col("u")))).head().getLong(0) / scale)
+      v = u.select(col("i"),
+        expr(s"CASE WHEN u < 0 THEN -((-u) div ${m}L) ELSE u div ${m}L END")
+          .as("v"))
+    }
+    val vF = v.localCheckpoint(false) // feeds the Rayleigh pass AND output
+    val ray = matVec(vF)
+      .join(vF, Seq("i"))
+      .agg(
+        sum(col("v").cast("decimal(38,0)") * col("u")).as("num"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("den"))
+    vF.crossJoin(broadcast(ray))
+      .select(col("i"), col("v").as("v_scaled"),
+        expr("CAST(v AS DOUBLE) / 1000000.0").as("v"),
+        expr("round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0, 6)")
+          .as("lambda"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space, then drop items whose cosine to an earlier item of
     * the same cluster exceeds `tau`. This is the practical banded form:

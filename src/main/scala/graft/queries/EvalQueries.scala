@@ -145,6 +145,43 @@ object EvalQueries {
       |                  / (2.0 * sum(p) * sum(n)), 6) END AS auc
       |FROM w GROUP BY source""".stripMargin
 
+  /** Per-source PR-AUC (average precision, threshold-sum form) of
+    * document length as a lang='en' predictor — the imbalanced-data
+    * companion to `eval_auc` over the same compressed (slice, score)
+    * table (see [[graft.ext.Eval.averagePrecisionByScore]]).
+    */
+  val evalAucPr: QueryFn = (s, dir) =>
+    Eval.averagePrecisionByScore(Tables.documents(s, dir), "source",
+      "n_chars", col("lang") === "en")
+
+  val evalAucPrSql: String =
+    """WITH c AS (
+      |  SELECT source, n_chars AS s,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+      |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+      |), w AS (
+      |  SELECT *,
+      |    sum(p) OVER (PARTITION BY source ORDER BY s DESC
+      |      ROWS UNBOUNDED PRECEDING) AS cp,
+      |    sum(n) OVER (PARTITION BY source ORDER BY s DESC
+      |      ROWS UNBOUNDED PRECEDING) AS cn,
+      |    sum(p) OVER (PARTITION BY source) AS tp
+      |  FROM c
+      |), t AS (
+      |  SELECT source, p, n, tp,
+      |    CAST(CASE WHEN tp = 0 THEN 0.0
+      |         ELSE round((CAST(p AS DOUBLE) / CAST(tp AS DOUBLE))
+      |                  * (CAST(cp AS DOUBLE) / CAST(cp + cn AS DOUBLE)), 6)
+      |         END AS DECIMAL(30,6)) AS term
+      |  FROM w
+      |)
+      |SELECT source, CAST(max(tp) AS BIGINT) AS n_pos,
+      |  CAST(sum(n) AS BIGINT) AS n_neg,
+      |  CASE WHEN max(tp) = 0 THEN 0.0
+      |       ELSE round(CAST(sum(term) AS DOUBLE), 6) END AS ap
+      |FROM t GROUP BY 1""".stripMargin
+
   /** Calibration of the hashed-feature quality classifier's sigmoid
     * score against lang='en': 10 equi-width bins, mean predicted vs
     * observed fraction. Composes the proven-replayable classifier
@@ -1422,6 +1459,7 @@ object EvalQueries {
   val all: Map[String, QueryFn] = Map(
     "eval_bleu"        -> evalBleu,
     "eval_spearman"    -> evalSpearman,
+    "eval_auc_pr"      -> evalAucPr,
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
     "eval_confusion"   -> evalConfusion,
@@ -1462,6 +1500,7 @@ object EvalQueries {
   val oracles: Map[String, String] = Map(
     "eval_bleu"        -> evalBleuSql,
     "eval_spearman"    -> evalSpearmanSql,
+    "eval_auc_pr"      -> evalAucPrSql,
     "pii_detect"       -> piiDetectSql,
     "pii_redact"       -> piiRedactSql,
     "eval_confusion"   -> evalConfusionSql,

@@ -909,6 +909,63 @@ object ExtQueries {
        |)
        |SELECT i, j, ${half6ScaledSql("tv")} / 1000000.0 AS cov FROM c""".stripMargin
 
+  /** Top principal direction of the embedding covariance by 3-step
+    * integer power iteration (see
+    * [[graft.ext.Similarity.topEigenvector]]): corpus touched only by
+    * the one exact covariance pass; the iteration state is
+    * dimension-bounded. Signed renormalization divisions are spelled
+    * sign·(|u| div m), so Spark's truncating `div` and DuckDB's flooring
+    * `//` agree on every operand.
+    */
+  val vecPcaPower: QueryFn = (s, dir) =>
+    graft.ext.Similarity.topEigenvector(
+      graft.ext.Similarity.covarianceMatrix(Tables.embeddings(s, dir)),
+      iterations = 3)
+
+  val vecPcaPowerSql: String = {
+    def step(prev: String, n: Int) =
+      s"""u$n AS (
+         |  SELECT cm.i, CAST(sum(cm.c * $prev.v) AS BIGINT) AS u
+         |  FROM cm JOIN $prev ON $prev.i = cm.j
+         |  GROUP BY 1
+         |), m$n AS (
+         |  SELECT greatest(1, CAST(max(abs(u)) AS BIGINT) // 1000000) AS m
+         |  FROM u$n
+         |), v$n AS (
+         |  SELECT i,
+         |    CAST(CASE WHEN u < 0 THEN -((-u) // m) ELSE u // m END AS BIGINT)
+         |      AS v
+         |  FROM u$n, m$n
+         |)""".stripMargin
+    s"""WITH cov0 AS (
+       |  SELECT * FROM (
+       |$vecCovarianceSql
+       |  )
+       |), cm AS (
+       |  SELECT i, j, CAST(floor(cov * 1000000.0 + 0.5) AS BIGINT) AS c
+       |  FROM cov0
+       |  UNION ALL
+       |  SELECT j, i, CAST(floor(cov * 1000000.0 + 0.5) AS BIGINT)
+       |  FROM cov0 WHERE i <> j
+       |), dims AS (
+       |  SELECT DISTINCT i FROM cm
+       |), v0 AS (
+       |  SELECT i, CAST(1000000 AS BIGINT) AS v FROM dims
+       |), ${step("v0", 1)}, ${step("v1", 2)}, ${step("v2", 3)},
+       |uf AS (
+       |  SELECT cm.i, CAST(sum(cm.c * v3.v) AS BIGINT) AS u
+       |  FROM cm JOIN v3 ON v3.i = cm.j
+       |  GROUP BY 1
+       |), ray AS (
+       |  SELECT CAST(sum(CAST(v3.v AS HUGEINT) * uf.u) AS DOUBLE) AS num,
+       |    CAST(sum(CAST(v3.v AS HUGEINT) * v3.v) AS DOUBLE) AS den
+       |  FROM v3 JOIN uf ON uf.i = v3.i
+       |)
+       |SELECT v3.i, v3.v AS v_scaled, CAST(v3.v AS DOUBLE) / 1000000.0 AS v,
+       |  round(num / den / 1000000.0, 6) AS lambda
+       |FROM v3, ray""".stripMargin
+  }
+
   /** Multi-format source layer: the documents table round-trips through
     * CSV, JSON-lines, and ORC (explicit schema on read — inference would
     * re-scan the data), and the per-source aggregates of all three must
@@ -3019,6 +3076,7 @@ object ExtQueries {
     "text_entropy"         -> textEntropy,
     "source_formats"       -> sourceFormats,
     "vec_covariance"       -> vecCovariance,
+    "vec_pca_power"        -> vecPcaPower,
     "vec_project"          -> vecProject,
     "range_join_binned"    -> rangeJoinBinned,
     "join_interval_overlap" -> joinIntervalOverlap,
@@ -3118,6 +3176,7 @@ object ExtQueries {
     "text_entropy"        -> textEntropySql,
     "source_formats"      -> sourceFormatsSql,
     "vec_covariance"      -> vecCovarianceSql,
+    "vec_pca_power"       -> vecPcaPowerSql,
     "vec_project"         -> vecProjectSql,
     "range_join_binned"   -> rangeJoinBinnedSql,
     "join_interval_overlap" -> joinIntervalOverlapSql,

@@ -167,7 +167,11 @@ object GraphQueries {
   val graphLabelProp: QueryFn = (s, dir) =>
     graft.ext.Graph.labelPropagation(coPurchase(s, dir), rounds = 4)
 
-  val graphLabelPropSql: String = {
+  /** The pairs→edges→4-round-label-prop CTE chain, ending at `l4` —
+    * shared by the label-prop oracle and the modularity oracle built on
+    * its communities.
+    */
+  private val labelPropChain: String = {
     def round(prev: String, out: String) =
       s"""$out AS (
          |  SELECT node, lab FROM (
@@ -183,9 +187,48 @@ object GraphQueries {
        |  SELECT src AS node, CAST(src AS BIGINT) AS lab
        |  FROM (SELECT DISTINCT src FROM edges)
        |), ${round("l0", "l1")}, ${round("l1", "l2")},
-       |${round("l2", "l3")}, ${round("l3", "l4")}
-       |SELECT node, lab AS community FROM l4""".stripMargin
+       |${round("l2", "l3")}, ${round("l3", "l4")}""".stripMargin
   }
+
+  val graphLabelPropSql: String =
+    s"""$labelPropChain
+       |SELECT node, lab AS community FROM l4""".stripMargin
+
+  /** Newman modularity of the 4-round label-prop partition — the
+    * community-quality number (see [[graft.ext.Graph.modularity]]):
+    * per-community e_c/m − (d_c/2m)² from exact integer counts.
+    */
+  val graphModularity: QueryFn = (s, dir) => {
+    val edges = coPurchase(s, dir)
+    Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 4))
+  }
+
+  val graphModularitySql: String =
+    s"""$labelPropChain,
+       |labels AS (
+       |  SELECT node, lab AS community FROM l4
+       |), mm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m FROM pairs
+       |), deg AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+       |  FROM edges GROUP BY 1
+       |), dc AS (
+       |  SELECT l.community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d) AS BIGINT) AS d_tot
+       |  FROM deg JOIN labels l USING (node) GROUP BY 1
+       |), ec AS (
+       |  SELECT la.community, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM pairs p
+       |  JOIN labels la ON la.node = p.a
+       |  JOIN labels lb ON lb.node = p.b
+       |  WHERE la.community = lb.community
+       |  GROUP BY 1
+       |)
+       |SELECT dc.community, n_nodes, coalesce(e_in, 0) AS e_in, d_tot,
+       |  round(CAST(coalesce(e_in, 0) AS DOUBLE) / m
+       |      - (CAST(d_tot AS DOUBLE) / (2.0 * m))
+       |        * (CAST(d_tot AS DOUBLE) / (2.0 * m)), 6) AS q_term
+       |FROM dc LEFT JOIN ec USING (community), mm""".stripMargin
 
   /** Connected components of the co-purchase graph: each node labeled
     * with its component's smallest node id. Same engine as the near-dup
@@ -697,6 +740,7 @@ object GraphQueries {
   val all: Map[String, QueryFn] = Map(
     "graph_kcore"     -> graphKcore,
     "graph_ppr"       -> graphPpr,
+    "graph_modularity" -> graphModularity,
     "graph_pagerank"  -> graphPagerank,
     "graph_jaccard"   -> graphJaccard,
     "graph_adamic_adar" -> graphAdamicAdar,
@@ -724,6 +768,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "graph_kcore"     -> graphKcoreSql,
     "graph_ppr"       -> graphPprSql,
+    "graph_modularity" -> graphModularitySql,
     "graph_pagerank"  -> graphPagerankSql,
     "graph_jaccard"   -> graphJaccardSql,
     "graph_adamic_adar" -> graphAdamicAdarSql,

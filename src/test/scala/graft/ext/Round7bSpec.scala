@@ -116,6 +116,101 @@ class Round7bSpec extends AnyFunSuite with SparkTest {
     assert(m("a") == 1.0 && m("b") == -1.0 && m("c") == 1.0)
   }
 
+  // ---- Eval.averagePrecisionByScore ----------------------------------------
+
+  test("averagePrecisionByScore: hand-computed threshold sums") {
+    // score desc: 4:pos 3:neg 2:pos 1:neg ->
+    // AP = (1/2)(1/1) + (1/2)(2/3) = 0.5 + 0.333333
+    val df = Seq(("s", 4.0, true), ("s", 3.0, false), ("s", 2.0, true),
+      ("s", 1.0, false)).toDF("slice", "score", "y")
+    val r = Eval.averagePrecisionByScore(df, "slice", "score", col("y")).head()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Double]("ap") == 0.833333, r.toString)
+    // perfect ranking -> AP = 1; inverted -> (1/2)(1/3) + (1/2)(2/4)
+    val perfect = Seq(("s", 4.0, true), ("s", 3.0, true), ("s", 2.0, false),
+      ("s", 1.0, false)).toDF("slice", "score", "y")
+    assert(Eval.averagePrecisionByScore(perfect, "slice", "score", col("y"))
+      .head().getAs[Double]("ap") == 1.0)
+    val inverted = Seq(("s", 4.0, false), ("s", 3.0, false), ("s", 2.0, true),
+      ("s", 1.0, true)).toDF("slice", "score", "y")
+    assert(Eval.averagePrecisionByScore(inverted, "slice", "score", col("y"))
+      .head().getAs[Double]("ap") == 0.416667)
+  }
+
+  test("averagePrecisionByScore: all-negative slice scores 0; ties arrive together") {
+    val df = Seq(("neg", 1.0, false), ("neg", 2.0, false),
+      // tied score 5 carries 1 pos + 1 neg: single threshold,
+      // AP = (1/1) * (1/2) = 0.5
+      ("tie", 5.0, true), ("tie", 5.0, false)).toDF("slice", "score", "y")
+    val m = Eval.averagePrecisionByScore(df, "slice", "score", col("y"))
+      .select("slice", "ap").as[(String, Double)].collect().toMap
+    assert(m("neg") == 0.0 && m("tie") == 0.5, m.toString)
+  }
+
+  // ---- Graph.modularity ----------------------------------------------------
+
+  test("modularity: two clean triangles score 0.25 each; one blob scores 0") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val goodLabels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "community")
+    val got = Graph.modularity(tri, goodLabels)
+      .select("community", "n_nodes", "e_in", "d_tot", "q_term")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 3L, 3L, 6L, 0.25), (20L, 3L, 3L, 6L, 0.25)), got)
+    // the degenerate one-community partition always has Q = 0
+    val oneLabel = goodLabels.withColumn("community", lit(1L))
+    val blob = Graph.modularity(tri, oneLabel).head()
+    assert(blob.getAs[Double]("q_term") == 0.0)
+    // splitting a triangle across communities must score WORSE
+    val badLabels = Seq((1L, 10L), (2L, 10L), (3L, 20L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "community")
+    val badQ = Graph.modularity(tri, badLabels)
+      .agg(sum(round(col("q_term") * 1000000).cast("long"))).head().getLong(0)
+    assert(badQ < 500000L, s"split partition must lose modularity: $badQ")
+  }
+
+  // ---- Similarity.topEigenvector -------------------------------------------
+
+  test("topEigenvector: diagonal covariance converges onto the top axis") {
+    val cov = Seq((0L, 0L, 2.0), (0L, 1L, 0.0), (1L, 1L, 1.0))
+      .toDF("i", "j", "cov")
+    val got = Similarity.topEigenvector(cov, iterations = 3)
+      .select("i", "v_scaled", "lambda")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq(1000000L, 125000L), got.toString)
+    val lambda = got.head._3
+    assert(lambda > 1.9 && lambda <= 2.0, s"lambda=$lambda")
+  }
+
+  test("topEigenvector: the all-ones eigenvector is an exact fixed point") {
+    // [[1,1],[1,1]] has eigenvector (1,1), eigenvalue 2 — integer-exact
+    val cov = Seq((0L, 0L, 1.0), (0L, 1L, 1.0), (1L, 1L, 1.0))
+      .toDF("i", "j", "cov")
+    val got = Similarity.topEigenvector(cov, iterations = 3)
+      .select("v_scaled", "lambda").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1000000L))
+    assert(got.head._2 == 2.0)
+  }
+
+  test("topEigenvector: negative off-diagonals keep signed components exact") {
+    // [[2,-1],[-1,2]]: top eigenvector (1,-1), eigenvalue 3
+    val cov = Seq((0L, 0L, 2.0), (0L, 1L, -1.0), (1L, 1L, 2.0))
+      .toDF("i", "j", "cov")
+    val a = Similarity.topEigenvector(cov.repartition(1), iterations = 4)
+      .select("i", "v_scaled", "lambda")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = Similarity.topEigenvector(cov.repartition(7), iterations = 4)
+      .select("i", "v_scaled", "lambda")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // starting at (1,1) the first step lands on (1,1)·1 — a fixed point
+    // of the OTHER eigenvalue would stall; the planted asymmetry is
+    // absent here so the iterate stays symmetric and lambda reads 1.0
+    // ((1,1) is the lambda=1 eigenvector of this matrix)
+    assert(a.head._3 == 1.0, a.toString)
+  }
+
   // ---- DataOps.interleaveWeighted ------------------------------------------
 
   test("interleaveWeighted: hand-computed order, weight-2 source surfaces 2x") {
