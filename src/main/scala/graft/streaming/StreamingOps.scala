@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -392,6 +392,30 @@ object StreamingOps {
         graft.ext.HashExprs.mix64(col("__k").bitwiseXOR(col("r")))
           .bitwiseAND(lit((width - 1).toLong)).as("cell"))
       .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+  }
+
+  /** Deterministic streaming histogram-quantile sketch: maintains the
+    * SAME nBins bin-count table as `Sketches.histogramQuantiles`' second
+    * pass, incrementally, over a grid PINNED up front — a stream has no
+    * two-pass min/max, so the sink fixes (lo, span) from a prior period
+    * or the schema contract (the production shape) and the combine is
+    * `sum`: associative and order-free, so after any micro-batch the
+    * bins equal the batch build over everything seen in-range
+    * (out-of-grid values are counted in the guard row `bin = -1` rather
+    * than silently dropped). State is bounded at nBins+1 rows forever;
+    * like the HLL registers, the bins are engine-portable period state
+    * (merge = cell-wise add), and the quantile read-off is the same
+    * nBins-row computation downstream.
+    */
+  def histogramBinStream(events: DataFrame, gridExpr: Column,
+      lo: Long, span: Long, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(span > 0 && nBins >= 2)
+    events.select(gridExpr.cast("long").as("gv")).where(col("gv").isNotNull)
+      .groupBy(
+        when(col("gv") < lo || col("gv") >= lo + span, lit(-1L))
+          .otherwise(expr(s"(gv - ${lo}L) * $nBins div ${span}L")).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Streaming Markov transition steps — `Analytics.markovTransitions`'

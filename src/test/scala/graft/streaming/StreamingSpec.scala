@@ -121,6 +121,32 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
     assert(merged == whole)
   }
 
+  test("replayable histogram bins: streaming table == batch build; guard row catches strays") {
+    // pin the grid the way a production sink would — from a prior
+    // period's bounds; deliberately NARROWER than the data so the
+    // out-of-grid guard row is exercised
+    val gridExpr = floor(col("value") * 100).cast("long")
+    val (lo, span) = (0L, 5000L)
+    val q = StreamingOps.histogramBinStream(
+      StreamingOps.eventsStream(spark, eventsDir), gridExpr,
+      lo, span, nBins = 64)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hist_out")
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q, 120000)
+
+    val streamed = spark.table("hist_out")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = StreamingOps.histogramBinStream(
+      Tables.events(spark, sfDir), gridExpr, lo, span, nBins = 64)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.size <= 65)
+    assert(streamed.map(_._2).sum ==
+      Tables.events(spark, sfDir).where(gridExpr.isNotNull).count(),
+      "every in-grid AND stray value must be counted exactly once")
+  }
+
   test("stream-static enrichment join matches the batch join, no stream shuffle") {
     val dim = (0L to 200L).map(u => (u, s"cohort_${u % 4}")).toDF("user_id", "cohort")
     val enriched = StreamingOps.enrichStream(
