@@ -206,6 +206,36 @@ object ScaleExt {
       .where(col("fill") > 512 && col("over") === 0).count()
     require(badFills == 0, s"$badFills packs exceed the budget without an oversize doc")
     println(s"SCALEEXT packed rows=$nPacked ok")
+
+    // bigram-LM cross-entropy at corpus scale: planted exact dups carry
+    // their donor's text, so their per-doc NLL must be IDENTICAL to the
+    // donor's (the replayable-sum discipline, checked structurally on
+    // the scaled corpus — a float accumulation would drift here).
+    val nll = t("bigram-xent")(
+      Vocab.bigramCrossEntropy(docs, "doc_id", "text").localCheckpoint())
+    val donors = nll.select(col("doc_id").as("d_id"), col("avg_nll").as("d_nll"))
+    val dupMismatch = nll
+      .where(pmod(col("doc_id"), lit(7)).isin(1, 2) &&
+        !(pmod(col("doc_id"), lit(11)) === 3))
+      .withColumn("d_id", col("doc_id") - pmod(col("doc_id"), lit(7)))
+      .join(donors, Seq("d_id"))
+      .where(col("avg_nll") =!= col("d_nll")).count()
+    require(dupMismatch == 0,
+      s"$dupMismatch exact-dup docs scored different NLL than their donor")
+
+    // span-corruption accounting: token conservation is exact, and the
+    // iid-start coverage 1-(4/5)^3 lands near 0.488 at corpus scale
+    val masked = t("mask-spans")(
+      Packing.maskSpans(docs, "doc_id", "text").localCheckpoint())
+    val mRow = masked.agg(sum("n_tokens"), sum("n_masked")).head
+    val (mTok, mMask) = (mRow.getLong(0), mRow.getLong(1))
+    val corpusToks = docs
+      .agg(sum(size(split(trim(col("text")), "\\s+")))).head.getLong(0)
+    require(mTok == corpusToks, s"mask token count $mTok != corpus $corpusToks")
+    val cover = mMask.toDouble / mTok
+    require(cover > 0.43 && cover < 0.55,
+      s"mask coverage $cover drifted from the 1-(4/5)^3=0.488 expectation")
+    println(f"SCALEEXT mask coverage=$cover%.4f ok")
     spark.stop()
   }
 }
