@@ -356,6 +356,56 @@ object Eval {
       .drop("__ap")
   }
 
+  /** Shared Fleiss final expressions for `n` raters × 2 categories —
+    * exact (n_items, sum_sq, s_pos) in, rounded doubles out; spelled
+    * identically in Spark SQL and DuckDB. The degenerate all-unanimous-
+    * one-category slice (chance agreement 1, kappa 0/0) reports 1.0 —
+    * the raters DID agree perfectly.
+    */
+  private[graft] def fleissPBarExpr(n: Int): String =
+    s"round(CAST(sum_sq - $n * n_items AS DOUBLE) / " +
+      s"(${n * (n - 1)}.0 * CAST(n_items AS DOUBLE)), 6)"
+  private[graft] def fleissPeExpr(n: Int): String = {
+    val p = s"(CAST(s_pos AS DOUBLE) / ($n.0 * CAST(n_items AS DOUBLE)))"
+    s"round($p * $p + (1.0 - $p) * (1.0 - $p), 6)"
+  }
+  private[graft] def fleissKappaExpr(n: Int): String = {
+    val p = s"(CAST(s_pos AS DOUBLE) / ($n.0 * CAST(n_items AS DOUBLE)))"
+    val pe = s"($p * $p + (1.0 - $p) * (1.0 - $p))"
+    val pbar = s"(CAST(sum_sq - $n * n_items AS DOUBLE) / " +
+      s"(${n * (n - 1)}.0 * CAST(n_items AS DOUBLE)))"
+    s"CASE WHEN s_pos = 0 OR s_pos = $n * n_items THEN 1.0 " +
+      s"ELSE round(($pbar - $pe) / (1.0 - $pe), 6) END"
+  }
+
+  /** Per-slice Fleiss' kappa for `raters.size` boolean raters — the
+    * n-rater generalization of Cohen's kappa (`eval_kappa`): do MULTIPLE
+    * independent quality filters agree beyond chance, per slice? The
+    * sufficient statistics are three exact longs per slice (item count,
+    * Σ per-item n_pos²+(n−n_pos)², Σ n_pos) and every derived scalar is
+    * one shared final expression — the decision discipline of the other
+    * eval kernels.
+    *
+    * Scale: one row-local projection (the raters are column predicates)
+    * and ONE map-side-combining aggregation to slice granularity.
+    */
+  def fleissKappa(df: DataFrame, sliceCol: String,
+      raters: Seq[Column]): DataFrame = {
+    val n = raters.size
+    require(n >= 2, "fleissKappa needs at least 2 raters")
+    val m = raters.map(_.cast("int")).reduce(_ + _).cast("long")
+    df.select(col(sliceCol), m.as("__m"))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__m") * col("__m")
+          + (lit(n.toLong) - col("__m")) * (lit(n.toLong) - col("__m")))
+          .as("sum_sq"),
+        sum(col("__m")).as("s_pos"))
+      .withColumn("p_bar", expr(fleissPBarExpr(n)))
+      .withColumn("p_e", expr(fleissPeExpr(n)))
+      .withColumn("kappa", expr(fleissKappaExpr(n)))
+  }
+
   /** Shared Spearman final expression — exact (n, Σd²) in, one rounded
     * double out, spelled identically in Spark SQL and DuckDB.
     */

@@ -182,6 +182,38 @@ object EvalQueries {
       |       ELSE round(CAST(sum(term) AS DOUBLE), 6) END AS ap
       |FROM t GROUP BY 1""".stripMargin
 
+  /** Per-source Fleiss' kappa across THREE quality raters (char length,
+    * token length, lang='en') — do independent filters agree beyond
+    * chance (see [[graft.ext.Eval.fleissKappa]])? Three exact-long
+    * sufficient statistics per slice, shared final expressions.
+    */
+  val evalFleiss: QueryFn = (s, dir) =>
+    Eval.fleissKappa(Tables.documents(s, dir), "source", Seq(
+      col("n_chars") >= 300,
+      size(split(trim(col("text")), "\\s+")) >= 40,
+      col("lang") === "en"))
+
+  val evalFleissSql: String = {
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST((CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+       |       + (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 40
+       |          THEN 1 ELSE 0 END)
+       |       + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS mm
+       |  FROM documents
+       |), a AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(mm * mm + (3 - mm) * (3 - mm)) AS BIGINT) AS sum_sq,
+       |    CAST(sum(mm) AS BIGINT) AS s_pos
+       |  FROM m GROUP BY 1
+       |)
+       |SELECT source, n_items, sum_sq, s_pos,
+       |  ${Eval.fleissPBarExpr(3)} AS p_bar,
+       |  ${Eval.fleissPeExpr(3)} AS p_e,
+       |  ${Eval.fleissKappaExpr(3)} AS kappa
+       |FROM a""".stripMargin
+  }
+
   /** Calibration of the hashed-feature quality classifier's sigmoid
     * score against lang='en': 10 equi-width bins, mean predicted vs
     * observed fraction. Composes the proven-replayable classifier
@@ -1460,6 +1492,7 @@ object EvalQueries {
     "eval_bleu"        -> evalBleu,
     "eval_spearman"    -> evalSpearman,
     "eval_auc_pr"      -> evalAucPr,
+    "eval_fleiss"      -> evalFleiss,
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
     "eval_confusion"   -> evalConfusion,
@@ -1501,6 +1534,7 @@ object EvalQueries {
     "eval_bleu"        -> evalBleuSql,
     "eval_spearman"    -> evalSpearmanSql,
     "eval_auc_pr"      -> evalAucPrSql,
+    "eval_fleiss"      -> evalFleissSql,
     "pii_detect"       -> piiDetectSql,
     "pii_redact"       -> piiRedactSql,
     "eval_confusion"   -> evalConfusionSql,

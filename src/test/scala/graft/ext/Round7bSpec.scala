@@ -147,6 +147,37 @@ class Round7bSpec extends AnyFunSuite with SparkTest {
     assert(m("neg") == 0.0 && m("tie") == 0.5, m.toString)
   }
 
+  // ---- Eval.fleissKappa ----------------------------------------------------
+
+  test("fleissKappa: hand-computed 4-item 3-rater slice; unanimity scores 1") {
+    // per-item positive votes 3,0,2,1: sum_sq=28, P-bar=2/3, p=1/2,
+    // Pe=1/2 -> kappa = (2/3 - 1/2)/(1/2) = 1/3
+    val df = Seq(
+      ("s", true, true, true), ("s", false, false, false),
+      ("s", true, true, false), ("s", true, false, false),
+      ("u", true, true, true), ("u", true, true, true))
+      .toDF("slice", "r1", "r2", "r3")
+    val m = Eval.fleissKappa(df, "slice",
+        Seq(col("r1"), col("r2"), col("r3")))
+      .select("slice", "n_items", "sum_sq", "s_pos", "kappa")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(m("s") == ((4L, 28L, 6L, 0.333333)), m.toString)
+    // unanimous-everywhere slice: chance agreement is 1, convention 1.0
+    assert(m("u") == ((2L, 18L, 6L, 1.0)), m.toString)
+  }
+
+  test("fleissKappa: independent random raters land near zero") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 4000).map(_ =>
+      ("s", rnd.nextBoolean(), rnd.nextBoolean(), rnd.nextBoolean()))
+      .toDF("slice", "r1", "r2", "r3")
+    val k = Eval.fleissKappa(df, "slice",
+        Seq(col("r1"), col("r2"), col("r3")))
+      .head().getAs[Double]("kappa")
+    assert(math.abs(k) < 0.06, s"independent raters scored kappa=$k")
+  }
+
   // ---- Graph.modularity ----------------------------------------------------
 
   test("modularity: two clean triangles score 0.25 each; one blob scores 0") {
