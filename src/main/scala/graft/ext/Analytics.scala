@@ -585,6 +585,58 @@ object Analytics {
       .withColumn("gini", expr(giniExpr))
   }
 
+  /** OLS slope/intercept expressions shared VERBATIM with the DuckDB
+    * oracle over DECIMAL(30,6) sums of per-rank round(6) ln terms. The
+    * intercept expression references the already-computed `slope`
+    * column (Spark adds it via withColumn; the oracle nests a SELECT).
+    */
+  val zipfSlopeExpr: String =
+    "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0 " +
+      "ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END"
+  val zipfInterceptExpr: String =
+    "round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) " +
+      "/ CAST(n AS DOUBLE), 6)"
+
+  /** Zipf power-law fit over the top-`topN` items of a frequency table:
+    * log-log OLS of ln(count) on ln(rank). The slope (~ −1 for natural
+    * language) is the standard sanity probe on a training corpus's token
+    * distribution — a much flatter slope flags synthetic/boilerplate
+    * text, a much steeper one flags a collapsed vocabulary. Ranks are
+    * pinned (count desc, item asc); per-rank terms ln r, ln c, their
+    * product and square are round(6) DECIMAL sums (order-independent, ln
+    * ulp absorbed — the entropy discipline), and slope/intercept are
+    * shared final expressions.
+    *
+    * Scale: one map-side-combining count aggregation to item
+    * granularity, a TakeOrdered top-N (never a global sort), and an OLS
+    * fold over topN rows.
+    */
+  def zipfFit(counts: DataFrame, itemCol: String, cntCol: String,
+      topN: Int = 100): DataFrame = {
+    val top = counts.orderBy(col(cntCol).desc, col(itemCol).asc).limit(topN)
+    val ranked = graft.cardano.SurrogateIds.withSequence(
+      top, "__i", Seq(col(cntCol).desc, col(itemCol).asc))
+    val lnR = log((col("__i") + 1L).cast("double"))
+    val lnC = log(col(cntCol).cast("double"))
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(round(lnR, 6).cast("decimal(30,6)")).as("sx"),
+        sum(round(lnC, 6).cast("decimal(30,6)")).as("sy"),
+        sum(round(lnR * lnC, 6).cast("decimal(30,6)")).as("sxy"),
+        sum(round(lnR * lnR, 6).cast("decimal(30,6)")).as("sxx"))
+      // exact DECIMAL sums → one deterministic double each for output
+      .select(col("n"), col("sx").cast("double").as("sx"),
+        col("sy").cast("double").as("sy"),
+        col("sxy").cast("double").as("sxy"),
+        col("sxx").cast("double").as("sxx"))
+      .withColumn("slope", expr(zipfSlopeExpr))
+      .withColumn("intercept", expr(zipfInterceptExpr))
+  }
+
   /** Mean/variance expressions shared VERBATIM with the DuckDB oracle
     * over integer (nb, sx, sxx) — exact divisions of sub-2^53 integers.
     */

@@ -406,6 +406,39 @@ object Eval {
       .withColumn("kappa", expr(fleissKappaExpr(n)))
   }
 
+  /** Shared McNemar final expression — exact discordant counts (b, c)
+    * in, the continuity-corrected statistic out, spelled identically in
+    * Spark SQL and DuckDB. b+c=0 (the two raters never disagree) scores
+    * 0.0: no evidence of marginal difference. |b−c|≤1 also scores 0
+    * (the correction floors at zero rather than going negative).
+    */
+  private[graft] val mcnemarExpr =
+    "CASE WHEN b + c = 0 OR abs(b - c) <= 1 THEN 0.0 " +
+      "ELSE round((CAST(abs(b - c) AS DOUBLE) - 1.0) * " +
+      "(CAST(abs(b - c) AS DOUBLE) - 1.0) / CAST(b + c AS DOUBLE), 6) END"
+
+  /** Per-slice McNemar's test between two boolean raters on PAIRED
+    * items — the right significance check for "is the new quality
+    * filter actually different from the old one on the same corpus?"
+    * (marginal-homogeneity, unlike [[evalKappa]]'s agreement). Only the
+    * discordant cells matter: b = rater-A-only keeps, c = rater-B-only
+    * keeps; the statistic is Edwards' continuity-corrected
+    * (|b−c|−1)²/(b+c), ~χ²(1) under H0.
+    *
+    * Scale: one row-local projection and ONE map-side-combining
+    * aggregation to slice granularity; two exact longs per slice.
+    */
+  def mcnemar(df: DataFrame, sliceCol: String, raterA: Column,
+      raterB: Column): DataFrame = {
+    df.select(col(sliceCol),
+        (raterA && !raterB).cast("long").as("__b"),
+        (!raterA && raterB).cast("long").as("__c"))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__b")).as("b"), sum(col("__c")).as("c"))
+      .withColumn("chi2_mcnemar", expr(mcnemarExpr))
+  }
+
   /** Shared Spearman final expression — exact (n, Σd²) in, one rounded
     * double out, spelled identically in Spark SQL and DuckDB.
     */

@@ -161,6 +161,60 @@ object Ranking {
           .cast("decimal(30,9)")).cast("double").as("rrf_score"))
   }
 
+  /** Per-max-rank RBO weight lookup shared VERBATIM with the DuckDB
+    * oracle: w(m) = Σ_{d=m..k} p^(d−1)/d with each geometric term
+    * rounded at 9, so the CASE branches are exact decimal literals.
+    * Swapping the sums in truncated rank-biased overlap
+    * (1−p)·Σ_{d=1..k} p^(d−1)·|A_d ∩ B_d|/d turns it into one weight
+    * lookup per COMMON doc keyed by max(rank_a, rank_b) — a k-entry
+    * constant table, the ideal-DCG discipline.
+    */
+  private[graft] def rboWeightExpr(mCol: String, k: Int, p: Double): String = {
+    val ws = (1 to k).map(m => (m to k)
+      .map(d => BigDecimal(math.pow(p, d - 1) / d)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum)
+    s"CASE $mCol " +
+      (1 to k).map(m => s"WHEN $m THEN ${ws(m - 1)}").mkString(" ") +
+      " ELSE 0.0 END"
+  }
+
+  /** Shared RBO final expression — (n_common, s = Σ weights) in, one
+    * rounded double out; disjoint prefixes score 0.0.
+    */
+  private[graft] def rboFinalExpr(p: Double): String = {
+    val oneMinusP = BigDecimal(1) - BigDecimal(p)
+    "CASE WHEN n_common = 0 THEN 0.0 " +
+      s"ELSE round($oneMinusP * CAST(s AS DOUBLE), 6) END"
+  }
+
+  /** Truncated rank-biased overlap (Webber et al., TOIS 2010) between
+    * two scored rankings at depth `k`: the standard top-weighted
+    * similarity between two retrieval systems' result lists (1 =
+    * identical prefixes, 0 = disjoint). Both sides are ranked under the
+    * pinned (score desc, id asc) order by the zipWithIndex dense ranker
+    * (no global window), truncated via TakeOrdered top-k, and the
+    * geometric weights enter as exact decimal literals.
+    *
+    * Scale: two TakeOrdered top-k reductions (never a global sort) and
+    * a k-row join — the corpus is touched only by the upstream scorers.
+    */
+  def rboOverlap(a: DataFrame, b: DataFrame, k: Int = 10,
+      p: Double = 0.9): DataFrame = {
+    def topk(df: DataFrame, out: String) =
+      graft.cardano.SurrogateIds.withSequence(
+          df.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+            .select(col("doc_id"), col("score")),
+          "__seq", Seq(col("score").desc, col("doc_id").asc))
+        .select(col("doc_id"), (col("__seq") + 1L).as(out))
+    topk(a, "ra").join(topk(b, "rb"), Seq("doc_id"))
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr(rboWeightExpr("m", k, p)).cast("decimal(30,9)")).as("s"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("rbo", expr(rboFinalExpr(p)))
+      .select("k", "n_common", "rbo")
+  }
+
   /** Inverted index over a term subset: per term, its document frequency
     * and the sorted posting list. The build side of lexical retrieval —
     * one explode + distinct + one term-keyed aggregation; the shuffle

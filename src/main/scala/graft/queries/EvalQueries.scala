@@ -214,6 +214,32 @@ object EvalQueries {
        |FROM a""".stripMargin
   }
 
+  /** Per-source McNemar's test: does the 300-char length gate keep a
+    * different fraction of the corpus than the 40-token gate, on the
+    * SAME documents (see [[graft.ext.Eval.mcnemar]])? Two exact
+    * discordant longs per slice, one shared final expression.
+    */
+  val evalMcnemar: QueryFn = (s, dir) =>
+    Eval.mcnemar(Tables.documents(s, dir), "source",
+      col("n_chars") >= 300,
+      size(split(trim(col("text")), "\\s+")) >= 40)
+
+  val evalMcnemarSql: String =
+    s"""WITH j AS (
+       |  SELECT source,
+       |    (n_chars >= 300) AS ra,
+       |    (len(regexp_split_to_array(trim(text), '\\s+')) >= 40) AS rb
+       |  FROM documents
+       |), a AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN rb AND NOT ra THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT source, n_items, b, c,
+       |  ${Eval.mcnemarExpr} AS chi2_mcnemar
+       |FROM a""".stripMargin
+
   /** Calibration of the hashed-feature quality classifier's sigmoid
     * score against lang='en': 10 equi-width bins, mean predicted vs
     * observed fraction. Composes the proven-replayable classifier
@@ -1493,6 +1519,7 @@ object EvalQueries {
     "eval_spearman"    -> evalSpearman,
     "eval_auc_pr"      -> evalAucPr,
     "eval_fleiss"      -> evalFleiss,
+    "eval_mcnemar"     -> evalMcnemar,
     "pii_detect"       -> piiDetect,
     "pii_redact"       -> piiRedact,
     "eval_confusion"   -> evalConfusion,
@@ -1535,6 +1562,7 @@ object EvalQueries {
     "eval_spearman"    -> evalSpearmanSql,
     "eval_auc_pr"      -> evalAucPrSql,
     "eval_fleiss"      -> evalFleissSql,
+    "eval_mcnemar"     -> evalMcnemarSql,
     "pii_detect"       -> piiDetectSql,
     "pii_redact"       -> piiRedactSql,
     "eval_confusion"   -> evalConfusionSql,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ext.{Analytics, Graph, Layout}
+import graft.ext.{Analytics, Graph, Layout, TextAnalysis}
 
 /** Graph-analytics, time-series, robust-stats, and data-layout queries —
   * the whole-dataset analyses a training-data pipeline layers on top of
@@ -664,6 +664,48 @@ object GraphQueries {
        |)
        |SELECT n, s, s_rank, ${Analytics.giniExpr} AS gini FROM st""".stripMargin
 
+  /** Zipf slope of the corpus token distribution: log-log OLS over the
+    * top-100 token types (see [[graft.ext.Analytics.zipfFit]]). Natural
+    * language sits near −1; the fit is the dataset-card sanity probe on
+    * tokenization + corpus mix.
+    */
+  val statsZipf: QueryFn = (s, dir) =>
+    Analytics.zipfFit(
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")),
+      "word", "cnt")
+
+  val statsZipfSql: String =
+    s"""WITH counts AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  GROUP BY 1
+       |), top AS (
+       |  SELECT word, cnt FROM counts ORDER BY cnt DESC, word LIMIT 100
+       |), ranked AS (
+       |  SELECT cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS i
+       |  FROM top
+       |), a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round(ln(CAST(i AS DOUBLE)), 6)
+       |      AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE)), 6)
+       |      AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(round(ln(CAST(i AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 6)
+       |      AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(round(ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)), 6)
+       |      AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+       |  FROM ranked
+       |), b AS (
+       |  SELECT n, sx, sy, sxy, sxx, ${Analytics.zipfSlopeExpr} AS slope FROM a
+       |)
+       |SELECT n, sx, sy, sxy, sxx, slope,
+       |  ${Analytics.zipfInterceptExpr} AS intercept
+       |FROM b""".stripMargin
+
   /** 3-iteration personalized PageRank seeded at parts divisible by 40
     * (~10% of the co-purchase nodes) — the seed-expansion curation
     * primitive: proximity-to-trusted-set scores, integer-exact.
@@ -747,6 +789,7 @@ object GraphQueries {
     "ts_autocorr"     -> tsAutocorr,
     "ts_seasonal"     -> tsSeasonal,
     "stats_gini"      -> statsGini,
+    "stats_zipf"      -> statsZipf,
     "stats_entropy"   -> statsEntropy,
     "graph_triangles" -> graphTriangles,
     "graph_bfs"       -> graphBfs,
@@ -775,6 +818,7 @@ object GraphQueries {
     "ts_autocorr"     -> tsAutocorrSql,
     "ts_seasonal"     -> tsSeasonalSql,
     "stats_gini"      -> statsGiniSql,
+    "stats_zipf"      -> statsZipfSql,
     "stats_entropy"   -> statsEntropySql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_bfs"       -> graphBfsSql,

@@ -123,7 +123,11 @@ object PipelineQueries {
         col("rrf_score"))
   }
 
-  val rankFusionSql: String =
+  /** Shared BM25 + TF-IDF retrieval CTE prefix (ONE tokenization pass)
+    * — the oracle-side twin of the `withLen`/`tf` localCheckpoint
+    * sharing above; `rank_fusion` and `rank_rbo` both splice it.
+    */
+  private val retrievalCtes: String =
     """WITH withlen AS (
       |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
       |         regexp_split_to_array(trim(text), '\s+') AS toks
@@ -159,7 +163,10 @@ object PipelineQueries {
       |  nn
       |  WHERE tf.term IN ('join', 'vector', 'spark', 'window')
       |  GROUP BY tf.doc_id
-      |), ranked AS (
+      |)""".stripMargin
+
+  val rankFusionSql: String = retrievalCtes +
+    """, ranked AS (
       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25
       |  UNION ALL
       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM tfidf
@@ -168,6 +175,50 @@ object PipelineQueries {
       |  min(rank) AS best_rank,
       |  CAST(sum(CAST(round(1.0 / (60.0 + rank), 9) AS DECIMAL(30,9))) AS DOUBLE) AS rrf_score
       |FROM ranked GROUP BY doc_id""".stripMargin
+
+  /** Rank-biased overlap between the BM25 and TF-IDF top-10 lists over
+    * the same query terms — how much do the two retrieval systems
+    * actually agree where it matters (the top of the list)? See
+    * [[graft.ext.Ranking.rboOverlap]]; the scorers reuse rank_fusion's
+    * single shared tokenization pass.
+    */
+  val rankRbo: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val terms = Seq("join", "vector", "spark", "window")
+    val withLen = docs.select(col("doc_id"), col("text").as("__text"),
+      size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+      .localCheckpoint(false)
+    val tf = Ranking.termFrequencies(withLen, "doc_id", "__text")
+      .localCheckpoint(false)
+    val statsRow = withLen.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+    val bm25 = Ranking.bm25FromTf(tf, withLen.select("doc_id", "dl"),
+        nDocs, avgdl, terms)
+      .withColumn("score", round(col("score"), 6))
+    val tfidfSum = Ranking.tfidfSumFromTf(tf, nDocs, terms)
+    Ranking.rboOverlap(bm25, tfidfSum)
+  }
+
+  val rankRboSql: String = retrievalCtes +
+    s""", ra AS (
+       |  SELECT doc_id, rank FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |    FROM bm25) WHERE rank <= 10
+       |), rb AS (
+       |  SELECT doc_id, rank FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |    FROM tfidf) WHERE rank <= 10
+       |), j AS (
+       |  SELECT greatest(ra.rank, rb.rank) AS m FROM ra JOIN rb USING (doc_id)
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_common,
+       |    sum(CAST((${Ranking.rboWeightExpr("m", 10, 0.9)}) AS DECIMAL(30,9))) AS s
+       |  FROM j
+       |)
+       |SELECT CAST(10 AS BIGINT) AS k, n_common,
+       |  ${Ranking.rboFinalExpr(0.9)} AS rbo
+       |FROM st""".stripMargin
 
   /** Equi-width 20-bucket histogram of lineitem extended price. Both
     * engines replay the identical IEEE edge arithmetic (no rounding), so
@@ -622,6 +673,7 @@ object PipelineQueries {
     "dedup_consecutive" -> dedupConsecutive,
     "cdc_apply"         -> cdcApply,
     "rank_fusion"       -> rankFusion,
+    "rank_rbo"          -> rankRbo,
     "stats_histogram"   -> statsHistogram,
     "anonymize_k"       -> anonymizeK,
     "index_minmax"      -> indexMinmax,
@@ -646,6 +698,7 @@ object PipelineQueries {
     "dedup_consecutive" -> dedupConsecutiveSql,
     "cdc_apply"         -> cdcApplySql,
     "rank_fusion"       -> rankFusionSql,
+    "rank_rbo"          -> rankRboSql,
     "stats_histogram"   -> statsHistogramSql,
     "anonymize_k"       -> anonymizeKSql,
     "index_minmax"      -> indexMinmaxSql,

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Round-7 batch 3: McNemar's paired test and the Zipf log-log OLS fit.
+  */
+class Round7cSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // ---- Eval.mcnemar --------------------------------------------------------
+
+  test("mcnemar: hand-computed discordant cells; concordance scores 0") {
+    // slice s: b=3 (A-only), c=1 (B-only) -> (|3-1|-1)^2/4 = 0.25
+    val df = Seq(
+      ("s", true, false), ("s", true, false), ("s", true, false),
+      ("s", false, true), ("s", true, true), ("s", false, false),
+      // slice u: perfectly concordant -> b+c=0 -> 0.0
+      ("u", true, true), ("u", false, false),
+      // slice v: b=1, c=0 -> |b-c|<=1 -> correction floors at 0.0
+      ("v", true, false), ("v", true, true))
+      .toDF("slice", "ra", "rb")
+    val m = Eval.mcnemar(df, "slice", col("ra"), col("rb"))
+      .select("slice", "n_items", "b", "c", "chi2_mcnemar")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(m("s") == ((6L, 3L, 1L, 0.25)), m.toString)
+    assert(m("u") == ((2L, 0L, 0L, 0.0)), m.toString)
+    assert(m("v") == ((2L, 1L, 0L, 0.0)), m.toString)
+  }
+
+  test("mcnemar: symmetric raters score 0 beyond the correction") {
+    // b = c exactly -> statistic (|b-c|-1)^2/(b+c) never fires (abs<=1)
+    val rows = (1 to 50).flatMap(_ => Seq(("s", true, false), ("s", false, true)))
+    val m = Eval.mcnemar(rows.toDF("slice", "ra", "rb"), "slice",
+        col("ra"), col("rb"))
+      .select("b", "c", "chi2_mcnemar").as[(Long, Long, Double)].head()
+    assert(m == ((50L, 50L, 0.0)), m.toString)
+  }
+
+  // ---- Ranking.rboOverlap --------------------------------------------------
+
+  test("rboOverlap: identical rankings score 1 - p^k; disjoint score 0") {
+    val a = (1L to 15L).map(i => (i, 100.0 - i)).toDF("doc_id", "score")
+    val r = Ranking.rboOverlap(a, a)
+      .as[(Long, Long, Double)].head()
+    // (1-p) * sum_{d=1..10} p^(d-1) = 1 - 0.9^10 = 0.6513215599
+    assert(r._1 == 10L && r._2 == 10L, r.toString)
+    assert(math.abs(r._3 - (1.0 - math.pow(0.9, 10))) < 1e-5, r.toString)
+    val b = (21L to 35L).map(i => (i, 100.0 - i)).toDF("doc_id", "score")
+    val d = Ranking.rboOverlap(a, b).as[(Long, Long, Double)].head()
+    assert(d == ((10L, 0L, 0.0)), d.toString)
+  }
+
+  test("rboOverlap: swapped top-2 at k=2, p=0.5 scores exactly 0.25") {
+    // overlap at depth 1 is 0, at depth 2 is 2: (1-p)(p * 2/2) = 0.25
+    val a = Seq((1L, 2.0), (2L, 1.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 2.0), (1L, 1.0)).toDF("doc_id", "score")
+    val r = Ranking.rboOverlap(a, b, k = 2, p = 0.5)
+      .as[(Long, Long, Double)].head()
+    assert(r == ((2L, 2L, 0.25)), r.toString)
+  }
+
+  test("rboOverlap: deeper-ranked common doc uses the max-rank weight") {
+    // A: 1,2,3  B: 3,9,1  (k=3, p=0.5): doc1 m=3, doc3 m=3, doc2/9 unmatched
+    // w(3) = p^2/3 = 0.083333333; rbo = 0.5 * (2 * 0.083333333) = 0.083333
+    val a = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("doc_id", "score")
+    val b = Seq((3L, 3.0), (9L, 2.0), (1L, 1.0)).toDF("doc_id", "score")
+    val r = Ranking.rboOverlap(a, b, k = 3, p = 0.5)
+      .as[(Long, Long, Double)].head()
+    assert(r._2 == 2L, r.toString)
+    assert(math.abs(r._3 - 0.083333) < 1e-6, r.toString)
+  }
+
+  // ---- Analytics.zipfFit ---------------------------------------------------
+
+  test("zipfFit: exact power law recovers its slope") {
+    // counts c_r = round(1e6 * r^-0.8): OLS on ln-ln must land near -0.8
+    val counts = (1 to 100)
+      .map(r => (s"w$r", math.round(1e6 * math.pow(r, -0.8))))
+      .toDF("word", "cnt")
+    val row = Analytics.zipfFit(counts, "word", "cnt")
+      .select("n", "slope", "intercept")
+      .as[(Long, Double, Double)].head()
+    assert(row._1 == 100L, row.toString)
+    assert(math.abs(row._2 - (-0.8)) < 0.001, s"slope=${row._2}")
+    assert(math.abs(row._3 - math.log(1e6)) < 0.01, s"intercept=${row._3}")
+  }
+
+  test("zipfFit: top-N truncation is pinned and tie-stable") {
+    // 150 words, all count 7 except ten heavies: top-100 must take the
+    // ten heavies then the 90 lexicographically-smallest ties
+    val counts = ((1 to 10).map(i => (f"h$i%02d", 1000L - i)) ++
+      (1 to 140).map(i => (f"t$i%03d", 7L))).toDF("word", "cnt")
+    val row = Analytics.zipfFit(counts, "word", "cnt")
+      .select("n", "sy").as[(Long, Double)].head()
+    assert(row._1 == 100L)
+    // sy = sum ln(cnt) over exactly those 100 rows
+    val expect = ((1 to 10).map(i => math.log(1000.0 - i)) ++
+      (1 to 90).map(_ => math.log(7.0)))
+      .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    assert(math.abs(row._2 - expect) < 1e-9, s"sy=${row._2} expect=$expect")
+    // partitioning cannot change the fit
+    val b = Analytics.zipfFit(counts.repartition(13), "word", "cnt")
+      .select("n", "sy").as[(Long, Double)].head()
+    assert(b == row)
+  }
+
+  test("zipfFit: constant counts degenerate to slope ~0 and the 1-row guard") {
+    // identical counts -> zero covariance up to the per-term round(6)
+    // noise; single row -> denominator-0 guard fires exactly
+    val const = (1 to 20).map(i => (s"w$i", 5L)).toDF("word", "cnt")
+    val s1 = Analytics.zipfFit(const, "word", "cnt")
+      .select("slope").as[Double].head()
+    assert(math.abs(s1) < 1e-4, s"constant counts slope=$s1")
+    val one = Seq(("w", 5L)).toDF("word", "cnt")
+    val s2 = Analytics.zipfFit(one, "word", "cnt")
+      .select("slope").as[Double].head()
+    assert(s2 == 0.0, s"single-row slope=$s2")
+  }
+}
