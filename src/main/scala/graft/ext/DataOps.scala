@@ -381,6 +381,61 @@ object DataOps {
     kept.unionByName(masked)
   }
 
+  /** Shared t-closeness final expression — exact (s, m, ng, n_total)
+    * in, the normalized ordered EMD out; a single global bucket (m=1)
+    * means every distribution is identical, distance 0.
+    */
+  val tClosenessExpr: String =
+    "CASE WHEN m <= 1 THEN 0.0 ELSE round(CAST(s AS DOUBLE) / " +
+      "((CAST(m AS DOUBLE) - 1.0) * CAST(ng AS DOUBLE) " +
+      "* CAST(n_total AS DOUBLE)), 6) END"
+
+  /** t-closeness audit — the third rung of the release-privacy ladder
+    * (k-anonymity: groups big enough; l-diversity: sensitive values
+    * varied enough; t-closeness: the group's sensitive DISTRIBUTION
+    * close enough to the corpus-wide one that membership leaks nothing
+    * distributional). For an ORDERED sensitive attribute the Earth
+    * Mover's Distance is the normalized sum of cumulative differences
+    * (Li, Li & Venkatasubramanian, ICDE 2007):
+    * t(g) = Σ_i |cum_g(i)/n_g − cum(i)/N| / (m−1). Every per-bucket
+    * numerator is the exact integer |cum_g·N − cum·n_g| carried in
+    * DECIMAL(38,0) — cum·N is corpus-count-squared scale, which would
+    * silently wrap a long near 3e9 rows (the chi2 lesson) — and one
+    * shared final expression divides once.
+    *
+    * Scale: two hash aggregations to (group, bucket) / bucket
+    * granularity, a groups × buckets cell grid (both audit-sized, never
+    * row-sized) with a broadcast bucket table, and per-group cumulative
+    * windows over bucket-count rows.
+    */
+  def tCloseness(df: DataFrame, quasiIdCols: Seq[String], sensCol: Column,
+      t: Double): DataFrame = {
+    val qc = quasiIdCols.map(col)
+    val base = df.select(qc :+ sensCol.as("__s"): _*).localCheckpoint(false)
+    val gb = base.groupBy(qc :+ col("__s"): _*).agg(count(lit(1)).as("o"))
+    val glob = base.groupBy("__s").agg(count(lit(1)).as("ob"))
+      .localCheckpoint(false)
+    val grp = base.groupBy(qc: _*).agg(count(lit(1)).as("ng"))
+    val tot = glob.agg(sum(col("ob")).as("n_total"),
+      count(lit(1)).as("m"))
+    val w = Window.partitionBy(qc: _*).orderBy(col("__s"))
+    grp.crossJoin(broadcast(glob))
+      .join(gb, quasiIdCols :+ "__s", "left")
+      .withColumn("__o", coalesce(col("o"), lit(0L)))
+      .withColumn("__cumg", sum(col("__o")).over(w))
+      .withColumn("__cuma", sum(col("ob")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("__num", abs(
+        col("__cumg").cast("decimal(38,0)") * col("n_total") -
+          col("__cuma").cast("decimal(38,0)") * col("ng")))
+      .groupBy(qc: _*)
+      .agg(max(col("ng")).as("ng"), sum(col("__num")).as("s"),
+        max(col("m")).as("m"), max(col("n_total")).as("n_total"))
+      .withColumn("t_emd", expr(tClosenessExpr))
+      .withColumn("meets_t", col("t_emd") <= t)
+      .select(qc ++ Seq(col("ng").as("n"), col("t_emd"), col("meets_t")): _*)
+  }
+
   /** CDC changelog materialization: collapse an (op, payload) event log to
     * the current state per key — last op in `orderCols` order wins, and a
     * trailing delete tombstone removes the key entirely. This is the

@@ -219,6 +219,57 @@ object Graph {
     result
   }
 
+  /** Sampled harmonic closeness centrality (Eppstein–Wang style): exact
+    * per-seed BFS distances from a PINNED seed sample, then
+    * H(v) = Σ_seeds floor(scale / d(s,v)) over reached seeds — the
+    * integer-exact harmonic sum (harmonic, not classic closeness, so
+    * disconnected components need no convention). Seeds themselves never
+    * contribute their d=0 self-term.
+    *
+    * Scale: the labeled frontier is keyed (seed, node) — state is
+    * |seeds| × reach, which is why the seed set is a sample, the
+    * standard sublinear estimator for centrality at graph scale. Each
+    * level is ONE key-partitioned join of the frontier against the
+    * symmetrized edges plus ONE anti-join against the visited set;
+    * frontier/visited are barriered (`localCheckpoint`) like [[bfsHops]]
+    * so level N never replays levels 1..N−1.
+    */
+  def harmonicCloseness(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      scale: Long = 1000000L): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false)
+    var frontier = seeds.select(col(seeds.columns.head).as("seed"))
+      .distinct().withColumn("node", col("seed")).localCheckpoint(false)
+    var visited = frontier
+    var result: DataFrame = null
+    var hop = 1
+    var growing = frontier.count() > 0
+    while (growing && hop <= maxHops) {
+      val next = sym
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(false)
+      if (next.isEmpty) growing = false
+      else {
+        val withD = next.withColumn("d", lit(hop.toLong))
+        result = if (result == null) withD else result.unionByName(withD)
+        visited = visited.unionByName(next).localCheckpoint(false)
+        frontier = next
+        hop += 1
+      }
+    }
+    if (result == null)
+      frontier.sparkSession.emptyDataFrame
+        .withColumn("node", lit(0L)).withColumn("n_seeds_reached", lit(0L))
+        .withColumn("harmonic", lit(0L)).limit(0)
+    else
+      result.groupBy("node")
+        .agg(count(lit(1)).as("n_seeds_reached"),
+          sum(expr(s"$scale div d")).as("harmonic"))
+  }
+
   /** Global triangle / edge / node counts of the undirected graph `edges`
     * (cols `a`, `b`, already deduplicated with `a < b`).
     *

@@ -1154,6 +1154,53 @@ object EvalQueries {
       |  count(DISTINCT n_chars // 125) >= 2 AS meets_l2
       |FROM documents GROUP BY lang, source""".stripMargin
 
+  /** t-closeness audit over the same (lang, source) quasi-id groups and
+    * length-quartile sensitive attribute as the k/l audits — ordered
+    * EMD between each group's length distribution and the corpus-wide
+    * one, integer-exact numerators (see
+    * [[graft.ext.DataOps.tCloseness]]).
+    */
+  val anonymizeT: QueryFn = (s, dir) =>
+    DataOps.tCloseness(Tables.documents(s, dir), Seq("lang", "source"),
+      expr("n_chars div 125"), t = 0.2)
+
+  val anonymizeTSql: String =
+    s"""WITH base AS (
+       |  SELECT lang, source, n_chars // 125 AS s FROM documents
+       |), gb AS (
+       |  SELECT lang, source, s, CAST(count(*) AS BIGINT) AS o
+       |  FROM base GROUP BY 1, 2, 3
+       |), gtab AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS ob FROM base GROUP BY 1
+       |), grp AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS ng
+       |  FROM base GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |    CAST(count(DISTINCT s) AS BIGINT) AS m
+       |  FROM base
+       |), cells AS (
+       |  SELECT g.lang, g.source, g.ng, gl.s, gl.ob, COALESCE(gb.o, 0) AS o
+       |  FROM grp g CROSS JOIN gtab gl
+       |  LEFT JOIN gb ON gb.lang = g.lang AND gb.source = g.source
+       |    AND gb.s = gl.s
+       |), cums AS (
+       |  SELECT lang, source, ng,
+       |    sum(o) OVER (PARTITION BY lang, source ORDER BY s) AS cumg,
+       |    sum(ob) OVER (PARTITION BY lang, source ORDER BY s) AS cuma
+       |  FROM cells
+       |), agg AS (
+       |  SELECT lang, source, max(ng) AS ng,
+       |    sum(abs(CAST(cumg AS DECIMAL(38,0)) * t.n_total
+       |      - CAST(cuma AS DECIMAL(38,0)) * ng)) AS s,
+       |    max(t.m) AS m, max(t.n_total) AS n_total
+       |  FROM cums, tot t GROUP BY 1, 2
+       |), fin AS (
+       |  SELECT lang, source, ng AS n, ${DataOps.tClosenessExpr} AS t_emd
+       |  FROM agg
+       |)
+       |SELECT lang, source, n, t_emd, t_emd <= 0.2 AS meets_t FROM fin""".stripMargin
+
   /** MAP@10 of exact cosine retrieval with same-label relevance, sliced
     * by query label — completes the retrieval-eval triad (MRR weights
     * the first hit, NDCG the positions, MAP the precision profile).
@@ -1548,6 +1595,7 @@ object EvalQueries {
     "stats_chi2"       -> statsChi2,
     "mixture_kl"       -> mixtureKl,
     "anonymize_ldiv"   -> anonymizeLdiv,
+    "anonymize_t"      -> anonymizeT,
     "rank_map"         -> rankMap,
     "eval_kappa"       -> evalKappa,
     "ts_trend"         -> tsTrend,
@@ -1591,6 +1639,7 @@ object EvalQueries {
     "stats_chi2"       -> statsChi2Sql,
     "mixture_kl"       -> mixtureKlSql,
     "anonymize_ldiv"   -> anonymizeLdivSql,
+    "anonymize_t"      -> anonymizeTSql,
     "rank_map"         -> rankMapSql,
     "eval_kappa"       -> evalKappaSql,
     "ts_trend"         -> tsTrendSql,

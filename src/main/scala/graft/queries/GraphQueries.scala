@@ -161,6 +161,38 @@ object GraphQueries {
        |)
        |SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM bfs GROUP BY node""".stripMargin
 
+  /** Sampled harmonic closeness over the co-purchase graph: exact
+    * per-seed BFS distances from the `node % 100 = 0` sample, 4-hop
+    * bound, integer-scaled harmonic sums (see
+    * [[graft.ext.Graph.harmonicCloseness]]).
+    */
+  val graphCloseness: QueryFn = (s, dir) => {
+    val edges = coPurchase(s, dir)
+    val seeds = edges.select(col("a").as("node"))
+      .union(edges.select(col("b")))
+      .where(col("node") % 100 === 0).distinct()
+    Graph.harmonicCloseness(edges, seeds, maxHops = 4)
+  }
+
+  val graphClosenessSql: String =
+    s"""${pairsCte.replace("WITH ", "WITH RECURSIVE ")}, edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), seeds AS (
+       |  SELECT DISTINCT src AS seed FROM edges WHERE src % 100 = 0
+       |), bfs(seed, node, d) AS (
+       |  SELECT seed, seed, 0 FROM seeds
+       |  UNION
+       |  SELECT b.seed, e.dst, b.d + 1
+       |  FROM bfs b JOIN edges e ON e.src = b.node
+       |  WHERE b.d < 4
+       |), dist AS (
+       |  SELECT seed, node, CAST(min(d) AS BIGINT) AS d
+       |  FROM bfs GROUP BY 1, 2 HAVING min(d) >= 1
+       |)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_seeds_reached,
+       |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic
+       |FROM dist GROUP BY 1""".stripMargin
+
   /** 4-round synchronous label-propagation communities (deterministic
     * most-frequent-neighbor rule, ties to the smallest label).
     */
@@ -793,6 +825,7 @@ object GraphQueries {
     "stats_entropy"   -> statsEntropy,
     "graph_triangles" -> graphTriangles,
     "graph_bfs"       -> graphBfs,
+    "graph_closeness" -> graphCloseness,
     "graph_degrees"   -> graphDegrees,
     "graph_cc"        -> graphCc,
     "graph_label_prop" -> graphLabelProp,
@@ -822,6 +855,7 @@ object GraphQueries {
     "stats_entropy"   -> statsEntropySql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_bfs"       -> graphBfsSql,
+    "graph_closeness" -> graphClosenessSql,
     "graph_degrees"   -> graphDegreesSql,
     "graph_cc"        -> graphCcSql,
     "graph_label_prop" -> graphLabelPropSql,

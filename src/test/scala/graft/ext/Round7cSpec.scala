@@ -75,6 +75,57 @@ class Round7cSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(r._3 - 0.083333) < 1e-6, r.toString)
   }
 
+  // ---- DataOps.tCloseness --------------------------------------------------
+
+  test("tCloseness: hand-computed ordered EMD; missing buckets count") {
+    // global buckets {0: 2, 1: 4}; g1 = (0,0,1,1), g2 = (1,1)
+    val df = Seq(("g1", 0L), ("g1", 0L), ("g1", 1L), ("g1", 1L),
+      ("g2", 1L), ("g2", 1L)).toDF("grp", "sens")
+    val got = DataOps.tCloseness(df, Seq("grp"), col("sens"), t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // g1: |0.5 - 1/3| = 1/6; g2 lacks bucket 0 entirely: |0 - 1/3| = 1/3
+    assert(got("g1") == ((4L, 0.166667, true)), got.toString)
+    assert(got("g2") == ((2L, 0.333333, false)), got.toString)
+  }
+
+  test("tCloseness: identical distributions and the m=1 degenerate case") {
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("grp", "sens")
+    val g1 = DataOps.tCloseness(same, Seq("grp"), col("sens"), t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(g1.forall(r => r._3 == 0.0 && r._4), g1.mkString(","))
+    val one = Seq(("a", 7L), ("b", 7L), ("b", 7L)).toDF("grp", "sens")
+    val g2 = DataOps.tCloseness(one, Seq("grp"), col("sens"), t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(g2.forall(r => r._3 == 0.0 && r._4), g2.mkString(","))
+  }
+
+  // ---- Graph.harmonicCloseness ---------------------------------------------
+
+  test("harmonicCloseness: path graph, two seeds, exact scaled sums") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = Graph.harmonicCloseness(edges, seeds, maxHops = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // node 2: d(1,2)=1, d(5,2)=3 -> 1000000 + 333333; symmetric for 4
+    assert(got(2L) == ((2L, 1333333L)), got.toString)
+    assert(got(4L) == ((2L, 1333333L)), got.toString)
+    assert(got(3L) == ((2L, 1000000L)), got.toString)
+    // the seeds see only each OTHER (d=4), never their d=0 self-term
+    assert(got(1L) == ((1L, 250000L)), got.toString)
+    assert(got(5L) == ((1L, 250000L)), got.toString)
+  }
+
+  test("harmonicCloseness: hop bound truncates; disconnected nodes absent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.harmonicCloseness(edges, seeds, maxHops = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // 4 is 3 hops out -> truncated; 8/9 are another component -> absent
+    assert(got == Map(2L -> 1000000L, 3L -> 500000L), got.toString)
+  }
+
   // ---- Analytics.zipfFit ---------------------------------------------------
 
   test("zipfFit: exact power law recovers its slope") {
