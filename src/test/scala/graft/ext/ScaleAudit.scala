@@ -141,6 +141,40 @@ object ScaleAudit {
     val m2 = checksums(docs.repartition(64))
     require(m1 == m2, "manifest checksum depends on partition order")
     println("SCALEAUDIT manifest partition-invariant ok")
+
+    // 6. t-closeness at corpus scale: 64 quasi groups × 10 ordered
+    //    buckets, group 0 planted fully concentrated on bucket 0, the
+    //    other 63 exactly uniform — every group's EMD is replayed
+    //    in-memory from the same integer sufficient statistics, and the
+    //    cell grid stays audit-sized (64×10) regardless of row count
+    val nA = n - n % 640L
+    val aud = spark.range(0, nA).select(
+      (col("id") % 64).as("grp"),
+      when(col("id") % 64 === 0, 0L)
+        .otherwise(col("id").divide(64).cast("long") % 10).as("sens"))
+    val tres = t("t-closeness")(
+      DataOps.tCloseness(aud, Seq("grp"), col("sens"), t = 0.05)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap)
+    val ngA = nA / 64
+    val per = ngA / 10
+    val cntsA = (0 until 64).map(g => (0 until 10).map(b =>
+      if (g == 0) (if (b == 0) ngA else 0L) else per))
+    val globA = (0 until 10).map(b => cntsA.map(_(b)).sum)
+    def emdA(c: Seq[Long]): Double = {
+      var cg = 0L; var ca = 0L; var s = BigInt(0)
+      for (b <- 0 until 10) {
+        cg += c(b); ca += globA(b)
+        s += (BigInt(cg) * nA - BigInt(ca) * ngA).abs
+      }
+      (BigDecimal(s) / (BigDecimal(9) * BigDecimal(ngA) * BigDecimal(nA)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (g <- 0 until 64)
+      require(math.abs(tres(g.toLong) - emdA(cntsA(g))) <= 1e-6,
+        s"t-closeness mismatch at group $g: ${tres(g.toLong)} vs ${emdA(cntsA(g))}")
+    require(tres(0L) > tres(1L) + 0.1,
+      s"planted concentration must dominate: ${tres(0L)} vs ${tres(1L)}")
+    println(s"SCALEAUDIT t-closeness ok: planted=${tres(0L)} uniform=${tres(1L)}")
     spark.stop()
   }
 }

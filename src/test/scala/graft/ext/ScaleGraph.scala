@@ -184,6 +184,26 @@ object ScaleGraph {
     println(s"  ppr rows ${pcCnt + piCnt}, mass $pprMass " +
       s"(loss ${1000000000000L - pprMass})")
 
+    // harmonic closeness from the centers, 1 hop: every non-center is 1
+    // hop from its own center (star edge), and the block's LAST node
+    // (≡ k−1 mod k) additionally touches the next center via its ring
+    // edge — so the result histogram has an exact closed form, and the
+    // centers themselves never appear (no seed is adjacent to a center,
+    // and the d=0 self-term is excluded by construction)
+    val clo = t("closeness-1") {
+      Graph.harmonicCloseness(edges,
+          spark.range(0, n, k, spark.sparkContext.defaultParallelism)
+            .select(col("id").as("node")),
+          maxHops = 1)
+        .groupBy("n_seeds_reached", "harmonic")
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    assert(clo == Map((1L, 1000000L) -> (n - 2 * blocks),
+        (2L, 2000000L) -> blocks),
+      s"closeness histogram $clo, want {(1,1000000): ${n - 2 * blocks}, " +
+        s"(2,2000000): $blocks}")
+
     println("ALL SCALE-GRAPH ASSERTIONS PASSED")
     spark.stop()
   }

@@ -98,4 +98,44 @@ class Round7PlanSpec extends AnyFunSuite with SparkTest {
     val p = plan(df)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("eval_fleiss / eval_mcnemar: one row-local projection + slice agg, no join/window") {
+    for (q <- Seq(EvalQueries.evalFleiss, EvalQueries.evalMcnemar)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("Exchange SinglePartition"), p)
+    }
+  }
+
+  test("stats_zipf: OLS fold over the TakeOrdered top-N, no window/join") {
+    val df = GraphQueries.statsZipf(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("rank_rbo: zipWithIndex ranks, never a global window") {
+    val df = PipelineQueries.rankRbo(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("anonymize_t: broadcast audit-sized grid, group-keyed windows only") {
+    val df = EvalQueries.anonymizeT(spark, dir)
+    val p = plan(df)
+    // the only cross join is grp × broadcast(buckets) — audit-sized
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("graph_closeness: final harmonic agg is a keyed exchange, no nested loop") {
+    val df = GraphQueries.graphCloseness(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
