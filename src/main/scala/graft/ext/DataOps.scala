@@ -381,6 +381,31 @@ object DataOps {
     kept.unionByName(masked)
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: shard(key) =
+    * argmax_w mix64(key·1000003 + w) — each shard's weight depends only
+    * on (key, shard id), never on the shard COUNT, so growing W → W+1
+    * moves exactly the keys the new shard wins (~1/(W+1)) and never
+    * reshuffles between surviving shards. That stability is what a
+    * 100 TB re-export wants (mod-N sharding moves ~all keys on resize);
+    * ties break to the smallest shard id in both engines.
+    *
+    * Scale: a pure row-local codegen projection — W mix64 evaluations
+    * per row, zero shuffle, zero state. Keys must keep key·1000003+W
+    * inside a non-negative long (any production id space does).
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1, "rendezvousShard needs at least one shard")
+    val hs = (0 until nShards).map(w =>
+      HashExprs.mix64(key * lit(1000003L) + lit(w.toLong)))
+    val g = greatest(hs: _*)
+    if (nShards == 1) lit(0L)
+    else hs.zipWithIndex.tail
+      .foldLeft(when(hs.head === g, lit(0L))) {
+        case (acc, (h, w)) => acc.when(h === g, lit(w.toLong))
+      }
+      .otherwise(lit((nShards - 1).toLong))
+  }
+
   /** Shared t-closeness final expression — exact (s, m, ng, n_total)
     * in, the normalized ordered EMD out; a single global bucket (m=1)
     * means every distribution is identical, distance 0.

@@ -717,6 +717,47 @@ object EvalQueries {
        |  round(n_docs * 32 / CAST(tt AS DOUBLE), 6) AS load_ratio
        |FROM agg, t""".stripMargin
 
+  /** Deterministic 8-way RENDEZVOUS shard assignment with the balance
+    * audit — the resize-stable companion to `shard_assign` (growing the
+    * shard count moves only the keys the new shard wins; mod-N moves
+    * nearly everything). See [[graft.ext.DataOps.rendezvousShard]].
+    */
+  val shardRendezvous: QueryFn = (s, dir) => {
+    val sharded = Tables.documents(s, dir)
+      .select(DataOps.rendezvousShard(col("doc_id"), 8).as("shard"),
+        col("n_chars"))
+    val agg = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val total = agg.agg(sum(col("n_docs")).as("__t"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("load_ratio",
+        round(col("n_docs") * lit(8L) / col("__t").cast("double"), 6))
+      .drop("__t")
+  }
+
+  val shardRendezvousSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id, n_chars, w
+       |  FROM documents CROSS JOIN (SELECT unnest(range(8)) AS w)
+       |), d0 AS (
+       |  SELECT doc_id, n_chars, w, doc_id * 1000003 + w AS id FROM e
+       |),
+       |${ExtQueries.mix64Cte("d0", "doc_id, n_chars, w")},
+       |r AS (
+       |  SELECT n_chars, w,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, w) AS rn
+       |  FROM hs
+       |), sh AS (
+       |  SELECT w AS shard, n_chars FROM r WHERE rn = 1
+       |), agg AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |  FROM sh GROUP BY 1
+       |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tt FROM agg)
+       |SELECT shard, n_docs, n_chars,
+       |  round(n_docs * 8 / CAST(tt AS DOUBLE), 6) AS load_ratio
+       |FROM agg, t""".stripMargin
+
   /** Content-addressed release manifest: per source, row count, char
     * volume, and an order-independent corpus checksum (bit-XOR of each
     * document's 48-bit md5 prefix) — the audit record that detects a
@@ -1582,6 +1623,7 @@ object EvalQueries {
     "stats_welch"      -> statsWelch,
     "vocab_coverage"   -> vocabCoverage,
     "shard_assign"     -> shardAssign,
+    "shard_rendezvous" -> shardRendezvous,
     "checksum_manifest" -> checksumManifest,
     "segment_sentences" -> segmentSentences,
     "dataset_card"     -> datasetCard,
@@ -1626,6 +1668,7 @@ object EvalQueries {
     "stats_welch"      -> statsWelchSql,
     "vocab_coverage"   -> vocabCoverageSql,
     "shard_assign"     -> shardAssignSql,
+    "shard_rendezvous" -> shardRendezvousSql,
     "checksum_manifest" -> checksumManifestSql,
     "segment_sentences" -> segmentSentencesSql,
     "dataset_card"     -> datasetCardSql,

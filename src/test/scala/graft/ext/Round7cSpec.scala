@@ -75,6 +75,36 @@ class Round7cSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(r._3 - 0.083333) < 1e-6, r.toString)
   }
 
+  // ---- DataOps.rendezvousShard ---------------------------------------------
+
+  test("rendezvousShard: matches the in-memory HRW argmax on 2000 keys") {
+    val got = spark.range(0, 2000)
+      .select(col("id"), DataOps.rendezvousShard(col("id"), 8).as("s"))
+      .as[(Long, Long)].collect().toMap
+    for (k <- 0L until 2000L) {
+      val expect = (0 until 8)
+        .map(w => (Aggs.mix64(k * 1000003L + w), w))
+        .maxBy { case (h, w) => (h, -w) }._2.toLong
+      assert(got(k) == expect, s"key $k: got ${got(k)}, want $expect")
+    }
+  }
+
+  test("rendezvousShard: growing 8 -> 9 shards only moves keys to the NEW shard") {
+    val both = spark.range(0, 5000)
+      .select(DataOps.rendezvousShard(col("id"), 8).as("s8"),
+        DataOps.rendezvousShard(col("id"), 9).as("s9"))
+      .as[(Long, Long)].collect()
+    // THE rendezvous property: no key ever moves between surviving shards
+    assert(both.forall { case (s8, s9) => s9 == s8 || s9 == 8L },
+      "a key moved between surviving shards on resize")
+    val moved = both.count { case (_, s9) => s9 == 8L }
+    // the new shard should win about 1/9 of the keys
+    assert(moved > 5000 / 9 / 2 && moved < 5000 / 9 * 2, s"moved=$moved")
+    // and the 8-way assignment is roughly balanced
+    val byShard = both.groupBy(_._1).view.mapValues(_.length)
+    assert(byShard.values.forall(c => c > 400 && c < 850), byShard.toMap.toString)
+  }
+
   // ---- DataOps.tCloseness --------------------------------------------------
 
   test("tCloseness: hand-computed ordered EMD; missing buckets count") {
