@@ -135,6 +135,48 @@ object Vocab {
     bi.join(uni, Seq("w1"))
   }
 
+  /** Shared Kneser–Ney final expression — exact integer sufficient
+    * statistics (c12, cctx, nf, nr, bt) in, one rounded double out,
+    * spelled identically in Spark SQL and DuckDB. Discount fixed at
+    * 0.75 (the standard choice); observed bigrams have c12 ≥ 1 so the
+    * max(c−D, 0) clamp never fires.
+    */
+  private[graft] val kneserNeyExpr: String =
+    "round((CAST(c12 AS DOUBLE) - 0.75) / CAST(cctx AS DOUBLE) " +
+      "+ 0.75 * CAST(nf AS DOUBLE) / CAST(cctx AS DOUBLE) " +
+      "* (CAST(nr AS DOUBLE) / CAST(bt AS DOUBLE)), 6)"
+
+  /** Interpolated Kneser–Ney bigram probabilities — the canonical LM
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999): unlike add-one
+    * (see [[bigramCrossEntropy]]), the backoff weight of a continuation
+    * w2 is how many DISTINCT contexts it follows, not how often it
+    * occurs — "Francisco" is frequent but predictable, so it gets tiny
+    * continuation mass. P(w2|w1) = (c12−D)/cctx + D·N1+(w1·)/cctx ·
+    * N1+(·w2)/|bigram types|. Over any context whose every observed
+    * continuation is returned, the probabilities sum to exactly 1 minus
+    * the mass reserved for UNSEEN continuations — the property the spec
+    * pins.
+    *
+    * Scale: the corpus is touched once for bigram TYPE counts; the
+    * forward/reverse/total statistics are three vocab-sized
+    * aggregations over that table, and every probability is one shared
+    * final expression over five exact integers.
+    */
+  def kneserNeyBigrams(docs: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    val bc = bigramCounts(docs, textCol).select("w1", "w2", "c12")
+      .localCheckpoint(false) // feeds fwd, rev, tot AND the output rows
+    val fwd = bc.groupBy("w1")
+      .agg(sum(col("c12")).as("cctx"), count(lit(1)).as("nf"))
+    val rev = bc.groupBy("w2").agg(count(lit(1)).as("nr"))
+    val tot = bc.agg(count(lit(1)).as("bt"))
+    bc.where(col("c12") >= minCount)
+      .join(fwd, Seq("w1")).join(rev, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_kn", expr(kneserNeyExpr))
+      .drop("bt")
+  }
+
   /** Per-document bigram-LM cross-entropy — the perplexity-style quality
     * filter: train add-one-smoothed bigram probabilities on the corpus
     * itself, then score every document by its average negative log

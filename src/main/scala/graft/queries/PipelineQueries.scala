@@ -322,6 +322,34 @@ object PipelineQueries {
       |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
       |FROM bc JOIN uc USING (w1) WHERE c12 >= 3""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram model over the corpus (bigrams seen
+    * ≥ 5 times): the canonical LM smoothing, exact integer sufficient
+    * statistics and ONE shared probability expression (see
+    * [[graft.ext.Vocab.kneserNeyBigrams]]).
+    */
+  val lmKneserNey: QueryFn = (s, dir) =>
+    Vocab.kneserNeyBigrams(Tables.documents(s, dir), "text", minCount = 5)
+
+  val lmKneserNeySql: String =
+    s"""WITH toks AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+       |), bi AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM toks, unnest(generate_series(1, len(t) - 1)) s(i)
+       |), bc AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
+       |), fwd AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS cctx,
+       |    CAST(count(*) AS BIGINT) AS nf
+       |  FROM bc GROUP BY 1
+       |), rev AS (
+       |  SELECT w2, CAST(count(*) AS BIGINT) AS nr FROM bc GROUP BY 1
+       |), tot AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bc)
+       |SELECT bc.w1, bc.w2, c12, cctx, nf, nr,
+       |  ${graft.ext.Vocab.kneserNeyExpr} AS p_kn
+       |FROM bc JOIN fwd USING (w1) JOIN rev USING (w2), tot
+       |WHERE c12 >= 5""".stripMargin
+
   /** Per-document bigram-LM cross-entropy — the perplexity-style quality
     * filter (see [[graft.ext.Vocab.bigramCrossEntropy]]): add-one-
     * smoothed bigram NLL, per-TYPE rounded at 6 then exactly summed, so
@@ -679,6 +707,7 @@ object PipelineQueries {
     "index_minmax"      -> indexMinmax,
     "vec_normalize"     -> vecNormalize,
     "lm_bigrams"        -> lmBigrams,
+    "lm_kneser_ney"     -> lmKneserNey,
     "text_perplexity"   -> textPerplexity,
     "mask_spans"        -> maskSpans,
     "dataset_interleave" -> datasetInterleave,
@@ -704,6 +733,7 @@ object PipelineQueries {
     "index_minmax"      -> indexMinmaxSql,
     "vec_normalize"     -> vecNormalizeSql,
     "lm_bigrams"        -> lmBigramsSql,
+    "lm_kneser_ney"     -> lmKneserNeySql,
     "text_perplexity"   -> textPerplexitySql,
     "mask_spans"        -> maskSpansSql,
     "dataset_interleave" -> datasetInterleaveSql,

@@ -75,6 +75,42 @@ class Round7cSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(r._3 - 0.083333) < 1e-6, r.toString)
   }
 
+  // ---- Vocab.kneserNeyBigrams ----------------------------------------------
+
+  test("kneserNeyBigrams: hand-computed two-word corpus") {
+    val docs = Seq("a b a", "b a b").toDF("text")
+    // bc: (a,b):2, (b,a):2; cctx=2, nf=1 both; nr=1 both; bt=2
+    // P = (2-0.75)/2 + 0.75*(1/2)*(1/2) = 0.8125
+    val got = Vocab.kneserNeyBigrams(docs, "text", minCount = 1)
+      .select("w1", "w2", "c12", "cctx", "nf", "nr", "p_kn")
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got(("a", "b")) == ((2L, 2L, 1L, 1L, 0.8125)), got.toString)
+    assert(got(("b", "a")) == ((2L, 2L, 1L, 1L, 0.8125)), got.toString)
+  }
+
+  test("kneserNeyBigrams: full-coverage contexts sum to exactly 1") {
+    // all four bigrams over {a, b} observed -> for each context the
+    // returned probabilities must sum to 1 (no unseen-continuation mass)
+    val docs = Seq("a a b b a b a a b b").toDF("text")
+    val sums = Vocab.kneserNeyBigrams(docs, "text", minCount = 1)
+      .groupBy("w1").agg(sum("p_kn").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(sums.keySet == Set("a", "b"), sums.toString)
+    sums.foreach { case (w, s) =>
+      assert(math.abs(s - 1.0) <= 2e-6, s"context $w sums to $s") }
+  }
+
+  test("kneserNeyBigrams: continuation diversity, not frequency, drives backoff") {
+    // 'f' is frequent but only ever follows 's'; 'the' follows three
+    // distinct contexts -> nr(the) > nr(f) even though c12(s,f) dominates
+    val docs = Seq("s f s f s f s f s f", "x the", "y the", "z the")
+      .toDF("text")
+    val got = Vocab.kneserNeyBigrams(docs, "text", minCount = 1)
+      .select("w2", "nr").distinct().as[(String, Long)].collect().toMap
+    assert(got("f") == 1L && got("the") == 3L, got.toString)
+  }
+
   // ---- DataOps.rendezvousShard ---------------------------------------------
 
   test("rendezvousShard: matches the in-memory HRW argmax on 2000 keys") {
