@@ -381,6 +381,53 @@ object DataOps {
     kept.unionByName(masked)
   }
 
+  /** Shared Neyman expressions — exact (n, sx, sxx) in, population
+    * stddev / allocation out, spelled identically in both engines.
+    */
+  private[graft] val neymanSdExpr: String =
+    "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) " +
+      "/ CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+  private[graft] def neymanAllocExpr(budget: Int): String =
+    s"greatest(1, CAST(floor($budget * CAST(wh AS DOUBLE) " +
+      "/ CAST(wtot AS DOUBLE)) AS BIGINT))"
+
+  /** Neyman-allocation stratified sample: the survey-sampling optimum —
+    * a stratum's share of the budget is proportional to N_h·S_h (its
+    * size times its internal stddev), so high-variance strata get the
+    * observations and homogeneous ones don't waste budget. Stddevs come
+    * from exact DECIMAL(38,0) (n, Σx, Σx²) — the x² sums would wrap a
+    * long at corpus scale — weights are round(6) DECIMALs so their total
+    * is summation-order-free, and the draw itself is the O(k)-state
+    * bottom-k-by-mix64 sketch per stratum (deterministic, RNG-free,
+    * mergeable). Every stratum gets at least 1 row (floor allocation).
+    *
+    * Scale: one map-side-combining moment aggregation to stratum
+    * granularity, a broadcast scalar total, and ONE bottom-k aggregation
+    * over the corpus — never a per-stratum sort.
+    */
+  def neymanSample(df: DataFrame, stratumCol: String, valueCol: String,
+      idCol: String, budget: Int): DataFrame = {
+    val x = col(valueCol).cast("decimal(19,0)")
+    val stats = df.groupBy(stratumCol)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,0)").as("sx"),
+        sum(x * col(valueCol)).cast("decimal(38,0)").as("sxx"))
+      .withColumn("sd", expr(neymanSdExpr))
+      .withColumn("wh",
+        expr("CAST(round(CAST(n AS DOUBLE) * sd, 6) AS DECIMAL(30,6))"))
+    val wtot = stats.agg(sum(col("wh")).as("wtot"))
+    val alloc = stats.crossJoin(broadcast(wtot))
+      .withColumn("alloc", expr(neymanAllocExpr(budget)))
+      .select(col(stratumCol), col("n"), col("alloc"))
+    df.groupBy(stratumCol)
+      .agg(Aggs.bottomKByHash(col(idCol), budget).as("__sample"))
+      .join(alloc, Seq(stratumCol))
+      .select(col(stratumCol), col("n"), col("alloc"),
+        posexplode(col("__sample")).as(Seq("__pos", idCol)))
+      .where(col("__pos") < col("alloc"))
+      .drop("__pos")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: shard(key) =
     * argmax_w mix64(key·1000003 + w) — each shard's weight depends only
     * on (key, shard id), never on the shard COUNT, so growing W → W+1

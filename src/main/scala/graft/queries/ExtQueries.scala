@@ -1686,6 +1686,40 @@ object ExtQueries {
       |FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
       |GROUP BY label, i""".stripMargin
 
+  /** Neyman-allocation stratified sample over sources (budget 200,
+    * variance-weighted shares of n_chars, bottom-k-by-mix64 draw) — the
+    * survey-sampling optimum (see [[graft.ext.DataOps.neymanSample]]).
+    */
+  val sampleNeyman: QueryFn = (s, dir) =>
+    graft.ext.DataOps.neymanSample(Tables.documents(s, dir),
+      "source", "n_chars", "doc_id", budget = 200)
+
+  val sampleNeymanSql: String =
+    s"""WITH st AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(n_chars AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+       |    CAST(sum(CAST(n_chars AS DECIMAL(19,0)) * n_chars)
+       |      AS DECIMAL(38,0)) AS sxx
+       |  FROM documents GROUP BY 1
+       |), b AS (
+       |  SELECT source, n,
+       |    CAST(round(CAST(n AS DOUBLE)
+       |      * (${graft.ext.DataOps.neymanSdExpr}), 6) AS DECIMAL(30,6)) AS wh
+       |  FROM st
+       |), w AS (SELECT CAST(sum(wh) AS DECIMAL(38,6)) AS wtot FROM b),
+       |al AS (
+       |  SELECT source, n, ${graft.ext.DataOps.neymanAllocExpr(200)} AS alloc
+       |  FROM b, w
+       |), d0 AS (SELECT source, doc_id, doc_id AS id FROM documents),
+       |${mix64Cte("d0", "source, doc_id")},
+       |r AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+       |  FROM hs
+       |)
+       |SELECT r.source, al.n, al.alloc, r.doc_id
+       |FROM r JOIN al USING (source) WHERE rn <= al.alloc""".stripMargin
+
   /** Deterministic bottom-k-by-hash sample per source, oracled by the
     * DuckDB splitmix64 replay below (exactness is additionally pinned by
     * ExtSpec's partitioning-invariance test).
@@ -3089,6 +3123,7 @@ object ExtQueries {
     "multimodal_frames"    -> multimodalFrames,
     "profile_documents"    -> profileDocuments,
     "sample_stratified"    -> sampleStratified,
+    "sample_neyman"        -> sampleNeyman,
     "mixture_weighted"     -> mixtureWeighted,
     "pack_sequences"       -> packSequences,
     "pack_greedy"          -> packGreedy,
@@ -3188,6 +3223,7 @@ object ExtQueries {
     "multimodal_frames"   -> multimodalFramesSql,
     "profile_documents"   -> profileDocumentsSql,
     "sample_stratified"   -> sampleStratifiedSql,
+    "sample_neyman"       -> sampleNeymanSql,
     "mixture_weighted"    -> mixtureWeightedSql,
     "scd2_intervals"      -> scd2IntervalsSql,
     "sample_capped"       -> sampleCappedSql,

@@ -75,6 +75,33 @@ class Round7cSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(r._3 - 0.083333) < 1e-6, r.toString)
   }
 
+  // ---- DataOps.neymanSample ------------------------------------------------
+
+  test("neymanSample: variance-weighted allocation, zero-variance floor, exact draw") {
+    // A: sd 5, n 4 -> wh 20; B: sd 0 -> wh 0 (floor to 1); C: sd 1, n 8 -> wh 8
+    val rows =
+      Seq((1L, "A", 0L), (2L, "A", 10L), (3L, "A", 0L), (4L, "A", 10L)) ++
+        (5L to 8L).map(i => (i, "B", 7L)) ++
+        (9L to 16L).map(i => (i, "C", (i % 2) * 2))
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val got = DataOps.neymanSample(df, "source", "n_chars", "doc_id", 28)
+      .as[(String, Long, Long, Long)].collect()
+    val byStratum = got.groupBy(_._1)
+    // allocations: floor(28*20/28)=20, greatest(1,0)=1, floor(28*8/28)=8
+    assert(byStratum("A").head._3 == 20L && byStratum("A").size == 4)
+    assert(byStratum("B").head._3 == 1L && byStratum("B").size == 1)
+    assert(byStratum("C").head._3 == 8L && byStratum("C").size == 8)
+    // B's single draw is the argmin-mix64 id — the exact bottom-k order
+    val expectB = (5L to 8L).minBy(Aggs.mix64)
+    assert(byStratum("B").head._4 == expectB, byStratum("B").mkString(","))
+    // partitioning cannot change the sample
+    val again = DataOps.neymanSample(df.repartition(7), "source",
+        "n_chars", "doc_id", 28)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._4)).toSeq ==
+      again.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   // ---- Vocab.kneserNeyBigrams ----------------------------------------------
 
   test("kneserNeyBigrams: hand-computed two-word corpus") {
