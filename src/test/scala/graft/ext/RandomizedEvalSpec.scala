@@ -143,5 +143,61 @@ class RandomizedEvalSpec extends AnyFunSuite with SparkTest {
       }
       assert(got == expected)
     }
+
+    test(s"mcnemar == in-memory discordant accounting (seed $seed)") {
+      val rnd = new Random(seed)
+      // include slices with forced concordance and near-symmetric cells
+      val rows = (0 until 2500).map { _ =>
+        val s = "s" + rnd.nextInt(6)
+        val a = rnd.nextBoolean()
+        val b = if (s == "s0") a else rnd.nextBoolean()
+        (s, a, b)
+      }
+      val got = Eval.mcnemar(rows.toDF("slice", "ra", "rb").repartition(9),
+          "slice", col("ra"), col("rb"))
+        .select("slice", "n_items", "b", "c", "chi2_mcnemar")
+        .as[(String, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val expected = rows.groupBy(_._1).map { case (s, rs) =>
+        val b = rs.count(r => r._2 && !r._3).toLong
+        val c = rs.count(r => !r._2 && r._3).toLong
+        val chi = if (b + c == 0 || math.abs(b - c) <= 1) 0.0
+        else r6((math.abs(b - c) - 1.0) * (math.abs(b - c) - 1.0) / (b + c))
+        s -> ((rs.size.toLong, b, c, chi))
+      }
+      assert(got == expected)
+    }
+
+    test(s"fleissKappa == in-memory sufficient statistics (seed $seed)") {
+      val rnd = new Random(seed)
+      val rows = (0 until 2500).map { _ =>
+        val s = "s" + rnd.nextInt(6)
+        // s0 is unanimous-positive everywhere -> the 0/0 convention path
+        if (s == "s0") (s, true, true, true)
+        else (s, rnd.nextBoolean(), rnd.nextBoolean(), rnd.nextBoolean())
+      }
+      val got = Eval.fleissKappa(rows.toDF("slice", "r1", "r2", "r3")
+          .repartition(11), "slice",
+          Seq(col("r1"), col("r2"), col("r3")))
+        .select("slice", "n_items", "sum_sq", "s_pos", "kappa")
+        .as[(String, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val expected = rows.groupBy(_._1).map { case (s, rs) =>
+        val n = rs.size.toLong
+        val ms = rs.map(r => Seq(r._2, r._3, r._4).count(identity).toLong)
+        val sumSq = ms.map(m => m * m + (3 - m) * (3 - m)).sum
+        val sPos = ms.sum
+        // the kappa expression divides the UNROUNDED pbar/pe
+        val kappa = if (sPos == 0L || sPos == 3 * n) 1.0
+        else {
+          val p = sPos.toDouble / (3.0 * n)
+          val pe = p * p + (1.0 - p) * (1.0 - p)
+          val pbar = (sumSq - 3.0 * n) / (6.0 * n)
+          r6((pbar - pe) / (1.0 - pe))
+        }
+        s -> ((n, sumSq, sPos, kappa))
+      }
+      assert(got == expected)
+    }
   }
 }
