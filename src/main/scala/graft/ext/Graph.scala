@@ -226,37 +226,61 @@ object Graph {
     * disconnected components need no convention). Seeds themselves never
     * contribute their d=0 self-term.
     *
-    * Scale: the labeled frontier is keyed (seed, node) — state is
-    * |seeds| × reach, which is why the seed set is a sample, the
-    * standard sublinear estimator for centrality at graph scale. Each
-    * level is ONE key-partitioned join of the frontier against the
-    * symmetrized edges plus ONE anti-join against the visited set;
+    * Scale: total state is |seeds| × reach — which is why the seed set
+    * is a sample, the standard sublinear estimator for centrality at
+    * graph scale — but it travels as ONE sorted seed-set array per
+    * node, so every exchange stays node-count-sized (a row per (seed,
+    * node) pair would be 100× the rows at 100 seeds). Each level is ONE
+    * node-keyed join of the frontier against the symmetrized edges, a
+    * set-union aggregation, and a left join against the visited sets;
     * frontier/visited are barriered (`localCheckpoint`) like [[bfsHops]]
-    * so level N never replays levels 1..N−1.
+    * so level N never replays levels 1..N−1. The harmonic sum only
+    * needs the per-hop NEW-seed count, never the seed identities, so
+    * the result feed is (node, count, hop) triples.
     */
   def harmonicCloseness(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       scale: Long = 1000000L): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(false)
-    var frontier = seeds.select(col(seeds.columns.head).as("seed"))
-      .distinct().withColumn("node", col("seed")).localCheckpoint(false)
-    var visited = frontier
+    // frontier/visited carry each node's seed SET as one sorted array —
+    // rows stay node-count-sized and the per-level exchange moves
+    // |seeds|/64-word bitset-equivalents, not a row per (seed, node)
+    // pair (100 seeds = 100× fewer frontier rows than the labeled form)
+    var frontier = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().withColumn("fs", array(col("node")))
+      .localCheckpoint(false)
+    var visited = frontier.withColumnRenamed("fs", "vs")
     var result: DataFrame = null
     var hop = 1
     var growing = frontier.count() > 0
     while (growing && hop <= maxHops) {
-      val next = sym
+      val cand = sym
         .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("seed"), col("dst").as("node")).distinct()
-        .join(visited, Seq("seed", "node"), "left_anti")
+        .select(col("dst").as("node"), col("fs"))
+        .groupBy("node")
+        .agg(array_distinct(flatten(collect_list(col("fs")))).as("cand"))
+      val fresh = cand.join(visited, Seq("node"), "left")
+        .select(col("node"),
+          array_except(col("cand"),
+            coalesce(col("vs"), array().cast("array<bigint>"))).as("fs"))
+        .where(size(col("fs")) > 0)
         .localCheckpoint(false)
-      if (next.isEmpty) growing = false
+      if (fresh.isEmpty) growing = false
       else {
-        val withD = next.withColumn("d", lit(hop.toLong))
-        result = if (result == null) withD else result.unionByName(withD)
-        visited = visited.unionByName(next).localCheckpoint(false)
-        frontier = next
+        val contrib = fresh.select(col("node"),
+          size(col("fs")).cast("long").as("cnt"),
+          lit(hop.toLong).as("d"))
+        result = if (result == null) contrib else result.unionByName(contrib)
+        if (hop < maxHops) { // the last level never reads visited again
+          visited = visited.join(fresh, Seq("node"), "full")
+            .select(col("node"),
+              concat(
+                coalesce(col("vs"), array().cast("array<bigint>")),
+                coalesce(col("fs"), array().cast("array<bigint>"))).as("vs"))
+            .localCheckpoint(false)
+          frontier = fresh
+        }
         hop += 1
       }
     }
@@ -266,8 +290,8 @@ object Graph {
         .withColumn("harmonic", lit(0L)).limit(0)
     else
       result.groupBy("node")
-        .agg(count(lit(1)).as("n_seeds_reached"),
-          sum(expr(s"$scale div d")).as("harmonic"))
+        .agg(sum(col("cnt")).as("n_seeds_reached"),
+          sum(col("cnt") * expr(s"$scale div d")).as("harmonic"))
   }
 
   /** Global triangle / edge / node counts of the undirected graph `edges`

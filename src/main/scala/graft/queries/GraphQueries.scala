@@ -162,29 +162,31 @@ object GraphQueries {
        |SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM bfs GROUP BY node""".stripMargin
 
   /** Sampled harmonic closeness over the co-purchase graph: exact
-    * per-seed BFS distances from the `node % 100 = 0` sample, 4-hop
+    * per-seed BFS distances from the `node % 200 = 0` sample, 3-hop
     * bound, integer-scaled harmonic sums (see
-    * [[graft.ext.Graph.harmonicCloseness]]).
+    * [[graft.ext.Graph.harmonicCloseness]]). The labeled-BFS state is
+    * |seeds| × reach by construction, so the sample stride IS the cost
+    * knob — the estimator's accuracy/cost dial, not a correctness one.
     */
   val graphCloseness: QueryFn = (s, dir) => {
     val edges = coPurchase(s, dir)
     val seeds = edges.select(col("a").as("node"))
       .union(edges.select(col("b")))
-      .where(col("node") % 100 === 0).distinct()
-    Graph.harmonicCloseness(edges, seeds, maxHops = 4)
+      .where(col("node") % 200 === 0).distinct()
+    Graph.harmonicCloseness(edges, seeds, maxHops = 3)
   }
 
   val graphClosenessSql: String =
     s"""${pairsCte.replace("WITH ", "WITH RECURSIVE ")}, edges AS (
        |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
        |), seeds AS (
-       |  SELECT DISTINCT src AS seed FROM edges WHERE src % 100 = 0
+       |  SELECT DISTINCT src AS seed FROM edges WHERE src % 200 = 0
        |), bfs(seed, node, d) AS (
        |  SELECT seed, seed, 0 FROM seeds
        |  UNION
        |  SELECT b.seed, e.dst, b.d + 1
        |  FROM bfs b JOIN edges e ON e.src = b.node
-       |  WHERE b.d < 4
+       |  WHERE b.d < 3
        |), dist AS (
        |  SELECT seed, node, CAST(min(d) AS BIGINT) AS d
        |  FROM bfs GROUP BY 1, 2 HAVING min(d) >= 1
