@@ -151,9 +151,23 @@ class SnapshotTool(store: TableStore) {
     try {
       var e = zis.getNextEntry
       while (e != null) {
-        require(!e.getName.contains(".."), s"unsafe entry: ${e.getName}")
+        // Zip-slip guard for untrusted archives: reject traversal,
+        // absolute names (Hadoop's Path(parent, child) resolves an
+        // absolute child against the FS root, ignoring destRoot), and
+        // Windows drive/backslash prefixes — then verify the resolved
+        // path actually lands under destRoot (defense in depth).
+        val name = e.getName
+        require(!name.contains("..") && !name.startsWith("/") &&
+          !name.startsWith("\\") && !name.matches("^[A-Za-z]:.*"),
+          s"unsafe entry: $name")
         if (!e.isDirectory) {
-          val out = destFs.create(new Path(dest, e.getName), true)
+          val target = new Path(dest, name)
+          val destPrefix = Path.getPathWithoutSchemeAndAuthority(dest).toString
+          val targetPath = Path.getPathWithoutSchemeAndAuthority(target).toString
+          require(targetPath == destPrefix ||
+            targetPath.startsWith(destPrefix.stripSuffix("/") + "/"),
+            s"entry escapes restore root: $name")
+          val out = destFs.create(target, true)
           try {
             var n = zis.read(buf)
             while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = zis.read(buf) }

@@ -408,10 +408,13 @@ object DataOps {
   def neymanSample(df: DataFrame, stratumCol: String, valueCol: String,
       idCol: String, budget: Int): DataFrame = {
     val x = col(valueCol).cast("decimal(19,0)")
+    // both moments from the SAME rounded value: sum(x·raw) with a
+    // fractional value column would mix round(x)·x moments, letting
+    // sxx - sx²/n go negative → sd = sqrt(<0) = NaN weights
     val stats = df.groupBy(stratumCol)
       .agg(count(lit(1)).as("n"),
         sum(x).cast("decimal(38,0)").as("sx"),
-        sum(x * col(valueCol)).cast("decimal(38,0)").as("sxx"))
+        sum(x * x).cast("decimal(38,0)").as("sxx"))
       .withColumn("sd", expr(neymanSdExpr))
       .withColumn("wh",
         expr("CAST(round(CAST(n AS DOUBLE) * sd, 6) AS DECIMAL(30,6))"))
@@ -442,15 +445,35 @@ object DataOps {
     */
   def rendezvousShard(key: Column, nShards: Int): Column = {
     require(nShards >= 1, "rendezvousShard needs at least one shard")
-    val hs = (0 until nShards).map(w =>
-      HashExprs.mix64(key * lit(1000003L) + lit(w.toLong)))
-    val g = greatest(hs: _*)
     if (nShards == 1) lit(0L)
-    else hs.zipWithIndex.tail
-      .foldLeft(when(hs.head === g, lit(0L))) {
-        case (acc, (h, w)) => acc.when(h === g, lit(w.toLong))
-      }
-      .otherwise(lit((nShards - 1).toLong))
+    else if (nShards <= 256) {
+      // unrolled form: nShards mix64 columns + a CASE fold — flat,
+      // codegen-friendly expressions at fleet-sized shard counts
+      val hs = (0 until nShards).map(w =>
+        HashExprs.mix64(key * lit(1000003L) + lit(w.toLong)))
+      val g = greatest(hs: _*)
+      hs.zipWithIndex.tail
+        .foldLeft(when(hs.head === g, lit(0L))) {
+          case (acc, (h, w)) => acc.when(h === g, lit(w.toLong))
+        }
+        .otherwise(lit((nShards - 1).toLong))
+    } else {
+      // loop form for large fleets: the unrolled expression grows
+      // linearly in nShards and would blow past the codegen method-size
+      // limit at thousands of shards. A single `aggregate` HOF over
+      // sequence(0, W-1) keeps the generated code CONSTANT-size — the
+      // shard count is runtime data, not expression shape. Ascending
+      // fold with strict > reproduces the ties-to-smallest-id rule.
+      aggregate(
+        sequence(lit(0L), lit((nShards - 1).toLong)),
+        struct(lit(0L).as("w"), HashExprs.mix64(key * lit(1000003L)).as("h")),
+        (acc, w) => {
+          val h = HashExprs.mix64(key * lit(1000003L) + w)
+          when(h > acc.getField("h"), struct(w.as("w"), h.as("h")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("w"))
+    }
   }
 
   /** Shared t-closeness final expression — exact (s, m, ng, n_total)

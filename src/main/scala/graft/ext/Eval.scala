@@ -214,11 +214,11 @@ object Eval {
     *   γ_i ← round6( W_i / Σ_j n_ij / (γ_i + γ_j) ),  γ⁰ = 1
     *
     * with `W_i` i's total wins and `n_ij = w_ij + w_ji`. The opponent
-    * sum folds over the j-ASCENDING collected term list (per-team
-    * opponent counts are bounded by the comparison design, so the
-    * collect_list state is row-bounded), and each iteration's γ rounds
-    * at 6 — the float chain is a fixed ordered sequence both engines
-    * replay bit-for-bit. Returns `(team, gamma, n_wins)`.
+    * sum is a per-term round(6) DECIMAL sum — order-FREE, so the
+    * aggregation buffer is one decimal regardless of a team's opponent
+    * count (no sorted collect_list) — and each iteration's γ rounds at
+    * 6: the number chain is deterministic and both engines replay it
+    * bit-for-bit. Returns `(team, gamma, n_wins)`.
     *
     * Scale: per iteration two team-keyed broadcast-or-hash joins of the
     * pair table onto the (team-sized) rating table and one team-keyed
@@ -252,11 +252,15 @@ object Eval {
         .select(col("__i"), col("__j"),
           (col("__n") / (col("__gi") + col("__gj"))).as("__t"))
         .groupBy(col("__i").as("team"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("__j"), col("__t")))),
-          lit(0.0), (acc, x) => acc + x.getField("__t")).as("__den"))
+        // order-free denominator: per-term round(6) DECIMAL sums commute,
+        // so no j-sorted collect_list (whose buffer grew with a team's
+        // opponent COUNT — a star-schedule team playing millions of
+        // distinct opponents built a multi-million-element array in one
+        // aggregation buffer). State is now one decimal accumulator.
+        .agg(sum(round(col("__t"), 6).cast("decimal(30,6)")).as("__den"))
         .join(totals, Seq("team"))
-        .select(col("team"), round(col("__wi") / col("__den"), 6).as("gamma"))
+        .select(col("team"),
+          round(col("__wi") / col("__den").cast("double"), 6).as("gamma"))
     }
     g.join(totals, Seq("team"))
       .select(col("team"), col("gamma"), col("__wi").cast("long").as("n_wins"))

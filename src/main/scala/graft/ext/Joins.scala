@@ -143,7 +143,11 @@ object Joins {
       binMinutes: Int = 15): DataFrame = {
     val binUs = binMinutes * 60L * 1000000L
     val pb = points.withColumn("__bin", floor(unix_micros(col(tsCol)) / binUs))
-    val ib = intervals.withColumn("__bin",
+    // empty intervals ([t, t), end <= start) contain no instants: drop
+    // them BEFORE binning — on a bin boundary their (first, last) bin
+    // pair is descending and Spark's sequence() would explode the wrong
+    // bins (spurious candidates at best)
+    val ib = intervals.where(col(endCol) > col(startCol)).withColumn("__bin",
       explode(sequence(
         floor(unix_micros(col(startCol)) / binUs),
         // end is exclusive: the bin of the last included microsecond
@@ -170,7 +174,13 @@ object Joins {
       right: DataFrame, rStart: String, rEnd: String,
       binMinutes: Int = 60): DataFrame = {
     val binUs = binMinutes * 60L * 1000000L
+    // empty intervals ([t, t)) contain no instants so overlap nothing:
+    // without the filter the half-open predicate below still lets [t, t)
+    // match an interval containing t, and an empty interval on a bin
+    // boundary makes sequence(first, last) DESCENDING — exploding wrong
+    // bins (ADVICE r07). Filtering before binning removes both.
     def binned(df: DataFrame, s: String, e: String, first: String) = df
+      .where(col(e) > col(s))
       .withColumn(first, floor(unix_micros(col(s)) / binUs))
       .withColumn("__bin", explode(sequence(
         col(first),

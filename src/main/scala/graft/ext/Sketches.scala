@@ -253,8 +253,15 @@ object Sketches {
       g.agg(min("gv"), max("gv"), count(lit(1))).head()
     require(n > 0, "histogramQuantiles needs a non-empty column")
     val span = hi - lo + 1
+    // bin math in DECIMAL(38,0): (gv - lo) ≤ span - 1, so the long
+    // product (gv - lo) * nBins silently wraps (non-ANSI) once span
+    // nears Long.Max / nBins — the chi2 silent-overflow class. The
+    // decimal product is exact at any long-grid width; `div` is
+    // integral divide in both engines so values are unchanged on
+    // narrow grids (the oracle replays the same decimal math).
     val binCounts = g
-      .groupBy(expr(s"(gv - $lo) * $nBins div $span").as("bin"))
+      .groupBy(expr(
+        s"CAST(gv - ${lo}L AS DECIMAL(38,0)) * $nBins div ${span}L").as("bin"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false) // nBins rows; triangular cum + quantile probes
     // cumulative counts via a triangular self-join on the nBins-row
@@ -268,7 +275,8 @@ object Sketches {
     qs.join(cum, col("cum") >= col("target"))
       .groupBy("q", "target")
       .agg(min("bin").as("bin"))
-      .withColumn("lo_grid", expr(s"${lo}L + bin * ${span}L div $nBins"))
+      .withColumn("lo_grid", // same wide-grid hazard: bin * span wraps
+        expr(s"${lo}L + CAST(bin AS DECIMAL(38,0)) * ${span}L div $nBins"))
       .select("q", "target", "bin", "lo_grid")
   }
 }

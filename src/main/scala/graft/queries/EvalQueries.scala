@@ -551,10 +551,9 @@ object EvalQueries {
   val evalBradleyTerrySql: String = {
     def step(prev: String, out: String) =
       s"""$out AS (
-         |  SELECT nn.i AS team, round(any_value(t2.wi) / list_reduce(
-         |      list_prepend(CAST(0.0 AS DOUBLE),
-         |        list(nn.n / (gi.gamma + gj.gamma) ORDER BY nn.j)),
-         |      (a, x) -> a + x), 6) AS gamma
+         |  SELECT nn.i AS team, round(any_value(t2.wi)
+         |      / CAST(sum(CAST(round(nn.n / (gi.gamma + gj.gamma), 6)
+         |                 AS DECIMAL(30,6))) AS DOUBLE), 6) AS gamma
          |  FROM nn
          |  JOIN $prev gi ON gi.team = nn.i
          |  JOIN $prev gj ON gj.team = nn.j

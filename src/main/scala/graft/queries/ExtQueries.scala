@@ -681,17 +681,48 @@ object ExtQueries {
   // cached/checkpointed plan, which Bench's per-query unpersist sweep
   // would invalidate. Results are bit-identical either way: training is
   // fully deterministic (count desc, pair asc tie-breaks).
-  private val bpeTrainMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (org.apache.spark.sql.types.StructType,
-      Array[org.apache.spark.sql.Row])]()
+  private val bpeTrainMemo = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String),
+      (org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])]]()
+
+  /** Cheap data fingerprint for the memo key: (name, length, mtime) of
+    * every file under `dir/documents.parquet` — regenerating the data
+    * in-place invalidates the cache, and keys never alias across
+    * sessions (sessionUUID, not an identityHashCode a GC can recycle).
+    */
+  private[graft] def docsFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).toSeq
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
   private def bpeTrained(s: SparkSession, dir: String): DataFrame = {
-    val (schema, rows) = bpeTrainMemo.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => {
+    // per-session map held WEAKLY on the session object itself — a GC'd
+    // session's entry vanishes instead of aliasing a recycled
+    // identityHashCode to a different session (ADVICE r07)
+    val perSession = bpeTrainMemo.synchronized {
+      var m = bpeTrainMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap()
+        bpeTrainMemo.put(s, m)
+      }
+      m
+    }
+    val (schema, rows) = perSession.computeIfAbsent(
+      (dir, docsFingerprint(s, dir)), _ => {
         val df = graft.ext.Vocab.bpeTrain(Tables.documents(s, dir), "text", merges = 6)
         (df.schema, df.orderBy("rank").collect())
       })
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  /** Test hook: drop memoized BPE trainings (ADVICE r07 — stale-memo guard). */
+  private[graft] def clearBpeMemo(): Unit =
+    bpeTrainMemo.synchronized(bpeTrainMemo.clear())
 
   val vocabBpe: QueryFn = (s, dir) => bpeTrained(s, dir)
   val vocabBpeSql: String = {
@@ -1698,8 +1729,8 @@ object ExtQueries {
     s"""WITH st AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(CAST(n_chars AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
-       |    CAST(sum(CAST(n_chars AS DECIMAL(19,0)) * n_chars)
-       |      AS DECIMAL(38,0)) AS sxx
+       |    CAST(sum(CAST(n_chars AS DECIMAL(19,0))
+       |      * CAST(n_chars AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx
        |  FROM documents GROUP BY 1
        |), b AS (
        |  SELECT source, n,

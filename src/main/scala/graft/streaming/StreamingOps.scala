@@ -411,10 +411,18 @@ object StreamingOps {
       lo: Long, span: Long, nBins: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     require(span > 0 && nBins >= 2)
+    require(lo <= Long.MaxValue - (span - 1), "grid upper bound overflows")
     events.select(gridExpr.cast("long").as("gv")).where(col("gv").isNotNull)
       .groupBy(
-        when(col("gv") < lo || col("gv") >= lo + span, lit(-1L))
-          .otherwise(expr(s"(gv - ${lo}L) * $nBins div ${span}L")).as("bin"))
+        // upper bound as lo + (span - 1): `lo + span` itself can wrap
+        // when the grid ends exactly at Long.MaxValue
+        when(col("gv") < lo || col("gv") > lo + (span - 1), lit(-1L))
+          // decimal product: (gv - lo) * nBins wraps silently on wide
+          // grids (span near Long.Max / nBins) — same fix as the batch
+          // kernel in Sketches.histogramQuantiles
+          .otherwise(expr(
+            s"CAST(gv - ${lo}L AS DECIMAL(38,0)) * $nBins div ${span}L"))
+          .as("bin"))
       .agg(count(lit(1)).as("cnt"))
   }
 

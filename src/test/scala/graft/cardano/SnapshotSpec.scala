@@ -93,6 +93,40 @@ class SnapshotSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException] { tool.restoreArchive(f1, restored) }
   }
 
+  test("restoreArchive rejects zip-slip entries: traversal, absolute, drive-letter") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("slip-store").toString)
+    val tool = new SnapshotTool(store)
+    def craft(entry: String): String = {
+      val f = Files.createTempFile("evil", ".zip")
+      val zos = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(f))
+      try {
+        zos.putNextEntry(new java.util.zip.ZipEntry(entry))
+        zos.write("owned".getBytes)
+        zos.closeEntry()
+      } finally zos.close()
+      f.toString
+    }
+    // Hadoop's Path(parent, child) resolves an absolute child against the
+    // FS root — each of these must be rejected BEFORE any write happens
+    for (bad <- Seq("../escape", "sub/../../escape", "/etc/cron.d/x",
+        "\\server\\share\\x", "C:evil", "c:/evil")) {
+      val dest = Files.createTempDirectory("slip-dest").toString + "/store"
+      intercept[IllegalArgumentException] {
+        tool.restoreArchive(craft(bad), dest)
+      }
+      assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dest.stripPrefix("file:"))),
+        s"no file may be created for unsafe entry '$bad'")
+    }
+    // and a benign relative entry still restores
+    val okDest = Files.createTempDirectory("slip-ok").toString + "/store"
+    tool.restoreArchive(craft("tbl/part-0000.parquet"), okDest)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$okDest/tbl/part-0000.parquet")))
+  }
+
   test("runContinuously syncs to tip, then stops gracefully on request") {
     val out = Files.createTempDirectory("cont-out").toString
     val store = new TableStore(spark, out)
