@@ -351,48 +351,65 @@ object Similarity {
     *
     * Scale shape — TWO-LEVEL assignment, because k itself grows with the
     * corpus: a flat nearest-of-k scan is O(n·k) = O(n²/10k) under auto-k
-    * (the round-6 scale-killer). Instead the first `ceil(√k)` seeds act as
-    * coarse centroids; every fine seed is pinned to its nearest coarse
-    * cell once (k·√k driver-side work, bounded by the same budget that
-    * lets the seeds broadcast), and each row then probes nearest-coarse →
-    * nearest fine seed *within that cell* — O(√k + k/√k) = O(√k) per row,
-    * computed as ONE codegen-adjacent projection against the broadcast
-    * seed tables: the corpus is never joined or shuffled for assignment.
-    * Rows only probe cells that own ≥1 fine seed (a duplicate-vector seed
-    * can leave its own cell empty). For k ≤ coarse-floor (4) this
-    * degenerates to the exact flat scan. The cluster-keyed exchange for
-    * the banded pass is unchanged. Returns `(vec_id, cluster, nn_cos,
-    * keep)` — `nn_cos` is the max cosine to any banded predecessor
-    * (rounded at 6; null when none).
+    * (the round-6 scale-killer). The first `ceil(√k)` seeds act as coarse
+    * centroids — the ONLY vectors ever collected to the driver or
+    * broadcast (O(√k) memory at any corpus size). The k fine seeds stay
+    * a distributed TABLE: indexed 0..k-1 in id order via a
+    * range-repartitioned zipWithIndex (no global window, no collect),
+    * each pinned to its nearest coarse cell by a √k-fold projection, then
+    * grouped into one (cell → sorted seed array) row per live cell. Every
+    * corpus row computes its nearest LIVE coarse cell row-locally (√k
+    * folds against the broadcast centroids) and equi-JOINs the cell table
+    * for the fine argmin (≈k/√k folds) — per-row work is O(√k), and the
+    * planner picks broadcast-hash only when the cell table is actually
+    * small (at large k it stays a shuffle join; nothing k-sized ever
+    * lands on the driver — VERDICT r07 #1). Rows only probe cells that
+    * own ≥1 fine seed (a duplicate-vector seed can leave its own cell
+    * empty). For k ≤ coarse-floor (4) this degenerates to the exact flat
+    * scan. The cluster-keyed exchange for the banded pass is unchanged.
+    * Returns `(vec_id, cluster, nn_cos, keep)` — `nn_cos` is the max
+    * cosine to any banded predecessor (rounded at 6; null when none).
     */
   def semanticDedup(df: DataFrame, k: Int = 0, band: Int = 8,
       tau: Double = 0.4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val base = DataOps.parallelismFloor(
         df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v")))
-      .localCheckpoint(false) // read twice: seed extraction + assignment
+      .localCheckpoint(true) // read thrice: seed bound, seed table, assignment
     val kEff = if (k > 0) k else autoClusterCount(base.count())
-    val seedRows = base.orderBy("vec_id").limit(kEff).collect()
-    val seedVecs: Array[Array[Double]] =
-      seedRows.map(_.getSeq[Double](1).toArray)
-    val c = autoCoarseCount(seedVecs.length)
-    val coarseVecs = seedVecs.take(c)
-    // fine seed -> coarse cell, then fine seeds grouped per live cell
-    // (ascending seed idx so the strict-< argmin ties to the smallest idx,
-    // identical to the oracle's ORDER BY dist, seed_idx)
-    val cellOf: Array[Int] = seedVecs.map(nearestIdx(_, coarseVecs))
-    val liveCells: Array[Int] = cellOf.distinct.sorted
-    val fineByCell: Map[Int, Array[(Int, Array[Double])]] =
-      cellOf.zipWithIndex.groupBy(_._1).map { case (cell, xs) =>
-        cell -> xs.map { case (_, i) => (i, seedVecs(i)) }.sortBy(_._1)
-      }
+    // fine seeds are the kEff smallest ids; their id bound and actual
+    // count (min(kEff, n)) come from ONE TakeOrdered over the 8-byte id
+    // column alone — no seed VECTOR ever reaches the driver from here
+    val Array(seedMaxId, seedCountAny) =
+      base.select(col("vec_id")).orderBy("vec_id").limit(kEff)
+        .agg(max("vec_id"), count(lit(1))).head().toSeq.toArray
+    val seedCount = seedCountAny.asInstanceOf[Long].toInt
+    val c = math.min(autoCoarseCount(seedCount), seedCount)
+    // coarse centroids: the c smallest-id vectors — the ONLY collect
+    val coarseVecs: Array[Array[Double]] =
+      base.orderBy("vec_id").limit(c).collect()
+        .map(_.getSeq[Double](1).toArray)
     val spark = df.sparkSession
-    val bcCoarse = spark.sparkContext.broadcast(
+    val bcCoarseAll = spark.sparkContext.broadcast(coarseVecs)
+    val seedIdx = graft.cardano.SurrogateIds.withSequence(
+      base.where(col("vec_id") <= lit(seedMaxId)), "__sidx", Seq(col("vec_id")))
+    // each fine seed pinned to its nearest coarse cell (ALL cells probed,
+    // strict < ties to the smallest cell idx — the oracle's ORDER BY
+    // dist, idx)
+    val seedCellUdf = udf { v: Seq[Double] =>
+      nearestIdx(v.toArray, bcCoarseAll.value)
+    }
+    val seedCells = seedIdx
+      .select(col("__sidx"), col("__v"), seedCellUdf(col("__v")).as("__cell"))
+      .localCheckpoint(true) // k rows: live-cell probe + the cell table
+    // live cells (≥1 fine seed): O(√k) ids, the only other driver fetch
+    val liveCells: Array[Int] =
+      seedCells.select("__cell").distinct().collect().map(_.getInt(0)).sorted
+    val bcLive = spark.sparkContext.broadcast(
       (liveCells, liveCells.map(coarseVecs(_))))
-    val bcFine = spark.sparkContext.broadcast(fineByCell)
-    val assignUdf = udf { v: Seq[Double] =>
+    val liveCellUdf = udf { v: Seq[Double] =>
       val arr = v.toArray
-      val (live, cvs) = bcCoarse.value
+      val (live, cvs) = bcLive.value
       // nearest live coarse cell (strict < keeps the smallest live cidx)
       var bi = 0
       var bd = Double.PositiveInfinity
@@ -402,17 +419,29 @@ object Similarity {
         if (d < bd) { bd = d; bi = j }
         j += 1
       }
-      // nearest fine seed within that cell
+      live(bi)
+    }
+    // (cell -> seeds sorted by ascending idx): ~k/√k seeds per row, so a
+    // group buffer is O(√k·d); the table itself is never collected
+    val cellSeeds = seedCells.groupBy("__cell")
+      .agg(array_sort(collect_list(struct(col("__sidx"), col("__v"))))
+        .as("__ss"))
+    val fineUdf = udf { (v: Seq[Double], ss: Seq[org.apache.spark.sql.Row]) =>
+      val arr = v.toArray
+      // nearest fine seed within the cell, ascending idx, strict <
       var cluster = -1L
       var dist = Double.PositiveInfinity
-      for ((si, sv) <- bcFine.value(live(bi))) {
-        val d = sqDist(arr, sv)
-        if (d < dist) { dist = d; cluster = si.toLong }
+      ss.foreach { r =>
+        val d = sqDist(arr, r.getSeq[Double](1).toArray)
+        if (d < dist) { dist = d; cluster = r.getLong(0) }
       }
       (cluster, dist)
     }
+    lastAssignStats = (coarseVecs.length, liveCells.length)
     val assigned = base
-      .withColumn("__a", assignUdf(col("__v")))
+      .withColumn("__cell", liveCellUdf(col("__v")))
+      .join(cellSeeds, Seq("__cell")) // every live cell has >=1 seed: inner-safe
+      .withColumn("__a", fineUdf(col("__v"), col("__ss")))
       .select(col("vec_id"), col("__v"),
         col("__a._1").as("cluster"), col("__a._2").as("__dist"))
     val positioned = assigned
@@ -443,6 +472,12 @@ object Similarity {
     */
   private[graft] def autoClusterCount(n: Long): Int =
     math.max(16L, (n + 9999L) / 10000L).min(Int.MaxValue.toLong).toInt
+
+  /** Last semanticDedup assignment footprint, for ScaleExt's O(√k)
+    * memory assertion: (driver-collected coarse vectors, live cells) —
+    * BOTH must stay ~√k as the corpus (and so auto-k) grows.
+    */
+  @volatile private[graft] var lastAssignStats: (Int, Int) = (0, 0)
 
   /** Coarse-cell count for the two-level assignment: ceil(√k), floored at
     * 4 — per-row assignment work is then c + k/c ≈ 2√k distance folds.

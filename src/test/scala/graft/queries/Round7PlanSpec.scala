@@ -40,10 +40,12 @@ class Round7PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("__bin"), p)
   }
 
-  test("semanticDedup: assignment is a zero-join projection (no crossJoin vs k seeds)") {
+  test("semanticDedup: assignment joins only the cell-keyed seed table, never all k seeds") {
     // the round-6 scale-killer was a crossJoin against ALL k seeds; the
-    // two-level form assigns in ONE UDF projection — the only joins in
-    // the whole plan are the banded self-join and the nn_cos attach
+    // round-8 form assigns via ONE equi-join against the (cell -> seeds)
+    // table — the joins in the whole plan are that cell join, the banded
+    // self-join, and the nn_cos attach. Never a nested loop / cartesian
+    // (which is what "join every row against every seed" would plan as).
     val df = ExtQueries.dedupSemantic(spark, dir)
     val p = plan(df)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
@@ -52,7 +54,17 @@ class Round7PlanSpec extends AnyFunSuite with SparkTest {
       df.queryExecution.sparkPlan.toString.linesIterator
         .filter(_.trim.matches("^[+:\\-\\s]*\\*?\\(?\\d*\\)?\\s*(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*"))
         .mkString("\n")).size
-    assert(joins <= 4, s"expected only the banded + nn joins, got $joins:\n$p")
+    assert(joins <= 5, s"expected only the cell + banded + nn joins, got $joins:\n$p")
+    // O(√k) driver/broadcast footprint: the only collected/broadcast
+    // vectors are the coarse centroids (exactly min(ceil(√seeds), seeds)
+    // of them), and live cells are bounded by that
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val seeds = math.min(graft.ext.Similarity.autoClusterCount(n).toLong, n).toInt
+    val expC = math.min(graft.ext.Similarity.autoCoarseCount(seeds), seeds)
+    val (coarse, live) = graft.ext.Similarity.lastAssignStats
+    assert(coarse == expC, s"driver collected $coarse vectors, expected √k=$expC")
+    assert(live > 0 && live <= coarse,
+      s"live cells $live must be bounded by coarse $coarse")
   }
 
   test("graph_hits: per-iteration work is keyed joins + aggs, no nested loop") {
