@@ -31,6 +31,9 @@ object CardanoDemo {
       case "DEBUG" => "INFO" // spark DEBUG drowns the demo output
       case l => l
     })
+    // per-logger levels from PANTASIA_LOG_CONFIG (the reference's
+    // logging.yaml bootstrap, main.py:404-415), layered under LOG_LEVEL
+    LogConfig(settings)
 
     val store = new TableStore(spark, targetDir)
     val driver = new SyncDriver(spark, sourceDir, store, settings)

@@ -30,7 +30,8 @@ final case class Settings(
     pollSeconds: Int = 10,
     compactEvery: Long = 1,
     maxRetries: Int = 2,
-    backoffMillis: Long = 500) {
+    backoffMillis: Long = 500,
+    logConfig: String = "") {
 
   /** Source (cardano-db-sync mirror) JDBC URL from the CDB_* settings —
     * pass as `sourceDir` to SyncDriver/MainQuery (JdbcSource.isJdbc
@@ -76,7 +77,8 @@ object Settings {
       pollSeconds = v("POLL_SECONDS").map(_.toInt).getOrElse(d.pollSeconds),
       compactEvery = v("COMPACT_EVERY").map(_.toLong).getOrElse(d.compactEvery),
       maxRetries = v("MAX_RETRIES").map(_.toInt).getOrElse(d.maxRetries),
-      backoffMillis = v("BACKOFF_MILLIS").map(_.toLong).getOrElse(d.backoffMillis))
+      backoffMillis = v("BACKOFF_MILLIS").map(_.toLong).getOrElse(d.backoffMillis),
+      logConfig = v("LOG_CONFIG").getOrElse(d.logConfig))
   }
 
   /** `KEY=VALUE` lines; `#` comments and blanks skipped; optional

@@ -191,3 +191,71 @@ class SnapshotTool(store: TableStore) {
       .map(_.stripSuffix(".zip")).sorted
   }
 }
+
+/** The reference's interactive restore flow
+  * (`scripts/backup_restore.py:331-353`): list archives numbered from 1,
+  * read an index from the operator, restore the picked one — with the
+  * same two failure answers (non-integer input, out-of-range index).
+  * The protocol core is pure ([[pick]]) and the loop takes an explicit
+  * reader/printer ([[runRestore]]) so a spec drives it end-to-end
+  * headlessly; [[main]] wires stdin/stdout.
+  */
+object SnapshotTool {
+
+  /** 1-based pick with the reference's error strings
+    * (`backup_restore.py:343-347`). Returns the 0-based index.
+    */
+  def pick(archives: Seq[String], input: String): Either[String, Int] =
+    scala.util.Try(input.trim.toInt).toOption match {
+      case None =>
+        Left("Error parsing integer. Please enter an integer.")
+      case Some(i) if i < 1 || i > archives.size =>
+        Left("Please enter an index number from the following list")
+      case Some(i) => Right(i - 1)
+    }
+
+  /** List/pick/restore. Returns the restored tag, or None on empty
+    * backup dir or a rejected pick (after printing the reference's
+    * messages, including re-listing on an out-of-range index).
+    */
+  def runRestore(tool: SnapshotTool, backupDir: String, destRoot: String,
+      in: java.io.BufferedReader, out: String => Unit): Option[String] = {
+    val archives = tool.listArchives(backupDir)
+    if (archives.isEmpty) {
+      out(s"No backups found in $backupDir")
+      None
+    } else {
+      out("Found the following backups :")
+      archives.zipWithIndex.foreach { case (a, ix) => out(s"${ix + 1}: $a") }
+      out("Select a backup by its index and press Enter:")
+      pick(archives, Option(in.readLine()).getOrElse("")) match {
+        case Left(err) =>
+          out(err)
+          out("Available backups : ")
+          archives.zipWithIndex.foreach { case (a, ix) => out(s"${ix + 1}: $a") }
+          None
+        case Right(ix) =>
+          val tag = archives(ix)
+          out(s"Restoring $tag from local storage")
+          tool.restoreArchive(new Path(backupDir, s"$tag.zip").toString, destRoot)
+          Some(tag)
+      }
+    }
+  }
+
+  /** `run-main graft.cardano.SnapshotTool <storeRoot> <backupDir> <destRoot>` */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: SnapshotTool <storeRoot> <backupDir> <destRoot>")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-restore").master("local[4]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    try {
+      val tool = new SnapshotTool(new TableStore(spark, args(0)))
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+      runRestore(tool, args(1), args(2), in, println(_))
+    } finally spark.stop()
+  }
+}

@@ -33,11 +33,11 @@ object Analytics {
     // the whole funnel is one lazy plan (a union of stage counts), not a
     // driver loop of actions. Stage k's plan embeds stage k-1's, so a
     // DEEP funnel would re-compute O(N²) stages — past 4 steps each stage
-    // gets a lazy checkpoint (linear, at the cost of opaque RDD scans in
+    // gets an eager checkpoint (linear, at the cost of opaque RDD scans in
     // the plan); short funnels keep the fully-declarative plan so
     // Catalyst shows the per-step pushed filters (PlanSpec pins this).
     val barrier: DataFrame => DataFrame =
-      if (steps.length > 4) _.localCheckpoint(false) else identity
+      if (steps.length > 4) _.localCheckpoint(true) else identity
     val stages = steps.tail.scanLeft(
       barrier(ev.where(col("et") === steps.head)
         .groupBy("u").agg(min(col("t")).as("t")))
@@ -127,7 +127,7 @@ object Analytics {
       .where(col("__tt") <= col("__ct") &&
         col("__tt") > col("__ct") - expr(s"interval $windowDays days"))
       .select(col("__cid"), col("touch_type"))
-      .localCheckpoint(false) // read by the per-conversion total AND the credit sum
+      .localCheckpoint(true) // read by the per-conversion total AND the credit sum
     val tot = m.groupBy("__cid").agg(count(lit(1)).as("__n"))
     m.join(tot, Seq("__cid"))
       .groupBy("touch_type")
@@ -545,7 +545,7 @@ object Analytics {
     */
   def entropyConcentration(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false) // feeds the total AND the term sum
+      .localCheckpoint(true) // feeds the total AND the term sum
     val total = counts.agg(sum(col("cnt")).as("s"))
     counts.crossJoin(broadcast(total))
       .withColumn("__p", col("cnt").cast("double") / col("s").cast("double"))
@@ -698,7 +698,7 @@ object Analytics {
     val c = df.where(col(tsCol).isNotNull).groupBy(col(groupCol),
         date_trunc(unit, col(tsCol)).as("__b"))
       .agg(count(lit(1)).as("__x"))
-      .localCheckpoint(false) // both sides of the lag self-join
+      .localCheckpoint(true) // both sides of the lag self-join
     val lagged = c.select(col(groupCol),
       (col("__b") - expr(s"interval $lagUnits $unit")).as("__b"),
       col("__x").as("__y"))
@@ -787,7 +787,7 @@ object Analytics {
     val cells = df.where(col(colA).isNotNull && col(colB).isNotNull)
       .groupBy(col(colA).as("__a"), col(colB).as("__b"))
       .agg(count(lit(1)).as("__o"))
-      .localCheckpoint(false) // feeds both marginals and the term sum
+      .localCheckpoint(true) // feeds both marginals and the term sum
     val rowT = cells.groupBy("__a").agg(sum(col("__o")).as("__r"))
     val colT = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
     val tot = cells.agg(sum(col("__o")).as("__n"),
@@ -828,7 +828,7 @@ object Analytics {
     val gk = df.where(col(keyCol).isNotNull)
       .groupBy(col(groupCol), col(keyCol))
       .agg(count(lit(1)).as("__o"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val g = gk.groupBy(col(groupCol)).agg(sum(col("__o")).as("__ng"))
     val k = gk.groupBy(col(keyCol)).agg(sum(col("__o")).as("__ok"))
     val tot = gk.agg(sum(col("__o")).as("__n"))

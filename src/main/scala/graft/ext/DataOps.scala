@@ -257,7 +257,7 @@ object DataOps {
       temperature: Double = 2.0): DataFrame = {
     require(temperature > 0, s"temperature must be positive, got $temperature")
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
-      .localCheckpoint(false) // feeds the total AND the per-source ratios
+      .localCheckpoint(true) // feeds the total AND the per-source ratios
     val total = counts.agg(sum(col("n")).as("tot"))
     val w = counts.crossJoin(broadcast(total))
       .withColumn("p_raw", col("n").cast("double") / col("tot").cast("double"))
@@ -506,10 +506,10 @@ object DataOps {
   def tCloseness(df: DataFrame, quasiIdCols: Seq[String], sensCol: Column,
       t: Double): DataFrame = {
     val qc = quasiIdCols.map(col)
-    val base = df.select(qc :+ sensCol.as("__s"): _*).localCheckpoint(false)
+    val base = df.select(qc :+ sensCol.as("__s"): _*).localCheckpoint(true)
     val gb = base.groupBy(qc :+ col("__s"): _*).agg(count(lit(1)).as("o"))
     val glob = base.groupBy("__s").agg(count(lit(1)).as("ob"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val grp = base.groupBy(qc: _*).agg(count(lit(1)).as("ng"))
     val tot = glob.agg(sum(col("ob")).as("n_total"),
       count(lit(1)).as("m"))

@@ -103,7 +103,7 @@ object Eval {
       .where(col(labelCol).isNotNull && col(predCol).isNotNull)
       .groupBy(col(labelCol).as("__y"), col(predCol).as("__p"))
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(false) // three class-sized readers below
+      .localCheckpoint(true) // three class-sized readers below
     def ratio(num: Column, den: Column): Column =
       round(num.cast("double") / greatest(den, lit(1L)).cast("double"), 6)
     val byLabel = cm.groupBy(col("__y").as("clazz"))
@@ -229,7 +229,7 @@ object Eval {
     require(iterations >= 1)
     val w = wins.select(col(iCol).as("__i"), col(jCol).as("__j"),
         col(wCol).cast("double").as("__w"))
-      .localCheckpoint(false) // read every iteration
+      .localCheckpoint(true) // read every iteration
     // every team that PLAYED is rated — a zero-win team must still
     // appear (γ → 0) and its matches must still weigh on its opponents'
     // denominators, so totals covers the full participant set
@@ -239,11 +239,11 @@ object Eval {
       .join(w.groupBy(col("__i").as("team")).agg(sum(col("__w")).as("__w0")),
         Seq("team"), "left")
       .select(col("team"), coalesce(col("__w0"), lit(0.0)).as("__wi"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nij = w.select(col("__i"), col("__j"), col("__w"))
       .unionByName(w.select(col("__j").as("__i"), col("__i").as("__j"), col("__w")))
       .groupBy("__i", "__j").agg(sum(col("__w")).as("__n"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var g = totals.select(col("team"), lit(1.0).as("gamma"))
     for (_ <- 1 to iterations) {
       val gi = g.select(col("team").as("__i"), col("gamma").as("__gi"))
@@ -524,7 +524,7 @@ object Eval {
         TextAnalysis.tokens(col(textCol)).as("ref"))
       .withColumn("cand",
         expr(s"filter(ref, (x, i) -> (i + 1) % $dropEvery != 0)"))
-      .localCheckpoint(false) // feeds lens + 4 gram passes
+      .localCheckpoint(true) // feeds lens + 4 gram passes
     // n-gram array of `arr`; the size guard dodges Spark's descending
     // sequence(1, 0) (same trap as Vocab.bigramCounts)
     def grams(arr: String, n: Int): Column =

@@ -59,9 +59,9 @@ object Graph {
       scale: Long = 1000000000000L): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val n = deg.count()
     require(n > 0, "pagerank needs a non-empty graph")
     val base = (15L * scale) / (100L * n)
@@ -100,21 +100,21 @@ object Graph {
       scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1)
     val e = edges.select(col("a").as("src"), col("b").as("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     var hub = nodes.select(col("node"), lit(scale).as("h"))
     var auth = nodes.select(col("node"), lit(0L).as("a_s")).limit(0)
     for (_ <- 1 to iterations) {
       val araw = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar"))
-        .localCheckpoint(false) // read for the max AND the division
+        .localCheckpoint(true) // read for the max AND the division
       val am = math.max(1L, araw.agg(max(col("ar"))).head().getLong(0) / scale)
       auth = araw.select(col("node"), expr(s"ar div $am").as("a_s"))
       val hraw = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a_s")).as("hr"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val hm = math.max(1L, hraw.agg(max(col("hr"))).head().getLong(0) / scale)
       hub = hraw.select(col("node"), expr(s"hr div $hm").as("h"))
     }
@@ -150,7 +150,7 @@ object Graph {
     require(rounds >= 1)
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").cast("long").as("lab"))
     for (_ <- 1 to rounds) {
@@ -195,9 +195,9 @@ object Graph {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var frontier = seeds.select(col(seeds.columns.head).as("node"))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     var visited = frontier
     var result = frontier.withColumn("hops", lit(0L))
     var hop = 1
@@ -207,11 +207,11 @@ object Graph {
         .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       if (next.isEmpty) growing = false
       else {
         result = result.unionByName(next.withColumn("hops", lit(hop.toLong)))
-        visited = visited.unionByName(next).localCheckpoint(false)
+        visited = visited.unionByName(next).localCheckpoint(true)
         frontier = next
         hop += 1
       }
@@ -242,14 +242,14 @@ object Graph {
       scale: Long = 1000000L): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // frontier/visited carry each node's seed SET as one sorted array —
     // rows stay node-count-sized and the per-level exchange moves
     // |seeds|/64-word bitset-equivalents, not a row per (seed, node)
     // pair (100 seeds = 100× fewer frontier rows than the labeled form)
     var frontier = seeds.select(col(seeds.columns.head).as("node"))
       .distinct().withColumn("fs", array(col("node")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var visited = frontier.withColumnRenamed("fs", "vs")
     var result: DataFrame = null
     var hop = 1
@@ -265,7 +265,7 @@ object Graph {
           array_except(col("cand"),
             coalesce(col("vs"), array().cast("array<bigint>"))).as("fs"))
         .where(size(col("fs")) > 0)
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       if (fresh.isEmpty) growing = false
       else {
         val contrib = fresh.select(col("node"),
@@ -278,7 +278,7 @@ object Graph {
               concat(
                 coalesce(col("vs"), array().cast("array<bigint>")),
                 coalesce(col("fs"), array().cast("array<bigint>"))).as("vs"))
-            .localCheckpoint(false)
+            .localCheckpoint(true)
           frontier = fresh
         }
         hop += 1
@@ -306,7 +306,7 @@ object Graph {
     * replay match it.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val und = edges.select("a", "b").localCheckpoint(false)
+    val und = edges.select("a", "b").localCheckpoint(true)
     val deg = und.select(col("a").as("n"))
       .unionByName(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -319,7 +319,7 @@ object Graph {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val wedges = oriented.select(col("u"), col("v"))
       .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v"))
     val triangles = wedges
@@ -360,10 +360,10 @@ object Graph {
     * join shape as neighborJaccard below.
     */
   def adamicAdar(edges: DataFrame): DataFrame = {
-    val und = edges.select("a", "b").localCheckpoint(false)
+    val und = edges.select("a", "b").localCheckpoint(true)
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
     val withDeg = und
       .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
@@ -385,15 +385,15 @@ object Graph {
   }
 
   def neighborJaccard(edges: DataFrame): DataFrame = {
-    val und = edges.select("a", "b").localCheckpoint(false)
+    val und = edges.select("a", "b").localCheckpoint(true)
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(false) // adjacency: reused by the wedge join AND degrees
+      .localCheckpoint(true) // adjacency: reused by the wedge join AND degrees
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
     val withDeg = und
       .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
-      .localCheckpoint(false) // reused by the wedge join AND the output attach
+      .localCheckpoint(true) // reused by the wedge join AND the output attach
     val oriented = withDeg.select(col("a"), col("b"),
       when(col("da") < col("db") ||
            (col("da") === col("db") && col("a") < col("b")),
@@ -428,13 +428,13 @@ object Graph {
     * state beyond the single edge count.
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val und = edges.select("a", "b").localCheckpoint(false)
+    val und = edges.select("a", "b").localCheckpoint(true)
     val m = und.count()
     require(m > 0, "modularity needs a non-empty graph")
     val sym = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
     val deg = sym.groupBy("node").agg(count(lit(1)).as("d"))
-    val lab = labels.select(col("node"), col("community")).localCheckpoint(false)
+    val lab = labels.select(col("node"), col("community")).localCheckpoint(true)
     val dc = deg.join(lab, Seq("node"))
       .groupBy("community")
       .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
@@ -476,12 +476,12 @@ object Graph {
       iterations: Int, scale: Long = 1000000000000L): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val seedNodes = seeds.select(col("node"))
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "semi")
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     val s = seedNodes.count()
     require(s > 0, "personalizedPagerank needs at least one in-graph seed")
     val base = (15L * scale) / (100L * s)
@@ -521,7 +521,7 @@ object Graph {
     require(k >= 1 && rounds >= 1)
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     var alive = sym.select(col("src").as("node")).distinct()
     var deg: DataFrame = null
     for (_ <- 1 to rounds) {
@@ -530,7 +530,7 @@ object Graph {
         .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
       alive = deg.where(col("degree") >= k).select("node")
-        .localCheckpoint(false) // barrier: each round's frontier feeds 2 joins
+        .localCheckpoint(true) // barrier: each round's frontier feeds 2 joins
     }
     // residual degrees within the final alive set (one extra pass so the
     // last dropped wave doesn't pollute the reported degrees)

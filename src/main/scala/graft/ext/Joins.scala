@@ -292,7 +292,7 @@ object Joins {
           .select(col(idCol).as("__id"), col(textCol).as("__t")))
       .select(col("__id"),
         explode(TextShingles.word_shingle_hashes(col("__t"), n)).as("h"))
-      .localCheckpoint(false) // feeds freq, prefixes, AND verification
+      .localCheckpoint(true) // feeds freq, prefixes, AND verification
     val freq = sh.groupBy("h").agg(count(lit(1)).as("__f"))
     // per-doc shingles sorted by (freq, hash): the global order exists
     // only inside each row's array — no rank table, no global window.
@@ -311,7 +311,7 @@ object Joins {
       .withColumn("__plen",
         (col("__n") - floor((lit(p) * col("__n") + q - 1) / q) + 1L)
           .cast("int"))
-      .localCheckpoint(false) // sizes reused for the length filter + union
+      .localCheckpoint(true) // sizes reused for the length filter + union
     // slice to the prefix: posexplode keeps the position to compare
     val pref = sorted.select(col("__id"), col("__n"),
         posexplode(col("__s")).as(Seq("__pos", "__e")), col("__plen"))

@@ -162,7 +162,7 @@ object Multimodal {
     val sigs = DataOps.parallelismFloor(
         media.select(col(idCol).as("id"), col(payloadCol).as("__p")))
       .select(col("id") +: (0 until 4).map(q => bands(q).as(s"b$q")): _*)
-      .localCheckpoint(false) // feeds BOTH sides of the band self-join
+      .localCheckpoint(true) // feeds BOTH sides of the band self-join
     val banded = sigs.select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("band"), col(s"b$q").as("h"))): _*)).as("__bh"))

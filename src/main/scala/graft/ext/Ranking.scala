@@ -39,7 +39,7 @@ object Ranking {
     * (doc_id, term, tf, df, tfidf).
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(false)
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(true)
     val nDocs = docs.count()
     tf.join(broadcast(documentFrequencies(tf)), Seq("term"))
       .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
@@ -58,7 +58,7 @@ object Ranking {
     * one doc-keyed aggregation.
     */
   def idfNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(false)
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(true)
     val nDocs = docs.count()
     tf.join(broadcast(documentFrequencies(tf)), Seq("term"))
       .withColumn("__idf",
@@ -85,8 +85,8 @@ object Ranking {
     val withLen = docs.select(col(idCol).as("doc_id"),
       col(textCol).as("__text"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
-      .localCheckpoint(false)
-    val tf = termFrequencies(withLen, "doc_id", "__text").localCheckpoint(false)
+      .localCheckpoint(true)
+    val tf = termFrequencies(withLen, "doc_id", "__text").localCheckpoint(true)
     // one job for both corpus scalars (separate count()+sum() actions
     // would each re-materialize the checkpointed frame)
     val statsRow = withLen.agg(count(lit(1)), sum(col("dl"))).collect()(0)

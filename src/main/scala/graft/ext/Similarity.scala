@@ -34,7 +34,7 @@ object Similarity {
     DataOps.parallelismFloor(
         df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__v")))
       .withColumn("__n", norm(col("__v")))
-      .localCheckpoint(false) // plan barrier: stops CollapseProject from
+      .localCheckpoint(true) // plan barrier: stops CollapseProject from
                               // inlining the norm into the per-element
                               // lambda below -> O(dim) recompute per element
       .select(col(idAs), zip_with(col("__v"),
@@ -301,21 +301,21 @@ object Similarity {
       .unionByName(cov.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"),
           expr("CAST(floor(cov * 1000000.0 + 0.5) AS BIGINT)").as("c")))
-      .localCheckpoint(false) // d² rows drive every iteration
+      .localCheckpoint(true) // d² rows drive every iteration
     var v = full.select(col("i")).distinct()
       .select(col("i"), lit(scale).as("v"))
     def matVec(vec: DataFrame): DataFrame =
       full.join(vec.select(col("i").as("j"), col("v")), Seq("j"))
         .groupBy("i").agg(sum(col("c") * col("v")).as("u"))
     for (_ <- 1 to iterations) {
-      val u = matVec(v).localCheckpoint(false) // read for max AND divide
+      val u = matVec(v).localCheckpoint(true) // read for max AND divide
       val m = math.max(1L,
         u.agg(max(abs(col("u")))).head().getLong(0) / scale)
       v = u.select(col("i"),
         expr(s"CASE WHEN u < 0 THEN -((-u) div ${m}L) ELSE u div ${m}L END")
           .as("v"))
     }
-    val vF = v.localCheckpoint(false) // feeds the Rayleigh pass AND output
+    val vF = v.localCheckpoint(true) // feeds the Rayleigh pass AND output
     val ray = matVec(vF)
       .join(vF, Seq("i"))
       .agg(
@@ -448,7 +448,7 @@ object Similarity {
       .withColumn("__pos", row_number().over(
         Window.partitionBy("cluster").orderBy(col("__dist"), col("vec_id"))))
       .withColumn("__sq", dot(col("__v"), col("__v")))
-      .localCheckpoint(false) // both sides of the banded self-join
+      .localCheckpoint(true) // both sides of the banded self-join
     val a = positioned.select(col("cluster"), col("__pos").as("__pa"),
       col("__v").as("__va"), col("__sq").as("__sqa"))
     val b = positioned.select(col("cluster").as("__clb"), col("vec_id").as("__idb"),

@@ -248,7 +248,7 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     val g = df.select(toGrid.cast("long").as("gv")).where(col("gv").isNotNull)
-      .localCheckpoint(false) // feeds the min/max pass AND the bin pass
+      .localCheckpoint(true) // feeds the min/max pass AND the bin pass
     val Row(lo: Long, hi: Long, n: Long) =
       g.agg(min("gv"), max("gv"), count(lit(1))).head()
     require(n > 0, "histogramQuantiles needs a non-empty column")
@@ -263,7 +263,7 @@ object Sketches {
       .groupBy(expr(
         s"CAST(gv - ${lo}L AS DECIMAL(38,0)) * $nBins div ${span}L").as("bin"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false) // nBins rows; triangular cum + quantile probes
+      .localCheckpoint(true) // nBins rows; triangular cum + quantile probes
     // cumulative counts via a triangular self-join on the nBins-row
     // table (≤ nBins² tiny rows) — no global-order window anywhere
     val cum = binCounts.alias("b")

@@ -109,7 +109,7 @@ object TextAnalysis {
         df.select(col(idCol), col(textCol).as("__t")))
       .select(col(idCol), explode(tokens(col("__t"))).as("__tok"))
       .groupBy(idCol, "__tok").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val vocab = counts.groupBy("__tok").agg(sum(col("__c")).as("__cw"))
     val total = vocab.agg(sum(col("__cw"))).collect()(0).getLong(0)
     counts.join(vocab, Seq("__tok"))
@@ -276,11 +276,11 @@ object TextAnalysis {
     val base = DataOps.parallelismFloor(
         df.select(col(idCol), col(textCol).as("__t")))
       .withColumn("n_tokens", size(tokens(col("__t"))).cast("long"))
-      .localCheckpoint(false) // read by grams AND the final per-doc join
+      .localCheckpoint(true) // read by grams AND the final per-doc join
     val grams = base
       .select(col(idCol), explode(posGrams(col("__t"), k)).as("__g"))
       .select(col(idCol), col("__g.pos").as("__pos"), col("__g.gram").as("__gram"))
-      .localCheckpoint(false) // feeds the repeated-gram count AND the probe join
+      .localCheckpoint(true) // feeds the repeated-gram count AND the probe join
     val repeated = grams.groupBy("__gram").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= 2).select("__gram")
     val flagged = grams.join(repeated, Seq("__gram"))
@@ -332,12 +332,12 @@ object TextAnalysis {
       k: Int = 8): DataFrame = {
     val base = DataOps.parallelismFloor(
         df.select(col(idCol), col(textCol).as("__t")))
-      .localCheckpoint(false) // read by the gram explode AND the token explode
+      .localCheckpoint(true) // read by the gram explode AND the token explode
     val grams = base
       .select(col(idCol), explode(posGrams(col("__t"), k)).as("__g"))
       .select(col(idCol), col("__g.pos").as("__pos"), col("__g.gram").as("__gram"))
       .withColumn("__okey", col(idCol).cast("long") * (1L << 20) + col("__pos"))
-      .localCheckpoint(false) // feeds the argmin AND the probe join
+      .localCheckpoint(true) // feeds the argmin AND the probe join
     val dupFirsts = grams.groupBy("__gram")
       .agg(count(lit(1)).as("__c"), min(col("__okey")).as("__first"))
       .where(col("__c") >= 2)
@@ -385,11 +385,11 @@ object TextAnalysis {
       .select(col(idCol), col("__in_t"), explode(tokens(col("__t"))).as("__tok"))
       .groupBy(col(idCol), col("__in_t"), col("__tok"))
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(false) // feeds the vocabulary LMs AND the scoring join
+      .localCheckpoint(true) // feeds the vocabulary LMs AND the scoring join
     val vocab = counts.groupBy("__tok")
       .agg(sum(col("__c")).as("__cr"),
         sum(when(col("__in_t"), col("__c")).otherwise(lit(0L))).as("__ct"))
-      .localCheckpoint(false) // read by the totals AND the scoring join
+      .localCheckpoint(true) // read by the totals AND the scoring join
     val tot = vocab.agg(sum(col("__cr")), sum(col("__ct")), count(lit(1))).collect()(0)
     val (rTot, tTot, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
     counts.join(vocab, Seq("__tok"))
@@ -423,11 +423,11 @@ object TextAnalysis {
       n: Int = 3, topN: Int = 20): DataFrame = {
     val base = DataOps.parallelismFloor(
         df.select(col(idCol), col(textCol).as("__t")))
-      .localCheckpoint(false) // read by the gram count AND the token explode
+      .localCheckpoint(true) // read by the gram count AND the token explode
     val grams = base
       .select(col(idCol), explode(posGrams(col("__t"), n)).as("__g"))
       .select(col(idCol), col("__g.pos").as("__pos"), col("__g.gram").as("__gram"))
-      .localCheckpoint(false) // feeds the top-N count AND the flag join
+      .localCheckpoint(true) // feeds the top-N count AND the flag join
     val top = grams.groupBy("__gram").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__gram").asc).limit(topN)
       .select("__gram")
@@ -475,17 +475,17 @@ object TextAnalysis {
     val base = DataOps.parallelismFloor(
         df.select(col(idCol), col(textCol).as("__t")))
       .select(tokens(col("__t")).as("__toks"))
-      .localCheckpoint(false) // read by pair counts AND unigram counts
+      .localCheckpoint(true) // read by pair counts AND unigram counts
     val pc = base.select(explode(expr(
         s"""flatten(transform(__toks, (x, i) ->
            |  transform(slice(__toks, i + 2, $window),
            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("__p"))
       .select(col("__p.a").as("a"), col("__p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cab"))
-      .localCheckpoint(false) // feeds the pair total AND the output
+      .localCheckpoint(true) // feeds the pair total AND the output
     val uc = base.select(explode(col("__toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // feeds the token total AND both probes
+      .localCheckpoint(true) // feeds the token total AND both probes
     val nt = uc.agg(sum(col("c")).as("nt"))
     val np = pc.agg(sum(col("cab")).as("np"))
     pc.where(col("cab") >= minCount)

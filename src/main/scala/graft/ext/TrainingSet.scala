@@ -31,18 +31,18 @@ object TrainingSet {
       .where(col("keep")).select(docs.columns.map(col): _*)
     // Plan barrier: `exact` feeds BOTH dedupByMinhash (itself iterative —
     // many actions) and the left side of the fuzzy semi-join; without the
-    // lazy checkpoint the scrub -> quality -> exact-dedup chain re-runs once
+    // checkpoint the scrub -> quality -> exact-dedup chain re-runs once
     // per downstream action. Same for `fuzzy`, read by the contamination
     // branch and the left-anti join.
     val exact = quality.join(
       Dedup.exact(quality, "doc_id", "text").select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val fuzzy = exact.join(
       Dedup.dedupByMinhash(exact, "doc_id", "text")
         .where(col("keep")).select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val contaminated = TextAnalysis
       .ngramOverlap(fuzzy, benchmark, "doc_id", "text", ngram, hashed = true)
       .where(col("n_hit") > col("n_grams") * maxContamination)

@@ -39,7 +39,7 @@ object Vocab {
         concat(lit("|"),
           array_join(transform(split(col("word"), ""), c => c), "|"),
           lit("|")))
-      .localCheckpoint(false) // the merge loop must not re-run the corpus pass
+      .localCheckpoint(true) // the merge loop must not re-run the corpus pass
       .select("cnt", "s")
 
     var current = words
@@ -118,7 +118,7 @@ object Vocab {
   def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
     val toks = DataOps.parallelismFloor(
       docs.select(TextAnalysis.tokens(col(textCol)).as("t")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // guard the 1-token doc: Spark's sequence(0, -1) DESCENDS instead of
     // returning empty, which would fabricate a null bigram
     val bi = toks
@@ -165,7 +165,7 @@ object Vocab {
   def kneserNeyBigrams(docs: DataFrame, textCol: String,
       minCount: Long): DataFrame = {
     val bc = bigramCounts(docs, textCol).select("w1", "w2", "c12")
-      .localCheckpoint(false) // feeds fwd, rev, tot AND the output rows
+      .localCheckpoint(true) // feeds fwd, rev, tot AND the output rows
     val fwd = bc.groupBy("w1")
       .agg(sum(col("c12")).as("cctx"), count(lit(1)).as("nf"))
     val rev = bc.groupBy("w2").agg(count(lit(1)).as("nr"))
@@ -198,7 +198,7 @@ object Vocab {
       textCol: String): DataFrame = {
     val toks = DataOps.parallelismFloor(
       docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val bi = toks
       .select(col(idCol), explode(expr(
         """CASE WHEN size(t) >= 2
@@ -207,7 +207,7 @@ object Vocab {
           |  ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
           |END""".stripMargin)).as("p"))
       .select(col(idCol), col("p.w1"), col("p.w2"))
-      .localCheckpoint(false) // feeds the model counts AND the scoring join
+      .localCheckpoint(true) // feeds the model counts AND the scoring join
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = toks.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))

@@ -655,7 +655,7 @@ object EvalQueries {
       .select(col("lang"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
       .where(col("word") =!= "")
-      .localCheckpoint(false) // feeds vocab build AND coverage join
+      .localCheckpoint(true) // feeds vocab build AND coverage join
     val vocab = toks.groupBy("word").agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__cnt").desc, col("word").asc).limit(1000)
       .select(col("word"), lit(1L).as("__in"))
@@ -935,7 +935,7 @@ object EvalQueries {
   val assocRules: QueryFn = (s, dir) => {
     val baskets = Tables.events(s, dir)
       .select(col("user_id"), col("event_type")).distinct()
-      .localCheckpoint(false) // item counts AND the pair self-join
+      .localCheckpoint(true) // item counts AND the pair self-join
     val nUsers = baskets.select("user_id").distinct().count()
     val item = baskets.groupBy(col("event_type").as("t"))
       .agg(count(lit(1)).as("c"))
@@ -1386,7 +1386,7 @@ object EvalQueries {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("x"))
-      .localCheckpoint(false) // both sides of the pair join
+      .localCheckpoint(true) // both sides of the pair join
     daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") &&
           col("a.d") < col("b.d"))
@@ -1424,7 +1424,7 @@ object EvalQueries {
       .where(col("split").isin("train", "test"))
       .select(col("split"), expr("n_chars div 50").as("bin"))
     val bins = split.groupBy("split", "bin").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val totals = bins.groupBy("split").agg(sum(col("c")).as("t"))
     val wide = bins.join(broadcast(totals), Seq("split"))
       .withColumn("__p", col("c").cast("double") / col("t").cast("double"))

@@ -108,9 +108,9 @@ object PipelineQueries {
     // scan dominates, so the fusion must not re-read it per ranking
     val withLen = docs.select(col("doc_id"), col("text").as("__text"),
       size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val tf = Ranking.termFrequencies(withLen, "doc_id", "__text")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val statsRow = withLen.agg(count(lit(1)), sum(col("dl"))).collect()(0)
     val nDocs = statsRow.getLong(0)
     val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
@@ -187,9 +187,9 @@ object PipelineQueries {
     val terms = Seq("join", "vector", "spark", "window")
     val withLen = docs.select(col("doc_id"), col("text").as("__text"),
       size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val tf = Ranking.termFrequencies(withLen, "doc_id", "__text")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val statsRow = withLen.agg(count(lit(1)), sum(col("dl"))).collect()(0)
     val nDocs = statsRow.getLong(0)
     val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble

@@ -337,6 +337,66 @@ object StreamingOps {
       .drop("__rk")
   }
 
+  /** Streaming twin of `Joins.intervalOverlapJoin`: interval × interval
+    * overlap (half-open `[start, end)` both sides) as a watermarked
+    * stream-stream join. The batch kernel's shape carries over intact —
+    * both sides explode into covered time bins, hash-join on the bin,
+    * and keep each matching pair only in its FIRST shared bin (an exact
+    * local predicate, so no distinct shuffle and no duplicate emits even
+    * when a pair shares many bins across micro-batches: the first-bin
+    * rows of both sides land in the same join-state key exactly once).
+    *
+    * What bounds the state: intervals longer than `maxLenMinutes` are
+    * dropped up front (an unbounded interval would have to wait in join
+    * state forever), and for intervals of length ≤ L any overlapping
+    * pair satisfies `|lEnd - rEnd| < L` — so the join carries that band
+    * as a time-range condition on the two watermarked end columns and
+    * Spark evicts each buffered row once the opposite watermark passes
+    * its band. State per side ≈ (rows arriving within watermark+L) ×
+    * bins-per-interval, independent of stream lifetime.
+    */
+  def intervalOverlapStream(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binMinutes: Int = 60, maxLenMinutes: Int = 240,
+      watermark: String = "30 minutes"): DataFrame = {
+    val binUs = binMinutes * 60L * 1000000L
+    val maxLen = expr(s"interval $maxLenMinutes minutes")
+    def binned(df: DataFrame, s: String, e: String, p: String) = df
+      // empty intervals overlap nothing (and would explode descending
+      // bin sequences); overlong intervals would pin join state forever
+      .where(col(e) > col(s) && col(e) <= col(s) + maxLen)
+      .withWatermark(e, watermark)
+      .withColumn(s"${p}su", unix_micros(col(s)))
+      .withColumn(s"${p}eu", unix_micros(col(e)))
+      .withColumn(s"${p}f", floor(col(s"${p}su") / binUs))
+      .withColumn(s"${p}bin", explode(sequence(
+        col(s"${p}f"),
+        floor((col(s"${p}eu") - 1) / binUs))))
+    val lb = binned(left, lStart, lEnd, "__l")
+    val rb = binned(right, rStart, rEnd, "__r")
+    // The overlap inequalities stay OUT of the join condition: Spark's
+    // StreamingJoinHelper attempts a state-watermark constraint for
+    // every cross-side inequality in the condition and WARNs (with an
+    // INTERNAL_ERROR stack) on each one it cannot solve, per micro-batch.
+    // Only the end-column band — which it CAN solve, and which drives
+    // eviction — belongs there. The overlap check runs as a post-join
+    // filter on candidate pairs (bin-bounded, so this is the cheap
+    // verify step); the UDF is semantically deterministic and is marked
+    // non-deterministic ONLY to stop the optimizer pushing it back into
+    // the join condition.
+    val overlapOk = udf((lsu: Long, reu: Long, rsu: Long, leu: Long) =>
+      lsu < reu && rsu < leu).asNondeterministic()
+    lb.join(rb,
+        col("__lbin") === col("__rbin") &&
+          col("__lbin") === greatest(col("__lf"), col("__rf")) &&
+          // the ≤-maxLen length bound implies |lEnd-rEnd| < maxLen for
+          // every true overlap; stating it on the watermarked end
+          // columns is what lets the engine age join state out
+          col(rEnd) > col(lEnd) - maxLen && col(rEnd) < col(lEnd) + maxLen)
+      .where(overlapOk(col("__lsu"), col("__reu"), col("__rsu"), col("__leu")))
+      .drop("__lbin", "__rbin", "__lf", "__rf", "__lsu", "__leu", "__rsu", "__reu")
+  }
+
   /** Windowed mergeable distinct-count sketches on a stream: per tumbling
     * window and group, an HLL sketch of the value column (binary, kB-sized,
     * union-able later across windows / streams / the batch history — the

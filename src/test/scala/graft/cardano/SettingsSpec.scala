@@ -65,6 +65,74 @@ class SettingsSpec extends AnyFunSuite with SparkTest {
     assert(s2 == Settings(), "no file, no env -> pure defaults")
   }
 
+  test("PANTASIA_LOG_CONFIG file drives per-logger levels; LOG_LEVEL wins for the app") {
+    // the reference's logging.yaml dialect, verbatim structure
+    // (main.py:404-415 reads it, then overrides the app logger's level
+    // with settings.log_level before dictConfig)
+    val yaml =
+      """version: 1
+        |formatters:
+        |  simple:
+        |    format: '%(asctime)s | %(message)s'
+        |handlers:
+        |  console:
+        |    class: logging.StreamHandler
+        |    level: DEBUG
+        |loggers:
+        |  pantasia-db-sync:
+        |    level: WARNING
+        |    handlers: [console, file]
+        |    propagate: no
+        |  graft.sync.driver:
+        |    level: DEBUG
+        |  org.apache.spark:
+        |    level: ERROR
+        |root:
+        |  level: DEBUG
+        |  handlers: [console]
+        |""".stripMargin
+    val parsed = LogConfig.parseLoggerLevels(yaml)
+    assert(parsed == Map(
+      "pantasia-db-sync" -> "WARNING",
+      "graft.sync.driver" -> "DEBUG",
+      "org.apache.spark" -> "ERROR",
+      LogConfig.Root -> "DEBUG"),
+      s"dialect parse mismatch: $parsed")
+
+    // layering: file supplies per-subsystem levels, env LOG_LEVEL
+    // replaces the app logger's (exactly main.py:411)
+    val s = Settings.fromMap(Map("PANTASIA_LOG_LEVEL" -> "DEBUG"))
+    val eff = LogConfig.effectiveLevels(s, Some(yaml))
+    assert(eff("pantasia-db-sync") == "DEBUG",
+      "PANTASIA_LOG_LEVEL must beat the file for the app logger")
+    assert(eff("org.apache.spark") == "ERROR" &&
+      eff("graft.sync.driver") == "DEBUG" && eff(LogConfig.Root) == "DEBUG")
+    // no file at all: the env level still lands on the app logger
+    assert(LogConfig.effectiveLevels(s, None) ==
+      Map("pantasia-db-sync" -> "DEBUG"))
+
+    // end-to-end: PANTASIA_LOG_CONFIG path -> log4j2 levels applied
+    val f = Files.createTempFile("graft-log", ".yaml")
+    Files.write(f, yaml.getBytes("UTF-8"))
+    val s2 = Settings.fromMap(Map(
+      "PANTASIA_LOG_CONFIG" -> f.toString,
+      "PANTASIA_LOG_LEVEL" -> "ERROR"))
+    assert(s2.logConfig == f.toString)
+    import org.apache.logging.log4j.{Level, LogManager}
+    val prevRoot = LogManager.getRootLogger.getLevel
+    try {
+      val applied = LogConfig(s2)
+      assert(applied("pantasia-db-sync") == "ERROR")
+      assert(LogManager.getLogger("graft.sync.driver").getLevel == Level.DEBUG)
+      assert(LogManager.getLogger("pantasia-db-sync").getLevel == Level.ERROR)
+    } finally {
+      // restore the suite's quiet levels (the file set root=DEBUG)
+      import org.apache.logging.log4j.core.config.Configurator
+      Configurator.setRootLevel(prevRoot)
+      Configurator.setLevel("org.apache.spark", Level.WARN)
+    }
+  }
+
   test("demo loop honors env overrides: interval drives the period grid") {
     val srcDir = Files.createTempDirectory("set-src").toString
     Fixture.write(spark, srcDir)

@@ -127,6 +127,56 @@ class SnapshotSpec extends AnyFunSuite with SparkTest {
       java.nio.file.Paths.get(s"$okDest/tbl/part-0000.parquet")))
   }
 
+  test("interactive restore CLI: list, pick by index, reference error answers") {
+    val out = Files.createTempDirectory("cli-out").toString
+    val store = new TableStore(spark, out)
+    new SyncDriver(spark, srcDir, store, 120).catchUp()
+    val tool = new SnapshotTool(store)
+    val backups = Files.createTempDirectory("cli-backups").toString
+    tool.archive(backups, "monthly")
+    tool.archive(backups, "nightly")
+
+    def run(input: String, dest: String): (Option[String], Seq[String]) = {
+      val printed = Seq.newBuilder[String]
+      val in = new java.io.BufferedReader(new java.io.StringReader(input))
+      val r = SnapshotTool.runRestore(tool, backups, dest, in, printed += _)
+      (r, printed.result())
+    }
+
+    // happy path: pick 2 -> "nightly" restored into a working store
+    val dest = Files.createTempDirectory("cli-dest").toString + "/store"
+    val (picked, lines) = run("2\n", dest)
+    assert(picked.contains("nightly"))
+    assert(lines.contains("Found the following backups :"))
+    assert(lines.contains("1: monthly") && lines.contains("2: nightly"),
+      "archives must list 1-based in sorted order")
+    val restored = new TableStore(spark, dest)
+    assert(restored.read("asset").count() == store.read("asset").count())
+
+    // reference error answers (backup_restore.py:343-347)
+    val d2 = Files.createTempDirectory("cli-dest2").toString + "/store"
+    val (r2, l2) = run("not-a-number\n", d2)
+    assert(r2.isEmpty &&
+      l2.contains("Error parsing integer. Please enter an integer."))
+    val (r3, l3) = run("7\n", d2)
+    assert(r3.isEmpty &&
+      l3.contains("Please enter an index number from the following list") &&
+      l3.count(_ == "2: nightly") == 2, "out-of-range re-lists the archives")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d2)),
+      "rejected picks must not touch the destination")
+
+    // empty backup dir
+    val (r4, l4) = run("1\n", d2)
+    val emptyDir = Files.createTempDirectory("cli-empty").toString
+    val (r5, l5) = {
+      val printed = Seq.newBuilder[String]
+      val in = new java.io.BufferedReader(new java.io.StringReader("1\n"))
+      (SnapshotTool.runRestore(tool, emptyDir, d2, in, printed += _), printed.result())
+    }
+    assert(r5.isEmpty && l5.exists(_.startsWith("No backups found")))
+    assert(r4.contains("monthly"), "valid pick on the second dest works")
+  }
+
   test("runContinuously syncs to tip, then stops gracefully on request") {
     val out = Files.createTempDirectory("cont-out").toString
     val store = new TableStore(spark, out)

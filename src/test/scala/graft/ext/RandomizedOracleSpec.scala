@@ -241,10 +241,12 @@ class RandomizedOracleSpec extends AnyFunSuite with SparkTest {
       var g = participants.map(_ -> 1.0).toMap
       for (_ <- 1 to 3) {
         g = participants.map { t =>
-          // j-ascending ordered fold, matching the operator's sort
+          // per-term round(6) DECIMAL sum, matching the operator's
+          // order-free denominator (terms commute exactly once rounded)
           val den = participants.filter(o => o != t && n(t, o) > 0.0)
-            .sorted.foldLeft(0.0)((acc, o) => acc + n(t, o) / (g(t) + g(o)))
-          t -> round6(wTot(t) / den)
+            .map(o => BigDecimal(round6(n(t, o) / (g(t) + g(o)))))
+            .foldLeft(BigDecimal(0))(_ + _)
+          t -> round6(wTot(t) / den.toDouble)
         }.toMap
       }
       val expected = participants.map(t => (t, g(t), wTot(t).toLong))

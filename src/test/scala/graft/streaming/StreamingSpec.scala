@@ -186,6 +186,41 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("watermarked stream-stream interval overlap matches the batch bin join") {
+    // derive interval streams from events: duration = pmod(event_id,7)*50
+    // minutes — 0 (empty: dropped), 50..200 (live), 250/300 (> maxLen:
+    // dropped by the streaming state bound; pre-filtered on the batch side)
+    def intervals(df: org.apache.spark.sql.DataFrame, p: String) = df
+      .select(col("event_id").as(s"${p}_id"), col("ts").as(s"${p}_s"),
+        expr("timestampadd(MINUTE, CAST(pmod(event_id, 7) * 50 AS INT), ts)")
+          .as(s"${p}_e"))
+    val sl = intervals(StreamingOps.eventsStream(spark, eventsDir)
+      .where(col("event_type") === "view"), "l")
+    val sr = intervals(StreamingOps.eventsStream(spark, eventsDir)
+      .where(col("event_type") === "click"), "r")
+    val q = StreamingOps.intervalOverlapStream(sl, "l_s", "l_e", sr, "r_s", "r_e",
+        binMinutes = 60, maxLenMinutes = 240, watermark = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("iov_out")
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q, 180000)
+    val streamed = spark.table("iov_out")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toList
+
+    val ev = Tables.events(spark, sfDir)
+    def lenOk(p: String) = col(s"${p}_e") <=
+      col(s"${p}_s") + expr("interval 240 minutes")
+    val bl = intervals(ev.where(col("event_type") === "view"), "l").where(lenOk("l"))
+    val br = intervals(ev.where(col("event_type") === "click"), "r").where(lenOk("r"))
+    val batch = graft.ext.Joins.intervalOverlapJoin(
+        bl, "l_s", "l_e", br, "r_s", "r_e", binMinutes = 60)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toList
+    assert(streamed.sorted == batch.sorted && batch.nonEmpty,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+    // exactly-once across shared bins: no pair may appear twice
+    assert(streamed.distinct.size == streamed.size)
+  }
+
   test("streaming sessionize (flatMapGroupsWithState) matches the batch oracle") {
     // Real streaming run: sessions closed by an observed gap are emitted;
     // each user's final session stays open in the state store (it would
