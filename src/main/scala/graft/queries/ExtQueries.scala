@@ -640,6 +640,138 @@ object ExtQueries {
        |) WHERE rank <= 10""".stripMargin
   }
 
+  /** IVF+PQ composite (IVFADC): coarse cells from the replayable IVF
+    * chain, PQ codes of the RESIDUALS (vector − cell centroid), ADC
+    * search restricted to each query's probed cells — the layout
+    * billion-vector deployments actually use. Bit-replayable end to end
+    * (splitmix init, scaled-long Lloyd, scale-6 integer subspace
+    * distances, packed-key argmin).
+    */
+  val annIvfPq: QueryFn = (s, dir) =>
+    graft.ext.IvfPq.search(Tables.embeddings(s, dir),
+      nCells = 16, m = 4, k = 16, nq = 5, topK = 10, nProbe = 2)
+
+  val annIvfPqSql: String = {
+    def assignCte(cents: String, out: String): String =
+      s"""${out}_n AS (
+         |  SELECT cell, cv,
+         |    sqrt(list_reduce(list_transform(cv, x -> x * x), (p, q) -> p + q)) AS nrm
+         |  FROM $cents
+         |), ${out}_u AS (
+         |  SELECT cell,
+         |    CASE WHEN nrm = 0 THEN cv ELSE list_transform(cv, x -> x / nrm) END AS ncv
+         |  FROM ${out}_n
+         |), ${out}_s AS (
+         |  SELECT e.id, e.v, c.cell, ${dotSql("e.v", "c.ncv")} AS s
+         |  FROM emb e CROSS JOIN ${out}_u c
+         |), $out AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT id, v, cell,
+         |      row_number() OVER (PARTITION BY id ORDER BY s DESC, cell ASC) AS rn
+         |    FROM ${out}_s) WHERE rn = 1
+         |)""".stripMargin
+    // scale-6 term of one (residual-element difference)² — Pq.dist6 on
+    // residual space
+    val rTerm = half6ScaledSql(
+      "(t.r[u.q*16 + i.i] - cb.cbv[u.q*16 + i.i])" +
+        " * (t.r[u.q*16 + i.i] - cb.cbv[u.q*16 + i.i]) * 1000000.0")
+    val qTerm = half6ScaledSql(
+      "(t.qr[u.q*16 + i.i] - cb.cbv[u.q*16 + i.i])" +
+        " * (t.qr[u.q*16 + i.i] - cb.cbv[u.q*16 + i.i]) * 1000000.0")
+    s"""WITH emb AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), st AS (SELECT greatest(count(*) // 64, 1) AS stride FROM emb),
+       |${mix64Cte("emb", "id, v")},
+       |picked AS (
+       |  SELECT id, v FROM hs, st WHERE ((hv % stride) + stride) % stride = 0
+       |), pc AS (SELECT count(*) AS c FROM picked),
+       |base AS (
+       |  SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS idx
+       |  FROM picked WHERE (SELECT c FROM pc) >= 16
+       |  UNION ALL
+       |  SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS idx
+       |  FROM (SELECT id, v FROM emb ORDER BY id LIMIT 16)
+       |  WHERE (SELECT c FROM pc) < 16
+       |), stp AS (SELECT greatest(count(*) // 16, 1) AS step FROM base),
+       |cents0 AS (
+       |  SELECT CAST(idx // step AS INT) AS cell, v AS cv
+       |  FROM base, stp WHERE idx % step = 0 AND idx // step < 16
+       |),
+       |${assignCte("cents0", "asg0")},
+       |lloyd AS (
+       |  SELECT cell, d.i AS dim,
+       |    CAST(sum(${half6ScaledSql("(v[d.i] * 1000000.0)")}) AS BIGINT) AS sv,
+       |    count(*) AS n
+       |  FROM asg0, unnest(generate_series(1, len(v))) d(i)
+       |  GROUP BY 1, 2
+       |), cents1 AS (
+       |  SELECT cell, list(CAST(sv AS DOUBLE) / 1000000.0 / n ORDER BY dim) AS cv
+       |  FROM lloyd GROUP BY cell
+       |),
+       |${assignCte("cents1", "asg1")},
+       |resid AS (
+       |  SELECT a.id, a.cell,
+       |    list_transform(generate_series(1, len(a.v)), i -> a.v[i] - c.cv[i]) AS r
+       |  FROM asg1 a JOIN cents1 c USING (cell)
+       |), rn0 AS (SELECT greatest(count(*) // 16, 1) AS cstride FROM resid),
+       |cb AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, r AS cbv
+       |  FROM (SELECT id, r FROM resid, rn0 WHERE id % cstride = 0
+       |        ORDER BY id LIMIT 16)
+       |), dist AS (
+       |  SELECT t.id, u.q, cb.c, sum($rTerm) AS d2
+       |  FROM resid t
+       |  CROSS JOIN cb
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS q) u
+       |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT id, q, min(d2 * 16 + c) % 16 AS code FROM dist GROUP BY 1, 2
+       |), qq AS (
+       |  SELECT id AS query_id, v AS qv,
+       |    sqrt(list_reduce(list_transform(v, x -> x * x), (p, q) -> p + q)) AS qn
+       |  FROM (SELECT id, v FROM emb ORDER BY id LIMIT 5)
+       |), ccn AS (
+       |  SELECT cell, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x * x), (p, q) -> p + q)) AS cn
+       |  FROM cents1
+       |), probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT query_id, qv, cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell ASC) AS pr
+       |    FROM (
+       |      SELECT q.query_id, q.qv, c.cell,
+       |        ${dotSql("q.qv", "c.cv")} / (q.qn * c.cn) AS csim
+       |      FROM qq q CROSS JOIN ccn c)) WHERE pr <= 2
+       |), qres AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] - c.cv[i]) AS qr
+       |  FROM probes p JOIN cents1 c USING (cell)
+       |), qdist AS (
+       |  SELECT t.query_id, t.cell, u.q, cb.c, sum($qTerm) AS d2
+       |  FROM qres t
+       |  CROSS JOIN cb
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS q) u
+       |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+       |  GROUP BY 1, 2, 3, 4
+       |), adist AS (
+       |  SELECT qd.query_id, co.id AS neighbor_id, sum(qd.d2) AS adist
+       |  FROM resid co
+       |  JOIN codes cd ON cd.id = co.id
+       |  JOIN qdist qd ON qd.cell = co.cell AND qd.q = cd.q AND qd.c = cd.code
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, adist, rank FROM (
+       |  SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |    CAST(adist AS BIGINT) AS adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM adist WHERE query_id <> neighbor_id
+       |) WHERE rank <= 10""".stripMargin
+  }
+
   // --- text analysis -------------------------------------------------------
 
   val textTokens: QueryFn = (s, dir) =>
@@ -3136,6 +3268,7 @@ object ExtQueries {
     "ann_lsh"              -> annLsh,
     "ann_ivf"              -> annIvf,
     "ann_pq"               -> annPq,
+    "ann_ivf_pq"           -> annIvfPq,
     "text_tokens"          -> textTokens,
     "text_quality"         -> textQuality,
     "text_entropy"         -> textEntropy,
@@ -3237,6 +3370,7 @@ object ExtQueries {
     "ann_lsh"             -> annLshSql,
     "ann_ivf"             -> annIvfSql,
     "ann_pq"              -> annPqSql,
+    "ann_ivf_pq"          -> annIvfPqSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,
     "text_entropy"        -> textEntropySql,

@@ -153,4 +153,41 @@ class Round8Spec extends AnyFunSuite with SparkTest {
     val f2 = graft.queries.ExtQueries.docsFingerprint(spark, dir)
     assert(f1 != f2, "rewritten data must change the fingerprint (stale-memo guard)")
   }
+
+  // ---- IvfPq composite ----------------------------------------------------
+
+  test("IVF+PQ composite: same-cluster hits dominate; partition-invariant") {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(8, 32)(rnd.nextGaussian().toFloat)
+    val data = (0 until 8).flatMap { c =>
+      (0 until 10).map { i =>
+        val v = centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+        // permute ids so clusters interleave across the id space (the
+        // stride-init coverage rule from the Ivf spec)
+        (((c * 10 + i) * 13L) % 80, v, c)
+      }
+    }
+    val df = data.toDF("vec_id", "embedding", "cluster")
+    val byCluster = data.map(t => t._1 -> t._3).toMap
+
+    def run(d: org.apache.spark.sql.DataFrame) =
+      IvfPq.search(d, nCells = 10, m = 4, k = 16, nq = 8, topK = 3, nProbe = 2)
+
+    val rows = run(df).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // residual quantization must keep ADC sharp enough that probed
+    // same-cluster members out-rank cross-cluster candidates
+    val same = rows.count { case (q, n) => byCluster(q) == byCluster(n) }
+    assert(same.toDouble / rows.length >= 0.8,
+      s"same-cluster precision ${same.toDouble / rows.length} ($same/${rows.length})")
+
+    // the oracle contract: the full chain (init, Lloyd, residual
+    // codebook, codes, probes, ADC) is bit-identical across partitionings
+    val a = run(df.repartition(1)).as[(Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._4))
+    val b = run(df.repartition(32)).as[(Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._4))
+    assert(a.toSeq == b.toSeq, "composite chain not partition-invariant")
+  }
 }
