@@ -328,6 +328,101 @@ object Similarity {
           .as("lambda"))
   }
 
+  /** Frozen seed state of the two-level assignment: the distributed
+    * (cell → sorted seed array) table plus the nearest-LIVE-cell
+    * projection over the broadcast coarse centroids. Derived once from a
+    * seed corpus, applicable to ANY target frame — which is what makes
+    * the incremental variant share the exact batch chain.
+    */
+  private case class SeedState(
+      cellSeeds: DataFrame,
+      liveCellUdf: org.apache.spark.sql.expressions.UserDefinedFunction)
+
+  /** Build the two-level seed state from `base` (a prepped
+    * (vec_id, __v) frame): fine seeds = the `kEff` smallest ids, coarse
+    * centroids = the first ceil(√k) of them — the ONLY vectors ever
+    * collected or broadcast (O(√k) at any corpus size); the k fine seeds
+    * stay a distributed cell-keyed table (VERDICT r07 #1).
+    */
+  private def seedState(base: DataFrame, kEff: Int): SeedState = {
+    // fine seeds are the kEff smallest ids; their id bound and actual
+    // count (min(kEff, n)) come from ONE TakeOrdered over the 8-byte id
+    // column alone — no seed VECTOR ever reaches the driver from here
+    val Array(seedMaxId, seedCountAny) =
+      base.select(col("vec_id")).orderBy("vec_id").limit(kEff)
+        .agg(max("vec_id"), count(lit(1))).head().toSeq.toArray
+    val seedCount = seedCountAny.asInstanceOf[Long].toInt
+    val c = math.min(autoCoarseCount(seedCount), seedCount)
+    // coarse centroids: the c smallest-id vectors — the ONLY collect
+    val coarseVecs: Array[Array[Double]] =
+      base.orderBy("vec_id").limit(c).collect()
+        .map(_.getSeq[Double](1).toArray)
+    val spark = base.sparkSession
+    val bcCoarseAll = spark.sparkContext.broadcast(coarseVecs)
+    val seedIdx = graft.cardano.SurrogateIds.withSequence(
+      base.where(col("vec_id") <= lit(seedMaxId)), "__sidx", Seq(col("vec_id")))
+    // each fine seed pinned to its nearest coarse cell (ALL cells probed,
+    // strict < ties to the smallest cell idx — the oracle's ORDER BY
+    // dist, idx)
+    val seedCellUdf = udf { v: Seq[Double] =>
+      nearestIdx(v.toArray, bcCoarseAll.value)
+    }
+    val seedCells = seedIdx
+      .select(col("__sidx"), col("__v"), seedCellUdf(col("__v")).as("__cell"))
+      .localCheckpoint(true) // k rows: live-cell probe + the cell table
+    // live cells (≥1 fine seed): O(√k) ids, the only other driver fetch
+    val liveCells: Array[Int] =
+      seedCells.select("__cell").distinct().collect().map(_.getInt(0)).sorted
+    val bcLive = spark.sparkContext.broadcast(
+      (liveCells, liveCells.map(coarseVecs(_))))
+    val liveCellUdf = udf { v: Seq[Double] =>
+      val arr = v.toArray
+      val (live, cvs) = bcLive.value
+      // nearest live coarse cell (strict < keeps the smallest live cidx)
+      var bi = 0
+      var bd = Double.PositiveInfinity
+      var j = 0
+      while (j < cvs.length) {
+        val d = sqDist(arr, cvs(j))
+        if (d < bd) { bd = d; bi = j }
+        j += 1
+      }
+      live(bi)
+    }
+    // (cell -> seeds sorted by ascending idx): ~k/√k seeds per row, so a
+    // group buffer is O(√k·d); the table itself is never collected
+    val cellSeeds = seedCells.groupBy("__cell")
+      .agg(array_sort(collect_list(struct(col("__sidx"), col("__v"))))
+        .as("__ss"))
+    lastAssignStats = (coarseVecs.length, liveCells.length)
+    SeedState(cellSeeds, liveCellUdf)
+  }
+
+  /** Assign a prepped (vec_id, __v) frame against a frozen seed state:
+    * nearest live coarse cell row-locally (√k folds), then the fine
+    * argmin via the cell-keyed equi-join (≈√k folds) — O(√k) per row.
+    * Returns (vec_id, __v, cluster, __dist).
+    */
+  private def applyAssign(st: SeedState, target: DataFrame): DataFrame = {
+    val fineUdf = udf { (v: Seq[Double], ss: Seq[org.apache.spark.sql.Row]) =>
+      val arr = v.toArray
+      // nearest fine seed within the cell, ascending idx, strict <
+      var cluster = -1L
+      var dist = Double.PositiveInfinity
+      ss.foreach { r =>
+        val d = sqDist(arr, r.getSeq[Double](1).toArray)
+        if (d < dist) { dist = d; cluster = r.getLong(0) }
+      }
+      (cluster, dist)
+    }
+    target
+      .withColumn("__cell", st.liveCellUdf(col("__v")))
+      .join(st.cellSeeds, Seq("__cell")) // every live cell has >=1 seed: inner-safe
+      .withColumn("__a", fineUdf(col("__v"), col("__ss")))
+      .select(col("vec_id"), col("__v"),
+        col("__a._1").as("cluster"), col("__a._2").as("__dist"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space, then drop items whose cosine to an earlier item of
     * the same cluster exceeds `tau`. This is the practical banded form:
@@ -377,73 +472,7 @@ object Similarity {
         df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v")))
       .localCheckpoint(true) // read thrice: seed bound, seed table, assignment
     val kEff = if (k > 0) k else autoClusterCount(base.count())
-    // fine seeds are the kEff smallest ids; their id bound and actual
-    // count (min(kEff, n)) come from ONE TakeOrdered over the 8-byte id
-    // column alone — no seed VECTOR ever reaches the driver from here
-    val Array(seedMaxId, seedCountAny) =
-      base.select(col("vec_id")).orderBy("vec_id").limit(kEff)
-        .agg(max("vec_id"), count(lit(1))).head().toSeq.toArray
-    val seedCount = seedCountAny.asInstanceOf[Long].toInt
-    val c = math.min(autoCoarseCount(seedCount), seedCount)
-    // coarse centroids: the c smallest-id vectors — the ONLY collect
-    val coarseVecs: Array[Array[Double]] =
-      base.orderBy("vec_id").limit(c).collect()
-        .map(_.getSeq[Double](1).toArray)
-    val spark = df.sparkSession
-    val bcCoarseAll = spark.sparkContext.broadcast(coarseVecs)
-    val seedIdx = graft.cardano.SurrogateIds.withSequence(
-      base.where(col("vec_id") <= lit(seedMaxId)), "__sidx", Seq(col("vec_id")))
-    // each fine seed pinned to its nearest coarse cell (ALL cells probed,
-    // strict < ties to the smallest cell idx — the oracle's ORDER BY
-    // dist, idx)
-    val seedCellUdf = udf { v: Seq[Double] =>
-      nearestIdx(v.toArray, bcCoarseAll.value)
-    }
-    val seedCells = seedIdx
-      .select(col("__sidx"), col("__v"), seedCellUdf(col("__v")).as("__cell"))
-      .localCheckpoint(true) // k rows: live-cell probe + the cell table
-    // live cells (≥1 fine seed): O(√k) ids, the only other driver fetch
-    val liveCells: Array[Int] =
-      seedCells.select("__cell").distinct().collect().map(_.getInt(0)).sorted
-    val bcLive = spark.sparkContext.broadcast(
-      (liveCells, liveCells.map(coarseVecs(_))))
-    val liveCellUdf = udf { v: Seq[Double] =>
-      val arr = v.toArray
-      val (live, cvs) = bcLive.value
-      // nearest live coarse cell (strict < keeps the smallest live cidx)
-      var bi = 0
-      var bd = Double.PositiveInfinity
-      var j = 0
-      while (j < cvs.length) {
-        val d = sqDist(arr, cvs(j))
-        if (d < bd) { bd = d; bi = j }
-        j += 1
-      }
-      live(bi)
-    }
-    // (cell -> seeds sorted by ascending idx): ~k/√k seeds per row, so a
-    // group buffer is O(√k·d); the table itself is never collected
-    val cellSeeds = seedCells.groupBy("__cell")
-      .agg(array_sort(collect_list(struct(col("__sidx"), col("__v"))))
-        .as("__ss"))
-    val fineUdf = udf { (v: Seq[Double], ss: Seq[org.apache.spark.sql.Row]) =>
-      val arr = v.toArray
-      // nearest fine seed within the cell, ascending idx, strict <
-      var cluster = -1L
-      var dist = Double.PositiveInfinity
-      ss.foreach { r =>
-        val d = sqDist(arr, r.getSeq[Double](1).toArray)
-        if (d < dist) { dist = d; cluster = r.getLong(0) }
-      }
-      (cluster, dist)
-    }
-    lastAssignStats = (coarseVecs.length, liveCells.length)
-    val assigned = base
-      .withColumn("__cell", liveCellUdf(col("__v")))
-      .join(cellSeeds, Seq("__cell")) // every live cell has >=1 seed: inner-safe
-      .withColumn("__a", fineUdf(col("__v"), col("__ss")))
-      .select(col("vec_id"), col("__v"),
-        col("__a._1").as("cluster"), col("__a._2").as("__dist"))
+    val assigned = applyAssign(seedState(base, kEff), base)
     val positioned = assigned
       .withColumn("__pos", row_number().over(
         Window.partitionBy("cluster").orderBy(col("__dist"), col("vec_id"))))
@@ -464,6 +493,55 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         round(col("__nn"), 6).as("nn_cos"),
         (col("__nn").isNull || col("__nn") < tau).as("keep"))
+  }
+
+  /** Incremental SemDeDup: screen a NEW period's vectors against an
+    * EXISTING corpus without re-deduping the corpus. Seeds, coarse
+    * cells, and cluster structure come from the CORPUS ALONE (frozen —
+    * the same two-level chain as `semanticDedup`); each corpus cluster
+    * is represented by its `band` members closest to the seed (by
+    * (distance, id) — the stable centroid-proximal representatives);
+    * each batch vector is assigned to its corpus cluster by the same
+    * O(√k)-per-row projection+join and compared ONLY to that cluster's
+    * representatives. `keep` = max cosine to the representatives < tau.
+    *
+    * Scale shape: the pairing is period × band, never period × corpus —
+    * the fan-out is batch-sized (the `dedup_minhash_incremental` rule),
+    * the rep table is k·band rows (index-sized), and the only new
+    * exchange is the cluster-keyed rep join. Deterministic end to end:
+    * the assignment chain is the batch op's, representative selection
+    * has pinned (dist, id) tiebreaks, and cosines replay as ordered
+    * double folds — the whole thing hash-matches the DuckDB oracle.
+    */
+  def semanticDedupIncremental(corpus: DataFrame, batch: DataFrame,
+      k: Int = 0, band: Int = 8, tau: Double = 0.4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame): DataFrame = DataOps.parallelismFloor(
+      df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v")))
+    val cbase = prep(corpus)
+      .localCheckpoint(true) // seed bound, seed table, corpus assignment
+    val kEff = if (k > 0) k else autoClusterCount(cbase.count())
+    val st = seedState(cbase, kEff)
+    // corpus representatives: per cluster the `band` closest to the seed
+    val reps = applyAssign(st, cbase)
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("__dist"), col("vec_id"))))
+      .where(col("__pos") <= band)
+      .select(col("cluster"), col("__v").as("__vr"),
+        dot(col("__v"), col("__v")).as("__sqr"))
+      .localCheckpoint(true) // k·band rows; sized for a broadcast below
+    val bAsg = applyAssign(st, prep(batch))
+      .withColumn("__sq", dot(col("__v"), col("__v")))
+    // a batch row's cluster always has corpus members (its seed, or the
+    // smaller-id duplicate that owns every vector tied with it), so the
+    // inner join drops nothing
+    bAsg.join(reps, Seq("cluster"))
+      .withColumn("__cos",
+        dot(col("__v"), col("__vr")) / (sqrt(col("__sq")) * sqrt(col("__sqr"))))
+      .groupBy("vec_id")
+      .agg(max(col("cluster")).as("cluster"), max(col("__cos")).as("__nn"))
+      .select(col("vec_id"), col("cluster"),
+        round(col("__nn"), 6).as("nn_cos"), (col("__nn") < tau).as("keep"))
   }
 
   /** Cluster count for `semanticDedup`'s auto mode: one cluster per 10k

@@ -2990,6 +2990,107 @@ object ExtQueries {
       |       (n.nncos IS NULL OR n.nncos < 0.4) AS keep
       |FROM cl c LEFT JOIN nn n ON c.vec_id = n.vec_id""".stripMargin
 
+  /** Incremental SemDeDup: the 20% "new period" slice screened against
+    * the frozen cluster structure of the other 80% — seeds, coarse
+    * cells, and the band closest-to-seed representatives all come from
+    * the corpus alone, and the pairing is batch × band (period-sized
+    * fan-out, the `dedup_minhash_incremental` rule). Replayed with the
+    * batch op's exact folds and tie rules.
+    */
+  val dedupSemanticIncremental: QueryFn = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semanticDedupIncremental(
+      emb.where(col("vec_id") % 5 =!= 4),
+      emb.where(col("vec_id") % 5 === 4), k = 0, band = 8, tau = 0.4)
+  }
+  val dedupSemanticIncrementalSql: String =
+    """WITH corp AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id % 5 <> 4
+      |), newb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id % 5 = 4
+      |), seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS seed_idx, v AS seed
+      |  FROM (SELECT vec_id, v FROM corp ORDER BY vec_id
+      |        LIMIT (SELECT greatest(16, CAST(ceil(count(*) / 10000.0) AS BIGINT)) FROM corp))
+      |), coarse AS (
+      |  SELECT seed_idx AS cidx, seed AS cvec FROM seeds
+      |  WHERE seed_idx < (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM seeds)
+      |), scell AS (
+      |  SELECT seed_idx, seed, cell FROM (
+      |    SELECT s.seed_idx, s.seed, c.cidx AS cell,
+      |           row_number() OVER (PARTITION BY s.seed_idx ORDER BY
+      |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(list_zip(s.seed, c.cvec),
+      |                 p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, x) -> a + x),
+      |             c.cidx) AS rn
+      |    FROM seeds s CROSS JOIN coarse c)
+      |  WHERE rn = 1
+      |), live AS (
+      |  SELECT cidx, cvec FROM coarse
+      |  WHERE cidx IN (SELECT DISTINCT cell FROM scell)
+      |), rcell AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT b.vec_id, b.v, c.cidx AS cell,
+      |           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(list_zip(b.v, c.cvec),
+      |                 p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, x) -> a + x),
+      |             c.cidx) AS rn
+      |    FROM corp b CROSS JOIN live c)
+      |  WHERE rn = 1
+      |), asg AS (
+      |  SELECT vec_id, v, seed_idx, dist,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_idx) AS rn
+      |  FROM (
+      |    SELECT r.vec_id, r.v, s.seed_idx,
+      |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(list_zip(r.v, s.seed),
+      |               p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, x) -> a + x) AS dist
+      |    FROM rcell r JOIN scell s ON r.cell = s.cell)
+      |), reps AS (
+      |  SELECT cluster, v AS vr, sq AS sqr FROM (
+      |    SELECT vec_id, v, seed_idx AS cluster, dist,
+      |           row_number() OVER (PARTITION BY seed_idx ORDER BY dist, vec_id) AS pos,
+      |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(v, x -> x * x)), (a, x) -> a + x) AS sq
+      |    FROM asg WHERE rn = 1) WHERE pos <= 8
+      |), brcell AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT b.vec_id, b.v, c.cidx AS cell,
+      |           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(list_zip(b.v, c.cvec),
+      |                 p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, x) -> a + x),
+      |             c.cidx) AS rn
+      |    FROM newb b CROSS JOIN live c)
+      |  WHERE rn = 1
+      |), basg AS (
+      |  SELECT vec_id, v, seed_idx, dist,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_idx) AS rn
+      |  FROM (
+      |    SELECT r.vec_id, r.v, s.seed_idx,
+      |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(list_zip(r.v, s.seed),
+      |               p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, x) -> a + x) AS dist
+      |    FROM brcell r JOIN scell s ON r.cell = s.cell)
+      |), bcl AS (
+      |  SELECT vec_id, v, seed_idx AS cluster,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(v, x -> x * x)), (a, x) -> a + x) AS sq
+      |  FROM basg WHERE rn = 1
+      |), nn AS (
+      |  SELECT b.vec_id, max(b.cluster) AS cluster,
+      |         max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(list_zip(b.v, r.vr), p -> p[1] * p[2])),
+      |           (x, y) -> x + y) / (sqrt(b.sq) * sqrt(r.sqr))) AS nncos
+      |  FROM bcl b JOIN reps r ON r.cluster = b.cluster
+      |  GROUP BY b.vec_id
+      |)
+      |SELECT vec_id, cluster, round(nncos, 6) AS nn_cos, (nncos < 0.4) AS keep
+      |FROM nn""".stripMargin
+
   /** Deterministic Count-Min sketch over token document-frequencies:
     * counters are a fixed 4×1024 table built from the distinct-per-doc
     * token hashes (`word_shingle_hashes(text, 1)` — the same FNV-1a the
@@ -3269,6 +3370,7 @@ object ExtQueries {
     "ann_ivf"              -> annIvf,
     "ann_pq"               -> annPq,
     "ann_ivf_pq"           -> annIvfPq,
+    "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "text_tokens"          -> textTokens,
     "text_quality"         -> textQuality,
     "text_entropy"         -> textEntropy,
@@ -3371,6 +3473,7 @@ object ExtQueries {
     "ann_ivf"             -> annIvfSql,
     "ann_pq"              -> annPqSql,
     "ann_ivf_pq"          -> annIvfPqSql,
+    "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,
     "text_entropy"        -> textEntropySql,

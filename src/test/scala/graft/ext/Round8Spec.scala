@@ -154,6 +154,41 @@ class Round8Spec extends AnyFunSuite with SparkTest {
     assert(f1 != f2, "rewritten data must change the fingerprint (stale-memo guard)")
   }
 
+  // ---- incremental SemDeDup ------------------------------------------------
+
+  test("incremental SemDeDup: frozen corpus clusters screen a new period") {
+    val rnd = new scala.util.Random(7)
+    // corpus: 3 orthogonal direction clusters (10 each) in 8-d
+    val corpus = (0 until 30).map { i =>
+      val axis = i / 10
+      val v = Array.tabulate(8)(d =>
+        (if (d == axis) 1.0 else 0.0) + 0.03 * rnd.nextGaussian())
+      (i.toLong, v.toSeq)
+    }
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    // batch: a near-copy of corpus vector 5 (same direction) + a novel
+    // orthogonal direction no corpus cluster occupies
+    val nearDup = corpus(5)._2.map(_ * 1.001)
+    val novel = Array.tabulate(8)(d => if (d == 6) 1.0 else 0.0).toSeq
+    val batchDf = Seq((100L, nearDup), (101L, novel)).toDF("vec_id", "embedding")
+
+    val out = Similarity.semanticDedupIncremental(corpusDf, batchDf,
+        k = 0, band = 8, tau = 0.4)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out.keySet == Set(100L, 101L), "one verdict per batch row")
+    assert(!out(100L), "near-dup of corpus content must be dropped")
+    assert(out(101L), "novel direction must be kept")
+
+    // the corpus is NOT re-deduped and batch rows never pair with each
+    // other: a second identical batch row still gets the same verdict
+    val out2 = Similarity.semanticDedupIncremental(corpusDf,
+        Seq((100L, nearDup), (102L, nearDup)).toDF("vec_id", "embedding"),
+        k = 0, band = 8, tau = 0.4)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!out2(100L) && !out2(102L),
+      "verdicts are per-row against the corpus, not order-dependent within the batch")
+  }
+
   // ---- IvfPq composite ----------------------------------------------------
 
   test("IVF+PQ composite: same-cluster hits dominate; partition-invariant") {

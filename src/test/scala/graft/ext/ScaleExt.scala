@@ -326,6 +326,20 @@ object ScaleExt {
     require(rIvf >= 0.8, f"IVF nProbe=8 recall $rIvf%.3f below 0.8 on clustered data")
     require(rLsh >= 0.4, f"LSH recall $rLsh%.3f below 0.4 on clustered data")
     require(rPq >= 0.2, f"PQ recall $rPq%.3f below 0.2 on clustered data")
+    // the IVFADC composite (cell-probed ADC over residual codes): recall
+    // compounds IVF's probe coverage with PQ's in-cell ranking, and the
+    // residual trick is what keeps the same k=64 codebook sharp here
+    val ivfPqRes = t("ann-ivf-pq")(
+      IvfPq.search(annCorpus, nCells = 256, m = 8, k = 64,
+        nq = nq, topK = 10, nProbe = 8).localCheckpoint())
+    val rIvfPq = {
+      val hits = exactL2.join(ivfPqRes.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+      val r = hits / exactL2.count().toDouble
+      println(f"SCALEEXT ann-recall@10 ivfpq $r%.3f (vs exact-L2 truth)")
+      r
+    }
+    require(rIvfPq >= 0.5, f"IVF+PQ recall $rIvfPq%.3f below 0.5 on clustered data")
     spark.stop()
   }
 }
