@@ -544,6 +544,80 @@ object Similarity {
         round(col("__nn"), 6).as("nn_cos"), (col("__nn") < tau).as("keep"))
   }
 
+  /** Streaming form of [[semanticDedupIncremental]]: screen an unbounded
+    * STREAM of vectors against the frozen corpus cluster structure. Same
+    * semantics, zero state: the seed table, coarse centroids, and the
+    * per-cluster representative ARRAYS are all derived from the static
+    * corpus when the query is built, and each arriving vector is a pure
+    * projection + two stream-static joins (cell table, rep arrays) with
+    * the max-cosine fold computed row-locally over its cluster's ≤`band`
+    * representatives — append-mode, no watermark, no state store, so one
+    * definition serves batch frames and streams identically (the spec
+    * pins stream ≡ [[semanticDedupIncremental]]).
+    */
+  def semanticScreen(stream: DataFrame, corpus: DataFrame,
+      k: Int = 0, band: Int = 8, tau: Double = 0.4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cbase = DataOps.parallelismFloor(
+        corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v")))
+      .localCheckpoint(true)
+    val kEff = if (k > 0) k else autoClusterCount(cbase.count())
+    val st = seedState(cbase, kEff)
+    val reps = applyAssign(st, cbase)
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("__dist"), col("vec_id"))))
+      .where(col("__pos") <= band)
+      .groupBy("cluster")
+      .agg(collect_list(struct(col("__v").as("vr"),
+        dot(col("__v"), col("__v")).as("sqr"))).as("__reps"))
+      .localCheckpoint(true) // k rows of ≤band reps: the static join side
+    val nnUdf = udf { (v: Seq[Double], rs: Seq[org.apache.spark.sql.Row]) =>
+      val arr = v.toArray
+      var sq = 0.0
+      var si = 0
+      while (si < arr.length) { sq += arr(si) * arr(si); si += 1 }
+      var best = Double.NegativeInfinity
+      rs.foreach { r =>
+        val vr = r.getSeq[Double](0)
+        var s = 0.0
+        var i = 0
+        while (i < arr.length) { s += arr(i) * vr(i); i += 1 }
+        val c = s / (math.sqrt(sq) * math.sqrt(r.getDouble(1)))
+        if (c > best) best = c
+      }
+      best
+    }
+    val prepped = stream.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("__v"))
+    applyAssignStreamSafe(st, prepped)
+      .join(broadcast(reps), Seq("cluster"))
+      .withColumn("__nn", nnUdf(col("__v"), col("__reps")))
+      .select(col("vec_id"), col("cluster"),
+        round(col("__nn"), 6).as("nn_cos"), (col("__nn") < tau).as("keep"))
+  }
+
+  /** [[applyAssign]] with the cell table broadcast explicitly — the
+    * stream side must never be the build side of a shuffle join.
+    */
+  private def applyAssignStreamSafe(st: SeedState, target: DataFrame): DataFrame = {
+    val fineUdf = udf { (v: Seq[Double], ss: Seq[org.apache.spark.sql.Row]) =>
+      val arr = v.toArray
+      var cluster = -1L
+      var dist = Double.PositiveInfinity
+      ss.foreach { r =>
+        val d = sqDist(arr, r.getSeq[Double](1).toArray)
+        if (d < dist) { dist = d; cluster = r.getLong(0) }
+      }
+      (cluster, dist)
+    }
+    target
+      .withColumn("__cell", st.liveCellUdf(col("__v")))
+      .join(broadcast(st.cellSeeds), Seq("__cell"))
+      .withColumn("__a", fineUdf(col("__v"), col("__ss")))
+      .select(col("vec_id"), col("__v"),
+        col("__a._1").as("cluster"), col("__a._2").as("__dist"))
+  }
+
   /** Cluster count for `semanticDedup`'s auto mode: one cluster per 10k
     * vectors, floored at 16 — cluster-keyed parallelism grows linearly
     * with the corpus while mean cluster size stays ~constant.

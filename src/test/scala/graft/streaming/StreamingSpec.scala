@@ -221,6 +221,29 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
     assert(streamed.distinct.size == streamed.size)
   }
 
+  test("streaming semantic screen matches the incremental batch op exactly") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val corpus = emb.where(col("vec_id") % 5 =!= 4)
+    val batch = emb.where(col("vec_id") % 5 === 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val d = Files.createTempDirectory("emb-stream").toString
+    batch.coalesce(2).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(batch.schema).parquet(d)
+
+    val q = graft.ext.Similarity.semanticScreen(stream, corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sem_screen_out")
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q, 180000)
+    val streamed = spark.table("sem_screen_out")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+
+    val expected = graft.ext.Similarity.semanticDedupIncremental(corpus, batch)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(streamed == expected && expected.nonEmpty,
+      s"stream ${streamed.size} rows vs batch ${expected.size}")
+  }
+
   test("streaming sessionize (flatMapGroupsWithState) matches the batch oracle") {
     // Real streaming run: sessions closed by an observed gap are emitted;
     // each user's final session stays open in the state store (it would
