@@ -336,7 +336,8 @@ object Similarity {
     */
   private case class SeedState(
       cellSeeds: DataFrame,
-      liveCellUdf: org.apache.spark.sql.expressions.UserDefinedFunction)
+      liveCellUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
+      seedCount: Int)
 
   /** Build the two-level seed state from `base` (a prepped
     * (vec_id, __v) frame): fine seeds = the `kEff` smallest ids, coarse
@@ -395,7 +396,7 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("__sidx"), col("__v"))))
         .as("__ss"))
     lastAssignStats = (coarseVecs.length, liveCells.length)
-    SeedState(cellSeeds, liveCellUdf)
+    SeedState(cellSeeds, liveCellUdf, seedCount)
   }
 
   /** Assign a prepped (vec_id, __v) frame against a frozen seed state:
@@ -535,7 +536,7 @@ object Similarity {
     // a batch row's cluster always has corpus members (its seed, or the
     // smaller-id duplicate that owns every vector tied with it), so the
     // inner join drops nothing
-    bAsg.join(reps, Seq("cluster"))
+    bAsg.join(sizedSide(reps, kEff.toLong * band), Seq("cluster"))
       .withColumn("__cos",
         dot(col("__v"), col("__vr")) / (sqrt(col("__sq")) * sqrt(col("__sqr"))))
       .groupBy("vec_id")
@@ -590,14 +591,25 @@ object Similarity {
     val prepped = stream.select(col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("__v"))
     applyAssignStreamSafe(st, prepped)
-      .join(broadcast(reps), Seq("cluster"))
+      .join(sizedSide(reps, kEff.toLong * band), Seq("cluster"))
       .withColumn("__nn", nnUdf(col("__v"), col("__reps")))
       .select(col("vec_id"), col("cluster"),
         round(col("__nn"), 6).as("nn_cos"), (col("__nn") < tau).as("keep"))
   }
 
-  /** [[applyAssign]] with the cell table broadcast explicitly — the
-    * stream side must never be the build side of a shuffle join.
+  /** Join-strategy guard for the index-sized-but-k-proportional sides
+    * (reps: k·band rows, cell table: k seed vectors): broadcast while
+    * genuinely small, pin shuffle_hash above the bound — checkpointed
+    * frames carry no size statistics, so leaving the planner to gamble
+    * re-opens the broadcast-OOM ScaleAudit measured on the
+    * set-similarity joins, and auto-k grows with the corpus (at 1B
+    * vectors, k = 100k ⇒ reps ≈ 800k rows — not a broadcast).
+    */
+  private def sizedSide(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= 200000L) broadcast(df) else df.hint("shuffle_hash")
+
+  /** [[applyAssign]] with the small side's strategy pinned — in the
+    * streaming path the stream side must never be the build side.
     */
   private def applyAssignStreamSafe(st: SeedState, target: DataFrame): DataFrame = {
     val fineUdf = udf { (v: Seq[Double], ss: Seq[org.apache.spark.sql.Row]) =>
@@ -612,7 +624,7 @@ object Similarity {
     }
     target
       .withColumn("__cell", st.liveCellUdf(col("__v")))
-      .join(broadcast(st.cellSeeds), Seq("__cell"))
+      .join(sizedSide(st.cellSeeds, st.seedCount), Seq("__cell"))
       .withColumn("__a", fineUdf(col("__v"), col("__ss")))
       .select(col("vec_id"), col("__v"),
         col("__a._1").as("cluster"), col("__a._2").as("__dist"))
