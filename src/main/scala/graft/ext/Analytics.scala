@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics and snapshot-comparison operators.
@@ -874,5 +875,134 @@ object Analytics {
       .withColumn("prob",
         round(col("cnt").cast("double") / col("__t").cast("double"), 6))
       .drop("__t")
+  }
+
+  /** Per-slice exact binomial sign test over a day-ordered count series,
+    * corrected for multiple testing with Benjamini–Hochberg — the audit
+    * that separates "this slice's volume is trending" from "one of 40
+    * slices was bound to look like it" (the multiple-comparisons trap
+    * every per-slice quality dashboard falls into).
+    *
+    * The series is the slice's daily row count (integer-exact, the
+    * tsTrend compression), so the consecutive-day movement signs need no
+    * float arithmetic at all. Per slice: k = # upward movements among
+    * the n non-flat movements; the two-sided p-value is the exact
+    * binomial tail 2·min(P[X≤k], P[X≥k]) at p=½ — computed from exact
+    * BIGINT binomial coefficients via the multiplicative recurrence
+    * C(n,j) = Π_{i≤j} (n−i+1)/i folded in order (each prefix is itself a
+    * binomial coefficient, so every intermediate division is exact; for
+    * day-count series n ≤ 366, far inside the C(n,·)·n ≤ 2^63 envelope
+    * whenever n ≤ 61 — `require`d, since a year of DAILY movements never
+    * exceeds it per period and longer windows should aggregate weekly).
+    * One final division per slice, rounded at 6.
+    *
+    * BH step-up across the m slices: rank p ascending (ties broken by
+    * slice id for determinism), reject ranks ≤ k* = max{i : p_(i) ≤
+    * i·q/m}. The ranking window runs over the SLICE-GRANULARITY table (m
+    * rows, one per slice — the compressed-table exception to the
+    * no-global-window rule; the data-scale rows never see a window).
+    *
+    * Scale: one (slice, day) count aggregation (map-side combining), one
+    * slice-keyed lag window, one slice-keyed sum — then the m-row BH
+    * ranking. State per slice: two longs.
+    */
+  def signTestBH(events: DataFrame, sliceCols: Seq[String], tsCol: String,
+      q: Double = 0.05, maxDays: Int = 61): DataFrame = {
+    require(sliceCols.nonEmpty)
+    val slice = sliceCols.map(col)
+    val daily = events
+      .groupBy(slice :+ to_date(col(tsCol)).as("__d"): _*)
+      .agg(count(lit(1)).as("__x"))
+    val w = Window.partitionBy(slice: _*).orderBy(col("__d"))
+    val moves = daily
+      .select(slice :+ (col("__x") - lag(col("__x"), 1).over(w)).as("__dx"): _*)
+      .where(col("__dx").isNotNull && col("__dx") =!= 0)
+    // every slice stays in the family — a slice with zero non-flat
+    // movements is still one of the m tested hypotheses (p = 1), and
+    // dropping it would silently shrink the BH denominator
+    val perSlice = daily.select(slice: _*).distinct()
+      .join(moves.groupBy(slice: _*)
+        .agg(count(lit(1)).as("n_moves"),
+          sum((col("__dx") > 0).cast("long")).as("k_up")),
+        sliceCols, "left")
+      .na.fill(0L, Seq("n_moves", "k_up"))
+      .withColumn("__chk",
+        assert_true(col("n_moves") <= maxDays,
+          lit(s"signTestBH: more than $maxDays movements per slice — " +
+            "aggregate to a coarser grain")))
+      .where(col("__chk").isNull).drop("__chk")
+    // C(n,j) as an in-order integer fold; the tails share it verbatim.
+    // j = 0 is guarded explicitly: Spark's sequence(1, 0) is DESCENDING
+    // (the corpusBleu trap) and would fold through a division by zero,
+    // while DuckDB's generate_series(1, 0) is empty — the one j where
+    // the two engines' unguarded folds disagree.
+    val binom =
+      "(CASE WHEN j = 0 THEN CAST(1 AS BIGINT) ELSE " +
+        "aggregate(sequence(1, CAST(j AS INT)), CAST(1 AS BIGINT), " +
+        "(acc, i) -> acc * (n_moves - i + 1) div i) END)"
+    val tail = (lo: String, hi: String) =>
+      s"aggregate(sequence(CAST($lo AS INT), CAST($hi AS INT)), " +
+        s"CAST(0 AS BIGINT), (acc, j) -> acc + $binom)"
+    val withP = perSlice.withColumn("p_value", expr(
+      s"""CASE WHEN n_moves = 0 THEN 1.0 ELSE round(least(1.0,
+         |  2.0 * CAST(least(${tail("0", "k_up")}, ${tail("k_up", "n_moves")})
+         |            AS DOUBLE)
+         |      / CAST(${tail("0", "n_moves")} AS DOUBLE)), 6) END""".stripMargin))
+    val wAll = Window.orderBy(col("p_value") +: slice: _*)
+    val ranked = withP
+      .withColumn("rank", row_number().over(wAll).cast("long"))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy()).cast("long"))
+    val kStar = max(when(
+      col("p_value") <= col("rank").cast("double") * q / col("__m").cast("double"),
+      col("rank")).otherwise(lit(0L)))
+      .over(Window.partitionBy())
+    ranked
+      .withColumn("bh_thresh",
+        round(col("rank").cast("double") * q / col("__m").cast("double"), 6))
+      .withColumn("rejected", col("rank") <= kStar)
+      .drop("__m")
+  }
+
+  /** Per-slice single change-point over the daily count series: the day
+    * maximizing |CUSUM| of the mean-centered series — binary
+    * segmentation's first split, the point estimate companion to the
+    * [[cusum]] monitor. The centered prefix sum is kept exact by
+    * multiplying through by the day count: C_t = D·Σ_{d≤t} x_d − t·S
+    * (a DECIMAL(38,0) integer — no float drift, no S/D division), so
+    * argmax ties are well-defined and break to the earliest day.
+    *
+    * Scale: one (slice, day) aggregation, one slice-keyed window pair
+    * (prefix sum + argmax), one row per slice out.
+    */
+  def changepointCusum(events: DataFrame, sliceCols: Seq[String],
+      tsCol: String): DataFrame = {
+    require(sliceCols.nonEmpty)
+    val slice = sliceCols.map(col)
+    // day-truncated TIMESTAMP, not DATE: the proven oracle-compare dtype
+    // (the cohort_retention convention)
+    val daily = events
+      .groupBy(slice :+ date_trunc("day", col(tsCol)).as("day"): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__x"))
+    val ws = Window.partitionBy(slice: _*)
+    val wOrd = ws.orderBy(col("day"))
+    val scored = daily
+      .withColumn("__t", row_number().over(wOrd).cast("decimal(38,0)"))
+      .withColumn("__pre", sum(col("__x")).over(wOrd))
+      .withColumn("__D", count(lit(1)).over(ws).cast("decimal(38,0)"))
+      .withColumn("__S", sum(col("__x")).over(ws))
+      // interior points only: C_D = 0 by construction and a "change
+      // point" at the final day is vacuous
+      .where(col("__t") < col("__D"))
+      .withColumn("__c",
+        abs(col("__D") * col("__pre") - col("__t") * col("__S")))
+    scored.groupBy(slice: _*)
+      .agg(expr("min_by(day, struct(-__c, day))").as("cp_day"),
+        max(col("__c")).as("__cmax"),
+        max(col("__D")).cast("long").as("n_days"))
+      // score on the original per-day scale: |C|/D, one division
+      .withColumn("score", round(col("__cmax").cast("double")
+        / col("n_days").cast("double"), 6))
+      .drop("__cmax")
   }
 }

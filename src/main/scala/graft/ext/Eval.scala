@@ -555,4 +555,181 @@ object Eval {
       .withColumn("bp", expr(bleuBpExpr))
       .withColumn("bleu", expr(bleuExpr))
   }
+
+  /** Shared ROUGE-n final expressions (precision / recall / F) over three
+    * exact longs per n. F uses the algebraic identity 2PR/(P+R) =
+    * 2·match/(ctotal+rtotal), so it is ONE division — no compounding of
+    * two already-rounded ratios.
+    */
+  private[graft] def rougePExpr(n: Int): String =
+    s"CASE WHEN ctotal$n = 0 THEN 0.0 ELSE " +
+      s"round(CAST(match$n AS DOUBLE) / CAST(ctotal$n AS DOUBLE), 6) END"
+  private[graft] def rougeRExpr(n: Int): String =
+    s"CASE WHEN rtotal$n = 0 THEN 0.0 ELSE " +
+      s"round(CAST(match$n AS DOUBLE) / CAST(rtotal$n AS DOUBLE), 6) END"
+  private[graft] def rougeFExpr(n: Int): String =
+    s"CASE WHEN match$n = 0 THEN 0.0 ELSE " +
+      s"round(2.0 * CAST(match$n AS DOUBLE) " +
+      s"/ CAST(ctotal$n + rtotal$n AS DOUBLE), 6) END"
+
+  /** Corpus-level ROUGE-1 / ROUGE-2 (recall-oriented n-gram overlap —
+    * the summarization-eval companion to [[corpusBleu]]) between the
+    * reference text column and a synthetic candidate (the reference with
+    * every `dropEvery`-th token removed). A pure deletion keeps every
+    * candidate gram present in its reference, so ROUGE precision is 1 by
+    * construction while recall measures the deletion loss — the
+    * asymmetry that separates this metric family from BLEU's.
+    *
+    * All inputs to the final expressions are exact longs: per-(doc,
+    * gram) candidate counts clipped against reference counts for the
+    * match numerators, plus total candidate / reference gram counts.
+    *
+    * Scale: same shape as [[corpusBleu]] — tokenize once (checkpoint
+    * barrier), per n one explode + (doc, gram)-keyed count + left join +
+    * global sum, gram-sized shuffles with map-side combining.
+    */
+  def corpusRouge(docs: DataFrame, idCol: String, textCol: String,
+      dropEvery: Int = 5): DataFrame = {
+    require(dropEvery >= 2)
+    val toks = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("ref"))
+      .withColumn("cand",
+        expr(s"filter(ref, (x, i) -> (i + 1) % $dropEvery != 0)"))
+      .localCheckpoint(true) // feeds 4 gram passes
+    def grams(arr: String, n: Int): Column =
+      if (n == 1) col(arr)
+      else expr(
+        s"""CASE WHEN size($arr) >= $n
+           |  THEN transform(sequence(1, size($arr) - ${n - 1}),
+           |         i -> concat(element_at($arr, i), ' ',
+           |                     element_at($arr, i + 1)))
+           |  ELSE CAST(array() AS ARRAY<STRING>)
+           |END""".stripMargin)
+    def counts(n: Int): DataFrame = {
+      val cc = toks.select(col("id"), explode(grams("cand", n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("cc"))
+      val rc = toks.select(col("id"), explode(grams("ref", n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("rc"))
+      val m = cc.join(rc, Seq("id", "g"), "left")
+        .agg(
+          sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as(s"match$n"),
+          sum(col("cc")).as(s"ctotal$n"))
+      val r = rc.agg(sum(col("rc")).as(s"rtotal$n"))
+      m.crossJoin(r)
+    }
+    counts(1).crossJoin(counts(2))
+      .withColumn("rouge1_p", expr(rougePExpr(1)))
+      .withColumn("rouge1_r", expr(rougeRExpr(1)))
+      .withColumn("rouge1_f", expr(rougeFExpr(1)))
+      .withColumn("rouge2_p", expr(rougePExpr(2)))
+      .withColumn("rouge2_r", expr(rougeRExpr(2)))
+      .withColumn("rouge2_f", expr(rougeFExpr(2)))
+  }
+
+  /** Per-slice macro-averaged token F1 (the SQuAD answer-overlap metric
+    * generalized to a corpus): per document, the multiset token overlap
+    * between the lowercased reference and a synthetic candidate (every
+    * `dropEvery`-th token removed), F1 = 2·overlap/(|cand|+|ref|) — one
+    * division per document, rounded at 6 — then the macro mean per slice
+    * as an exact DECIMAL sum of the rounded per-document scores over the
+    * document count (order-independent, the calibration-bins
+    * discipline). Macro (per-doc then mean), not micro (corpus-pooled
+    * counts) — the level at which [[corpusRouge]] and this differ.
+    *
+    * Scale: one explode + (doc, gram)-keyed count + left join + doc-
+    * keyed sum + slice-keyed sum — every exchange is keyed, map-side
+    * combining throughout, no driver state.
+    */
+  def tokenF1Macro(docs: DataFrame, sliceCol: String, idCol: String,
+      textCol: String, dropEvery: Int = 4): DataFrame = {
+    require(dropEvery >= 2)
+    val toks = docs.select(col(sliceCol).as("slice"), col(idCol).as("id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("ref"))
+      .withColumn("cand",
+        expr(s"filter(ref, (x, i) -> (i + 1) % $dropEvery != 0)"))
+      .localCheckpoint(true) // feeds the two gram passes AND the lengths
+    val cc = toks.select(col("id"), explode(col("cand")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("cc"))
+    val rc = toks.select(col("id"), explode(col("ref")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("rc"))
+    val overlap = cc.join(rc, Seq("id", "g"), "left")
+      .groupBy("id")
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("o"))
+    val perDoc = toks
+      .select(col("slice"), col("id"), size(col("cand")).cast("long").as("cl"),
+        size(col("ref")).cast("long").as("rl"))
+      .join(overlap, Seq("id"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("f1", when(col("o") === 0, lit(0.0))
+        .otherwise(round(lit(2.0) * col("o").cast("double")
+          / (col("cl") + col("rl")).cast("double"), 6)))
+      .withColumn("p", when(col("cl") === 0, lit(0.0))
+        .otherwise(round(col("o").cast("double") / col("cl").cast("double"), 6)))
+      .withColumn("r", when(col("rl") === 0, lit(0.0))
+        .otherwise(round(col("o").cast("double") / col("rl").cast("double"), 6)))
+    perDoc.groupBy(col("slice").as(sliceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("p").cast("decimal(30,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("macro_p"),
+        round(sum(col("r").cast("decimal(30,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("macro_r"),
+        round(sum(col("f1").cast("decimal(30,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("macro_f1"))
+  }
+
+  /** Shared Krippendorff-alpha final expression for `m` binary raters —
+    * nominal metric, no missing values, so the coincidence-matrix form
+    * collapses to three exact longs per slice (n_items, n1 = total
+    * positive ratings, spair = Σ_u o_u·(m−o_u)):
+    * α = 1 − (n·m−1)·spair / ((m−1)·n1·n0). Degenerate slices (all
+    * ratings identical ⇒ n1·n0 = 0) report NULL — α is undefined there,
+    * and 0/0-as-1.0 would overstate agreement.
+    */
+  private[graft] def krippendorffExpr(m: Int): String =
+    s"CASE WHEN s_pos = 0 OR s_pos = n_items * $m THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE round(1.0 - CAST((n_items * $m - 1) AS DOUBLE) * CAST(spair AS DOUBLE) " +
+      s"/ (${m - 1}.0 * CAST(s_pos AS DOUBLE) " +
+      s"* CAST(n_items * $m - s_pos AS DOUBLE)), 6) END"
+
+  /** Per-slice Krippendorff's alpha across `raters.size` boolean raters
+    * — the chance-corrected agreement coefficient that, unlike
+    * [[fleissKappa]], is derived from the pairable-value coincidence
+    * matrix (so its expected-disagreement term uses n·m−1, making the
+    * two diverge on small slices — worth reporting both). ONE map-side
+    * combining aggregation to slice granularity (three longs of state),
+    * one shared final expression.
+    */
+  def krippendorffAlpha(df: DataFrame, sliceCol: String,
+      raters: Seq[Column]): DataFrame = {
+    val m = raters.size
+    require(m >= 2, "krippendorffAlpha needs at least 2 raters")
+    val o = raters.map(_.cast("boolean").cast("long")).reduce(_ + _)
+    df.select(col(sliceCol), o.as("__o"))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__o")).as("s_pos"),
+        sum(col("__o") * (lit(m.toLong) - col("__o"))).as("spair"))
+      .withColumn("alpha", expr(krippendorffExpr(m)))
+  }
+
+  /** Per-slice Brier score of a probability-score column against a
+    * boolean label — the proper scoring rule behind [[calibrationBins]]
+    * (mean squared error between predicted probability and outcome).
+    * Each per-row term (score−y)² is rounded at 6 and summed as an
+    * exact DECIMAL, so the slice mean is order-independent; one final
+    * division. Null scores or labels are excluded up front (the
+    * binaryConfusion rule).
+    */
+  def brierScore(df: DataFrame, sliceCol: String, scoreCol: String,
+      label: Column): DataFrame = {
+    val y = label.cast("boolean")
+    df.where(col(scoreCol).isNotNull && y.isNotNull)
+      .select(col(sliceCol),
+        round(pow(col(scoreCol) - y.cast("double"), 2), 6)
+          .cast("decimal(30,6)").as("__t"))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__t")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("brier"))
+  }
 }

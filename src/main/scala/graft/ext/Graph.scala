@@ -539,4 +539,107 @@ object Graph {
       .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contractions (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — the O(log n)-round algorithm for graphs
+    * whose DIAMETER makes per-hop label propagation infeasible (a web
+    * crawl's link chains can be thousands of hops deep; `Dedup
+    * .components`' propagation pays one shuffle per hop, this pays one
+    * per halving). Labels components by their minimum node id — the
+    * same output contract as [[graft.ext.Dedup.components]], so the two
+    * are interchangeable and cross-checkable.
+    *
+    * Each round is two contractions over the current edge multiset:
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node links its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    * Both preserve connectivity and never raise a node's reachable
+    * minimum; the fixpoint is a forest of depth-1 stars rooted at the
+    * component minima. Convergence is detected by an order-invariant
+    * edge-set fingerprint (count + xor of per-edge hashes — the
+    * checksum_manifest discipline), so the loop runs exactly as many
+    * distributed rounds as the graph needs, each round ONE
+    * neighborhood-keyed min + ONE keyed join, all exchanges carrying
+    * (node, node) pairs.
+    *
+    * Scale: no driver state beyond the 2-scalar fingerprint; edge
+    * frontiers are barriered (`localCheckpoint`) so round N never
+    * replays rounds 1..N-1. Skewed stars (a root accumulating millions
+    * of children) are exactly the algorithm's intended end state — the
+    * per-round groupBy is a map-side-combining min, so hot roots cost
+    * one combiner slot per upstream partition, not a hot reducer.
+    */
+  def ccTwoPhase(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1)
+    val nodes = edges.select(col("a").cast("long").as("node"))
+      .unionByName(edges.select(col("b").cast("long").as("node")))
+      .distinct().localCheckpoint(true)
+    // normalized working multiset: (u, v) with u > v, self-loops dropped
+    var e = edges
+      .select(greatest(col("a"), col("b")).cast("long").as("u"),
+        least(col("a"), col("b")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+
+    // order-invariant fingerprint: count + bit-XOR of per-edge hashes
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df
+        .agg(count(lit(1)).as("c"),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // min over each node's closed neighborhood, from the symmetric view
+    def closedMins(cur: DataFrame): DataFrame =
+      cur.select(col("u").as("x"), col("v").as("nbr"))
+        .unionByName(cur.select(col("v").as("x"), col("u").as("nbr")))
+        .groupBy("x").agg(min(col("nbr")).as("m0"))
+        .select(col("x"), least(col("m0"), col("x")).as("m"))
+
+    var prev = fp(e)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // large-star: (nbr, m_x) for every nbr > x ⇒ already (u>v)-normal
+      val mins = closedMins(e)
+      val ls = e.select(col("u").as("x"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("nbr")))
+        .join(mins, Seq("x"))
+        .where(col("nbr") > col("x"))
+        .select(col("nbr").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // small-star: every x links its ≤-neighbors and itself to m_x;
+      // on (u>v)-normalized edges the ≤-neighbors of x are exactly its
+      // v-side, so no symmetric view is needed
+      val minsS = ls.groupBy(col("u").as("x"))
+        .agg(min(col("v")).as("m")) // v < u always ⇒ closed min = min(v)
+      val ss = ls.withColumnRenamed("u", "x")
+        .join(minsS, Seq("x"))
+        .select(col("x"), col("v"), col("m"))
+        .select(explode(array(
+          struct(col("x").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("s"))
+        .select(col("s.a").as("u"), col("s.b").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val cur = fp(ss)
+      converged = cur == prev
+      prev = cur
+      e = ss
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccTwoPhase: no fixpoint after $maxRounds rounds — raise maxRounds " +
+          "(expected rounds grow with log of the largest component)")
+    // fixpoint edges are (child, root) stars; roots + isolated nodes map
+    // to themselves
+    nodes.join(e.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node"))
+        .as("component"))
+  }
 }

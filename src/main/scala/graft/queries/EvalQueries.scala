@@ -1601,7 +1601,272 @@ object EvalQueries {
        |)
        |SELECT l_returnflag, n, d2, ${Eval.spearmanExpr} AS rho FROM a""".stripMargin
 
+  /** Corpus ROUGE-1/2 of a synthetic candidate (reference with every 5th
+    * token deleted) against the reference — the recall-side companion to
+    * [[evalBleu]]; a pure deletion pins precision at 1 and makes recall
+    * measure exactly the deletion loss (see [[graft.ext.Eval.corpusRouge]]).
+    */
+  val evalRouge: QueryFn = (s, dir) =>
+    Eval.corpusRouge(Tables.documents(s, dir), "doc_id", "text", dropEvery = 5)
+
+  val evalRougeSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ref
+       |  FROM documents
+       |), cand AS (
+       |  SELECT doc_id, list(w ORDER BY i) AS cand FROM (
+       |    SELECT doc_id, i, ref[i] AS w
+       |    FROM toks, unnest(generate_series(1, len(ref))) s(i)
+       |    WHERE i % 5 <> 0)
+       |  GROUP BY 1
+       |), cu AS (
+       |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+       |    SELECT doc_id, unnest(cand) AS g FROM cand) GROUP BY 1, 2
+       |), ru AS (
+       |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM (
+       |    SELECT doc_id, unnest(ref) AS g FROM toks) GROUP BY 1, 2
+       |), m1 AS (
+       |  SELECT CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS match1,
+       |    CAST(sum(cc) AS BIGINT) AS ctotal1
+       |  FROM cu LEFT JOIN ru USING (doc_id, g)
+       |), r1 AS (SELECT CAST(sum(rc) AS BIGINT) AS rtotal1 FROM ru
+       |), cb AS (
+       |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+       |    SELECT doc_id, cand[i] || ' ' || cand[i + 1] AS g
+       |    FROM cand, unnest(generate_series(1, len(cand) - 1)) s(i))
+       |  GROUP BY 1, 2
+       |), rb AS (
+       |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM (
+       |    SELECT doc_id, ref[i] || ' ' || ref[i + 1] AS g
+       |    FROM toks, unnest(generate_series(1, len(ref) - 1)) s(i))
+       |  GROUP BY 1, 2
+       |), m2 AS (
+       |  SELECT CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS match2,
+       |    CAST(sum(cc) AS BIGINT) AS ctotal2
+       |  FROM cb LEFT JOIN rb USING (doc_id, g)
+       |), r2 AS (SELECT CAST(sum(rc) AS BIGINT) AS rtotal2 FROM rb)
+       |SELECT match1, ctotal1, rtotal1, match2, ctotal2, rtotal2,
+       |  ${Eval.rougePExpr(1)} AS rouge1_p,
+       |  ${Eval.rougeRExpr(1)} AS rouge1_r,
+       |  ${Eval.rougeFExpr(1)} AS rouge1_f,
+       |  ${Eval.rougePExpr(2)} AS rouge2_p,
+       |  ${Eval.rougeRExpr(2)} AS rouge2_r,
+       |  ${Eval.rougeFExpr(2)} AS rouge2_f
+       |FROM m1, r1, m2, r2""".stripMargin
+
+  /** Per-source macro-averaged token F1 (lowercased multiset overlap,
+    * candidate = reference with every 4th token deleted) — the
+    * SQuAD-style answer metric at corpus scale (see
+    * [[graft.ext.Eval.tokenF1Macro]]).
+    */
+  val evalTokenF1: QueryFn = (s, dir) =>
+    Eval.tokenF1Macro(Tables.documents(s, dir), "source", "doc_id", "text",
+      dropEvery = 4)
+
+  val evalTokenF1Sql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ref
+      |  FROM documents
+      |), cand AS (
+      |  SELECT doc_id, list(w ORDER BY i) AS cand FROM (
+      |    SELECT doc_id, i, ref[i] AS w
+      |    FROM toks, unnest(generate_series(1, len(ref))) s(i)
+      |    WHERE i % 4 <> 0)
+      |  GROUP BY 1
+      |), cu AS (
+      |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+      |    SELECT doc_id, unnest(cand) AS g FROM cand) GROUP BY 1, 2
+      |), ru AS (
+      |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM (
+      |    SELECT doc_id, unnest(ref) AS g FROM toks) GROUP BY 1, 2
+      |), ov AS (
+      |  SELECT doc_id, CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS o
+      |  FROM cu LEFT JOIN ru USING (doc_id, g) GROUP BY 1
+      |), pd AS (
+      |  SELECT t.source, t.doc_id, CAST(len(c.cand) AS BIGINT) AS cl,
+      |    CAST(len(t.ref) AS BIGINT) AS rl, coalesce(ov.o, 0) AS o
+      |  FROM toks t JOIN cand c USING (doc_id) LEFT JOIN ov USING (doc_id)
+      |), sc AS (
+      |  SELECT source,
+      |    CASE WHEN cl = 0 THEN 0.0
+      |         ELSE round(CAST(o AS DOUBLE) / CAST(cl AS DOUBLE), 6) END AS p,
+      |    CASE WHEN rl = 0 THEN 0.0
+      |         ELSE round(CAST(o AS DOUBLE) / CAST(rl AS DOUBLE), 6) END AS r,
+      |    CASE WHEN o = 0 THEN 0.0
+      |         ELSE round(2.0 * CAST(o AS DOUBLE)
+      |                    / CAST(cl + rl AS DOUBLE), 6) END AS f1
+      |  FROM pd)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6)
+      |    AS macro_p,
+      |  round(CAST(sum(CAST(r AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6)
+      |    AS macro_r,
+      |  round(CAST(sum(CAST(f1 AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6)
+      |    AS macro_f1
+      |FROM sc GROUP BY 1""".stripMargin
+
+  /** Per-source Krippendorff's alpha across the SAME three boolean
+    * quality raters as [[evalFleiss]] — the coincidence-matrix agreement
+    * coefficient, reported alongside kappa because the two diverge on
+    * small slices (see [[graft.ext.Eval.krippendorffAlpha]]).
+    */
+  val evalKrippendorff: QueryFn = (s, dir) =>
+    Eval.krippendorffAlpha(Tables.documents(s, dir), "source", Seq(
+      col("n_chars") >= 300,
+      size(split(trim(col("text")), "\\s+")) >= 40,
+      col("lang") === "en"))
+
+  val evalKrippendorffSql: String =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST((CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+       |       + (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 40
+       |          THEN 1 ELSE 0 END)
+       |       + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS o
+       |  FROM documents
+       |), a AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(o) AS BIGINT) AS s_pos,
+       |    CAST(sum(o * (3 - o)) AS BIGINT) AS spair
+       |  FROM m GROUP BY 1
+       |)
+       |SELECT source, n_items, s_pos, spair,
+       |  ${Eval.krippendorffExpr(3)} AS alpha
+       |FROM a""".stripMargin
+
+  /** Per-source Brier score of the heuristic quality classifier against
+    * the lang='en' label — the proper-scoring-rule companion to
+    * [[evalCalibration]] over the same scored corpus (see
+    * [[graft.ext.Eval.brierScore]]).
+    */
+  val evalBrier: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
+    val scored = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("__y")), Seq("doc_id"))
+    Eval.brierScore(scored, "source", "score", col("__y"))
+  }
+
+  val evalBrierSql: String =
+    s"""WITH qc AS (
+       |  SELECT q.doc_id, q.score FROM (${ExtQueries.qualityClassifierSql}) q
+       |), j AS (
+       |  SELECT d.source, qc.score, (d.lang = 'en') AS y
+       |  FROM qc JOIN documents d USING (doc_id)
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(round(
+       |          pow(score - CASE WHEN y THEN 1.0 ELSE 0.0 END, 2), 6)
+       |        AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS brier
+       |FROM j GROUP BY 1""".stripMargin
+
+  /** Exact binomial sign test on each (event_type, user-bucket) slice's
+    * daily-volume movements, BH-corrected across the 20 slices at
+    * q = 0.05 — the multiple-testing audit for per-slice trend alarms
+    * (see [[graft.ext.Analytics.signTestBH]]). Binomial coefficients are
+    * exact BIGINT folds on both engines.
+    */
+  val statsFdr: QueryFn = (s, dir) =>
+    Analytics.signTestBH(
+      Tables.events(s, dir)
+        .withColumn("u_bucket", pmod(col("user_id"), lit(4L))),
+      Seq("event_type", "u_bucket"), "ts", q = 0.05)
+
+  val statsFdrSql: String = {
+    // C(n_moves, j) as an in-order integer fold (each prefix is itself a
+    // binomial coefficient, so every // is exact); the seed rides as a
+    // prepended element (DuckDB's list_reduce has no init argument)
+    val binom = "list_reduce(list_prepend(CAST(1 AS BIGINT), " +
+      "list_transform(generate_series(1, j), v -> CAST(v AS BIGINT))), " +
+      "(acc, i) -> acc * (n_moves - i + 1) // i)"
+    def tail(lo: String, hi: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series($lo, $hi), v -> CAST(v AS BIGINT))), " +
+        s"(acc, j) -> acc + $binom)"
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id % 4 AS u_bucket, CAST(ts AS DATE) AS d
+       |  FROM events
+       |), daily AS (
+       |  SELECT event_type, u_bucket, d, CAST(count(*) AS BIGINT) AS x
+       |  FROM ev GROUP BY 1, 2, 3
+       |), mv AS (
+       |  SELECT event_type, u_bucket,
+       |    x - lag(x) OVER (PARTITION BY event_type, u_bucket ORDER BY d) AS dx
+       |  FROM daily
+       |), ps0 AS (
+       |  SELECT event_type, u_bucket, CAST(count(*) AS BIGINT) AS n_moves,
+       |    CAST(sum(CASE WHEN dx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k_up
+       |  FROM mv WHERE dx IS NOT NULL AND dx <> 0 GROUP BY 1, 2
+       |), ps AS (
+       |  -- zero-movement slices stay in the BH family with p = 1
+       |  SELECT s.event_type, s.u_bucket, coalesce(n_moves, 0) AS n_moves,
+       |    coalesce(k_up, 0) AS k_up
+       |  FROM (SELECT DISTINCT event_type, u_bucket FROM daily) s
+       |  LEFT JOIN ps0 USING (event_type, u_bucket)
+       |), wp AS (
+       |  SELECT event_type, u_bucket, n_moves, k_up,
+       |    CASE WHEN n_moves = 0 THEN 1.0 ELSE round(least(1.0,
+       |      2.0 * CAST(least(${tail("0", "k_up")}, ${tail("k_up", "n_moves")})
+       |                AS DOUBLE)
+       |          / CAST(${tail("0", "n_moves")} AS DOUBLE)), 6) END AS p_value
+       |  FROM ps
+       |), rk AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (ORDER BY p_value, event_type, u_bucket)
+       |      AS BIGINT) AS rank,
+       |    CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM wp
+       |), ks AS (
+       |  SELECT *, max(CASE WHEN p_value <= CAST(rank AS DOUBLE) * 0.05 / m
+       |                     THEN rank ELSE 0 END) OVER () AS kstar
+       |  FROM rk
+       |)
+       |SELECT event_type, u_bucket, n_moves, k_up, p_value, rank,
+       |  round(CAST(rank AS DOUBLE) * 0.05 / m, 6) AS bh_thresh,
+       |  (rank <= kstar) AS rejected
+       |FROM ks""".stripMargin
+  }
+
+  /** Per-event-type single change point: the day maximizing |CUSUM| of
+    * the mean-centered daily-volume series, exact integer scoring (see
+    * [[graft.ext.Analytics.changepointCusum]]).
+    */
+  val tsChangepoint: QueryFn = (s, dir) =>
+    Analytics.changepointCusum(Tables.events(s, dir), Seq("event_type"), "ts")
+
+  val tsChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS HUGEINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT event_type, day,
+      |    CAST(row_number() OVER w AS HUGEINT) AS t,
+      |    sum(x) OVER w AS pre,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS dd,
+      |    sum(x) OVER (PARTITION BY event_type) AS s
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), i AS (
+      |  SELECT event_type, day, abs(dd * pre - t * s) AS c, dd
+      |  FROM sc WHERE t < dd
+      |)
+      |SELECT event_type, day AS cp_day, CAST(dd AS BIGINT) AS n_days,
+      |  round(CAST(c AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |        ORDER BY c DESC, day ASC) AS rn FROM i)
+      |WHERE rn = 1""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "eval_rouge"       -> evalRouge,
+    "eval_token_f1"    -> evalTokenF1,
+    "eval_krippendorff" -> evalKrippendorff,
+    "eval_brier"       -> evalBrier,
+    "stats_fdr"        -> statsFdr,
+    "ts_changepoint"   -> tsChangepoint,
     "eval_bleu"        -> evalBleu,
     "eval_spearman"    -> evalSpearman,
     "eval_auc_pr"      -> evalAucPr,
@@ -1647,6 +1912,12 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "eval_rouge"       -> evalRougeSql,
+    "eval_token_f1"    -> evalTokenF1Sql,
+    "eval_krippendorff" -> evalKrippendorffSql,
+    "eval_brier"       -> evalBrierSql,
+    "stats_fdr"        -> statsFdrSql,
+    "ts_changepoint"   -> tsChangepointSql,
     "eval_bleu"        -> evalBleuSql,
     "eval_spearman"    -> evalSpearmanSql,
     "eval_auc_pr"      -> evalAucPrSql,

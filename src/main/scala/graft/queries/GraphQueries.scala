@@ -275,6 +275,17 @@ object GraphQueries {
         .select(col("a").as("id_a"), col("b").as("id_b")))
       .select(col("id").as("node"), col("cluster_id").as("component"))
 
+  /** The same components by alternating large-star / small-star
+    * contractions (O(log n) rounds instead of O(diameter) — the deep-
+    * chain scale path; see [[graft.ext.Graph.ccTwoPhase]]). Identical
+    * output contract to [[graphCc]], so it shares the recursive
+    * min-label oracle — the two engines AND the two algorithms must all
+    * agree.
+    */
+  val graphCcTwoPhase: QueryFn = (s, dir) =>
+    graft.ext.Graph.ccTwoPhase(coPurchase(s, dir))
+      .select(col("node"), col("component"))
+
   val graphCcSql: String =
     s"""${pairsCte.replace("WITH ", "WITH RECURSIVE ")}, edges AS (
        |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
@@ -830,6 +841,7 @@ object GraphQueries {
     "graph_closeness" -> graphCloseness,
     "graph_degrees"   -> graphDegrees,
     "graph_cc"        -> graphCc,
+    "graph_cc_twophase" -> graphCcTwoPhase,
     "graph_label_prop" -> graphLabelProp,
     "graph_hits"      -> graphHits,
     "ts_ewma"         -> tsEwma,
@@ -860,6 +872,7 @@ object GraphQueries {
     "graph_closeness" -> graphClosenessSql,
     "graph_degrees"   -> graphDegreesSql,
     "graph_cc"        -> graphCcSql,
+    "graph_cc_twophase" -> graphCcSql, // same output contract as graph_cc
     "graph_label_prop" -> graphLabelPropSql,
     "graph_hits"      -> graphHitsSql,
     "ts_ewma"         -> tsEwmaSql,
