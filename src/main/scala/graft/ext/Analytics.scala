@@ -766,6 +766,71 @@ object Analytics {
         col("t_welch"))
   }
 
+  /** Shared Mann–Whitney z expression over the four exact per-group
+    * statistics (na, nb as doubles; u2a = 2·U_A and ties = Σ(t³−t) as
+    * exact integers cast to double): the tie-corrected normal
+    * approximation z = (2U_A − na·nb) / sqrt((na·nb/3)·((n+1) −
+    * ties/(n(n−1)))), no continuity correction. The variance factor is
+    * also the definedness guard (all-tied groups have it = 0).
+    */
+  val mannWhitneyVarExpr: String =
+    "(na * nb / 3.0) * ((na + nb + 1.0) - CAST(ties AS DOUBLE) " +
+      "/ ((na + nb) * (na + nb - 1.0)))"
+  val mannWhitneyZExpr: String =
+    s"round((CAST(u2a AS DOUBLE) - na * nb) / sqrt($mannWhitneyVarExpr), 6)"
+
+  /** Two-cohort Mann–Whitney U test per group — the RANK-based drift
+    * alarm completing the triad with [[ksDrift]] (shape) and [[welchT]]
+    * (level): it detects a location shift without assuming the metric's
+    * scale is meaningful, the right default for heavy-tailed quality
+    * scores. Exactness: ranks live only on the COMPRESSED (group,
+    * value) table (the AUC discipline — the data-scale rows never see a
+    * window). Tied values share their average rank; doubling clears the
+    * half-integers, so 2R_A = Σ_v ca(v)·(2·below(v) + t(v) + 1) is an
+    * exact integer, as are 2U_A = 2R_A − na(na+1) and the tie term
+    * Σ(t³−t) — both summed in DECIMAL(38,0) because rank·count products
+    * are n²-scale and t³ is n³-scale, the chi2 silent-wrap class. ONE
+    * shared final z expression. Groups with an empty cohort or all
+    * values tied are dropped (z undefined).
+    *
+    * Scale: one map-side-combining aggregation to (group, value)
+    * granularity, one group-keyed cumulative window over that compressed
+    * table, one group-keyed sum. Distinct-value-bounded state.
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valCol: String,
+      inA: Column): DataFrame = {
+    val v = col(valCol)
+    val comp = df.where(v.isNotNull)
+      .groupBy(col(groupCol), v.as("__v"))
+      .agg(sum(inA.cast("long")).as("__ca"),
+        sum((!inA).cast("long")).as("__cb"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("__ca") + col("__cb")
+    val ranked = comp.withColumn("__below",
+      coalesce(sum(t).over(w), lit(0L)))
+    // promote BEFORE the first multiply — rank·count is n²-scale and the
+    // tie term n³-scale, the documented silent-wrap class
+    val tD = t.cast("decimal(38,0)")
+    ranked.groupBy(col(groupCol))
+      .agg(sum(col("__ca")).as("na0"), sum(col("__cb")).as("nb0"),
+        sum(col("__ca").cast("decimal(38,0)") *
+          (lit(2L) * col("__below") + t + lit(1L)).cast("decimal(38,0)"))
+          .as("__r2a"),
+        sum((tD * tD - lit(1L)) * tD).as("ties"))
+      .withColumn("u2a",
+        col("__r2a") - col("na0").cast("decimal(38,0)") * (col("na0") + 1))
+      .withColumn("na", col("na0").cast("double"))
+      .withColumn("nb", col("nb0").cast("double"))
+      .where(col("na0") >= 1 && col("nb0") >= 1 &&
+        expr(s"$mannWhitneyVarExpr > 0.0"))
+      .withColumn("z", expr(mannWhitneyZExpr))
+      .select(col(groupCol), col("na0").as("n_a"), col("nb0").as("n_b"),
+        // exact DECIMAL internally; surfaced as DOUBLE (both engines
+        // round-to-nearest the same integer, so the hash still matches)
+        col("u2a").cast("double").as("u2_a"), col("z"))
+  }
+
   /** Chi-squared independence test between two categorical columns,
     * with degrees of freedom and Cramér's V — the association audit
     * between, say, language and source (a corpus where they correlate

@@ -732,4 +732,80 @@ object Eval {
         round(sum(col("__t")).cast("double")
           / count(lit(1)).cast("double"), 6).as("brier"))
   }
+
+  /** Shared chrF final expressions over the nine exact longs (match_n /
+    * ctotal_n / rtotal_n, n = 1..3). Per-n precision/recall are exact-
+    * long ratios (0 where the denominator is 0, the sacrebleu empty-
+    * hypothesis convention); P/R are their plain means; chrF is the
+    * β=2 harmonic blend 5PR/(4P+R) computed on the UNROUNDED means
+    * inside ONE shared string, so both engines round once, at the end.
+    */
+  private def chrfAvg(stat: String, tot: String): String =
+    "(" + (1 to 3).map(n =>
+      s"(CASE WHEN $tot$n = 0 THEN 0.0 " +
+        s"ELSE CAST($stat$n AS DOUBLE) / CAST($tot$n AS DOUBLE) END)")
+      .mkString(" + ") + ") / 3.0"
+  private[graft] val chrfPExpr: String =
+    s"round(${chrfAvg("match", "ctotal")}, 6)"
+  private[graft] val chrfRExpr: String =
+    s"round(${chrfAvg("match", "rtotal")}, 6)"
+  private[graft] val chrfExpr: String = {
+    val p = chrfAvg("match", "ctotal")
+    val r = chrfAvg("match", "rtotal")
+    s"CASE WHEN 4.0 * ($p) + ($r) = 0.0 THEN 0.0 " +
+      s"ELSE round(5.0 * ($p) * ($r) / (4.0 * ($p) + ($r)), 6) END"
+  }
+
+  /** Corpus chrF (character n-gram F-β, β=2, n=1..3 — the tokenizer-
+    * independent MT metric; Popović 2015) between the reference text and
+    * a synthetic candidate (the reference with every `dropEvery`-th
+    * token deleted). chrF operates on the WHITESPACE-STRIPPED character
+    * stream, so a token deletion also perturbs the grams that straddled
+    * the deleted token's boundaries — unlike [[corpusRouge]]'s pure
+    * token deletion, candidate precision is NOT structurally 1 here.
+    *
+    * All three orders are counted in ONE candidate pass and ONE
+    * reference pass: each doc explodes its (n, gram) pairs for n = 1..3
+    * together, per-(doc, n, gram) counts are clipped on a single join,
+    * and the nine corpus longs come out of one n-keyed aggregation —
+    * not a pass per order. Exchanges carry (doc, n, gram) counts with
+    * map-side combining, the corpusBleu shape.
+    */
+  def corpusChrf(docs: DataFrame, idCol: String, textCol: String,
+      dropEvery: Int = 5): DataFrame = {
+    require(dropEvery >= 2)
+    val toks = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("id"), array_join(col("__t"), "").as("ref"),
+        array_join(expr(
+          s"filter(__t, (x, i) -> (i + 1) % $dropEvery != 0)"), "")
+          .as("cand"))
+      .localCheckpoint(true) // feeds the candidate AND reference passes
+    // All orders' grams of one string, tagged: array<struct<n, g>>.
+    def grams(s: String): Column = concat((1 to 3).map(n => expr(
+      s"""CASE WHEN length($s) >= $n
+         |  THEN transform(sequence(1, length($s) - ${n - 1}),
+         |         i -> struct($n AS n, substring($s, i, $n) AS g))
+         |  ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>)
+         |END""".stripMargin)): _*)
+    def perGram(side: String, cnt: String): DataFrame =
+      toks.select(col("id"), explode(grams(side)).as("__g"))
+        .groupBy(col("id"), col("__g.n").as("n"), col("__g.g").as("g"))
+        .agg(count(lit(1)).as(cnt))
+    val cc = perGram("cand", "cc")
+    val rc = perGram("ref", "rc")
+    val m = cc.join(rc, Seq("id", "n", "g"), "left")
+      .groupBy("n")
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("m"),
+        sum(col("cc")).as("ct"))
+    val r = rc.groupBy("n").agg(sum(col("rc")).as("rt"))
+    val aggs = (1 to 3).flatMap(n => Seq(
+      sum(when(col("n") === n, col("m"))).as(s"match$n"),
+      sum(when(col("n") === n, col("ct"))).as(s"ctotal$n"),
+      sum(when(col("n") === n, col("rt"))).as(s"rtotal$n")))
+    val wide = m.join(r, Seq("n")).agg(aggs.head, aggs.tail: _*)
+    wide.withColumn("chrf_p", expr(chrfPExpr))
+      .withColumn("chrf_r", expr(chrfRExpr))
+      .withColumn("chrf", expr(chrfExpr))
+  }
 }

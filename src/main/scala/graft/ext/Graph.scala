@@ -642,4 +642,116 @@ object Graph {
       .select(col("node"), coalesce(col("component"), col("node"))
         .as("component"))
   }
+
+  /** Strongly connected components of a DIRECTED graph `(src, dst)` by
+    * min-label coloring + backward marking (the Orzan-style coloring
+    * variant of FW-BW — the standard distributed SCC family; Tarjan's
+    * stack is inherently sequential). Returns `(node, scc)` where `scc`
+    * is the smallest node id in the component — deterministic, no RNG,
+    * no pivot choice.
+    *
+    * Each peel round: (1) forward min-label fixpoint — `f(u)` = smallest
+    * node that reaches `u` among still-active nodes, propagated along
+    * edges to convergence; (2) within each label class, mark everything
+    * that reaches the class root `r = f(r)` by a frontier BFS over the
+    * REVERSED same-label edges. Marked sets are exactly the roots'
+    * SCCs: any path from `u` (with `f(u)=r`) to `r` stays inside the
+    * class, because a smaller-than-`r` label reaching an intermediate
+    * node would also reach `r` and contradict `f(r)=r`. Peeled nodes
+    * and their edges drop out; repeat.
+    *
+    * Scale: state is 2 longs per node; every step is a keyed
+    * join/min-aggregate with map-side combining (hot roots cost one
+    * combiner slot per upstream partition); frontiers and label frames
+    * are barriered per round. Rounds: forward fixpoint ∝ class
+    * diameter, peels ∝ the condensation's root-peeling depth — like
+    * [[bfsHops]], diameter-bounded (web/social graphs: tens). Long
+    * chains of singleton SCCs peel one topological "rank" per round;
+    * for such DAG-heavy graphs run [[ccTwoPhase]] on the underlying
+    * undirected graph first and SCC only the nontrivial components.
+    */
+  def scc(edges: DataFrame, maxPeels: Int = 50,
+      maxHops: Int = 200): DataFrame = {
+    require(maxPeels >= 1 && maxHops >= 1)
+    val e0 = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var active = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var eact = e0
+    var out: DataFrame = null
+    var activeN = active.count()
+    var peels = 0
+    while (activeN > 0) {
+      if (peels >= maxPeels)
+        throw new IllegalStateException(
+          s"scc: $activeN nodes unresolved after $maxPeels peel rounds — " +
+            "raise maxPeels (peels grow with the condensation's depth)")
+      // (1) forward min-label fixpoint over the active subgraph
+      var lab = active.select(col("node"), col("node").as("lab"))
+        .localCheckpoint(true)
+      var hops = 0
+      var changed = 1L
+      while (changed > 0) {
+        if (hops >= maxHops)
+          throw new IllegalStateException(
+            s"scc: forward labels not converged after $maxHops hops")
+        val pushed = eact
+          .join(lab.select(col("node").as("src"), col("lab")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(min(col("lab")).as("__in"))
+        val j = lab.join(pushed, Seq("node"), "left")
+          .select(col("node"), col("lab"),
+            least(col("lab"), coalesce(col("__in"), col("lab"))).as("__nl"))
+          .localCheckpoint(true)
+        changed = j.where(col("__nl") < col("lab")).count()
+        lab = j.select(col("node"), col("__nl").as("lab"))
+        hops += 1
+      }
+      // (2) frontier BFS from each root r over reversed same-label edges
+      val labE = eact
+        .join(lab.select(col("node").as("src"), col("lab").as("__ls")),
+          Seq("src"))
+        .join(lab.select(col("node").as("dst"), col("lab").as("__ld")),
+          Seq("dst"))
+        .where(col("__ls") === col("__ld"))
+        .select(col("src"), col("dst"), col("__ls").as("lab"))
+        .localCheckpoint(true)
+      var marked = lab.where(col("lab") === col("node")).localCheckpoint(true)
+      var frontier = marked
+      var fN = 1L
+      hops = 0
+      while (fN > 0) {
+        if (hops >= maxHops)
+          throw new IllegalStateException(
+            s"scc: backward marking not converged after $maxHops hops")
+        val cand = labE
+          .join(frontier.select(col("node").as("dst"), col("lab")),
+            Seq("dst", "lab"))
+          .select(col("src").as("node"), col("lab")).distinct()
+        frontier = cand.join(marked, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        fN = frontier.count()
+        if (fN > 0)
+          marked = marked.unionByName(frontier).localCheckpoint(true)
+        hops += 1
+      }
+      val found = marked.select(col("node"), col("lab").as("scc"))
+      out = if (out == null) found
+        else out.unionByName(found).localCheckpoint(true)
+      active = active.join(marked.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      activeN = active.count()
+      if (activeN > 0)
+        eact = eact
+          .join(marked.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(marked.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .localCheckpoint(true)
+      peels += 1
+    }
+    if (out == null) // edgeless input: nothing to label
+      e0.select(col("src").as("node"), col("src").as("scc")).limit(0)
+    else out
+  }
 }

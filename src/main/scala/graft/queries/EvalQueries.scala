@@ -1860,7 +1860,106 @@ object EvalQueries {
       |        ORDER BY c DESC, day ASC) AS rn FROM i)
       |WHERE rn = 1""".stripMargin
 
+  /** Corpus chrF (β=2, char n = 1..3) of the every-5th-token-deleted
+    * candidate against the reference — the tokenizer-independent MT
+    * metric completing the BLEU (precision) / ROUGE (recall) / chrF
+    * (character) triad; see [[graft.ext.Eval.corpusChrf]]. Both engines
+    * evaluate the identical shared final expressions over nine exact
+    * longs.
+    */
+  val evalChrf: QueryFn = (s, dir) =>
+    Eval.corpusChrf(Tables.documents(s, dir), "doc_id", "text", dropEvery = 5)
+
+  val evalChrfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents
+       |), cand AS (
+       |  SELECT doc_id, string_agg(w, '' ORDER BY i) AS s FROM (
+       |    SELECT doc_id, i, t[i] AS w
+       |    FROM toks, unnest(generate_series(1, len(t))) sq(i)
+       |    WHERE i % 5 <> 0)
+       |  GROUP BY 1
+       |), refs AS (
+       |  SELECT doc_id, array_to_string(t, '') AS s FROM toks
+       |), cu AS (
+       |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cc FROM (
+       |    SELECT x.doc_id, ns.n, substr(x.s, i, ns.n) AS g
+       |    FROM cand x, (VALUES (1), (2), (3)) ns(n),
+       |      unnest(generate_series(1, length(x.s) - ns.n + 1)) sq(i))
+       |  GROUP BY 1, 2, 3
+       |), ru AS (
+       |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS rc FROM (
+       |    SELECT x.doc_id, ns.n, substr(x.s, i, ns.n) AS g
+       |    FROM refs x, (VALUES (1), (2), (3)) ns(n),
+       |      unnest(generate_series(1, length(x.s) - ns.n + 1)) sq(i))
+       |  GROUP BY 1, 2, 3
+       |), m AS (
+       |  SELECT n, CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS mm,
+       |    CAST(sum(cc) AS BIGINT) AS ct
+       |  FROM cu LEFT JOIN ru USING (doc_id, n, g) GROUP BY 1
+       |), r AS (
+       |  SELECT n, CAST(sum(rc) AS BIGINT) AS rt FROM ru GROUP BY 1
+       |), wide AS (
+       |  SELECT
+       |    max(CASE WHEN n = 1 THEN mm END) AS match1,
+       |    max(CASE WHEN n = 1 THEN ct END) AS ctotal1,
+       |    max(CASE WHEN n = 1 THEN rt END) AS rtotal1,
+       |    max(CASE WHEN n = 2 THEN mm END) AS match2,
+       |    max(CASE WHEN n = 2 THEN ct END) AS ctotal2,
+       |    max(CASE WHEN n = 2 THEN rt END) AS rtotal2,
+       |    max(CASE WHEN n = 3 THEN mm END) AS match3,
+       |    max(CASE WHEN n = 3 THEN ct END) AS ctotal3,
+       |    max(CASE WHEN n = 3 THEN rt END) AS rtotal3
+       |  FROM m JOIN r USING (n)
+       |)
+       |SELECT *, ${Eval.chrfPExpr} AS chrf_p, ${Eval.chrfRExpr} AS chrf_r,
+       |  ${Eval.chrfExpr} AS chrf
+       |FROM wide""".stripMargin
+
+  /** Mann–Whitney U per event type between even- and odd-id users over
+    * `value` — the rank-based companion to [[statsWelch]] (same cohorts,
+    * so a level shift alarms both while a pure tail change alarms only
+    * this one); see [[graft.ext.Analytics.mannWhitneyU]].
+    */
+  val statsMannwhitney: QueryFn = (s, dir) =>
+    Analytics.mannWhitneyU(Tables.events(s, dir), "event_type", "value",
+      col("user_id") % 2 === 0)
+
+  val statsMannwhitneySql: String =
+    s"""WITH comp AS (
+       |  SELECT event_type, value AS v,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ca,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cb
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT *, coalesce(sum(ca + cb) OVER (
+       |    PARTITION BY event_type ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       |  FROM comp
+       |), g AS (
+       |  SELECT event_type,
+       |    CAST(sum(ca) AS BIGINT) AS na0, CAST(sum(cb) AS BIGINT) AS nb0,
+       |    sum(CAST(ca AS HUGEINT) * (2 * below + ca + cb + 1)) AS r2a,
+       |    sum((CAST(ca + cb AS HUGEINT) * (ca + cb) - 1) * (ca + cb)) AS ties
+       |  FROM rk GROUP BY 1
+       |), gg AS (
+       |  SELECT event_type, na0, nb0, ties,
+       |    r2a - CAST(na0 AS HUGEINT) * (na0 + 1) AS u2a,
+       |    CAST(na0 AS DOUBLE) AS na, CAST(nb0 AS DOUBLE) AS nb
+       |  FROM g
+       |)
+       |SELECT event_type, na0 AS n_a, nb0 AS n_b,
+       |  CAST(u2a AS DOUBLE) AS u2_a, ${Analytics.mannWhitneyZExpr} AS z
+       |FROM gg
+       |WHERE na0 >= 1 AND nb0 >= 1 AND ${Analytics.mannWhitneyVarExpr} > 0.0
+       |""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "eval_chrf"        -> evalChrf,
+    "stats_mannwhitney" -> statsMannwhitney,
     "eval_rouge"       -> evalRouge,
     "eval_token_f1"    -> evalTokenF1,
     "eval_krippendorff" -> evalKrippendorff,
@@ -1912,6 +2011,8 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "eval_chrf"        -> evalChrfSql,
+    "stats_mannwhitney" -> statsMannwhitneySql,
     "eval_rouge"       -> evalRougeSql,
     "eval_token_f1"    -> evalTokenF1Sql,
     "eval_krippendorff" -> evalKrippendorffSql,

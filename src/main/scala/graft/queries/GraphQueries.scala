@@ -297,6 +297,67 @@ object GraphQueries {
        |SELECT node, CAST(min(lab) AS BIGINT) AS component
        |FROM lbl GROUP BY node""".stripMargin
 
+  /** Directed next-buyer graph: for each part, consecutive buyers in
+    * order-date order are linked buyer_i → buyer_{i+1} (custkey % 4
+    * subsample, the [[coPurchase]] size-bounding convention; the window
+    * is part-partitioned, never global). A customer both early and late
+    * in different parts' timelines creates cycles — the nontrivial SCC
+    * structure.
+    */
+  private def buyerChain(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val po = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("part"), col("l_orderkey").as("ok"))
+      .join(Tables.orders(s, dir).where(col("o_custkey") % 4 === 0)
+          .select(col("o_orderkey").as("ok"), col("o_orderdate").as("d"),
+            col("o_custkey").as("c")),
+        Seq("ok"))
+      .select("part", "d", "ok", "c").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(col("d"), col("ok"))
+    po.withColumn("__nxt", lead(col("c"), 1).over(w))
+      .where(col("__nxt").isNotNull && col("__nxt") =!= col("c"))
+      .select(col("c").as("src"), col("__nxt").as("dst")).distinct()
+  }
+
+  /** Strongly connected components of the directed next-buyer graph —
+    * min-label coloring + backward marking (see [[graft.ext.Graph.scc]]);
+    * the oracle derives each node's SCC from the full recursive
+    * reachability closure (scc = least(node, min mutual-reach partner)),
+    * so the distributed peeling is checked against the definition
+    * itself.
+    */
+  val graphScc: QueryFn = (s, dir) =>
+    graft.ext.Graph.scc(buyerChain(s, dir)).select(col("node"), col("scc"))
+
+  val graphSccSql: String =
+    """WITH RECURSIVE po AS (
+      |  SELECT DISTINCT l.l_partkey AS part, o.o_orderdate AS d,
+      |    o.o_orderkey AS ok, o.o_custkey AS c
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_custkey % 4 = 0
+      |), sq AS (
+      |  SELECT part, c, lead(c) OVER (PARTITION BY part ORDER BY d, ok) AS nxt
+      |  FROM po
+      |), edges AS (
+      |  SELECT DISTINCT c AS src, nxt AS dst FROM sq
+      |  WHERE nxt IS NOT NULL AND nxt <> c
+      |), nodes AS (
+      |  -- DISTINCT over UNION ALL: under WITH RECURSIVE, DuckDB 1.0
+      |  -- does not dedup a plain UNION in a non-recursive CTE
+      |  SELECT DISTINCT node FROM (
+      |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+      |), reach AS (
+      |  SELECT src AS s, dst AS d FROM edges
+      |  UNION
+      |  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src
+      |), mut AS (
+      |  SELECT r1.s AS u, min(r1.d) AS m
+      |  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+      |  GROUP BY 1
+      |)
+      |SELECT node, CAST(coalesce(least(node, m), node) AS BIGINT) AS scc
+      |FROM nodes LEFT JOIN mut ON node = u""".stripMargin
+
   /** Per-user EWMA (alpha = 0.25) of event values in time order. */
   val tsEwma: QueryFn = (s, dir) =>
     Analytics.ewma(Tables.events(s, dir),
@@ -842,6 +903,7 @@ object GraphQueries {
     "graph_degrees"   -> graphDegrees,
     "graph_cc"        -> graphCc,
     "graph_cc_twophase" -> graphCcTwoPhase,
+    "graph_scc"       -> graphScc,
     "graph_label_prop" -> graphLabelProp,
     "graph_hits"      -> graphHits,
     "ts_ewma"         -> tsEwma,
@@ -873,6 +935,7 @@ object GraphQueries {
     "graph_degrees"   -> graphDegreesSql,
     "graph_cc"        -> graphCcSql,
     "graph_cc_twophase" -> graphCcSql, // same output contract as graph_cc
+    "graph_scc"       -> graphSccSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_hits"      -> graphHitsSql,
     "ts_ewma"         -> tsEwmaSql,

@@ -1,0 +1,198 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Round-8 operator batch, part c: directed strongly connected
+  * components, corpus chrF, and the Mann–Whitney U test — each pinned
+  * against an independent driver-side re-derivation (Kosaraju for SCC,
+  * naive gram bags for chrF, naive average-ranking for U), never the
+  * operator's own formula.
+  */
+class Round8cSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // ---- Graph.scc -----------------------------------------------------------
+
+  private def sccMap(edges: Seq[(Long, Long)],
+      maxPeels: Int = 50): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    Graph.scc(df, maxPeels = maxPeels).as[(Long, Long)].collect().toMap
+  }
+
+  /** Independent driver-side Kosaraju (two DFS passes, min-id labels). */
+  private def kosaraju(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val fwd = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val bwd = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    val visited = scala.collection.mutable.Set.empty[Long]
+    val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def dfs1(s: Long): Unit = {
+      // iterative post-order
+      val stack = scala.collection.mutable.Stack[(Long, Boolean)]((s, false))
+      while (stack.nonEmpty) {
+        val (u, done) = stack.pop()
+        if (done) order += u
+        else if (!visited(u)) {
+          visited += u
+          stack.push((u, true))
+          fwd.getOrElse(u, Nil).foreach(v => if (!visited(v)) stack.push((v, false)))
+        }
+      }
+    }
+    nodes.foreach(n => if (!visited(n)) dfs1(n))
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    order.reverseIterator.foreach { s =>
+      if (!comp.contains(s)) {
+        val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val stack = scala.collection.mutable.Stack[Long](s)
+        while (stack.nonEmpty) {
+          val u = stack.pop()
+          if (!comp.contains(u)) {
+            comp(u) = s // provisional; re-labeled to min below
+            members += u
+            bwd.getOrElse(u, Nil).foreach(v => if (!comp.contains(v)) stack.push(v))
+          }
+        }
+        val m = members.min
+        members.foreach(u => comp(u) = m)
+      }
+    }
+    comp.toMap
+  }
+
+  test("scc: hand graph — two cycles, a bridge, and a sink") {
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (3L, 1L), // cycle {1,2,3}
+      (10L, 11L), (11L, 10L),       // cycle {10,11}
+      (3L, 10L),                    // bridge (condensation edge)
+      (3L, 20L))                    // sink singleton
+    assert(sccMap(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("scc: pseudo-random directed graph matches Kosaraju") {
+    val edges = (0L until 211L).flatMap { i =>
+      Seq((i, (i * 2654435761L) % 211L), (i, (i * 40503L + 7L) % 211L))
+    }.filter { case (a, b) => a != b }
+    assert(sccMap(edges) == kosaraju(edges))
+  }
+
+  test("scc: 64-node directed ring is ONE component (deep fwd fixpoint)") {
+    val ring = (0L until 63L).map(i => (i, i + 1)) :+ (63L, 0L)
+    val got = sccMap(ring)
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("scc: 6-node DAG path peels to all-singletons (multi-peel case)") {
+    val path = (1L to 5L).map(i => (i, i + 1))
+    assert(sccMap(path) == (1L to 6L).map(i => i -> i).toMap)
+  }
+
+  test("scc: edgeless after self-loop removal returns empty") {
+    assert(sccMap(Seq((5L, 5L))).isEmpty)
+  }
+
+  // ---- Eval.corpusChrf -------------------------------------------------
+
+  /** Independent naive chrF over whitespace-stripped strings. */
+  private def naiveChrf(texts: Seq[String], dropEvery: Int)
+      : (Seq[(Long, Long, Long)], Double) = {
+    def strip(toks: Seq[String]) = toks.mkString("")
+    def bag(s: String, n: Int): Map[String, Long] =
+      if (s.length < n) Map.empty
+      else s.sliding(n).toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val docs = texts.map(_.trim.split("\\s+").toSeq)
+    val stats = (1 to 3).map { n =>
+      var m = 0L; var ct = 0L; var rt = 0L
+      docs.foreach { toks =>
+        val cand = strip(toks.zipWithIndex.collect {
+          case (t, i) if (i + 1) % dropEvery != 0 => t })
+        val ref = strip(toks)
+        val cb = bag(cand, n); val rb = bag(ref, n)
+        cb.foreach { case (g, c) => m += math.min(c, rb.getOrElse(g, 0L)); ct += c }
+        rt += rb.values.sum
+      }
+      (m, ct, rt)
+    }
+    val p = stats.map { case (m, ct, _) => if (ct == 0) 0.0 else m.toDouble / ct }.sum / 3.0
+    val r = stats.map { case (m, _, rt) => if (rt == 0) 0.0 else m.toDouble / rt }.sum / 3.0
+    val f = if (4.0 * p + r == 0.0) 0.0 else 5.0 * p * r / (4.0 * p + r)
+    (stats, f)
+  }
+
+  test("corpusChrf: matches the naive gram-bag computation") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog near the old barn",
+      "a b c d e f g h i j",
+      "spark spark spark spark spark spark")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val row = Eval.corpusChrf(df, "doc_id", "text", dropEvery = 5)
+      .collect().head
+    val (stats, f) = naiveChrf(texts, dropEvery = 5)
+    (1 to 3).foreach { n =>
+      assert(row.getAs[Long](s"match$n") == stats(n - 1)._1, s"match$n")
+      assert(row.getAs[Long](s"ctotal$n") == stats(n - 1)._2, s"ctotal$n")
+      assert(row.getAs[Long](s"rtotal$n") == stats(n - 1)._3, s"rtotal$n")
+    }
+    assert(math.abs(row.getAs[Double]("chrf") - f) < 1e-6)
+  }
+
+  test("corpusChrf: a corpus of sub-dropEvery docs scores a perfect 1.0") {
+    // every doc has < 5 tokens, so position 5 never exists: cand == ref
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta eps"))
+      .toDF("doc_id", "text")
+    val row = Eval.corpusChrf(df, "doc_id", "text", dropEvery = 5)
+      .collect().head
+    assert(row.getAs[Double]("chrf") == 1.0 &&
+      row.getAs[Double]("chrf_p") == 1.0 && row.getAs[Double]("chrf_r") == 1.0)
+  }
+
+  // ---- Analytics.mannWhitneyU ------------------------------------------
+
+  test("mannWhitneyU: hand-computed U and z with ties") {
+    // group g: A = {1.0, 2.0, 2.0}, B = {2.0, 3.0}
+    // ranks: 1.0→1; 2.0,2.0,2.0→avg rank 3; 3.0→5
+    // R_A = 1 + 3 + 3 = 7, U_A = 7 − 3·4/2 = 1 ⇒ u2_a = 2
+    val df = Seq(
+      ("g", 1L, 1.0), ("g", 3L, 2.0), ("g", 5L, 2.0),
+      ("g", 2L, 2.0), ("g", 4L, 3.0)).toDF("grp", "user_id", "value")
+    val r = Analytics.mannWhitneyU(df, "grp", "value",
+      col("user_id") % 2 === 1).collect().head
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("u2_a") == 2.0)
+    // ties = Σ(t³−t) = (3³−3) = 24; var4 = (na·nb/3)·((n+1) − 24/(n(n−1)))
+    val v4 = (3.0 * 2.0 / 3.0) * (6.0 - 24.0 / (5.0 * 4.0))
+    val z = (2.0 - 6.0) / math.sqrt(v4)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+  }
+
+  test("mannWhitneyU: all-tied group is dropped; balanced shift detected") {
+    val allTied = (1L to 8L).map(u => ("t", u, 5.0))
+    val shifted = (1L to 40L).map(u =>
+      ("s", u, if (u % 2 == 1) u.toDouble else u.toDouble + 100.0))
+    val df = (allTied ++ shifted).toDF("grp", "user_id", "value")
+    val out = Analytics.mannWhitneyU(df, "grp", "value",
+      col("user_id") % 2 === 1).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("s")) // "t" undefined, dropped
+    val z = out.head.getAs[Double]("z")
+    assert(z < -3.0, s"odd cohort is uniformly 100 lower, z=$z")
+  }
+
+  test("mannWhitneyU: no ties ⇒ classic U on a known example") {
+    // A = {10, 30}, B = {20, 40, 50}: ranks A = {1, 3} ⇒ R_A = 4,
+    // U_A = 4 − 3 = 1, u2_a = 2; ties term = 0
+    val df = Seq(("g", 1L, 10.0), ("g", 3L, 30.0),
+      ("g", 2L, 20.0), ("g", 4L, 40.0), ("g", 6L, 50.0))
+      .toDF("grp", "user_id", "value")
+    val r = Analytics.mannWhitneyU(df, "grp", "value",
+      col("user_id") % 2 === 1).collect().head
+    assert(r.getAs[Double]("u2_a") == 2.0)
+    val v4 = (2.0 * 3.0 / 3.0) * 6.0
+    assert(math.abs(r.getAs[Double]("z") - (2.0 - 6.0) / math.sqrt(v4)) < 1e-6)
+  }
+}
