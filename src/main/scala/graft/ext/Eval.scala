@@ -771,9 +771,12 @@ object Eval {
     * not a pass per order. Exchanges carry (doc, n, gram) counts with
     * map-side combining, the corpusBleu shape.
     */
-  def corpusChrf(docs: DataFrame, idCol: String, textCol: String,
+  def corpusChrf(docs0: DataFrame, idCol: String, textCol: String,
       dropEvery: Int = 5): DataFrame = {
     require(dropEvery >= 2)
+    // char grams fan out ~6× more rows than word grams — spread the
+    // explode across cores even when the input is a single parquet file
+    val docs = DataOps.parallelismFloor(docs0)
     val toks = docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("__t"))
       .select(col("id"), array_join(col("__t"), "").as("ref"),

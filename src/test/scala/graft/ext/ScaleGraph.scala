@@ -204,6 +204,30 @@ object ScaleGraph {
       s"closeness histogram $clo, want {(1,1000000): ${n - 2 * blocks}, " +
         s"(2,2000000): $blocks}")
 
+    // directed SCC at scale: planted 8-node directed cycles (one SCC per
+    // block) bridged 0 → every block head — a 2-level condensation, so
+    // the peeling loop must finish in exactly 2 peels no matter how many
+    // blocks there are, and every label has the closed form node−node%8
+    val n2 = math.min(n, 512000L)
+    val blocks2 = n2 / 8
+    val cyc = spark.range(0, n2).select(col("id").as("src"),
+      (col("id") - (col("id") % 8) + ((col("id") + 1) % 8)).as("dst"))
+    val bridges = spark.range(1, blocks2)
+      .select(lit(0L).as("src"), (col("id") * 8).as("dst"))
+    val dedges = cyc.unionByName(bridges).localCheckpoint()
+    val sccRow = t("scc") {
+      Graph.scc(dedges, maxPeels = 5, maxHops = 40)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("scc") === col("node") - (col("node") % 8), 1L)
+            .otherwise(0L)).as("ok"))
+        .collect().head
+    }
+    assert(sccRow.getLong(0) == n2 && sccRow.getLong(1) == n2,
+      s"scc: ${sccRow.getLong(1)}/${sccRow.getLong(0)} labels correct, " +
+        s"want $n2/$n2")
+    println(s"  scc $n2 nodes, ${n2 + blocks2 - 1} edges, " +
+      s"$blocks2 components — all labels exact")
+
     println("ALL SCALE-GRAPH ASSERTIONS PASSED")
     spark.stop()
   }
