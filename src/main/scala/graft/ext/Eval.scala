@@ -585,7 +585,7 @@ object Eval {
     * match numerators, plus total candidate / reference gram counts.
     *
     * Scale: same shape as [[corpusBleu]] — tokenize once (checkpoint
-    * barrier), per n one explode + (doc, gram)-keyed count + left join +
+    * barrier), per n one explode + (doc, gram)-keyed count + full-outer join +
     * global sum, gram-sized shuffles with map-side combining.
     */
   def corpusRouge(docs: DataFrame, idCol: String, textCol: String,
@@ -610,12 +610,16 @@ object Eval {
         .groupBy("id", "g").agg(count(lit(1)).as("cc"))
       val rc = toks.select(col("id"), explode(grams("ref", n)).as("g"))
         .groupBy("id", "g").agg(count(lit(1)).as("rc"))
-      val m = cc.join(rc, Seq("id", "g"), "left")
+      // ONE full-outer join yields clipped matches AND both totals, so
+      // each side's explode+count is computed once (Round8PlanSpec pin)
+      cc.join(rc, Seq("id", "g"), "full_outer")
         .agg(
-          sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as(s"match$n"),
-          sum(col("cc")).as(s"ctotal$n"))
-      val r = rc.agg(sum(col("rc")).as(s"rtotal$n"))
-      m.crossJoin(r)
+          coalesce(sum(least(coalesce(col("cc"), lit(0L)),
+            coalesce(col("rc"), lit(0L)))), lit(0L)).as(s"match$n"),
+          coalesce(sum(coalesce(col("cc"), lit(0L))), lit(0L))
+            .as(s"ctotal$n"),
+          coalesce(sum(coalesce(col("rc"), lit(0L))), lit(0L))
+            .as(s"rtotal$n"))
     }
     counts(1).crossJoin(counts(2))
       .withColumn("rouge1_p", expr(rougePExpr(1)))
@@ -797,16 +801,20 @@ object Eval {
         .agg(count(lit(1)).as(cnt))
     val cc = perGram("cand", "cc")
     val rc = perGram("ref", "rc")
-    val m = cc.join(rc, Seq("id", "n", "g"), "left")
+    // ONE full-outer join yields clipped matches AND both totals, so each
+    // side's explode+count really is computed once (Round8PlanSpec pins
+    // exactly two Generates)
+    val m = cc.join(rc, Seq("id", "n", "g"), "full_outer")
       .groupBy("n")
-      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("m"),
-        sum(col("cc")).as("ct"))
-    val r = rc.groupBy("n").agg(sum(col("rc")).as("rt"))
+      .agg(sum(least(coalesce(col("cc"), lit(0L)),
+          coalesce(col("rc"), lit(0L)))).as("m"),
+        sum(coalesce(col("cc"), lit(0L))).as("ct"),
+        sum(coalesce(col("rc"), lit(0L))).as("rt"))
     val aggs = (1 to 3).flatMap(n => Seq(
-      sum(when(col("n") === n, col("m"))).as(s"match$n"),
-      sum(when(col("n") === n, col("ct"))).as(s"ctotal$n"),
-      sum(when(col("n") === n, col("rt"))).as(s"rtotal$n")))
-    val wide = m.join(r, Seq("n")).agg(aggs.head, aggs.tail: _*)
+      coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"match$n"),
+      coalesce(sum(when(col("n") === n, col("ct"))), lit(0L)).as(s"ctotal$n"),
+      coalesce(sum(when(col("n") === n, col("rt"))), lit(0L)).as(s"rtotal$n")))
+    val wide = m.agg(aggs.head, aggs.tail: _*)
     wide.withColumn("chrf_p", expr(chrfPExpr))
       .withColumn("chrf_r", expr(chrfRExpr))
       .withColumn("chrf", expr(chrfExpr))
