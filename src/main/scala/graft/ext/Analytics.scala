@@ -910,6 +910,56 @@ object Analytics {
       .withColumnRenamed("n_keys_obs", "n_obs")
   }
 
+  /** Shared JSD final expression over (sa, sb: per-term-rounded DECIMAL
+    * sums cast to double; qcov, n: exact longs): the words a group never
+    * observed contribute q·ln(q/(q/2)) = q·ln 2 to KL(Q‖M) in closed
+    * form, so they never need rows — ½·ln 2·(1 − qcov/n) covers the
+    * entire unobserved tail exactly.
+    */
+  val jsdExpr: String =
+    "round(0.5 * sa + 0.5 * sb + 0.5 * ln(2.0) " +
+      "* (1.0 - CAST(qcov AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+
+  /** Per-group Jensen–Shannon divergence of the key distribution from
+    * the corpus blend — [[klFromGlobal]]'s symmetric, always-finite
+    * companion (KL explodes on group-only words; JSD is bounded by ln 2,
+    * the right scale for comparing domain shifts ACROSS groups). Per
+    * observed (group, word): p·ln(p/m) and q·ln(q/m) with m = (p+q)/2,
+    * per-term round(6) DECIMAL sums; the unobserved tail of KL(Q‖M) is
+    * the closed form ½·ln2·(1 − qcov/n) — no vocab-sized row expansion
+    * per group. ONE shared final expression.
+    *
+    * Scale: identical to [[klFromGlobal]] — one (group, key) count,
+    * group/key marginals joined back (group marginal broadcast), one
+    * group-keyed sum. State per group: two decimals + two longs.
+    */
+  def jsdFromGlobal(df: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    val gk = df.where(col(keyCol).isNotNull)
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true)
+    val g = gk.groupBy(col(groupCol)).agg(sum(col("__o")).as("__ng"))
+    val k = gk.groupBy(col(keyCol)).agg(sum(col("__o")).as("__ok"))
+    val tot = gk.agg(sum(col("__o")).as("__n"))
+    gk.join(broadcast(g), Seq(groupCol))
+      .join(k, Seq(keyCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("__p", col("__o").cast("double") / col("__ng").cast("double"))
+      .withColumn("__q", col("__ok").cast("double") / col("__n").cast("double"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2.0)
+      .groupBy(col(groupCol))
+      .agg(first(col("__ng")).as("n_obs"),
+        sum(round(col("__p") * log(col("__p") / col("__m")), 6)
+          .cast("decimal(30,6)")).cast("double").as("sa"),
+        sum(round(col("__q") * log(col("__q") / col("__m")), 6)
+          .cast("decimal(30,6)")).cast("double").as("sb"),
+        sum(col("__ok")).as("qcov"),
+        first(col("__n")).as("n"))
+      .withColumn("jsd", expr(jsdExpr))
+      .select(col(groupCol), col("n_obs"), col("jsd"))
+  }
+
   /** First-order Markov transition matrix over each entity's event
     * stream: counts of consecutive (from_type → to_type) steps and the
     * row-normalized transition probability — the behavioral-model /

@@ -737,6 +737,34 @@ object Eval {
           / count(lit(1)).cast("double"), 6).as("brier"))
   }
 
+  /** Per-slice expected calibration error over `nBins` equi-width score
+    * bins — the scalar that summarizes [[calibrationBins]]'s curve:
+    * ECE = Σ_b (n_b/N)·|frac_pos_b − mean_score_b|. The algebra
+    * collapses each bin's weighted gap to |n_pos_b − Σscores_b| / N,
+    * where Σscores_b is the per-term-round(6) DECIMAL score sum — so the
+    * whole metric is an exact DECIMAL sum of per-bin absolute
+    * differences with ONE final division. Order-independent, no float
+    * accumulation, bin-granularity state (nBins rows of two numbers per
+    * slice).
+    */
+  def expectedCalibrationError(df: DataFrame, sliceCol: String,
+      scoreCol: String, label: Column, nBins: Int = 10): DataFrame = {
+    require(nBins > 0)
+    val y = label.cast("boolean")
+    val bin = least(floor(col(scoreCol) * nBins), lit(nBins - 1.0))
+      .cast("long")
+    df.where(col(scoreCol).isNotNull && y.isNotNull)
+      .groupBy(col(sliceCol), bin.as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(y.cast("long")).as("__pos"),
+        sum(round(col(scoreCol), 6).cast("decimal(30,6)")).as("__s"))
+      .groupBy(col(sliceCol))
+      .agg(sum(col("__n")).as("n"),
+        count(lit(1)).as("n_bins_used"),
+        round(sum(abs(col("__pos").cast("decimal(30,6)") - col("__s")))
+          .cast("double") / sum(col("__n")).cast("double"), 6).as("ece"))
+  }
+
   /** Shared chrF final expressions over the nine exact longs (match_n /
     * ctotal_n / rtotal_n, n = 1..3). Per-n precision/recall are exact-
     * long ratios (0 where the denominator is 0, the sacrebleu empty-

@@ -1957,7 +1957,86 @@ object EvalQueries {
        |WHERE na0 >= 1 AND nb0 >= 1 AND ${Analytics.mannWhitneyVarExpr} > 0.0
        |""".stripMargin
 
+  /** Per-source expected calibration error of the heuristic quality
+    * classifier against the lang='en' label over 10 score bins — the
+    * scalar companion to [[evalCalibration]]'s curve and [[evalBrier]]'s
+    * proper score, on the same scored corpus (see
+    * [[graft.ext.Eval.expectedCalibrationError]]).
+    */
+  val evalEce: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
+    val scored = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("__y")), Seq("doc_id"))
+    Eval.expectedCalibrationError(scored, "source", "score", col("__y"))
+  }
+
+  val evalEceSql: String =
+    s"""WITH qc AS (
+       |  SELECT q.doc_id, q.score FROM (${ExtQueries.qualityClassifierSql}) q
+       |), j AS (
+       |  SELECT d.source, qc.score, (d.lang = 'en') AS y
+       |  FROM qc JOIN documents d USING (doc_id)
+       |), b AS (
+       |  SELECT source, CAST(least(floor(score * 10), 9.0) AS BIGINT) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    sum(CAST(round(score, 6) AS DECIMAL(30,6))) AS s
+       |  FROM j GROUP BY 1, 2
+       |)
+       |SELECT source, CAST(sum(n) AS BIGINT) AS n,
+       |  CAST(count(*) AS BIGINT) AS n_bins_used,
+       |  round(CAST(sum(abs(CAST(pos AS DECIMAL(30,6)) - s)) AS DOUBLE)
+       |    / CAST(sum(n) AS DOUBLE), 6) AS ece
+       |FROM b GROUP BY 1""".stripMargin
+
+  /** Per-source Jensen–Shannon divergence of the token distribution
+    * from the corpus blend — [[mixtureKl]]'s symmetric, ln2-bounded
+    * companion on the same tokenization (see
+    * [[graft.ext.Analytics.jsdFromGlobal]]).
+    */
+  val statsJsd: QueryFn = (s, dir) =>
+    Analytics.jsdFromGlobal(
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+        .where(col("word") =!= ""),
+      "source", "word")
+
+  val statsJsdSql: String = {
+    val p = "(CAST(o AS DOUBLE) / ng)"
+    val q = "(CAST(ok AS DOUBLE) / t.n)"
+    val m = s"(($p + $q) / 2.0)"
+    s"""WITH t2 AS (
+       |  SELECT source, word FROM (
+       |    SELECT source,
+       |      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> ''
+       |), gk AS (
+       |  SELECT source, word, CAST(count(*) AS BIGINT) AS o
+       |  FROM t2 GROUP BY 1, 2
+       |), g AS (SELECT source, CAST(sum(o) AS BIGINT) AS ng FROM gk GROUP BY 1),
+       |k AS (SELECT word, CAST(sum(o) AS BIGINT) AS ok FROM gk GROUP BY 1),
+       |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM gk),
+       |agg AS (
+       |  SELECT source, any_value(ng) AS n_obs,
+       |    CAST(sum(CAST(round($p * ln($p / $m), 6)
+       |      AS DECIMAL(30,6))) AS DOUBLE) AS sa,
+       |    CAST(sum(CAST(round($q * ln($q / $m), 6)
+       |      AS DECIMAL(30,6))) AS DOUBLE) AS sb,
+       |    CAST(sum(ok) AS BIGINT) AS qcov,
+       |    any_value(t.n) AS n
+       |  FROM gk JOIN g USING (source) JOIN k USING (word), t
+       |  GROUP BY source
+       |)
+       |SELECT source, n_obs, ${Analytics.jsdExpr} AS jsd FROM agg""".stripMargin
+  }
+
   val all: Map[String, QueryFn] = Map(
+    "eval_ece"         -> evalEce,
+    "stats_jsd"        -> statsJsd,
     "eval_chrf"        -> evalChrf,
     "stats_mannwhitney" -> statsMannwhitney,
     "eval_rouge"       -> evalRouge,
@@ -2011,6 +2090,8 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "eval_ece"         -> evalEceSql,
+    "stats_jsd"        -> statsJsdSql,
     "eval_chrf"        -> evalChrfSql,
     "stats_mannwhitney" -> statsMannwhitneySql,
     "eval_rouge"       -> evalRougeSql,

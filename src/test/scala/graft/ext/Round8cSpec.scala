@@ -183,6 +183,71 @@ class Round8cSpec extends AnyFunSuite with SparkTest {
     assert(z < -3.0, s"odd cohort is uniformly 100 lower, z=$z")
   }
 
+  // ---- Eval.expectedCalibrationError ------------------------------------
+
+  test("expectedCalibrationError: hand-computed three-bin case") {
+    // slice x: bin1 = {(0.1, F)} → |0 − 0.1| = 0.1
+    //          bin3 = {(0.3, T)} → |1 − 0.3| = 0.7
+    //          bin9 = {(0.95, T)} → |1 − 0.95| = 0.05
+    // ECE = (0.1 + 0.7 + 0.05) / 3
+    val df = Seq(("x", 0.1, false), ("x", 0.3, true), ("x", 0.95, true))
+      .toDF("slice", "score", "y")
+    val r = Eval.expectedCalibrationError(df, "slice", "score", col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 3 && r.getAs[Long]("n_bins_used") == 3)
+    assert(math.abs(r.getAs[Double]("ece") - 0.85 / 3.0) < 1e-6)
+    // perfectly calibrated degenerate case: score == observed frequency
+    val perfect = Seq(("p", 1.0, true), ("p", 0.0, false))
+      .toDF("slice", "score", "y")
+    val rp = Eval.expectedCalibrationError(perfect, "slice", "score",
+      col("y")).collect().head
+    assert(rp.getAs[Double]("ece") == 0.0)
+  }
+
+  // ---- Analytics.jsdFromGlobal -------------------------------------------
+
+  test("jsdFromGlobal: 0 for the blend-identical group, ln2 bound for disjoint") {
+    // two groups with IDENTICAL word distributions: each group's P equals
+    // the global Q exactly, so JSD = 0 for both
+    val same = Seq.tabulate(40)(i =>
+      (if (i % 2 == 0) "a" else "b", s"w${i % 5}"))
+      .toDF("grp", "word")
+    val rs = Analytics.jsdFromGlobal(same, "grp", "word")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("jsd")).toMap
+    assert(rs.values.forall(_ == 0.0), rs.toString)
+    // two equal groups with DISJOINT vocabularies: vs the BLEND (which
+    // contains the group itself), p = 2q on own words and the closed
+    // form is ½ln(4/3) + ¼ln(2/3) + ¼ln2 = 1.5·ln2 − 0.75·ln3
+    val disj = (Seq.tabulate(20)(i => ("a", s"x$i")) ++
+      Seq.tabulate(20)(i => ("b", s"y$i"))).toDF("grp", "word")
+    val rd = Analytics.jsdFromGlobal(disj, "grp", "word")
+      .collect().map(_.getAs[Double]("jsd"))
+    val want = 1.5 * math.log(2.0) - 0.75 * math.log(3.0)
+    rd.foreach(j => assert(math.abs(j - want) < 1e-5, s"$j vs $want"))
+  }
+
+  test("jsdFromGlobal: matches a naive driver-side JSD on a skewed corpus") {
+    val rows = Seq.fill(8)(("a", "common")) ++ Seq.fill(2)(("a", "rare_a")) ++
+      Seq.fill(5)(("b", "common")) ++ Seq.fill(5)(("b", "rare_b"))
+    val got = Analytics.jsdFromGlobal(rows.toDF("grp", "word"), "grp", "word")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("jsd")).toMap
+    def naive(grp: String): Double = {
+      val n = rows.size.toDouble
+      val gRows = rows.filter(_._1 == grp)
+      val ng = gRows.size.toDouble
+      val q = rows.groupBy(_._2).map { case (w, v) => w -> v.size / n }
+      val p = gRows.groupBy(_._2).map { case (w, v) => w -> v.size / ng }
+      q.keys.map { w =>
+        val pw = p.getOrElse(w, 0.0); val qw = q(w)
+        val m = (pw + qw) / 2.0
+        (if (pw > 0) 0.5 * pw * math.log(pw / m) else 0.0) +
+          (if (qw > 0) 0.5 * qw * math.log(qw / m) else 0.0)
+      }.sum
+    }
+    Seq("a", "b").foreach(g =>
+      assert(math.abs(got(g) - naive(g)) < 1e-5, s"$g: ${got(g)} vs ${naive(g)}"))
+  }
+
   test("mannWhitneyU: no ties ⇒ classic U on a known example") {
     // A = {10, 30}, B = {20, 40, 50}: ranks A = {1, 3} ⇒ R_A = 4,
     // U_A = 4 − 3 = 1, u2_a = 2; ties term = 0
