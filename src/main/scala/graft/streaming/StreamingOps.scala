@@ -486,6 +486,33 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming calibration-bin maintenance —
+    * `Eval.calibrationBins` / `expectedCalibrationError`'s state half on
+    * an unbounded scored log: per (slice, bin) the three ORDER-FREE sums
+    * (count, positives, per-term-round(6) DECIMAL score sum). All three
+    * merges are associative and commutative, so after any micro-batch
+    * the state equals the batch build over everything seen; the ECE
+    * read-off downstream is the same |n_pos − s|/N collapse over the
+    * (slices × nBins)-row state — which is also the forever bound on
+    * state size. Null scores/labels are excluded (the batch kernel's
+    * rule), so a late or replayed row can never bend a bin silently.
+    */
+  def calibrationBinStream(scored: DataFrame, sliceExpr: Column,
+      scoreExpr: Column, labelExpr: Column, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nBins > 0)
+    val base = scored.select(sliceExpr.as("slice"),
+      scoreExpr.cast("double").as("__sc"),
+      labelExpr.cast("boolean").as("__y"))
+    base.where(col("__sc").isNotNull && col("__y").isNotNull)
+      .groupBy(col("slice"),
+        least(floor(col("__sc") * nBins), lit(nBins - 1.0)).cast("long")
+          .as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y").cast("long")).as("n_pos"),
+        sum(round(col("__sc"), 6).cast("decimal(30,6)")).as("s"))
+  }
+
   /** Streaming Markov transition steps — `Analytics.markovTransitions`'
     * pairing half on an unbounded log: per entity the state store keeps
     * ONLY the last seen event type (O(1) per key, forever), and each

@@ -147,6 +147,38 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
       "every in-grid AND stray value must be counted exactly once")
   }
 
+  test("replayable calibration bins: streaming state == batch build, ECE read-off agrees") {
+    val slice = col("event_type")
+    val score = col("value") - floor(col("value")) // a [0,1) "confidence"
+    val label = col("user_id") % 2 === 0
+    val q = StreamingOps.calibrationBinStream(
+      StreamingOps.eventsStream(spark, eventsDir), slice, score, label)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("calib_out")
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q, 120000)
+
+    val streamed = spark.table("calib_out")
+    val batch = StreamingOps.calibrationBinStream(
+      Tables.events(spark, sfDir), slice, score, label)
+    assert(streamed.as[(String, Long, Long, Long, BigDecimal)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq ==
+      batch.as[(String, Long, Long, Long, BigDecimal)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq)
+    // the ECE read-off over the streamed state equals the batch kernel
+    val eceFromState = streamed.groupBy("slice")
+      .agg((sum(abs(col("n_pos").cast("decimal(30,6)") - col("s")))
+        .cast("double") / sum(col("n")).cast("double")).as("ece0"))
+      .select(col("slice"), round(col("ece0"), 6).as("ece"))
+      .as[(String, Double)].collect().toMap
+    val eceBatch = graft.ext.Eval.expectedCalibrationError(
+      Tables.events(spark, sfDir).withColumn("__sc", score),
+      "event_type", "__sc", label)
+      .select(col("event_type"), col("ece"))
+      .as[(String, Double)].collect().toMap
+    assert(eceFromState == eceBatch)
+  }
+
   test("stream-static enrichment join matches the batch join, no stream shuffle") {
     val dim = (0L to 200L).map(u => (u, s"cohort_${u % 4}")).toDF("user_id", "cohort")
     val enriched = StreamingOps.enrichStream(
