@@ -65,14 +65,32 @@ class StreamingSyncSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAl
     }
     val crashed = new StreamingSyncDriver(spark, srcDir, crashingStore, 120)
     // the query IS expected to die here — keep the intentional failure's
-    // ERROR+stack out of the suite log (a clean log is the teardown gate)
-    spark.sparkContext.setLogLevel("FATAL")
-    val err =
-      try intercept[Throwable] { awaitDone(crashed.start(availableNow = true), 180000) }
-      finally spark.sparkContext.setLogLevel("WARN")
-    val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
-      .map(e => String.valueOf(e.getMessage)).toSeq
-    assert(chain.exists(_.contains("simulated crash")), s"unexpected failure: $chain")
+    // ERROR+stack out of the suite log (a clean log is the teardown
+    // gate). A session-level setLogLevel flip races the stream thread
+    // (awaitTermination unblocks BEFORE MicroBatchExecution logs its
+    // death), so silence that one logger for the test instead; the
+    // test's own gates are exceptions and table contents, never logs.
+    val mbLoggers = Seq(
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      "org.apache.spark.sql.execution.streaming.MicroBatchExecution")
+    mbLoggers.foreach(n => org.apache.logging.log4j.core.config.Configurator
+      .setLevel(n, org.apache.logging.log4j.Level.OFF))
+    try {
+      val err =
+        intercept[Throwable] { awaitDone(crashed.start(availableNow = true), 180000) }
+      val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).toSeq
+      assert(chain.exists(_.contains("simulated crash")), s"unexpected failure: $chain")
+    } finally {
+      // the crashed query's thread may still be unwinding: wait for ALL
+      // queries on the session to settle before re-arming the logger
+      val t0 = System.nanoTime()
+      while (spark.streams.active.nonEmpty &&
+          (System.nanoTime() - t0) < 60e9.toLong) Thread.sleep(100)
+      Thread.sleep(500)
+      mbLoggers.foreach(n => org.apache.logging.log4j.core.config.Configurator
+        .setLevel(n, org.apache.logging.log4j.Level.WARN))
+    }
 
     // restart over the SAME store directory with a fresh driver+query
     // (fresh temp checkpoint — state lives in the tables, not the stream)
