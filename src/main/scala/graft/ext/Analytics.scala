@@ -831,6 +831,64 @@ object Analytics {
         col("u2a").cast("double").as("u2_a"), col("z"))
   }
 
+  /** Shared Wilcoxon signed-rank z expression over the exact per-group
+    * statistics (n as double; r2p = 2·W⁺ and ties = Σ(t³−t) as exact
+    * integers cast to double): multiplying the classic z's numerator and
+    * denominator by 4 clears every fraction —
+    * z = (2·r2p − n(n+1)) / sqrt((2n(n+1)(2n+1) − ties)/3). The variance
+    * factor is also the definedness guard (all |d| tied ⇒ 0).
+    */
+  val wilcoxonVarExpr: String =
+    "(2.0 * n * (n + 1.0) * (2.0 * n + 1.0) - CAST(ties AS DOUBLE)) / 3.0"
+  val wilcoxonZExpr: String =
+    "round((2.0 * CAST(r2p AS DOUBLE) - n * (n + 1.0)) " +
+      s"/ sqrt($wilcoxonVarExpr), 6)"
+
+  /** Paired Wilcoxon signed-rank test per group — [[mannWhitneyU]]'s
+    * PAIRED companion (two scores of the SAME item, e.g. two classifier
+    * variants over one corpus): ranks the absolute differences and asks
+    * whether positive differences carry systematically more rank mass.
+    * Zero differences are dropped (the standard convention); tied |d|
+    * values share their average rank.
+    *
+    * Exactness: the [[mannWhitneyU]] discipline verbatim — ranks only on
+    * the COMPRESSED (group, |d|) table, half-integers cleared by
+    * doubling (2W⁺ = Σ cp·(2·below + t + 1), exact), tie term Σ(t³−t),
+    * both in DECIMAL(38,0) (n²/n³-scale products), ONE shared z
+    * expression. Groups with no nonzero pairs or all |d| tied are
+    * dropped (z undefined).
+    *
+    * Scale: one map-side-combining aggregation to (group, |d|)
+    * granularity, one group-keyed cumulative window over the compressed
+    * table, one group-keyed sum.
+    */
+  def wilcoxonSignedRank(df: DataFrame, groupCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val d = col(aCol) - col(bCol)
+    val comp = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull && d =!= 0.0)
+      .groupBy(col(groupCol), abs(d).as("__ad"))
+      .agg(sum((d > 0).cast("long")).as("__cp"),
+        sum((d < 0).cast("long")).as("__cn"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("__cp") + col("__cn")
+    val ranked = comp.withColumn("__below",
+      coalesce(sum(t).over(w), lit(0L)))
+    val tD = t.cast("decimal(38,0)")
+    ranked.groupBy(col(groupCol))
+      .agg(sum(t).as("n0"), sum(col("__cp")).as("n_pos"),
+        sum(col("__cp").cast("decimal(38,0)") *
+          (lit(2L) * col("__below") + t + lit(1L)).cast("decimal(38,0)"))
+          .as("r2p"),
+        sum((tD * tD - lit(1L)) * tD).as("ties"))
+      .withColumn("n", col("n0").cast("double"))
+      .where(col("n0") >= 1 && expr(s"$wilcoxonVarExpr > 0.0"))
+      .withColumn("z", expr(wilcoxonZExpr))
+      .select(col(groupCol), col("n0").as("n_pairs"), col("n_pos"),
+        col("z"))
+  }
+
   /** Chi-squared independence test between two categorical columns,
     * with degrees of freedom and Cramér's V — the association audit
     * between, say, language and source (a corpus where they correlate

@@ -2034,7 +2034,52 @@ object EvalQueries {
        |SELECT source, n_obs, ${Analytics.jsdExpr} AS jsd FROM agg""".stripMargin
   }
 
+  /** Paired Wilcoxon signed-rank per source: does the heuristic quality
+    * classifier score sit systematically above or below the
+    * length-based score n_chars/450 on the SAME documents? — the paired
+    * companion to [[statsMannwhitney]] (see
+    * [[graft.ext.Analytics.wilcoxonSignedRank]]).
+    */
+  val evalWilcoxon: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
+    val scored = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("n_chars").cast("double") / 450.0).as("__b")), Seq("doc_id"))
+    Analytics.wilcoxonSignedRank(scored, "source", "score", "__b")
+  }
+
+  val evalWilcoxonSql: String =
+    s"""WITH qc AS (
+       |  SELECT q.doc_id, q.score FROM (${ExtQueries.qualityClassifierSql}) q
+       |), j AS (
+       |  SELECT d.source,
+       |    qc.score - (CAST(d.n_chars AS DOUBLE) / 450.0) AS dd
+       |  FROM qc JOIN documents d USING (doc_id)
+       |), comp AS (
+       |  SELECT source, abs(dd) AS ad,
+       |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |    CAST(sum(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+       |  FROM j WHERE dd <> 0 GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT *, coalesce(sum(cp + cn) OVER (
+       |    PARTITION BY source ORDER BY ad
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       |  FROM comp
+       |), g AS (
+       |  SELECT source, CAST(sum(cp + cn) AS BIGINT) AS n0,
+       |    CAST(sum(cp) AS BIGINT) AS n_pos,
+       |    sum(CAST(cp AS HUGEINT) * (2 * below + cp + cn + 1)) AS r2p,
+       |    sum((CAST(cp + cn AS HUGEINT) * (cp + cn) - 1) * (cp + cn)) AS ties
+       |  FROM rk GROUP BY 1
+       |), gg AS (
+       |  SELECT source, n0, n_pos, r2p, ties, CAST(n0 AS DOUBLE) AS n FROM g
+       |)
+       |SELECT source, n0 AS n_pairs, n_pos, ${Analytics.wilcoxonZExpr} AS z
+       |FROM gg WHERE n0 >= 1 AND ${Analytics.wilcoxonVarExpr} > 0.0""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "eval_wilcoxon"    -> evalWilcoxon,
     "eval_ece"         -> evalEce,
     "stats_jsd"        -> statsJsd,
     "eval_chrf"        -> evalChrf,
@@ -2090,6 +2135,7 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "eval_wilcoxon"    -> evalWilcoxonSql,
     "eval_ece"         -> evalEceSql,
     "stats_jsd"        -> statsJsdSql,
     "eval_chrf"        -> evalChrfSql,

@@ -248,6 +248,35 @@ class Round8cSpec extends AnyFunSuite with SparkTest {
       assert(math.abs(got(g) - naive(g)) < 1e-5, s"$g: ${got(g)} vs ${naive(g)}"))
   }
 
+  // ---- Analytics.wilcoxonSignedRank --------------------------------------
+
+  test("wilcoxonSignedRank: hand-computed with tied |d| and a dropped zero") {
+    // d = {+1, −2, +2, +3, 0}: the zero drops; |d| ranks 1→1,
+    // {2,2}→2.5, 3→4; W⁺ = 1 + 2.5 + 4 = 7.5, n = 4, ties = 2³−2 = 6;
+    // classic z = (W⁺ − n(n+1)/4)/sqrt(n(n+1)(2n+1)/24 − ties/48)
+    val df = Seq(("g", 2.0, 1.0), ("g", 1.0, 3.0), ("g", 5.0, 3.0),
+      ("g", 7.0, 4.0), ("g", 9.0, 9.0)).toDF("grp", "a", "b")
+    val r = Analytics.wilcoxonSignedRank(df, "grp", "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 4 && r.getAs[Long]("n_pos") == 3)
+    val z = (7.5 - 4.0 * 5.0 / 4.0) /
+      math.sqrt(4.0 * 5 * 9 / 24.0 - 6.0 / 48.0)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+  }
+
+  test("wilcoxonSignedRank: symmetric differences give z = 0; all-tied group drops") {
+    val sym = Seq(("s", 1.0, 0.0), ("s", 0.0, 1.0), ("s", 3.0, 1.0),
+      ("s", 1.0, 3.0)).toDF("grp", "a", "b")
+    val rs = Analytics.wilcoxonSignedRank(sym, "grp", "a", "b")
+      .collect().head
+    assert(rs.getAs[Double]("z") == 0.0)
+    // one nonzero pair: n=1, var = (2·1·2·3 − 0)/3 = 4 > 0 ⇒ kept;
+    // all-zero group: no nonzero pairs ⇒ dropped entirely
+    val zeros = Seq(("z0", 5.0, 5.0), ("z0", 7.0, 7.0)).toDF("grp", "a", "b")
+    assert(Analytics.wilcoxonSignedRank(zeros, "grp", "a", "b")
+      .collect().isEmpty)
+  }
+
   test("mannWhitneyU: no ties ⇒ classic U on a known example") {
     // A = {10, 30}, B = {20, 40, 50}: ranks A = {1, 3} ⇒ R_A = 4,
     // U_A = 4 − 3 = 1, u2_a = 2; ties term = 0
