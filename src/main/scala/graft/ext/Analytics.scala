@@ -779,6 +779,14 @@ object Analytics {
   val mannWhitneyZExpr: String =
     s"round((CAST(u2a AS DOUBLE) - na * nb) / sqrt($mannWhitneyVarExpr), 6)"
 
+  /** Cliff's delta from the same exact statistics — the EFFECT SIZE the
+    * z statistic lacks (z grows with n even for trivial shifts; delta is
+    * the probability a random A value exceeds a random B value minus the
+    * reverse, tied pairs half-credited): δ = 2U_A/(na·nb) − 1 = u2a/(na·nb) − 1.
+    */
+  val cliffsDeltaExpr: String =
+    "round(CAST(u2a AS DOUBLE) / (na * nb) - 1.0, 6)"
+
   /** Two-cohort Mann–Whitney U test per group — the RANK-based drift
     * alarm completing the triad with [[ksDrift]] (shape) and [[welchT]]
     * (level): it detects a location shift without assuming the metric's
@@ -825,10 +833,11 @@ object Analytics {
       .where(col("na0") >= 1 && col("nb0") >= 1 &&
         expr(s"$mannWhitneyVarExpr > 0.0"))
       .withColumn("z", expr(mannWhitneyZExpr))
+      .withColumn("cliffs_delta", expr(cliffsDeltaExpr))
       .select(col(groupCol), col("na0").as("n_a"), col("nb0").as("n_b"),
         // exact DECIMAL internally; surfaced as DOUBLE (both engines
         // round-to-nearest the same integer, so the hash still matches)
-        col("u2a").cast("double").as("u2_a"), col("z"))
+        col("u2a").cast("double").as("u2_a"), col("z"), col("cliffs_delta"))
   }
 
   /** Shared Wilcoxon signed-rank z expression over the exact per-group

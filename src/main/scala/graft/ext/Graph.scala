@@ -643,6 +643,60 @@ object Graph {
         .as("component"))
   }
 
+  /** Shared degree-assortativity final expression over the six exact
+    * stats (m and the DECIMAL sums sx, sy, sxy, sxx, syy cast to
+    * double): the plain Pearson correlation of endpoint degrees over
+    * directed edge instances, r = (m·Σxy − Σx·Σy) /
+    * sqrt((m·Σx² − Σx²̂)·(m·Σy² − Σŷ²)).
+    */
+  val assortativityExpr: String =
+    "round((CAST(m AS DOUBLE) * sxy - sx * sy) " +
+      "/ sqrt((CAST(m AS DOUBLE) * sxx - sx * sx) " +
+      "* (CAST(m AS DOUBLE) * syy - sy * sy)), 6)"
+
+  /** Degree assortativity coefficient of an undirected graph `(a, b)` —
+    * the Newman r: do high-degree nodes attach to high-degree nodes
+    * (social networks, r > 0) or to leaves (web/infrastructure hubs,
+    * r < 0)? Pearson correlation of the endpoint degrees over the
+    * SYMMETRIZED edge list, so each undirected edge contributes both
+    * orientations and the statistic is orientation-invariant by
+    * construction.
+    *
+    * Exactness: degrees are exact longs; all five moment sums promote
+    * to DECIMAL(38,0) BEFORE the first multiply (d²-scale per edge — the
+    * chi2 silent-wrap class); ONE shared final expression. Returns one
+    * row (m = directed edge count, r). Degenerate graphs (all degrees
+    * equal ⇒ zero variance) report a null r.
+    *
+    * Scale: one degree aggregation, two node-keyed attach joins, one
+    * scalar aggregation — no window, no driver state.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true) // feeds the degree agg AND both attaches
+    val deg = dir.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val dD = col("deg").cast("decimal(38,0)")
+    val withDeg = dir
+      .join(deg.select(col("node").as("src"), dD.as("__dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), dD.as("__dy")), Seq("dst"))
+    withDeg.agg(count(lit(1)).as("m"),
+        sum(col("__dx")).cast("double").as("sx"),
+        sum(col("__dy")).cast("double").as("sy"),
+        sum(col("__dx") * col("__dy")).cast("double").as("sxy"),
+        sum(col("__dx") * col("__dx")).cast("double").as("sxx"),
+        sum(col("__dy") * col("__dy")).cast("double").as("syy"))
+      .withColumn("r", when(
+        expr("CAST(m AS DOUBLE) * sxx - sx * sx > 0.0") &&
+          expr("CAST(m AS DOUBLE) * syy - sy * sy > 0.0"),
+        expr(assortativityExpr)))
+      .select(col("m"), col("r"))
+  }
+
   /** Strongly connected components of a DIRECTED graph `(src, dst)` by
     * min-label coloring + backward marking (the Orzan-style coloring
     * variant of FW-BW — the standard distributed SCC family; Tarjan's

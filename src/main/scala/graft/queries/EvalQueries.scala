@@ -1952,7 +1952,8 @@ object EvalQueries {
        |  FROM g
        |)
        |SELECT event_type, na0 AS n_a, nb0 AS n_b,
-       |  CAST(u2a AS DOUBLE) AS u2_a, ${Analytics.mannWhitneyZExpr} AS z
+       |  CAST(u2a AS DOUBLE) AS u2_a, ${Analytics.mannWhitneyZExpr} AS z,
+       |  ${Analytics.cliffsDeltaExpr} AS cliffs_delta
        |FROM gg
        |WHERE na0 >= 1 AND nb0 >= 1 AND ${Analytics.mannWhitneyVarExpr} > 0.0
        |""".stripMargin

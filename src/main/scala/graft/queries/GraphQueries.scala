@@ -358,6 +358,38 @@ object GraphQueries {
       |SELECT node, CAST(coalesce(least(node, m), node) AS BIGINT) AS scc
       |FROM nodes LEFT JOIN mut ON node = u""".stripMargin
 
+  /** Degree assortativity of the co-purchase graph — Newman's r over
+    * endpoint degrees (see [[graft.ext.Graph.assortativity]]); both
+    * engines evaluate one shared Pearson expression over six exact
+    * moment statistics.
+    */
+  val graphAssortativity: QueryFn = (s, dir) =>
+    graft.ext.Graph.assortativity(coPurchase(s, dir))
+
+  val graphAssortativitySql: String =
+    s"""$pairsCte, dir AS (
+       |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), deg AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM dir GROUP BY 1
+       |), wd AS (
+       |  SELECT CAST(d1.deg AS HUGEINT) AS dx, CAST(d2.deg AS HUGEINT) AS dy
+       |  FROM dir JOIN deg d1 ON d1.node = dir.src
+       |    JOIN deg d2 ON d2.node = dir.dst
+       |), g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+       |    CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+       |    CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+       |    CAST(sum(dy * dy) AS DOUBLE) AS syy
+       |  FROM wd
+       |)
+       |SELECT m,
+       |  CASE WHEN CAST(m AS DOUBLE) * sxx - sx * sx > 0.0
+       |        AND CAST(m AS DOUBLE) * syy - sy * sy > 0.0
+       |       THEN ${graft.ext.Graph.assortativityExpr} END AS r
+       |FROM g""".stripMargin
+
   /** Per-user EWMA (alpha = 0.25) of event values in time order. */
   val tsEwma: QueryFn = (s, dir) =>
     Analytics.ewma(Tables.events(s, dir),
@@ -904,6 +936,7 @@ object GraphQueries {
     "graph_cc"        -> graphCc,
     "graph_cc_twophase" -> graphCcTwoPhase,
     "graph_scc"       -> graphScc,
+    "graph_assortativity" -> graphAssortativity,
     "graph_label_prop" -> graphLabelProp,
     "graph_hits"      -> graphHits,
     "ts_ewma"         -> tsEwma,
@@ -936,6 +969,7 @@ object GraphQueries {
     "graph_cc"        -> graphCcSql,
     "graph_cc_twophase" -> graphCcSql, // same output contract as graph_cc
     "graph_scc"       -> graphSccSql,
+    "graph_assortativity" -> graphAssortativitySql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_hits"      -> graphHitsSql,
     "ts_ewma"         -> tsEwmaSql,

@@ -169,6 +169,8 @@ class Round8cSpec extends AnyFunSuite with SparkTest {
     val v4 = (3.0 * 2.0 / 3.0) * (6.0 - 24.0 / (5.0 * 4.0))
     val z = (2.0 - 6.0) / math.sqrt(v4)
     assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+    // Cliff's delta = u2a/(na·nb) − 1 = 2/6 − 1
+    assert(math.abs(r.getAs[Double]("cliffs_delta") - (2.0 / 6.0 - 1.0)) < 1e-6)
   }
 
   test("mannWhitneyU: all-tied group is dropped; balanced shift detected") {
@@ -246,6 +248,39 @@ class Round8cSpec extends AnyFunSuite with SparkTest {
     }
     Seq("a", "b").foreach(g =>
       assert(math.abs(got(g) - naive(g)) < 1e-5, s"$g: ${got(g)} vs ${naive(g)}"))
+  }
+
+  // ---- Graph.assortativity -----------------------------------------------
+
+  test("assortativity: star graph is perfectly disassortative (r = −1)") {
+    val star = (1L to 9L).map(i => (0L, i)).toDF("a", "b")
+    val r = Graph.assortativity(star).collect().head
+    assert(r.getAs[Long]("m") == 18)
+    assert(math.abs(r.getAs[Double]("r") - (-1.0)) < 1e-6)
+  }
+
+  test("assortativity: regular graph has zero degree variance ⇒ null r") {
+    val ring = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("a", "b")
+    val r = Graph.assortativity(ring).collect().head
+    assert(r.isNullAt(r.fieldIndex("r")))
+  }
+
+  test("assortativity: matches a naive driver-side Pearson on a random graph") {
+    val edges = (0L until 150L).map(i => (i, (i * 2654435761L) % 151L))
+      .filter { case (a, b) => a != b }
+    val got = Graph.assortativity(edges.toDF("a", "b")).collect().head
+    val dirE = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = dirE.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val xs = dirE.map { case (s, d) => (deg(s), deg(d)) }
+    val m = xs.size.toDouble
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val syy = xs.map(p => p._2 * p._2).sum
+    val want = (m * sxy - sx * sy) /
+      math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert(math.abs(got.getAs[Double]("r") - want) < 1e-6,
+      s"${got.getAs[Double]("r")} vs $want")
   }
 
   // ---- Analytics.wilcoxonSignedRank --------------------------------------
