@@ -194,6 +194,61 @@ object ScaleAnalytics {
     }
     assert(seqBad == 0L, s"$seqBad users without exactly 2 pattern matches")
 
+    // mann-whitney: U_A + U_B = na·nb is an EXACT identity of the
+    // statistic (tie half-credits cancel), so the two cohort runs must
+    // conserve it at any scale; same-distribution cohorts keep |z| < 6
+    // and |delta| tiny, and a disjoint planted shift drives delta to
+    // EXACTLY 1 with u2a = 2·na·nb
+    val mw = t("mannwhitney") {
+      val a = Analytics.mannWhitneyU(ev, "event_type", "value",
+        col("user_id") % 2 === 0).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val b = Analytics.mannWhitneyU(ev, "event_type", "value",
+        col("user_id") % 2 =!= 0).collect()
+        .map(r => r.getString(0) -> r).toMap
+      (a, b)
+    }
+    mw._1.foreach { case (ty, ra) =>
+      val rb = mw._2(ty)
+      val (na, nb) = (ra.getAs[Long]("n_a"), ra.getAs[Long]("n_b"))
+      assert(ra.getAs[Double]("u2_a") + rb.getAs[Double]("u2_a") ==
+        2.0 * na * nb, s"$ty: U_A + U_B must equal na*nb exactly")
+      assert(math.abs(ra.getAs[Double]("z")) < 6.0,
+        s"$ty same-distribution |z| = ${ra.getAs[Double]("z")}")
+      assert(math.abs(ra.getAs[Double]("cliffs_delta")) < 0.01,
+        s"$ty same-distribution delta = ${ra.getAs[Double]("cliffs_delta")}")
+    }
+    val mwShift = t("mw-shifted") {
+      Analytics.mannWhitneyU(
+        ev.withColumn("value", col("value") +
+          when(col("user_id") % 2 === 0, 10000.0).otherwise(0.0)),
+        "event_type", "value", col("user_id") % 2 === 0).collect()
+    }
+    mwShift.foreach { r =>
+      assert(r.getAs[Double]("cliffs_delta") == 1.0,
+        s"disjoint shift must give delta = 1, got ${r.getAs[Double]("cliffs_delta")}")
+      assert(r.getAs[Double]("u2_a") ==
+        2.0 * r.getAs[Long]("n_a") * r.getAs[Long]("n_b"))
+    }
+
+    // ece with an always-true label: every bin's gap is n_b − Σscores_b,
+    // so ECE collapses to 1 − mean(score) — recompute that independently
+    val eceRows = t("ece") {
+      Eval.expectedCalibrationError(
+        ev.withColumn("__sc", col("value") / 100.0),
+        "event_type", "__sc", col("value") >= 0.0).collect()
+    }
+    val meanSc = ev.groupBy("event_type").agg(
+        (sum(round(col("value") / 100.0, 6).cast("decimal(30,6)"))
+          .cast("double") / count(lit(1)).cast("double")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    eceRows.foreach { r =>
+      val want = 1.0 - meanSc(r.getString(0))
+      assert(r.getAs[Long]("n_bins_used") == 10L, s"want all 10 bins used")
+      assert(math.abs(r.getAs[Double]("ece") - want) < 1e-5,
+        s"${r.getString(0)}: ece ${r.getAs[Double]("ece")} vs $want")
+    }
+
     println("ALL SCALE-ANALYTICS ASSERTIONS PASSED")
     spark.stop()
   }
