@@ -840,6 +840,54 @@ object Analytics {
         col("u2a").cast("double").as("u2_a"), col("z"), col("cliffs_delta"))
   }
 
+  /** Shared one-way ANOVA F expression over the five per-group
+    * statistics (k, n as doubles; s, q, b as DECIMAL-summed doubles):
+    * F = ((b − s²/n)/(k−1)) / ((q − b)/(n−k)), where b = Σ_i s_i²/n_i is
+    * the between-cohorts raw term. The within-term (q − b) is also the
+    * definedness guard — per-term rounding can push a constant group's
+    * within-variance slightly negative (the welchSeExpr lesson).
+    */
+  val anovaFExpr: String =
+    "round(((b - s * s / n) / (k - 1.0)) / ((q - b) / (n - k)), 6)"
+
+  /** One-way ANOVA F statistic per group across the cohorts of
+    * `cohortCol` — [[welchT]]'s k-cohort generalization (is ANY cohort's
+    * mean off?), the one-shot screen a pipeline runs before k² pairwise
+    * tests. Sufficient statistics are per-(group, cohort) exact DECIMAL
+    * sums (n, Σround(x,6), Σround(x²,6)); the per-cohort between-term
+    * s_i²/n_i is itself rounded at 6 and DECIMAL-summed so the cohort
+    * combine is order-independent too; ONE shared final expression.
+    * Groups with < 2 cohorts, n ≤ k, or zero within-variance are
+    * dropped (F undefined).
+    *
+    * Scale: one map-side-combining aggregation to (group, cohort)
+    * granularity, one to group granularity — three numbers of state per
+    * cohort, five per group. No window, no join.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valCol: String,
+      cohortCol: Column): DataFrame = {
+    val v = col(valCol)
+    val cell = df.where(v.isNotNull && cohortCol.isNotNull)
+      .groupBy(col(groupCol), cohortCol.as("__c"))
+      .agg(count(lit(1)).as("__ni"),
+        sum(round(v, 6).cast("decimal(30,6)")).as("__si"),
+        sum(round(v * v, 6).cast("decimal(30,6)")).as("__qi"))
+    cell.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(col("__ni")).as("n0"),
+        sum(col("__si")).cast("double").as("s"),
+        sum(col("__qi")).cast("double").as("q"),
+        sum(round(col("__si").cast("double") * col("__si").cast("double")
+          / col("__ni").cast("double"), 6).cast("decimal(30,6)"))
+          .cast("double").as("b"))
+      .withColumn("n", col("n0").cast("double"))
+      .where(col("k") >= 2.0 && col("n") > col("k") &&
+        expr("q - b > 0.0"))
+      .withColumn("f_stat", expr(anovaFExpr))
+      .select(col(groupCol), col("k").cast("long").as("n_cohorts"),
+        col("n0").as("n"), col("f_stat"))
+  }
+
   /** Shared Wilcoxon signed-rank z expression over the exact per-group
     * statistics (n as double; r2p = 2·W⁺ and ties = Σ(t³−t) as exact
     * integers cast to double): multiplying the classic z's numerator and

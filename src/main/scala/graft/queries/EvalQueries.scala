@@ -2079,7 +2079,37 @@ object EvalQueries {
        |SELECT source, n0 AS n_pairs, n_pos, ${Analytics.wilcoxonZExpr} AS z
        |FROM gg WHERE n0 >= 1 AND ${Analytics.wilcoxonVarExpr} > 0.0""".stripMargin
 
+  /** One-way ANOVA F per event type across four user buckets — the
+    * k-cohort screen before pairwise Welch tests (see
+    * [[graft.ext.Analytics.anovaF]]).
+    */
+  val statsAnova: QueryFn = (s, dir) =>
+    Analytics.anovaF(Tables.events(s, dir), "event_type", "value",
+      pmod(col("user_id"), lit(4L)))
+
+  val statsAnovaSql: String =
+    s"""WITH cell AS (
+       |  SELECT event_type, ((user_id % 4) + 4) % 4 AS c,
+       |    CAST(count(*) AS BIGINT) AS ni,
+       |    sum(CAST(round(value, 6) AS DECIMAL(30,6))) AS si,
+       |    sum(CAST(round(value * value, 6) AS DECIMAL(30,6))) AS qi
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+       |), g AS (
+       |  SELECT event_type,
+       |    CAST(count(*) AS DOUBLE) AS k,
+       |    CAST(sum(ni) AS BIGINT) AS n0,
+       |    CAST(sum(si) AS DOUBLE) AS s,
+       |    CAST(sum(qi) AS DOUBLE) AS q,
+       |    CAST(sum(CAST(round(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+       |        / CAST(ni AS DOUBLE), 6) AS DECIMAL(30,6))) AS DOUBLE) AS b
+       |  FROM cell GROUP BY 1
+       |), gg AS (SELECT *, CAST(n0 AS DOUBLE) AS n FROM g)
+       |SELECT event_type, CAST(k AS BIGINT) AS n_cohorts, n0 AS n,
+       |  ${Analytics.anovaFExpr} AS f_stat
+       |FROM gg WHERE k >= 2.0 AND n > k AND q - b > 0.0""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "stats_anova"      -> statsAnova,
     "eval_wilcoxon"    -> evalWilcoxon,
     "eval_ece"         -> evalEce,
     "stats_jsd"        -> statsJsd,
@@ -2136,6 +2166,7 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_anova"      -> statsAnovaSql,
     "eval_wilcoxon"    -> evalWilcoxonSql,
     "eval_ece"         -> evalEceSql,
     "stats_jsd"        -> statsJsdSql,

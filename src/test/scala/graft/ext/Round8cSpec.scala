@@ -250,6 +250,39 @@ class Round8cSpec extends AnyFunSuite with SparkTest {
       assert(math.abs(got(g) - naive(g)) < 1e-5, s"$g: ${got(g)} vs ${naive(g)}"))
   }
 
+  // ---- Analytics.anovaF ----------------------------------------------------
+
+  test("anovaF: matches the naive one-way F on a hand dataset") {
+    val cohorts = Map(0L -> Seq(1.0, 2.0, 3.0), 1L -> Seq(2.0, 3.0, 4.0),
+      2L -> Seq(10.0, 11.0, 12.0))
+    val df = cohorts.toSeq.flatMap { case (c, vs) =>
+      vs.map(v => ("g", c, v)) }.toDF("grp", "c", "value")
+    val r = Analytics.anovaF(df, "grp", "value", col("c")).collect().head
+    assert(r.getAs[Long]("n_cohorts") == 3 && r.getAs[Long]("n") == 9)
+    // naive: SSB = Σ n_i(x̄_i − x̄)², SSW = Σ Σ(x − x̄_i)², F = (SSB/2)/(SSW/6)
+    val all = cohorts.values.flatten.toSeq
+    val grand = all.sum / all.size
+    val ssb = cohorts.values.map(vs => vs.size *
+      math.pow(vs.sum / vs.size - grand, 2)).sum
+    val ssw = cohorts.values.map(vs => {
+      val m = vs.sum / vs.size; vs.map(v => (v - m) * (v - m)).sum }).sum
+    val want = (ssb / 2.0) / (ssw / 6.0)
+    assert(math.abs(r.getAs[Double]("f_stat") - want) < 1e-5,
+      s"${r.getAs[Double]("f_stat")} vs $want")
+  }
+
+  test("anovaF: identical cohorts give F = 0; constant group drops") {
+    // each cohort gets the same multiset {1..10} ⇒ between-variance 0
+    val df = (0L until 3L).flatMap(c => (1 to 10).map(v =>
+      ("s", c, v.toDouble))).toDF("grp", "c", "value")
+    val r = Analytics.anovaF(df, "grp", "value", col("c")).collect().head
+    assert(r.getAs[Double]("f_stat") == 0.0)
+    val const = (0L until 3L).flatMap(c => (1 to 5).map(_ =>
+      ("k", c, 7.0))).toDF("grp", "c", "value")
+    assert(Analytics.anovaF(const, "grp", "value", col("c"))
+      .collect().isEmpty)
+  }
+
   // ---- Graph.assortativity -----------------------------------------------
 
   test("assortativity: star graph is perfectly disassortative (r = −1)") {
