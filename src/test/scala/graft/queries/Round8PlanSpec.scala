@@ -75,6 +75,23 @@ class Round8PlanSpec extends AnyFunSuite with SparkTest {
       .findAllIn(p).nonEmpty, p)
   }
 
+  test("stats_anova: two stacked aggregations, zero joins, zero windows") {
+    val df = EvalQueries.statsAnova(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("graph_assortativity: degree attaches are keyed joins, no nested loop") {
+    val df = GraphQueries.graphAssortativity(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("graph_scc peel internals: label push is a keyed join + partial min, no nested loop") {
     // the iterative driver loop can't be pinned as one plan; pin the
     // per-hop building block instead
