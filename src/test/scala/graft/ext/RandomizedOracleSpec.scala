@@ -253,4 +253,73 @@ class RandomizedOracleSpec extends AnyFunSuite with SparkTest {
       assert(got == expected)
     }
   }
+
+  for (seed <- Seq(3, 17, 101)) {
+    test(s"mannWhitneyU == brute-force pair counting (seed $seed)") {
+      val rnd = new Random(seed)
+      // values on a small grid so ties are dense
+      val rows = (0 until 600).map { i =>
+        ("g" + rnd.nextInt(3), i.toLong, rnd.nextInt(12).toDouble)
+      }
+      val got = Analytics.mannWhitneyU(
+          rows.toDF("grp", "user_id", "value").repartition(5),
+          "grp", "value", col("user_id") % 2 === 0)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+            r.getAs[Double]("u2_a"), r.getAs[Double]("z"),
+            r.getAs[Double]("cliffs_delta"))).toMap
+      rows.groupBy(_._1).foreach { case (grp, rs) =>
+        val a = rs.filter(_._2 % 2 == 0).map(_._3)
+        val b = rs.filter(_._2 % 2 == 1).map(_._3)
+        // brute force over all na·nb pairs, half-credit ties, as 2U
+        val u2 = a.map(x => b.map(y =>
+          if (x > y) 2L else if (x == y) 1L else 0L).sum).sum
+        val all = a ++ b
+        val ties = all.groupBy(identity).values
+          .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+        val (na, nb, n) = (a.size.toDouble, b.size.toDouble, all.size.toDouble)
+        val v4 = (na * nb / 3.0) * ((n + 1.0) - ties / (n * (n - 1.0)))
+        if (a.nonEmpty && b.nonEmpty && v4 > 0.0) {
+          val (gna, gnb, gu2, gz, gd) = got(grp)
+          assert((gna, gnb) == (a.size.toLong, b.size.toLong))
+          assert(gu2 == u2.toDouble, s"$grp u2")
+          assert(math.abs(gz - (u2 - na * nb) / math.sqrt(v4)) < 1e-6)
+          assert(math.abs(gd - (u2 / (na * nb) - 1.0)) < 1e-6)
+        } else assert(!got.contains(grp), s"$grp should be dropped")
+      }
+    }
+
+    test(s"wilcoxonSignedRank == brute-force average ranking (seed $seed)") {
+      val rnd = new Random(seed)
+      val rows = (0 until 400).map { i =>
+        ("g" + rnd.nextInt(3), rnd.nextInt(9).toDouble, rnd.nextInt(9).toDouble)
+      }
+      val got = Analytics.wilcoxonSignedRank(
+          rows.toDF("grp", "a", "b").repartition(5), "grp", "a", "b")
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_pos"),
+            r.getAs[Double]("z"))).toMap
+      rows.groupBy(_._1).foreach { case (grp, rs) =>
+        val ds = rs.map(r => r._2 - r._3).filter(_ != 0.0)
+        // average ranks of |d| ascending, brute force
+        val sortedAbs = ds.map(math.abs).sorted
+        def avgRank(ad: Double): Double = {
+          val lo = sortedAbs.indexWhere(_ == ad)
+          val hi = sortedAbs.lastIndexWhere(_ == ad)
+          (lo + hi + 2) / 2.0 // 1-based average of tied ranks
+        }
+        val wPlus = ds.filter(_ > 0).map(d => avgRank(math.abs(d))).sum
+        val ties = ds.map(math.abs).groupBy(identity).values
+          .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+        val n = ds.size.toDouble
+        val varW = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - ties / 48.0
+        if (ds.nonEmpty && varW > 0.0) {
+          val (gn, gp, gz) = got(grp)
+          assert(gn == ds.size.toLong && gp == ds.count(_ > 0).toLong)
+          val z = (wPlus - n * (n + 1.0) / 4.0) / math.sqrt(varW)
+          assert(math.abs(gz - z) < 1e-6, s"$grp: $gz vs $z")
+        } else assert(!got.contains(grp), s"$grp should be dropped")
+      }
+    }
+  }
 }
