@@ -840,6 +840,44 @@ object Analytics {
         col("u2a").cast("double").as("u2_a"), col("z"), col("cliffs_delta"))
   }
 
+  /** Theil–Sen robust trend slope per group over the daily-count series
+    * — the MAGNITUDE companion to the Mann–Kendall tau (`ts_trend` says
+    * whether volume trends; this says how fast, immune to outlier days
+    * that wreck an OLS slope): the lower median of all pairwise slopes
+    * (x_j − x_i)/(d_j − d_i), i < j. Ties in slope are pinned by the day
+    * pair, so the pick is deterministic on any engine.
+    *
+    * Exactness: counts and day gaps are exact integers; each slope is
+    * ONE double division both engines compute identically; the median is
+    * a rank pick (lower median, the madOutliers convention), not an
+    * average — no float accumulation anywhere, final round(6) only for
+    * display. Scale: the pair join and its window run on the
+    * DAY-compressed table (≤ days² rows per group — the tsTrend shape);
+    * the raw events see only the one daily aggregation.
+    */
+  def theilSenSlope(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint(true) // both sides of the pair join
+    val pairs = daily.as("a").join(daily.as("b"),
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
+          col("a.__d") < col("b.__d"))
+      .select(col(s"a.$groupCol").as(groupCol),
+        ((col("b.__x") - col("a.__x")).cast("double") /
+          datediff(col("b.__d"), col("a.__d")).cast("double")).as("__slope"),
+        col("a.__d").as("__d1"), col("b.__d").as("__d2"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__slope"), col("__d1"), col("__d2"))
+    val all = Window.partitionBy(col(groupCol))
+    pairs.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(all))
+      .where(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(groupCol), col("__n").as("n_pairs"),
+        round(col("__slope"), 6).as("slope"))
+  }
+
   /** Shared one-way ANOVA F expression over the five per-group
     * statistics (k, n as doubles; s, q, b as DECIMAL-summed doubles):
     * F = ((b − s²/n)/(k−1)) / ((q − b)/(n−k)), where b = Σ_i s_i²/n_i is

@@ -660,7 +660,9 @@ object Graph {
     * r < 0)? Pearson correlation of the endpoint degrees over the
     * SYMMETRIZED edge list, so each undirected edge contributes both
     * orientations and the statistic is orientation-invariant by
-    * construction.
+    * construction. Input contract: each undirected edge listed ONCE (any
+    * orientation) — a pre-symmetrized or multigraph input would weight
+    * repeated edges multiply (dedupe upstream if that is not intended).
     *
     * Exactness: degrees are exact longs; all five moment sums promote
     * to DECIMAL(38,0) BEFORE the first multiply (d²-scale per edge — the

@@ -1410,6 +1410,35 @@ object EvalQueries {
       |FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
       |GROUP BY 1""".stripMargin
 
+  /** Theil–Sen robust daily-volume trend slope per event type — the
+    * magnitude companion to [[tsTrend]]'s Mann–Kendall tau on the same
+    * day-compressed pair join (see
+    * [[graft.ext.Analytics.theilSenSlope]]).
+    */
+  val tsTheilSen: QueryFn = (s, dir) =>
+    Analytics.theilSenSlope(Tables.events(s, dir), "event_type", "ts")
+
+  val tsTheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |), p AS (
+      |  SELECT a.event_type,
+      |    CAST(b.x - a.x AS DOUBLE) / (b.d - a.d) AS slope,
+      |    a.d AS d1, b.d AS d2
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d < b.d
+      |), r AS (
+      |  SELECT event_type, slope,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM p
+      |)
+      |SELECT event_type, n AS n_pairs, round(slope, 6) AS slope
+      |FROM r WHERE rn = (n + 1) // 2""".stripMargin
+
   /** Population Stability Index between the train and test splits over
     * length deciles — THE production drift gate (PSI < 0.1 stable,
     * > 0.25 alarm). Bins are integer-width length buckets; bin shares
@@ -2159,6 +2188,7 @@ object EvalQueries {
     "rank_map"         -> rankMap,
     "eval_kappa"       -> evalKappa,
     "ts_trend"         -> tsTrend,
+    "ts_theil_sen"     -> tsTheilSen,
     "eval_psi"         -> evalPsi,
     "eval_pass_at_k"   -> evalPassAtK,
     "eval_bradley_terry" -> evalBradleyTerry,
@@ -2216,6 +2246,7 @@ object EvalQueries {
     "rank_map"         -> rankMapSql,
     "eval_kappa"       -> evalKappaSql,
     "ts_trend"         -> tsTrendSql,
+    "ts_theil_sen"     -> tsTheilSenSql,
     "eval_psi"         -> evalPsiSql,
     "eval_pass_at_k"   -> evalPassAtKSql,
     "eval_bradley_terry" -> evalBradleyTerrySql,

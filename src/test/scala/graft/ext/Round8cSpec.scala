@@ -250,6 +250,39 @@ class Round8cSpec extends AnyFunSuite with SparkTest {
       assert(math.abs(got(g) - naive(g)) < 1e-5, s"$g: ${got(g)} vs ${naive(g)}"))
   }
 
+  // ---- Analytics.theilSenSlope ---------------------------------------------
+
+  test("theilSenSlope: exact linear series recovers the slope; outlier day shrugged off") {
+    import java.sql.Timestamp
+    def ts(day: Int, i: Int) =
+      new Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // group "lin": day d carries 3 + 2d events → every pairwise slope
+    // is exactly 2.0, so the median is too
+    val lin = (0 until 8).flatMap(d =>
+      (0 until 3 + 2 * d).map(i => ("lin", ts(d, i))))
+    // group "out": days carry 10,12,14,16,500,20,22,24 — a single spike
+    // day; OLS would report a big slope, Theil–Sen stays near 2
+    val counts = Seq(10, 12, 14, 16, 500, 20, 22, 24)
+    val out = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => ("out", ts(d, i))) }
+    val got = Analytics.theilSenSlope((lin ++ out).toDF("grp", "ts"),
+        "grp", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("slope"))).toMap
+    assert(got("lin") == ((28L, 2.0)))
+    val (nOut, sOut) = got("out")
+    assert(nOut == 28L)
+    assert(sOut >= 1.5 && sOut <= 3.0,
+      s"spike day must not drag the robust slope: $sOut")
+    // cross-check "out" against a naive driver-side lower median
+    val slopes = (for {
+      i <- counts.indices; j <- counts.indices if i < j
+    } yield ((counts(j) - counts(i)).toDouble / (j - i), i, j))
+      .sortBy(identity)
+    val want = slopes((slopes.size + 1) / 2 - 1)._1
+    assert(math.abs(sOut - want) < 1e-6, s"$sOut vs $want")
+  }
+
   // ---- Analytics.anovaF ----------------------------------------------------
 
   test("anovaF: matches the naive one-way F on a hand dataset") {
