@@ -926,6 +926,77 @@ object Analytics {
         col("n0").as("n"), col("f_stat"))
   }
 
+  /** Shared Kruskal–Wallis H expression over (n as double; b = the
+    * per-cohort-rounded DECIMAL sum of (2R_i)²/n_i as double; ties =
+    * Σ(t³−t) exact): with R_i carried doubled (2R_i exact), Σ R_i²/n_i =
+    * b/4, so H = (3/(n(n+1)))·b − 3(n+1), tie-corrected by
+    * 1 − ties/(n³−n). The correction factor is also the definedness
+    * guard (all values tied ⇒ 0).
+    */
+  val kruskalCorrExpr: String =
+    "(1.0 - CAST(ties AS DOUBLE) / (n * n * n - n))"
+  val kruskalHExpr: String =
+    "round(((3.0 / (n * (n + 1.0))) * b - 3.0 * (n + 1.0)) " +
+      s"/ $kruskalCorrExpr, 6)"
+
+  /** Kruskal–Wallis H test per group across the cohorts of `cohortCol` —
+    * the NONPARAMETRIC [[anovaF]] (and [[mannWhitneyU]]'s k-cohort
+    * generalization): is any cohort's value distribution shifted, with
+    * no normality assumption? Completes the test matrix: Welch/ANOVA
+    * parametric, Mann–Whitney/Kruskal–Wallis rank-based.
+    *
+    * Exactness: the mannWhitneyU discipline — ranks only on the
+    * COMPRESSED (group, value) table (cohort counts ride alongside),
+    * average ranks carried doubled so every 2R_i is an exact integer in
+    * DECIMAL(38,0); the per-cohort term (2R_i)²/n_i rounds at 6 and
+    * DECIMAL-sums (order-free cohort combine, the anovaF b discipline);
+    * ONE shared final expression with the tie-correction factor as the
+    * definedness guard. Groups with < 2 cohorts or all values tied are
+    * dropped.
+    *
+    * Scale: one aggregation to (group, value, cohort) granularity, one
+    * to (group, value) for the rank window, one to (group, cohort), one
+    * to group — all map-side combining; the only window runs over the
+    * distinct-value-compressed table.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valCol: String,
+      cohortCol: Column): DataFrame = {
+    val v = col(valCol)
+    val cvc = df.where(v.isNotNull && cohortCol.isNotNull)
+      .groupBy(col(groupCol), v.as("__v"), cohortCol.as("__c"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true) // feeds the value-total AND the rank attach
+    val tv = cvc.groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__cnt")).as("__t"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = tv
+      .withColumn("__below", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .select(col(groupCol), col("__v"),
+        (lit(2L) * col("__below") + col("__t") + lit(1L)).as("__2r"),
+        col("__t"))
+    val perCohort = cvc.join(ranked, Seq(groupCol, "__v"))
+      .groupBy(col(groupCol), col("__c"))
+      .agg(sum(col("__cnt")).as("__ni"),
+        sum(col("__cnt").cast("decimal(38,0)") *
+          col("__2r").cast("decimal(38,0)")).as("__r2i"))
+    val tD = col("__t").cast("decimal(38,0)")
+    val tieTbl = ranked.groupBy(col(groupCol))
+      .agg(sum((tD * tD - lit(1L)) * tD).as("ties"))
+    perCohort.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(col("__ni")).as("n0"),
+        sum(round(col("__r2i").cast("double") * col("__r2i").cast("double")
+          / col("__ni").cast("double"), 6).cast("decimal(38,6)"))
+          .cast("double").as("b"))
+      .join(tieTbl, Seq(groupCol))
+      .withColumn("n", col("n0").cast("double"))
+      .where(col("k") >= 2.0 && expr(s"$kruskalCorrExpr > 0.0"))
+      .withColumn("h", expr(kruskalHExpr))
+      .select(col(groupCol), col("k").cast("long").as("n_cohorts"),
+        col("n0").as("n"), col("h"))
+  }
+
   /** Shared Wilcoxon signed-rank z expression over the exact per-group
     * statistics (n as double; r2p = 2·W⁺ and ties = Σ(t³−t) as exact
     * integers cast to double): multiplying the classic z's numerator and

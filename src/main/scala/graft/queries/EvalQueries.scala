@@ -2137,7 +2137,54 @@ object EvalQueries {
        |  ${Analytics.anovaFExpr} AS f_stat
        |FROM gg WHERE k >= 2.0 AND n > k AND q - b > 0.0""".stripMargin
 
+  /** Kruskal–Wallis H per event type across the same four user buckets
+    * as [[statsAnova]] — the nonparametric twin (see
+    * [[graft.ext.Analytics.kruskalWallis]]).
+    */
+  val statsKruskal: QueryFn = (s, dir) =>
+    Analytics.kruskalWallis(Tables.events(s, dir), "event_type", "value",
+      pmod(col("user_id"), lit(4L)))
+
+  val statsKruskalSql: String =
+    s"""WITH cvc AS (
+       |  SELECT event_type, value AS v, ((user_id % 4) + 4) % 4 AS c,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+       |), tv AS (
+       |  SELECT event_type, v, CAST(sum(cnt) AS BIGINT) AS t
+       |  FROM cvc GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT event_type, v, t,
+       |    2 * coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + t + 1 AS r2
+       |  FROM tv
+       |), pc AS (
+       |  SELECT cvc.event_type, cvc.c,
+       |    CAST(sum(cnt) AS BIGINT) AS ni,
+       |    sum(CAST(cnt AS HUGEINT) * r2) AS r2i
+       |  FROM cvc JOIN rk ON cvc.event_type = rk.event_type AND cvc.v = rk.v
+       |  GROUP BY 1, 2
+       |), tt AS (
+       |  SELECT event_type,
+       |    sum((CAST(t AS HUGEINT) * t - 1) * t) AS ties
+       |  FROM rk GROUP BY 1
+       |), g AS (
+       |  SELECT event_type, CAST(count(*) AS DOUBLE) AS k,
+       |    CAST(sum(ni) AS BIGINT) AS n0,
+       |    CAST(sum(CAST(round(CAST(r2i AS DOUBLE) * CAST(r2i AS DOUBLE)
+       |        / CAST(ni AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE) AS b
+       |  FROM pc GROUP BY 1
+       |), gg AS (
+       |  SELECT g.event_type, k, n0, b, ties, CAST(n0 AS DOUBLE) AS n
+       |  FROM g JOIN tt ON g.event_type = tt.event_type
+       |)
+       |SELECT event_type, CAST(k AS BIGINT) AS n_cohorts, n0 AS n,
+       |  ${Analytics.kruskalHExpr} AS h
+       |FROM gg WHERE k >= 2.0 AND ${Analytics.kruskalCorrExpr} > 0.0""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "stats_kruskal"    -> statsKruskal,
     "stats_anova"      -> statsAnova,
     "eval_wilcoxon"    -> evalWilcoxon,
     "eval_ece"         -> evalEce,
@@ -2196,6 +2243,7 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_kruskal"    -> statsKruskalSql,
     "stats_anova"      -> statsAnovaSql,
     "eval_wilcoxon"    -> evalWilcoxonSql,
     "eval_ece"         -> evalEceSql,

@@ -283,6 +283,46 @@ class Round8cSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(sOut - want) < 1e-6, s"$sOut vs $want")
   }
 
+  // ---- Analytics.kruskalWallis ----------------------------------------------
+
+  test("kruskalWallis: matches the naive tie-corrected H on a hand dataset") {
+    val cohorts = Map(0L -> Seq(1.0, 2.0, 2.0, 5.0), 1L -> Seq(2.0, 3.0, 6.0),
+      2L -> Seq(6.0, 7.0, 8.0, 8.0))
+    val df = cohorts.toSeq.flatMap { case (c, vs) => vs.map(v => ("g", c, v)) }
+      .toDF("grp", "c", "value")
+    val r = Analytics.kruskalWallis(df, "grp", "value", col("c"))
+      .collect().head
+    assert(r.getAs[Long]("n_cohorts") == 3 && r.getAs[Long]("n") == 11)
+    // naive: average ranks over the pooled sample, per-cohort rank sums
+    val all = cohorts.toSeq.flatMap { case (c, vs) => vs.map(v => (c, v)) }
+    val sorted = all.map(_._2).sorted
+    def avgRank(v: Double): Double = {
+      val lo = sorted.indexWhere(_ == v); val hi = sorted.lastIndexWhere(_ == v)
+      (lo + hi + 2) / 2.0
+    }
+    val n = all.size.toDouble
+    val sumR2overN = cohorts.map { case (_, vs) =>
+      math.pow(vs.map(avgRank).sum, 2) / vs.size }.sum
+    val h0 = 12.0 / (n * (n + 1.0)) * sumR2overN - 3.0 * (n + 1.0)
+    val ties = all.map(_._2).groupBy(identity).values
+      .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
+    val want = h0 / (1.0 - ties / (n * n * n - n))
+    assert(math.abs(r.getAs[Double]("h") - want) < 1e-5,
+      s"${r.getAs[Double]("h")} vs $want")
+  }
+
+  test("kruskalWallis: identical cohorts give H = 0; all-tied group drops") {
+    val df = (0L until 3L).flatMap(c => (1 to 10).map(v =>
+      ("s", c, v.toDouble))).toDF("grp", "c", "value")
+    val r = Analytics.kruskalWallis(df, "grp", "value", col("c"))
+      .collect().head
+    assert(math.abs(r.getAs[Double]("h")) < 1e-9, r.toString)
+    val const = (0L until 3L).flatMap(c => (1 to 5).map(_ =>
+      ("k", c, 7.0))).toDF("grp", "c", "value")
+    assert(Analytics.kruskalWallis(const, "grp", "value", col("c"))
+      .collect().isEmpty)
+  }
+
   // ---- Analytics.anovaF ----------------------------------------------------
 
   test("anovaF: matches the naive one-way F on a hand dataset") {
