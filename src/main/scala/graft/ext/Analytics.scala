@@ -926,6 +926,79 @@ object Analytics {
         col("n0").as("n"), col("f_stat"))
   }
 
+  /** Shared tie-corrected Friedman Q expression (Conover's form) over
+    * exact 4-scaled statistics (n, k as doubles; b4 = Σ_j (2R_j)²/n as a
+    * per-treatment-rounded DECIMAL sum in double; a4 = Σ(2r_ij)² exact;
+    * c4 = n·k(k+1)² exact): Q = n·(k−1)·(b4 − c4)/(a4 − c4) — the 4×
+    * scaling cancels, and Σ_j (R_j − n(k+1)/2)² expands to n(B − C),
+    * which is where the leading n comes from. The denominator is the
+    * definedness guard (every block fully tied ⇒ a4 = c4).
+    */
+  val friedmanQExpr: String =
+    "round(n * (k - 1.0) * (b4 - CAST(c4 AS DOUBLE)) " +
+      "/ (CAST(a4 AS DOUBLE) - CAST(c4 AS DOUBLE)), 6)"
+
+  /** Friedman test per slice: k systems scored on the SAME n blocks
+    * (models × benchmark items, raters × documents) — ranks within each
+    * block, so systems on arbitrary, incomparable score scales still
+    * compare (the repeated-measures companion to [[kruskalWallis]] and
+    * the frequentist cousin of `eval_bradley_terry`). Tie-corrected:
+    * Q = n(k−1)(B−C)/(A−C) with A = Σ r_ij², B = Σ_j R_j²/n,
+    * C = nk(k+1)²/4 — which reduces to the classic
+    * 12ΣR_j²/(nk(k+1)) − 3n(k+1) when tie-free.
+    *
+    * Exactness: within-block average ranks carried DOUBLED (2r = 2·below
+    * + t + 1, exact integers); A and the per-treatment rank sums are
+    * exact DECIMAL(38,0); the per-treatment (2R_j)²/n term rounds at 6
+    * and DECIMAL-sums (order-free combine, the anovaF b discipline); ONE
+    * shared final expression. Input contract: each (block, treatment)
+    * appears once (a complete design); slices need k ≥ 2 and a nonzero
+    * denominator or they are dropped.
+    *
+    * Scale: one aggregation to (slice, block, value) granularity, one
+    * block-keyed window over that compressed table (blocks are k-sized —
+    * the user-keyed-window discipline), then treatment- and slice-level
+    * aggregations. No global window, no driver state.
+    */
+  def friedmanQ(df: DataFrame, sliceCol: String, blockCol: String,
+      treatmentCol: String, valCol: String): DataFrame = {
+    val v = col(valCol)
+    val rows = df.where(v.isNotNull)
+      .select(col(sliceCol).as("__s"), col(blockCol).as("__blk"),
+        col(treatmentCol).as("__trt"), v.as("__v"))
+      .localCheckpoint(true) // feeds the tie table AND the rank attach
+    val bv = rows.groupBy(col("__s"), col("__blk"), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+    val w = Window.partitionBy(col("__s"), col("__blk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = bv
+      .withColumn("__below", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .select(col("__s"), col("__blk"), col("__v"),
+        (lit(2L) * col("__below") + col("__t") + lit(1L)).as("__2r"))
+    val cells = rows.join(ranked, Seq("__s", "__blk", "__v"))
+    val r2D = col("__2r").cast("decimal(38,0)")
+    val perTrt = cells.groupBy(col("__s"), col("__trt"))
+      .agg(count(lit(1)).as("__n"), sum(r2D).as("__r2j"),
+        sum(r2D * r2D).as("__a4j"))
+    perTrt.groupBy(col("__s").as(sliceCol))
+      .agg(count(lit(1)).cast("double").as("k"),
+        max(col("__n")).as("n0"),
+        min(col("__n")).as("__nmin"),
+        sum(col("__a4j")).as("a4"),
+        sum(round(col("__r2j").cast("double") * col("__r2j").cast("double")
+          / col("__n").cast("double"), 6).cast("decimal(38,6)"))
+          .cast("double").as("b4"))
+      .where(col("n0") === col("__nmin")) // complete design only
+      .withColumn("n", col("n0").cast("double"))
+      .withColumn("c4",
+        (col("n0").cast("decimal(38,0)") *
+          expr("CAST(k * (k + 1.0) * (k + 1.0) AS DECIMAL(38,0))")))
+      .where(col("k") >= 2.0 && expr("CAST(a4 AS DOUBLE) > CAST(c4 AS DOUBLE)"))
+      .withColumn("q", expr(friedmanQExpr))
+      .select(col(sliceCol), col("n0").as("n_blocks"),
+        col("k").cast("long").as("n_treatments"), col("q"))
+  }
+
   /** Shared Kruskal–Wallis H expression over (n as double; b = the
     * per-cohort-rounded DECIMAL sum of (2R_i)²/n_i as double; ties =
     * Σ(t³−t) exact): with R_i carried doubled (2R_i exact), Σ R_i²/n_i =

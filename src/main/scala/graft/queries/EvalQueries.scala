@@ -2183,7 +2183,82 @@ object EvalQueries {
        |  ${Analytics.kruskalHExpr} AS h
        |FROM gg WHERE k >= 2.0 AND ${Analytics.kruskalCorrExpr} > 0.0""".stripMargin
 
+  /** Friedman test per source across three quality scorers (classifier,
+    * length, token count) ranked within each document — "do the scorers
+    * systematically disagree on ordering?", the k-system × n-item
+    * comparison every eval harness runs (see
+    * [[graft.ext.Analytics.friedmanQ]]). Scorers live on incomparable
+    * scales on purpose: within-block ranking is the point.
+    */
+  val statsFriedman: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
+    val scored = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("n_chars").cast("double") / 450.0).as("__sb"),
+        (size(TextAnalysis.tokens(col("text"))).cast("double") / 60.0)
+          .as("__sc")), Seq("doc_id"))
+    val stacked = scored.select(col("source"), col("doc_id"),
+        explode(array(
+          struct(lit("clf").as("trt"), col("score").as("v")),
+          struct(lit("len").as("trt"), col("__sb").as("v")),
+          struct(lit("tok").as("trt"), col("__sc").as("v")))).as("__e"))
+      .select(col("source"), col("doc_id"),
+        col("__e.trt").as("trt"), col("__e.v").as("v"))
+    Analytics.friedmanQ(stacked, "source", "doc_id", "trt", "v")
+  }
+
+  val statsFriedmanSql: String =
+    s"""WITH qc AS (
+       |  SELECT q.doc_id, q.score FROM (${ExtQueries.qualityClassifierSql}) q
+       |), base AS (
+       |  SELECT d.source, d.doc_id, qc.score AS sa,
+       |    CAST(d.n_chars AS DOUBLE) / 450.0 AS sb,
+       |    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS DOUBLE)
+       |      / 60.0 AS sc
+       |  FROM qc JOIN documents d USING (doc_id)
+       |), rows_ AS (
+       |  SELECT source, doc_id, 'clf' AS trt, sa AS v FROM base
+       |  UNION ALL SELECT source, doc_id, 'len', sb FROM base
+       |  UNION ALL SELECT source, doc_id, 'tok', sc FROM base
+       |), bv AS (
+       |  SELECT source, doc_id, v, CAST(count(*) AS BIGINT) AS t
+       |  FROM rows_ GROUP BY 1, 2, 3
+       |), rk AS (
+       |  SELECT source, doc_id, v,
+       |    2 * coalesce(sum(t) OVER (PARTITION BY source, doc_id ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + t + 1 AS r2
+       |  FROM bv
+       |), cells AS (
+       |  SELECT r.source, r.doc_id, r.trt, rk.r2
+       |  FROM rows_ r JOIN rk
+       |    ON r.source = rk.source AND r.doc_id = rk.doc_id AND r.v = rk.v
+       |), pt AS (
+       |  SELECT source, trt, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(r2 AS HUGEINT)) AS r2j,
+       |    sum(CAST(r2 AS HUGEINT) * r2) AS a4j
+       |  FROM cells GROUP BY 1, 2
+       |), g AS (
+       |  SELECT source, CAST(count(*) AS DOUBLE) AS k,
+       |    max(n) AS n0, min(n) AS nmin,
+       |    CAST(sum(a4j) AS HUGEINT) AS a4,
+       |    CAST(sum(CAST(round(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+       |        / CAST(n AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE) AS b4
+       |  FROM pt GROUP BY 1
+       |), gg AS (
+       |  SELECT source, k, n0, a4, b4, CAST(n0 AS DOUBLE) AS n,
+       |    CAST(CAST(n0 AS HUGEINT) * CAST(k * (k + 1.0) * (k + 1.0)
+       |      AS HUGEINT) AS HUGEINT) AS c4
+       |  FROM g WHERE n0 = nmin
+       |)
+       |SELECT source, n0 AS n_blocks, CAST(k AS BIGINT) AS n_treatments,
+       |  ${Analytics.friedmanQExpr} AS q
+       |FROM gg
+       |WHERE k >= 2.0 AND CAST(a4 AS DOUBLE) > CAST(c4 AS DOUBLE)""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "stats_friedman"   -> statsFriedman,
     "stats_kruskal"    -> statsKruskal,
     "stats_anova"      -> statsAnova,
     "eval_wilcoxon"    -> evalWilcoxon,
@@ -2243,6 +2318,7 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_friedman"   -> statsFriedmanSql,
     "stats_kruskal"    -> statsKruskalSql,
     "stats_anova"      -> statsAnovaSql,
     "eval_wilcoxon"    -> evalWilcoxonSql,

@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.util.Random
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -281,6 +283,57 @@ class Round8cSpec extends AnyFunSuite with SparkTest {
       .sortBy(identity)
     val want = slopes((slopes.size + 1) / 2 - 1)._1
     assert(math.abs(sOut - want) < 1e-6, s"$sOut vs $want")
+  }
+
+  // ---- Analytics.friedmanQ ---------------------------------------------------
+
+  test("friedmanQ: no ties ⇒ classic Friedman chi-square; identical rankings maximal") {
+    // 4 blocks, 3 treatments, treatment 'a' always best, 'c' always worst
+    // ⇒ R = (4, 8, 12); classic Q = 12/(n·k(k+1))·ΣR² − 3n(k+1) = 8,
+    // the k=3/n=4 maximum
+    val rows = for {
+      b <- 1 to 4; (t, v) <- Seq(("a", 3.0), ("b", 2.0), ("c", 1.0))
+    } yield ("s", b.toLong, t, v + b * 10) // block offsets keep values distinct
+    val r = Analytics.friedmanQ(rows.toDF("slice", "blk", "trt", "v"),
+      "slice", "blk", "trt", "v").collect().head
+    assert(r.getAs[Long]("n_blocks") == 4 && r.getAs[Long]("n_treatments") == 3)
+    val want = 12.0 / (4.0 * 3 * 4) * (16.0 + 64.0 + 144.0) - 3.0 * 4 * 4
+    assert(math.abs(r.getAs[Double]("q") - want) < 1e-6,
+      s"${r.getAs[Double]("q")} vs $want")
+  }
+
+  test("friedmanQ: matches a naive tie-corrected computation; all-tied drops") {
+    val rnd = new Random(11)
+    // values on a 4-point grid so within-block ties are common
+    val rows = for {
+      b <- 1 to 30; t <- Seq("a", "b", "c")
+    } yield ("s", b.toLong, t,
+      (rnd.nextInt(4) + (if (t == "a") 1 else 0)).toDouble)
+    val r = Analytics.friedmanQ(rows.toDF("slice", "blk", "trt", "v"),
+      "slice", "blk", "trt", "v").collect().head
+    // naive Conover: within-block average ranks, A = Σr², B = ΣR_j²/n,
+    // C = nk(k+1)²/4, Q = (k−1)(B−C)/(A−C)
+    val byBlock = rows.groupBy(_._2)
+    val cells = byBlock.toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.map(_._4).sorted
+      rs.map { case (_, _, t, v) =>
+        val lo = sorted.indexWhere(_ == v); val hi = sorted.lastIndexWhere(_ == v)
+        (t, (lo + hi + 2) / 2.0)
+      }
+    }
+    val n = byBlock.size.toDouble; val k = 3.0
+    val a = cells.map(c => c._2 * c._2).sum
+    val rj = cells.groupBy(_._1).map { case (_, cs) => cs.map(_._2).sum }
+    val bTerm = rj.map(x => x * x).sum / n
+    val c = n * k * (k + 1) * (k + 1) / 4.0
+    val want = n * (k - 1.0) * (bTerm - c) / (a - c)
+    assert(math.abs(r.getAs[Double]("q") - want) < 1e-5,
+      s"${r.getAs[Double]("q")} vs $want")
+    // every block fully tied ⇒ A = C ⇒ undefined ⇒ dropped
+    val tied = (1 to 5).flatMap(b => Seq("a", "b", "c").map(t =>
+      ("t", b.toLong, t, 9.0)))
+    assert(Analytics.friedmanQ(tied.toDF("slice", "blk", "trt", "v"),
+      "slice", "blk", "trt", "v").collect().isEmpty)
   }
 
   // ---- Analytics.kruskalWallis ----------------------------------------------
