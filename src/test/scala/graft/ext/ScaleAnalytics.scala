@@ -231,6 +231,30 @@ object ScaleAnalytics {
         2.0 * r.getAs[Long]("n_a") * r.getAs[Long]("n_b"))
     }
 
+    // kruskal-wallis: four same-distribution user buckets keep H near its
+    // χ²(3) expectation (mean 3, sd ~2.45 — H < 20 is a >5σ envelope);
+    // shifting ONE bucket far out drives H toward its planted floor
+    val kw = t("kruskal") {
+      Analytics.kruskalWallis(ev, "event_type", "value",
+        pmod(col("user_id"), lit(4L))).collect()
+    }
+    assert(kw.length == types.size)
+    kw.foreach { r =>
+      assert(r.getAs[Long]("n_cohorts") == 4)
+      assert(r.getAs[Double]("h") >= 0.0 && r.getAs[Double]("h") < 20.0,
+        s"${r.getString(0)} same-distribution H = ${r.getAs[Double]("h")}")
+    }
+    val kwShift = t("kw-shifted") {
+      Analytics.kruskalWallis(
+        ev.withColumn("value", col("value") +
+          when(pmod(col("user_id"), lit(4L)) === 0, 10000.0).otherwise(0.0)),
+        "event_type", "value", pmod(col("user_id"), lit(4L))).collect()
+    }
+    kwShift.foreach { r =>
+      assert(r.getAs[Double]("h") > 100.0,
+        s"${r.getString(0)} planted shift H = ${r.getAs[Double]("h")}")
+    }
+
     // ece with an always-true label: every bin's gap is n_b − Σscores_b,
     // so ECE collapses to 1 − mean(score) — recompute that independently
     val eceRows = t("ece") {
