@@ -938,6 +938,15 @@ object Analytics {
     "round(n * (k - 1.0) * (b4 - CAST(c4 AS DOUBLE)) " +
       "/ (CAST(a4 AS DOUBLE) - CAST(c4 AS DOUBLE)), 6)"
 
+  /** Kendall's W (coefficient of concordance) from the same statistics —
+    * Friedman's EFFECT SIZE: W = Q/(n(k−1)) ∈ [0, 1], 1 = every block
+    * ranks the treatments identically. Reported alongside Q because Q
+    * grows with n even for trivial disagreements (the z-vs-delta lesson).
+    */
+  val kendallWExpr: String =
+    "round((b4 - CAST(c4 AS DOUBLE)) " +
+      "/ (CAST(a4 AS DOUBLE) - CAST(c4 AS DOUBLE)), 6)"
+
   /** Friedman test per slice: k systems scored on the SAME n blocks
     * (models × benchmark items, raters × documents) — ranks within each
     * block, so systems on arbitrary, incomparable score scales still
@@ -995,8 +1004,10 @@ object Analytics {
           expr("CAST(k * (k + 1.0) * (k + 1.0) AS DECIMAL(38,0))")))
       .where(col("k") >= 2.0 && expr("CAST(a4 AS DOUBLE) > CAST(c4 AS DOUBLE)"))
       .withColumn("q", expr(friedmanQExpr))
+      .withColumn("kendall_w", expr(kendallWExpr))
       .select(col(sliceCol), col("n0").as("n_blocks"),
-        col("k").cast("long").as("n_treatments"), col("q"))
+        col("k").cast("long").as("n_treatments"), col("q"),
+        col("kendall_w"))
   }
 
   /** Shared Kruskal–Wallis H expression over (n as double; b = the

@@ -699,6 +699,29 @@ object Graph {
       .select(col("m"), col("r"))
   }
 
+  /** Edge reciprocity of a DIRECTED graph `(src, dst)`: the fraction of
+    * directed edges whose reverse edge also exists — the 1-hop mutuality
+    * audit (link farms and scraped mirrors reciprocate; organic citation
+    * graphs mostly don't) that complements [[scc]]'s full cyclic
+    * structure. ONE keyed self-join against the reversed edge set + one
+    * scalar aggregation; exchanges carry (long, long) pairs. Self-loops
+    * dropped, duplicate edges collapsed first.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("__r", lit(1L))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("m_edges"),
+        coalesce(sum(col("__r")), lit(0L)).as("mutual"))
+      .withColumn("reciprocity",
+        round(col("mutual").cast("double") /
+          greatest(col("m_edges"), lit(1L)).cast("double"), 6))
+  }
+
   /** Strongly connected components of a DIRECTED graph `(src, dst)` by
     * min-label coloring + backward marking (the Orzan-style coloring
     * variant of FW-BW — the standard distributed SCC family; Tarjan's

@@ -2253,7 +2253,8 @@ object EvalQueries {
        |  FROM g WHERE n0 = nmin
        |)
        |SELECT source, n0 AS n_blocks, CAST(k AS BIGINT) AS n_treatments,
-       |  ${Analytics.friedmanQExpr} AS q
+       |  ${Analytics.friedmanQExpr} AS q,
+       |  ${Analytics.kendallWExpr} AS kendall_w
        |FROM gg
        |WHERE k >= 2.0 AND CAST(a4 AS DOUBLE) > CAST(c4 AS DOUBLE)""".stripMargin
 

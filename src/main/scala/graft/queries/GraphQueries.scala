@@ -390,6 +390,35 @@ object GraphQueries {
        |       THEN ${graft.ext.Graph.assortativityExpr} END AS r
        |FROM g""".stripMargin
 
+  /** Edge reciprocity of the directed next-buyer graph — the 1-hop
+    * mutuality audit beside [[graphScc]]'s full cyclic decomposition on
+    * the same edge set (see [[graft.ext.Graph.reciprocity]]).
+    */
+  val graphReciprocity: QueryFn = (s, dir) =>
+    graft.ext.Graph.reciprocity(buyerChain(s, dir))
+
+  val graphReciprocitySql: String =
+    """WITH po AS (
+      |  SELECT DISTINCT l.l_partkey AS part, o.o_orderdate AS d,
+      |    o.o_orderkey AS ok, o.o_custkey AS c
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_custkey % 4 = 0
+      |), sq AS (
+      |  SELECT part, c, lead(c) OVER (PARTITION BY part ORDER BY d, ok) AS nxt
+      |  FROM po
+      |), edges AS (
+      |  SELECT DISTINCT c AS src, nxt AS dst FROM sq
+      |  WHERE nxt IS NOT NULL AND nxt <> c
+      |), f AS (
+      |  SELECT e.src, e.dst,
+      |    CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS m
+      |  FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS m_edges,
+      |  CAST(sum(m) AS BIGINT) AS mutual,
+      |  round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS reciprocity
+      |FROM f""".stripMargin
+
   /** Per-user EWMA (alpha = 0.25) of event values in time order. */
   val tsEwma: QueryFn = (s, dir) =>
     Analytics.ewma(Tables.events(s, dir),
@@ -937,6 +966,7 @@ object GraphQueries {
     "graph_cc_twophase" -> graphCcTwoPhase,
     "graph_scc"       -> graphScc,
     "graph_assortativity" -> graphAssortativity,
+    "graph_reciprocity" -> graphReciprocity,
     "graph_label_prop" -> graphLabelProp,
     "graph_hits"      -> graphHits,
     "ts_ewma"         -> tsEwma,
@@ -970,6 +1000,7 @@ object GraphQueries {
     "graph_cc_twophase" -> graphCcSql, // same output contract as graph_cc
     "graph_scc"       -> graphSccSql,
     "graph_assortativity" -> graphAssortativitySql,
+    "graph_reciprocity" -> graphReciprocitySql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_hits"      -> graphHitsSql,
     "ts_ewma"         -> tsEwmaSql,

@@ -285,6 +285,23 @@ class Round8cSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(sOut - want) < 1e-6, s"$sOut vs $want")
   }
 
+  // ---- Graph.reciprocity ---------------------------------------------------
+
+  test("reciprocity: hand graph with one mutual pair; cycle is 0; clique is 1") {
+    val mixed = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(mixed).collect().head
+    assert((r.getAs[Long]("m_edges"), r.getAs[Long]("mutual")) == ((4L, 2L)))
+    assert(r.getAs[Double]("reciprocity") == 0.5)
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    assert(Graph.reciprocity(ring).collect().head
+      .getAs[Double]("reciprocity") == 0.0)
+    val biclique = for { a <- 0L until 4L; b <- 0L until 4L if a != b }
+      yield (a, b)
+    assert(Graph.reciprocity(biclique.toDF("src", "dst")).collect().head
+      .getAs[Double]("reciprocity") == 1.0)
+  }
+
   // ---- Analytics.friedmanQ ---------------------------------------------------
 
   test("friedmanQ: no ties ⇒ classic Friedman chi-square; identical rankings maximal") {
