@@ -734,4 +734,41 @@ object DataOps {
     graft.cardano.SurrogateIds
       .withSequence(keyed, "pos", Seq(col("key"), col(sourceCol), col(idCol)))
   }
+
+  /** 2-D Pareto front (skyline), both dimensions MAXIMIZED: the rows no
+    * other row dominates (≥ in both, > in at least one) — the
+    * multi-objective selection primitive ("no candidate is both longer
+    * AND higher-quality than a front member"). To minimize a dimension,
+    * pass its negation.
+    *
+    * The classic staircase: compress to (x, max y) per distinct x, take
+    * the running max of y over x DESCENDING (exclusive), and keep the
+    * x-groups whose ymax strictly beats it; rows tied on a surviving
+    * (x, ymax) point are all front members (equal points do not
+    * dominate each other). Exact for any mix of ties.
+    *
+    * Scale: one map-side-combining aggregation to distinct-x
+    * granularity, ONE window over that compressed table (the AUC
+    * discipline — the raw rows never see a window), one x-keyed join
+    * back. Front size is bounded by the distinct-x count by
+    * construction.
+    */
+  def paretoFront2D(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol), col(xCol).as("__x"), col(yCol).as("__y"))
+      .localCheckpoint(true) // feeds the staircase AND the join back
+    val comp = base.groupBy(col("__x")).agg(max(col("__y")).as("__ymax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val sky = comp.withColumn("__m", max(col("__ymax")).over(w))
+      .where(col("__m").isNull || col("__ymax") > col("__m"))
+      // renamed so the join back onto the same lineage is unambiguous
+      .select(col("__x").as("__sx"), col("__ymax").as("__sy"))
+    base.join(sky, col("__x") === col("__sx") && col("__y") === col("__sy"))
+      .select(col(idCol), col("__x").as(xCol), col("__y").as(yCol))
+  }
 }

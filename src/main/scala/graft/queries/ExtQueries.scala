@@ -2451,6 +2451,39 @@ object ExtQueries {
     * the whole-corpus LM — the domain-selection score, exact-unigram
     * feature space.
     */
+  /** 2-D Pareto front over (n_chars, classifier score), both maximized —
+    * the documents no other document beats on BOTH length and quality
+    * (the long-context curation frontier); see
+    * [[graft.ext.DataOps.paretoFront2D]].
+    */
+  val selectPareto: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
+    val scored = graft.ext.TextAnalysis
+      .classifierScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    graft.ext.DataOps.paretoFront2D(scored, "doc_id", "n_chars", "score")
+  }
+
+  // lazy: qualityClassifierSql is declared later in this object
+  lazy val selectParetoSql: String =
+    s"""WITH qc AS (
+       |  SELECT q.doc_id, q.score FROM ($qualityClassifierSql) q
+       |), j AS (
+       |  SELECT d.doc_id, d.n_chars AS x, qc.score AS y
+       |  FROM qc JOIN documents d USING (doc_id)
+       |), c AS (
+       |  SELECT x, max(y) AS ymax FROM j GROUP BY 1
+       |), m AS (
+       |  SELECT x, ymax, max(ymax) OVER (ORDER BY x DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+       |  FROM c
+       |), sky AS (
+       |  SELECT x, ymax FROM m WHERE mprev IS NULL OR ymax > mprev
+       |)
+       |SELECT j.doc_id, j.x AS n_chars, j.y AS score
+       |FROM j JOIN sky ON j.x = sky.x AND j.y = sky.ymax""".stripMargin
+
   val selectDsir: QueryFn = (s, dir) =>
     TextAnalysis.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
       col("lang") === "en")
@@ -3342,6 +3375,7 @@ object ExtQueries {
     "dedup_substring"      -> dedupSubstring,
     "dedup_rewrite"        -> dedupRewrite,
     "select_dsir"          -> selectDsir,
+    "select_pareto"        -> selectPareto,
     "multimodal_phash"     -> multimodalPhash,
     "multimodal_audio"     -> multimodalAudio,
     "sketch_hll"           -> sketchHll,
@@ -3433,6 +3467,7 @@ object ExtQueries {
     "dedup_substring"     -> dedupSubstringSql,
     "dedup_rewrite"       -> dedupRewriteSql,
     "select_dsir"         -> selectDsirSql,
+    "select_pareto"       -> selectParetoSql,
     "multimodal_phash"    -> multimodalPhashSql,
     "multimodal_audio"    -> multimodalAudioSql,
     "sketch_hll"          -> sketchHllSql,

@@ -285,6 +285,31 @@ class Round8cSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(sOut - want) < 1e-6, s"$sOut vs $want")
   }
 
+  // ---- DataOps.paretoFront2D -----------------------------------------------
+
+  test("paretoFront2D: hand case with ties and duplicate front points") {
+    // (5, 1) and (1, 5) are both on the front; (3, 3) survives (nothing
+    // ≥ both); (2, 2) is dominated by (3, 3); duplicates of a front
+    // point are ALL kept (equal points do not dominate each other)
+    val df = Seq((1L, 5L, 1.0), (2L, 1L, 5.0), (3L, 3L, 3.0),
+      (4L, 2L, 2.0), (5L, 3L, 3.0)).toDF("id", "x", "y")
+    val got = DataOps.paretoFront2D(df, "id", "x", "y")
+      .as[(Long, Long, Double)].collect().map(_._1).toSet
+    assert(got == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("paretoFront2D: matches the brute-force dominance definition") {
+    val rnd = new Random(23)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toDouble))
+    val got = DataOps.paretoFront2D(rows.toDF("id", "x", "y"), "id", "x", "y")
+      .as[(Long, Long, Double)].collect().map(_._1).toSet
+    def dominated(p: (Long, Long, Double)) = rows.exists(q =>
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+    val want = rows.filterNot(dominated).map(_._1).toSet
+    assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+  }
+
   // ---- Graph.reciprocity ---------------------------------------------------
 
   test("reciprocity: hand graph with one mutual pair; cycle is 0; clique is 1") {
