@@ -92,6 +92,18 @@ class Round8PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Window"), p)
   }
 
+  test("select_pareto: ONE single-partition window — over the distinct-x table only") {
+    val df = ExtQueries.selectPareto(spark, dir)
+    val p = plan(df)
+    // the staircase is a global cumulative max, but over the
+    // distinct-x COMPRESSED table (partial_max below it proves the
+    // aggregation happened first); the join back is keyed, not nested
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("graph_scc peel internals: label push is a keyed join + partial min, no nested loop") {
     // the iterative driver loop can't be pinned as one plan; pin the
     // per-hop building block instead
