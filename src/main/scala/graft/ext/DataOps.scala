@@ -748,10 +748,17 @@ object DataOps {
     * dominate each other). Exact for any mix of ties.
     *
     * Scale: one map-side-combining aggregation to distinct-x
-    * granularity, ONE window over that compressed table (the AUC
-    * discipline — the raw rows never see a window), one x-keyed join
-    * back. Front size is bounded by the distinct-x count by
-    * construction.
+    * granularity, then a TWO-PASS staircase over the compressed table —
+    * range-partition by x desc, stamp partition ids (frozen by an eager
+    * checkpoint: range boundaries are sampled, and the stamp feeds two
+    * plans), compute the running max as (exclusive prefix of the
+    * per-partition maxima, broadcast — one row per partition) ⊔
+    * (within-partition exclusive running max, a window PARTITIONED by
+    * the stamped id). No row of the compressed table ever crosses a
+    * single-partition exchange, so a CONTINUOUS x (distinct-x ≈ n) is
+    * safe: the only global window runs over the partition-count-sized
+    * boundary table. One x-keyed join back; front size is bounded by
+    * the distinct-x count by construction.
     */
   def paretoFront2D(df: DataFrame, idCol: String, xCol: String,
       yCol: String): DataFrame = {
@@ -760,11 +767,27 @@ object DataOps {
       .select(col(idCol), col(xCol).as("__x"), col(yCol).as("__y"))
       .localCheckpoint(true) // feeds the staircase AND the join back
     val comp = base.groupBy(col("__x")).agg(max(col("__y")).as("__ymax"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__x").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    val sky = comp.withColumn("__m", max(col("__ymax")).over(w))
+    val nP = base.sparkSession.sessionState.conf.numShufflePartitions
+    // pass 0: spread distinct-x across range partitions, highest x first;
+    // the pid stamp must be pinned before it feeds both passes
+    val compP = comp.repartitionByRange(nP, col("__x").desc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // pass 1: per-partition maxima → exclusive prefix max ACROSS
+    // partitions (≤ nP rows — the only global window in the plan)
+    val wb = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = compP.groupBy(col("__pid"))
+      .agg(max(col("__ymax")).as("__pmax"))
+      .withColumn("__pm", max(col("__pmax")).over(wb))
+      .select(col("__pid"), col("__pm"))
+    // pass 2: within-partition exclusive running max, seeded by the
+    // broadcast boundary prefix; greatest() skips the null seed/head
+    val wp = Window.partitionBy(col("__pid")).orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = compP.join(broadcast(prefix), Seq("__pid"))
+      .withColumn("__m",
+        greatest(max(col("__ymax")).over(wp), col("__pm")))
       .where(col("__m").isNull || col("__ymax") > col("__m"))
       // renamed so the join back onto the same lineage is unambiguous
       .select(col("__x").as("__sx"), col("__ymax").as("__sy"))

@@ -92,14 +92,17 @@ class Round8PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Window"), p)
   }
 
-  test("select_pareto: ONE single-partition window — over the distinct-x table only") {
+  test("select_pareto: the only single-partition window runs over the per-partition boundary table") {
     val df = ExtQueries.selectPareto(spark, dir)
     val p = plan(df)
-    // the staircase is a global cumulative max, but over the
-    // distinct-x COMPRESSED table (partial_max below it proves the
-    // aggregation happened first); the join back is keyed, not nested
+    // two-pass staircase (round 9): the ONE global window is the
+    // exclusive prefix max over the ≤nP-row per-partition maxima
+    // (partial_max below it = the groupBy(__pid) agg); the bulk
+    // running max is a window PARTITIONED by the stamped range id, and
+    // the join back is keyed, not nested
     assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
     assert(p.contains("partial_max"), p)
+    assert(p.contains("__pid"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
