@@ -138,4 +138,46 @@ object IvfPq {
       .where(col("rank") <= topK)
       .select("query_id", "neighbor_id", "adist", "rank")
   }
+
+  /** IVFADC+R (Jégou et al. 2011 §V "re-ranking"): the standard third
+    * stage of the billion-scale layout — ADC produces a candidate
+    * shortlist of `refineC` per query, then the shortlist alone is
+    * re-ranked by EXACT cosine against the true vectors. ADC's
+    * quantization error is what costs it recall; the refine pass buys
+    * most of it back for the price of `nq·refineC` exact distances.
+    * Returns (query_id, neighbor_id, rank) ranked by exact cosine
+    * (desc, ties to the smaller neighbor id) — `Ivf.search`'s contract.
+    *
+    * Scale shape: the shortlist is nq·refineC rows BY CONSTRUCTION, so
+    * it broadcasts; the corpus is pruned to shortlist members by one
+    * broadcast-hash semi-shaped join (never shuffled, never collected)
+    * and the nq query vectors attach the same way. The only exchange is
+    * the per-query top-k window over ≤ refineC candidates each.
+    */
+  def searchRefined(corpus: DataFrame, nCells: Int = 16, m: Int = 4,
+      k: Int = 16, nq: Int = 5, topK: Int = 10, nProbe: Int = 2,
+      refineC: Int = 30,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import Similarity.dot
+    val cand = search(corpus, nCells, m, k, nq, refineC, nProbe,
+      idCol, vecCol).select("query_id", "neighbor_id")
+    val qvecs = corpus
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .join(broadcast(cand.select("query_id").distinct()), Seq("query_id"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("vn", sqrt(dot(col("v"), col("v"))))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .withColumn("cosine",
+        dot(col("qv"), col("v")) / (col("qn") * col("vn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rank")
+  }
 }

@@ -651,7 +651,11 @@ object ExtQueries {
     graft.ext.IvfPq.search(Tables.embeddings(s, dir),
       nCells = 16, m = 4, k = 16, nq = 5, topK = 10, nProbe = 2)
 
-  val annIvfPqSql: String = {
+  /** Shared IVFADC CTE chain (through the `adist` candidate table) —
+    * `ann_ivf_pq` ranks it directly; `ann_ivf_pq_refined` appends the
+    * exact-cosine re-rank of the top-`refineC` shortlist.
+    */
+  private def annIvfPqCtes: String = {
     def assignCte(cents: String, out: String): String =
       s"""${out}_n AS (
          |  SELECT cell, cv,
@@ -762,15 +766,53 @@ object ExtQueries {
        |  JOIN codes cd ON cd.id = co.id
        |  JOIN qdist qd ON qd.cell = co.cell AND qd.q = cd.q AND qd.c = cd.code
        |  GROUP BY 1, 2
-       |)
-       |SELECT query_id, neighbor_id, adist, rank FROM (
-       |  SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
-       |    CAST(adist AS BIGINT) AS adist,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY adist ASC, neighbor_id ASC) AS BIGINT) AS rank
-       |  FROM adist WHERE query_id <> neighbor_id
-       |) WHERE rank <= 10""".stripMargin
+       |)""".stripMargin
   }
+
+  val annIvfPqSql: String = annIvfPqCtes + "\n" +
+    """SELECT query_id, neighbor_id, adist, rank FROM (
+      |  SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+      |    CAST(adist AS BIGINT) AS adist,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adist ASC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM adist WHERE query_id <> neighbor_id
+      |) WHERE rank <= 10""".stripMargin
+
+  /** IVFADC+R: exact-cosine re-rank of the top-30 ADC shortlist — the
+    * third stage of the billion-scale deployment layout. The shortlist
+    * is nq·refineC rows by construction, so the exact pass is broadcast
+    * joins only (IvfPq.searchRefined).
+    */
+  val annIvfPqRefined: QueryFn = (s, dir) =>
+    graft.ext.IvfPq.searchRefined(Tables.embeddings(s, dir),
+      nCells = 16, m = 4, k = 16, nq = 5, topK = 10, nProbe = 2,
+      refineC = 30)
+
+  val annIvfPqRefinedSql: String = annIvfPqCtes + ",\n" +
+    s"""shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adist ASC, neighbor_id ASC) AS crank
+       |    FROM adist WHERE query_id <> neighbor_id) WHERE crank <= 30
+       |), envn AS (
+       |  SELECT id, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x * x), (p, q) -> p + q)) AS vn
+       |  FROM emb
+       |), exact AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${dotSql("q.v", "e2.v")} / (q.vn * e2.vn) AS cosine
+       |  FROM shortlist s
+       |  JOIN envn q ON q.id = s.query_id
+       |  JOIN envn e2 ON e2.id = s.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id,
+       |    CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM exact
+       |) WHERE rank <= 10""".stripMargin
 
   // --- text analysis -------------------------------------------------------
 
@@ -3404,6 +3446,7 @@ object ExtQueries {
     "ann_ivf"              -> annIvf,
     "ann_pq"               -> annPq,
     "ann_ivf_pq"           -> annIvfPq,
+    "ann_ivf_pq_refined"   -> annIvfPqRefined,
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "text_tokens"          -> textTokens,
     "text_quality"         -> textQuality,
@@ -3508,6 +3551,7 @@ object ExtQueries {
     "ann_ivf"             -> annIvfSql,
     "ann_pq"              -> annPqSql,
     "ann_ivf_pq"          -> annIvfPqSql,
+    "ann_ivf_pq_refined"  -> annIvfPqRefinedSql,
     "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,

@@ -340,6 +340,19 @@ object ScaleExt {
       r
     }
     require(rIvfPq >= 0.5, f"IVF+PQ recall $rIvfPq%.3f below 0.5 on clustered data")
+    // IVFADC+R: exact-cosine re-rank of the top-50 ADC shortlist. The
+    // refine stage buys back ADC's quantization error — recall must be
+    // MATERIALLY above the unrefined composite, approaching IVF's own
+    // probe-coverage ceiling (truth = exact cosine, the metric the
+    // refine stage ranks by).
+    val ivfPqRRes = t("ann-ivf-pq-refined")(
+      IvfPq.searchRefined(annCorpus, nCells = 256, m = 8, k = 64,
+        nq = nq, topK = 10, nProbe = 8, refineC = 50).localCheckpoint())
+    val rIvfPqR = recallOf("ivfpq+r", ivfPqRRes)
+    require(rIvfPqR >= 0.9,
+      f"IVFADC+R recall $rIvfPqR%.3f below 0.9 on clustered data")
+    require(rIvfPqR > rIvfPq,
+      f"refine stage did not improve recall ($rIvfPqR%.3f vs $rIvfPq%.3f)")
     spark.stop()
   }
 }
