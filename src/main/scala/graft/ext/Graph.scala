@@ -626,7 +626,15 @@ object Graph {
         .where(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
       val cur = fp(ss)
-      converged = cur == prev
+      // the fingerprint is probabilistic (an XOR collision between
+      // successive edge multisets would declare a false fixpoint at
+      // ~2^-64/round, SILENTLY mislabeling); since it fires once at
+      // termination, confirm with an exact two-way anti-join equality
+      // check before accepting (ADVICE r08)
+      converged = cur == prev && {
+        e.join(ss, Seq("u", "v"), "left_anti").isEmpty &&
+          ss.join(e, Seq("u", "v"), "left_anti").isEmpty
+      }
       prev = cur
       e = ss
       round += 1
@@ -744,10 +752,30 @@ object Graph {
     * combiner slot per upstream partition); frontiers and label frames
     * are barriered per round. Rounds: forward fixpoint ∝ class
     * diameter, peels ∝ the condensation's root-peeling depth — like
-    * [[bfsHops]], diameter-bounded (web/social graphs: tens). Long
-    * chains of singleton SCCs peel one topological "rank" per round;
-    * for such DAG-heavy graphs run [[ccTwoPhase]] on the underlying
-    * undirected graph first and SCC only the nontrivial components.
+    * [[bfsHops]], diameter-bounded (web/social graphs: tens).
+    *
+    * Deep-chain hardening (round 9): the classic killer for label
+    * propagation is a long path/ring (diameter ≈ n — the forward
+    * fixpoint alone would need n hops). Two escapes run INSIDE the peel
+    * loop, no manual prework:
+    *  - FUNCTIONAL fast path: whenever the active subgraph has max
+    *    out-degree ≤ 1 (or, reversed, max in-degree ≤ 1) it is a
+    *    functional graph — every weak component is a ρ (tail + at most
+    *    one cycle). Pointer doubling with min-on-path tracking resolves
+    *    ALL of it in ⌈log₂ n⌉ keyed self-joins: after 2^K ≥ n steps the
+    *    surviving walks land on cycles, the image of the 2^K-successor
+    *    is exactly the cycle set, and a cycle node's min-on-path is its
+    *    cycle's minimum — the SCC label. Everything else is a
+    *    singleton. Chains and rings of ANY depth finish in log rounds.
+    *  - BULK TRIM on slow progress: when a peel removed less than half
+    *    of the active set, the next peel first drops every active
+    *    source/sink/isolated node (no cycle can pass through them) as
+    *    singleton SCCs in one shot — the whole top AND bottom layer of
+    *    a DAG-heavy region per round, instead of only min-labeled
+    *    roots.
+    * Remaining boundary: a deep condensation that never becomes
+    * functional (in- and out-degree > 1 along a long spine) still peels
+    * round by round and can hit `maxPeels` — raise it for such graphs.
     */
   def scc(edges: DataFrame, maxPeels: Int = 50,
       maxHops: Int = 200): DataFrame = {
@@ -763,11 +791,89 @@ object Graph {
     var out: DataFrame = null
     var activeN = active.count()
     var peels = 0
+    var lastShrink = 1.0 // fraction of active removed by the last peel
+
+    // Functional-graph resolution: `succ` = (u, t) with ONE row per u.
+    // Doubling: after k joins each surviving row is (u, 2^k-successor,
+    // min node on that path); walks that fall off the end (successor
+    // row absent — the node was a sink) die with their upstream, which
+    // is sound: a walk that ever ends cannot lie on a cycle.
+    def resolveFunctional(succ: DataFrame, n: Long): DataFrame = {
+      var walk = succ
+        .select(col("u"), col("t"), least(col("u"), col("t")).as("m"))
+        .localCheckpoint(true)
+      var len = 1L
+      while (len < n) {
+        val nxt = walk.select(col("u").as("t"), col("t").as("__t2"),
+          col("m").as("__m2"))
+        walk = walk.join(nxt, Seq("t"))
+          .select(col("u"), col("__t2").as("t"),
+            least(col("m"), col("__m2")).as("m"))
+          .localCheckpoint(true)
+        len *= 2
+      }
+      // image of the 2^K-successor = the cycle nodes; their min-on-path
+      // wraps the whole cycle (2^K ≥ n ≥ cycle length) = the SCC label
+      val cyc = walk.select(col("t").as("u")).distinct()
+      val onCycle = walk.join(cyc, Seq("u"))
+        .select(col("u").as("node"), col("m").as("scc"))
+      active.join(onCycle, Seq("node"), "left")
+        .select(col("node"), coalesce(col("scc"), col("node")).as("scc"))
+    }
+
     while (activeN > 0) {
       if (peels >= maxPeels)
         throw new IllegalStateException(
           s"scc: $activeN nodes unresolved after $maxPeels peel rounds — " +
             "raise maxPeels (peels grow with the condensation's depth)")
+      // (0a) bulk singleton trim, only when the last peel was slow:
+      // active nodes without both an in- and an out-edge cannot be on a
+      // cycle — peel the whole source/sink fringe at once
+      if (lastShrink < 0.5) {
+        val both = eact.select(col("src").as("node")).distinct()
+          .join(eact.select(col("dst").as("node")).distinct(), Seq("node"))
+        val trimmed = active.join(both, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        val tN = trimmed.count()
+        if (tN > 0) {
+          val found = trimmed.select(col("node"), col("node").as("scc"))
+          out = if (out == null) found.localCheckpoint(true)
+            else out.unionByName(found).localCheckpoint(true)
+          active = active.join(trimmed, Seq("node"), "left_anti")
+            .localCheckpoint(true)
+          activeN -= tN
+          if (activeN > 0)
+            eact = eact
+              .join(trimmed.select(col("node").as("src")), Seq("src"),
+                "left_anti")
+              .join(trimmed.select(col("node").as("dst")), Seq("dst"),
+                "left_anti")
+              .localCheckpoint(true)
+        }
+      }
+      if (activeN == 0) return out
+      // (0b) functional fast path: resolves chains/rings of any depth
+      // in log rounds — the shapes whose diameter breaks the fixpoint
+      val maxOut = eact.groupBy("src").agg(count(lit(1)).as("d"))
+        .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
+      val succ =
+        if (maxOut <= 1L)
+          Some(eact.select(col("src").as("u"), col("dst").as("t")))
+        else {
+          val maxIn = eact.groupBy("dst").agg(count(lit(1)).as("d"))
+            .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
+          if (maxIn <= 1L)
+            Some(eact.select(col("dst").as("u"), col("src").as("t")))
+          else None
+        }
+      succ match {
+        case Some(s) =>
+          val resolved = resolveFunctional(s, activeN)
+          return if (out == null) resolved
+            else out.unionByName(resolved).localCheckpoint(true)
+        case None => ()
+      }
+      val beforeN = activeN
       // (1) forward min-label fixpoint over the active subgraph
       var lab = active.select(col("node"), col("node").as("lab"))
         .localCheckpoint(true)
@@ -827,6 +933,7 @@ object Graph {
           .join(marked.select(col("node").as("src")), Seq("src"), "left_anti")
           .join(marked.select(col("node").as("dst")), Seq("dst"), "left_anti")
           .localCheckpoint(true)
+      lastShrink = (beforeN - activeN).toDouble / beforeN
       peels += 1
     }
     if (out == null) // edgeless input: nothing to label

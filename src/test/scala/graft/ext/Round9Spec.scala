@@ -54,4 +54,70 @@ class Round9Spec extends AnyFunSuite with SparkTest {
     assert(p.contains("partial_max"), p)
     assert(p.contains("__pid"), p)
   }
+
+  // ---- Graph.scc deep-chain hardening ---------------------------------
+
+  private def sccMap(edges: Seq[(Long, Long)],
+      maxPeels: Int = 50): Map[Long, Long] =
+    Graph.scc(edges.toDF("src", "dst"), maxPeels = maxPeels)
+      .as[(Long, Long)].collect().toMap
+
+  test("scc: 2000-node id-ordered chain (the old diameter trap) — all singletons") {
+    // pre-round-9 this threw inside the forward fixpoint (diameter ≈ n
+    // ≫ maxHops); the functional fast path resolves it in log rounds
+    val chain = (0L until 1999L).map(i => (i, i + 1))
+    assert(sccMap(chain) == (0L to 1999L).map(i => i -> i).toMap)
+  }
+
+  test("scc: 2000-node directed ring — ONE component labeled 0") {
+    val ring = (0L until 1999L).map(i => (i, i + 1)) :+ (1999L, 0L)
+    val got = sccMap(ring)
+    assert(got.size == 2000 && got.values.forall(_ == 0L))
+  }
+
+  test("scc: rho shape — 500-node tail into a 500-node ring") {
+    val tail = (0L until 500L).map(i => (i, i + 1))
+    val ring = (500L until 999L).map(i => (i, i + 1)) :+ (999L, 500L)
+    val want = (0L until 500L).map(i => i -> i).toMap ++
+      (500L to 999L).map(i => i -> 500L).toMap
+    assert(sccMap(tail ++ ring) == want)
+  }
+
+  test("scc: out-tree (maxOut=2, maxIn=1) resolves via the reversed functional dual") {
+    val tree = (1L until 511L).map(i => ((i - 1) / 2, i))
+    assert(sccMap(tree) == (0L until 511L).map(i => i -> i).toMap)
+  }
+
+  test("scc: slow-progress trim drains a deep non-functional layered DAG") {
+    // 12 layers × width 3, two out-edges per node (in- AND out-degree 2
+    // inside: never functional); root-only peeling would need 12 peels,
+    // the trim path peels top AND bottom layers each round
+    val edges = for {
+      l <- 0L until 11L; i <- 0L until 3L; j <- 0L until 2L
+    } yield (l * 3 + i, (l + 1) * 3 + (i + j) % 3)
+    assert(sccMap(edges, maxPeels = 6) ==
+      (0L until 36L).map(i => i -> i).toMap)
+  }
+
+  test("scc: functional graph with several disjoint cycles + tails matches labels") {
+    // three rings (sizes 5, 7, 9) each with a 4-node tail feeding in
+    def ringWithTail(base: Long, size: Long): Seq[(Long, Long)] = {
+      val ring = (0L until size - 1).map(i => (base + i, base + i + 1)) :+
+        (base + size - 1, base)
+      val tail = (0L until 4L).map(i =>
+        (base + 100 + i, if (i == 3) base else base + 101 + i))
+      ring ++ tail
+    }
+    val edges = ringWithTail(0, 5) ++ ringWithTail(200, 7) ++
+      ringWithTail(400, 9)
+    val got = sccMap(edges)
+    val want =
+      (0L until 5L).map(i => i -> 0L) ++
+        (0L until 4L).map(i => (100L + i) -> (100L + i)) ++
+        (200L until 207L).map(i => i -> 200L) ++
+        (0L until 4L).map(i => (300L + i) -> (300L + i)) ++
+        (400L until 409L).map(i => i -> 400L) ++
+        (0L until 4L).map(i => (500L + i) -> (500L + i))
+    assert(got == want.toMap)
+  }
 }

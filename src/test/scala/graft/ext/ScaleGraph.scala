@@ -228,6 +228,39 @@ object ScaleGraph {
     println(s"  scc $n2 nodes, ${n2 + blocks2 - 1} edges, " +
       s"$blocks2 components — all labels exact")
 
+    // deep singleton chain (round 9): 200k nodes in topological id
+    // order — the exact shape whose diameter used to blow the forward
+    // fixpoint (it needs n hops); the functional fast path must resolve
+    // it in ~log₂(n) pointer-doubling rounds, labels = all singletons
+    // (the closure oracle for a path is closed-form)
+    val nc = 200000L
+    val chain = spark.range(0, nc - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .localCheckpoint()
+    val chainRow = t("scc-deep-chain") {
+      Graph.scc(chain, maxPeels = 5, maxHops = 40)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("scc") === col("node"), 1L).otherwise(0L)).as("ok"))
+        .collect().head
+    }
+    assert(chainRow.getLong(0) == nc && chainRow.getLong(1) == nc,
+      s"deep chain: ${chainRow.getLong(1)}/${chainRow.getLong(0)} singleton " +
+        s"labels, want $nc/$nc")
+    // same depth as a ring: ONE component, min label 0 everywhere
+    val ring = chain.unionByName(
+      spark.range(1).select(lit(nc - 1).as("src"), lit(0L).as("dst")))
+      .localCheckpoint()
+    val ringRow = t("scc-deep-ring") {
+      Graph.scc(ring, maxPeels = 5, maxHops = 40)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("scc") === 0L, 1L).otherwise(0L)).as("ok"))
+        .collect().head
+    }
+    assert(ringRow.getLong(0) == nc && ringRow.getLong(1) == nc,
+      s"deep ring: ${ringRow.getLong(1)}/${ringRow.getLong(0)} labels = 0, " +
+        s"want $nc/$nc")
+    println(s"  scc deep chain + ring at $nc nodes — functional fast path ok")
+
     println("ALL SCALE-GRAPH ASSERTIONS PASSED")
     spark.stop()
   }
