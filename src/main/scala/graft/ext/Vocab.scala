@@ -105,6 +105,133 @@ object Vocab {
       .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece model,
+    * the EM companion to [[bpeTrain]]): seed a piece inventory with every
+    * substring (length ≤ `maxPieceLen`) of the word types, then run
+    * `emIters` rounds of full-lattice EM — the E-step weighs every
+    * segmentation of every word type by its probability under the current
+    * piece distribution and accumulates expected piece counts; the M-step
+    * renormalizes. Pieces whose expected count rounds to zero drop out
+    * (EM's natural prune). Returns (piece, p) — the trained unigram piece
+    * probabilities, round-6.
+    *
+    * Determinism discipline (the lm_kneser_ney playbook): piece costs are
+    * per-TYPE round-6 DECIMAL `-ln p`; a segmentation's cost is an EXACT
+    * decimal sum of those; its lattice weight is `exp(-(cost - min))`
+    * rounded at 12 into DECIMAL (min subtracted so weights sit in (0, 1]
+    * and the rounding loses only 1e-12 relative); per-word normalizers
+    * and expected counts are exact decimal sums of per-term round-6
+    * values — every cross-row aggregation is order-free, so the whole
+    * training replays bit-for-bit in DuckDB (same seeds, same lattice,
+    * same EM trajectory).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-TYPE aggregation —
+    * the only corpus-sized shuffle); everything after is bounded by
+    * `topTypes` word types × the constant composition table (all ways to
+    * split a length-≤`maxWordLen` word into pieces ≤ `maxPieceLen` —
+    * tribonacci-sized, built driver-side and broadcast). EM expectations
+    * are per-TYPE: each iteration is two keyed joins and three
+    * aggregations over that bounded lattice, independent of corpus size.
+    * Words longer than `maxWordLen` don't train the model (the standard
+    * SentencePiece trainer similarly caps sentence/word length); they are
+    * still segmentable at inference with the trained pieces.
+    */
+  def unigramTrain(docs: DataFrame, textCol: String, emIters: Int = 2,
+      maxPieceLen: Int = 3, maxWordLen: Int = 8,
+      topTypes: Int = 2000, keepMulti: Int = 120): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = DataOps.parallelismFloor(docs.select(col(textCol).as("__t")))
+      .select(explode(TextAnalysis.tokens(col("__t"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$") &&
+        length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(topTypes)
+      .withColumn("wlen", length(col("word")))
+      .localCheckpoint(true) // the only corpus pass
+
+    // composition table: every split of n = 1..maxWordLen into parts of
+    // size ≤ maxPieceLen, as (wlen, sig, i, start, plen, nparts) piece
+    // rows; sig is the digit string of part lengths — the lattice is a
+    // driver-side constant, tribonacci(maxWordLen) segmentations
+    def comps(n: Int): Seq[String] =
+      if (n == 0) Seq("")
+      else (1 to math.min(maxPieceLen, n))
+        .flatMap(k => comps(n - k).map(k.toString + _))
+    val spRows: Seq[(Int, String, Int, Int, Int, Int)] = for {
+      n <- 1 to maxWordLen
+      sig <- comps(n)
+      parts = sig.map(_.asDigit)
+      starts = parts.scanLeft(1)(_ + _)
+      i <- parts.indices
+    } yield (n, sig, i + 1, starts(i), parts(i), parts.length)
+    val sp = spRows.toDF("wlen", "sig", "i", "start", "plen", "nparts")
+
+    // candidate piece occurrences of every segmentation of every word
+    // type — iteration-independent, built once
+    val occ = words.join(broadcast(sp), Seq("wlen"))
+      .select(col("word"), col("cnt"), col("sig"), col("nparts"),
+        expr("substring(word, start, plen)").as("piece"))
+      .localCheckpoint(true)
+
+    // seed inventory: every substring occurrence weighted by word count;
+    // all single chars (so every word stays segmentable) + the top
+    // `keepMulti` multi-char pieces, ties pinned (count desc, piece asc)
+    val seedCnt = words
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, wlen),
+           |  s -> transform(sequence(s, least(s + ${maxPieceLen - 1}, wlen)),
+           |       e -> substring(word, s, e - s + 1))))""".stripMargin))
+        .as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("c"))
+      .localCheckpoint(true)
+    val seed = seedCnt.where(length(col("piece")) === 1)
+      .unionByName(seedCnt.where(length(col("piece")) > 1)
+        .orderBy(col("c").desc, col("piece").asc).limit(keepMulti))
+    val tot0 = seed.agg(sum(col("c")).cast("double").as("tot"))
+    var pieces = seed.crossJoin(broadcast(tot0))
+      .select(col("piece"),
+        expr("CAST(round(-ln(CAST(c AS DOUBLE) / tot), 6) " +
+          "AS DECIMAL(30,6))").as("cost6"),
+        expr("round(CAST(c AS DOUBLE) / tot, 6)").as("p"))
+      .localCheckpoint(true)
+
+    var it = 0
+    while (it < emIters) {
+      // E-step: keep only fully-covered segmentations (every piece still
+      // in the inventory), weight each by exp(-(cost − word min))
+      val byseg = occ.join(pieces.select("piece", "cost6"), Seq("piece"))
+        .groupBy("word", "cnt", "sig", "nparts")
+        .agg(count(lit(1)).as("got"), sum(col("cost6")).as("sumc"))
+        .where(col("got") === col("nparts"))
+      val minc = byseg.groupBy("word").agg(min(col("sumc")).as("minc"))
+      val wseg = byseg.join(minc, Seq("word"))
+        .select(col("word"), col("sig"),
+          expr("CAST(round(exp(-CAST(sumc - minc AS DOUBLE)), 12) " +
+            "AS DECIMAL(38,12))").as("w12"))
+        .localCheckpoint(true) // feeds the normalizer AND the e-terms
+      val z = wseg.groupBy("word").agg(sum(col("w12")).as("z"))
+      // expected count terms: per-occurrence round-6, exact decimal sum
+      val e = occ.join(wseg, Seq("word", "sig"))
+        .join(z, Seq("word"))
+        .select(col("piece"),
+          expr("CAST(round(CAST(cnt AS DOUBLE) * CAST(w12 AS DOUBLE) " +
+            "/ CAST(z AS DOUBLE), 6) AS DECIMAL(30,6))").as("e6"))
+        .groupBy("piece").agg(sum(col("e6")).as("ecnt"))
+        .where(col("ecnt") > 0)
+      // M-step: renormalize
+      val tot = e.agg(sum(col("ecnt")).cast("double").as("tot"))
+      pieces = e.crossJoin(broadcast(tot))
+        .select(col("piece"),
+          expr("CAST(round(-ln(CAST(ecnt AS DOUBLE) / tot), 6) " +
+            "AS DECIMAL(30,6))").as("cost6"),
+          expr("round(CAST(ecnt AS DOUBLE) / tot, 6)").as("p"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    pieces.select(col("piece"), col("p"))
+  }
+
   /** Bigram language-model counts: adjacent whitespace-token pairs per
     * document, aggregated corpus-wide, with the unigram count of the
     * left word attached (the sufficient statistics for a smoothed

@@ -898,6 +898,108 @@ object ExtQueries {
   private[graft] def clearBpeMemo(): Unit =
     bpeTrainMemo.synchronized(bpeTrainMemo.clear())
 
+  /** Unigram-LM tokenizer training (SentencePiece-style full-lattice EM,
+    * 2 iterations — Vocab.unigramTrain). The whole EM trajectory is
+    * deterministic decimals (round-6 piece costs, exact decimal lattice
+    * sums, round-12 lattice weights, round-6 expected-count terms), so
+    * the oracle replays it: the composition lattice is a recursive CTE,
+    * each EM iteration an unrolled CTE stage.
+    */
+  val vocabUnigram: QueryFn = (s, dir) =>
+    graft.ext.Vocab.unigramTrain(Tables.documents(s, dir), "text",
+      emIters = 2, maxPieceLen = 3, maxWordLen = 8,
+      topTypes = 2000, keepMulti = 120)
+
+  val vocabUnigramSql: String = {
+    // one EM iteration: pieces p$prev -> pieces p$n (cost6 + p)
+    def emStage(n: Int, prev: String): String =
+      s"""byseg$n AS (
+         |  SELECT o.word, o.cnt, o.sig, o.nparts,
+         |    count(*) AS got, sum(p.cost6) AS sumc
+         |  FROM occ o JOIN $prev p USING (piece)
+         |  GROUP BY 1, 2, 3, 4
+         |  HAVING count(*) = o.nparts
+         |), wseg$n AS (
+         |  SELECT b.word, b.cnt, b.sig,
+         |    CAST(round(exp(-CAST(b.sumc - m.minc AS DOUBLE)), 12)
+         |      AS DECIMAL(38,12)) AS w12
+         |  FROM byseg$n b
+         |  JOIN (SELECT word, min(sumc) AS minc FROM byseg$n GROUP BY 1) m
+         |    USING (word)
+         |), z$n AS (
+         |  SELECT word, sum(w12) AS z FROM wseg$n GROUP BY 1
+         |), e$n AS (
+         |  SELECT piece, sum(e6) AS ecnt FROM (
+         |    SELECT o.piece,
+         |      CAST(round(CAST(o.cnt AS DOUBLE) * CAST(w.w12 AS DOUBLE)
+         |        / CAST(z.z AS DOUBLE), 6) AS DECIMAL(30,6)) AS e6
+         |    FROM occ o
+         |    JOIN wseg$n w ON w.word = o.word AND w.sig = o.sig
+         |    JOIN z$n z ON z.word = o.word)
+         |  GROUP BY 1 HAVING sum(e6) > 0
+         |), p$n AS (
+         |  SELECT piece,
+         |    CAST(round(-ln(CAST(ecnt AS DOUBLE) /
+         |      (SELECT CAST(sum(ecnt) AS DOUBLE) FROM e$n)), 6)
+         |      AS DECIMAL(30,6)) AS cost6,
+         |    round(CAST(ecnt AS DOUBLE) /
+         |      (SELECT CAST(sum(ecnt) AS DOUBLE) FROM e$n), 6) AS p
+         |  FROM e$n
+         |)""".stripMargin
+    s"""WITH RECURSIVE comp AS (
+       |  SELECT 0 AS pos, CAST('' AS VARCHAR) AS sig
+       |  UNION ALL
+       |  SELECT c.pos + k.k, c.sig || CAST(k.k AS VARCHAR)
+       |  FROM comp c, (SELECT unnest(generate_series(1, 3)) AS k) k
+       |  WHERE c.pos + k.k <= 8
+       |), sigs AS (
+       |  SELECT pos AS wlen, sig FROM comp WHERE pos >= 1
+       |), sp AS (
+       |  SELECT wlen, sig, u.i,
+       |    1 + CAST(COALESCE(SUM(CAST(substr(sig, u.i, 1) AS INT)) OVER (
+       |      PARTITION BY wlen, sig ORDER BY u.i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+       |      AS start,
+       |    CAST(substr(sig, u.i, 1) AS INT) AS plen,
+       |    len(sig) AS nparts
+       |  FROM sigs, unnest(generate_series(1, len(sig))) u(i)
+       |), words AS (
+       |  SELECT word, cnt, length(word) AS wlen FROM (
+       |    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+       |            AS word FROM documents)
+       |    WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 8
+       |    GROUP BY word)
+       |  ORDER BY cnt DESC, word ASC LIMIT 2000
+       |), occ AS (
+       |  SELECT w.word, w.cnt, s.sig, s.nparts,
+       |    substr(w.word, s.start, s.plen) AS piece
+       |  FROM words w JOIN sp s USING (wlen)
+       |), seedcnt AS (
+       |  SELECT substr(w.word, a.s, b.l) AS piece, sum(w.cnt) AS c
+       |  FROM words w,
+       |       unnest(generate_series(1, w.wlen)) a(s),
+       |       unnest(generate_series(1, 3)) b(l)
+       |  WHERE a.s + b.l - 1 <= w.wlen
+       |  GROUP BY 1
+       |), seed AS (
+       |  SELECT piece, c FROM seedcnt WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c FROM seedcnt WHERE length(piece) > 1
+       |    ORDER BY c DESC, piece ASC LIMIT 120)
+       |), p0 AS (
+       |  SELECT piece,
+       |    CAST(round(-ln(CAST(c AS DOUBLE) /
+       |      (SELECT CAST(sum(c) AS DOUBLE) FROM seed)), 6)
+       |      AS DECIMAL(30,6)) AS cost6
+       |  FROM seed
+       |),
+       |${emStage(1, "p0")},
+       |${emStage(2, "p1")}
+       |SELECT piece, p FROM p2""".stripMargin
+  }
+
   val vocabBpe: QueryFn = (s, dir) => bpeTrained(s, dir)
   val vocabBpeSql: String = {
     def stage(n: Int): String = {
@@ -3458,6 +3560,7 @@ object ExtQueries {
     "range_join_binned"    -> rangeJoinBinned,
     "join_interval_overlap" -> joinIntervalOverlap,
     "vocab_bpe"            -> vocabBpe,
+    "vocab_unigram"        -> vocabUnigram,
     "tokenize_bpe"         -> tokenizeBpe,
     "dedup_containment"    -> dedupContainment,
     "text_langid"          -> textLangId,
@@ -3563,6 +3666,7 @@ object ExtQueries {
     "range_join_binned"   -> rangeJoinBinnedSql,
     "join_interval_overlap" -> joinIntervalOverlapSql,
     "vocab_bpe"           -> vocabBpeSql,
+    "vocab_unigram"       -> vocabUnigramSql,
     "tokenize_bpe"        -> tokenizeBpeSql,
     "training_set"        -> trainingSetSql,
     "dedup_containment"   -> dedupContainmentSql,

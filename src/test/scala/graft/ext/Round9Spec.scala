@@ -55,6 +55,42 @@ class Round9Spec extends AnyFunSuite with SparkTest {
     assert(p.contains("__pid"), p)
   }
 
+  // ---- Vocab.unigramTrain ----------------------------------------------
+
+  test("unigramTrain: EM concentrates mass on the dominant whole-word piece") {
+    val docs = (1 to 50).map(_ => "dog dog dog cat").toDF("text")
+    val got = Vocab.unigramTrain(docs, "text", emIters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the one-piece segmentation has the lowest lattice cost, so EM
+    // shifts expected counts onto the full words and away from chars
+    assert(got("dog") > got("cat"), got.toString)
+    assert(got("dog") > got("d") && got("dog") > got("og"), got.toString)
+    // probabilities renormalize each M-step: they sum to 1 ± rounding
+    val s = got.values.sum
+    assert(math.abs(s - 1.0) < 1e-3, s"sum(p) = $s")
+    // a piece can survive with expected count > 0 whose round-6 p
+    // REPORTS as 0.0 — still a model member (finite cost)
+    assert(got.values.forall(p => p >= 0 && p <= 1), got.toString)
+  }
+
+  test("unigramTrain: partition-invariant and repeat-stable") {
+    val base = Seq("aa ab ba", "ab ab aa", "ba aa ab").toDF("text")
+    val a = Vocab.unigramTrain(base, "text")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    val b = Vocab.unigramTrain(base.repartition(7), "text")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.map(_._1).contains("aa"))
+  }
+
+  test("unigramTrain: words beyond maxWordLen don't train; chars survive") {
+    val docs = Seq("abcdefghijk zz zz zz").toDF("text") // 11 > maxWordLen=8
+    val got = Vocab.unigramTrain(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!got.keys.exists(_.contains("i")), got.toString)
+    assert(got.contains("zz") && got.contains("z"), got.toString)
+  }
+
   // ---- Graph.scc deep-chain hardening ---------------------------------
 
   private def sccMap(edges: Seq[(Long, Long)],
