@@ -32,6 +32,25 @@ import org.apache.spark.sql.types.StructType
   *
   * Tables without a resolvable `id` (or empty ones) fall back to a single
   * partition — correct, just serial.
+  *
+  * Dialect note (Postgres vs the in-sandbox Derby the specs run on):
+  * equivalence is proven against Derby (`JdbcSourceSpec` — parquet ≡ JDBC
+  * sync, predicate pushed into the remote WHERE) because no Postgres
+  * server exists in this environment. The dialect-sensitive surface is
+  * small and handled by Spark's `PostgresDialect` automatically:
+  *  - `numeric(20,0)` (quantities, `postgres.py:131,140`) maps to
+  *    `DecimalType(20,0)` on both engines — the schemas in
+  *    `Schemas.scala` already declare it, and `spark.read.jdbc` verifies
+  *    the remote metadata against it;
+  *  - identifier quoting: Postgres lower-cases unquoted identifiers while
+  *    Derby upper-cases them — all table/column names here are already
+  *    lower-case ASCII, the no-op case for both;
+  *  - `bytea` (tx hashes / policies) arrives as `BinaryType` from the
+  *    Postgres driver, same as the parquet fixtures;
+  *  - `timestamp` (no tz) maps to `TimestampType` under the session's
+  *    pinned UTC on both.
+  * If a real Postgres becomes reachable, run the same JdbcSourceSpec
+  * equivalence suite against it with only the URL changed.
   */
 object JdbcSource {
 
