@@ -888,6 +888,60 @@ object Analytics {
   val anovaFExpr: String =
     "round(((b - s * s / n) / (k - 1.0)) / ((q - b) / (n - k)), 6)"
 
+  /** Brown–Forsythe test per group across the cohorts of `cohortCol` —
+    * the VARIANCE-homogeneity companion to [[anovaF]] (do cohorts differ
+    * in SPREAD, not location?): W is exactly the one-way ANOVA F applied
+    * to the absolute deviations z_ij = |x_ij − median_i| from each
+    * cohort's median (Brown & Forsythe 1974 — the median-centered Levene
+    * variant, robust to non-normality; means would give classic Levene).
+    * A drift alarm for "same mean, fatter tails" shifts that every
+    * location test (Welch/ANOVA/Mann–Whitney) is blind to — completing
+    * the location + spread test matrix.
+    *
+    * Exactness: the cohort median is the exact LOWER median (the repo's
+    * deterministic order-statistic discipline — an actual input value,
+    * nothing interpolated, so both engines pick the identical number);
+    * deviations round at 6 into DECIMAL, their squares round at 6
+    * per-term (the anovaF sum discipline — every cross-row sum
+    * order-free), and the final statistic is the SHARED [[anovaFExpr]].
+    * Cohorts with < 2 groups, n ≤ k, or zero within-variance drop.
+    *
+    * Scale: the median is the banded two-pass selection (no per-cohort
+    * sort of raw data), then one aggregation to (group, cohort) and one
+    * to group granularity — anovaF's exact shape, plus one broadcast
+    * median attach.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valCol: String,
+      cohortCol: Column): DataFrame = {
+    val v = col(valCol)
+    val rows = df.where(v.isNotNull && cohortCol.isNotNull)
+      .select(col(groupCol).as("__g"), cohortCol.as("__c"), v.as("__v"))
+      .withColumn("__gc", concat_ws("\u0001", col("__g"), col("__c")))
+      .localCheckpoint(true) // feeds the median pass AND the deviations
+    val med = lowerMedianByGroup(rows, "__gc", "__v", "__med")
+    val cell = rows.join(broadcast(med), Seq("__gc"))
+      .withColumn("__z", round(abs(col("__v") - col("__med")), 6))
+      .groupBy(col("__g"), col("__c"))
+      .agg(count(lit(1)).as("__ni"),
+        sum(col("__z").cast("decimal(30,6)")).as("__si"),
+        sum(round(col("__z") * col("__z"), 6).cast("decimal(30,6)"))
+          .as("__qi"))
+    cell.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(col("__ni")).as("n0"),
+        sum(col("__si")).cast("double").as("s"),
+        sum(col("__qi")).cast("double").as("q"),
+        sum(round(col("__si").cast("double") * col("__si").cast("double")
+          / col("__ni").cast("double"), 6).cast("decimal(30,6)"))
+          .cast("double").as("b"))
+      .withColumn("n", col("n0").cast("double"))
+      .where(col("k") >= 2.0 && col("n") > col("k") &&
+        expr("q - b > 0.0"))
+      .withColumn("w_stat", expr(anovaFExpr))
+      .select(col("__g").as(groupCol), col("k").cast("long").as("n_cohorts"),
+        col("n0").as("n"), col("w_stat"))
+  }
+
   /** One-way ANOVA F statistic per group across the cohorts of
     * `cohortCol` — [[welchT]]'s k-cohort generalization (is ANY cohort's
     * mean off?), the one-shot screen a pipeline runs before k² pairwise

@@ -138,7 +138,35 @@ object Vocab {
     */
   def unigramTrain(docs: DataFrame, textCol: String, emIters: Int = 2,
       maxPieceLen: Int = 3, maxWordLen: Int = 8,
-      topTypes: Int = 2000, keepMulti: Int = 120): DataFrame = {
+      topTypes: Int = 2000, keepMulti: Int = 120): DataFrame =
+    unigramTrainImpl(docs, textCol, emIters, maxPieceLen, maxWordLen,
+      topTypes, keepMulti).select(col("piece"), col("p"))
+
+  /** The lattice as a DataFrame: (wlen, sig, i, start, plen, nparts)
+    * piece rows for every composition of 1..maxWordLen into parts of
+    * size ≤ maxPieceLen; sig is the digit string of part lengths. A
+    * driver-side constant — tribonacci(maxWordLen) segmentations.
+    */
+  private def compositionTable(spark: org.apache.spark.sql.SparkSession,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    import spark.implicits._
+    def comps(n: Int): Seq[String] =
+      if (n == 0) Seq("")
+      else (1 to math.min(maxPieceLen, n))
+        .flatMap(k => comps(n - k).map(k.toString + _))
+    val rows: Seq[(Int, String, Int, Int, Int, Int)] = for {
+      n <- 1 to maxWordLen
+      sig <- comps(n)
+      parts = sig.map(_.asDigit)
+      starts = parts.scanLeft(1)(_ + _)
+      i <- parts.indices
+    } yield (n, sig, i + 1, starts(i), parts(i), parts.length)
+    rows.toDF("wlen", "sig", "i", "start", "plen", "nparts")
+  }
+
+  private[ext] def unigramTrainImpl(docs: DataFrame, textCol: String,
+      emIters: Int, maxPieceLen: Int, maxWordLen: Int,
+      topTypes: Int, keepMulti: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = DataOps.parallelismFloor(docs.select(col(textCol).as("__t")))
@@ -150,22 +178,7 @@ object Vocab {
       .withColumn("wlen", length(col("word")))
       .localCheckpoint(true) // the only corpus pass
 
-    // composition table: every split of n = 1..maxWordLen into parts of
-    // size ≤ maxPieceLen, as (wlen, sig, i, start, plen, nparts) piece
-    // rows; sig is the digit string of part lengths — the lattice is a
-    // driver-side constant, tribonacci(maxWordLen) segmentations
-    def comps(n: Int): Seq[String] =
-      if (n == 0) Seq("")
-      else (1 to math.min(maxPieceLen, n))
-        .flatMap(k => comps(n - k).map(k.toString + _))
-    val spRows: Seq[(Int, String, Int, Int, Int, Int)] = for {
-      n <- 1 to maxWordLen
-      sig <- comps(n)
-      parts = sig.map(_.asDigit)
-      starts = parts.scanLeft(1)(_ + _)
-      i <- parts.indices
-    } yield (n, sig, i + 1, starts(i), parts(i), parts.length)
-    val sp = spRows.toDF("wlen", "sig", "i", "start", "plen", "nparts")
+    val sp = compositionTable(spark, maxPieceLen, maxWordLen)
 
     // candidate piece occurrences of every segmentation of every word
     // type — iteration-independent, built once
@@ -229,7 +242,61 @@ object Vocab {
         .localCheckpoint(true)
       it += 1
     }
-    pieces.select(col("piece"), col("p"))
+    pieces
+  }
+
+  /** Full trained unigram model — (piece, cost6, p), the round-6 decimal
+    * `-ln p` alongside the probability — for [[unigramEncode]] and any
+    * caller that scores lattices. Same training as [[unigramTrain]].
+    */
+  def unigramModel(docs: DataFrame, textCol: String, emIters: Int = 2,
+      maxPieceLen: Int = 3, maxWordLen: Int = 8,
+      topTypes: Int = 2000, keepMulti: Int = 120): DataFrame =
+    unigramTrainImpl(docs, textCol, emIters, maxPieceLen, maxWordLen,
+      topTypes, keepMulti)
+
+  /** Viterbi ENCODE with a trained unigram model: segment every word
+    * type by minimum total piece cost (ties pinned to fewer pieces, then
+    * the lexicographically smallest length-signature) and return the
+    * corpus piece-frequency table (piece, cnt) — the tokenized-corpus
+    * unigram view, the [[bpeEncode]] counterpart.
+    *
+    * Scale shape: identical to training — ONE corpus pass to word types,
+    * then the bounded lattice; the Viterbi argmin is a window over the
+    * per-word segmentation table (≤ tribonacci(maxWordLen) rows per
+    * word). Words containing a character the model pruned are not
+    * segmentable and are excluded (deterministically — the coverage gap
+    * is itself a model property).
+    */
+  def unigramEncode(docs: DataFrame, textCol: String, model: DataFrame,
+      maxPieceLen: Int = 3, maxWordLen: Int = 8,
+      topTypes: Int = 2000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = DataOps.parallelismFloor(docs.select(col(textCol).as("__t")))
+      .select(explode(TextAnalysis.tokens(col("__t"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$") &&
+        length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(topTypes)
+      .withColumn("wlen", length(col("word")))
+      .localCheckpoint(true)
+    val sp = compositionTable(spark, maxPieceLen, maxWordLen)
+    val occ = words.join(broadcast(sp), Seq("wlen"))
+      .select(col("word"), col("cnt"), col("sig"), col("nparts"),
+        expr("substring(word, start, plen)").as("piece"))
+      .localCheckpoint(true) // feeds the lattice score AND the piece dump
+    val byseg = occ.join(model.select("piece", "cost6"), Seq("piece"))
+      .groupBy("word", "cnt", "sig", "nparts")
+      .agg(count(lit(1)).as("got"), sum(col("cost6")).as("sumc"))
+      .where(col("got") === col("nparts"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("word")
+      .orderBy(col("sumc").asc, col("nparts").asc, col("sig").asc)
+    val best = byseg
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("word"), col("sig"))
+    occ.join(best, Seq("word", "sig"))
+      .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
   }
 
   /** Bigram language-model counts: adjacent whitespace-token pairs per

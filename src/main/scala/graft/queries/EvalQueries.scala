@@ -2137,6 +2137,47 @@ object EvalQueries {
        |  ${Analytics.anovaFExpr} AS f_stat
        |FROM gg WHERE k >= 2.0 AND n > k AND q - b > 0.0""".stripMargin
 
+  /** Brown–Forsythe W per event type across the same four user buckets —
+    * the variance-homogeneity companion to [[statsAnova]] (see
+    * [[graft.ext.Analytics.brownForsythe]]): ANOVA on |x − cohort
+    * median|, catching "same mean, different spread" drift.
+    */
+  val statsLevene: QueryFn = (s, dir) =>
+    Analytics.brownForsythe(Tables.events(s, dir), "event_type", "value",
+      pmod(col("user_id"), lit(4L)))
+
+  val statsLeveneSql: String =
+    s"""WITH r0 AS (
+       |  SELECT event_type AS g, ((user_id % 4) + 4) % 4 AS c, value AS v
+       |  FROM events WHERE value IS NOT NULL
+       |), med AS (
+       |  SELECT g, c, v AS med FROM (
+       |    SELECT g, c, v,
+       |      row_number() OVER (PARTITION BY g, c ORDER BY v) AS rn,
+       |      count(*) OVER (PARTITION BY g, c) AS nn
+       |    FROM r0) WHERE rn = (nn + 1) // 2
+       |), dev AS (
+       |  SELECT r.g, r.c, round(abs(r.v - m.med), 6) AS z
+       |  FROM r0 r JOIN med m ON m.g = r.g AND m.c = r.c
+       |), cell AS (
+       |  SELECT g, c, CAST(count(*) AS BIGINT) AS ni,
+       |    sum(CAST(z AS DECIMAL(30,6))) AS si,
+       |    sum(CAST(round(z * z, 6) AS DECIMAL(30,6))) AS qi
+       |  FROM dev GROUP BY 1, 2
+       |), gs AS (
+       |  SELECT g,
+       |    CAST(count(*) AS DOUBLE) AS k,
+       |    CAST(sum(ni) AS BIGINT) AS n0,
+       |    CAST(sum(si) AS DOUBLE) AS s,
+       |    CAST(sum(qi) AS DOUBLE) AS q,
+       |    CAST(sum(CAST(round(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+       |        / CAST(ni AS DOUBLE), 6) AS DECIMAL(30,6))) AS DOUBLE) AS b
+       |  FROM cell GROUP BY 1
+       |), gg AS (SELECT *, CAST(n0 AS DOUBLE) AS n FROM gs)
+       |SELECT g AS event_type, CAST(k AS BIGINT) AS n_cohorts, n0 AS n,
+       |  ${Analytics.anovaFExpr} AS w_stat
+       |FROM gg WHERE k >= 2.0 AND n > k AND q - b > 0.0""".stripMargin
+
   /** Kruskal–Wallis H per event type across the same four user buckets
     * as [[statsAnova]] — the nonparametric twin (see
     * [[graft.ext.Analytics.kruskalWallis]]).
@@ -2262,6 +2303,7 @@ object EvalQueries {
     "stats_friedman"   -> statsFriedman,
     "stats_kruskal"    -> statsKruskal,
     "stats_anova"      -> statsAnova,
+    "stats_levene"     -> statsLevene,
     "eval_wilcoxon"    -> evalWilcoxon,
     "eval_ece"         -> evalEce,
     "stats_jsd"        -> statsJsd,
@@ -2322,6 +2364,7 @@ object EvalQueries {
     "stats_friedman"   -> statsFriedmanSql,
     "stats_kruskal"    -> statsKruskalSql,
     "stats_anova"      -> statsAnovaSql,
+    "stats_levene"     -> statsLeveneSql,
     "eval_wilcoxon"    -> evalWilcoxonSql,
     "eval_ece"         -> evalEceSql,
     "stats_jsd"        -> statsJsdSql,

@@ -905,12 +905,48 @@ object ExtQueries {
     * the oracle replays it: the composition lattice is a recursive CTE,
     * each EM iteration an unrolled CTE stage.
     */
-  val vocabUnigram: QueryFn = (s, dir) =>
-    graft.ext.Vocab.unigramTrain(Tables.documents(s, dir), "text",
-      emIters = 2, maxPieceLen = 3, maxWordLen = 8,
-      topTypes = 2000, keepMulti = 120)
+  // The trained unigram model is memoized per (session, dir) exactly like
+  // the BPE merge chain (bpeTrainMemo): one pipeline trains ONE model and
+  // both `vocab_unigram` and `tokenize_unigram` read it. The memo stores
+  // the collected model rows (piece-inventory-sized by construction) and
+  // rebuilds a LocalRelation.
+  private val unigramMemo = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String),
+      (org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])]]()
 
-  val vocabUnigramSql: String = {
+  private def unigramTrained(s: SparkSession, dir: String): DataFrame = {
+    val perSession = unigramMemo.synchronized {
+      var m = unigramMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap()
+        unigramMemo.put(s, m)
+      }
+      m
+    }
+    val (schema, rows) = perSession.computeIfAbsent(
+      (dir, docsFingerprint(s, dir)), _ => {
+        val df = graft.ext.Vocab.unigramModel(Tables.documents(s, dir),
+          "text", emIters = 2, maxPieceLen = 3, maxWordLen = 8,
+          topTypes = 2000, keepMulti = 120)
+        (df.schema, df.orderBy("piece").collect())
+      })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  val vocabUnigram: QueryFn = (s, dir) =>
+    unigramTrained(s, dir).select(col("piece"), col("p"))
+
+  /** Viterbi encode with the trained unigram model: min-cost segmentation
+    * per word type (ties to fewer pieces, then the smallest length
+    * signature), corpus piece frequencies out (Vocab.unigramEncode).
+    */
+  val tokenizeUnigram: QueryFn = (s, dir) =>
+    graft.ext.Vocab.unigramEncode(Tables.documents(s, dir), "text",
+      unigramTrained(s, dir), maxPieceLen = 3, maxWordLen = 8,
+      topTypes = 2000)
+
+  private def unigramCtes: String = {
     // one EM iteration: pieces p$prev -> pieces p$n (cost6 + p)
     def emStage(n: Int, prev: String): String =
       s"""byseg$n AS (
@@ -996,9 +1032,28 @@ object ExtQueries {
        |  FROM seed
        |),
        |${emStage(1, "p0")},
-       |${emStage(2, "p1")}
-       |SELECT piece, p FROM p2""".stripMargin
+       |${emStage(2, "p1")}""".stripMargin
   }
+
+  val vocabUnigramSql: String =
+    unigramCtes + "\nSELECT piece, p FROM p2"
+
+  val tokenizeUnigramSql: String = unigramCtes + ",\n" +
+    """byseg3 AS (
+      |  SELECT o.word, o.sig, o.nparts,
+      |    count(*) AS got, sum(p.cost6) AS sumc
+      |  FROM occ o JOIN p2 p USING (piece)
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(*) = o.nparts
+      |), best AS (
+      |  SELECT word, sig FROM (
+      |    SELECT word, sig, row_number() OVER (PARTITION BY word
+      |      ORDER BY sumc ASC, nparts ASC, sig ASC) AS rn
+      |    FROM byseg3) WHERE rn = 1
+      |)
+      |SELECT o.piece, CAST(sum(o.cnt) AS BIGINT) AS cnt
+      |FROM occ o JOIN best b ON b.word = o.word AND b.sig = o.sig
+      |GROUP BY 1""".stripMargin
 
   val vocabBpe: QueryFn = (s, dir) => bpeTrained(s, dir)
   val vocabBpeSql: String = {
@@ -3561,6 +3616,7 @@ object ExtQueries {
     "join_interval_overlap" -> joinIntervalOverlap,
     "vocab_bpe"            -> vocabBpe,
     "vocab_unigram"        -> vocabUnigram,
+    "tokenize_unigram"     -> tokenizeUnigram,
     "tokenize_bpe"         -> tokenizeBpe,
     "dedup_containment"    -> dedupContainment,
     "text_langid"          -> textLangId,
@@ -3667,6 +3723,7 @@ object ExtQueries {
     "join_interval_overlap" -> joinIntervalOverlapSql,
     "vocab_bpe"           -> vocabBpeSql,
     "vocab_unigram"       -> vocabUnigramSql,
+    "tokenize_unigram"    -> tokenizeUnigramSql,
     "tokenize_bpe"        -> tokenizeBpeSql,
     "training_set"        -> trainingSetSql,
     "dedup_containment"   -> dedupContainmentSql,

@@ -3,6 +3,7 @@ package graft.ext
 import scala.util.Random
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTest
@@ -89,6 +90,62 @@ class Round9Spec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(!got.keys.exists(_.contains("i")), got.toString)
     assert(got.contains("zz") && got.contains("z"), got.toString)
+  }
+
+  test("unigramEncode: Viterbi picks the trained whole-word pieces") {
+    val docs = (1 to 50).map(_ => "dog dog dog cat").toDF("text")
+    val model = Vocab.unigramModel(docs, "text")
+    val got = Vocab.unigramEncode(docs, "text", model)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("dog" -> 150L, "cat" -> 50L), got.toString)
+  }
+
+  test("plan pins: stats_levene and tokenize_unigram never cross a single-partition exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val pl = plan(graft.queries.EvalQueries.statsLevene(spark, dir))
+    assert(!pl.contains("Exchange SinglePartition"), pl)
+    assert(!pl.contains("CartesianProduct"), pl)
+    val pt = plan(graft.queries.ExtQueries.tokenizeUnigram(spark, dir))
+    // the Viterbi argmin window is partitioned by word; the only global
+    // structures are the broadcast lattice and the memoized model
+    assert(!pt.contains("Exchange SinglePartition"), pt)
+    assert(!pt.contains("CartesianProduct"), pt)
+  }
+
+  // ---- Analytics.brownForsythe -----------------------------------------
+
+  test("brownForsythe: matches a naive driver-side W on spread-varying cohorts") {
+    val rnd = new Random(5)
+    val rows = for { c <- 0 until 3; _ <- 0 until 40 } yield
+      ("s", c.toLong, (rnd.nextInt(100) / 10.0) * (c + 1))
+    val got = Analytics.brownForsythe(rows.toDF("g", "c", "v"),
+      "g", "v", col("c")).collect().head
+    def lowerMedian(xs: Seq[Double]) = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val z = rows.groupBy(_._2).values.toSeq.map { g =>
+      val vs = g.map(_._3); val m = lowerMedian(vs)
+      vs.map(x => math.abs(x - m))
+    }
+    val k = z.size; val n = z.map(_.size).sum
+    val zbar = z.flatten.sum / n
+    val num = z.map(g =>
+      g.size * math.pow(g.sum / g.size - zbar, 2)).sum / (k - 1)
+    val den = z.map { g =>
+      val m = g.sum / g.size; g.map(x => (x - m) * (x - m)).sum
+    }.sum / (n - k)
+    val want = num / den
+    val w = got.getAs[Double]("w_stat")
+    assert(math.abs(w - want) < 1e-3, s"$w vs $want")
+    assert(got.getAs[Long]("n_cohorts") == 3 && got.getAs[Long]("n") == 120)
+  }
+
+  test("brownForsythe: pure location shift is invisible (W = 0)") {
+    // identical spread per cohort, means 100 apart — ANOVA would scream,
+    // the spread test must not
+    val rows = for { c <- 0 until 3; i <- 0 until 10 } yield
+      ("s", c.toLong, c * 100.0 + i)
+    val got = Analytics.brownForsythe(rows.toDF("g", "c", "v"),
+      "g", "v", col("c")).collect().head
+    assert(got.getAs[Double]("w_stat") == 0.0)
   }
 
   // ---- Graph.scc deep-chain hardening ---------------------------------
