@@ -940,4 +940,97 @@ object Graph {
       e0.select(col("src").as("node"), col("src").as("scc")).limit(0)
     else out
   }
+
+  /** Sampled k-bounded Brandes betweenness centrality over an undirected
+    * graph `(a, b)`: for each PINNED seed, count shortest paths (exact
+    * integer σ by BFS level) out to `maxHops`, then accumulate path
+    * dependencies backward level by level — δ(v) = Σ_{w: succ}
+    * σv/σw · (1 + δ(w)) — and report bc(v) = Σ_seeds δ_s(v). The
+    * standard "how much traffic routes THROUGH v" curation signal
+    * (bridge pages, template hubs); the horizon bound makes it the
+    * k-bounded variant every at-scale deployment uses (exact Brandes is
+    * O(nm)), and the seed sample is the same sublinear estimator dial
+    * as [[harmonicCloseness]].
+    *
+    * Exactness: σ are exact longs (level-by-level sums); each backward
+    * term is rounded by the shared half-away-from-zero scaled-long
+    * kernel (the `round6Scaled`/`half6ScaledSql` pair — floor/abs/
+    * compare only, immune to engine-version `round()` drift) and
+    * per-(seed, node) sums are exact integer sums — order-free, so the
+    * whole sweep replays in DuckDB as unrolled level stages. Seeds
+    * report no self-dependency (bc excludes depth 0).
+    *
+    * Scale: state is |seeds| × reach rows by construction — the seed
+    * stride is the cost knob, exactly [[harmonicCloseness]]'s contract.
+    * Every level (forward and backward) is one node-keyed join + one
+    * map-side-combining aggregation; levels are barriered so level N
+    * never replays 1..N−1. No global window, no driver state.
+    */
+  def betweenness(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1)
+    val sym = edges
+      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .unionByName(edges
+        .select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val s0 = seeds.select(col(seeds.columns.head).cast("long").as("seed"))
+      .distinct()
+    // forward: exact shortest-path counts per BFS level
+    var level: Vector[DataFrame] = Vector(
+      s0.select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+        .localCheckpoint(true))
+    var seen = level(0).select("seed", "node").localCheckpoint(true)
+    var d = 0
+    while (d < maxHops) {
+      val nxt = level(d)
+        .join(sym.select(col("src").as("node"), col("dst")), Seq("node"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("seed"), col("dst").as("node"), col("sigma"))
+        .join(seen, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      level = level :+ nxt
+      seen = seen.unionByName(nxt.select("seed", "node")).localCheckpoint(true)
+      d += 1
+    }
+    // backward: δ = 0 at the horizon, then per level one edge join +
+    // one exact integer sum of half6-scaled terms (δ carried ×1e6)
+    def half6(t: String): String =
+      s"""CAST(CASE WHEN $t < 0
+         |  THEN -(floor(abs($t)) + (CASE WHEN abs($t) - floor(abs($t)) >= 0.5 THEN 1 ELSE 0 END))
+         |  ELSE   floor(abs($t)) + (CASE WHEN abs($t) - floor(abs($t)) >= 0.5 THEN 1 ELSE 0 END)
+         |END AS BIGINT)""".stripMargin
+    var deltaNext = level(maxHops).select(col("seed"), col("node"),
+      col("sigma"), lit(0L).as("delta6"))
+    var bcParts: List[DataFrame] =
+      List(deltaNext.select(col("node"), col("delta6")))
+    var dd = maxHops - 1
+    while (dd >= 1) {
+      val vw = level(dd)
+        .select(col("seed"), col("node").as("v"), col("sigma").as("__sv"))
+        .join(sym.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+        .join(deltaNext.select(col("seed"), col("node").as("w"),
+          col("sigma").as("__sw"), col("delta6").as("__dw6")),
+          Seq("seed", "w"))
+      val cur = vw
+        .withColumn("__t", expr(half6(
+          "CAST(__sv AS DOUBLE) / CAST(__sw AS DOUBLE) " +
+            "* (1000000.0 + CAST(__dw6 AS DOUBLE))")))
+        .groupBy(col("seed"), col("v").as("node"))
+        .agg(sum(col("__t")).as("delta6"))
+      val full = level(dd).select(col("seed"), col("node"), col("sigma"))
+        .join(cur, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("delta6"), lit(0L)).as("delta6"))
+        .localCheckpoint(true)
+      bcParts = full.select(col("node"), col("delta6")) :: bcParts
+      deltaNext = full
+      dd -= 1
+    }
+    bcParts.reduce(_ unionByName _)
+      .groupBy("node")
+      .agg((sum(col("delta6")).cast("double") / lit(1000000.0))
+        .as("betweenness"))
+  }
 }

@@ -195,6 +195,85 @@ object GraphQueries {
        |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic
        |FROM dist GROUP BY 1""".stripMargin
 
+  /** Sampled k-bounded Brandes betweenness over the co-purchase graph:
+    * exact per-seed path counts from the `node % 400 = 0` sample, 3-hop
+    * horizon, round-6 decimal dependency sums (see
+    * [[graft.ext.Graph.betweenness]]). The bridge-vs-hub signal the
+    * closeness/pagerank pair can't give.
+    */
+  val graphBetweenness: QueryFn = (s, dir) => {
+    val edges = coPurchase(s, dir)
+    val seeds = edges.select(col("a").as("node"))
+      .union(edges.select(col("b")))
+      .where(col("node") % 400 === 0).distinct()
+    Graph.betweenness(edges, seeds, maxHops = 3)
+  }
+
+  val graphBetweennessSql: String = {
+    // forward level d+1 from level d: path counts summed over depth-d
+    // parents, minus every node already reached (NOT EXISTS per level)
+    def fwd(out: String, prev: String, earlier: Seq[String]): String = {
+      val anti = earlier.map(e =>
+        s"NOT EXISTS (SELECT 1 FROM $e p WHERE p.seed = f.seed AND p.node = f.node)")
+        .mkString(" AND ")
+      s"""${out}_c AS (
+         |  SELECT v.seed, e.dst AS node, CAST(sum(v.sigma) AS BIGINT) AS sigma
+         |  FROM $prev v JOIN edges e ON e.src = v.node
+         |  GROUP BY 1, 2
+         |), $out AS (
+         |  SELECT f.* FROM ${out}_c f WHERE $anti
+         |)""".stripMargin
+    }
+    // backward: δ at the horizon is 0 (carried ×1e6 as BIGINT); each
+    // level is one edge join + one exact integer sum of half6-scaled
+    // terms (the round6Scaled/half6ScaledSql kernel — immune to engine
+    // round() drift), absent successors coalesce to 0
+    def half6(t: String): String =
+      s"""CAST(CASE WHEN $t < 0
+         |      THEN -(floor(abs($t)) + (CASE WHEN abs($t) - floor(abs($t)) >= 0.5 THEN 1 ELSE 0 END))
+         |      ELSE   floor(abs($t)) + (CASE WHEN abs($t) - floor(abs($t)) >= 0.5 THEN 1 ELSE 0 END)
+         |    END AS BIGINT)""".stripMargin
+    def bwd(out: String, lvl: String, nxtLvl: String, nxtDelta: String): String =
+      s"""${out}_t AS (
+         |  SELECT v.seed, v.node,
+         |    sum(${half6(
+                 """(CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+                   | * (1000000.0 + CAST(w.delta6 AS DOUBLE)))""".stripMargin)}) AS delta6
+         |  FROM $lvl v
+         |  JOIN edges e ON e.src = v.node
+         |  JOIN (SELECT n.seed, n.node, n.sigma, x.delta6
+         |        FROM $nxtLvl n JOIN $nxtDelta x
+         |          ON x.seed = n.seed AND x.node = n.node) w
+         |    ON w.seed = v.seed AND w.node = e.dst
+         |  GROUP BY 1, 2
+         |), $out AS (
+         |  SELECT l.seed, l.node,
+         |    CAST(coalesce(t.delta6, 0) AS BIGINT) AS delta6
+         |  FROM $lvl l LEFT JOIN ${out}_t t
+         |    ON t.seed = l.seed AND t.node = l.node
+         |)""".stripMargin
+    s"""$pairsCte, edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), seeds AS (
+       |  SELECT DISTINCT src AS seed FROM edges WHERE src % 400 = 0
+       |), v0 AS (
+       |  SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma FROM seeds
+       |), ${fwd("v1", "v0", Seq("v0"))},
+       |${fwd("v2", "v1", Seq("v0", "v1"))},
+       |${fwd("v3", "v2", Seq("v0", "v1", "v2"))},
+       |d3 AS (
+       |  SELECT seed, node, CAST(0 AS BIGINT) AS delta6 FROM v3
+       |), ${bwd("d2", "v2", "v3", "d3")},
+       |${bwd("d1", "v1", "v2", "d2")},
+       |allx AS (
+       |  SELECT node, delta6 FROM d1
+       |  UNION ALL SELECT node, delta6 FROM d2
+       |  UNION ALL SELECT node, delta6 FROM d3
+       |)
+       |SELECT node, CAST(sum(delta6) AS DOUBLE) / 1000000.0 AS betweenness
+       |FROM allx GROUP BY 1""".stripMargin
+  }
+
   /** 4-round synchronous label-propagation communities (deterministic
     * most-frequent-neighbor rule, ties to the smallest label).
     */
@@ -961,6 +1040,7 @@ object GraphQueries {
     "graph_triangles" -> graphTriangles,
     "graph_bfs"       -> graphBfs,
     "graph_closeness" -> graphCloseness,
+    "graph_betweenness" -> graphBetweenness,
     "graph_degrees"   -> graphDegrees,
     "graph_cc"        -> graphCc,
     "graph_cc_twophase" -> graphCcTwoPhase,
@@ -995,6 +1075,7 @@ object GraphQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_bfs"       -> graphBfsSql,
     "graph_closeness" -> graphClosenessSql,
+    "graph_betweenness" -> graphBetweennessSql,
     "graph_degrees"   -> graphDegreesSql,
     "graph_cc"        -> graphCcSql,
     "graph_cc_twophase" -> graphCcSql, // same output contract as graph_cc

@@ -148,6 +148,67 @@ class Round9Spec extends AnyFunSuite with SparkTest {
     assert(got.getAs[Double]("w_stat") == 0.0)
   }
 
+  // ---- Graph.betweenness -----------------------------------------------
+
+  test("betweenness: star closed form — all traffic routes through the hub") {
+    val star = (1L to 10L).map(i => (0L, i)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.betweenness(star, seeds, maxHops = 3)
+      .as[(Long, Double)].collect().toMap
+    // from leaf 1: δ(hub) = 9 × (1/1)·(1+0); other leaves sit at the
+    // horizon with δ = 0; the seed itself reports nothing
+    assert(got(0L) == 9.0, got.toString)
+    assert((2L to 10L).forall(got(_) == 0.0), got.toString)
+    assert(!got.contains(1L))
+  }
+
+  test("betweenness: matches a naive bounded Brandes on a random graph") {
+    val rnd = new Random(17)
+    val edges = (0 until 160).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val seedIds = (0L until 40L).filter(_ % 5 == 0)
+    val got = Graph.betweenness(edges.toDF("a", "b"),
+      seedIds.toDF("node"), maxHops = 3)
+      .as[(Long, Double)].collect().toMap
+    // naive: per seed, BFS levels with path counts, then the truncated
+    // dependency accumulation (unrounded — the round-6 terms differ by
+    // < 1e-3 on these magnitudes)
+    val adj = (edges ++ edges.map(e => (e._2, e._1))).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
+    val reached = scala.collection.mutable.Set.empty[Long]
+    for (s <- seedIds) {
+      var lvls = Vector(Map(s -> 1L))
+      var seen = Set(s)
+      for (_ <- 1 to 3) {
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((v, sig) <- lvls.last; w <- adj.getOrElse(v, Set.empty)
+             if !seen.contains(w)) nxt(w) += sig
+        lvls = lvls :+ nxt.toMap
+        seen = seen ++ nxt.keys
+      }
+      var delta = lvls(3).keys.map(_ -> 0.0).toMap
+      reached ++= lvls(3).keys
+      for (d <- 2 to 1 by -1) {
+        val cur = lvls(d).map { case (v, sv) =>
+          val t = adj.getOrElse(v, Set.empty).toSeq
+            .filter(lvls(d + 1).contains)
+            .map(w => sv.toDouble / lvls(d + 1)(w) * (1.0 + delta(w))).sum
+          v -> t
+        }
+        cur.foreach { case (v, t) => want(v) += t; reached += v }
+        delta = cur
+      }
+    }
+    assert(got.keySet == reached.toSet,
+      s"coverage: ${got.keySet.size} vs ${reached.size}")
+    for ((n, bc) <- got)
+      assert(math.abs(bc - want(n)) < 1e-3, s"node $n: $bc vs ${want(n)}")
+  }
+
   // ---- Graph.scc deep-chain hardening ---------------------------------
 
   private def sccMap(edges: Seq[(Long, Long)],
