@@ -540,6 +540,50 @@ object Graph {
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Fixed-round k-truss peeling: iteratively drop every edge supported
+    * by fewer than k−2 triangles — the EDGE-level cohesion filter one
+    * notch stronger than [[kcorePeel]] (a k-core can be a sparse tangle;
+    * a k-truss edge sits in k−2 triangles, so surviving subgraphs are
+    * locally dense — the standard web/social spam-farm and community
+    * scaffold signal). Same contract as kcore: a FIXED number of peel
+    * rounds (each round's support is recomputed on the survivors), then
+    * one extra support pass over the final survivors so the last dropped
+    * wave doesn't pollute the reported numbers. Returns (u, v, support)
+    * with u < v normalized.
+    *
+    * Scale: triangles are enumerated on the (u < v)-normalized edge set
+    * — each round is two keyed self-joins + one map-side-combining
+    * count (the [[triangleStats]] shape, every triangle seen once);
+    * edges are barriered per round. No window, no driver state.
+    */
+  def trussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1)
+    var e = edges
+      .select(least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    def support(cur: DataFrame): DataFrame = {
+      val tri = cur.select(col("u").as("x"), col("v").as("y"))
+        .join(cur.select(col("u").as("x"), col("v").as("z")), Seq("x"))
+        .where(col("y") < col("z"))
+        .join(cur.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+      tri.select(explode(array(
+          struct(col("x").as("u"), col("y").as("v")),
+          struct(col("x").as("u"), col("z").as("v")),
+          struct(col("y").as("u"), col("z").as("v")))).as("s"))
+        .groupBy(col("s.u").as("u"), col("s.v").as("v"))
+        .agg(count(lit(1)).as("support"))
+    }
+    for (_ <- 1 to rounds) {
+      e = e.join(support(e).where(col("support") >= k - 2),
+          Seq("u", "v"), "semi")
+        .localCheckpoint(true) // barrier: each round feeds 3 self-joins
+    }
+    e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Connected components by alternating large-star / small-star
     * contractions (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC 2014) — the O(log n)-round algorithm for graphs

@@ -195,6 +195,40 @@ object GraphQueries {
        |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic
        |FROM dist GROUP BY 1""".stripMargin
 
+  /** 2-round 4-truss peeling over the co-purchase graph: surviving edges
+    * sit in ≥ 2 triangles among survivors — the edge-cohesion quality
+    * filter one notch above kcore (see [[graft.ext.Graph.trussPeel]]).
+    */
+  val graphKtruss: QueryFn = (s, dir) =>
+    Graph.trussPeel(coPurchase(s, dir), k = 4, rounds = 2)
+
+  val graphKtrussSql: String = {
+    def sup(n: Int, src: String) =
+      s"""tri$n AS (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM $src e1
+         |  JOIN $src e2 ON e2.u = e1.u AND e1.v < e2.v
+         |  JOIN $src e3 ON e3.u = e1.v AND e3.v = e2.v
+         |), sup$n AS (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+         |    SELECT x AS u, y AS v FROM tri$n
+         |    UNION ALL SELECT x, z FROM tri$n
+         |    UNION ALL SELECT y, z FROM tri$n)
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    s"""$pairsCte, e0 AS (
+       |  SELECT a AS u, b AS v FROM pairs
+       |), ${sup(1, "e0")}, e1 AS (
+       |  SELECT e.u, e.v FROM e0 e
+       |  JOIN sup1 s ON s.u = e.u AND s.v = e.v AND s.support >= 2
+       |), ${sup(2, "e1")}, e2 AS (
+       |  SELECT e.u, e.v FROM e1 e
+       |  JOIN sup2 s ON s.u = e.u AND s.v = e.v AND s.support >= 2
+       |), ${sup(3, "e2")}
+       |SELECT e.u, e.v, CAST(coalesce(s.support, 0) AS BIGINT) AS support
+       |FROM e2 e LEFT JOIN sup3 s ON s.u = e.u AND s.v = e.v""".stripMargin
+  }
+
   /** Sampled k-bounded Brandes betweenness over the co-purchase graph:
     * exact per-seed path counts from the `node % 400 = 0` sample, 3-hop
     * horizon, round-6 decimal dependency sums (see
@@ -1041,6 +1075,7 @@ object GraphQueries {
     "graph_bfs"       -> graphBfs,
     "graph_closeness" -> graphCloseness,
     "graph_betweenness" -> graphBetweenness,
+    "graph_ktruss"    -> graphKtruss,
     "graph_degrees"   -> graphDegrees,
     "graph_cc"        -> graphCc,
     "graph_cc_twophase" -> graphCcTwoPhase,
@@ -1076,6 +1111,7 @@ object GraphQueries {
     "graph_bfs"       -> graphBfsSql,
     "graph_closeness" -> graphClosenessSql,
     "graph_betweenness" -> graphBetweennessSql,
+    "graph_ktruss"    -> graphKtrussSql,
     "graph_degrees"   -> graphDegreesSql,
     "graph_cc"        -> graphCcSql,
     "graph_cc_twophase" -> graphCcSql, // same output contract as graph_cc

@@ -209,6 +209,30 @@ class Round9Spec extends AnyFunSuite with SparkTest {
       assert(math.abs(bc - want(n)) < 1e-3, s"node $n: $bc vs ${want(n)}")
   }
 
+  // ---- Graph.trussPeel ---------------------------------------------------
+
+  test("trussPeel: clique survives 4-truss, pendant and bridge edges peel off") {
+    // K5 on 0..4 (every edge in 3 triangles), a bridge 4-10, a pendant
+    // triangle 10-11-12 (each edge in ONE triangle — below the k=4 bar)
+    val k5 = for { a <- 0L until 5L; b <- a + 1 until 5L } yield (a, b)
+    val extra = Seq((4L, 10L), (10L, 11L), (10L, 12L), (11L, 12L))
+    val got = Graph.trussPeel((k5 ++ extra).toDF("a", "b"), k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(t => (t._1, t._2)).toSet == k5.toSet, got.mkString(","))
+    assert(got.forall(_._3 == 3L), got.mkString(","))
+  }
+
+  test("trussPeel: peeling cascades — a triangle hanging off the clique dies in round 2") {
+    // triangle 4-5-6 shares node 4 with K5; edge 5-6 has support 1 and
+    // dies in round 1, edges 4-5 / 4-6 lose their only triangle and die
+    // in round 2
+    val k5 = for { a <- 0L until 5L; b <- a + 1 until 5L } yield (a, b)
+    val tri = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val got = Graph.trussPeel((k5 ++ tri).toDF("a", "b"), k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(t => (t._1, t._2)).toSet == k5.toSet, got.mkString(","))
+  }
+
   // ---- Graph.scc deep-chain hardening ---------------------------------
 
   private def sccMap(edges: Seq[(Long, Long)],
