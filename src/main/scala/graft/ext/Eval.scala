@@ -90,6 +90,119 @@ object Eval {
       .drop("__num2")
   }
 
+  /** DeLong variance term for the paired AUC difference — built from
+    * nine exact integer sufficient statistics, cast to double once:
+    * m, n (positive/negative counts), spa/spb (Σ over positives of the
+    * DOUBLED placement among negatives, per model), tpaa/tpab/tpbb
+    * (Σ of placement products over positives), and the mirrored
+    * sqa/sqb/tqaa/tqab/tqbb over negatives. S10_XY = (T_XY/(4n²) −
+    * m·AUC_X·AUC_Y)/(m−1); Var = (S10_AA + S10_BB − 2S10_AB)/m +
+    * (S01… )/n — the Σ(V−AUC)(V−AUC) covariances expanded so every
+    * cross-row sum stays an exact integer.
+    */
+  val delongVarExpr: String = {
+    def s10(t: String, x: String, y: String) =
+      s"($t / (4.0 * n * n) - m * ($x / (2.0 * m * n)) * ($y / (2.0 * m * n))) / (m - 1.0)"
+    def s01(t: String, x: String, y: String) =
+      s"($t / (4.0 * m * m) - n * ($x / (2.0 * m * n)) * ($y / (2.0 * m * n))) / (n - 1.0)"
+    s"((${s10("tpaa", "spa", "spa")} + ${s10("tpbb", "spb", "spb")}" +
+      s" - 2.0 * ${s10("tpab", "spa", "spb")}) / m" +
+      s" + (${s01("tqaa", "sqa", "sqa")} + ${s01("tqbb", "sqb", "sqb")}" +
+      s" - 2.0 * ${s01("tqab", "sqa", "sqb")}) / n)"
+  }
+
+  /** DeLong z for H0: AUC_A = AUC_B (same items, paired scores). */
+  val delongZExpr: String =
+    s"round(((spa - spb) / (2.0 * m * n)) / sqrt($delongVarExpr), 6)"
+
+  /** DeLong's test for the paired AUC difference (DeLong, DeLong &
+    * Clarke-Pearson 1988) per slice: are two models' AUCs on the SAME
+    * items statistically different? The standard answer every eval
+    * harness needs before declaring "model B beats model A on ROC" —
+    * AUC point estimates alone can differ by sampling noise, and the
+    * PAIRING (shared items) is what the naive two-sample comparison
+    * throws away.
+    *
+    * Structural components: a positive item's placement among the
+    * negatives, V10(i) = (#negs below + ½·ties)/n — carried DOUBLED
+    * (2·below + ties, an exact integer) straight off the cumulative
+    * counts of the compressed (slice, score) table, the [[aucBySlice]]
+    * discipline (windows never see raw rows... beyond the per-item
+    * placement attach, which is a keyed JOIN back by score, not a
+    * window). Every covariance reduces to exact DECIMAL(38,0) sums of
+    * placement products; ONE shared final expression per output.
+    * Slices need ≥ 2 positives, ≥ 2 negatives, and positive variance or
+    * they are dropped.
+    *
+    * Scale: two compressed placement tables (one per model's score
+    * column), two keyed attach joins, one aggregation — no global
+    * window, no driver state.
+    */
+  def delongAucDiff(df: DataFrame, sliceCol: String, scoreA: Column,
+      scoreB: Column, label: Column): DataFrame = {
+    val y = label.cast("boolean")
+    val items = df
+      .where(scoreA.isNotNull && scoreB.isNotNull && y.isNotNull)
+      .select(col(sliceCol).as("__s"), scoreA.cast("long").as("__sa"),
+        scoreB.cast("long").as("__sb"), y.cast("long").as("__y"))
+      .localCheckpoint(true) // feeds both placement builds AND the attach
+    def placements(scoreCol: String, pre: String): DataFrame = {
+      val c = items.groupBy(col("__s"), col(scoreCol))
+        .agg(sum(col("__y")).as("__p"), sum(lit(1L) - col("__y")).as("__n"))
+      val w = Window.partitionBy("__s").orderBy(col(scoreCol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      c.select(col("__s"), col(scoreCol),
+        (lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L)) + col("__n"))
+          .as(pre + "N"),
+        (lit(2L) * coalesce(sum(col("__p")).over(w), lit(0L)) + col("__p"))
+          .as(pre + "P"))
+    }
+    val j = items
+      .join(placements("__sa", "__a"), Seq("__s", "__sa"))
+      .join(placements("__sb", "__b"), Seq("__s", "__sb"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pos = col("__y") === 1L
+    val g = j.groupBy(col("__s").as(sliceCol))
+      .agg(
+        sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"),
+        sum(when(pos, dec(col("__aN"))).otherwise(lit(0))).as("__spa"),
+        sum(when(pos, dec(col("__bN"))).otherwise(lit(0))).as("__spb"),
+        sum(when(pos, dec(col("__aN")) * dec(col("__aN")))
+          .otherwise(lit(0))).as("__tpaa"),
+        sum(when(pos, dec(col("__aN")) * dec(col("__bN")))
+          .otherwise(lit(0))).as("__tpab"),
+        sum(when(pos, dec(col("__bN")) * dec(col("__bN")))
+          .otherwise(lit(0))).as("__tpbb"),
+        sum(when(!pos, dec(col("__aP"))).otherwise(lit(0))).as("__sqa"),
+        sum(when(!pos, dec(col("__bP"))).otherwise(lit(0))).as("__sqb"),
+        sum(when(!pos, dec(col("__aP")) * dec(col("__aP")))
+          .otherwise(lit(0))).as("__tqaa"),
+        sum(when(!pos, dec(col("__aP")) * dec(col("__bP")))
+          .otherwise(lit(0))).as("__tqab"),
+        sum(when(!pos, dec(col("__bP")) * dec(col("__bP")))
+          .otherwise(lit(0))).as("__tqbb"))
+      .withColumn("m", col("n_pos").cast("double"))
+      .withColumn("n", col("n_neg").cast("double"))
+      .withColumn("spa", col("__spa").cast("double"))
+      .withColumn("spb", col("__spb").cast("double"))
+      .withColumn("tpaa", col("__tpaa").cast("double"))
+      .withColumn("tpab", col("__tpab").cast("double"))
+      .withColumn("tpbb", col("__tpbb").cast("double"))
+      .withColumn("sqa", col("__sqa").cast("double"))
+      .withColumn("sqb", col("__sqb").cast("double"))
+      .withColumn("tqaa", col("__tqaa").cast("double"))
+      .withColumn("tqab", col("__tqab").cast("double"))
+      .withColumn("tqbb", col("__tqbb").cast("double"))
+    g.where(col("n_pos") >= 2L && col("n_neg") >= 2L &&
+        expr(delongVarExpr) > 0.0)
+      .withColumn("auc_a", expr("round(spa / (2.0 * m * n), 6)"))
+      .withColumn("auc_b", expr("round(spb / (2.0 * m * n), 6)"))
+      .withColumn("z", expr(delongZExpr))
+      .select(col(sliceCol), col("n_pos"), col("n_neg"),
+        col("auc_a"), col("auc_b"), col("z"))
+  }
+
   /** Per-class multiclass metrics from a (label, predicted) pair: the
     * confusion table collapses to class granularity first (|classes|²
     * rows), so the per-class tp / support / predicted-count joins touch

@@ -2137,6 +2137,85 @@ object EvalQueries {
        |  ${Analytics.anovaFExpr} AS f_stat
        |FROM gg WHERE k >= 2.0 AND n > k AND q - b > 0.0""".stripMargin
 
+  /** DeLong's paired AUC-difference test per source: is document LENGTH
+    * or whitespace TOKEN COUNT the better lang='en' ROC predictor on the
+    * same documents? (see [[graft.ext.Eval.delongAucDiff]] — the "is
+    * model B actually better" significance test every eval harness needs
+    * before swapping quality filters.)
+    */
+  val evalDelong: QueryFn = (s, dir) =>
+    Eval.delongAucDiff(Tables.documents(s, dir), "source",
+      col("n_chars"),
+      size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long"),
+      col("lang") === "en")
+
+  val evalDelongSql: String =
+    s"""WITH items AS (
+       |  SELECT source AS s, CAST(n_chars AS BIGINT) AS sa,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS sb,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents
+       |  WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+       |), ca AS (
+       |  SELECT s, sa, CAST(sum(y) AS BIGINT) AS pp,
+       |    CAST(sum(1 - y) AS BIGINT) AS nn
+       |  FROM items GROUP BY 1, 2
+       |), pa AS (
+       |  SELECT s, sa,
+       |    2 * coalesce(sum(nn) OVER (PARTITION BY s ORDER BY sa
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nn AS an,
+       |    2 * coalesce(sum(pp) OVER (PARTITION BY s ORDER BY sa
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pp AS ap
+       |  FROM ca
+       |), cb AS (
+       |  SELECT s, sb, CAST(sum(y) AS BIGINT) AS pp,
+       |    CAST(sum(1 - y) AS BIGINT) AS nn
+       |  FROM items GROUP BY 1, 2
+       |), pb AS (
+       |  SELECT s, sb,
+       |    2 * coalesce(sum(nn) OVER (PARTITION BY s ORDER BY sb
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nn AS bn,
+       |    2 * coalesce(sum(pp) OVER (PARTITION BY s ORDER BY sb
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pp AS bp
+       |  FROM cb
+       |), j AS (
+       |  SELECT i.s, i.y, pa.an, pa.ap, pb.bn, pb.bp
+       |  FROM items i
+       |  JOIN pa ON pa.s = i.s AND pa.sa = i.sa
+       |  JOIN pb ON pb.s = i.s AND pb.sb = i.sb
+       |), g AS (
+       |  SELECT s AS source,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(sum(1 - y) AS BIGINT) AS n_neg,
+       |    sum(CASE WHEN y = 1 THEN CAST(an AS HUGEINT) ELSE 0 END) AS spa0,
+       |    sum(CASE WHEN y = 1 THEN CAST(bn AS HUGEINT) ELSE 0 END) AS spb0,
+       |    sum(CASE WHEN y = 1 THEN CAST(an AS HUGEINT) * an ELSE 0 END) AS tpaa0,
+       |    sum(CASE WHEN y = 1 THEN CAST(an AS HUGEINT) * bn ELSE 0 END) AS tpab0,
+       |    sum(CASE WHEN y = 1 THEN CAST(bn AS HUGEINT) * bn ELSE 0 END) AS tpbb0,
+       |    sum(CASE WHEN y = 0 THEN CAST(ap AS HUGEINT) ELSE 0 END) AS sqa0,
+       |    sum(CASE WHEN y = 0 THEN CAST(bp AS HUGEINT) ELSE 0 END) AS sqb0,
+       |    sum(CASE WHEN y = 0 THEN CAST(ap AS HUGEINT) * ap ELSE 0 END) AS tqaa0,
+       |    sum(CASE WHEN y = 0 THEN CAST(ap AS HUGEINT) * bp ELSE 0 END) AS tqab0,
+       |    sum(CASE WHEN y = 0 THEN CAST(bp AS HUGEINT) * bp ELSE 0 END) AS tqbb0
+       |  FROM j GROUP BY 1
+       |), gg AS (
+       |  SELECT source, n_pos, n_neg,
+       |    CAST(n_pos AS DOUBLE) AS m, CAST(n_neg AS DOUBLE) AS n,
+       |    CAST(spa0 AS DOUBLE) AS spa, CAST(spb0 AS DOUBLE) AS spb,
+       |    CAST(tpaa0 AS DOUBLE) AS tpaa, CAST(tpab0 AS DOUBLE) AS tpab,
+       |    CAST(tpbb0 AS DOUBLE) AS tpbb,
+       |    CAST(sqa0 AS DOUBLE) AS sqa, CAST(sqb0 AS DOUBLE) AS sqb,
+       |    CAST(tqaa0 AS DOUBLE) AS tqaa, CAST(tqab0 AS DOUBLE) AS tqab,
+       |    CAST(tqbb0 AS DOUBLE) AS tqbb
+       |  FROM g
+       |)
+       |SELECT source, n_pos, n_neg,
+       |  round(spa / (2.0 * m * n), 6) AS auc_a,
+       |  round(spb / (2.0 * m * n), 6) AS auc_b,
+       |  ${Eval.delongZExpr} AS z
+       |FROM gg
+       |WHERE n_pos >= 2 AND n_neg >= 2 AND ${Eval.delongVarExpr} > 0.0""".stripMargin
+
   /** Brown–Forsythe W per event type across the same four user buckets —
     * the variance-homogeneity companion to [[statsAnova]] (see
     * [[graft.ext.Analytics.brownForsythe]]): ANOVA on |x − cohort
@@ -2304,6 +2383,7 @@ object EvalQueries {
     "stats_kruskal"    -> statsKruskal,
     "stats_anova"      -> statsAnova,
     "stats_levene"     -> statsLevene,
+    "eval_delong"      -> evalDelong,
     "eval_wilcoxon"    -> evalWilcoxon,
     "eval_ece"         -> evalEce,
     "stats_jsd"        -> statsJsd,
@@ -2365,6 +2445,7 @@ object EvalQueries {
     "stats_kruskal"    -> statsKruskalSql,
     "stats_anova"      -> statsAnovaSql,
     "stats_levene"     -> statsLeveneSql,
+    "eval_delong"      -> evalDelongSql,
     "eval_wilcoxon"    -> evalWilcoxonSql,
     "eval_ece"         -> evalEceSql,
     "stats_jsd"        -> statsJsdSql,

@@ -209,6 +209,48 @@ class Round9Spec extends AnyFunSuite with SparkTest {
       assert(math.abs(bc - want(n)) < 1e-3, s"node $n: $bc vs ${want(n)}")
   }
 
+  // ---- Eval.delongAucDiff ------------------------------------------------
+
+  test("delongAucDiff: matches a naive driver-side DeLong on random paired scores") {
+    val rnd = new Random(31)
+    val rows = (1 to 300).map { _ =>
+      val y = rnd.nextBoolean()
+      // model a: informative; model b: weaker
+      val sa = (if (y) 60 else 40) + rnd.nextInt(40)
+      val sb = (if (y) 55 else 45) + rnd.nextInt(40)
+      ("s", sa.toLong, sb.toLong, y)
+    }
+    val got = Eval.delongAucDiff(rows.toDF("g", "sa", "sb", "y"),
+      "g", col("sa"), col("sb"), col("y")).collect().head
+    val pos = rows.filter(_._4); val neg = rows.filterNot(_._4)
+    val m = pos.size.toDouble; val n = neg.size.toDouble
+    def v10(s: Long, xs: Seq[Long]) =
+      (xs.count(_ < s) + 0.5 * xs.count(_ == s)) / xs.size
+    val vA = pos.map(r => v10(r._2, neg.map(_._2)))
+    val vB = pos.map(r => v10(r._3, neg.map(_._3)))
+    val wA = neg.map(r => v10(r._2, pos.map(_._2)))
+    val wB = neg.map(r => v10(r._3, pos.map(_._3)))
+    val aucA = vA.sum / m; val aucB = vB.sum / m
+    def cov(x: Seq[Double], y: Seq[Double], mx: Double, my: Double) =
+      x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum / (x.size - 1)
+    val varD =
+      (cov(vA, vA, aucA, aucA) + cov(vB, vB, aucB, aucB) -
+        2 * cov(vA, vB, aucA, aucB)) / m +
+      (cov(wA, wA, 1 - aucA, 1 - aucA) + cov(wB, wB, 1 - aucB, 1 - aucB) -
+        2 * cov(wA, wB, 1 - aucA, 1 - aucB)) / n
+    val wantZ = (aucA - aucB) / math.sqrt(varD)
+    assert(math.abs(got.getAs[Double]("auc_a") - aucA) < 1e-6)
+    assert(math.abs(got.getAs[Double]("auc_b") - aucB) < 1e-6)
+    assert(math.abs(got.getAs[Double]("z") - wantZ) < 1e-5,
+      s"${got.getAs[Double]("z")} vs $wantZ")
+  }
+
+  test("delongAucDiff: identical paired scores have zero variance and drop") {
+    val rows = (1 to 60).map(i => ("s", i.toLong, i.toLong, i % 2 == 0))
+    assert(Eval.delongAucDiff(rows.toDF("g", "sa", "sb", "y"),
+      "g", col("sa"), col("sb"), col("y")).isEmpty)
+  }
+
   // ---- Graph.trussPeel ---------------------------------------------------
 
   test("trussPeel: clique survives 4-truss, pendant and bridge edges peel off") {
