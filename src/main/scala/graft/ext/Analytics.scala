@@ -304,6 +304,91 @@ object Analytics {
         "__h.l + __h.b AS forecast")
   }
 
+  /** One Holt–Winters additive step, rendered for EITHER engine via the
+    * accessor arguments — the single source of truth for the fold
+    * expressions, so the Spark `aggregate` lambda and the DuckDB
+    * `list_reduce` lambda cannot drift. State layout (flat DOUBLE array
+    * — list accumulators are rebuilt per step in both engines, struct
+    * ones alias in DuckDB): [level, trend, n, s₀..s_{m−1}]. Returns the
+    * 3+m new-state expressions in order. Reads are all from the OLD
+    * state; `newL` is recomputed inline where later slots need it,
+    * exactly the `holt` discipline.
+    */
+  private[graft] def hwStepExprs(l: String, b: String, n: String,
+      s: Int => String, x: String, alpha: Double, beta: Double,
+      gamma: Double, m: Int): Seq[String] = {
+    val mod = s"CAST($n AS BIGINT) % $m"
+    val sjOld = (0 until m).map(k =>
+      if (k == m - 1) s"ELSE ${s(k)}" else s"WHEN $mod = $k THEN ${s(k)}")
+      .mkString("CASE ", " ", " END")
+    val newL = s"CASE WHEN $n = 0.0 THEN $x " +
+      s"ELSE $alpha * ($x - ($sjOld)) + ${1 - alpha} * ($l + $b) END"
+    val newB = s"CASE WHEN $n = 0.0 THEN 0.0 " +
+      s"ELSE $beta * (($newL) - $l) + ${1 - beta} * $b END"
+    val slots = (0 until m).map(k =>
+      s"CASE WHEN $mod = $k THEN $gamma * ($x - ($newL)) " +
+        s"+ ${1 - gamma} * ${s(k)} ELSE ${s(k)} END")
+    Seq(newL, newB, s"$n + 1.0") ++ slots
+  }
+
+  /** The next-step season pick from a FINAL state h (same accessor
+    * style): slot (n mod m), i.e. the season of the observation that
+    * would arrive next.
+    */
+  private[graft] def hwNextSeasonExpr(n: String, s: Int => String,
+      m: Int): String = {
+    val mod = s"CAST($n AS BIGINT) % $m"
+    (0 until m).map(k =>
+      if (k == m - 1) s"ELSE ${s(k)}" else s"WHEN $mod = $k THEN ${s(k)}")
+      .mkString("CASE ", " ", " END")
+  }
+
+  /** Holt–Winters additive triple exponential smoothing per key —
+    * completing the [[ewma]] (level) → [[holt]] (level+trend) ladder
+    * with the SEASONAL term: x̂ = l + b + s_{season}, the classic
+    * forecast for periodic telemetry (hourly load, weekday traffic).
+    * Zero-initialized seasonals (l₀ = x₁, b₀ = 0, s = 0 — the init IS
+    * the contract: both engines replay it identically), updates in
+    * (ts, tiebreak) order: l ← α(x − s_j) + (1−α)(l+b);
+    * b ← β(l−l_prev) + (1−β)b; s_j ← γ(x − l) + (1−γ)s_j.
+    *
+    * Determinism: the per-key series is one `sort_array(collect_list)`
+    * + one `aggregate` fold over a FLAT double-array state — fixed
+    * evaluation order, identical IEEE ops in both engines (the
+    * holt/cusum ordered-fold discipline; the step expressions are
+    * literally shared via [[hwStepExprs]]).
+    *
+    * Scale: per-key series must fit in one aggregation buffer — the
+    * operator contract for ordered folds (keys here are bounded series
+    * like per-entity telemetry; corpus-wide series should be
+    * pre-bucketed by period first).
+    */
+  def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, alpha: Double, beta: Double,
+      gamma: Double, period: Int): DataFrame = {
+    require(period >= 2)
+    val step = hwStepExprs(
+      "element_at(acc, 1)", "element_at(acc, 2)", "element_at(acc, 3)",
+      k => s"element_at(acc, ${4 + k})", "x.v",
+      alpha, beta, gamma, period)
+    val init = Seq.fill(3 + period)("0.0D").mkString(", ")
+    val nextS = hwNextSeasonExpr("element_at(__h, 3)",
+      k => s"element_at(__h, ${4 + k})", period)
+    events.where(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col(tsCol), col(tieCol),
+          col(valCol).as("v")))).as("__xs"))
+      .selectExpr(keyCol, "n",
+        s"""aggregate(__xs, array($init),
+           |  (acc, x) -> array(${step.mkString(",\n    ")})
+           |) AS __h""".stripMargin)
+      .selectExpr(keyCol, "n",
+        "element_at(__h, 1) AS level",
+        "element_at(__h, 2) AS trend",
+        s"element_at(__h, 1) + element_at(__h, 2) + ($nextS) AS forecast")
+  }
+
   /** Exact lower median (the ((n+1) div 2)-th smallest VALUE, a multiset
     * selection — unique regardless of row tie-breaks) of `v` per group,
     * as a distributed selection rather than a per-group rank sort:

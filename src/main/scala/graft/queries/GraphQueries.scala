@@ -659,6 +659,39 @@ object GraphQueries {
        |FROM f""".stripMargin
   }
 
+  /** Holt–Winters additive seasonal smoothing per user (α=0.25, β=0.125,
+    * γ=0.25, period 4) — the seasonal completion of the ewma→holt
+    * ladder; both engines evaluate the LITERALLY shared step expressions
+    * (Analytics.hwStepExprs) over a flat double-array fold state.
+    */
+  val tsHoltWinters: QueryFn = (s, dir) =>
+    Analytics.holtWinters(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "value",
+      alpha = 0.25, beta = 0.125, gamma = 0.25, period = 4)
+
+  val tsHoltWintersSql: String = {
+    val step = Analytics.hwStepExprs(
+      "a[1]", "a[2]", "a[3]", k => s"a[${4 + k}]", "x[1]",
+      alpha = 0.25, beta = 0.125, gamma = 0.25, m = 4)
+    val init = Seq.fill(7)("0.0").mkString(", ")
+    val nextS = Analytics.hwNextSeasonExpr("h[3]", k => s"h[${4 + k}]", 4)
+    s"""WITH series AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |    array_agg(value ORDER BY ts, event_id) AS xs
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1
+       |), f AS (
+       |  SELECT user_id, n,
+       |    list_reduce(
+       |      list_prepend(CAST([$init] AS DOUBLE[]),
+       |        list_transform(xs, e -> CAST([e] AS DOUBLE[]))),
+       |      (a, x) -> [${step.mkString(",\n        ")}]) AS h
+       |  FROM series
+       |)
+       |SELECT user_id, n, h[1] AS level, h[2] AS trend,
+       |  h[1] + h[2] + ($nextS) AS forecast
+       |FROM f""".stripMargin
+  }
+
   /** NB: the replay state is a LIST [s, m], not a struct — DuckDB's
     * struct-typed list_reduce accumulators alias their field vectors
     * across iterations (a field expression can read a MIX of old and
@@ -1089,6 +1122,7 @@ object GraphQueries {
     "attribution_linear" -> attributionLinear,
     "ts_cusum"        -> tsCusum,
     "ts_holt"         -> tsHolt,
+    "ts_holt_winters" -> tsHoltWinters,
     "quantile_exact"  -> quantileExact,
     "anomaly_mad"     -> anomalyMad,
     "layout_zorder"   -> layoutZorder,
@@ -1125,6 +1159,7 @@ object GraphQueries {
     "attribution_linear" -> attributionLinearSql,
     "ts_cusum"        -> tsCusumSql,
     "ts_holt"         -> tsHoltSql,
+    "ts_holt_winters" -> tsHoltWintersSql,
     "quantile_exact"  -> quantileExactSql,
     "anomaly_mad"     -> anomalyMadSql,
     "layout_zorder"   -> layoutZorderSql,

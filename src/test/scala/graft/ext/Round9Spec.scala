@@ -209,6 +209,34 @@ class Round9Spec extends AnyFunSuite with SparkTest {
       assert(math.abs(bc - want(n)) < 1e-3, s"node $n: $bc vs ${want(n)}")
   }
 
+  // ---- Analytics.holtWinters ---------------------------------------------
+
+  test("holtWinters: matches a driver-side replay of the recurrences") {
+    val rnd = new Random(41)
+    val xs = (0 until 40).map(i =>
+      50.0 + 10 * (i % 4) + rnd.nextInt(5)) // period-4 signal + noise
+    val rows = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+    val got = Analytics.holtWinters(rows.toDF("k", "ts", "tie", "v"),
+      "k", "ts", "tie", "v", alpha = 0.25, beta = 0.125, gamma = 0.25,
+      period = 4).collect().head
+    // driver-side fold of the same zero-init recurrences
+    var l = 0.0; var b = 0.0; val s = Array.fill(4)(0.0); var n = 0
+    for (x <- xs) {
+      val j = n % 4
+      val nl = if (n == 0) x else 0.25 * (x - s(j)) + 0.75 * (l + b)
+      val nb = if (n == 0) 0.0 else 0.125 * (nl - l) + 0.875 * b
+      s(j) = 0.25 * (x - nl) + 0.75 * s(j)
+      l = nl; b = nb; n += 1
+    }
+    val fc = l + b + s(n % 4)
+    assert(math.abs(got.getAs[Double]("level") - l) < 1e-9)
+    assert(math.abs(got.getAs[Double]("trend") - b) < 1e-9)
+    assert(math.abs(got.getAs[Double]("forecast") - fc) < 1e-9)
+    // the seasonal term is doing real work: the forecast sits near the
+    // next point of the periodic signal, which a trend-only model misses
+    assert(math.abs(fc - (50.0 + 10 * (n % 4) + 2)) < 6.0, fc.toString)
+  }
+
   // ---- Eval.delongAucDiff ------------------------------------------------
 
   test("delongAucDiff: matches a naive driver-side DeLong on random paired scores") {
