@@ -1092,6 +1092,64 @@ object EvalQueries {
        |FROM draws JOIN d USING (doc_id)
        |GROUP BY replica""".stripMargin
 
+  /** PAIRED deterministic bootstrap of a metric DELTA: the same 200
+    * mix64 resamples score BOTH classifiers (length vs token-count
+    * rules for lang='en'), and each replica reports the accuracy
+    * difference — the CI-of-B-minus-A distribution. Pairing is the
+    * point: the shared draws cancel sampling noise the two independent
+    * bootstraps would double-count (the non-AUC companion to
+    * `eval_delong`).
+    */
+  val evalBootstrapPaired: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        ((col("lang") === "en") === (col("n_chars") >= 300))
+          .cast("long").as("__ca"),
+        ((col("lang") === "en") ===
+          (size(graft.ext.TextAnalysis.tokens(col("text"))) >= 60))
+          .cast("long").as("__cb"))
+    val n = docs.count()
+    val B = 200L
+    val draws = s.range(0, n * B).select(
+      expr(s"id div $n").as("replica"),
+      pmod(graft.ext.HashExprs.mix64(col("id")), lit(n)).as("doc_id"))
+    draws.join(docs, Seq("doc_id"))
+      .groupBy("replica")
+      .agg(count(lit(1)).as("n_drawn"),
+        round(sum(col("__ca")).cast("double") / count(lit(1)), 6)
+          .as("acc_a"),
+        round(sum(col("__cb")).cast("double") / count(lit(1)), 6)
+          .as("acc_b"),
+        round((sum(col("__ca")) - sum(col("__cb"))).cast("double") /
+          count(lit(1)), 6).as("diff"))
+  }
+
+  val evalBootstrapPairedSql: String =
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |d0 AS (
+       |  SELECT unnest(generate_series(0,
+       |    (SELECT n * 200 - 1 FROM nn))) AS id
+       |),
+       |${ExtQueries.mix64Cte("d0", "id")},
+       |draws AS (
+       |  SELECT id // nn.n AS replica,
+       |    ((hv % nn.n) + nn.n) % nn.n AS doc_id
+       |  FROM hs, nn
+       |), d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (lang = 'en') = (n_chars >= 300) THEN 1 ELSE 0 END AS ca,
+       |    CASE WHEN (lang = 'en') =
+       |      (len(regexp_split_to_array(trim(text), '\\s+')) >= 60)
+       |      THEN 1 ELSE 0 END AS cb
+       |  FROM documents
+       |)
+       |SELECT replica, CAST(count(*) AS BIGINT) AS n_drawn,
+       |  round(CAST(sum(ca) AS DOUBLE) / count(*), 6) AS acc_a,
+       |  round(CAST(sum(cb) AS DOUBLE) / count(*), 6) AS acc_b,
+       |  round(CAST(sum(ca) - sum(cb) AS DOUBLE) / count(*), 6) AS diff
+       |FROM draws JOIN d USING (doc_id)
+       |GROUP BY replica""".stripMargin
+
   /** Incremental fuzzy dedup: MinHash-LSH pairs involving the latest
     * period (doc_id % 5 = 0 standing in for the new batch) — the oracle
     * is the FULL batch chain filtered to new-side pairs, proving the
@@ -2425,6 +2483,7 @@ object EvalQueries {
     "sequence_pattern" -> sequencePattern,
     "validate_contract" -> validateContractQ,
     "eval_bootstrap"   -> evalBootstrap,
+    "eval_bootstrap_paired" -> evalBootstrapPaired,
     "dedup_minhash_incremental" -> dedupMinhashIncremental,
     "stats_chi2"       -> statsChi2,
     "mixture_kl"       -> mixtureKl,
@@ -2487,6 +2546,7 @@ object EvalQueries {
     "sequence_pattern" -> sequencePatternSql,
     "validate_contract" -> validateContractSql,
     "eval_bootstrap"   -> evalBootstrapSql,
+    "eval_bootstrap_paired" -> evalBootstrapPairedSql,
     "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
     "stats_chi2"       -> statsChi2Sql,
     "mixture_kl"       -> mixtureKlSql,

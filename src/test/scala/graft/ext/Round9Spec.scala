@@ -112,6 +112,19 @@ class Round9Spec extends AnyFunSuite with SparkTest {
     assert(!pt.contains("CartesianProduct"), pt)
   }
 
+  test("plan pins: betweenness, ktruss, delong — keyed joins only, no global window") {
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq(
+      graft.queries.GraphQueries.graphBetweenness(spark, dir),
+      graft.queries.GraphQueries.graphKtruss(spark, dir),
+      graft.queries.EvalQueries.evalDelong(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   // ---- Analytics.brownForsythe -----------------------------------------
 
   test("brownForsythe: matches a naive driver-side W on spread-varying cohorts") {
