@@ -1357,15 +1357,30 @@ object Analytics {
       .withColumnRenamed("n_keys_obs", "n_obs")
   }
 
+  /** The shared half-away-from-zero scale-6 rounding, spelled with
+    * floor/abs/compare only — `round(x, 6)` differs between engines at
+    * binary-representation boundaries (Spark rounds the EXACT double via
+    * BigDecimal HALF_UP; DuckDB's double round() can go the other way on
+    * values a hair under .5e-6 — measured on stats_jsd at sf0.001:
+    * 0.0036284999999999998 → 0.003628 vs 0.003629). Identical IEEE ops
+    * in both engines; the Similarity.round6Scaled twin.
+    */
+  def half6Sql(t: String): String =
+    s"(CAST(CASE WHEN ($t) * 1000000.0 < 0 " +
+      s"THEN -(floor(abs(($t) * 1000000.0)) + (CASE WHEN abs(($t) * 1000000.0) - floor(abs(($t) * 1000000.0)) >= 0.5 THEN 1 ELSE 0 END)) " +
+      s"ELSE floor(abs(($t) * 1000000.0)) + (CASE WHEN abs(($t) * 1000000.0) - floor(abs(($t) * 1000000.0)) >= 0.5 THEN 1 ELSE 0 END) " +
+      s"END AS DOUBLE) / 1000000.0)"
+
   /** Shared JSD final expression over (sa, sb: per-term-rounded DECIMAL
     * sums cast to double; qcov, n: exact longs): the words a group never
     * observed contribute q·ln(q/(q/2)) = q·ln 2 to KL(Q‖M) in closed
     * form, so they never need rows — ½·ln 2·(1 − qcov/n) covers the
-    * entire unobserved tail exactly.
+    * entire unobserved tail exactly. Final rounding via [[half6Sql]]
+    * (an sf0.001 group landed on a round(x, 6) engine boundary).
     */
   val jsdExpr: String =
-    "round(0.5 * sa + 0.5 * sb + 0.5 * ln(2.0) " +
-      "* (1.0 - CAST(qcov AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+    half6Sql("0.5 * sa + 0.5 * sb + 0.5 * ln(2.0) " +
+      "* (1.0 - CAST(qcov AS DOUBLE) / CAST(n AS DOUBLE))")
 
   /** Per-group Jensen–Shannon divergence of the key distribution from
     * the corpus blend — [[klFromGlobal]]'s symmetric, always-finite

@@ -138,6 +138,50 @@ object StreamingOps {
       }
   }
 
+  case class HwState(l: Double, b: Double, n: Long, s: Seq[Double])
+  case class HwPoint(user_id: Long, n: Long, level: Double, trend: Double,
+    forecast: Double)
+
+  /** Streaming Holt–Winters additive smoothing: the incremental form of
+    * `Analytics.holtWinters` — O(period) state per key (level, trend,
+    * count, seasonal slots), folded forward each micro-batch and emitted
+    * after every batch that touches the key. Per-step arithmetic is the
+    * batch fold's EXPRESSIONS spelled in the same operation order (all
+    * smoothing constants dyadic, so the float ops are exact matches):
+    * in-order arrival across any micro-batch slicing gives bit-equal
+    * finals to the batch operator.
+    */
+  def holtWintersStream(events: Dataset[Event], alpha: Double,
+      beta: Double, gamma: Double, period: Int): Dataset[HwPoint] = {
+    require(period >= 2)
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HwState, HwPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[HwState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            HwState(0.0, 0.0, 0L, Seq.fill(period)(0.0)))
+          for (e <- sorted) {
+            val j = (st.n % period).toInt
+            val sj = st.s(j)
+            val x = e.value
+            // identical op order to Analytics.hwStepExprs
+            val nl = if (st.n == 0L) x
+              else alpha * (x - sj) + (1 - alpha) * (st.l + st.b)
+            val nb = if (st.n == 0L) 0.0
+              else beta * (nl - st.l) + (1 - beta) * st.b
+            st = HwState(nl, nb, st.n + 1L,
+              st.s.updated(j, gamma * (x - nl) + (1 - gamma) * sj))
+          }
+          state.update(st)
+          Iterator(HwPoint(userId, st.n, st.l, st.b,
+            st.l + st.b + st.s((st.n % period).toInt)))
+      }
+  }
+
   case class CusumState(s: Double, m: Double, n: Long)
   case class CusumPoint(user_id: Long, n: Long, cusum_end: Double, cusum_max: Double)
 

@@ -367,6 +367,44 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming Holt-Winters finals are bit-equal to the batch fold, across batches") {
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5)").head().getDouble(0)
+    val d = Files.createTempDirectory("events-hw").toString
+    ev.where(col("ts").cast("double") <= cut).coalesce(1)
+      .write.mode("append").parquet(d)
+    Thread.sleep(1100)
+    ev.where(col("ts").cast("double") > cut).coalesce(1)
+      .write.mode("append").parquet(d)
+
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1").parquet(d)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val q = StreamingOps.holtWintersStream(stream,
+      alpha = 0.25, beta = 0.125, gamma = 0.25, period = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hw_out")
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q, 120000)
+
+    val streamed = spark.table("hw_out")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("n"), col("level"), col("trend"),
+        col("forecast")), col("n")).as("f"))
+      .select(col("user_id"), col("f.n").as("n"), col("f.level"),
+        col("f.trend"), col("f.forecast"))
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    val batch = graft.ext.Analytics.holtWinters(ev,
+      "user_id", "ts", "event_id", "value",
+      alpha = 0.25, beta = 0.125, gamma = 0.25, period = 4)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(streamed == batch) // exact double equality — same ops, same order
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming CUSUM finals are bit-equal to the in-order fold, across batches") {
     val ev = Tables.events(spark, sfDir)
     val cut = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5)").head().getDouble(0)
