@@ -229,6 +229,47 @@ object Sketches {
               + lit(9.223372036854775808e18)) / lit(1.8446744073709552e19))))
       .drop("__s")
 
+  /** Pairwise corpus-overlap estimation from KMV sketches (Beyer et al.
+    * 2007): per group keep the k smallest key hashes; for a group pair,
+    * the k smallest of the UNION of the two sketches are a uniform
+    * sample of the union's distinct keys, so the fraction present in
+    * BOTH sketches estimates Jaccard(A, B). The "how much does corpus A
+    * overlap corpus B" curation question answered WITHOUT ever joining
+    * the corpora — at 100 TB the corpus is scanned once per side and
+    * everything after runs on |groups| rows of k longs each (the pair
+    * enumeration is sketch-table × sketch-table, group-count-sized BY
+    * CONSTRUCTION). Deterministic: hash-ranked, no RNG; estimates are
+    * multiples of 1/k so round-6 has no boundary hazard.
+    *
+    * Returns (src_a, src_b, k_used, matches, j_est) for every unordered
+    * group pair, k_used = |bottom-k of the union| ≤ k. `keyCol` must be
+    * an integral key (hash strings upstream — [[kmvDistinct]]'s
+    * contract: the ranking hash is mix64 of the long key).
+    */
+  def kmvJaccard(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 64): DataFrame = {
+    // the sketch stores KEYS ranked by their hash — the union's bottom-k
+    // must be selected in HASH space (mix64 is a bijection, so working
+    // wholly on hashes preserves set identity)
+    val sk = df.groupBy(col(groupCol))
+      .agg(transform(Aggs.bottomKByHash(col(keyCol), k),
+        x => HashExprs.mix64(x)).as("__s"))
+    val a = sk.select(col(groupCol).as("src_a"), col("__s").as("__sa"))
+    val b = sk.select(col(groupCol).as("src_b"), col("__s").as("__sb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("__u",
+        slice(array_sort(array_distinct(concat(col("__sa"), col("__sb")))),
+          1, k))
+      .withColumn("k_used", size(col("__u")).cast("long"))
+      .withColumn("matches",
+        size(org.apache.spark.sql.functions.filter(col("__u"),
+          x => array_contains(col("__sa"), x) &&
+            array_contains(col("__sb"), x))).cast("long"))
+      .withColumn("j_est",
+        round(col("matches").cast("double") / col("k_used"), 6))
+      .select("src_a", "src_b", "k_used", "matches", "j_est")
+  }
+
   /** Mergeable equi-width histogram quantile sketch: two passes — an
     * exact integer min/max (the values are mapped to an integer grid by
     * `toGrid` first, e.g. price→cents, so binning is pure long math with

@@ -3462,8 +3462,9 @@ object ExtQueries {
   /** Replay: FNV per token, distinct (source, hash), splitmix64 chain to
     * the SIGNED hv (the aggregator ranks signed longs), row_number per
     * source, and the same add-then-two-divides estimate expression.
+    * The chain through `ranked` is shared with the KMV-Jaccard oracle.
     */
-  val sketchKmvSql: String =
+  private def kmvRankedCtes: String =
     """WITH toks AS (
       |  SELECT DISTINCT source, tok
       |  FROM (SELECT source, trim(lower(text)) AS t FROM documents),
@@ -3495,13 +3496,47 @@ object ExtQueries {
       |), ranked AS (
       |  SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
       |         count(*) OVER (PARTITION BY source) AS n_exact
-      |  FROM hv)
-      |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+      |  FROM hv)""".stripMargin
+
+  val sketchKmvSql: String = kmvRankedCtes + "\n" +
+    """SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
       |  CASE WHEN n_exact < 64 THEN n_exact::DOUBLE
       |       ELSE 63.0 / ((hv::DOUBLE + 9223372036854775808) / 18446744073709551616)
       |  END AS kmv_est
       |FROM ranked
       |WHERE rn = CASE WHEN n_exact < 64 THEN n_exact ELSE 64 END""".stripMargin
+
+  /** Pairwise KMV-Jaccard corpus overlap over the per-source vocab
+    * sketches (Sketches.kmvJaccard): the k smallest of the UNION of two
+    * bottom-64 sketches sample the union's distinct tokens, the fraction
+    * in BOTH estimates Jaccard — no corpus×corpus join anywhere.
+    */
+  val sketchKmvJaccard: QueryFn = (s, dir) => {
+    import graft.ext.{Sketches, TextShingles}
+    val vocab = DataOps.parallelismFloor(Tables.documents(s, dir))
+      .select(col("source"),
+        explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
+      .distinct()
+    Sketches.kmvJaccard(vocab, "source", "th", k = 64)
+  }
+
+  val sketchKmvJaccardSql: String = kmvRankedCtes + ",\n" +
+    """sk AS (
+      |  SELECT source, list(hv ORDER BY hv) AS s
+      |  FROM ranked WHERE rn <= 64 GROUP BY source
+      |), pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    list_sort(list_distinct(list_concat(a.s, b.s)))[1:64] AS u,
+      |    a.s AS sa, b.s AS sb
+      |  FROM sk a JOIN sk b ON a.source < b.source
+      |)
+      |SELECT src_a, src_b,
+      |  CAST(len(u) AS BIGINT) AS k_used,
+      |  CAST(len(list_filter(u, x -> list_contains(sa, x)
+      |    AND list_contains(sb, x))) AS BIGINT) AS matches,
+      |  round(CAST(len(list_filter(u, x -> list_contains(sa, x)
+      |    AND list_contains(sb, x))) AS DOUBLE) / len(u), 6) AS j_est
+      |FROM pairs""".stripMargin
 
   // Shared final expressions for stats_moments: both engines parse the
   // SAME strings over the exact integer sums, so every IEEE operation
@@ -3643,6 +3678,7 @@ object ExtQueries {
     "sample_bottomk"       -> sampleBottomK,
     "sketch_countmin"      -> sketchCountMin,
     "sketch_kmv"           -> sketchKmv,
+    "sketch_kmv_jaccard"   -> sketchKmvJaccard,
     "sketch_quantile"      -> sketchQuantile,
     "stats_moments"        -> statsMoments,
     "mean_vectors"         -> meanVectors,
@@ -3697,6 +3733,7 @@ object ExtQueries {
     "sample_bottomk"      -> sampleBottomKSql,
     "sketch_countmin"     -> sketchCountMinSql,
     "sketch_kmv"          -> sketchKmvSql,
+    "sketch_kmv_jaccard"  -> sketchKmvJaccardSql,
     "sketch_quantile"     -> sketchQuantileSql,
     "stats_moments"       -> statsMomentsSql,
     "pack_greedy"         -> packGreedySql,

@@ -222,6 +222,23 @@ class Round9Spec extends AnyFunSuite with SparkTest {
       assert(math.abs(bc - want(n)) < 1e-3, s"node $n: $bc vs ${want(n)}")
   }
 
+  // ---- Sketches.kmvJaccard -----------------------------------------------
+
+  test("kmvJaccard: exact when both sets fit the sketch; accurate on planted overlap") {
+    // small sets (< k): the sketch IS the set, so the estimate is exact
+    val small = ((1L to 30L).map(i => ("a", i)) ++
+      (16L to 45L).map(i => ("b", i))).toDF("g", "key")
+    val ex = Sketches.kmvJaccard(small, "g", "key", k = 64).collect().head
+    assert(ex.getAs[Long]("k_used") == 45 && ex.getAs[Long]("matches") == 15)
+    assert(math.abs(ex.getAs[Double]("j_est") - 15.0 / 45.0) < 1e-6)
+    // big sets: planted Jaccard 1/3 (A = 1..20000, B = 10001..30000)
+    val big = ((1L to 20000L).map(i => ("a", i)) ++
+      (10001L to 30000L).map(i => ("b", i))).toDF("g", "key")
+    val est = Sketches.kmvJaccard(big, "g", "key", k = 256)
+      .collect().head.getAs[Double]("j_est")
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, est.toString)
+  }
+
   // ---- Analytics.holtWinters ---------------------------------------------
 
   test("holtWinters: matches a driver-side replay of the recurrences") {
