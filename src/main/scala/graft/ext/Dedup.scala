@@ -29,6 +29,25 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup with SOURCE PRECEDENCE: within a duplicate group, keep
+    * the copy from the highest-priority source (then smallest id) — the
+    * practical cross-source curation rule ("when Wikipedia and a crawl
+    * carry the same text, keep the Wikipedia copy; drop the crawl's").
+    * `priorityExpr` is any integral column expression, larger = wins.
+    * One map-side-combining `max_by` aggregation keyed on the text
+    * digest; the exchange carries 32 bytes + three longs per row, never
+    * text — [[exact]]'s scale shape.
+    */
+  def exactWithPriority(df: DataFrame, idCol: String, textCol: String,
+      priorityExpr: Column): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(
+        max_by(col(idCol),
+          struct(priorityExpr.cast("long").as("p"),
+            (-col(idCol)).cast("long").as("negid"))).as("keep_id"),
+        max(priorityExpr.cast("long")).as("keep_priority"),
+        count(lit(1)).as("n_copies"))
+
   /** The canonical text form shared with the oracle: lowercase, every
     * non-alphanumeric run collapsed to one space, trimmed — the
     * normalization that makes casing/punctuation/whitespace variants of

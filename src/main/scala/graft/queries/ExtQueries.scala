@@ -26,6 +26,25 @@ object ExtQueries {
     """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY text""".stripMargin
 
+  /** Exact dedup with source precedence: duplicate groups keep the copy
+    * from the highest-priority tier (then smallest id) — the cross-source
+    * curation rule (see [[graft.ext.Dedup.exactWithPriority]]; tiers here
+    * are a deterministic function of the source name).
+    */
+  val dedupPriority: QueryFn = (s, dir) =>
+    Dedup.exactWithPriority(Tables.documents(s, dir), "doc_id", "text",
+      expr("CAST(substring(source, 4) AS INT) % 3"))
+      .select("keep_id", "keep_priority", "n_copies")
+  val dedupPrioritySql: String =
+    """SELECT keep_id, keep_priority, n_copies FROM (
+      |  SELECT doc_id AS keep_id,
+      |    row_number() OVER (PARTITION BY text ORDER BY pr DESC, doc_id ASC) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
+      |    CAST(max(pr) OVER (PARTITION BY text) AS BIGINT) AS keep_priority
+      |  FROM (SELECT doc_id, text,
+      |          CAST(substr(source, 4) AS INT) % 3 AS pr FROM documents)
+      |) WHERE rn = 1""".stripMargin
+
   /** Near-exact dedup after canonicalization — casing/punctuation/
     * whitespace variants collide on one digest (see
     * [[graft.ext.Dedup.exactNormalized]]).
@@ -3627,6 +3646,7 @@ object ExtQueries {
     "text_scrub"           -> textScrub,
     "text_quality_flags"   -> textQualityFlags,
     "dedup_exact"          -> dedupExact,
+    "dedup_priority"       -> dedupPriority,
     "dedup_incremental"    -> dedupIncremental,
     "dedup_minhash"        -> dedupMinhash,
     "dedup_cluster"        -> dedupCluster,
@@ -3729,6 +3749,7 @@ object ExtQueries {
     "dedup_simhash"       -> dedupSimhashSql,
     "dedup_minhash"       -> dedupMinhashSql,
     "dedup_exact"         -> dedupExactSql,
+    "dedup_priority"      -> dedupPrioritySql,
     "dedup_incremental"   -> dedupIncrementalSql,
     "sample_bottomk"      -> sampleBottomKSql,
     "sketch_countmin"     -> sketchCountMinSql,

@@ -222,6 +222,18 @@ class Round9Spec extends AnyFunSuite with SparkTest {
       assert(math.abs(bc - want(n)) < 1e-3, s"node $n: $bc vs ${want(n)}")
   }
 
+  // ---- Dedup.exactWithPriority --------------------------------------------
+
+  test("exactWithPriority: highest tier wins, then smallest id; singletons kept") {
+    val docs = Seq(
+      (1L, "same text", 0L), (2L, "same text", 2L), (3L, "same text", 2L),
+      (4L, "other", 1L), (5L, "third", 0L)).toDF("doc_id", "text", "pr")
+    val got = Dedup.exactWithPriority(docs, "doc_id", "text", col("pr"))
+      .select("keep_id", "keep_priority", "n_copies")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 2L, 3L), (4L, 1L, 1L), (5L, 0L, 1L)))
+  }
+
   // ---- Sketches.kmvJaccard -----------------------------------------------
 
   test("kmvJaccard: exact when both sets fit the sketch; accurate on planted overlap") {
