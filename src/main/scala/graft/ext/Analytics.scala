@@ -304,6 +304,74 @@ object Analytics {
         "__h.l + __h.b AS forecast")
   }
 
+  /** Deterministic two-sample permutation test for a mean difference
+    * (the exact-inference companion to Welch's t when distributional
+    * assumptions are off, and to the bootstrap when the question is a
+    * p-value): the group labels are re-dealt `b` times and the observed
+    * mean difference is ranked against the permutation distribution.
+    * Each "permutation" is RNG-free — replica r ranks the n items by
+    * mix64 of the global grid index (a uniform permutation per replica,
+    * the splitmix64 sampling discipline) and assigns the first n_a
+    * ranks to group A. p = (#{|Δ_r| ≥ |Δ_obs|} + 1)/(b + 1), the
+    * standard add-one estimator.
+    *
+    * Determinism: values are per-term round-6 decimals, every replica
+    * sum exact; the diff comparisons run on UNROUNDED doubles derived
+    * from identical exact sums in both engines; final outputs go
+    * through [[half6Sql]]. Restart/partitioning-invariant end to end.
+    *
+    * Scale: the grid is n·b rows; the per-replica ranking is a window
+    * PARTITIONED by replica (never a single partition); the item index
+    * is the range-repartitioned zipWithIndex. b is the accuracy/cost
+    * dial.
+    */
+  def permutationTest(df: DataFrame, idCol: String, valCol: String,
+      cond: Column, b: Int = 100): DataFrame = {
+    require(b >= 1)
+    val spark = df.sparkSession
+    val items = graft.cardano.SurrogateIds.withSequence(
+      df.where(col(valCol).isNotNull && cond.isNotNull)
+        .select(col(idCol).cast("long").as("__id"),
+          round(col(valCol).cast("double"), 6).cast("decimal(30,6)")
+            .as("__v"),
+          cond.cast("boolean").as("__g")),
+      "__idx", Seq(col("__id")))
+      .localCheckpoint(true) // feeds the observed stats AND the replicas
+    val obs = items.agg(
+      sum(col("__g").cast("long")).as("n_a"),
+      sum((!col("__g")).cast("long")).as("n_b"),
+      sum(when(col("__g"), col("__v")).otherwise(lit(0))).as("__sa"),
+      sum(col("__v")).as("__st"))
+    val nRows = items.count()
+    val grid = spark.range(nRows * b).select(
+      expr(s"id div $nRows").as("__r"),
+      pmod(col("id"), lit(nRows)).as("__idx"),
+      HashExprs.mix64(col("id")).as("__h"))
+    val w = Window.partitionBy("__r").orderBy(col("__h").asc, col("__idx").asc)
+    val byRep = grid.join(items.select("__idx", "__v"), Seq("__idx"))
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(obs.select("n_a")))
+      .groupBy(col("__r"))
+      .agg(sum(when(col("__rn") <= col("n_a"), col("__v"))
+        .otherwise(lit(0))).as("sa"))
+    val repDiff =
+      "CAST(sa AS DOUBLE) / n_a - (CAST(__st AS DOUBLE) - CAST(sa AS DOUBLE)) / n_b"
+    val obsDiff =
+      "CAST(__sa AS DOUBLE) / n_a - (CAST(__st AS DOUBLE) - CAST(__sa AS DOUBLE)) / n_b"
+    byRep.crossJoin(broadcast(obs))
+      .where(col("n_a") >= 1L && col("n_b") >= 1L)
+      .withColumn("__dr", expr(repDiff))
+      .withColumn("__dobs", expr(obsDiff))
+      .groupBy(col("n_a"), col("n_b"), col("__dobs"))
+      .agg(sum(when(abs(col("__dr")) >= abs(col("__dobs")), 1L)
+        .otherwise(0L)).as("n_ge"))
+      .select(col("n_a"), col("n_b"),
+        expr(half6Sql("__dobs")).as("diff_obs"),
+        col("n_ge"),
+        expr(half6Sql(s"(CAST(n_ge AS DOUBLE) + 1.0) / ($b.0 + 1.0)"))
+          .as("p_value"))
+  }
+
   /** One Holt–Winters additive step, rendered for EITHER engine via the
     * accessor arguments — the single source of truth for the fold
     * expressions, so the Spark `aggregate` lambda and the DuckDB

@@ -2274,6 +2274,64 @@ object EvalQueries {
        |FROM gg
        |WHERE n_pos >= 2 AND n_neg >= 2 AND ${Eval.delongVarExpr} > 0.0""".stripMargin
 
+  /** Deterministic permutation test: is the mean document length of
+    * lang='en' docs different from the rest? 100 RNG-free label re-deals
+    * (see [[graft.ext.Analytics.permutationTest]]) — the exact-inference
+    * companion to stats_welch.
+    */
+  val statsPermutation: QueryFn = (s, dir) =>
+    Analytics.permutationTest(
+      Tables.documents(s, dir).where(col("lang").isNotNull),
+      "doc_id", "n_chars", col("lang") === "en", b = 100)
+
+  val statsPermutationSql: String = {
+    val repDiff =
+      "CAST(sa AS DOUBLE) / n_a - (CAST(st AS DOUBLE) - CAST(sa AS DOUBLE)) / n_b"
+    val obsDiff =
+      "CAST(sao AS DOUBLE) / n_a - (CAST(st AS DOUBLE) - CAST(sao AS DOUBLE)) / n_b"
+    s"""WITH items AS (
+       |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+       |    CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(30,6)) AS v,
+       |    (lang = 'en') AS g
+       |  FROM documents
+       |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+       |), obs AS (
+       |  SELECT CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    sum(CASE WHEN g THEN v ELSE 0 END) AS sao,
+       |    sum(v) AS st,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM items
+       |), d0 AS (
+       |  SELECT unnest(generate_series(0,
+       |    (SELECT n * 100 - 1 FROM obs))) AS id
+       |),
+       |${ExtQueries.mix64Cte("d0", "id")},
+       |grid AS (
+       |  SELECT id // (SELECT n FROM obs) AS r,
+       |    id % (SELECT n FROM obs) AS idx, hv
+       |  FROM hs
+       |), asg AS (
+       |  SELECT g2.r, i.v,
+       |    row_number() OVER (PARTITION BY g2.r ORDER BY g2.hv, g2.idx) AS rn
+       |  FROM grid g2 JOIN items i USING (idx)
+       |), rep AS (
+       |  SELECT r,
+       |    sum(CASE WHEN rn <= (SELECT n_a FROM obs) THEN v ELSE 0 END) AS sa
+       |  FROM asg GROUP BY r
+       |), f AS (
+       |  SELECT o.n_a, o.n_b, $repDiff AS dr, $obsDiff AS dobs
+       |  FROM rep, obs o WHERE o.n_a >= 1 AND o.n_b >= 1
+       |)
+       |SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+       |  ${Analytics.half6Sql("any_value(dobs)")} AS diff_obs,
+       |  CAST(sum(CASE WHEN abs(dr) >= abs(dobs) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ge,
+       |  ${Analytics.half6Sql(
+            "(CAST(sum(CASE WHEN abs(dr) >= abs(dobs) THEN 1 ELSE 0 END) AS DOUBLE) + 1.0) / 101.0")} AS p_value
+       |FROM f""".stripMargin
+  }
+
   /** Brown–Forsythe W per event type across the same four user buckets —
     * the variance-homogeneity companion to [[statsAnova]] (see
     * [[graft.ext.Analytics.brownForsythe]]): ANOVA on |x − cohort
@@ -2442,6 +2500,7 @@ object EvalQueries {
     "stats_anova"      -> statsAnova,
     "stats_levene"     -> statsLevene,
     "eval_delong"      -> evalDelong,
+    "stats_permutation" -> statsPermutation,
     "eval_wilcoxon"    -> evalWilcoxon,
     "eval_ece"         -> evalEce,
     "stats_jsd"        -> statsJsd,
@@ -2505,6 +2564,7 @@ object EvalQueries {
     "stats_anova"      -> statsAnovaSql,
     "stats_levene"     -> statsLeveneSql,
     "eval_delong"      -> evalDelongSql,
+    "stats_permutation" -> statsPermutationSql,
     "eval_wilcoxon"    -> evalWilcoxonSql,
     "eval_ece"         -> evalEceSql,
     "stats_jsd"        -> statsJsdSql,

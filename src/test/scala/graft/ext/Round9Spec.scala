@@ -222,6 +222,27 @@ class Round9Spec extends AnyFunSuite with SparkTest {
       assert(math.abs(bc - want(n)) < 1e-3, s"node $n: $bc vs ${want(n)}")
   }
 
+  // ---- Analytics.permutationTest -------------------------------------------
+
+  test("permutationTest: huge planted shift is extreme; identical groups are not") {
+    // A sits 100 above B — no permutation should reach the observed gap
+    val shifted = ((1 to 40).map(i => (i.toLong, 100.0 + i % 5, true)) ++
+      (1 to 40).map(i => (100L + i, i % 5.0, false)))
+      .toDF("id", "v", "g")
+    val r1 = Analytics.permutationTest(shifted, "id", "v", col("g"), b = 100)
+      .collect().head
+    assert(r1.getAs[Long]("n_ge") == 0 &&
+      math.abs(r1.getAs[Double]("p_value") - 1.0 / 101.0) < 1e-5)
+    assert(math.abs(r1.getAs[Double]("diff_obs") - 100.0) < 1.0)
+    // labels independent of values: p should be large
+    val nullCase = (1 to 80).map(i =>
+      (i.toLong, (i * 2654435761L % 97).toDouble, i % 2 == 0))
+      .toDF("id", "v", "g")
+    val r2 = Analytics.permutationTest(nullCase, "id", "v", col("g"), b = 100)
+      .collect().head
+    assert(r2.getAs[Double]("p_value") > 0.05, r2.toString)
+  }
+
   // ---- Dedup.exactWithPriority --------------------------------------------
 
   test("exactWithPriority: highest tier wins, then smallest id; singletons kept") {
