@@ -584,6 +584,44 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** Local clustering coefficient per node: lcc(v) = 2·T(v)/(d(v)·(d(v)−1))
+    * — how close v's neighborhood is to a clique, the node-level
+    * companion to [[triangleStats]] (global) and [[trussPeel]] (edge
+    * level); the classic "tightly-knit template cluster vs organic hub"
+    * separator. Triangles are enumerated once on the (u < v)-normalized
+    * edge set (each triangle seen exactly once, then credited to its
+    * three corners); degrees come from the same normalized set. Exact
+    * integer counts, one round-6 division. Nodes with degree < 2 report
+    * lcc = 0.
+    *
+    * Scale: the [[triangleStats]] join shape (two keyed self-joins + a
+    * corner-explode count) + one degree aggregation + one node-keyed
+    * left join. No window, no driver state.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = e.select(col("u").as("x"), col("v").as("y"))
+      .join(e.select(col("u").as("x"), col("v").as("z")), Seq("x"))
+      .where(col("y") < col("z"))
+      .join(e.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc", when(col("degree") < 2, lit(0.0))
+        .otherwise(round(lit(2.0) * col("triangles").cast("double") /
+          (col("degree").cast("double") * (col("degree").cast("double") - 1.0)),
+          6)))
+  }
+
   /** Connected components by alternating large-star / small-star
     * contractions (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC 2014) — the O(log n)-round algorithm for graphs

@@ -195,6 +195,38 @@ object GraphQueries {
        |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic
        |FROM dist GROUP BY 1""".stripMargin
 
+  /** Local clustering coefficient per node of the co-purchase graph —
+    * the node-level cohesion companion to graph_triangles / graph_ktruss
+    * (see [[graft.ext.Graph.localClustering]]).
+    */
+  val graphLcc: QueryFn = (s, dir) =>
+    Graph.localClustering(coPurchase(s, dir))
+
+  val graphLccSql: String =
+    s"""$pairsCte, deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+       |  GROUP BY 1
+       |), tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.a = e1.a AND e1.b < e2.b
+       |  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+       |), pn AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+       |    SELECT x AS node FROM tri
+       |    UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri)
+       |  GROUP BY 1
+       |)
+       |SELECT d.node, d.degree,
+       |  CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN d.degree < 2 THEN 0.0
+       |       ELSE round(2.0 * coalesce(pn.triangles, 0)
+       |            / (CAST(d.degree AS DOUBLE) * (d.degree - 1.0)), 6)
+       |  END AS lcc
+       |FROM deg d LEFT JOIN pn ON pn.node = d.node""".stripMargin
+
   /** 2-round 4-truss peeling over the co-purchase graph: surviving edges
     * sit in ≥ 2 triangles among survivors — the edge-cohesion quality
     * filter one notch above kcore (see [[graft.ext.Graph.trussPeel]]).
@@ -1109,6 +1141,7 @@ object GraphQueries {
     "graph_closeness" -> graphCloseness,
     "graph_betweenness" -> graphBetweenness,
     "graph_ktruss"    -> graphKtruss,
+    "graph_lcc"       -> graphLcc,
     "graph_degrees"   -> graphDegrees,
     "graph_cc"        -> graphCc,
     "graph_cc_twophase" -> graphCcTwoPhase,
@@ -1146,6 +1179,7 @@ object GraphQueries {
     "graph_closeness" -> graphClosenessSql,
     "graph_betweenness" -> graphBetweennessSql,
     "graph_ktruss"    -> graphKtrussSql,
+    "graph_lcc"       -> graphLccSql,
     "graph_degrees"   -> graphDegreesSql,
     "graph_cc"        -> graphCcSql,
     "graph_cc_twophase" -> graphCcSql, // same output contract as graph_cc

@@ -366,6 +366,25 @@ class Round9Spec extends AnyFunSuite with SparkTest {
     assert(got.map(t => (t._1, t._2)).toSet == k5.toSet, got.mkString(","))
   }
 
+  // ---- Graph.localClustering -----------------------------------------------
+
+  test("localClustering: clique nodes 1.0, star center 0, path interior 0") {
+    val k4 = for { a <- 0L until 4L; b <- a + 1 until 4L } yield (a, b)
+    val star = (11L to 14L).map(i => (10L, i))
+    val path = Seq((20L, 21L), (21L, 22L))
+    val got = Graph.localClustering((k4 ++ star ++ path).toDF("a", "b"))
+      .select("node", "lcc").as[(Long, Double)].collect().toMap
+    assert((0L until 4L).forall(got(_) == 1.0), got.toString)
+    assert(got(10L) == 0.0 && got(11L) == 0.0) // hub and leaves
+    assert(got(21L) == 0.0 && got(20L) == 0.0) // interior (d=2, no tri), leaf
+    // one triangle hung on the clique: node 0-1 share it — check a mixed case
+    val mixed = k4 :+ (0L, 5L) :+ (1L, 5L)
+    val g2 = Graph.localClustering(mixed.toDF("a", "b"))
+      .select("node", "lcc").as[(Long, Double)].collect().toMap
+    assert(g2(5L) == 1.0)                     // 5's nbrs {0,1} are connected
+    assert(math.abs(g2(0L) - 4.0 / 6.0) < 1e-6, g2.toString) // d=4, T=4 (round-6 output)
+  }
+
   // ---- Graph.scc deep-chain hardening ---------------------------------
 
   private def sccMap(edges: Seq[(Long, Long)],
