@@ -261,6 +261,65 @@ object ScaleGraph {
         s"want $nc/$nc")
     println(s"  scc deep chain + ring at $nc nodes — functional fast path ok")
 
+    // round-9 graph ops at scale, all closed-form:
+    // (a) local clustering on 64k disjoint K8 cliques — every node d=7,
+    //     T=21, lcc exactly 1.0
+    val nb = 64000L
+    val cliq = spark.range(0, nb).select(col("id").as("blk"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 6), i ->
+          |  transform(sequence(CAST(i AS BIGINT) + 1, 7), j ->
+          |    struct(blk * 8 + i AS a, blk * 8 + j AS b))))""".stripMargin))
+        .as("e"))
+      .select(col("e.a"), col("e.b")).localCheckpoint()
+    val lccRow = t("lcc-cliques") {
+      Graph.localClustering(cliq)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lcc") === 1.0 && col("degree") === 7L &&
+            col("triangles") === 21L, 1L).otherwise(0L)).as("ok"))
+        .collect().head
+    }
+    assert(lccRow.getLong(0) == nb * 8 && lccRow.getLong(1) == nb * 8,
+      s"lcc: ${lccRow.getLong(1)}/${lccRow.getLong(0)} exact, want ${nb * 8}")
+    // (b) 4-truss on the same cliques + 64k support-0 bridges between
+    //     consecutive blocks: bridges peel in round 1, cliques survive
+    //     with support exactly 6
+    val bridges9 = spark.range(0, nb - 1)
+      .select((col("id") * 8).as("a"), ((col("id") + 1) * 8).as("b"))
+    val trussRow = t("ktruss-cliques") {
+      Graph.trussPeel(cliq.unionByName(bridges9), k = 4, rounds = 2)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("support") === 6L, 1L).otherwise(0L)).as("ok"))
+        .collect().head
+    }
+    assert(trussRow.getLong(0) == nb * 28 && trussRow.getLong(1) == nb * 28,
+      s"ktruss: ${trussRow.getLong(1)}/${trussRow.getLong(0)} support-6 " +
+        s"edges, want ${nb * 28}")
+    // (c) betweenness on 64k disjoint 8-node stars, one seed leaf per
+    //     star: every center carries δ = 6 (the 6 other leaves), every
+    //     leaf 0 — per-seed state is 8 rows, so 64k seeds stay linear
+    val stars = spark.range(0, nb).select(col("id").as("blk"))
+      .select(explode(expr(
+        "transform(sequence(1, 7), i -> struct(blk * 8 AS a, blk * 8 + i AS b))"))
+        .as("e"))
+      .select(col("e.a"), col("e.b")).localCheckpoint()
+    val seeds = spark.range(0, nb).select((col("id") * 8 + 1).as("node"))
+    val bwRow = t("betweenness-stars") {
+      Graph.betweenness(stars, seeds, maxHops = 3)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("node") % 8 === 0 && col("betweenness") === 6.0, 1L)
+            .otherwise(0L)).as("centers"),
+          sum(when(col("node") % 8 =!= 0 && col("betweenness") === 0.0, 1L)
+            .otherwise(0L)).as("leaves"))
+        .collect().head
+    }
+    // reached per star: center + 6 non-seed leaves = 7 nodes
+    assert(bwRow.getLong(0) == nb * 7 && bwRow.getLong(1) == nb &&
+      bwRow.getLong(2) == nb * 6,
+      s"betweenness: n=${bwRow.getLong(0)} centers=${bwRow.getLong(1)} " +
+        s"leaves=${bwRow.getLong(2)}, want ${nb * 7}/$nb/${nb * 6}")
+    println(s"  round-9 ops at ${nb * 8} nodes: lcc/ktruss/betweenness exact")
+
     println("ALL SCALE-GRAPH ASSERTIONS PASSED")
     spark.stop()
   }
