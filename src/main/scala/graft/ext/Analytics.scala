@@ -323,7 +323,10 @@ object Analytics {
     * Scale: the grid is n·b rows; the per-replica ranking is a window
     * PARTITIONED by replica (never a single partition); the item index
     * is the range-repartitioned zipWithIndex. b is the accuracy/cost
-    * dial.
+    * dial. Input contract: n here is the EVAL-set size (benchmark items,
+    * slice aggregates) — permutation inference on raw corpus rows at
+    * 100 TB would grid 100·n rows; stratify or aggregate to items first,
+    * which is also what makes the test statistically meaningful.
     */
   def permutationTest(df: DataFrame, idCol: String, valCol: String,
       cond: Column, b: Int = 100): DataFrame = {

@@ -115,6 +115,68 @@ object Eval {
   val delongZExpr: String =
     s"round(((spa - spb) / (2.0 * m * n)) / sqrt($delongVarExpr), 6)"
 
+  /** Single-model DeLong variance: Var(AUC) = S10/m + S01/n from the
+    * same exact placement statistics (spa/tpaa over positives, sqa/tqaa
+    * over negatives).
+    */
+  val delongAucVarExpr: String =
+    "((tpaa / (4.0 * n * n) - m * (spa / (2.0 * m * n)) * (spa / (2.0 * m * n))) / (m - 1.0) / m" +
+      " + (tqaa / (4.0 * m * m) - n * (sqa / (2.0 * m * n)) * (sqa / (2.0 * m * n))) / (n - 1.0) / n)"
+
+  /** DeLong confidence interval for ONE model's AUC per slice — the
+    * error bar every AUC point estimate should ship with (the single-
+    * model companion to [[delongAucDiff]]): SE = sqrt(S10/m + S01/n)
+    * from the exact integer placement statistics, CI = AUC ± 1.96·SE.
+    * Same compressed-table discipline; slices need ≥ 2 of each class
+    * and positive variance.
+    */
+  def delongAucCi(df: DataFrame, sliceCol: String, scoreCol: Column,
+      label: Column): DataFrame = {
+    val y = label.cast("boolean")
+    val items = df.where(scoreCol.isNotNull && y.isNotNull)
+      .select(col(sliceCol).as("__s"), scoreCol.cast("long").as("__sa"),
+        y.cast("long").as("__y"))
+      .localCheckpoint(true)
+    val c = items.groupBy(col("__s"), col("__sa"))
+      .agg(sum(col("__y")).as("__p"), sum(lit(1L) - col("__y")).as("__n"))
+    val w = Window.partitionBy("__s").orderBy(col("__sa").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pl = c.select(col("__s"), col("__sa"),
+      (lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L)) + col("__n"))
+        .as("__aN"),
+      (lit(2L) * coalesce(sum(col("__p")).over(w), lit(0L)) + col("__p"))
+        .as("__aP"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val pos = col("__y") === 1L
+    items.join(pl, Seq("__s", "__sa"))
+      .groupBy(col("__s").as(sliceCol))
+      .agg(
+        sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"),
+        sum(when(pos, dec(col("__aN"))).otherwise(lit(0))).as("__spa"),
+        sum(when(pos, dec(col("__aN")) * dec(col("__aN")))
+          .otherwise(lit(0))).as("__tpaa"),
+        sum(when(!pos, dec(col("__aP"))).otherwise(lit(0))).as("__sqa"),
+        sum(when(!pos, dec(col("__aP")) * dec(col("__aP")))
+          .otherwise(lit(0))).as("__tqaa"))
+      .withColumn("m", col("n_pos").cast("double"))
+      .withColumn("n", col("n_neg").cast("double"))
+      .withColumn("spa", col("__spa").cast("double"))
+      .withColumn("tpaa", col("__tpaa").cast("double"))
+      .withColumn("sqa", col("__sqa").cast("double"))
+      .withColumn("tqaa", col("__tqaa").cast("double"))
+      .where(col("n_pos") >= 2L && col("n_neg") >= 2L &&
+        expr(delongAucVarExpr) > 0.0)
+      .withColumn("auc", expr("round(spa / (2.0 * m * n), 6)"))
+      .withColumn("se", expr(s"round(sqrt($delongAucVarExpr), 6)"))
+      .withColumn("lo95",
+        expr(s"round(spa / (2.0 * m * n) - 1.96 * sqrt($delongAucVarExpr), 6)"))
+      .withColumn("hi95",
+        expr(s"round(spa / (2.0 * m * n) + 1.96 * sqrt($delongAucVarExpr), 6)"))
+      .select(col(sliceCol), col("n_pos"), col("n_neg"),
+        col("auc"), col("se"), col("lo95"), col("hi95"))
+  }
+
   /** DeLong's test for the paired AUC difference (DeLong, DeLong &
     * Clarke-Pearson 1988) per slice: are two models' AUCs on the SAME
     * items statistically different? The standard answer every eval

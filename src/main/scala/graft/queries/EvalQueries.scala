@@ -2274,6 +2274,57 @@ object EvalQueries {
        |FROM gg
        |WHERE n_pos >= 2 AND n_neg >= 2 AND ${Eval.delongVarExpr} > 0.0""".stripMargin
 
+  /** DeLong CI for the length-predicts-English AUC per source — the
+    * error bar the eval_auc point estimate ships with (see
+    * [[graft.ext.Eval.delongAucCi]]).
+    */
+  val evalAucCi: QueryFn = (s, dir) =>
+    Eval.delongAucCi(Tables.documents(s, dir), "source",
+      col("n_chars"), col("lang") === "en")
+
+  val evalAucCiSql: String =
+    s"""WITH items AS (
+       |  SELECT source AS s, CAST(n_chars AS BIGINT) AS sa,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+       |), ca AS (
+       |  SELECT s, sa, CAST(sum(y) AS BIGINT) AS pp,
+       |    CAST(sum(1 - y) AS BIGINT) AS nn
+       |  FROM items GROUP BY 1, 2
+       |), pa AS (
+       |  SELECT s, sa,
+       |    2 * coalesce(sum(nn) OVER (PARTITION BY s ORDER BY sa
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nn AS an,
+       |    2 * coalesce(sum(pp) OVER (PARTITION BY s ORDER BY sa
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pp AS ap
+       |  FROM ca
+       |), j AS (
+       |  SELECT i.s, i.y, pa.an, pa.ap
+       |  FROM items i JOIN pa ON pa.s = i.s AND pa.sa = i.sa
+       |), g AS (
+       |  SELECT s AS source,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(sum(1 - y) AS BIGINT) AS n_neg,
+       |    sum(CASE WHEN y = 1 THEN CAST(an AS HUGEINT) ELSE 0 END) AS spa0,
+       |    sum(CASE WHEN y = 1 THEN CAST(an AS HUGEINT) * an ELSE 0 END) AS tpaa0,
+       |    sum(CASE WHEN y = 0 THEN CAST(ap AS HUGEINT) ELSE 0 END) AS sqa0,
+       |    sum(CASE WHEN y = 0 THEN CAST(ap AS HUGEINT) * ap ELSE 0 END) AS tqaa0
+       |  FROM j GROUP BY 1
+       |), gg AS (
+       |  SELECT source, n_pos, n_neg,
+       |    CAST(n_pos AS DOUBLE) AS m, CAST(n_neg AS DOUBLE) AS n,
+       |    CAST(spa0 AS DOUBLE) AS spa, CAST(tpaa0 AS DOUBLE) AS tpaa,
+       |    CAST(sqa0 AS DOUBLE) AS sqa, CAST(tqaa0 AS DOUBLE) AS tqaa
+       |  FROM g
+       |)
+       |SELECT source, n_pos, n_neg,
+       |  round(spa / (2.0 * m * n), 6) AS auc,
+       |  round(sqrt(${Eval.delongAucVarExpr}), 6) AS se,
+       |  round(spa / (2.0 * m * n) - 1.96 * sqrt(${Eval.delongAucVarExpr}), 6) AS lo95,
+       |  round(spa / (2.0 * m * n) + 1.96 * sqrt(${Eval.delongAucVarExpr}), 6) AS hi95
+       |FROM gg
+       |WHERE n_pos >= 2 AND n_neg >= 2 AND ${Eval.delongAucVarExpr} > 0.0""".stripMargin
+
   /** Deterministic permutation test: is the mean document length of
     * lang='en' docs different from the rest? 100 RNG-free label re-deals
     * (see [[graft.ext.Analytics.permutationTest]]) — the exact-inference
@@ -2501,6 +2552,7 @@ object EvalQueries {
     "stats_levene"     -> statsLevene,
     "eval_delong"      -> evalDelong,
     "stats_permutation" -> statsPermutation,
+    "eval_auc_ci"      -> evalAucCi,
     "eval_wilcoxon"    -> evalWilcoxon,
     "eval_ece"         -> evalEce,
     "stats_jsd"        -> statsJsd,
@@ -2565,6 +2617,7 @@ object EvalQueries {
     "stats_levene"     -> statsLeveneSql,
     "eval_delong"      -> evalDelongSql,
     "stats_permutation" -> statsPermutationSql,
+    "eval_auc_ci"      -> evalAucCiSql,
     "eval_wilcoxon"    -> evalWilcoxonSql,
     "eval_ece"         -> evalEceSql,
     "stats_jsd"        -> statsJsdSql,

@@ -336,6 +336,30 @@ class Round9Spec extends AnyFunSuite with SparkTest {
       s"${got.getAs[Double]("z")} vs $wantZ")
   }
 
+  test("delongAucCi: variance matches the naive DeLong components; CI brackets AUC") {
+    val rnd = new Random(13)
+    val rows = (1 to 300).map { _ =>
+      val y = rnd.nextBoolean()
+      ("s", ((if (y) 60 else 40) + rnd.nextInt(40)).toLong, y)
+    }
+    val got = Eval.delongAucCi(rows.toDF("g", "sa", "y"),
+      "g", col("sa"), col("y")).collect().head
+    val pos = rows.filter(_._3).map(_._2); val neg = rows.filterNot(_._3).map(_._2)
+    def v10(s: Long, xs: Seq[Long]) =
+      (xs.count(_ < s) + 0.5 * xs.count(_ == s)) / xs.size
+    val vA = pos.map(v10(_, neg)); val wA = neg.map(v10(_, pos))
+    val auc = vA.sum / pos.size
+    def varOf(x: Seq[Double]) = {
+      val m = x.sum / x.size
+      x.map(v => (v - m) * (v - m)).sum / (x.size - 1)
+    }
+    val se = math.sqrt(varOf(vA) / pos.size + varOf(wA) / neg.size)
+    assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
+    assert(math.abs(got.getAs[Double]("se") - se) < 1e-6,
+      s"${got.getAs[Double]("se")} vs $se")
+    assert(got.getAs[Double]("lo95") < auc && auc < got.getAs[Double]("hi95"))
+  }
+
   test("delongAucDiff: identical paired scores have zero variance and drop") {
     val rows = (1 to 60).map(i => ("s", i.toLong, i.toLong, i % 2 == 0))
     assert(Eval.delongAucDiff(rows.toDF("g", "sa", "sb", "y"),
