@@ -1065,7 +1065,9 @@ object Analytics {
     * Scale: the median is the banded two-pass selection (no per-cohort
     * sort of raw data), then one aggregation to (group, cohort) and one
     * to group granularity — anovaF's exact shape, plus one broadcast
-    * median attach.
+    * median attach. (The internal median key concatenates group and
+    * cohort with a \u0001 separator — values containing that control
+    * byte would alias; sanitize upstream if your keys are binary.)
     */
   def brownForsythe(df: DataFrame, groupCol: String, valCol: String,
       cohortCol: Column): DataFrame = {

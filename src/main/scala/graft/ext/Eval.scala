@@ -127,7 +127,8 @@ object Eval {
     * error bar every AUC point estimate should ship with (the single-
     * model companion to [[delongAucDiff]]): SE = sqrt(S10/m + S01/n)
     * from the exact integer placement statistics, CI = AUC ± 1.96·SE.
-    * Same compressed-table discipline; slices need ≥ 2 of each class
+    * Same compressed-table discipline (and the same INTEGRAL-score
+    * contract as [[delongAucDiff]]); slices need ≥ 2 of each class
     * and positive variance.
     */
   def delongAucCi(df: DataFrame, sliceCol: String, scoreCol: Column,
@@ -199,6 +200,11 @@ object Eval {
     * Scale: two compressed placement tables (one per model's score
     * column), two keyed attach joins, one aggregation — no global
     * window, no driver state.
+    *
+    * Input contract: scores must be INTEGRAL (they are cast to long —
+    * ranks, counts, or quantized scores; AUC and its variance are
+    * rank-based, so quantizing a double score to a fine integer grid
+    * upstream loses nothing but sub-grid ties).
     */
   def delongAucDiff(df: DataFrame, sliceCol: String, scoreA: Column,
       scoreB: Column, label: Column): DataFrame = {
