@@ -922,6 +922,47 @@ object Analytics {
         col("t_welch"))
   }
 
+  /** Shared Cohen's d expression over the welchT sufficient statistics:
+    * d = (mean_a − mean_b)/s_p with the pooled variance
+    * s_p² = ((qa − sa²/na) + (qb − sb²/nb))/(na + nb − 2) — the EFFECT
+    * SIZE the t statistic lacks (t grows with n even for trivial
+    * shifts; d is the shift in pooled-SD units — the Cliff's-delta
+    * lesson, parametric edition).
+    */
+  val cohensDVarExpr: String =
+    "(((qa - sa * sa / na) + (qb - sb * sb / nb)) / (na + nb - 2.0))"
+  val cohensDExpr: String =
+    s"round((sa / na - sb / nb) / sqrt($cohensDVarExpr), 6)"
+
+  /** Cohen's d per group for the same A-vs-rest cohort split as
+    * [[welchT]] — same exact per-term-round(6) DECIMAL sums, one shared
+    * final expression, groups with < 2 of either cohort or zero pooled
+    * variance dropped. Report it NEXT TO the t statistic: t answers
+    * "is the shift real", d answers "is it big enough to care".
+    */
+  def cohensD(df: DataFrame, groupCol: String, valCol: String,
+      inA: Column): DataFrame = {
+    val v = col(valCol)
+    def dsum(c: Column, in: Column): Column =
+      sum(when(in, round(c, 6).cast("decimal(30,6)")).otherwise(lit(null)))
+    df.where(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(inA.cast("long")).as("na0"), sum((!inA).cast("long")).as("nb0"),
+        dsum(v, inA).cast("double").as("sa"),
+        dsum(v * v, inA).cast("double").as("qa"),
+        dsum(v, !inA).cast("double").as("sb"),
+        dsum(v * v, !inA).cast("double").as("qb"))
+      .withColumn("na", col("na0").cast("double"))
+      .withColumn("nb", col("nb0").cast("double"))
+      .where(col("na0") >= 2 && col("nb0") >= 2 &&
+        expr(s"$cohensDVarExpr > 0.0"))
+      .withColumn("mean_diff", expr("round(sa / na - sb / nb, 6)"))
+      .withColumn("cohens_d", expr(cohensDExpr))
+      .select(col(groupCol), col("na0").as("n_a"), col("nb0").as("n_b"),
+        col("mean_diff"), col("cohens_d"))
+  }
+
   /** Shared Mann–Whitney z expression over the four exact per-group
     * statistics (na, nb as doubles; u2a = 2·U_A and ties = Σ(t³−t) as
     * exact integers cast to double): the tie-corrected normal

@@ -623,6 +623,36 @@ object EvalQueries {
     Analytics.welchT(Tables.events(s, dir), "event_type", "value",
       col("user_id") % 2 === 0)
 
+  /** Cohen's d on the same cohort split as stats_welch — the effect size
+    * the t statistic lacks (see [[graft.ext.Analytics.cohensD]]).
+    */
+  val statsCohend: QueryFn = (s, dir) =>
+    Analytics.cohensD(Tables.events(s, dir), "event_type", "value",
+      col("user_id") % 2 === 0)
+
+  val statsCohendSql: String =
+    s"""WITH a AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb0,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0
+       |      THEN CAST(round(value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS sa,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0
+       |      THEN CAST(round(value * value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS qa,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0
+       |      THEN CAST(round(value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS sb,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0
+       |      THEN CAST(round(value * value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS qb
+       |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+       |), g AS (
+       |  SELECT *, CAST(na0 AS DOUBLE) AS na, CAST(nb0 AS DOUBLE) AS nb FROM a
+       |)
+       |SELECT event_type, na0 AS n_a, nb0 AS n_b,
+       |  round(sa / na - sb / nb, 6) AS mean_diff,
+       |  ${Analytics.cohensDExpr} AS cohens_d
+       |FROM g
+       |WHERE na0 >= 2 AND nb0 >= 2 AND ${Analytics.cohensDVarExpr} > 0.0""".stripMargin
+
   val statsWelchSql: String =
     s"""WITH a AS (
        |  SELECT event_type,
@@ -2553,6 +2583,7 @@ object EvalQueries {
     "eval_delong"      -> evalDelong,
     "stats_permutation" -> statsPermutation,
     "eval_auc_ci"      -> evalAucCi,
+    "stats_cohend"     -> statsCohend,
     "eval_wilcoxon"    -> evalWilcoxon,
     "eval_ece"         -> evalEce,
     "stats_jsd"        -> statsJsd,
@@ -2618,6 +2649,7 @@ object EvalQueries {
     "eval_delong"      -> evalDelongSql,
     "stats_permutation" -> statsPermutationSql,
     "eval_auc_ci"      -> evalAucCiSql,
+    "stats_cohend"     -> statsCohendSql,
     "eval_wilcoxon"    -> evalWilcoxonSql,
     "eval_ece"         -> evalEceSql,
     "stats_jsd"        -> statsJsdSql,

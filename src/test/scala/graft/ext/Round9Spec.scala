@@ -125,6 +125,29 @@ class Round9Spec extends AnyFunSuite with SparkTest {
     }
   }
 
+  // ---- Analytics.cohensD -------------------------------------------------
+
+  test("cohensD: matches the naive pooled-SD computation; equal means give 0") {
+    val rnd = new Random(7)
+    val rows = (1 to 200).map { i =>
+      val a = i % 2 == 0
+      ("s", a, (if (a) 10.0 else 8.0) + rnd.nextInt(7))
+    }
+    val got = Analytics.cohensD(rows.toDF("g", "a", "v"), "g", "v", col("a"))
+      .collect().head
+    val xa = rows.filter(_._2).map(_._3); val xb = rows.filterNot(_._2).map(_._3)
+    def meanOf(x: Seq[Double]) = x.sum / x.size
+    def ss(x: Seq[Double]) = { val m = meanOf(x); x.map(v => (v - m) * (v - m)).sum }
+    val sp = math.sqrt((ss(xa) + ss(xb)) / (xa.size + xb.size - 2))
+    val want = (meanOf(xa) - meanOf(xb)) / sp
+    assert(math.abs(got.getAs[Double]("cohens_d") - want) < 1e-5,
+      s"${got.getAs[Double]("cohens_d")} vs $want")
+    val flat = (1 to 100).map(i => ("s", i % 2 == 0, (i % 5).toDouble))
+    val g2 = Analytics.cohensD(flat.toDF("g", "a", "v"), "g", "v", col("a"))
+      .collect().head
+    assert(math.abs(g2.getAs[Double]("cohens_d")) < 0.2)
+  }
+
   // ---- Analytics.brownForsythe -----------------------------------------
 
   test("brownForsythe: matches a naive driver-side W on spread-varying cohorts") {
