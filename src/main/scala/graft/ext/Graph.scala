@@ -855,12 +855,25 @@ object Graph {
     *    singleton SCCs in one shot — the whole top AND bottom layer of
     *    a DAG-heavy region per round, instead of only min-labeled
     *    roots.
-    * Remaining boundary: a deep condensation that never becomes
-    * functional (in- and out-degree > 1 along a long spine) still peels
-    * round by round and can hit `maxPeels` — raise it for such graphs.
+    * Deep-condensation fallback (round 10): a condensation that never
+    * becomes functional (in- AND out-degree > 1 along a long spine)
+    * defeats both escapes — the forward fixpoint alone needs
+    * spine-depth hops. When the coloring peel either fails to converge
+    * within `maxHops` or exhausts `maxPeels`, the RESIDUAL (what trims
+    * + coloring could not resolve — condensation-core-sized by then,
+    * never the input graph) is handed to [[sccResidual]]: driver-side
+    * iterative Tarjan when the residual carries at most
+    * `driverMaxEdges` edges (the same documented-threshold convention
+    * as `dedup_cluster`'s union-find — ≤ 5M edges ≈ 80 MB of longs,
+    * one linear pass), and classic FW-BW pivot divide-and-conquer
+    * above it (min-node pivot, forward ∩ backward frontier reach = one
+    * exact SCC per round, fringe trim between rounds, re-checked
+    * against the Tarjan threshold as it shrinks). `scc` therefore
+    * completes on EVERY finite graph: each fallback round removes at
+    * least the pivot's component.
     */
   def scc(edges: DataFrame, maxPeels: Int = 50,
-      maxHops: Int = 200): DataFrame = {
+      maxHops: Int = 200, driverMaxEdges: Long = 5000000L): DataFrame = {
     require(maxPeels >= 1 && maxHops >= 1)
     val e0 = edges
       .select(col("src").cast("long").as("src"),
@@ -903,11 +916,16 @@ object Graph {
         .select(col("node"), coalesce(col("scc"), col("node")).as("scc"))
     }
 
+    // Residual hand-off: trims + coloring stalled — finish with Tarjan
+    // (under threshold) / FW-BW pivots (above). Returns the FULL label
+    // set: already-peeled output ∪ the residual's labels.
+    def residualFinish(): DataFrame = {
+      val res = sccResidual(active, eact, driverMaxEdges)
+      if (out == null) res else out.unionByName(res).localCheckpoint(true)
+    }
+
     while (activeN > 0) {
-      if (peels >= maxPeels)
-        throw new IllegalStateException(
-          s"scc: $activeN nodes unresolved after $maxPeels peel rounds — " +
-            "raise maxPeels (peels grow with the condensation's depth)")
+      if (peels >= maxPeels) return residualFinish()
       // (0a) bulk singleton trim, only when the last peel was slow:
       // active nodes without both an in- and an out-edge cannot be on a
       // cycle — peel the whole source/sink fringe at once
@@ -962,9 +980,7 @@ object Graph {
       var hops = 0
       var changed = 1L
       while (changed > 0) {
-        if (hops >= maxHops)
-          throw new IllegalStateException(
-            s"scc: forward labels not converged after $maxHops hops")
+        if (hops >= maxHops) return residualFinish()
         val pushed = eact
           .join(lab.select(col("node").as("src"), col("lab")), Seq("src"))
           .groupBy(col("dst").as("node")).agg(min(col("lab")).as("__in"))
@@ -990,9 +1006,7 @@ object Graph {
       var fN = 1L
       hops = 0
       while (fN > 0) {
-        if (hops >= maxHops)
-          throw new IllegalStateException(
-            s"scc: backward marking not converged after $maxHops hops")
+        if (hops >= maxHops) return residualFinish()
         val cand = labE
           .join(frontier.select(col("node").as("dst"), col("lab")),
             Seq("dst", "lab"))
@@ -1021,6 +1035,197 @@ object Graph {
     if (out == null) // edgeless input: nothing to label
       e0.select(col("src").as("node"), col("src").as("scc")).limit(0)
     else out
+  }
+
+  /** Finish SCC labeling for the RESIDUAL the coloring peel could not
+    * resolve (deep non-functional condensation). Two regimes:
+    *  - residual edge count ≤ `driverMaxEdges`: collect the residual to
+    *    the driver and run ITERATIVE Tarjan (explicit frame stack — no
+    *    recursion, so 100k-deep spines don't blow the JVM stack); one
+    *    linear pass, labels broadcast back as a parallelized frame.
+    *    The threshold bounds driver memory the same way
+    *    `dedup_cluster`'s union-find threshold does.
+    *  - above the threshold: classic FW-BW divide-and-conquer, driver
+    *    loop: trim the source/sink fringe in bulk (singletons), pick
+    *    the MIN active node as pivot (deterministic — its SCC label is
+    *    itself), compute forward and backward frontier reach (the
+    *    [[bfsHops]] shape, one keyed join per hop), emit F ∩ B as one
+    *    exact SCC, drop it, repeat. Every round removes ≥ 1 node, so
+    *    termination is unconditional, and the shrinking residual is
+    *    re-checked against the Tarjan threshold each round — FW-BW
+    *    only ever pays for the condensation core that is genuinely too
+    *    big to collect.
+    */
+  private def sccResidual(active0: DataFrame, eact0: DataFrame,
+      driverMaxEdges: Long): DataFrame = {
+    var active = active0.localCheckpoint(true)
+    var eact = eact0.localCheckpoint(true)
+    var out: DataFrame = null
+    var activeN = active.count()
+    def emit(found: DataFrame): Unit =
+      out = if (out == null) found.localCheckpoint(true)
+        else out.unionByName(found).localCheckpoint(true)
+    while (activeN > 0) {
+      if (eact.count() <= driverMaxEdges) {
+        emit(sccTarjanDriver(active, eact))
+        return out
+      }
+      // bulk fringe trim: no cycle passes through a source/sink node
+      val both = eact.select(col("src").as("node")).distinct()
+        .join(eact.select(col("dst").as("node")).distinct(), Seq("node"))
+      val trimmed = active.join(both, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val tN = trimmed.count()
+      if (tN > 0) {
+        emit(trimmed.select(col("node"), col("node").as("scc")))
+        active = active.join(trimmed, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        activeN -= tN
+        if (activeN == 0) return out
+        eact = eact
+          .join(trimmed.select(col("node").as("src")), Seq("src"),
+            "left_anti")
+          .join(trimmed.select(col("node").as("dst")), Seq("dst"),
+            "left_anti")
+          .localCheckpoint(true)
+      }
+      if (tN.toDouble / (activeN + tN) >= 0.5) {
+        // the trim alone is making fast progress — keep trimming
+      } else {
+        // FW-BW pivot round: F ∩ B from the min node = its exact SCC
+        val pivot = active.agg(min(col("node"))).head().getLong(0)
+        val fwd = sccReach(eact, pivot, forward = true)
+        val bwd = sccReach(eact, pivot, forward = false)
+        val comp = fwd.join(bwd, Seq("node")).localCheckpoint(true)
+        val cN = comp.count()
+        emit(comp.select(col("node"), lit(pivot).as("scc")))
+        active = active.join(comp, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        activeN -= cN
+        if (activeN == 0) return out
+        eact = eact
+          .join(comp.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(comp.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
+    out
+  }
+
+  /** Frontier reach set from `pivot` over `eact` (reversed when
+    * `forward = false`): `(node)` rows, pivot included. Unbounded hop
+    * count — each hop strictly grows the seen set or ends the loop, so
+    * it terminates in ≤ residual-diameter keyed joins. */
+  private def sccReach(eact: DataFrame, pivot: Long,
+      forward: Boolean): DataFrame = {
+    val e = if (forward) eact
+      else eact.select(col("dst").as("src"), col("src").as("dst"))
+    var seen = eact.sparkSession.range(1)
+      .select(lit(pivot).as("node")).localCheckpoint(true)
+    var frontier = seen
+    var fN = 1L
+    while (fN > 0) {
+      val cand = e.join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = cand.join(seen, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      fN = frontier.count()
+      if (fN > 0) seen = seen.unionByName(frontier).localCheckpoint(true)
+    }
+    seen
+  }
+
+  /** Driver-side ITERATIVE Tarjan over a residual small enough to
+    * collect (caller enforces the edge threshold). Explicit frame
+    * stack — no recursion — so arbitrarily deep spines are safe.
+    * Returns `(node, scc)` with scc = min node id in the component,
+    * matching [[scc]]'s labeling contract. */
+  private def sccTarjanDriver(active: DataFrame,
+      eact: DataFrame): DataFrame = {
+    val spark = eact.sparkSession
+    val nodes = active.select(col("node"))
+      .collect().map(_.getLong(0))
+    val edges = eact.select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = nodes.length
+    val id = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { id.put(nodes(i), i); i += 1 }
+    // CSR adjacency (edges with a non-active endpoint are impossible by
+    // construction — eact is pruned to active×active — but guard anyway)
+    val deg = new Array[Int](n)
+    for ((s, d) <- edges) {
+      val si = id.get(s); val di = id.get(d)
+      if (si != null && di != null) deg(si.intValue) += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adj = new Array[Int](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    for ((s, d) <- edges) {
+      val si = id.get(s); val di = id.get(d)
+      if (si != null && di != null) {
+        adj(fill(si.intValue)) = di.intValue
+        fill(si.intValue) += 1
+      }
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStk = new Array[Boolean](n)
+    val stk = new Array[Int](n); var stkTop = 0
+    val comp = Array.fill(n)(-1)
+    var counter = 0; var nComp = 0
+    // explicit DFS frames: frameV(k) = node, frameE(k) = next adj slot
+    val frameV = new Array[Int](n); val frameE = new Array[Int](n)
+    var root = 0
+    while (root < n) {
+      if (index(root) == -1) {
+        var top = 0
+        frameV(0) = root; frameE(0) = off(root)
+        index(root) = counter; low(root) = counter; counter += 1
+        stk(stkTop) = root; stkTop += 1; onStk(root) = true
+        while (top >= 0) {
+          val v = frameV(top)
+          if (frameE(top) < off(v + 1)) {
+            val w = adj(frameE(top)); frameE(top) += 1
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stk(stkTop) = w; stkTop += 1; onStk(w) = true
+              top += 1; frameV(top) = w; frameE(top) = off(w)
+            } else if (onStk(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            if (low(v) == index(v)) {
+              var done = false
+              while (!done) {
+                stkTop -= 1; val w = stk(stkTop); onStk(w) = false
+                comp(w) = nComp
+                done = w == v
+              }
+              nComp += 1
+            }
+            top -= 1
+            if (top >= 0 && low(v) < low(frameV(top)))
+              low(frameV(top)) = low(v)
+          }
+        }
+      }
+      root += 1
+    }
+    // label = min node id per component
+    val compMin = Array.fill(nComp)(Long.MaxValue)
+    i = 0
+    while (i < n) {
+      if (nodes(i) < compMin(comp(i))) compMin(comp(i)) = nodes(i)
+      i += 1
+    }
+    val rows = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { rows(i) = (nodes(i), compMin(comp(i))); i += 1 }
+    import spark.implicits._
+    val parts = math.max(1, n / 500000)
+    spark.sparkContext.parallelize(rows.toIndexedSeq, parts)
+      .toDF("node", "scc")
   }
 
   /** Sampled k-bounded Brandes betweenness centrality over an undirected

@@ -1,0 +1,87 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Round-10 hardening: the last SCC boundary — a deep condensation
+  * whose spine keeps in- AND out-degree > 1 (defeats the functional
+  * fast path, the bulk trim, and makes the coloring fixpoint need
+  * spine-depth hops). `scc` must now COMPLETE on that shape via the
+  * residual fallback: driver Tarjan under the edge threshold, FW-BW
+  * pivot divide-and-conquer above it.
+  */
+class Round10Spec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  /** Braided spine: `levels` levels of two nodes {2i, 2i+1}; each level
+    * is a 2-cycle (2i↔2i+1) and fans out to BOTH nodes of the next
+    * level — every spine node keeps in- and out-degree ≥ 3, so neither
+    * the functional fast path nor the fringe trim ever fires, and the
+    * condensation is `levels` deep.
+    */
+  private def braidedSpine(levels: Int): Seq[(Long, Long)] =
+    (0 until levels).flatMap { i =>
+      val (a, b) = (2L * i, 2L * i + 1)
+      val cyc = Seq(a -> b, b -> a)
+      val fwd = if (i < levels - 1)
+        Seq(a -> (a + 2), a -> (b + 2), b -> (a + 2), b -> (b + 2))
+      else Seq.empty
+      cyc ++ fwd
+    }
+
+  test("scc: 10k-level braided spine (in/out-degree > 1 throughout) completes via the Tarjan residual") {
+    val levels = 10000
+    val edges = braidedSpine(levels).toDF("src", "dst")
+    // maxHops far below the 10k-hop fixpoint the spine would need —
+    // forces the round-9 behavior (throw) into the round-10 fallback
+    val got = Graph.scc(edges, maxPeels = 5, maxHops = 25)
+      .as[(Long, Long)].collect().toMap
+    val want = (0 until levels).flatMap { i =>
+      Seq(2L * i -> 2L * i, (2L * i + 1) -> 2L * i)
+    }.toMap
+    assert(got.size == 2 * levels)
+    assert(got == want)
+  }
+
+  test("scc: FW-BW pivot path (driverMaxEdges=0) resolves one deep big SCC exactly") {
+    // 48-level braid closed into ONE giant SCC by two back edges; with
+    // the driver threshold at 0 the fallback MUST take the distributed
+    // FW-BW branch: pivot 0, forward ∩ backward reach = all 96 nodes.
+    val levels = 48
+    val base = braidedSpine(levels)
+    val last = 2L * (levels - 1)
+    val edges = (base ++ Seq(last -> 0L, (last + 1) -> 1L))
+      .toDF("src", "dst")
+    val got = Graph.scc(edges, maxPeels = 2, maxHops = 8,
+        driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 2 * levels)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("scc: coloring path ≡ forced-Tarjan path on 20 random digraphs") {
+    // maxHops=1 forces the fallback (Tarjan) on any graph whose
+    // fixpoint needs >1 hop — an INDEPENDENT implementation of the
+    // same contract. Cross-validate against the default coloring path.
+    val rnd = new Random(104729)
+    for (trial <- 0 until 20) {
+      val n = 40 + rnd.nextInt(120)
+      val m = n + rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (s, d) => s != d }.distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst").cache()
+        val viaColoring = Graph.scc(df)
+          .as[(Long, Long)].collect().toMap
+        val viaTarjan = Graph.scc(df, maxPeels = 50, maxHops = 1)
+          .as[(Long, Long)].collect().toMap
+        assert(viaColoring == viaTarjan, s"trial $trial: n=$n m=$m")
+        df.unpersist()
+      }
+    }
+  }
+}
