@@ -299,6 +299,164 @@ object Vocab {
       .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** WordPiece vocabulary induction (Schuster & Nakajima 2012 — the BERT
+    * tokenizer family; the third trainer beside [[bpeTrain]] and
+    * [[unigramTrain]]): identical mechanics to BPE — word-TYPE table,
+    * separator-delimited symbol state, greedy merge loop — but the merge
+    * argmax maximizes the LIKELIHOOD gain score
+    * `count(ab) / (count(a) · count(b))` instead of the raw pair count,
+    * and non-initial symbols carry the `##` continuation prefix (initial
+    * state of "hello" is `|h|##e|##l|##l|##o|`; merging (l, r) yields
+    * `l + r-without-##`, e.g. ("h","##e") → "he", ("##l","##o") →
+    * "##lo").
+    *
+    * Returns (rank, left, right, merged, pair_count, left_count,
+    * right_count) — the EXACT integer sufficient statistics of each
+    * chosen merge (score = pair/(left·right) is derivable), so the
+    * output hash-matches DuckDB with no float discipline needed. The
+    * argmax itself compares `CAST(pair AS DOUBLE) / (CAST(l AS DOUBLE) *
+    * CAST(r AS DOUBLE))` — ONE IEEE divide of exact integers, identical
+    * bit-for-bit in Spark and DuckDB — with ties pinned (left asc,
+    * right asc), so the oracle replays the whole training as unrolled
+    * CTE stages exactly like the BPE playbook.
+    *
+    * Scale shape: identical to [[bpeTrain]] — one corpus pass to the
+    * word-TYPE table (the only corpus-sized shuffle, checkpointed), then
+    * every iteration runs two vocab-sized aggregations (symbol unigrams
+    * + adjacent pairs) over the compact type table.
+    */
+  def wordpieceTrain(docs: DataFrame, textCol: String,
+      merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = DataOps.parallelismFloor(docs.select(col(textCol).as("__t")))
+      .select(explode(TextAnalysis.tokens(col("__t"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("s", concat(
+        lit("|"), substring(col("word"), 1, 1),
+        when(length(col("word")) > 1,
+          concat(lit("|##"),
+            array_join(transform(
+              split(expr("substring(word, 2)"), ""), c => c), "|##")))
+          .otherwise(lit("")),
+        lit("|")))
+      .localCheckpoint(true) // the merge loop must not re-run the corpus pass
+      .select("cnt", "s")
+
+    var current = words
+    val learned =
+      Seq.newBuilder[(Int, String, String, String, Long, Long, Long)]
+    var rank = 1
+    while (rank <= merges) {
+      val syms = current
+        .select(col("cnt"), explode(split(col("s"), "\\|")).as("sym"))
+        .where(col("sym") =!= "")
+        .groupBy("sym").agg(sum(col("cnt")).as("uc"))
+      val pairs = current
+        .select(col("cnt"), split(col("s"), "\\|").as("toks"))
+        .select(col("cnt"),
+          explode(expr(
+            "transform(sequence(1, size(toks) - 2), i -> struct(toks[i] as l, toks[i+1] as r))"))
+            .as("p"))
+        .where(col("p.r") =!= "")
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val top = pairs
+        .join(syms.select(col("sym").as("l"), col("uc").as("ucl")), Seq("l"))
+        .join(syms.select(col("sym").as("r"), col("uc").as("ucr")), Seq("r"))
+        .withColumn("score",
+          col("c").cast("double") /
+            (col("ucl").cast("double") * col("ucr").cast("double")))
+        .orderBy(col("score").desc, col("l").asc, col("r").asc)
+        .select("l", "r", "c", "ucl", "ucr")
+        .limit(1).collect()
+      if (top.isEmpty) { rank = merges + 1 }
+      else {
+        val Row(l: String, r: String, c: Long, ucl: Long, ucr: Long) = top(0)
+        val m = l + r.stripPrefix("##")
+        learned += ((rank, l, r, m, c, ucl, ucr))
+        current = current.withColumn("s",
+          expr(s"replace(s, '|${l}|${r}|', '|${m}|')"))
+        rank += 1
+      }
+    }
+    learned.result()
+      .toDF("rank", "left", "right", "merged",
+        "pair_count", "left_count", "right_count")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** WordPiece ENCODE: greedy longest-match-first segmentation of every
+    * word type against the trained vocabulary (initial-state symbols —
+    * every word-initial char plus every `##`-prefixed continuation char —
+    * ∪ the merge products), returning the corpus piece-frequency table
+    * (piece, cnt).
+    *
+    * Greedy-longest-match is replayed DECLARATIVELY: because every
+    * single character (initial and `##` form) is in the vocabulary, the
+    * greedy scan never dead-ends, and its segmentation is exactly the
+    * lexicographically LARGEST length-signature among the fully-covered
+    * segmentations of the word (longest possible first piece; among
+    * those, longest second; …) — signatures of the same word sum to the
+    * same length, so none is a prefix of another and plain string DESC
+    * is the total order. That makes encode ONE lattice pass (the
+    * [[unigramEncode]] composition table, parts up to `maxWordLen`) +
+    * a per-word argmax — no iterative scan, and the DuckDB oracle is
+    * the same lattice in SQL.
+    *
+    * Scale shape: one corpus pass to word types; the lattice is bounded
+    * by `topTypes` × 2^(maxWordLen−1) driver-side composition rows;
+    * vocabulary joins broadcast (alphabet + merges sized).
+    */
+  def wordpieceEncode(docs: DataFrame, textCol: String,
+      mergedPieces: Seq[String], maxWordLen: Int = 8,
+      topTypes: Int = 2000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = DataOps.parallelismFloor(docs.select(col(textCol).as("__t")))
+      .select(explode(TextAnalysis.tokens(col("__t"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$") &&
+        length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(topTypes)
+      .withColumn("wlen", length(col("word")))
+      .localCheckpoint(true)
+    val sp = compositionTable(spark, maxWordLen, maxWordLen)
+    val occ = words.join(broadcast(sp), Seq("wlen"))
+      .select(col("word"), col("cnt"), col("sig"), col("nparts"),
+        when(col("start") === 1, expr("substring(word, start, plen)"))
+          .otherwise(concat(lit("##"),
+            expr("substring(word, start, plen)"))).as("piece"))
+      .localCheckpoint(true) // feeds the coverage check AND the piece dump
+    // vocabulary = the single-char symbols of the SAME capped word table
+    // (every word-initial char plain, every continuation char ##-form —
+    // guarantees full coverage, so greedy never dead-ends) ∪ the trained
+    // merge products; the oracle derives the alphabet from the identical
+    // capped CTE, so both engines see the same vocabulary by construction
+    val alpha = words
+      .select(explode(expr(
+        """transform(sequence(1, wlen),
+          |  i -> CASE WHEN i = 1 THEN substring(word, 1, 1)
+          |       ELSE concat('##', substring(word, i, 1)) END)"""
+          .stripMargin)).as("piece"))
+      .distinct()
+    val v = alpha
+      .unionByName(mergedPieces.distinct.toDF("piece"))
+      .distinct()
+    val cov = occ.join(broadcast(v), Seq("piece"))
+      .groupBy("word", "sig", "nparts")
+      .agg(count(lit(1)).as("got"))
+      .where(col("got") === col("nparts"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("word")
+      .orderBy(col("sig").desc)
+    val best = cov
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("word"), col("sig"))
+    occ.join(best, Seq("word", "sig"))
+      .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Bigram language-model counts: adjacent whitespace-token pairs per
     * document, aggregated corpus-wide, with the unigram count of the
     * left word attached (the sufficient statistics for a smoothed

@@ -1146,6 +1146,167 @@ object ExtQueries {
        |WHERE piece <> '' GROUP BY piece""".stripMargin
   }
 
+  /** WordPiece vocabulary induction (the BERT tokenizer family — the
+    * third trainer beside BPE and unigram-LM): 6 greedy merges ranked by
+    * the likelihood-gain score count(ab)/(count(a)·count(b)), `##`
+    * continuation symbols (Vocab.wordpieceTrain). Output is the exact
+    * integer sufficient statistics of each merge — no float discipline
+    * needed — and the oracle replays all six stages as unrolled CTEs
+    * (the vocab_bpe playbook, plus a per-stage symbol-unigram CTE).
+    */
+  // Memoized per (session, dir) exactly like bpeTrainMemo: one pipeline
+  // trains ONE WordPiece vocabulary and both `vocab_wordpiece` and
+  // `tokenize_wordpiece` read it.
+  private val wordpieceMemo = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String),
+      (org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])]]()
+
+  private def wordpieceTrained(s: SparkSession, dir: String): DataFrame = {
+    val perSession = wordpieceMemo.synchronized {
+      var m = wordpieceMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap()
+        wordpieceMemo.put(s, m)
+      }
+      m
+    }
+    val (schema, rows) = perSession.computeIfAbsent(
+      (dir, docsFingerprint(s, dir)), _ => {
+        val df = graft.ext.Vocab.wordpieceTrain(
+          Tables.documents(s, dir), "text", merges = 6)
+        (df.schema, df.orderBy("rank").collect())
+      })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  val vocabWordpiece: QueryFn = (s, dir) => wordpieceTrained(s, dir)
+
+  /** The six unrolled WordPiece train stages (w0 → w6 via p1..p6): the
+    * BPE stage shape plus a per-stage symbol-unigram CTE; the argmax is
+    * ONE IEEE divide of exact integers — bit-identical in Spark and
+    * DuckDB — with (left, right) pinned ties.
+    */
+  private def wordpieceStages: String = {
+    def stage(n: Int): String = {
+      val prev = s"w${n - 1}"
+      s"""u$n AS (
+         |  SELECT sym, sum(cnt) AS uc
+         |  FROM (SELECT cnt, unnest(string_split(s, '|')) AS sym FROM $prev)
+         |  WHERE sym <> '' GROUP BY 1
+         |), p$n AS (
+         |  SELECT p.l, p.r, p.c, ul.uc AS ucl, ur.uc AS ucr,
+         |    p.l || substr(p.r, 3) AS m
+         |  FROM (
+         |    SELECT t[i] AS l, t[i + 1] AS r, sum(cnt) AS c
+         |    FROM (SELECT cnt, string_split(s, '|') AS t FROM $prev),
+         |         unnest(generate_series(2, len(t) - 2)) u(i)
+         |    GROUP BY 1, 2) p
+         |  JOIN u$n ul ON ul.sym = p.l
+         |  JOIN u$n ur ON ur.sym = p.r
+         |  ORDER BY CAST(p.c AS DOUBLE) /
+         |    (CAST(ul.uc AS DOUBLE) * CAST(ur.uc AS DOUBLE)) DESC, p.l, p.r
+         |  LIMIT 1
+         |), w$n AS (
+         |  SELECT cnt, replace(s, '|' || l || '|' || r || '|', '|' || m || '|') AS s
+         |  FROM $prev, p$n
+         |)""".stripMargin
+    }
+    val stages = (1 to 6).map(stage).mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+       |    '|' || substr(word, 1, 1) ||
+       |    CASE WHEN length(word) > 1
+       |      THEN '|##' || array_to_string(
+       |             regexp_extract_all(substr(word, 2), '.'), '|##')
+       |      ELSE '' END || '|' AS s
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY word
+       |),
+       |$stages""".stripMargin
+  }
+
+  val vocabWordpieceSql: String = {
+    val rows = (1 to 6).map(n =>
+      s"""SELECT CAST($n AS BIGINT) AS rank, l AS "left", r AS "right",
+         |  m AS merged, CAST(c AS BIGINT) AS pair_count,
+         |  CAST(ucl AS BIGINT) AS left_count,
+         |  CAST(ucr AS BIGINT) AS right_count FROM p$n""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"$wordpieceStages\n$rows"
+  }
+
+  /** WordPiece encode: greedy longest-match-first with the trained
+    * vocabulary over the capped word-TYPE table, replayed as the
+    * lexicographically-largest covered length-signature on the
+    * composition lattice (Vocab.wordpieceEncode scaladoc has the
+    * equivalence argument). Piece frequencies out.
+    */
+  val tokenizeWordpiece: QueryFn = (s, dir) => {
+    val merged = wordpieceTrained(s, dir).orderBy("rank").collect()
+      .map(_.getString(3)).toSeq
+    graft.ext.Vocab.wordpieceEncode(Tables.documents(s, dir), "text",
+      merged, maxWordLen = 8, topTypes = 2000)
+  }
+
+  val tokenizeWordpieceSql: String = wordpieceStages + ",\n" +
+    """comp AS (
+      |  SELECT * FROM (
+      |    WITH RECURSIVE c AS (
+      |      SELECT 0 AS pos, CAST('' AS VARCHAR) AS sig
+      |      UNION ALL
+      |      SELECT c.pos + k.k, c.sig || CAST(k.k AS VARCHAR)
+      |      FROM c, (SELECT unnest(generate_series(1, 8)) AS k) k
+      |      WHERE c.pos + k.k <= 8)
+      |    SELECT pos AS wlen, sig FROM c WHERE pos >= 1)
+      |), sp AS (
+      |  SELECT wlen, sig, u.i,
+      |    1 + CAST(COALESCE(SUM(CAST(substr(sig, u.i, 1) AS INT)) OVER (
+      |      PARTITION BY wlen, sig ORDER BY u.i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+      |      AS start,
+      |    CAST(substr(sig, u.i, 1) AS INT) AS plen,
+      |    len(sig) AS nparts
+      |  FROM comp, unnest(generate_series(1, len(sig))) u(i)
+      |), words AS (
+      |  SELECT word, cnt, length(word) AS wlen FROM (
+      |    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      |    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+      |            AS word FROM documents)
+      |    WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 8
+      |    GROUP BY word)
+      |  ORDER BY cnt DESC, word ASC LIMIT 2000
+      |), occ AS (
+      |  SELECT w.word, w.cnt, s.sig, s.nparts,
+      |    CASE WHEN s.start = 1 THEN substr(w.word, s.start, s.plen)
+      |         ELSE '##' || substr(w.word, s.start, s.plen) END AS piece
+      |  FROM words w JOIN sp s USING (wlen)
+      |), alpha AS (
+      |  SELECT DISTINCT CASE WHEN u.i = 1 THEN substr(word, 1, 1)
+      |    ELSE '##' || substr(word, u.i, 1) END AS piece
+      |  FROM words, unnest(generate_series(1, wlen)) u(i)
+      |), vocab AS (
+      |  SELECT piece FROM alpha
+      |  UNION SELECT m FROM p1 UNION SELECT m FROM p2
+      |  UNION SELECT m FROM p3 UNION SELECT m FROM p4
+      |  UNION SELECT m FROM p5 UNION SELECT m FROM p6
+      |), cov AS (
+      |  SELECT o.word, o.sig, o.nparts, count(*) AS got
+      |  FROM occ o JOIN vocab v ON v.piece = o.piece
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(*) = o.nparts
+      |), best AS (
+      |  SELECT word, sig FROM (
+      |    SELECT word, sig, row_number() OVER (PARTITION BY word
+      |      ORDER BY sig DESC) AS rn
+      |    FROM cov) WHERE rn = 1
+      |)
+      |SELECT o.piece, CAST(sum(o.cnt) AS BIGINT) AS cnt
+      |FROM occ o JOIN best b ON b.word = o.word AND b.sig = o.sig
+      |GROUP BY 1""".stripMargin
+
   /** Keyless range join at scale: events falling inside "incident windows"
     * (hours with >= 2 errors), via `Joins.pointInIntervalJoin` — the
     * binned equi-join form, never a nested loop over points × intervals.
@@ -3671,8 +3832,10 @@ object ExtQueries {
     "join_interval_overlap" -> joinIntervalOverlap,
     "vocab_bpe"            -> vocabBpe,
     "vocab_unigram"        -> vocabUnigram,
+    "vocab_wordpiece"      -> vocabWordpiece,
     "tokenize_unigram"     -> tokenizeUnigram,
     "tokenize_bpe"         -> tokenizeBpe,
+    "tokenize_wordpiece"   -> tokenizeWordpiece,
     "dedup_containment"    -> dedupContainment,
     "text_langid"          -> textLangId,
     "text_fingerprint"     -> textFingerprint,
@@ -3781,8 +3944,10 @@ object ExtQueries {
     "join_interval_overlap" -> joinIntervalOverlapSql,
     "vocab_bpe"           -> vocabBpeSql,
     "vocab_unigram"       -> vocabUnigramSql,
+    "vocab_wordpiece"     -> vocabWordpieceSql,
     "tokenize_unigram"    -> tokenizeUnigramSql,
     "tokenize_bpe"        -> tokenizeBpeSql,
+    "tokenize_wordpiece"  -> tokenizeWordpieceSql,
     "training_set"        -> trainingSetSql,
     "dedup_containment"   -> dedupContainmentSql,
     "multimodal_features" -> multimodalFeaturesSql,

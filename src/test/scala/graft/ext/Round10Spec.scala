@@ -62,6 +62,78 @@ class Round10Spec extends AnyFunSuite with SparkTest {
     assert(got.values.forall(_ == 0L))
   }
 
+  // ---- WordPiece (round-10 ask #2) -------------------------------------
+
+  test("wordpieceTrain: hand-computed likelihood-gain merges on a 2-word corpus") {
+    // words: "aaa"×3 → |a|##a|##a|, "ab"×2 → |a|##b|
+    // unigrams a=5, ##a=6, ##b=2; pairs (a,##a)=3, (##a,##a)=3, (a,##b)=2
+    // scores 3/30, 3/36, 2/10 → merge 1 = (a,##b)→"ab" (0.2 wins)
+    // then unigrams a=3, ##a=6, ab=2; pairs (a,##a)=3, (##a,##a)=3
+    // scores 3/18, 3/36 → merge 2 = (a,##a)→"aa"
+    val docs = Seq("aaa ab aaa", "ab aaa").toDF("text")
+    val got = Vocab.wordpieceTrain(docs, "text", merges = 2)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "##b", "ab", 2L, 5L, 2L),
+      (2L, "a", "##a", "aa", 3L, 3L, 6L)))
+  }
+
+  /** Reference greedy longest-match-first WordPiece segmentation —
+    * the imperative form the lattice argmax must equal. */
+  private def greedySeg(word: String, vocab: Set[String]): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var pos = 0
+    while (pos < word.length) {
+      var len = word.length - pos
+      var hit: Option[String] = None
+      while (len >= 1 && hit.isEmpty) {
+        val raw = word.substring(pos, pos + len)
+        val piece = if (pos == 0) raw else "##" + raw
+        if (vocab(piece)) hit = Some(piece) else len -= 1
+      }
+      hit match {
+        case Some(p) => out += p; pos += len
+        case None    => return Seq.empty // full alphabet ⇒ unreachable
+      }
+    }
+    out.toSeq
+  }
+
+  test("wordpieceEncode: lattice argmax ≡ imperative greedy longest-match on a trained vocab") {
+    val texts = Seq(
+      "the cat sat on the mat", "the cats sat", "a cat and a hat",
+      "mats and hats and cats", "the the the cat cat", "on a mat sat a cat")
+    val docs = texts.toDF("text")
+    val trained = Vocab.wordpieceTrain(docs, "text", merges = 6)
+      .orderBy("rank").as[(Long, String, String, String, Long, Long, Long)]
+      .collect()
+    val merged = trained.map(_._4).toSeq
+    val got = Vocab.wordpieceEncode(docs, "text", merged)
+      .as[(String, Long)].collect().toMap
+
+    // expected: brute-force greedy over the same capped word-type table
+    val wordCnt = texts.flatMap(_.split("\\s+"))
+      .filter(w => w.matches("^[a-z]+$") && w.length <= 8)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val alpha = wordCnt.keySet.flatMap(w =>
+      w.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else s"##$c" })
+    val vocab = alpha ++ merged
+    val want = wordCnt.toSeq
+      .flatMap { case (w, c) => greedySeg(w, vocab).map(_ -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got == want)
+  }
+
+  test("wordpieceEncode: single-char words and ## continuation accounting") {
+    val docs = Seq("a ab abc").toDF("text")
+    val got = Vocab.wordpieceEncode(docs, "text", Seq.empty)
+      .as[(String, Long)].collect().toMap
+    // no merges ⇒ all singles: a appears as word-initial 3×, ##b 2×, ##c 1×
+    assert(got == Map("a" -> 3L, "##b" -> 2L, "##c" -> 1L))
+  }
+
   test("scc: coloring path ≡ forced-Tarjan path on 20 random digraphs") {
     // maxHops=1 forces the fallback (Tarjan) on any graph whose
     // fixpoint needs >1 hop — an INDEPENDENT implementation of the
