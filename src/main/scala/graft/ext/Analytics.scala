@@ -320,13 +320,23 @@ object Analytics {
     * from identical exact sums in both engines; final outputs go
     * through [[half6Sql]]. Restart/partitioning-invariant end to end.
     *
-    * Scale: the grid is n·b rows; the per-replica ranking is a window
-    * PARTITIONED by replica (never a single partition); the item index
-    * is the range-repartitioned zipWithIndex. b is the accuracy/cost
-    * dial. Input contract: n here is the EVAL-set size (benchmark items,
-    * slice aggregates) — permutation inference on raw corpus rows at
-    * 100 TB would grid 100·n rows; stratify or aggregate to items first,
-    * which is also what makes the test statistically meaningful.
+    * Scale: the grid is n·b rows, and per-replica selection is a
+    * DISTRIBUTED exact order statistic (round 10 — no per-replica
+    * global sort): rows bucket by the hash's top 12 bits (arithmetic
+    * `>> 52` preserves long order, so bucket order = hash order); a
+    * per-replica exclusive prefix count over the ≤ 4096 bucket rows —
+    * the ONLY per-replica window, bounded by the bucket count, never by
+    * n (the Pareto-staircase discipline) — ranks each bucket; buckets
+    * entirely below the n_a-th statistic contribute their pre-aggregated
+    * sums, and the single boundary bucket ranks only its own ~n/4096
+    * rows. The item index is the range-repartitioned zipWithIndex. b is
+    * the accuracy/cost dial. Input contract: n here is the EVAL-set size
+    * (benchmark items, slice aggregates) — permutation inference on raw
+    * corpus rows at 100 TB would grid 100·n rows; stratify or aggregate
+    * to items first, which is also what makes the test statistically
+    * meaningful (and with the distributed selection, a corpus-sized
+    * caller degrades to wasted work, not to 100 corpus-sized
+    * single-partition sorts).
     */
   def permutationTest(df: DataFrame, idCol: String, valCol: String,
       cond: Column, b: Int = 100): DataFrame = {
@@ -350,13 +360,39 @@ object Analytics {
       expr(s"id div $nRows").as("__r"),
       pmod(col("id"), lit(nRows)).as("__idx"),
       HashExprs.mix64(col("id")).as("__h"))
-    val w = Window.partitionBy("__r").orderBy(col("__h").asc, col("__idx").asc)
-    val byRep = grid.join(items.select("__idx", "__v"), Seq("__idx"))
-      .withColumn("__rn", row_number().over(w))
+    // distributed exact selection of the n_a smallest (__h, __idx) per
+    // replica: bucket counts → per-replica prefix over ≤4096 bucket rows
+    // → whole full buckets + a ranked boundary bucket. The selected SET
+    // is identical to a per-replica sort; no partition ever holds more
+    // than one replica-bucket (~n/4096 rows).
+    val gi = grid.join(items.select("__idx", "__v"), Seq("__idx"))
+      .withColumn("__bkt", expr("__h >> 52"))
+    val bcnt = gi.groupBy("__r", "__bkt")
+      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__sv"))
+    val wB = Window.partitionBy("__r").orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bcnt
+      .withColumn("__below", coalesce(sum(col("__c")).over(wB), lit(0L)))
       .crossJoin(broadcast(obs.select("n_a")))
-      .groupBy(col("__r"))
-      .agg(sum(when(col("__rn") <= col("n_a"), col("__v"))
-        .otherwise(lit(0))).as("sa"))
+      .localCheckpoint(true) // b × ≤4096 rows; feeds full AND boundary
+    val fullSum = cum.where(col("__below") + col("__c") <= col("n_a"))
+      .groupBy("__r").agg(sum(col("__sv")).as("__sfull"))
+    val bound = cum
+      .where(col("__below") < col("n_a") &&
+        col("__below") + col("__c") > col("n_a"))
+      .select(col("__r"), col("__bkt"),
+        (col("n_a") - col("__below")).as("__k"))
+    val wR = Window.partitionBy("__r", "__bkt")
+      .orderBy(col("__h").asc, col("__idx").asc)
+    val boundSum = gi.join(broadcast(bound), Seq("__r", "__bkt"))
+      .withColumn("__rn", row_number().over(wR))
+      .where(col("__rn") <= col("__k"))
+      .groupBy("__r").agg(sum(col("__v")).as("__sbnd"))
+    val byRep = fullSum.join(boundSum, Seq("__r"), "full")
+      .select(col("__r"),
+        (coalesce(col("__sfull"), expr("CAST(0 AS DECIMAL(30,6))")) +
+          coalesce(col("__sbnd"), expr("CAST(0 AS DECIMAL(30,6))")))
+          .as("sa"))
     val repDiff =
       "CAST(sa AS DOUBLE) / n_a - (CAST(__st AS DOUBLE) - CAST(sa AS DOUBLE)) / n_b"
     val obsDiff =

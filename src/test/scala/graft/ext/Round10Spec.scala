@@ -2,6 +2,7 @@ package graft.ext
 
 import scala.util.Random
 
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTest
@@ -60,6 +61,79 @@ class Round10Spec extends AnyFunSuite with SparkTest {
       .as[(Long, Long)].collect().toMap
     assert(got.size == 2 * levels)
     assert(got.values.forall(_ == 0L))
+  }
+
+  // ---- permutationTest distributed selection (round-10 ask #3) --------
+
+  /** Driver replication of the engine's exact per-replica selection:
+    * n_a smallest (mix64(r·n + idx), idx), integer values so the
+    * round-6 decimal discipline is exact. Returns the predicted n_ge
+    * under the engine's own double formulas.
+    */
+  private def predictNGe(n: Int, b: Int, v: Int => Long,
+      isA: Int => Boolean): (Long, Long, Long) = {
+    val nA = (0 until n).count(isA).toLong
+    val nB = n - nA
+    val st = (0 until n).map(v(_).toDouble).sum
+    val saObs = (0 until n).filter(isA).map(v(_).toDouble).sum
+    val dObs = saObs / nA - (st - saObs) / nB
+    var nGe = 0L
+    for (r <- 0 until b) {
+      val sel = (0 until n)
+        .map(i => (Aggs.mix64(r.toLong * n + i), i))
+        .sorted.take(nA.toInt).map(_._2)
+      val sa = sel.map(v(_).toDouble).sum
+      val dr = sa / nA - (st - sa) / nB
+      if (math.abs(dr) >= math.abs(dObs)) nGe += 1
+    }
+    (nA, nB, nGe)
+  }
+
+  test("permutationTest: distributed selection ≡ driver-exact selection (3 value shapes)") {
+    val n = 300; val b = 50
+    val shapes: Seq[(Int => Long, Int => Boolean)] = Seq(
+      (i => (i % 13).toLong, i => i % 3 == 0),
+      (i => (i * i % 101).toLong, i => i % 7 < 3),
+      (i => (i % 2).toLong * 1000 + i % 5, i => i < 90))
+    for (((vf, gf), k) <- shapes.zipWithIndex) {
+      val df = (0 until n).map(i => (i.toLong, vf(i), gf(i)))
+        .toDF("id", "v", "g")
+      val got = Analytics.permutationTest(df, "id", "v", col("g"), b = b)
+        .selectExpr("n_a", "n_b", "n_ge").as[(Long, Long, Long)]
+        .collect()
+      val want = predictNGe(n, b, vf, gf)
+      assert(got.length == 1 && got(0) == want, s"shape $k")
+    }
+  }
+
+  test("permutationTest: 1M items — ranking windows are (replica, bucket)-partitioned, buckets ~n/4096") {
+    val n = 1000000L; val b = 3
+    val df = spark.range(n).selectExpr(
+      "id", "id % 97 AS v", "id % 2 = 0 AS g")
+    val res = Analytics.permutationTest(df, "id", "v", col("g"), b = b)
+    val row = res.selectExpr("n_a", "n_b", "p_value")
+      .as[(Long, Long, Double)].collect()
+    assert(row.length == 1)
+    assert(row(0)._1 == 500000L && row(0)._2 == 500000L)
+    assert(row(0)._3 > 0.0 && row(0)._3 <= 1.0)
+    // plan pin: every row_number window partitions by (__r, __bkt) —
+    // the n-sized grid is never sorted within a single replica
+    val plan = res.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val rnLines = plan.split("\n").filter(_.contains("row_number"))
+    assert(rnLines.nonEmpty)
+    assert(rnLines.forall(l => l.contains("__bkt") && l.contains("__r")),
+      s"row_number windows not bucket-partitioned:\n${rnLines.mkString("\n")}")
+    // the boundary-bucket groups the window actually sorts: ≤ ~n/4096
+    // rows each (mix64 is uniform), three orders below a replica sort
+    val maxBkt = spark.range(n * b)
+      .select(expr("id div 1000000").as("r"),
+        HashExprs.mix64(col("id")).as("h"))
+      .selectExpr("r", "h >> 52 AS bkt")
+      .groupBy("r", "bkt").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxBkt < n / 1000,
+      s"max replica-bucket $maxBkt ≥ n/1000 — selection not distributed")
   }
 
   // ---- WordPiece (round-10 ask #2) -------------------------------------
