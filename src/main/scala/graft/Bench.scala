@@ -74,17 +74,32 @@ object Bench {
     // the true cost, and per-pass totals stay visible in run_totals. A
     // query failing in ANY pass reports -1 (a flaky failure must surface,
     // not vanish into the statistic).
-    val results: Seq[(String, Double, Boolean)] = queries.indices.map { qi =>
-      val name = queries(qi)._1
-      val runs = passes.map(_(qi))
-      val ok = runs.forall(_._3)
-      (name, if (ok) runs.map(_._2).min else -1.0, ok)
+    // BOTH statistics are recorded per query (round 10 — the round-9
+    // protocol switch made cross-round deltas need manual
+    // renormalization): min stays the headline steady-state number,
+    // median rides along in bench_detail.json so any past or future
+    // round can be compared like-for-like without re-running.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    val results: Seq[(String, Double, Double, Boolean)] =
+      queries.indices.map { qi =>
+        val name = queries(qi)._1
+        val runs = passes.map(_(qi))
+        val ok = runs.forall(_._3)
+        (name,
+          if (ok) runs.map(_._2).min else -1.0,
+          if (ok) median(runs.map(_._2)) else -1.0,
+          ok)
+      }
     val runTotals = passes.map(p => p.collect { case (_, v, true) => v }.sum)
     def fmt(v: Double): String = f"$v%.3f"
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, _, true) => v }.sum
+    val totalMedian = results.collect { case (_, _, m, true) => m }.sum
     // numeric scale factor parsed from the dir name (e.g. ".../sf0.1" -> 0.1)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
@@ -93,20 +108,23 @@ object Bench {
     // truncated mid-JSON and never parsed (this is what happened to the
     // 102-entry single-line dumps of earlier rounds). The headline line
     // carries the slowest 50 queries verbatim plus one rollup bucket.
-    val detail = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val detail = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detailMedian = results
+      .map { case (k, _, m, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     val runTotalsJson = runTotals.map(fmt).mkString("[", ",", "]")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"protocol":"min-of-$nRuns","run_totals":$runTotalsJson,"queries":$detail,"errors":$errors,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"protocol":"min-of-$nRuns","stats":["min","median"],"total_median":${fmt(totalMedian)},"run_totals":$runTotalsJson,"queries":$detail,"queries_median":$detailMedian,"errors":$errors,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
         (detailJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => }
-    val slow = results.filter(_._3).sortBy(-_._2)
+    val slow = results.filter(_._4).sortBy(-_._2)
     val top = slow.take(50)
     val restSum = slow.drop(50).map(_._2).sum
-    val qs = (top.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) } :+
+    val qs = (top.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) } :+
       ("\"_rest_" + slow.drop(50).size + "q\":" + fmt(restSum)))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errors,"sf":$sfNum}""")
