@@ -529,8 +529,16 @@ object Analytics {
             col(valCol)))).as("__band"),
         first(col("__n")).as("__n"))
       .select(col(groupCol),
-        element_at(col("__band"),
-          (expr("(__n + 1) div 2") - col("__below")).cast("int")).as(out))
+        // a band miss (the exact rank falling outside [p45, p55] —
+        // impossible under GK's ±n/10000 rank-error contract, but the
+        // contract deserves a tripwire) must be LOUD: a silently-null
+        // median would skew every downstream statistic (ADVICE r09)
+        coalesce(
+          try_element_at(col("__band"),
+            (expr("(__n + 1) div 2") - col("__below")).cast("int")),
+          expr("assert_true(false, 'lowerMedianByGroup: exact median " +
+            "rank fell outside the approx_percentile band')"))
+          .as(out))
   }
 
   /** Exact multi-quantile selection per group — `lowerMedianByGroup`
@@ -569,10 +577,14 @@ object Analytics {
       .groupBy(col(groupCol))
       .agg(first(col("__n")).as("__n"), aggs: _*)
     val picks = pcts.indices.map { i =>
-      // integer ceiling rank: (pct·n + 99) div 100 — never a double
+      // integer ceiling rank: (pct·n + 99) div 100 — never a double;
+      // band misses trip loudly (the lowerMedianByGroup tripwire)
       struct(lit(pcts(i).toLong).as("pct"),
-        element_at(col(s"__band_$i"),
-          expr(s"CAST((${pcts(i)} * __n + 99) div 100 - __below_$i AS INT)"))
+        coalesce(
+          try_element_at(col(s"__band_$i"),
+            expr(s"CAST((${pcts(i)} * __n + 99) div 100 - __below_$i AS INT)")),
+          expr("assert_true(false, 'quantilesByGroup: exact rank fell " +
+            "outside the approx_percentile band')"))
           .as("value"))
     }
     g.select(col(groupCol), explode(array(picks: _*)).as("__q"))
@@ -1514,6 +1526,14 @@ object Analytics {
     * values a hair under .5e-6 — measured on stats_jsd at sf0.001:
     * 0.0036284999999999998 → 0.003628 vs 0.003629). Identical IEEE ops
     * in both engines; the Similarity.round6Scaled twin.
+    *
+    * Domain: |x| must stay below 2^53/10^6 ≈ 9.0e9 — beyond that,
+    * `x · 1e6` exceeds 2^53 and the fractional part the half-up compare
+    * reads is silently gone (the result degrades to plain truncation of
+    * an already-integral double). Every call site feeds bounded
+    * statistics (JSD ≤ ln 2, p-values ≤ 1, rate ratios, betweenness
+    * deltas ≤ seed·reach); a caller with potentially huge magnitudes
+    * must pass them through unrounded instead.
     */
   def half6Sql(t: String): String =
     s"(CAST(CASE WHEN ($t) * 1000000.0 < 0 " +

@@ -33,7 +33,14 @@ object Dedup {
     * the copy from the highest-priority source (then smallest id) — the
     * practical cross-source curation rule ("when Wikipedia and a crawl
     * carry the same text, keep the Wikipedia copy; drop the crawl's").
-    * `priorityExpr` is any integral column expression, larger = wins.
+    * `priorityExpr` is any integral column expression, larger = wins; a
+    * NULL priority ranks below every real one (coalesced to
+    * Long.MinValue, so the winner stays the documented
+    * highest-priority-then-smallest-id rule instead of engine-defined
+    * partial-null struct ordering). The id tiebreak is bitwise NOT
+    * (`~id` is monotone DECREASING over the whole long range — no
+    * `-Long.MinValue` overflow). `keep_priority` is the group max over
+    * NON-null priorities (null iff the whole group is null-priority).
     * One map-side-combining `max_by` aggregation keyed on the text
     * digest; the exchange carries 32 bytes + three longs per row, never
     * text — [[exact]]'s scale shape.
@@ -43,8 +50,9 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("digest"))
       .agg(
         max_by(col(idCol),
-          struct(priorityExpr.cast("long").as("p"),
-            (-col(idCol)).cast("long").as("negid"))).as("keep_id"),
+          struct(
+            coalesce(priorityExpr.cast("long"), lit(Long.MinValue)).as("p"),
+            expr(s"~ CAST(`$idCol` AS BIGINT)").as("notid"))).as("keep_id"),
         max(priorityExpr.cast("long")).as("keep_priority"),
         count(lit(1)).as("n_copies"))
 

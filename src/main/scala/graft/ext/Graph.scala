@@ -1282,7 +1282,11 @@ object Graph {
       d += 1
     }
     // backward: δ = 0 at the horizon, then per level one edge join +
-    // one exact integer sum of half6-scaled terms (δ carried ×1e6)
+    // one exact integer sum of half6-scaled terms (δ carried ×1e6).
+    // Same 2^53/1e6 domain bound as Analytics.half6Sql: the argument is
+    // a δ·1e6 double, and δ ≤ |seeds|·reach per node — far below 9.0e9
+    // at the documented seed stride; a caller raising both dials past
+    // that must widen the scaling first.
     def half6(t: String): String =
       s"""CAST(CASE WHEN $t < 0
          |  THEN -(floor(abs($t)) + (CASE WHEN abs($t) - floor(abs($t)) >= 0.5 THEN 1 ELSE 0 END))

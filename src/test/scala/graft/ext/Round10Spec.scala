@@ -136,6 +136,28 @@ class Round10Spec extends AnyFunSuite with SparkTest {
       s"max replica-bucket $maxBkt ≥ n/1000 — selection not distributed")
   }
 
+  // ---- exactWithPriority edges (ADVICE r09) ----------------------------
+
+  test("exactWithPriority: null priorities rank lowest; Long.MinValue id wins ties safely") {
+    val df = Seq(
+      // group "x": null priority must lose to the real ones; among the
+      // p=5 pair the smaller id wins
+      (10L, "x", Some(5L)), (3L, "x", None), (7L, "x", Some(5L)),
+      // group "y": ALL null priorities → smallest id, null keep_priority
+      (20L, "y", None), (12L, "y", None),
+      // group "z": Long.MinValue id in a tie — the old (-id) cast
+      // overflowed here; ~id must pick it as the smallest
+      (Long.MinValue, "z", Some(1L)), (99L, "z", Some(1L)))
+      .toDF("id", "text", "p")
+    val got = Dedup.exactWithPriority(df, "id", "text", col("p"))
+      .select("keep_id", "keep_priority", "n_copies")
+      .as[(Long, Option[Long], Long)].collect().toSet
+    assert(got == Set(
+      (7L, Some(5L), 3L),
+      (12L, None, 2L),
+      (Long.MinValue, Some(1L), 2L)))
+  }
+
   // ---- WordPiece (round-10 ask #2) -------------------------------------
 
   test("wordpieceTrain: hand-computed likelihood-gain merges on a 2-word corpus") {
