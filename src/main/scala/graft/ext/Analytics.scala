@@ -1189,6 +1189,76 @@ object Analytics {
         col("n0").as("n"), col("w_stat"))
   }
 
+  /** Shared Bartlett final expression over (k, n: doubles; w, lt, invs:
+    * per-term-rounded DECIMAL sums cast to double): T = ((n−k)·ln(Sp²) −
+    * Σ(nᵢ−1)·ln(Sᵢ²)) / (1 + (Σ1/(nᵢ−1) − 1/(n−k)) / (3(k−1))) with
+    * Sp² = w/(n−k). Spelled identically in Spark SQL and DuckDB.
+    */
+  private[graft] def bartlettExpr: String = half6Sql(
+    "((n - k) * ln(w / (n - k)) - lt) / " +
+      "(1.0 + (invs - 1.0 / (n - k)) / (3.0 * (k - 1.0)))")
+
+  /** Bartlett's test per group across the cohorts of `cohortCol` — the
+    * NORMAL-THEORY variance-homogeneity test completing the spread
+    * matrix beside [[brownForsythe]] (Bartlett is the likelihood-ratio
+    * test, most powerful under normality but tail-sensitive;
+    * Brown–Forsythe is the robust screen — real pipelines run both and
+    * diverge between them as a non-normality signal). T ~ χ²(k−1)
+    * under H0.
+    *
+    * Exactness: per-cohort sufficient statistics are exact DECIMAL sums
+    * (n, Σround(x,6), Σround(x²,6) — the anovaF discipline); every
+    * cross-cohort reduction is a per-term round-6 DECIMAL sum — the
+    * within-SS term w_i = round(q_i − s_i²/n_i, 6), the log term
+    * round((n_i−1)·ln(S_i²), 6), the inverse term round(1/(n_i−1), 6) —
+    * so cohort combine order can't drift; ONE shared final expression
+    * ([[bartlettExpr]], half-away-from-zero rounded). Cohorts need
+    * n_i ≥ 2; groups drop when k < 2, n ≤ k, or ANY cohort has zero
+    * within-variance (ln undefined — dropping the cohort instead would
+    * silently change k).
+    *
+    * Scale: one map-side-combining aggregation to (group, cohort), one
+    * to group granularity — anovaF's exact shape, vocabulary-sized
+    * exchanges.
+    */
+  def bartlett(df: DataFrame, groupCol: String, valCol: String,
+      cohortCol: Column): DataFrame = {
+    val v = col(valCol)
+    val cell = df.where(v.isNotNull && cohortCol.isNotNull)
+      .select(col(groupCol).as("__g"), cohortCol.as("__c"),
+        round(v.cast("double"), 6).cast("decimal(30,6)").as("__v"),
+        round(v.cast("double") * v.cast("double"), 6)
+          .cast("decimal(30,6)").as("__v2"))
+      .groupBy("__g", "__c")
+      .agg(count(lit(1)).as("__ni"),
+        sum(col("__v")).as("__si"), sum(col("__v2")).as("__qi"))
+      .where(col("__ni") >= 2L)
+      .withColumn("__wi", expr(
+        "CAST(round(CAST(__qi AS DOUBLE) - CAST(__si AS DOUBLE) " +
+          "* CAST(__si AS DOUBLE) / CAST(__ni AS DOUBLE), 6) " +
+          "AS DECIMAL(30,6))"))
+      .withColumn("__si2", expr(
+        "CAST(__wi AS DOUBLE) / (CAST(__ni AS DOUBLE) - 1.0)"))
+    cell.groupBy("__g")
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(col("__ni")).as("n0"),
+        min(col("__si2")).as("__minv"),
+        sum(col("__wi")).cast("double").as("w"),
+        sum(expr(
+          "CAST(round((CAST(__ni AS DOUBLE) - 1.0) * ln(CASE WHEN __si2 " +
+            "<= 0.0 THEN 1.0 ELSE __si2 END), 6) AS DECIMAL(30,6))"))
+          .cast("double").as("lt"),
+        sum(expr(
+          "CAST(round(1.0 / (CAST(__ni AS DOUBLE) - 1.0), 6) " +
+            "AS DECIMAL(30,6))")).cast("double").as("invs"))
+      .withColumn("n", col("n0").cast("double"))
+      .where(col("k") >= 2.0 && col("n") > col("k") &&
+        col("__minv") > 0.0)
+      .withColumn("t_stat", expr(bartlettExpr))
+      .select(col("__g").as(groupCol), col("k").cast("long").as("n_cohorts"),
+        col("n0").as("n"), col("t_stat"))
+  }
+
   /** One-way ANOVA F statistic per group across the cohorts of
     * `cohortCol` — [[welchT]]'s k-cohort generalization (is ANY cohort's
     * mean off?), the one-shot screen a pipeline runs before k² pairwise

@@ -662,6 +662,78 @@ object Eval {
       .drop("__d2")
   }
 
+  /** Shared Kendall τ-b final expression — exact (p, q, n0, n1, n2:
+    * DECIMAL(38,0) pair counts) in, one rounded double out, identical in
+    * Spark SQL and DuckDB. τ-b = (P − Q)/√((n0−n1)(n0−n2)).
+    */
+  private[graft] def kendallExpr: String = Analytics.half6Sql(
+    "(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) / " +
+      "sqrt((CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE)) * " +
+      "(CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE)))")
+
+  /** Per-slice Kendall τ-b between two orderings — [[spearmanRho]]'s
+    * pair-concordance companion (the standard second rank-agreement
+    * number; unlike ρ it has the clean "probability a random pair is
+    * ordered the same way" reading, and τ-b's tie correction is exact
+    * rather than convention). P/Q/tie counts are computed on the
+    * COMPRESSED joint-frequency cell table (x, y, count) — never on raw
+    * rows: concordant/discordant pair counts are a cell self-join on
+    * `a.x < b.x` classified by the y order, tie terms are marginal
+    * Σt(t−1)/2 per axis, all in exact DECIMAL(38,0) (cell products reach
+    * n², far past a long near 2M rows/slice — the spearman Σd² trap).
+    * ONE shared final expression; slices with n < 2 or a constant axis
+    * (denominator 0) drop.
+    *
+    * Scale: one aggregation to (slice, x, y) cells — the only
+    * corpus-sized shuffle; the self-join is slice-keyed over cells with
+    * an `a.x < b.x` in-join filter, so its cost is cells²-per-slice: the
+    * INTEGRAL-SCORE contract (quantized/bucketed scores, the repo-wide
+    * eval discipline) bounds cells at |X|·|Y| per slice independent of
+    * corpus size. Margins and totals are three cell-sized aggregations.
+    */
+  def kendallTauB(df: DataFrame, sliceCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(sliceCol).as("__s"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .groupBy("__s", "__x", "__y").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds the self-join AND three margins
+    val d38 = "decimal(38,0)"
+    def tiePairs(axis: String) = cells
+      .groupBy(col("__s"), col(axis)).agg(sum(col("__c")).as("__t"))
+      .groupBy("__s")
+      .agg(sum((col("__t").cast(d38) * (col("__t") - 1L).cast(d38) / 2)
+        .cast(d38)).as(if (axis == "__x") "n1" else "n2"))
+    val tot = cells.groupBy("__s")
+      .agg(sum(col("__c")).as("n"))
+      .withColumn("n0",
+        (col("n").cast(d38) * (col("n") - 1L).cast(d38) / 2).cast(d38))
+    val b = cells.select(col("__s"), col("__x").as("__bx"),
+      col("__y").as("__by"), col("__c").as("__bc"))
+    val pq = cells.join(b, Seq("__s"))
+      .where(col("__x") < col("__bx"))
+      .groupBy("__s")
+      .agg(
+        sum(when(col("__y") < col("__by"),
+          (col("__c").cast(d38) * col("__bc").cast(d38)).cast(d38))
+          .otherwise(lit(0).cast(d38))).as("p"),
+        sum(when(col("__y") > col("__by"),
+          (col("__c").cast(d38) * col("__bc").cast(d38)).cast(d38))
+          .otherwise(lit(0).cast(d38))).as("q"))
+    tot.join(pq, Seq("__s"), "left")
+      .join(tiePairs("__x"), Seq("__s"))
+      .join(tiePairs("__y"), Seq("__s"))
+      .select(col("__s").as(sliceCol), col("n"),
+        coalesce(col("p"), lit(0).cast(d38)).as("p"),
+        coalesce(col("q"), lit(0).cast(d38)).as("q"),
+        col("n0"), col("n1"), col("n2"))
+      .where(col("n") >= 2L && col("n0") > col("n1") &&
+        col("n0") > col("n2"))
+      .withColumn("tau_b", expr(kendallExpr))
+      .select(col(sliceCol), col("n"), col("tau_b"))
+  }
+
   /** Shared BLEU-2 final expressions, evaluated VERBATIM by both engines
     * over the same six exact-long inputs (`ln`/`exp`/`least`/`round`
     * spell identically in Spark SQL and ANSI DuckDB), so the only float

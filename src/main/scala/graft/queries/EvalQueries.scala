@@ -2454,6 +2454,98 @@ object EvalQueries {
        |  ${Analytics.anovaFExpr} AS w_stat
        |FROM gg WHERE k >= 2.0 AND n > k AND q - b > 0.0""".stripMargin
 
+  /** Bartlett's T per event type across the same four user buckets — the
+    * normal-theory variance-homogeneity test beside [[statsLevene]]'s
+    * robust one (see [[graft.ext.Analytics.bartlett]]; diverging
+    * Bartlett/Brown–Forsythe verdicts are themselves a non-normality
+    * signal).
+    */
+  val statsBartlett: QueryFn = (s, dir) =>
+    Analytics.bartlett(Tables.events(s, dir), "event_type", "value",
+      pmod(col("user_id"), lit(4L)))
+
+  val statsBartlettSql: String =
+    s"""WITH cell AS (
+       |  SELECT event_type AS g, ((user_id % 4) + 4) % 4 AS c,
+       |    CAST(count(*) AS BIGINT) AS ni,
+       |    sum(CAST(round(value, 6) AS DECIMAL(30,6))) AS si,
+       |    sum(CAST(round(value * value, 6) AS DECIMAL(30,6))) AS qi
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+       |), c2 AS (
+       |  SELECT g, c, ni,
+       |    CAST(round(CAST(qi AS DOUBLE) - CAST(si AS DOUBLE)
+       |      * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE), 6)
+       |      AS DECIMAL(30,6)) AS wi
+       |  FROM cell WHERE ni >= 2
+       |), c3 AS (
+       |  SELECT g, c, ni, wi,
+       |    CAST(wi AS DOUBLE) / (CAST(ni AS DOUBLE) - 1.0) AS si2
+       |  FROM c2
+       |), gs AS (
+       |  SELECT g, CAST(count(*) AS DOUBLE) AS k,
+       |    CAST(sum(ni) AS BIGINT) AS n0,
+       |    min(si2) AS minv,
+       |    CAST(sum(wi) AS DOUBLE) AS w,
+       |    CAST(sum(CAST(round((CAST(ni AS DOUBLE) - 1.0)
+       |      * ln(CASE WHEN si2 <= 0.0 THEN 1.0 ELSE si2 END), 6)
+       |      AS DECIMAL(30,6))) AS DOUBLE) AS lt,
+       |    CAST(sum(CAST(round(1.0 / (CAST(ni AS DOUBLE) - 1.0), 6)
+       |      AS DECIMAL(30,6))) AS DOUBLE) AS invs
+       |  FROM c3 GROUP BY 1
+       |), gg AS (SELECT *, CAST(n0 AS DOUBLE) AS n FROM gs)
+       |SELECT g AS event_type, CAST(k AS BIGINT) AS n_cohorts, n0 AS n,
+       |  ${Analytics.bartlettExpr} AS t_stat
+       |FROM gg WHERE k >= 2.0 AND n > k AND minv > 0.0""".stripMargin
+
+  /** Kendall τ-b per event type between hour-of-day and the integer
+    * value bucket — [[evalSpearman]]'s pair-concordance companion over
+    * compressed joint-frequency cells (see
+    * [[graft.ext.Eval.kendallTauB]]).
+    */
+  val evalKendall: QueryFn = (s, dir) =>
+    Eval.kendallTauB(
+      Tables.events(s, dir)
+        .where(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"), hour(col("ts")).as("h"),
+          floor(col("value")).cast("long").as("vb")),
+      "event_type", "h", "vb")
+
+  val evalKendallSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type AS s, CAST(hour(ts) AS BIGINT) AS x,
+       |    CAST(floor(value) AS BIGINT) AS y,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT s, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(c) AS HUGEINT) * (CAST(sum(c) AS HUGEINT) - 1) / 2 AS n0
+       |  FROM cells GROUP BY 1
+       |), tx AS (
+       |  SELECT s, sum(t * (t - 1) / 2) AS n1 FROM (
+       |    SELECT s, CAST(sum(c) AS HUGEINT) AS t FROM cells GROUP BY s, x)
+       |  GROUP BY 1
+       |), ty AS (
+       |  SELECT s, sum(t * (t - 1) / 2) AS n2 FROM (
+       |    SELECT s, CAST(sum(c) AS HUGEINT) AS t FROM cells GROUP BY s, y)
+       |  GROUP BY 1
+       |), pq AS (
+       |  SELECT a.s,
+       |    sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
+       |        ELSE 0 END) AS p,
+       |    sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
+       |        ELSE 0 END) AS q
+       |  FROM cells a JOIN cells b ON a.s = b.s AND a.x < b.x
+       |  GROUP BY 1
+       |), gg AS (
+       |  SELECT t.s, t.n, coalesce(pq.p, 0) AS p, coalesce(pq.q, 0) AS q,
+       |    t.n0, tx.n1, ty.n2
+       |  FROM tot t LEFT JOIN pq ON pq.s = t.s
+       |  JOIN tx ON tx.s = t.s JOIN ty ON ty.s = t.s
+       |)
+       |SELECT s AS event_type, n, ${Eval.kendallExpr} AS tau_b
+       |FROM gg WHERE n >= 2 AND n0 > n1 AND n0 > n2""".stripMargin
+
   /** Kruskal–Wallis H per event type across the same four user buckets
     * as [[statsAnova]] — the nonparametric twin (see
     * [[graft.ext.Analytics.kruskalWallis]]).
@@ -2580,6 +2672,8 @@ object EvalQueries {
     "stats_kruskal"    -> statsKruskal,
     "stats_anova"      -> statsAnova,
     "stats_levene"     -> statsLevene,
+    "stats_bartlett"   -> statsBartlett,
+    "eval_kendall"     -> evalKendall,
     "eval_delong"      -> evalDelong,
     "stats_permutation" -> statsPermutation,
     "eval_auc_ci"      -> evalAucCi,
@@ -2646,6 +2740,8 @@ object EvalQueries {
     "stats_kruskal"    -> statsKruskalSql,
     "stats_anova"      -> statsAnovaSql,
     "stats_levene"     -> statsLeveneSql,
+    "stats_bartlett"   -> statsBartlettSql,
+    "eval_kendall"     -> evalKendallSql,
     "eval_delong"      -> evalDelongSql,
     "stats_permutation" -> statsPermutationSql,
     "eval_auc_ci"      -> evalAucCiSql,

@@ -136,6 +136,67 @@ class Round10Spec extends AnyFunSuite with SparkTest {
       s"max replica-bucket $maxBkt ≥ n/1000 — selection not distributed")
   }
 
+  // ---- Kendall τ-b + Bartlett (round-10 additions) ---------------------
+
+  test("kendallTauB: matches the all-pairs brute force, with ties on both axes") {
+    val rnd = new Random(7919)
+    val rows = Seq.tabulate(120)(i =>
+      ("g" + (i % 2), rnd.nextInt(6).toLong, rnd.nextInt(5).toLong))
+    val got = Eval.kendallTauB(rows.toDF("s", "x", "y"), "s", "x", "y")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    for (g <- Seq("g0", "g1")) {
+      val pts = rows.filter(_._1 == g).map(r => (r._2, r._3))
+      val n = pts.size
+      var p = 0L; var q = 0L; var tX = 0L; var tY = 0L
+      for (i <- pts.indices; j <- (i + 1) until n) {
+        val ((x1, y1), (x2, y2)) = (pts(i), pts(j))
+        if (x1 == x2) tX += 1
+        if (y1 == y2) tY += 1
+        if (x1 != x2 && y1 != y2 &&
+          ((x1 < x2) == (y1 < y2))) p += 1
+        else if (x1 != x2 && y1 != y2) q += 1
+      }
+      val n0 = n.toLong * (n - 1) / 2
+      val want = (p - q).toDouble /
+        math.sqrt((n0 - tX).toDouble * (n0 - tY).toDouble)
+      val (gotN, gotTau) = got(g)
+      assert(gotN == n.toLong)
+      assert(math.abs(gotTau - want) < 1e-6, s"$g: $gotTau vs $want")
+    }
+  }
+
+  test("bartlett: matches the textbook statistic; constant-cohort groups drop") {
+    // integer values so the round-6 decimal discipline is exact
+    val rnd = new Random(28657)
+    val rows = Seq.tabulate(200)(i =>
+      ("g", i % 4, (rnd.nextInt(50) + (i % 4) * 10).toDouble)) ++
+      // group with one CONSTANT cohort → ln(0) undefined → must drop
+      Seq.tabulate(40)(i => ("const", i % 2, if (i % 2 == 0) 5.0
+        else (i / 2).toDouble))
+    val got = Analytics.bartlett(rows.toDF("s", "c", "v"), "s", "v",
+        col("c"))
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length == 1 && got(0)._1 == "g")
+    val (_, k, n, t) = got(0)
+    assert(k == 4L && n == 200L)
+    // textbook T on the same data
+    val cohorts = rows.filter(_._1 == "g").groupBy(_._2).values.toSeq
+      .map(_.map(_._3))
+    val ni = cohorts.map(_.size.toDouble)
+    val si2 = cohorts.map { xs =>
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val nn = ni.sum; val kk = ni.size.toDouble
+    val sp2 = ni.zip(si2).map { case (a, b) => (a - 1) * b }.sum / (nn - kk)
+    val lt = ni.zip(si2).map { case (a, b) => (a - 1) * math.log(b) }.sum
+    val corr = 1.0 + (ni.map(a => 1.0 / (a - 1)).sum - 1.0 / (nn - kk)) /
+      (3.0 * (kk - 1.0))
+    val want = ((nn - kk) * math.log(sp2) - lt) / corr
+    assert(math.abs(t - want) < 1e-3, s"$t vs $want")
+  }
+
   // ---- exactWithPriority edges (ADVICE r09) ----------------------------
 
   test("exactWithPriority: null priorities rank lowest; Long.MinValue id wins ties safely") {
