@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Physical-plan pins for the round-10 operator batch: kendall runs on
+  * compressed cells with keyed joins only, bartlett is pure
+  * aggregations, and the wordpiece pair keeps its lattice/vocab joins
+  * broadcast with no global window.
+  */
+class Round10PlanSpec extends AnyFunSuite with SparkTest {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("eval_kendall: zero windows; the cell self-join is slice-KEYED, never a nested loop") {
+    val p = plan(EvalQueries.evalKendall(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("stats_bartlett: aggregations only — zero joins, zero windows, no single-partition exchange") {
+    val p = plan(EvalQueries.statsBartlett(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("tokenize_wordpiece: lattice + vocab joins are all BROADCAST; the only window is the per-word argmax") {
+    val p = plan(ExtQueries.tokenizeWordpiece(spark, dir))
+    // composition lattice and vocabulary are driver-bounded constants —
+    // a shuffled join here would mean the word table was exchanged for
+    // an alphabet-sized side
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one window: the greedy argmax over per-word signatures
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+}
