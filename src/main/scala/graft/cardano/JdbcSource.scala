@@ -51,6 +51,17 @@ import org.apache.spark.sql.types.StructType
   *    pinned UTC on both.
   * If a real Postgres becomes reachable, run the same JdbcSourceSpec
   * equivalence suite against it with only the URL changed.
+  *
+  * Round-10 update: the sandbox gained Postgres 15 SERVER binaries (but
+  * still no Postgres JDBC driver jar, and zero egress to fetch one — so
+  * the in-JVM spec stays on Derby). Every dialect fact above, plus the
+  * reference tip-probe SQL shapes and the Spark-style quoted pushdown
+  * WHERE, is now EXECUTED against a real Postgres 15.18 by
+  * `tools/check_pg_dialect.sh` (7/7 pass recorded in PERFORMANCE.md):
+  * numeric(20,0) 20-digit round-trip, lowercase identifier folding,
+  * bytea hex round-trip, client-TZ-invariant plain timestamps, the
+  * OFFSET-3 tip probe, the two-CTE UNION ALL sink tip, and the pushed
+  * half-open time range.
   */
 object JdbcSource {
 
