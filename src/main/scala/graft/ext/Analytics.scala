@@ -320,23 +320,26 @@ object Analytics {
     * from identical exact sums in both engines; final outputs go
     * through [[half6Sql]]. Restart/partitioning-invariant end to end.
     *
-    * Scale: the grid is n·b rows, and per-replica selection is a
-    * DISTRIBUTED exact order statistic (round 10 — no per-replica
-    * global sort): rows bucket by the hash's top 12 bits (arithmetic
-    * `>> 52` preserves long order, so bucket order = hash order); a
-    * per-replica exclusive prefix count over the ≤ 4096 bucket rows —
-    * the ONLY per-replica window, bounded by the bucket count, never by
-    * n (the Pareto-staircase discipline) — ranks each bucket; buckets
-    * entirely below the n_a-th statistic contribute their pre-aggregated
-    * sums, and the single boundary bucket ranks only its own ~n/4096
-    * rows. The item index is the range-repartitioned zipWithIndex. b is
-    * the accuracy/cost dial. Input contract: n here is the EVAL-set size
-    * (benchmark items, slice aggregates) — permutation inference on raw
-    * corpus rows at 100 TB would grid 100·n rows; stratify or aggregate
-    * to items first, which is also what makes the test statistically
-    * meaningful (and with the distributed selection, a corpus-sized
-    * caller degrades to wasted work, not to 100 corpus-sized
-    * single-partition sorts).
+    * Scale: the grid is n·b rows. Per-replica selection has two regimes
+    * (round 10): at the operator's intended EVAL-set sizes (n ≤ 100k)
+    * it is one replica-keyed window pass — each partition sorts at most
+    * 100k rows, bounded by the branch guard itself, never by the
+    * caller; above that it becomes a DISTRIBUTED exact order statistic:
+    * rows bucket by the hash's top bits (bucket count adapts to ~1000
+    * rows/bucket; arithmetic `>>` preserves long order, so bucket order
+    * = hash order), a per-replica exclusive prefix count over the
+    * bucket rows — the only per-replica window, bounded by the bucket
+    * count, never by n (the Pareto-staircase discipline) — ranks each
+    * bucket, buckets entirely below the n_a-th statistic contribute
+    * their pre-aggregated sums, and the single boundary bucket ranks
+    * only its own ~1000 rows. The item index is the range-repartitioned
+    * zipWithIndex. b is the accuracy/cost dial. Input contract: n here
+    * is the EVAL-set size (benchmark items, slice aggregates) —
+    * permutation inference on raw corpus rows at 100 TB would grid
+    * 100·n rows; stratify or aggregate to items first, which is also
+    * what makes the test statistically meaningful (and with the
+    * bucketed selection, a corpus-sized caller degrades to wasted work,
+    * not to 100 corpus-sized single-partition sorts).
     */
   def permutationTest(df: DataFrame, idCol: String, valCol: String,
       cond: Column, b: Int = 100): DataFrame = {
@@ -360,39 +363,59 @@ object Analytics {
       expr(s"id div $nRows").as("__r"),
       pmod(col("id"), lit(nRows)).as("__idx"),
       HashExprs.mix64(col("id")).as("__h"))
-    // distributed exact selection of the n_a smallest (__h, __idx) per
-    // replica: bucket counts → per-replica prefix over ≤4096 bucket rows
-    // → whole full buckets + a ranked boundary bucket. The selected SET
-    // is identical to a per-replica sort; no partition ever holds more
-    // than one replica-bucket (~n/4096 rows).
-    val gi = grid.join(items.select("__idx", "__v"), Seq("__idx"))
-      .withColumn("__bkt", expr("__h >> 52"))
-    val bcnt = gi.groupBy("__r", "__bkt")
-      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__sv"))
-    val wB = Window.partitionBy("__r").orderBy(col("__bkt").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = bcnt
-      .withColumn("__below", coalesce(sum(col("__c")).over(wB), lit(0L)))
-      .crossJoin(broadcast(obs.select("n_a")))
-      .localCheckpoint(true) // b × ≤4096 rows; feeds full AND boundary
-    val fullSum = cum.where(col("__below") + col("__c") <= col("n_a"))
-      .groupBy("__r").agg(sum(col("__sv")).as("__sfull"))
-    val bound = cum
-      .where(col("__below") < col("n_a") &&
-        col("__below") + col("__c") > col("n_a"))
-      .select(col("__r"), col("__bkt"),
-        (col("n_a") - col("__below")).as("__k"))
-    val wR = Window.partitionBy("__r", "__bkt")
-      .orderBy(col("__h").asc, col("__idx").asc)
-    val boundSum = gi.join(broadcast(bound), Seq("__r", "__bkt"))
-      .withColumn("__rn", row_number().over(wR))
-      .where(col("__rn") <= col("__k"))
-      .groupBy("__r").agg(sum(col("__v")).as("__sbnd"))
-    val byRep = fullSum.join(boundSum, Seq("__r"), "full")
-      .select(col("__r"),
-        (coalesce(col("__sfull"), expr("CAST(0 AS DECIMAL(30,6))")) +
-          coalesce(col("__sbnd"), expr("CAST(0 AS DECIMAL(30,6))")))
-          .as("sa"))
+    // per-replica selection of the n_a smallest (__h, __idx), two regimes:
+    //  - eval-sized inputs (n ≤ 100k — the operator's intended input,
+    //    and the branch guard that BOUNDS what one window partition can
+    //    ever hold): one replica-keyed window pass, cheapest by far;
+    //  - above it, a distributed exact order statistic: bucket counts →
+    //    per-replica prefix over the bucket rows (bucket count adapts to
+    //    ~1000 rows/bucket) → whole full buckets + ONE ranked boundary
+    //    bucket. The selected SET is identical to a per-replica sort; no
+    //    partition ever holds more than one replica-bucket.
+    val byRep = if (nRows <= 100000L) {
+      val w = Window.partitionBy("__r")
+        .orderBy(col("__h").asc, col("__idx").asc)
+      grid.join(items.select("__idx", "__v"), Seq("__idx"))
+        .withColumn("__rn", row_number().over(w))
+        .crossJoin(broadcast(obs.select("n_a")))
+        .groupBy(col("__r"))
+        .agg(sum(when(col("__rn") <= col("n_a"), col("__v"))
+          .otherwise(lit(0))).as("sa"))
+    } else {
+      // bits ≈ log2(n/1000), clamped [8, 16]: ~1000-row buckets, and the
+      // arithmetic >> preserves long order so bucket order = hash order
+      val bits = math.min(16,
+        math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(nRows / 1000)))
+      val shift = 64 - bits
+      val gi = grid.join(items.select("__idx", "__v"), Seq("__idx"))
+        .withColumn("__bkt", expr(s"__h >> $shift"))
+      val bcnt = gi.groupBy("__r", "__bkt")
+        .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__sv"))
+      val wB = Window.partitionBy("__r").orderBy(col("__bkt").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = bcnt
+        .withColumn("__below", coalesce(sum(col("__c")).over(wB), lit(0L)))
+        .crossJoin(broadcast(obs.select("n_a")))
+        .localCheckpoint(true) // b × 2^bits rows; feeds full AND boundary
+      val fullSum = cum.where(col("__below") + col("__c") <= col("n_a"))
+        .groupBy("__r").agg(sum(col("__sv")).as("__sfull"))
+      val bound = cum
+        .where(col("__below") < col("n_a") &&
+          col("__below") + col("__c") > col("n_a"))
+        .select(col("__r"), col("__bkt"),
+          (col("n_a") - col("__below")).as("__k"))
+      val wR = Window.partitionBy("__r", "__bkt")
+        .orderBy(col("__h").asc, col("__idx").asc)
+      val boundSum = gi.join(broadcast(bound), Seq("__r", "__bkt"))
+        .withColumn("__rn", row_number().over(wR))
+        .where(col("__rn") <= col("__k"))
+        .groupBy("__r").agg(sum(col("__v")).as("__sbnd"))
+      fullSum.join(boundSum, Seq("__r"), "full")
+        .select(col("__r"),
+          (coalesce(col("__sfull"), expr("CAST(0 AS DECIMAL(30,6))")) +
+            coalesce(col("__sbnd"), expr("CAST(0 AS DECIMAL(30,6))")))
+            .as("sa"))
+    }
     val repDiff =
       "CAST(sa AS DOUBLE) / n_a - (CAST(__st AS DOUBLE) - CAST(sa AS DOUBLE)) / n_b"
     val obsDiff =

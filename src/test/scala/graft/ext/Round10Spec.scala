@@ -89,7 +89,7 @@ class Round10Spec extends AnyFunSuite with SparkTest {
     (nA, nB, nGe)
   }
 
-  test("permutationTest: distributed selection ≡ driver-exact selection (3 value shapes)") {
+  test("permutationTest: small-path selection ≡ driver-exact selection (3 value shapes)") {
     val n = 300; val b = 50
     val shapes: Seq[(Int => Long, Int => Boolean)] = Seq(
       (i => (i % 13).toLong, i => i % 3 == 0),
@@ -104,6 +104,18 @@ class Round10Spec extends AnyFunSuite with SparkTest {
       val want = predictNGe(n, b, vf, gf)
       assert(got.length == 1 && got(0) == want, s"shape $k")
     }
+  }
+
+  test("permutationTest: bucketed-path selection (n > 100k) ≡ driver-exact selection") {
+    val n = 120001; val b = 5
+    val vf: Int => Long = i => (i % 97).toLong
+    val gf: Int => Boolean = i => i % 3 == 0
+    val df = spark.range(n.toLong).selectExpr(
+      "id", "id % 97 AS v", "id % 3 = 0 AS g")
+    val got = Analytics.permutationTest(df, "id", "v", col("g"), b = b)
+      .selectExpr("n_a", "n_b", "n_ge").as[(Long, Long, Long)].collect()
+    val want = predictNGe(n, b, vf, gf)
+    assert(got.length == 1 && got(0) == want)
   }
 
   test("permutationTest: 1M items — ranking windows are (replica, bucket)-partitioned, buckets ~n/4096") {
@@ -124,16 +136,17 @@ class Round10Spec extends AnyFunSuite with SparkTest {
     assert(rnLines.nonEmpty)
     assert(rnLines.forall(l => l.contains("__bkt") && l.contains("__r")),
       s"row_number windows not bucket-partitioned:\n${rnLines.mkString("\n")}")
-    // the boundary-bucket groups the window actually sorts: ≤ ~n/4096
-    // rows each (mix64 is uniform), three orders below a replica sort
+    // the boundary-bucket groups the window actually sorts: ~1000 rows
+    // each (adaptive bits: 1M/1000 → 10 bits → shift 54; mix64 uniform),
+    // three orders below a replica sort
     val maxBkt = spark.range(n * b)
       .select(expr("id div 1000000").as("r"),
         HashExprs.mix64(col("id")).as("h"))
-      .selectExpr("r", "h >> 52 AS bkt")
+      .selectExpr("r", "h >> 54 AS bkt")
       .groupBy("r", "bkt").count()
       .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
-    assert(maxBkt < n / 1000,
-      s"max replica-bucket $maxBkt ≥ n/1000 — selection not distributed")
+    assert(maxBkt < n / 500,
+      s"max replica-bucket $maxBkt ≥ n/500 — selection not distributed")
   }
 
   // ---- Kendall τ-b + Bartlett (round-10 additions) ---------------------
