@@ -540,11 +540,16 @@ object Analytics {
     */
   private[ext] def lowerMedianByGroup(df: DataFrame, groupCol: String,
       valCol: String, out: String): DataFrame = {
-    val stats = df.groupBy(col(groupCol)).agg(
+    // median of the NON-NULL value multiset: nulls would inflate __n
+    // (count) while being invisible to the percentile band and the
+    // below-count, mis-ranking the pick — with the loud tripwire below,
+    // that inconsistency would throw instead of skewing silently
+    val dfnn = df.where(col(valCol).isNotNull)
+    val stats = dfnn.groupBy(col(groupCol)).agg(
       count(lit(1)).as("__n"),
       approx_percentile(col(valCol),
         array(lit(0.45), lit(0.55)), lit(10000)).as("__pc"))
-    df.join(broadcast(stats), Seq(groupCol))
+    dfnn.join(broadcast(stats), Seq(groupCol))
       .groupBy(col(groupCol)).agg(
         sum((col(valCol) < col("__pc")(0)).cast("long")).as("__below"),
         sort_array(collect_list(

@@ -149,6 +149,20 @@ class Round10Spec extends AnyFunSuite with SparkTest {
       s"max replica-bucket $maxBkt ≥ n/500 — selection not distributed")
   }
 
+  // ---- lowerMedianByGroup null handling (tripwire companion) ----------
+
+  test("madOutliers: null values are invisible to the median, not a rank skew or a tripwire hit") {
+    // group "a": values 1..7 plus three nulls — the median must be the
+    // median of the NON-NULL multiset (4.0), and the nulls must neither
+    // inflate the rank (the silent pre-round-10 skew) nor trip the new
+    // band-miss assert
+    val df = (1 to 7).map(i => ("a", i.toLong, Some(i.toDouble))) ++
+      Seq(("a", 8L, None), ("a", 9L, None), ("a", 10L, None))
+    val got = Analytics.madOutliers(df.toDF("g", "id", "v"), "g", "id", "v")
+      .where(col("id") === 4L).select("dev").as[Double].collect()
+    assert(got.toSeq == Seq(0.0)) // id 4 holds the median value exactly
+  }
+
   // ---- Kendall τ-b + Bartlett (round-10 additions) ---------------------
 
   test("kendallTauB: matches the all-pairs brute force, with ties on both axes") {
