@@ -1217,6 +1217,57 @@ object Analytics {
         col("n0").as("n"), col("w_stat"))
   }
 
+  /** TOST equivalence test per group (two one-sided tests, Schuirmann
+    * 1987 — the eval question significance tests can't answer: not "is
+    * B different?" but "is B the SAME within a margin?", the gate a
+    * model/data swap actually needs): with Δ = mean_A − mean_B and the
+    * Welch standard error, t_lower = (Δ + margin)/se tests Δ > −margin
+    * and t_upper = (margin − Δ)/se tests Δ < margin; EQUIVALENT iff
+    * both exceed the one-sided 5% normal critical value 1.644854 (the
+    * large-sample z approximation — exact Welch df would drag a
+    * t-quantile function across engines; at eval-set sizes the
+    * difference is far below the margin's own uncertainty, and the
+    * approximation is documented rather than silent).
+    *
+    * Exactness: the same per-term round-6 DECIMAL sufficient statistics
+    * as [[welchT]]; Δ, both t's, and the verdict are shared final
+    * expressions ([[half6Sql]]-rounded) over those exact sums. Groups
+    * where either cohort has n < 2 or zero variance drop (se undefined).
+    *
+    * Scale: ONE map-side-combining aggregation to group granularity —
+    * welchT's exact shape.
+    */
+  def tostEquivalence(df: DataFrame, groupCol: String, valCol: String,
+      inA: Column, margin: Double): DataFrame = {
+    require(margin > 0.0, "tost: margin must be positive")
+    val v = col(valCol)
+    def dsum(c: Column, in: Column): Column =
+      sum(when(in, round(c, 6).cast("decimal(30,6)")).otherwise(lit(null)))
+    val diffExpr = "(sa / na - sb / nb)"
+    val seExpr = s"sqrt($welchSeExpr)"
+    df.where(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(inA.cast("long")).as("na0"), sum((!inA).cast("long")).as("nb0"),
+        dsum(v, inA).cast("double").as("sa"),
+        dsum(v * v, inA).cast("double").as("qa"),
+        dsum(v, !inA).cast("double").as("sb"),
+        dsum(v * v, !inA).cast("double").as("qb"))
+      .withColumn("na", col("na0").cast("double"))
+      .withColumn("nb", col("nb0").cast("double"))
+      .where(col("na0") >= 2 && col("nb0") >= 2 && expr(s"$welchSeExpr > 0.0"))
+      .withColumn("diff", expr(half6Sql(diffExpr)))
+      .withColumn("t_lower",
+        expr(half6Sql(s"($diffExpr + $margin) / ($seExpr)")))
+      .withColumn("t_upper",
+        expr(half6Sql(s"($margin - $diffExpr) / ($seExpr)")))
+      .withColumn("equivalent",
+        expr(s"least(($diffExpr + $margin) / ($seExpr), " +
+          s"($margin - $diffExpr) / ($seExpr)) > 1.644854"))
+      .select(col(groupCol), col("na0").as("n_a"), col("nb0").as("n_b"),
+        col("diff"), col("t_lower"), col("t_upper"), col("equivalent"))
+  }
+
   /** Shared Bartlett final expression over (k, n: doubles; w, lt, invs:
     * per-term-rounded DECIMAL sums cast to double): T = ((n−k)·ln(Sp²) −
     * Σ(nᵢ−1)·ln(Sᵢ²)) / (1 + (Σ1/(nᵢ−1) − 1/(n−k)) / (3(k−1))) with

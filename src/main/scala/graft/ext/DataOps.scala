@@ -348,6 +348,70 @@ object DataOps {
       .where(col("cum_cost") <= budget)
   }
 
+  /** Waterfilling token-budget allocation across mixture domains — the
+    * Pile/Dolma-style question "given B training tokens and per-domain
+    * target weights, how many tokens does each domain contribute when
+    * some domains don't HAVE their proportional share?": allocate
+    * min(avail_i, τ·w_i) with the threshold τ chosen so the total is
+    * exactly B — scarce domains saturate (contribute everything they
+    * have) and their shortfall redistributes proportionally among the
+    * rest. Closed form, no iteration: in ascending avail/weight order
+    * the saturated set is a prefix, so one pass of prefix sums finds
+    * the cut.
+    *
+    * Exactness: the per-domain saturation test is the EXACT integer
+    * cross-multiplication a_i·W_{≥i} ≤ (B − A_{<i})·w_i in
+    * DECIMAL(38,0) (never a float τ comparison); the running-AND that
+    * extracts the saturated prefix is a window min over that flag; only
+    * the final unsaturated allocation (B − satA)·w/unsatW is a float,
+    * via ONE shared half-rounded expression. If B ≥ Σ avail, everything
+    * saturates and the allocation is just `avail` (no division).
+    *
+    * Scale: the input is the DOMAIN table — one row per mixture
+    * component, vocabulary-sized BY CONTRACT (a pipeline has tens of
+    * domains, not millions) — so the two ordered windows over it are
+    * K-row single-partition by design, not a data-volume trap; the
+    * corpus itself is only touched by whatever aggregation built the
+    * domain table.
+    */
+  def waterfill(domains: DataFrame, keyCol: String, weightCol: String,
+      availCol: String, budget: Long): DataFrame = {
+    require(budget >= 0L, "waterfill: budget must be non-negative")
+    val d38 = "decimal(38,0)"
+    // ordering key: avail/weight as an IEEE double (identical division
+    // in both engines), key as the deterministic tiebreak
+    val ord = Seq(col("__a").cast("double") /
+      col("__w").cast("double"), col(keyCol))
+    val wPrev = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRest = Window.orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wRun = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = domains
+      .select(col(keyCol), col(weightCol).cast("long").as("__w"),
+        col(availCol).cast("long").as("__a"))
+      .withColumn("__aprev", coalesce(sum(col("__a")).over(wPrev), lit(0L)))
+      .withColumn("__restw", sum(col("__w")).over(wRest))
+      .withColumn("__flag",
+        col("__a").cast(d38) * col("__restw").cast(d38) <=
+          (lit(budget) - col("__aprev")).cast(d38) * col("__w").cast(d38))
+      .withColumn("saturated",
+        min(when(col("__flag"), 1L).otherwise(0L)).over(wRun) === 1L)
+    val tot = flagged.agg(
+      coalesce(sum(when(col("saturated"), col("__a"))), lit(0L)).as("__sata"),
+      coalesce(sum(when(!col("saturated"), col("__w"))), lit(0L))
+        .as("__unsatw"))
+    flagged.crossJoin(broadcast(tot))
+      .withColumn("alloc", when(col("saturated"),
+          col("__a").cast("double"))
+        .otherwise(expr(Analytics.half6Sql(
+          s"(CAST($budget AS DOUBLE) - CAST(__sata AS DOUBLE)) " +
+            "* CAST(__w AS DOUBLE) / CAST(__unsatw AS DOUBLE)"))))
+      .select(col(keyCol), col("__w").as("weight"), col("__a").as("avail"),
+        col("saturated"), col("alloc"))
+  }
+
   /** k-anonymity suppression: rows grouped by the quasi-identifier
     * columns survive only when the group has at least `k` members;
     * smaller groups collapse into one `*`-masked bucket so no published

@@ -662,6 +662,58 @@ object Eval {
       .drop("__d2")
   }
 
+  /** Shared Wilson 95% interval expressions over (w: wins, m: decisive
+    * comparisons — exact longs): the score interval
+    * (p̂ + z²/2m ± z·√(p̂(1−p̂)/m + z²/4m²)) / (1 + z²/m) with
+    * z = 1.959964. Unlike the Wald interval it never leaves [0,1] and
+    * stays honest at small m or extreme p̂ — the arena-leaderboard
+    * standard. Spelled identically in Spark SQL and DuckDB.
+    */
+  private[graft] def wilsonExpr(sign: String): String = {
+    val p = "(CAST(w AS DOUBLE) / CAST(m AS DOUBLE))"
+    val m = "CAST(m AS DOUBLE)"
+    Analytics.half6Sql(
+      s"(($p + 1.959964 * 1.959964 / (2.0 * $m)) $sign 1.959964 * " +
+        s"sqrt($p * (1.0 - $p) / $m + 1.959964 * 1.959964 / " +
+        s"(4.0 * $m * $m))) / (1.0 + 1.959964 * 1.959964 / $m)")
+  }
+
+  /** Per-slice pairwise WIN RATE with a Wilson 95% interval — the
+    * arena-style "is system A beating system B, and is the sample big
+    * enough to say so" readout (win-rate point estimates without an
+    * interval are the classic leaderboard lie). Each row is one item
+    * scored by both systems; A wins where `scoreA > scoreB`, loses
+    * where `<`, ties are EXCLUDED from the denominator (the standard
+    * decisive-comparison convention — report them separately via
+    * n_ties). Slices with zero decisive comparisons drop.
+    *
+    * Exactness: wins/losses/ties are exact longs from one aggregation;
+    * the rate and both Wilson bounds are shared half-rounded final
+    * expressions over those integers.
+    *
+    * Scale: ONE map-side-combining aggregation to slice granularity —
+    * three longs of state per slice.
+    */
+  def winRate(df: DataFrame, sliceCol: String, scoreA: Column,
+      scoreB: Column): DataFrame = {
+    df.where(scoreA.isNotNull && scoreB.isNotNull)
+      .select(col(sliceCol),
+        (scoreA > scoreB).cast("long").as("__w"),
+        (scoreA < scoreB).cast("long").as("__l"),
+        (scoreA === scoreB).cast("long").as("__t"))
+      .groupBy(col(sliceCol))
+      .agg(sum(col("__w")).as("w"), sum(col("__l")).as("l"),
+        sum(col("__t")).as("n_ties"))
+      .withColumn("m", col("w") + col("l"))
+      .where(col("m") >= 1L)
+      .withColumn("win_rate",
+        expr(Analytics.half6Sql("CAST(w AS DOUBLE) / CAST(m AS DOUBLE)")))
+      .withColumn("lo95", expr(wilsonExpr("-")))
+      .withColumn("hi95", expr(wilsonExpr("+")))
+      .select(col(sliceCol), col("m").as("n_decisive"), col("w").as("wins"),
+        col("n_ties"), col("win_rate"), col("lo95"), col("hi95"))
+  }
+
   /** Shared Kendall τ-b final expression — exact (p, q, n0, n1, n2:
     * DECIMAL(38,0) pair counts) in, one rounded double out, identical in
     * Spark SQL and DuckDB. τ-b = (P − Q)/√((n0−n1)(n0−n2)).

@@ -2454,6 +2454,78 @@ object EvalQueries {
        |  ${Analytics.anovaFExpr} AS w_stat
        |FROM gg WHERE k >= 2.0 AND n > k AND q - b > 0.0""".stripMargin
 
+  /** TOST equivalence per event type between even and odd user cohorts —
+    * the "is the new cohort the SAME within ±5.0" gate (see
+    * [[graft.ext.Analytics.tostEquivalence]]; significance tests can
+    * only ever answer "different").
+    */
+  val statsTost: QueryFn = (s, dir) =>
+    Analytics.tostEquivalence(Tables.events(s, dir), "event_type", "value",
+      pmod(col("user_id"), lit(2L)) === 0L, margin = 5.0)
+
+  val statsTostSql: String = {
+    val diff = "(sa / na - sb / nb)"
+    val se = s"sqrt(${Analytics.welchSeExpr})"
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb0,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0
+       |      THEN CAST(round(value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS sa,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0
+       |      THEN CAST(round(value * value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS qa,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 <> 0
+       |      THEN CAST(round(value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS sb,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 <> 0
+       |      THEN CAST(round(value * value, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS qb
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1
+       |), gg AS (
+       |  SELECT *, CAST(na0 AS DOUBLE) AS na, CAST(nb0 AS DOUBLE) AS nb
+       |  FROM g
+       |)
+       |SELECT event_type, na0 AS n_a, nb0 AS n_b,
+       |  ${Analytics.half6Sql(diff)} AS diff,
+       |  ${Analytics.half6Sql(s"($diff + 5.0) / ($se)")} AS t_lower,
+       |  ${Analytics.half6Sql(s"(5.0 - $diff) / ($se)")} AS t_upper,
+       |  least(($diff + 5.0) / ($se), (5.0 - $diff) / ($se)) > 1.644854
+       |    AS equivalent
+       |FROM gg
+       |WHERE na0 >= 2 AND nb0 >= 2 AND ${Analytics.welchSeExpr} > 0.0""".stripMargin
+  }
+
+  /** Pairwise win rate with a Wilson 95% interval per source: does raw
+    * character length beat six-characters-per-token as a size score?
+    * (see [[graft.ext.Eval.winRate]] — the arena-leaderboard readout
+    * with the interval leaderboards usually omit).
+    */
+  val evalWinrate: QueryFn = (s, dir) =>
+    Eval.winRate(
+      Tables.documents(s, dir).select(col("source"), col("n_chars"),
+        (size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long") * 6L)
+          .as("b_score")),
+      "source", col("n_chars"), col("b_score"))
+
+  val evalWinrateSql: String = {
+    val lo = Eval.wilsonExpr("-")
+    val hi = Eval.wilsonExpr("+")
+    s"""WITH sc AS (
+       |  SELECT source, n_chars AS a,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) * 6 AS b
+       |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+       |), g AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT) AS w,
+       |    CAST(sum(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT) AS l,
+       |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+       |  FROM sc GROUP BY 1
+       |), gg AS (SELECT *, w + l AS m FROM g)
+       |SELECT source, m AS n_decisive, w AS wins, n_ties,
+       |  ${Analytics.half6Sql("CAST(w AS DOUBLE) / CAST(m AS DOUBLE)")}
+       |    AS win_rate,
+       |  $lo AS lo95, $hi AS hi95
+       |FROM gg WHERE m >= 1""".stripMargin
+  }
+
   /** Bartlett's T per event type across the same four user buckets — the
     * normal-theory variance-homogeneity test beside [[statsLevene]]'s
     * robust one (see [[graft.ext.Analytics.bartlett]]; diverging
@@ -2673,7 +2745,9 @@ object EvalQueries {
     "stats_anova"      -> statsAnova,
     "stats_levene"     -> statsLevene,
     "stats_bartlett"   -> statsBartlett,
+    "stats_tost"       -> statsTost,
     "eval_kendall"     -> evalKendall,
+    "eval_winrate"     -> evalWinrate,
     "eval_delong"      -> evalDelong,
     "stats_permutation" -> statsPermutation,
     "eval_auc_ci"      -> evalAucCi,
@@ -2741,7 +2815,9 @@ object EvalQueries {
     "stats_anova"      -> statsAnovaSql,
     "stats_levene"     -> statsLeveneSql,
     "stats_bartlett"   -> statsBartlettSql,
+    "stats_tost"       -> statsTostSql,
     "eval_kendall"     -> evalKendallSql,
+    "eval_winrate"     -> evalWinrateSql,
     "eval_delong"      -> evalDelongSql,
     "stats_permutation" -> statsPermutationSql,
     "eval_auc_ci"      -> evalAucCiSql,

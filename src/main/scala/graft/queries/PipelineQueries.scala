@@ -493,6 +493,59 @@ object PipelineQueries {
       |  FROM documents
       |) WHERE cum_cost <= 4000""".stripMargin
 
+  /** Waterfilling token-budget allocation across sources: 60% of the
+    * corpus's characters, split by document-count weights; sources
+    * without their proportional share saturate and redistribute (see
+    * [[graft.ext.DataOps.waterfill]]). The budget is exact integer math
+    * (6·total div 10) on both sides.
+    */
+  val mixtureWaterfill: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir).where(col("source").isNotNull)
+      .localCheckpoint(true) // feeds the budget probe AND the domain table
+    val total = docs.agg(sum(col("n_chars"))).head().getLong(0)
+    val domains = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    DataOps.waterfill(domains, "source", "n_docs", "chars",
+      budget = 6L * total / 10L)
+  }
+
+  val mixtureWaterfillSql: String = {
+    val alloc = Analytics.half6Sql(
+      "(CAST((SELECT budget FROM b) AS DOUBLE) - CAST(sata AS DOUBLE)) " +
+        "* CAST(w AS DOUBLE) / CAST(unsatw AS DOUBLE)")
+    s"""WITH d AS (
+       |  SELECT source AS k, CAST(count(*) AS BIGINT) AS w,
+       |    CAST(sum(n_chars) AS BIGINT) AS a
+       |  FROM documents WHERE source IS NOT NULL GROUP BY 1
+       |), b AS (
+       |  SELECT (6 * sum(n_chars)) // 10 AS budget
+       |  FROM documents WHERE source IS NOT NULL
+       |), o AS (
+       |  SELECT k, w, a,
+       |    COALESCE(SUM(a) OVER (ORDER BY CAST(a AS DOUBLE) / w, k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS aprev,
+       |    SUM(w) OVER (ORDER BY CAST(a AS DOUBLE) / w, k
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS restw
+       |  FROM d
+       |), f AS (
+       |  SELECT *, CAST(a AS HUGEINT) * restw <=
+       |    CAST((SELECT budget FROM b) - aprev AS HUGEINT) * w AS flag
+       |  FROM o
+       |), s AS (
+       |  SELECT *, min(CASE WHEN flag THEN 1 ELSE 0 END) OVER (
+       |    ORDER BY CAST(a AS DOUBLE) / w, k
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS saturated
+       |  FROM f
+       |), t AS (
+       |  SELECT COALESCE(sum(CASE WHEN saturated THEN a END), 0) AS sata,
+       |    COALESCE(sum(CASE WHEN NOT saturated THEN w END), 0) AS unsatw
+       |  FROM s
+       |)
+       |SELECT k AS source, w AS weight, a AS avail, saturated,
+       |  CASE WHEN saturated THEN CAST(a AS DOUBLE) ELSE $alloc END AS alloc
+       |FROM s, t""".stripMargin
+  }
+
   /** Next-event prediction pairs: previous-3-event context string +
     * current label per user stream (empty context at the head).
     */
@@ -713,6 +766,7 @@ object PipelineQueries {
     "dataset_interleave" -> datasetInterleave,
     "negative_sample"   -> negativeSample,
     "select_budget"     -> selectBudget,
+    "mixture_waterfill" -> mixtureWaterfill,
     "train_pairs"       -> trainPairs,
     "join_fuzzy"        -> joinFuzzy,
     "drift_ks"          -> driftKs,
@@ -739,6 +793,7 @@ object PipelineQueries {
     "dataset_interleave" -> datasetInterleaveSql,
     "negative_sample"   -> negativeSampleSql,
     "select_budget"     -> selectBudgetSql,
+    "mixture_waterfill" -> mixtureWaterfillSql,
     "train_pairs"       -> trainPairsSql,
     "join_fuzzy"        -> joinFuzzySql,
     "drift_ks"          -> driftKsSql,

@@ -149,6 +149,65 @@ class Round10Spec extends AnyFunSuite with SparkTest {
       s"max replica-bucket $maxBkt ≥ n/500 — selection not distributed")
   }
 
+  // ---- waterfill / winRate / TOST (round-10 additions, batch 2) --------
+
+  test("waterfill: saturation prefix + proportional remainder, by hand") {
+    val domains = Seq(("A", 1L, 100L), ("B", 1L, 1000L), ("C", 2L, 1000L))
+      .toDF("k", "w", "a")
+    // budget 1200: A (ratio 100) saturates; tau = (1200-100)/3 = 366.667
+    val got = DataOps.waterfill(domains, "k", "w", "a", budget = 1200L)
+      .select("k", "saturated", "alloc")
+      .as[(String, Boolean, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") == ("A", true, 100.0))
+    assert(got("B")._2 == false && math.abs(got("B")._3 - 1100.0 / 3) < 1e-6)
+    assert(got("C")._2 == false && math.abs(got("C")._3 - 2200.0 / 3) < 1e-6)
+    // allocations sum exactly to the budget
+    assert(math.abs(got.values.map(_._3).sum - 1200.0) < 1e-5)
+    // budget >= total avail: everything saturates, alloc = avail
+    val all = DataOps.waterfill(domains, "k", "w", "a", budget = 5000L)
+      .select("saturated", "alloc").as[(Boolean, Double)].collect()
+    assert(all.forall(_._1) && all.map(_._2).sum == 2100.0)
+    // budget below every ratio: nothing saturates, pure proportional
+    val none = DataOps.waterfill(domains, "k", "w", "a", budget = 30L)
+      .select("k", "saturated", "alloc")
+      .as[(String, Boolean, Double)].collect().map(r => r._1 -> r).toMap
+    assert(none.values.forall(!_._2))
+    assert(none("A")._3 == 7.5 && none("B")._3 == 7.5 && none("C")._3 == 15.0)
+  }
+
+  test("winRate: wins/ties accounting and the Wilson interval, by hand") {
+    // slice s: A beats B 6 times, loses 2, ties 2 → p=0.75, m=8
+    val rows = (0 until 6).map(i => ("s", 10L + i, 1L)) ++
+      (0 until 2).map(i => ("s", 1L, 10L + i)) ++
+      (0 until 2).map(_ => ("s", 5L, 5L))
+    val got = Eval.winRate(rows.toDF("g", "a", "b"), "g", col("a"), col("b"))
+      .select("n_decisive", "wins", "n_ties", "win_rate", "lo95", "hi95")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    val (m, w, t, p, lo, hi) = got(0)
+    assert((m, w, t, p) == (8L, 6L, 2L, 0.75))
+    val z = 1.959964; val mm = 8.0; val ph = 0.75
+    val denom = 1.0 + z * z / mm
+    val center = ph + z * z / (2 * mm)
+    val rad = z * math.sqrt(ph * (1 - ph) / mm + z * z / (4 * mm * mm))
+    assert(math.abs(lo - (center - rad) / denom) < 1e-6)
+    assert(math.abs(hi - (center + rad) / denom) < 1e-6)
+    assert(lo > 0.0 && hi < 1.0 && lo < p && p < hi)
+  }
+
+  test("tostEquivalence: tight same-mean cohorts pass, shifted cohorts fail") {
+    // group "eq": two interleaved cohorts drawing the same values —
+    // diff ≈ 0, se small ⇒ equivalent within ±5
+    val eq = (0 until 400).map(i => ("eq", i.toLong, (i % 10).toDouble))
+    // group "ne": cohort A shifted +20 ⇒ decisively NOT equivalent
+    val ne = (0 until 400).map(i =>
+      ("ne", i.toLong, (i % 10).toDouble + (if (i % 2 == 0) 20.0 else 0.0)))
+    val got = Analytics.tostEquivalence((eq ++ ne).toDF("g", "id", "v"),
+        "g", "v", col("id") % 2 === 0, margin = 5.0)
+      .select("g", "equivalent").as[(String, Boolean)].collect().toMap
+    assert(got == Map("eq" -> true, "ne" -> false))
+  }
+
   // ---- lowerMedianByGroup null handling (tripwire companion) ----------
 
   test("madOutliers: null values are invisible to the median, not a rank skew or a tripwire hit") {
