@@ -34,6 +34,27 @@ class Round10PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("stats_tost + eval_winrate: one aggregation each — zero joins, zero windows") {
+    for (df <- Seq(EvalQueries.statsTost(spark, dir),
+        EvalQueries.evalWinrate(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("Exchange SinglePartition"), p)
+    }
+  }
+
+  test("mixture_waterfill: the corpus is touched only by the domain aggregation; windows run over the K-row domain table") {
+    val df = PipelineQueries.mixtureWaterfill(spark, dir)
+    val p = plan(df)
+    // the windows sit ABOVE the (source)-keyed aggregate — the only
+    // corpus-sized operator below them must be that partial aggregation
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the total-row attach is a broadcast, never a shuffled join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("tokenize_wordpiece: lattice + vocab joins are all BROADCAST; the only window is the per-word argmax") {
     val p = plan(ExtQueries.tokenizeWordpiece(spark, dir))
     // composition lattice and vocabulary are driver-bounded constants —
