@@ -1217,6 +1217,55 @@ object Analytics {
         col("n0").as("n"), col("w_stat"))
   }
 
+  /** Shared two-proportion pooled z expression over exact longs
+    * (ka/na0 successes of trials in cohort A, kb/nb0 in B):
+    * z = (p̂A − p̂B) / √(p̂(1−p̂)(1/nA + 1/nB)) with p̂ the pooled rate —
+    * identical in Spark SQL and DuckDB.
+    */
+  private[graft] def propZExpr: String = {
+    val pa = "(CAST(ka AS DOUBLE) / CAST(na0 AS DOUBLE))"
+    val pb = "(CAST(kb AS DOUBLE) / CAST(nb0 AS DOUBLE))"
+    val pp = "(CAST(ka + kb AS DOUBLE) / CAST(na0 + nb0 AS DOUBLE))"
+    half6Sql(s"($pa - $pb) / sqrt($pp * (1.0 - $pp) * " +
+      "(1.0 / CAST(na0 AS DOUBLE) + 1.0 / CAST(nb0 AS DOUBLE)))")
+  }
+
+  /** Two-proportion z-test per group — the A/B conversion-rate test
+    * (the single most-run test in practice: "did the success rate move
+    * between cohorts?"), completing the test matrix beside the
+    * mean-shift ([[welchT]]), spread ([[brownForsythe]]/[[bartlett]]),
+    * and shape ([[ksDrift]]) alarms. Pooled-variance normal
+    * approximation; groups where either cohort is empty or the pooled
+    * rate is degenerate (0 or 1 — zero variance) drop.
+    *
+    * Exactness: four exact longs per group from ONE map-side-combining
+    * aggregation; the statistic and both rates are shared half-rounded
+    * final expressions.
+    */
+  def twoProportionZ(df: DataFrame, groupCol: String, success: Column,
+      inA: Column): DataFrame = {
+    df.where(success.isNotNull && inA.isNotNull)
+      .select(col(groupCol),
+        inA.cast("boolean").as("__a"), success.cast("boolean").as("__s"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__a").cast("long")).as("na0"),
+        sum((!col("__a")).cast("long")).as("nb0"),
+        sum((col("__a") && col("__s")).cast("long")).as("ka"),
+        sum((!col("__a") && col("__s")).cast("long")).as("kb"))
+      .where(col("na0") >= 1L && col("nb0") >= 1L &&
+        col("ka") + col("kb") > 0L &&
+        col("ka") + col("kb") < col("na0") + col("nb0"))
+      .withColumn("rate_a",
+        expr(half6Sql("CAST(ka AS DOUBLE) / CAST(na0 AS DOUBLE)")))
+      .withColumn("rate_b",
+        expr(half6Sql("CAST(kb AS DOUBLE) / CAST(nb0 AS DOUBLE)")))
+      .withColumn("z", expr(propZExpr))
+      .select(col(groupCol), col("na0").as("n_a"), col("nb0").as("n_b"),
+        col("ka").as("k_a"), col("kb").as("k_b"),
+        col("rate_a"), col("rate_b"), col("z"))
+  }
+
   /** TOST equivalence test per group (two one-sided tests, Schuirmann
     * 1987 — the eval question significance tests can't answer: not "is
     * B different?" but "is B the SAME within a margin?", the gate a

@@ -662,6 +662,49 @@ object Eval {
       .drop("__d2")
   }
 
+  /** Shared Matthews correlation expression over exact longs
+    * (tp, tn, fp, fn): (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    * — numerator in exact DECIMAL(38,0) (tp·tn reaches n²/4), the
+    * four-factor denominator as a product of four double √ terms (each
+    * factor ≤ n, so no overflow and the ulps land inside the final
+    * half-rounding). Identical in Spark SQL and DuckDB.
+    */
+  private[graft] def mccExpr: String = Analytics.half6Sql(
+    "CAST(CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn " +
+      "AS DOUBLE) / (sqrt(CAST(tp + fp AS DOUBLE)) * " +
+      "sqrt(CAST(tp + fn AS DOUBLE)) * sqrt(CAST(tn + fp AS DOUBLE)) * " +
+      "sqrt(CAST(tn + fn AS DOUBLE)))")
+
+  /** Per-slice Matthews correlation coefficient — the imbalance-robust
+    * single-number confusion summary ([[binaryConfusion]]'s F1 ignores
+    * true negatives and flatters the majority class; MCC is high only
+    * when ALL four cells are right, which is why it's the standard
+    * verdict for skewed quality-filter evals). Slices where any
+    * marginal is zero (MCC undefined) drop rather than reporting a
+    * convention value.
+    *
+    * Exactness: the same four exact longs as the confusion table from
+    * ONE aggregation; MCC is one shared half-rounded expression with an
+    * exact DECIMAL(38,0) numerator.
+    */
+  def matthewsCorrelation(df: DataFrame, sliceCol: String, label: Column,
+      predicted: Column): DataFrame = {
+    df.where(label.isNotNull && predicted.isNotNull)
+      .select(col(sliceCol),
+        label.cast("boolean").as("__y"), predicted.cast("boolean").as("__p"))
+      .groupBy(col(sliceCol))
+      .agg(
+        sum((col("__y") && col("__p")).cast("long")).as("tp"),
+        sum((!col("__y") && !col("__p")).cast("long")).as("tn"),
+        sum((!col("__y") && col("__p")).cast("long")).as("fp"),
+        sum((col("__y") && !col("__p")).cast("long")).as("fn"))
+      .where(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L &&
+        col("tn") + col("fp") > 0L && col("tn") + col("fn") > 0L)
+      .withColumn("mcc", expr(mccExpr))
+      .select(col(sliceCol), col("tp"), col("tn"), col("fp"), col("fn"),
+        col("mcc"))
+  }
+
   /** Shared Wilson 95% interval expressions over (w: wins, m: decisive
     * comparisons — exact longs): the score interval
     * (p̂ + z²/2m ± z·√(p̂(1−p̂)/m + z²/4m²)) / (1 + z²/m) with

@@ -2454,6 +2454,59 @@ object EvalQueries {
        |  ${Analytics.anovaFExpr} AS w_stat
        |FROM gg WHERE k >= 2.0 AND n > k AND q - b > 0.0""".stripMargin
 
+  /** Two-proportion z per event type: did the value≥50 success rate move
+    * between even and odd user cohorts? (see
+    * [[graft.ext.Analytics.twoProportionZ]] — the A/B conversion test.)
+    */
+  val statsProportionZ: QueryFn = (s, dir) =>
+    Analytics.twoProportionZ(Tables.events(s, dir), "event_type",
+      col("value") >= 50.0, pmod(col("user_id"), lit(2L)) === 0L)
+
+  val statsProportionZSql: String = {
+    val pa = "(CAST(ka AS DOUBLE) / CAST(na0 AS DOUBLE))"
+    val pb = "(CAST(kb AS DOUBLE) / CAST(nb0 AS DOUBLE))"
+    val pp = "(CAST(ka + kb AS DOUBLE) / CAST(na0 + nb0 AS DOUBLE))"
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb0,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 AND value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 <> 0 AND value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS kb
+       |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY 1
+       |)
+       |SELECT event_type, na0 AS n_a, nb0 AS n_b, ka AS k_a, kb AS k_b,
+       |  ${Analytics.half6Sql("CAST(ka AS DOUBLE) / CAST(na0 AS DOUBLE)")} AS rate_a,
+       |  ${Analytics.half6Sql("CAST(kb AS DOUBLE) / CAST(nb0 AS DOUBLE)")} AS rate_b,
+       |  ${Analytics.half6Sql(s"($pa - $pb) / sqrt($pp * (1.0 - $pp) * " +
+            "(1.0 / CAST(na0 AS DOUBLE) + 1.0 / CAST(nb0 AS DOUBLE)))")} AS z
+       |FROM g
+       |WHERE na0 >= 1 AND nb0 >= 1 AND ka + kb > 0
+       |  AND ka + kb < na0 + nb0""".stripMargin
+  }
+
+  /** Matthews correlation per source for the same length-as-en-predictor
+    * confusion as [[evalConfusion]] — the imbalance-robust verdict F1
+    * can't give (see [[graft.ext.Eval.matthewsCorrelation]]).
+    */
+  val evalMcc: QueryFn = (s, dir) =>
+    Eval.matthewsCorrelation(Tables.documents(s, dir), "source",
+      col("lang") === "en", col("n_chars") >= 300)
+
+  val evalMccSql: String =
+    s"""WITH c AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN lang <> 'en' AND n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(sum(CASE WHEN lang <> 'en' AND n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN lang = 'en' AND n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+       |  GROUP BY 1
+       |)
+       |SELECT source, tp, tn, fp, fn, ${Eval.mccExpr} AS mcc
+       |FROM c
+       |WHERE tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0""".stripMargin
+
   /** TOST equivalence per event type between even and odd user cohorts —
     * the "is the new cohort the SAME within ±5.0" gate (see
     * [[graft.ext.Analytics.tostEquivalence]]; significance tests can
@@ -2746,6 +2799,8 @@ object EvalQueries {
     "stats_levene"     -> statsLevene,
     "stats_bartlett"   -> statsBartlett,
     "stats_tost"       -> statsTost,
+    "stats_proportion_z" -> statsProportionZ,
+    "eval_mcc"         -> evalMcc,
     "eval_kendall"     -> evalKendall,
     "eval_winrate"     -> evalWinrate,
     "eval_delong"      -> evalDelong,
@@ -2816,6 +2871,8 @@ object EvalQueries {
     "stats_levene"     -> statsLeveneSql,
     "stats_bartlett"   -> statsBartlettSql,
     "stats_tost"       -> statsTostSql,
+    "stats_proportion_z" -> statsProportionZSql,
+    "eval_mcc"         -> evalMccSql,
     "eval_kendall"     -> evalKendallSql,
     "eval_winrate"     -> evalWinrateSql,
     "eval_delong"      -> evalDelongSql,

@@ -208,6 +208,44 @@ class Round10Spec extends AnyFunSuite with SparkTest {
     assert(got == Map("eq" -> true, "ne" -> false))
   }
 
+  // ---- two-proportion z + MCC (round-10 additions, batch 3) ------------
+
+  test("twoProportionZ: textbook pooled z by hand; degenerate pooled rates drop") {
+    // group g: A = 30 trials / 12 successes, B = 50 trials / 10 successes
+    val g = (0 until 30).map(i => ("g", true, i < 12)) ++
+      (0 until 50).map(i => ("g", false, i < 10))
+    // group z: every trial succeeds → pooled rate 1 → dropped
+    val zdrop = (0 until 10).map(i => ("z", i % 2 == 0, true))
+    val df = (g ++ zdrop).toDF("grp", "a", "s")
+    val got = Analytics.twoProportionZ(df, "grp", col("s"), col("a"))
+      .select("grp", "n_a", "n_b", "k_a", "k_b", "z")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1 && got(0)._1 == "g")
+    val (_, na, nb, ka, kb, z) = got(0)
+    assert((na, nb, ka, kb) == (30L, 50L, 12L, 10L))
+    val (pa, pb, pp) = (12.0 / 30, 10.0 / 50, 22.0 / 80)
+    val want = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / 30 + 1.0 / 50))
+    assert(math.abs(z - want) < 1e-6)
+  }
+
+  test("matthewsCorrelation: matches the closed form; perfect and inverted predictors hit ±1") {
+    // crafted confusion: tp=40 tn=30 fp=20 fn=10
+    val rows = Seq.fill(40)(("m", true, true)) ++
+      Seq.fill(30)(("m", false, false)) ++
+      Seq.fill(20)(("m", false, true)) ++
+      Seq.fill(10)(("m", true, false)) ++
+      // perfect predictor → mcc = 1; inverted → mcc = -1
+      (0 until 20).map(i => ("perfect", i % 2 == 0, i % 2 == 0)) ++
+      (0 until 20).map(i => ("inv", i % 2 == 0, i % 2 != 0))
+    val got = Eval.matthewsCorrelation(rows.toDF("g", "y", "p"), "g",
+        col("y"), col("p"))
+      .select("g", "mcc").as[(String, Double)].collect().toMap
+    val want = (40.0 * 30 - 20.0 * 10) /
+      math.sqrt(60.0 * 50.0 * 50.0 * 40.0)
+    assert(math.abs(got("m") - want) < 1e-6)
+    assert(got("perfect") == 1.0 && got("inv") == -1.0)
+  }
+
   // ---- lowerMedianByGroup null handling (tripwire companion) ----------
 
   test("madOutliers: null values are invisible to the median, not a rank skew or a tripwire hit") {
