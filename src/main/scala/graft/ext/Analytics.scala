@@ -1276,7 +1276,11 @@ object Analytics {
     * large-sample z approximation — exact Welch df would drag a
     * t-quantile function across engines; at eval-set sizes the
     * difference is far below the margin's own uncertainty, and the
-    * approximation is documented rather than silent).
+    * approximation is documented rather than silent). Because the
+    * approximation is anti-conservative at small cohorts (t(2) 5%
+    * one-sided ≈ 2.92 vs z 1.645), the output carries a `large_n`
+    * flag (both cohorts ≥ 30, where |z − t| < 0.06) — callers gating
+    * on `equivalent` should also require `large_n` (ADVICE r10 #4).
     *
     * Exactness: the same per-term round-6 DECIMAL sufficient statistics
     * as [[welchT]]; Δ, both t's, and the verdict are shared final
@@ -1314,7 +1318,8 @@ object Analytics {
         expr(s"least(($diffExpr + $margin) / ($seExpr), " +
           s"($margin - $diffExpr) / ($seExpr)) > 1.644854"))
       .select(col(groupCol), col("na0").as("n_a"), col("nb0").as("n_b"),
-        col("diff"), col("t_lower"), col("t_upper"), col("equivalent"))
+        col("diff"), col("t_lower"), col("t_upper"), col("equivalent"),
+        (col("na0") >= 30L && col("nb0") >= 30L).as("large_n"))
   }
 
   /** Shared Bartlett final expression over (k, n: doubles; w, lt, invs:

@@ -378,6 +378,23 @@ object DataOps {
       availCol: String, budget: Long): DataFrame = {
     require(budget >= 0L, "waterfill: budget must be non-negative")
     val d38 = "decimal(38,0)"
+    // Domain-row validation, loud (ADVICE r10 #2): weight ≤ 0 makes the
+    // avail/weight ordering key Inf/NaN and FLIPS the sign of the exact
+    // cross-multiplication; negative avail corrupts the prefix sums. Both
+    // trip raise_error in the value path itself (prune-proof), mirroring
+    // the budget guard above and brownForsythe's assert_true discipline.
+    val wChecked = when(col(weightCol).cast("long") >= 1L,
+        col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("waterfill: weight must be >= 1, got "),
+        col(weightCol).cast("string"), lit(" for key "),
+        col(keyCol).cast("string"))))
+    val aChecked = when(col(availCol).cast("long") >= 0L,
+        col(availCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("waterfill: avail must be >= 0, got "),
+        col(availCol).cast("string"), lit(" for key "),
+        col(keyCol).cast("string"))))
     // ordering key: avail/weight as an IEEE double (identical division
     // in both engines), key as the deterministic tiebreak
     val ord = Seq(col("__a").cast("double") /
@@ -389,8 +406,7 @@ object DataOps {
     val wRun = Window.orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val flagged = domains
-      .select(col(keyCol), col(weightCol).cast("long").as("__w"),
-        col(availCol).cast("long").as("__a"))
+      .select(col(keyCol), wChecked.as("__w"), aChecked.as("__a"))
       .withColumn("__aprev", coalesce(sum(col("__a")).over(wPrev), lit(0L)))
       .withColumn("__restw", sum(col("__w")).over(wRest))
       .withColumn("__flag",

@@ -453,6 +453,113 @@ object Graph {
       .select("community", "n_nodes", "e_in", "d_tot", "q_term")
   }
 
+  /** One synchronous Louvain local-move phase over a WEIGHTED symmetric
+    * edge list `sym` (src, dst, w — no self-loops; self-loop mass lives
+    * only in `deg`, where it belongs: a self-loop adds the same amount
+    * to every candidate's intra-community term, so it cancels out of
+    * the argmax). Per round, EVERY node picks the community (among its
+    * neighbors' communities and its own) with the best modularity gain
+    * against the CURRENT assignment, all nodes moving at once — the
+    * deterministic, unrolled-CTE-replayable variant of Louvain phase 1.
+    *
+    * Gain comparison is EXACT: dropping the per-node-constant k_v²/4m²
+    * term, argmax_C ΔQ(v→C) = argmax_C [2m·k_{v,C∖v} − k_v·Σtot(C∖v)]
+    * — two DECIMAL(38,0) integer products per candidate (≤ 4m², never a
+    * float), ties to the smallest community id via the label-prop
+    * `max_by(com, struct(score, -com))` idiom. No window anywhere.
+    *
+    * Scale: per round ONE dst-keyed join + aggregation builds k_{v,C}
+    * (neighbor-community edge mass), one node-keyed aggregation builds
+    * Σtot, and the scoring is keyed joins on node/community — the
+    * PageRank shuffle budget, state one (node, com) row per node.
+    */
+  private def louvainMoves(sym: DataFrame, deg: DataFrame, m: Long,
+      rounds: Int): DataFrame = {
+    val d38 = "decimal(38,0)"
+    var p = deg.select(col("node"), col("node").as("com"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val ctot = deg.join(p, Seq("node"))
+        .groupBy("com").agg(sum(col("d")).as("tot"))
+      val kvc = sym
+        .join(p.select(col("node").as("dst"), col("com")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("com"))
+        .agg(sum(col("w")).as("kvc"))
+      // candidates: the node's OWN community (k_{v,D∖v}, 0 when no
+      // neighbor shares it) plus every neighbor community
+      val own = p.join(kvc, Seq("node", "com"), "left")
+        .select(col("node"), col("com"),
+          coalesce(col("kvc"), lit(0L)).as("kvc"))
+      val nbr = kvc.join(p.select(col("node"), col("com").as("__cur")),
+          Seq("node"))
+        .where(col("com") =!= col("__cur"))
+        .select("node", "com", "kvc")
+      val scored = own.unionByName(nbr)
+        .join(p.select(col("node"), col("com").as("__cur")), Seq("node"))
+        .join(deg, Seq("node"))
+        .join(ctot, Seq("com"))
+        .withColumn("score",
+          lit(m).cast(d38) * lit(2L) * col("kvc").cast(d38)
+            - col("d").cast(d38) *
+              (col("tot") - when(col("com") === col("__cur"), col("d"))
+                .otherwise(lit(0L))).cast(d38))
+      p = scored.groupBy("node")
+        .agg(expr("max_by(com, struct(score, -com))").as("com"))
+        .localCheckpoint(true)
+    }
+    p
+  }
+
+  /** Fixed-round deterministic Louvain communities (Blondel et al. 2008,
+    * the synchronous replayable variant): `rounds` local-move rounds on
+    * the node graph, ONE contraction (communities become weighted
+    * supernodes — cross-community edge multiplicity is the super-edge
+    * weight, a supernode's degree is its members' summed degrees, so
+    * intra-community mass is carried exactly as self-loop degree), then
+    * `rounds` more local-move rounds on the contracted graph. Unlike
+    * [[labelPropagation]] (most-frequent-neighbor, no quality
+    * guarantee), every move here maximizes the exact Newman modularity
+    * gain, so Q([[modularity]]) actually improves — the web-graph
+    * curation partitioner. Returns `(node, community)`; community ids
+    * are node ids (each community's level-2 anchor), deterministic.
+    *
+    * Scale: two [[louvainMoves]] phases (keyed joins, no windows, no
+    * collects) plus a contraction that is two node-keyed label joins and
+    * one (src, dst)-keyed count — the contracted graph is
+    * community-count-sized, strictly smaller than the input.
+    */
+  def louvain(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    val und = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
+    val m = und.count()
+    require(m > 0, "louvain needs a non-empty graph")
+    val sym1 = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("w", lit(1L)).localCheckpoint(true)
+    val deg1 = sym1.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("d")).localCheckpoint(true)
+    val l1 = louvainMoves(sym1, deg1, m, rounds)
+    // contraction: weighted super-edges between DISTINCT communities
+    // (intra-community edges become self-loop degree via deg2, not rows)
+    val cross = und
+      .join(l1.select(col("node").as("a"), col("com").as("__ca")), Seq("a"))
+      .join(l1.select(col("node").as("b"), col("com").as("__cb")), Seq("b"))
+      .where(col("__ca") =!= col("__cb"))
+      .select(col("__ca").as("src"), col("__cb").as("dst"))
+    val sym2 = cross
+      .unionByName(cross.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val deg2 = deg1.join(l1, Seq("node"))
+      .groupBy(col("com").as("node")).agg(sum(col("d")).as("d"))
+      .localCheckpoint(true)
+    val l2 = louvainMoves(sym2, deg2, m, rounds)
+    l1.join(l2.select(col("node").as("com"), col("com").as("community")),
+        Seq("com"))
+      .select(col("node"), col("community"))
+  }
+
   /** Fixed-iteration personalized PageRank: teleport mass returns ONLY
     * to the `seeds` node set, so scores measure proximity to the seeds —
     * the seed-expansion primitive of data curation (start from trusted
@@ -863,9 +970,13 @@ object Graph {
     * + coloring could not resolve — condensation-core-sized by then,
     * never the input graph) is handed to [[sccResidual]]: driver-side
     * iterative Tarjan when the residual carries at most
-    * `driverMaxEdges` edges (the same documented-threshold convention
-    * as `dedup_cluster`'s union-find — ≤ 5M edges ≈ 80 MB of longs,
-    * one linear pass), and classic FW-BW pivot divide-and-conquer
+    * `driverMaxEdges` edges AND nodes (the same documented-threshold
+    * convention as `dedup_cluster`'s union-find; the hand-off runs
+    * after a fringe trim, so every collected node has in- and
+    * out-edges and nodes ≤ edges — at 5M edges the retained driver
+    * state is primitive long/int arrays, ≈ 16 B/edge + ~40 B/node ≈
+    * 280 MB worst case, one linear pass), and classic FW-BW pivot
+    * divide-and-conquer
     * above it (min-node pivot, forward ∩ backward frontier reach = one
     * exact SCC per round, fringe trim between rounds, re-checked
     * against the Tarjan threshold as it shrinks). `scc` therefore
@@ -1066,11 +1177,12 @@ object Graph {
       out = if (out == null) found.localCheckpoint(true)
         else out.unionByName(found).localCheckpoint(true)
     while (activeN > 0) {
-      if (eact.count() <= driverMaxEdges) {
-        emit(sccTarjanDriver(active, eact))
-        return out
-      }
-      // bulk fringe trim: no cycle passes through a source/sink node
+      // bulk fringe trim FIRST: no cycle passes through a source/sink
+      // node, and edge-less nodes are singletons. Running the trim
+      // before the driver hand-off check means the residual we collect
+      // carries only nodes with BOTH in- and out-edges, so the node
+      // count is bounded by the edge count and the threshold genuinely
+      // bounds driver memory (ADVICE r10 #1).
       val both = eact.select(col("src").as("node")).distinct()
         .join(eact.select(col("dst").as("node")).distinct(), Seq("node"))
       val trimmed = active.join(both, Seq("node"), "left_anti")
@@ -1088,6 +1200,12 @@ object Graph {
           .join(trimmed.select(col("node").as("dst")), Seq("dst"),
             "left_anti")
           .localCheckpoint(true)
+      }
+      // post-trim every active node has ≥1 out-edge, so nodes ≤ edges;
+      // gate on max anyway — belt and braces on the memory bound
+      if (math.max(activeN, eact.count()) <= driverMaxEdges) {
+        emit(sccTarjanDriver(active, eact))
+        return out
       }
       if (tN.toDouble / (activeN + tN) >= 0.5) {
         // the trim alone is making fast progress — keep trimming
@@ -1145,8 +1263,21 @@ object Graph {
     val spark = eact.sparkSession
     val nodes = active.select(col("node"))
       .collect().map(_.getLong(0))
-    val edges = eact.select(col("src"), col("dst"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // collect edges into PRIMITIVE long arrays immediately — no boxed
+    // tuple array retained — so driver memory tracks the 16-bytes/edge
+    // estimate the threshold is sized for (ADVICE r10 #1)
+    val (esrc, edst) = {
+      val erows = eact.select(col("src"), col("dst")).collect()
+      val a = new Array[Long](erows.length)
+      val b = new Array[Long](erows.length)
+      var j = 0
+      while (j < erows.length) {
+        a(j) = erows(j).getLong(0); b(j) = erows(j).getLong(1); j += 1
+      }
+      (a, b) // Row array unreachable past this block — only longs retained
+    }
+    val m = esrc.length
+    var k = 0
     val n = nodes.length
     val id = new java.util.HashMap[java.lang.Long, Integer](n * 2)
     var i = 0
@@ -1154,21 +1285,25 @@ object Graph {
     // CSR adjacency (edges with a non-active endpoint are impossible by
     // construction — eact is pruned to active×active — but guard anyway)
     val deg = new Array[Int](n)
-    for ((s, d) <- edges) {
-      val si = id.get(s); val di = id.get(d)
+    k = 0
+    while (k < m) {
+      val si = id.get(esrc(k)); val di = id.get(edst(k))
       if (si != null && di != null) deg(si.intValue) += 1
+      k += 1
     }
     val off = new Array[Int](n + 1)
     i = 0
     while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
     val adj = new Array[Int](off(n))
     val fill = java.util.Arrays.copyOf(off, n)
-    for ((s, d) <- edges) {
-      val si = id.get(s); val di = id.get(d)
+    k = 0
+    while (k < m) {
+      val si = id.get(esrc(k)); val di = id.get(edst(k))
       if (si != null && di != null) {
         adj(fill(si.intValue)) = di.intValue
         fill(si.intValue) += 1
       }
+      k += 1
     }
     val index = Array.fill(n)(-1)
     val low = new Array[Int](n)

@@ -407,21 +407,42 @@ object Vocab {
     *
     * Scale shape: one corpus pass to word types; the lattice is bounded
     * by `topTypes` × 2^(maxWordLen−1) driver-side composition rows;
-    * vocabulary joins broadcast (alphabet + merges sized).
+    * vocabulary joins broadcast (alphabet + merges sized). The
+    * maxWordLen/topTypes caps truncate coverage to the kept types; the
+    * excluded type/occurrence share is computed from the uncapped type
+    * table and logged loudly (no-silent-caps discipline).
     */
   def wordpieceEncode(docs: DataFrame, textCol: String,
       mergedPieces: Seq[String], maxWordLen: Int = 8,
       topTypes: Int = 2000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = DataOps.parallelismFloor(docs.select(col(textCol).as("__t")))
+    // full [a-z]+ type table FIRST (vocab-sized), caps applied after —
+    // so the coverage the caps drop is measurable, not silent
+    val types0 = DataOps.parallelismFloor(docs.select(col(textCol).as("__t")))
       .select(explode(TextAnalysis.tokens(col("__t"))).as("word"))
-      .where(col("word").rlike("^[a-z]+$") &&
-        length(col("word")) <= maxWordLen)
+      .where(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val words = types0
+      .where(length(col("word")) <= maxWordLen)
       .orderBy(col("cnt").desc, col("word").asc).limit(topTypes)
       .withColumn("wlen", length(col("word")))
       .localCheckpoint(true)
+    // no-silent-caps (ADVICE r10 #3): the maxWordLen/topTypes caps bound
+    // the lattice, but piece counts cover ONLY the kept types — report
+    // the excluded share loudly so callers comparing against a
+    // full-corpus tokenizer see the truncation, not mystery deltas
+    val totRow = types0.agg(count(lit(1)).cast("long"),
+      coalesce(sum(col("cnt")), lit(0L))).head()
+    val kepRow = words.agg(count(lit(1)).cast("long"),
+      coalesce(sum(col("cnt")), lit(0L))).head()
+    val (totT, totO) = (totRow.getLong(0), totRow.getLong(1))
+    val (kepT, kepO) = (kepRow.getLong(0), kepRow.getLong(1))
+    System.err.println(
+      s"[wordpieceEncode] caps (maxWordLen=$maxWordLen, topTypes=$topTypes)" +
+        s" keep $kepT/$totT word types, $kepO/$totO occurrences" +
+        s" (dropped ${totT - kepT} types / ${totO - kepO} occurrences)")
     val sp = compositionTable(spark, maxWordLen, maxWordLen)
     val occ = words.join(broadcast(sp), Seq("wlen"))
       .select(col("word"), col("cnt"), col("sig"), col("nparts"),

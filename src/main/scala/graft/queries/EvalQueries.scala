@@ -2541,7 +2541,8 @@ object EvalQueries {
        |  ${Analytics.half6Sql(s"($diff + 5.0) / ($se)")} AS t_lower,
        |  ${Analytics.half6Sql(s"(5.0 - $diff) / ($se)")} AS t_upper,
        |  least(($diff + 5.0) / ($se), (5.0 - $diff) / ($se)) > 1.644854
-       |    AS equivalent
+       |    AS equivalent,
+       |  na0 >= 30 AND nb0 >= 30 AS large_n
        |FROM gg
        |WHERE na0 >= 2 AND nb0 >= 2 AND ${Analytics.welchSeExpr} > 0.0""".stripMargin
   }
