@@ -453,32 +453,71 @@ object Graph {
       .select("community", "n_nodes", "e_in", "d_tot", "q_term")
   }
 
-  /** One synchronous Louvain local-move phase over a WEIGHTED symmetric
-    * edge list `sym` (src, dst, w — no self-loops; self-loop mass lives
-    * only in `deg`, where it belongs: a self-loop adds the same amount
-    * to every candidate's intra-community term, so it cancels out of
-    * the argmax). Per round, EVERY node picks the community (among its
-    * neighbors' communities and its own) with the best modularity gain
-    * against the CURRENT assignment, all nodes moving at once — the
-    * deterministic, unrolled-CTE-replayable variant of Louvain phase 1.
+  /** Reset a checkpointed frame's STATISTICS as well as its lineage:
+    * `localCheckpoint` truncates the RDD lineage but the returned plan
+    * INHERITS the estimated sizeInBytes of what it replaced — in an
+    * iterative join loop the estimate multiplies every round, the
+    * BigInteger grows exponentially, and Catalyst's stats visitor
+    * eventually burns the driver alive on arbitrary-precision
+    * arithmetic (measured: a 50-node Louvain loop wedged the driver
+    * for 25+ minutes inside BigInteger.multiply). Re-wrapping the
+    * materialized RDD in a fresh DataFrame restores a constant-size
+    * estimate each round. One narrow conversion pass over a
+    * node-count-sized table — noise next to the round's shuffles.
+    */
+  private def resetStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** Exact integer partition quality: S(P) = Σ_C [4m·e_C − d_C²], a
+    * positive affine transform of Newman modularity (Q = S / 4m²), in
+    * DECIMAL(38,0) — so "did this refinement round help?" is an exact
+    * integer comparison both engines answer identically, never a float
+    * race. Two keyed label joins + two community aggregations — the
+    * [[modularity]] accounting as one scalar.
+    */
+  private def louvainS(und: DataFrame, deg: DataFrame, labels: DataFrame,
+      m: Long): java.math.BigDecimal = {
+    val d38 = "decimal(38,0)"
+    val ein = und
+      .join(labels.select(col("node").as("a"), col("com").as("__ca")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("com").as("__cb")), Seq("b"))
+      .where(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("com")).agg(count(lit(1)).as("e"))
+    val row = deg.join(labels, Seq("node"))
+      .groupBy("com").agg(sum(col("d")).as("dt"))
+      .join(ein, Seq("com"), "left")
+      .agg(sum(lit(4L * m).cast(d38) * coalesce(col("e"), lit(0L)).cast(d38)
+        - col("dt").cast(d38) * col("dt").cast(d38)).as("s"))
+      .head()
+    row.getDecimal(0)
+  }
+
+  /** Parity-alternated local-move refinement rounds over the node graph
+    * (Louvain phase 1, the synchronous replayable variant): per round,
+    * active nodes (id parity = round parity — the alternating-cycle
+    * damping of parallel Louvain implementations; fully-synchronous
+    * moves thrash on dense graphs) pick the community among their
+    * neighbors' communities and their own with the best EXACT
+    * modularity gain: dropping the per-node-constant k_v²/4m² term,
+    * argmax_C ΔQ(v→C) = argmax_C [2m·k_{v,C∖v} − k_v·Σtot(C∖v)] — two
+    * DECIMAL(38,0) integer products per candidate, ties to the smallest
+    * community id via the label-prop `max_by(com, struct(score, -com))`
+    * idiom. No window anywhere. Returns every post-round snapshot (the
+    * caller selects the best by exact [[louvainS]]).
     *
-    * Gain comparison is EXACT: dropping the per-node-constant k_v²/4m²
-    * term, argmax_C ΔQ(v→C) = argmax_C [2m·k_{v,C∖v} − k_v·Σtot(C∖v)]
-    * — two DECIMAL(38,0) integer products per candidate (≤ 4m², never a
-    * float), ties to the smallest community id via the label-prop
-    * `max_by(com, struct(score, -com))` idiom. No window anywhere.
-    *
-    * Scale: per round ONE dst-keyed join + aggregation builds k_{v,C}
-    * (neighbor-community edge mass), one node-keyed aggregation builds
-    * Σtot, and the scoring is keyed joins on node/community — the
-    * PageRank shuffle budget, state one (node, com) row per node.
+    * Scale: per round ONE dst-keyed join + aggregation builds k_{v,C},
+    * one node-keyed aggregation builds Σtot, and the scoring is keyed
+    * joins on node/community — the PageRank shuffle budget, state one
+    * (node, com) row per node.
     */
   private def louvainMoves(sym: DataFrame, deg: DataFrame, m: Long,
-      rounds: Int): DataFrame = {
+      seed: DataFrame, rounds: Int): Seq[DataFrame] = {
     val d38 = "decimal(38,0)"
-    var p = deg.select(col("node"), col("node").as("com"))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var p = seed
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
       val ctot = deg.join(p, Seq("node"))
         .groupBy("com").agg(sum(col("d")).as("tot"))
       val kvc = sym
@@ -503,61 +542,105 @@ object Graph {
             - col("d").cast(d38) *
               (col("tot") - when(col("com") === col("__cur"), col("d"))
                 .otherwise(lit(0L))).cast(d38))
-      p = scored.groupBy("node")
-        .agg(expr("max_by(com, struct(score, -com))").as("com"))
-        .localCheckpoint(true)
+      val best = scored.groupBy("node")
+        .agg(expr("max_by(com, struct(score, -com))").as("best"))
+      p = resetStats(p.join(best, Seq("node"))
+        .select(col("node"),
+          when(pmod(col("node"), lit(2L)) === lit((r % 2).toLong),
+            col("best")).otherwise(col("com")).as("com")))
+      snaps += p
     }
-    p
+    snaps.toSeq
   }
 
-  /** Fixed-round deterministic Louvain communities (Blondel et al. 2008,
-    * the synchronous replayable variant): `rounds` local-move rounds on
-    * the node graph, ONE contraction (communities become weighted
-    * supernodes — cross-community edge multiplicity is the super-edge
-    * weight, a supernode's degree is its members' summed degrees, so
-    * intra-community mass is carried exactly as self-loop degree), then
-    * `rounds` more local-move rounds on the contracted graph. Unlike
-    * [[labelPropagation]] (most-frequent-neighbor, no quality
-    * guarantee), every move here maximizes the exact Newman modularity
-    * gain, so Q([[modularity]]) actually improves — the web-graph
-    * curation partitioner. Returns `(node, community)`; community ids
-    * are node ids (each community's level-2 anchor), deterministic.
+  /** Fixed-round deterministic Louvain communities — the modularity-
+    * OPTIMIZING partitioner (unlike [[labelPropagation]], which spreads
+    * frequent labels with no quality guarantee). Three phases, all
+    * exact-integer and unrolled-CTE-replayable:
     *
-    * Scale: two [[louvainMoves]] phases (keyed joins, no windows, no
-    * collects) plus a contraction that is two node-keyed label joins and
-    * one (src, dst)-keyed count — the contracted graph is
-    * community-count-sized, strictly smaller than the input.
+    *  1. AGGLOMERATION, `matchRounds` handshake-merge rounds: each
+    *     community picks its best merge partner by exact merge gain
+    *     ΔQ(C,D) ∝ 2m·e_CD − d_C·d_D (DECIMAL(38,0); positive gains
+    *     only; ties to the smallest partner id), and a merge happens
+    *     ONLY when the choice is mutual. Mutual merges are pairwise
+    *     disjoint, so the per-round ΔQ is the exact SUM of the chosen
+    *     gains — Q is PROVABLY non-decreasing every round (the property
+    *     fully-synchronous local moves lack: from singletons they
+    *     thrash on dense graphs — measured Q ≈ −0.04 on the co-purchase
+    *     fixture — because adjacent nodes swap communities in lockstep).
+    *     Each merge round operates on community granularity (e_CD, d_C),
+    *     i.e. every round IS a micro-contraction of the classic
+    *     Louvain level structure. Merged pairs take the smaller
+    *     community id.
+    *  2. REFINEMENT, `moveRounds` parity-alternated local-move rounds
+    *     ([[louvainMoves]] — Louvain phase 1 proper) from the
+    *     agglomerated seed: node-level corrections matching can't
+    *     express (measured +19% Q on the co-purchase fixture).
+    *  3. SELECTION: the final answer is the snapshot (seed or any
+    *     post-refinement round) with the best EXACT integer quality
+    *     S = Σ_C [4m·e_C − d_C²] ([[louvainS]]; ties to the earliest
+    *     snapshot) — refinement is synchronous and so not itself
+    *     monotone; the selection restores the guarantee
+    *     Q(result) ≥ Q(agglomeration) ≥ each merge round ≥ ... .
+    *
+    * Returns `(node, community)`; community ids are node ids (each
+    * community's smallest anchor id), fully deterministic.
+    *
+    * Scale: every phase is keyed joins + community-sized aggregations
+    * (no windows, no collects beyond the m/S scalars); a merge round
+    * touches the edge list twice (the [[modularity]] budget); state is
+    * one (node, com) row per node, checkpointed with constant-size
+    * stats each round ([[resetStats]]).
     */
-  def louvain(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    require(rounds >= 1)
+  def louvain(edges: DataFrame, matchRounds: Int = 12,
+      moveRounds: Int = 4): DataFrame = {
+    require(matchRounds >= 1 && moveRounds >= 0)
+    val d38 = "decimal(38,0)"
     val und = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b")).localCheckpoint(true)
     val m = und.count()
     require(m > 0, "louvain needs a non-empty graph")
-    val sym1 = und.select(col("a").as("src"), col("b").as("dst"))
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("w", lit(1L)).localCheckpoint(true)
-    val deg1 = sym1.groupBy(col("src").as("node"))
+    val deg = sym.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("d")).localCheckpoint(true)
-    val l1 = louvainMoves(sym1, deg1, m, rounds)
-    // contraction: weighted super-edges between DISTINCT communities
-    // (intra-community edges become self-loop degree via deg2, not rows)
-    val cross = und
-      .join(l1.select(col("node").as("a"), col("com").as("__ca")), Seq("a"))
-      .join(l1.select(col("node").as("b"), col("com").as("__cb")), Seq("b"))
-      .where(col("__ca") =!= col("__cb"))
-      .select(col("__ca").as("src"), col("__cb").as("dst"))
-    val sym2 = cross
-      .unionByName(cross.select(col("dst").as("src"), col("src").as("dst")))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    // phase 1: handshake agglomeration (Q non-decreasing by construction)
+    var p = deg.select(col("node"), col("node").as("com"))
       .localCheckpoint(true)
-    val deg2 = deg1.join(l1, Seq("node"))
-      .groupBy(col("com").as("node")).agg(sum(col("d")).as("d"))
-      .localCheckpoint(true)
-    val l2 = louvainMoves(sym2, deg2, m, rounds)
-    l1.join(l2.select(col("node").as("com"), col("com").as("community")),
-        Seq("com"))
-      .select(col("node"), col("community"))
+    for (_ <- 1 to matchRounds) {
+      val ecd0 = und
+        .join(p.select(col("node").as("a"), col("com").as("__ca")), Seq("a"))
+        .join(p.select(col("node").as("b"), col("com").as("__cb")), Seq("b"))
+        .where(col("__ca") =!= col("__cb"))
+        .select(col("__ca").as("c1"), col("__cb").as("c2"))
+      val ecd = ecd0
+        .unionByName(ecd0.select(col("c2").as("c1"), col("c1").as("c2")))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("e"))
+      val dtot = deg.join(p, Seq("node"))
+        .groupBy(col("com")).agg(sum(col("d")).as("dt"))
+      val gain = ecd
+        .join(dtot.select(col("com").as("c1"), col("dt").as("d1")), Seq("c1"))
+        .join(dtot.select(col("com").as("c2"), col("dt").as("d2")), Seq("c2"))
+        .withColumn("g", lit(m).cast(d38) * lit(2L) * col("e").cast(d38)
+          - col("d1").cast(d38) * col("d2").cast(d38))
+        .where(col("g") > 0)
+      val best = gain.groupBy("c1")
+        .agg(expr("max_by(c2, struct(g, -c2))").as("c2"))
+      val mutual = best
+        .join(best.select(col("c1").as("c2"), col("c2").as("c1")),
+          Seq("c1", "c2"))
+        .where(col("c1") < col("c2"))
+      val relabel = mutual.select(col("c2").as("com"), col("c1").as("newcom"))
+      p = resetStats(p.join(relabel, Seq("com"), "left")
+        .select(col("node"), coalesce(col("newcom"), col("com")).as("com")))
+    }
+    // phases 2 + 3: local-move refinement, then exact-S best-snapshot
+    val snaps = p +: louvainMoves(sym, deg, m, p, moveRounds)
+    val chosen = snaps
+      .map(s => (s, louvainS(und, deg, s, m)))
+      .reduceLeft((a, b) => if (b._2.compareTo(a._2) > 0) b else a)._1
+    chosen.select(col("node"), col("com").as("community"))
   }
 
   /** Fixed-iteration personalized PageRank: teleport mass returns ONLY

@@ -270,6 +270,109 @@ object Sketches {
       .select("src_a", "src_b", "k_used", "matches", "j_est")
   }
 
+  /** Per-group bottom-k THETA sketch table: the k smallest mix64 hashes
+    * of the group's distinct keys, ascending (the [[kmvJaccard]] sketch,
+    * made first-class). This table IS the persistable sketch — build it
+    * once per corpus/snapshot with ONE scan (O(k) mergeable aggregation
+    * state), store it, and answer set-algebra questions later with
+    * [[thetaAlgebraFromSketches]] and no corpus access. `keyCol` must be
+    * integral ([[kmvDistinct]]'s contract — hash strings upstream).
+    */
+  def thetaSketches(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 64): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(transform(Aggs.bottomKByHash(col(keyCol), k),
+        x => HashExprs.mix64(x)).as("sketch"))
+
+  /** Theta-sketch SET ALGEBRA over every unordered group pair of a
+    * sketch table (Dasgupta et al., "Theta sketches"): estimated |A|,
+    * |B|, |A∪B|, |A∩B|, |A−B|, |B−A| — the "how many NEW documents does
+    * snapshot B add over corpus A" curation question, answered from two
+    * O(k) sketches with no corpus join anywhere.
+    *
+    * Mechanics (KMV convention: a full sketch's θ is its k-th smallest
+    * hash, the k−1 hashes below θ are a uniform sample of the set's
+    * distinct keys at inclusion rate θ): the pair's cutoff is
+    * θ_u = min(θ_A, θ_B); both samples filter to < θ_u; their distinct
+    * union is the union's sample — re-trimmed to k−1 (with θ_u moving
+    * down to the k-th smallest) when the merge overflows, exactly the
+    * published theta-union rule. Each estimate is |sample ∩ predicate|
+    * / θ_u: membership in both samples → intersection, in one and not
+    * the other → difference. Sketches smaller than k are EXACT sets
+    * (θ = 1 via the Long.MaxValue sentinel), so small-group estimates
+    * are exact counts.
+    *
+    * Deterministic: hash-ranked (splitmix64), no RNG; θ maps the SIGNED
+    * k-th hash into [0,1) by the same add-then-divide as [[kmvDistinct]],
+    * so a DuckDB replay matches bit-for-bit. Scale: the pair enumeration
+    * is sketch-table × sketch-table — group-count-sized BY CONSTRUCTION,
+    * every row carrying ≤ 2k longs.
+    */
+  def thetaAlgebraFromSketches(sk: DataFrame, groupCol: String,
+      k: Int = 64): DataFrame = {
+    def fr(c: Column): Column =
+      (c.cast("double") + lit(9.223372036854775808e18)) /
+        lit(1.8446744073709552e19)
+    val mx = lit(Long.MaxValue)
+    val a = sk.select(col(groupCol).as("src_a"), col("sketch").as("__sa"))
+    val b = sk.select(col(groupCol).as("src_b"), col("sketch").as("__sb"))
+    def estSide(h: String, s: String): Column =
+      round(when(col(h).isNull, size(col(s)).cast("double"))
+        .otherwise(lit((k - 1).toDouble) / fr(col(h))), 6)
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("__ha", when(size(col("__sa")) >= k,
+        element_at(col("__sa"), k)))
+      .withColumn("__hb", when(size(col("__sb")) >= k,
+        element_at(col("__sb"), k)))
+      .withColumn("__ra", when(col("__ha").isNull, col("__sa"))
+        .otherwise(slice(col("__sa"), 1, k - 1)))
+      .withColumn("__rb", when(col("__hb").isNull, col("__sb"))
+        .otherwise(slice(col("__sb"), 1, k - 1)))
+      .withColumn("__hu",
+        least(coalesce(col("__ha"), mx), coalesce(col("__hb"), mx)))
+      .withColumn("__u0", array_sort(array_distinct(concat(
+        org.apache.spark.sql.functions.filter(col("__ra"),
+          x => x < col("__hu")),
+        org.apache.spark.sql.functions.filter(col("__rb"),
+          x => x < col("__hu"))))))
+      .withColumn("__huf", when(size(col("__u0")) >= k,
+        element_at(col("__u0"), k)).otherwise(col("__hu")))
+      .withColumn("__ru", when(size(col("__u0")) >= k,
+        slice(col("__u0"), 1, k - 1)).otherwise(col("__u0")))
+      .withColumn("__theta",
+        when(col("__huf") === mx, lit(1.0)).otherwise(fr(col("__huf"))))
+      .withColumn("__ni", size(org.apache.spark.sql.functions.filter(
+        col("__ru"), x => array_contains(col("__sa"), x) &&
+          array_contains(col("__sb"), x))).cast("long"))
+      .withColumn("__nab", size(org.apache.spark.sql.functions.filter(
+        col("__ru"), x => array_contains(col("__sa"), x) &&
+          !array_contains(col("__sb"), x))).cast("long"))
+      .withColumn("__nba", size(org.apache.spark.sql.functions.filter(
+        col("__ru"), x => array_contains(col("__sb"), x) &&
+          !array_contains(col("__sa"), x))).cast("long"))
+      .select(col("src_a"), col("src_b"),
+        size(col("__ru")).cast("long").as("k_used"),
+        round(col("__theta"), 6).as("theta"),
+        estSide("__ha", "__sa").as("est_a"),
+        estSide("__hb", "__sb").as("est_b"),
+        round(size(col("__ru")).cast("double") / col("__theta"), 6)
+          .as("est_union"),
+        round(col("__ni").cast("double") / col("__theta"), 6)
+          .as("est_intersect"),
+        round(col("__nab").cast("double") / col("__theta"), 6)
+          .as("est_a_not_b"),
+        round(col("__nba").cast("double") / col("__theta"), 6)
+          .as("est_b_not_a"))
+  }
+
+  /** Convenience composition: build the per-group theta sketches with
+    * one corpus scan, then run the pairwise set algebra on them.
+    */
+  def thetaPairAlgebra(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 64): DataFrame =
+    thetaAlgebraFromSketches(thetaSketches(df, groupCol, keyCol, k),
+      groupCol, k)
+
   /** Mergeable equi-width histogram quantile sketch: two passes — an
     * exact integer min/max (the values are mapped to an integer grid by
     * `toGrid` first, e.g. price→cents, so binning is pure long math with

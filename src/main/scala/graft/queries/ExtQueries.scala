@@ -3718,6 +3718,82 @@ object ExtQueries {
       |    AND list_contains(sb, x))) AS DOUBLE) / len(u), 6) AS j_est
       |FROM pairs""".stripMargin
 
+  /** Theta-sketch set algebra over the per-source vocab sketches
+    * (Sketches.thetaPairAlgebra): estimated |A|/|B|/|A∪B|/|A∩B|/|A−B|/
+    * |B−A| token-vocabulary cardinalities for every source pair — the
+    * "how many NEW tokens does source B add over source A" snapshot
+    * question, from two bottom-64 sketches, no corpus join.
+    */
+  val sketchTheta: QueryFn = (s, dir) => {
+    import graft.ext.{Sketches, TextShingles}
+    val vocab = DataOps.parallelismFloor(Tables.documents(s, dir))
+      .select(col("source"),
+        explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
+      .distinct()
+    Sketches.thetaPairAlgebra(vocab, "source", "th", k = 64)
+  }
+
+  /** Replay: the shared KMV hash chain to per-source bottom-64 hash
+    * lists, then the same theta-union mechanics — per-sketch cutoff
+    * (k-th smallest when full, MaxLong sentinel otherwise), filter to
+    * < min cutoff, distinct-merge, re-trim on overflow, and every
+    * estimate as count / theta with the identical add-then-divide
+    * fraction mapping.
+    */
+  val sketchThetaSql: String = kmvRankedCtes + ",\n" +
+    """sk AS (
+      |  SELECT source, list(hv ORDER BY hv) AS s
+      |  FROM ranked WHERE rn <= 64 GROUP BY source
+      |), pr AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, a.s AS sa, b.s AS sb,
+      |    CASE WHEN len(a.s) >= 64 THEN a.s[64] END AS ha,
+      |    CASE WHEN len(b.s) >= 64 THEN b.s[64] END AS hb
+      |  FROM sk a JOIN sk b ON a.source < b.source
+      |), p2 AS (
+      |  SELECT *,
+      |    CASE WHEN ha IS NULL THEN sa ELSE sa[1:63] END AS ra,
+      |    CASE WHEN hb IS NULL THEN sb ELSE sb[1:63] END AS rb,
+      |    least(coalesce(ha, 9223372036854775807),
+      |          coalesce(hb, 9223372036854775807)) AS hu
+      |  FROM pr
+      |), p3 AS (
+      |  SELECT *, list_sort(list_distinct(list_concat(
+      |      list_filter(ra, x -> x < hu),
+      |      list_filter(rb, x -> x < hu)))) AS u0
+      |  FROM p2
+      |), p4 AS (
+      |  SELECT *,
+      |    CASE WHEN len(u0) >= 64 THEN u0[64] ELSE hu END AS huf,
+      |    CASE WHEN len(u0) >= 64 THEN u0[1:63] ELSE u0 END AS ru
+      |  FROM p3
+      |), p5 AS (
+      |  SELECT *,
+      |    CASE WHEN huf = 9223372036854775807 THEN 1.0
+      |      ELSE (huf::DOUBLE + 9223372036854775808) / 18446744073709551616
+      |    END AS theta_raw,
+      |    len(list_filter(ru, x -> list_contains(sa, x)
+      |      AND list_contains(sb, x))) AS ni,
+      |    len(list_filter(ru, x -> list_contains(sa, x)
+      |      AND NOT list_contains(sb, x))) AS nab,
+      |    len(list_filter(ru, x -> list_contains(sb, x)
+      |      AND NOT list_contains(sa, x))) AS nba
+      |  FROM p4
+      |)
+      |SELECT src_a, src_b,
+      |  CAST(len(ru) AS BIGINT) AS k_used,
+      |  round(theta_raw, 6) AS theta,
+      |  round(CASE WHEN ha IS NULL THEN len(sa)::DOUBLE
+      |    ELSE 63.0 / ((ha::DOUBLE + 9223372036854775808) / 18446744073709551616)
+      |  END, 6) AS est_a,
+      |  round(CASE WHEN hb IS NULL THEN len(sb)::DOUBLE
+      |    ELSE 63.0 / ((hb::DOUBLE + 9223372036854775808) / 18446744073709551616)
+      |  END, 6) AS est_b,
+      |  round(len(ru)::DOUBLE / theta_raw, 6) AS est_union,
+      |  round(ni::DOUBLE / theta_raw, 6) AS est_intersect,
+      |  round(nab::DOUBLE / theta_raw, 6) AS est_a_not_b,
+      |  round(nba::DOUBLE / theta_raw, 6) AS est_b_not_a
+      |FROM p5""".stripMargin
+
   // Shared final expressions for stats_moments: both engines parse the
   // SAME strings over the exact integer sums, so every IEEE operation
   // (casts of DECIMAL sums, divides, multiplies, sqrt — all correctly
@@ -3862,6 +3938,7 @@ object ExtQueries {
     "sketch_countmin"      -> sketchCountMin,
     "sketch_kmv"           -> sketchKmv,
     "sketch_kmv_jaccard"   -> sketchKmvJaccard,
+    "sketch_theta"         -> sketchTheta,
     "sketch_quantile"      -> sketchQuantile,
     "stats_moments"        -> statsMoments,
     "mean_vectors"         -> meanVectors,
@@ -3918,6 +3995,7 @@ object ExtQueries {
     "sketch_countmin"     -> sketchCountMinSql,
     "sketch_kmv"          -> sketchKmvSql,
     "sketch_kmv_jaccard"  -> sketchKmvJaccardSql,
+    "sketch_theta"        -> sketchThetaSql,
     "sketch_quantile"     -> sketchQuantileSql,
     "stats_moments"       -> statsMomentsSql,
     "pack_greedy"         -> packGreedySql,

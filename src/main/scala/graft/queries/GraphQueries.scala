@@ -373,6 +373,158 @@ object GraphQueries {
     s"""$labelPropChain
        |SELECT node, lab AS community FROM l4""".stripMargin
 
+  /** Deterministic fixed-round Louvain communities — the modularity-
+    * OPTIMIZING partitioner beside [[graphLabelProp]] (label-prop spreads
+    * frequent labels with no quality guarantee; here Q is provably
+    * non-decreasing through the agglomeration rounds and the final
+    * snapshot selection — asserted Q(louvain) ≥ Q(label_prop) in
+    * Round11Spec). 12 handshake-merge rounds, 4 parity local-move
+    * refinement rounds, exact-integer best-snapshot selection (see
+    * [[graft.ext.Graph.louvain]]).
+    */
+  val graphLouvain: QueryFn = (s, dir) =>
+    Graph.louvain(coPurchase(s, dir), matchRounds = 12, moveRounds = 4)
+
+  /** One handshake-merge round as SQL: per community the best positive
+    * merge partner by exact gain 2m·e_CD − d_C·d_D in HUGEINT (the
+    * Spark side's DECIMAL(38,0) — both exact), ties to the smallest
+    * partner; merges only when mutual; merged pairs take the smaller id.
+    */
+  private def louvainMatchCte(prev: String, next: String,
+      tag: String): String =
+    s"""mx$tag AS MATERIALIZED (
+       |  SELECT la.com AS c1, lb.com AS c2
+       |  FROM pm pr JOIN $prev la ON la.node = pr.a
+       |    JOIN $prev lb ON lb.node = pr.b
+       |  WHERE la.com <> lb.com
+       |), me$tag AS MATERIALIZED (
+       |  SELECT c1, c2, CAST(count(*) AS BIGINT) AS e FROM
+       |    (SELECT c1, c2 FROM mx$tag UNION ALL SELECT c2, c1 FROM mx$tag)
+       |  GROUP BY 1, 2
+       |), md$tag AS MATERIALIZED (
+       |  SELECT p.com, CAST(sum(d1.d) AS BIGINT) AS dt
+       |  FROM d1 JOIN $prev p USING (node) GROUP BY 1
+       |), mg$tag AS MATERIALIZED (
+       |  SELECT e.c1, e.c2,
+       |    2 * mm.m * CAST(e.e AS HUGEINT)
+       |      - CAST(a.dt AS HUGEINT) * CAST(b.dt AS HUGEINT) AS g
+       |  FROM me$tag e JOIN md$tag a ON a.com = e.c1
+       |    JOIN md$tag b ON b.com = e.c2, mm
+       |  WHERE 2 * mm.m * CAST(e.e AS HUGEINT)
+       |      - CAST(a.dt AS HUGEINT) * CAST(b.dt AS HUGEINT) > 0
+       |), mb$tag AS MATERIALIZED (
+       |  SELECT c1, c2 FROM mg$tag
+       |  QUALIFY row_number() OVER (PARTITION BY c1
+       |    ORDER BY g DESC, c2 ASC) = 1
+       |), mu$tag AS MATERIALIZED (
+       |  SELECT x.c1, x.c2 FROM mb$tag x
+       |  JOIN mb$tag y ON y.c1 = x.c2 AND y.c2 = x.c1
+       |  WHERE x.c1 < x.c2
+       |), $next AS MATERIALIZED (
+       |  SELECT p.node, coalesce(u.c1, p.com) AS com
+       |  FROM $prev p LEFT JOIN mu$tag u ON u.c2 = p.com
+       |)""".stripMargin
+
+  /** One parity-gated local-move refinement round as SQL: candidates =
+    * own community ∪ neighbor communities, score = 2m·k_{v,C∖v} −
+    * k_v·Σtot(C∖v) in HUGEINT, ties to the smallest community id; only
+    * nodes whose id parity matches the round parity `par` move (the
+    * oscillation damping — see [[graft.ext.Graph.louvain]]).
+    */
+  private def louvainRoundCte(prev: String, next: String, tag: String,
+      par: Int): String =
+    s"""lc$tag AS MATERIALIZED (
+       |  SELECT com, CAST(sum(d) AS BIGINT) AS tot
+       |  FROM d1 JOIN $prev USING (node) GROUP BY 1
+       |), lk$tag AS MATERIALIZED (
+       |  SELECT e.src AS node, p.com, CAST(sum(e.w) AS BIGINT) AS kvc
+       |  FROM e1 e JOIN $prev p ON p.node = e.dst GROUP BY 1, 2
+       |), la$tag AS (
+       |  SELECT p.node, p.com, coalesce(k.kvc, 0) AS kvc
+       |  FROM $prev p LEFT JOIN lk$tag k
+       |    ON k.node = p.node AND k.com = p.com
+       |  UNION ALL
+       |  SELECT k.node, k.com, k.kvc
+       |  FROM lk$tag k JOIN $prev p ON p.node = k.node AND p.com <> k.com
+       |), lb$tag AS (
+       |  SELECT node, com AS best FROM (
+       |    SELECT a.node, a.com,
+       |      2 * mm.m * CAST(a.kvc AS HUGEINT)
+       |        - CAST(dd.d AS HUGEINT)
+       |          * (c.tot - CASE WHEN a.com = p.com THEN dd.d ELSE 0 END)
+       |        AS score
+       |    FROM la$tag a JOIN $prev p ON p.node = a.node
+       |      JOIN d1 dd ON dd.node = a.node
+       |      JOIN lc$tag c ON c.com = a.com, mm)
+       |  QUALIFY row_number() OVER (PARTITION BY node
+       |    ORDER BY score DESC, com ASC) = 1
+       |), $next AS MATERIALIZED (
+       |  SELECT p.node,
+       |    CASE WHEN ((p.node % 2) + 2) % 2 = $par THEN b.best ELSE p.com
+       |    END AS com
+       |  FROM $prev p JOIN lb$tag b ON b.node = p.node
+       |)""".stripMargin
+
+  /** Exact integer quality S(P) = Σ_C [4m·e_C − d_C²] of the label
+    * table `lab`, as one scalar CTE `ss$tag` — the snapshot-selection
+    * statistic (Q = S/4m², so argmax S = argmax Q, no floats).
+    */
+  private def louvainSnapCte(lab: String, tag: String): String =
+    s"""se$tag AS (
+       |  SELECT la.com, CAST(count(*) AS BIGINT) AS e
+       |  FROM pm pr JOIN $lab la ON la.node = pr.a
+       |    JOIN $lab lb ON lb.node = pr.b
+       |  WHERE la.com = lb.com GROUP BY 1
+       |), sd$tag AS (
+       |  SELECT p.com, CAST(sum(d1.d) AS BIGINT) AS dt
+       |  FROM d1 JOIN $lab p USING (node) GROUP BY 1
+       |), ss$tag AS MATERIALIZED (
+       |  SELECT CAST(sum(4 * mm.m * CAST(coalesce(se.e, 0) AS HUGEINT)
+       |    - CAST(sd.dt AS HUGEINT) * CAST(sd.dt AS HUGEINT)) AS HUGEINT)
+       |    AS s
+       |  FROM sd$tag sd LEFT JOIN se$tag se ON se.com = sd.com, mm
+       |)""".stripMargin
+
+  val graphLouvainSql: String = {
+    val mr = (0 until 12).map(i =>
+      louvainMatchCte(s"p$i", s"p${i + 1}", s"$i")).mkString(",\n")
+    val rr = (0 until 4).map(i =>
+      louvainRoundCte(s"q$i", s"q${i + 1}", s"$i", (i + 1) % 2))
+      .mkString(",\n")
+    val sn = (0 to 4).map(i => louvainSnapCte(s"q$i", s"$i"))
+      .mkString(",\n")
+    val snapUnion = (0 to 4).map(i =>
+      s"SELECT $i AS i, s FROM ss$i").mkString(" UNION ALL ")
+    val finalUnion = (0 to 4).map(i =>
+      s"""SELECT CAST(node AS BIGINT) AS node, CAST(com AS BIGINT) AS community
+         |FROM q$i WHERE (SELECT i FROM pick) = $i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$pairsCte, pm AS MATERIALIZED (
+       |  SELECT a, b FROM pairs
+       |), mm AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS m FROM pm
+       |), e1 AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, CAST(1 AS BIGINT) AS w FROM pm
+       |  UNION ALL SELECT b, a, CAST(1 AS BIGINT) FROM pm
+       |), d1 AS MATERIALIZED (
+       |  SELECT src AS node, CAST(sum(w) AS BIGINT) AS d FROM e1 GROUP BY 1
+       |), p0 AS MATERIALIZED (
+       |  SELECT node, node AS com FROM d1
+       |),
+       |$mr,
+       |q0 AS MATERIALIZED (
+       |  SELECT node, com FROM p12
+       |),
+       |$rr,
+       |$sn,
+       |snapq AS ($snapUnion),
+       |pick AS MATERIALIZED (
+       |  SELECT i FROM snapq QUALIFY row_number() OVER (
+       |    ORDER BY s DESC, i ASC) = 1
+       |)
+       |$finalUnion""".stripMargin
+  }
+
   /** Newman modularity of the 4-round label-prop partition — the
     * community-quality number (see [[graft.ext.Graph.modularity]]):
     * per-community e_c/m − (d_c/2m)² from exact integer counts.
@@ -1149,6 +1301,7 @@ object GraphQueries {
     "graph_assortativity" -> graphAssortativity,
     "graph_reciprocity" -> graphReciprocity,
     "graph_label_prop" -> graphLabelProp,
+    "graph_louvain"   -> graphLouvain,
     "graph_hits"      -> graphHits,
     "ts_ewma"         -> tsEwma,
     "ts_interpolate"  -> tsInterpolate,
@@ -1187,6 +1340,7 @@ object GraphQueries {
     "graph_assortativity" -> graphAssortativitySql,
     "graph_reciprocity" -> graphReciprocitySql,
     "graph_label_prop" -> graphLabelPropSql,
+    "graph_louvain"   -> graphLouvainSql,
     "graph_hits"      -> graphHitsSql,
     "ts_ewma"         -> tsEwmaSql,
     "ts_interpolate"  -> tsInterpolateSql,

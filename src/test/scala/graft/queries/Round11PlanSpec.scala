@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Physical-plan pins for the round-11 operators: Louvain is keyed
+  * joins + aggregations only (no window, no cartesian, no
+  * single-partition exchange at any of its 6 unrolled rounds), and the
+  * theta algebra touches the corpus only through the O(k) sketch
+  * aggregation — the pair join runs on the group-count-sized sketch
+  * table.
+  */
+class Round11PlanSpec extends AnyFunSuite with SparkTest {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("graph_louvain: zero windows, keyed joins only — no cartesian, no nested loop, no single-partition exchange") {
+    val p = plan(GraphQueries.graphLouvain(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("sketch_theta: corpus condenses through the O(k) bottom-k aggregation; no window, no single-partition exchange") {
+    val p = plan(ExtQueries.sketchTheta(spark, dir))
+    // the only corpus-sized operator is the partial bottom-k aggregate;
+    // everything after runs on the group-count-sized sketch table
+    assert(p.contains("partial_bottomkbyhash") ||
+      p.contains("BottomKByHash") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+}
