@@ -1266,6 +1266,67 @@ object Analytics {
         col("rate_a"), col("rate_b"), col("z"))
   }
 
+  /** Shared minimum-detectable-effect expression over the same exact
+    * longs as [[propZExpr]]: MDE = (z_{α/2} + z_β) · √(p̂(1−p̂)(1/nA +
+    * 1/nB)) with z_{.025} = 1.959964, z_{.20} = 0.841621 (α = 5%
+    * two-sided, 80% power — the industry-default design point).
+    * Identical in Spark SQL and DuckDB; only sqrt (IEEE
+    * correctly-rounded) and the two constants appear, so both engines
+    * compute the same bits.
+    */
+  private[graft] def mdeExpr: String = {
+    val pp = "(CAST(ka + kb AS DOUBLE) / CAST(na0 + nb0 AS DOUBLE))"
+    half6Sql(s"(1.959964 + 0.841621) * sqrt($pp * (1.0 - $pp) * " +
+      "(1.0 / CAST(na0 AS DOUBLE) + 1.0 / CAST(nb0 AS DOUBLE)))")
+  }
+
+  /** Minimum detectable effect per group for the two-proportion design
+    * — the power-analysis companion to [[twoProportionZ]] and the
+    * number every "the z-test found nothing" verdict must be read
+    * against: the smallest absolute rate difference the CURRENT cohort
+    * sizes can detect at 5% two-sided significance with 80% power.
+    * A non-significant z with an MDE larger than any effect worth
+    * acting on means the experiment was too small to answer, not that
+    * there is no effect — the distinction between "no evidence" and
+    * "evidence of none" (the same gap [[tostEquivalence]] closes from
+    * the other side). Also reported relative to the pooled rate
+    * (`mde_rel` = MDE/p̂, the "detectable lift") — the form experiment
+    * sizing sheets quote.
+    *
+    * Exactness: the identical four exact longs as [[twoProportionZ]]
+    * from ONE map-side-combining aggregation; MDE and mde_rel are
+    * shared half-rounded final expressions over them (constants +
+    * IEEE sqrt only). Degenerate pooled rates (0 or 1 — no variance to
+    * power against) drop, as do empty cohorts.
+    *
+    * Scale: one row-local projection + one map-side-combining
+    * aggregation to group granularity — four longs of state per group.
+    */
+  def minDetectableEffect(df: DataFrame, groupCol: String, success: Column,
+      inA: Column): DataFrame = {
+    df.where(success.isNotNull && inA.isNotNull)
+      .select(col(groupCol),
+        inA.cast("boolean").as("__a"), success.cast("boolean").as("__s"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__a").cast("long")).as("na0"),
+        sum((!col("__a")).cast("long")).as("nb0"),
+        sum((col("__a") && col("__s")).cast("long")).as("ka"),
+        sum((!col("__a") && col("__s")).cast("long")).as("kb"))
+      .where(col("na0") >= 1L && col("nb0") >= 1L &&
+        col("ka") + col("kb") > 0L &&
+        col("ka") + col("kb") < col("na0") + col("nb0"))
+      .withColumn("pooled_rate", expr(half6Sql(
+        "CAST(ka + kb AS DOUBLE) / CAST(na0 + nb0 AS DOUBLE)")))
+      .withColumn("mde_abs", expr(mdeExpr))
+      // the relative form divides the two ALREADY-rounded readouts, so
+      // both engines divide identical bits (no double-rounding race)
+      .withColumn("mde_rel", expr(half6Sql("mde_abs / pooled_rate")))
+      .select(col(groupCol), col("na0").as("n_a"), col("nb0").as("n_b"),
+        col("ka").as("k_a"), col("kb").as("k_b"),
+        col("pooled_rate"), col("mde_abs"), col("mde_rel"))
+  }
+
   /** TOST equivalence test per group (two one-sided tests, Schuirmann
     * 1987 — the eval question significance tests can't answer: not "is
     * B different?" but "is B the SAME within a margin?", the gate a

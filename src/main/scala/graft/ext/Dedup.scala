@@ -569,4 +569,59 @@ object Dedup {
         col(s"__head.$valueCol").as(valueCol),
         col("n_in_run"), col("ts_start"), col("ts_end"))
   }
+
+  /** Tracking parameters stripped by [[canonicalUrl]] — the standard
+    * analytics/click-id set; anchored full-param regex in the Java∩RE2
+    * subset (one pattern string drives the Spark filter and the DuckDB
+    * oracle, the PII-scrub discipline).
+    */
+  private[graft] val trackingParamRe =
+    "^(utm_[^=]*|ref|fbclid|gclid|mc_cid|mc_eid)(=.*)?$"
+
+  /** Canonicalize a URL for dedup keying — the first dedup any web-crawl
+    * curation pipeline runs (the SAME page is crawled under thousands of
+    * URL spellings; URL-level dedup removes the bulk re-fetches before
+    * any content hash is even computed). Rules, all row-local:
+    *
+    *  1. drop the fragment (`#…` — client-side only);
+    *  2. lowercase scheme://host (DNS is case-insensitive; paths are NOT
+    *     touched — they are case-sensitive by spec);
+    *  3. strip the default ports `:80`/`:443`;
+    *  4. strip trailing `/` from the path;
+    *  5. drop tracking query params ([[trackingParamRe]]: utm_*, ref,
+    *     fbclid, gclid, mc_cid, mc_eid) and SORT the survivors (param
+    *     order is not semantic), dropping the `?` when none survive.
+    *
+    * Built entirely from split/regexp/array built-ins (codegen'd, no
+    * UDF, zero exchange) with every regex in the Java∩RE2 subset so the
+    * DuckDB oracle replays the identical algebra.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val qs = when(instr(noFrag, "?") > 0,
+      noFrag.substr(instr(noFrag, "?") + 1, length(noFrag)))
+    // scheme://host = everything up to the first path slash
+    val schemeHost = regexp_extract(base, "^[^/]*//[^/]*", 0)
+    val host = regexp_replace(lower(schemeHost), ":(80|443)$", "")
+    val path = regexp_replace(
+      base.substr(length(schemeHost) + 1, length(base)), "/+$", "")
+    val kept = array_join(array_sort(filter(
+      split(coalesce(qs, lit("")), "&"),
+      x => x =!= "" && !x.rlike(trackingParamRe))), "&")
+    concat(host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** URL-level dedup: one hash-aggregate on [[canonicalUrl]] — keep the
+    * smallest id per canonical URL, report copy and distinct-spelling
+    * counts. The exchange carries the canonical string (bounded by URL
+    * length), the canonicalization itself is a zero-shuffle projection.
+    */
+  def byUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.where(col(urlCol).isNotNull)
+      .withColumn("canonical_url", canonicalUrl(col(urlCol)))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col(urlCol)).as("n_spellings"))
 }

@@ -1195,4 +1195,122 @@ object Eval {
       .withColumn("chrf_r", expr(chrfRExpr))
       .withColumn("chrf", expr(chrfExpr))
   }
+
+  /** Shared Gwet AC1 final expressions over the exact 2×2 confusion
+    * longs (n, yy, yn, ny, nn) — spelled identically in Spark SQL and
+    * DuckDB. Chance agreement is 2π(1−π) with π the MEAN of the two
+    * raters' positive rates; since 2π(1−π) ≤ 1/2, the denominator
+    * 1 − pe ≥ 1/2 and AC1 never divides by zero — the structural fix
+    * for kappa's prevalence paradox (near-unanimous raters drive
+    * kappa's pe → 1 and the score collapses; AC1 stays calibrated).
+    */
+  private[graft] val gwetPoExpr: String =
+    "round(CAST(yy + nn AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+  private[graft] val gwetPeExpr: String = {
+    val pi = "((CAST(yy + yn AS DOUBLE) + CAST(yy + ny AS DOUBLE)) " +
+      "/ (2.0 * CAST(n AS DOUBLE)))"
+    s"round(2.0 * $pi * (1.0 - $pi), 6)"
+  }
+  private[graft] val gwetAc1Expr: String = {
+    val pi = "((CAST(yy + yn AS DOUBLE) + CAST(yy + ny AS DOUBLE)) " +
+      "/ (2.0 * CAST(n AS DOUBLE)))"
+    val po = "(CAST(yy + nn AS DOUBLE) / CAST(n AS DOUBLE))"
+    val pe = s"(2.0 * $pi * (1.0 - $pi))"
+    s"round(($po - $pe) / (1.0 - $pe), 6)"
+  }
+
+  /** Per-slice Gwet AC1 agreement between two boolean raters — the
+    * prevalence-robust companion to Cohen's kappa (`eval_kappa`). When
+    * two quality filters agree on ALMOST EVERYTHING (the normal state of
+    * production filters: most documents are clearly keep or clearly
+    * drop), kappa's chance term π_A·π_B + (1−π_A)(1−π_B) approaches 1
+    * and kappa collapses toward 0 no matter how good the agreement — the
+    * prevalence paradox. AC1's chance term 2π(1−π) is bounded by 1/2,
+    * so near-unanimous slices keep an interpretable score (and the
+    * division is structurally total). Standard practice is to report
+    * both: kappa for comparability, AC1 for stability.
+    *
+    * Exactness: the four confusion cells are exact longs from ONE
+    * aggregation; po, pe and AC1 are shared final expressions.
+    *
+    * Scale: one row-local projection + one map-side-combining
+    * aggregation to slice granularity — four longs of state per slice.
+    */
+  def gwetAc1(df: DataFrame, sliceCol: String, raterA: Column,
+      raterB: Column): DataFrame = {
+    val a = raterA.cast("boolean")
+    val b = raterB.cast("boolean")
+    df.where(a.isNotNull && b.isNotNull)
+      .select(col(sliceCol), a.as("__a"), b.as("__b"))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__a") && col("__b")).cast("long")).as("yy"),
+        sum((col("__a") && !col("__b")).cast("long")).as("yn"),
+        sum((!col("__a") && col("__b")).cast("long")).as("ny"),
+        sum((!col("__a") && !col("__b")).cast("long")).as("nn"))
+      .withColumn("po", expr(gwetPoExpr))
+      .withColumn("pe", expr(gwetPeExpr))
+      .withColumn("ac1", expr(gwetAc1Expr))
+  }
+
+  /** Per-slice split-conformal calibration over INTEGER nonconformity
+    * scores: from a calibration set, the threshold q̂ = the k-th
+    * smallest calibration score with k = ⌈(n+1)(1−α)⌉ — the
+    * finite-sample-correct quantile such that P(test score ≤ q̂) ≥ 1−α
+    * holds distribution-free (split conformal prediction, Vovk et al.;
+    * the production form of "ship a guarantee, not a point estimate"
+    * for any scoring model). Slices whose calibration set is too small
+    * for the guarantee (k > n, i.e. n < ⌈(n+1)(1−α)⌉ impossible to
+    * satisfy) report a null threshold rather than a fake one. The
+    * returned empirical test coverage should straddle 1−α — the
+    * standard conformal sanity readout.
+    *
+    * Exactness: scores are exact longs; the order statistic is picked
+    * from per-slice cumulative counts over the COMPRESSED
+    * (slice, score, count) table — never a global row rank (the AUC
+    * discipline); coverage is one shared-rounded division.
+    *
+    * Scale: one aggregation to (slice, score) cells, one slice-keyed
+    * window over cells (cell count bounded by distinct scores per
+    * slice, corpus-size-independent under the integral-score
+    * contract), one broadcast-sized join back to the test aggregate.
+    */
+  def conformalThreshold(df: DataFrame, sliceCol: String, score: Column,
+      isCalibration: Column, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    val base = df.where(score.isNotNull && isCalibration.isNotNull)
+      .select(col(sliceCol), score.cast("long").as("__s"),
+        isCalibration.cast("boolean").as("__cal"))
+    val cells = base.where(col("__cal"))
+      .groupBy(col(sliceCol), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(sliceCol).orderBy(col("__s"))
+    // k = ceil((n+1)(1-alpha)) in exact integer arithmetic:
+    // ceil(x/y) = (x + y - 1) div y with (1-alpha) as a rational from
+    // the 6-dp alpha grid — no float rank boundary anywhere
+    val num = math.round((1.0 - alpha) * 1000000L)
+    val ranked = cells
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(sliceCol)))
+      .withColumn("__k", expr(s"((__n + 1) * ${num}L + 999999L) div 1000000L"))
+    val qhat = ranked.where(col("__cum") >= col("__k"))
+      .groupBy(col(sliceCol))
+      .agg(min(col("__s")).as("qhat"))
+    val calN = cells.groupBy(col(sliceCol))
+      .agg(sum(col("__c")).as("n_cal"))
+      .withColumn("k", expr(s"((n_cal + 1) * ${num}L + 999999L) div 1000000L"))
+    val thr = calN.join(qhat.select(col(sliceCol), col("qhat")),
+      Seq(sliceCol), "left")
+    val test = base.where(!col("__cal"))
+    test.join(thr, Seq(sliceCol))
+      .groupBy(col(sliceCol))
+      .agg(first(col("n_cal")).as("n_cal"), first(col("k")).as("k"),
+        first(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum((col("__s") <= col("qhat")).cast("long")).as("n_covered"))
+      .withColumn("coverage",
+        when(col("qhat").isNull, lit(null).cast("double")).otherwise(
+          expr(Analytics.half6Sql(
+            "CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)"))))
+  }
 }

@@ -2507,6 +2507,129 @@ object EvalQueries {
        |FROM c
        |WHERE tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0""".stripMargin
 
+  /** Minimum detectable effect per event type for the SAME design as
+    * `stats_proportion_z` (value≥50 success, even/odd user cohorts) —
+    * the smallest rate shift those cohort sizes can detect at 5%
+    * two-sided / 80% power (see
+    * [[graft.ext.Analytics.minDetectableEffect]]): the number that
+    * separates "no evidence" from "evidence of none".
+    */
+  val statsMde: QueryFn = (s, dir) =>
+    Analytics.minDetectableEffect(Tables.events(s, dir), "event_type",
+      col("value") >= 50.0, pmod(col("user_id"), lit(2L)) === 0L)
+
+  val statsMdeSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb0,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 AND value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 <> 0 AND value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS kb
+       |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY 1
+       |), h AS (
+       |  SELECT event_type, na0, nb0, ka, kb,
+       |    ${Analytics.half6Sql(
+             "CAST(ka + kb AS DOUBLE) / CAST(na0 + nb0 AS DOUBLE)")}
+       |      AS pooled_rate,
+       |    ${Analytics.mdeExpr} AS mde_abs
+       |  FROM g
+       |  WHERE na0 >= 1 AND nb0 >= 1 AND ka + kb > 0
+       |    AND ka + kb < na0 + nb0
+       |)
+       |SELECT event_type, na0 AS n_a, nb0 AS n_b, ka AS k_a, kb AS k_b,
+       |  pooled_rate, mde_abs,
+       |  ${Analytics.half6Sql("mde_abs / pooled_rate")} AS mde_rel
+       |FROM h""".stripMargin
+
+  /** Gwet AC1 per source for the same two filters as `eval_kappa`'s
+    * question class (is-English vs length≥300) — the prevalence-robust
+    * agreement score (see [[graft.ext.Eval.gwetAc1]]: kappa collapses
+    * on near-unanimous slices, AC1's chance term is bounded by 1/2).
+    */
+  val evalGwetAc1: QueryFn = (s, dir) =>
+    Eval.gwetAc1(Tables.documents(s, dir)
+        .where(col("lang").isNotNull && col("n_chars").isNotNull),
+      "source", col("lang") === "en", col("n_chars") >= 300)
+
+  val evalGwetAc1Sql: String =
+    s"""WITH c AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS yy,
+       |    CAST(sum(CASE WHEN lang = 'en' AND n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT) AS yn,
+       |    CAST(sum(CASE WHEN lang <> 'en' AND n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+       |    CAST(sum(CASE WHEN lang <> 'en' AND n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+       |  GROUP BY 1
+       |)
+       |SELECT source, n, yy, yn, ny, nn,
+       |  ${Eval.gwetPoExpr} AS po,
+       |  ${Eval.gwetPeExpr} AS pe,
+       |  ${Eval.gwetAc1Expr} AS ac1
+       |FROM c""".stripMargin
+
+  /** Split-conformal calibration per source at α = 0.1 over the integer
+    * size-model residual |n_chars − 6·tokens| (calibration = doc_id
+    * mod 3 = 0, test = the rest — the split modulus must be COPRIME to
+    * the slice key's: source is a function of doc_id mod 20, so any
+    * mod-2/mod-4 split puts every test row in a source the calibration
+    * never saw): the distribution-free threshold q̂ such that
+    * ≥90% of unseen residuals fall below it, plus the empirical test
+    * coverage — the "ship a guarantee, not a point estimate" readout
+    * (see [[graft.ext.Eval.conformalThreshold]]).
+    */
+  val evalConformal: QueryFn = (s, dir) =>
+    Eval.conformalThreshold(
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"),
+          abs(col("n_chars") -
+            size(TextAnalysis.tokens(col("text"))).cast("long") * 6L)
+            .as("score"),
+          (pmod(col("doc_id"), lit(3L)) === 0L).as("is_cal")),
+      "source", col("score"), col("is_cal"), alpha = 0.1)
+
+  val evalConformalSql: String =
+    s"""WITH sc AS (
+       |  SELECT source,
+       |    abs(n_chars - CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) * 6) AS s,
+       |    ((doc_id % 3) + 3) % 3 = 0 AS cal
+       |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+       |), cells AS (
+       |  SELECT source, s, CAST(count(*) AS BIGINT) AS c
+       |  FROM sc WHERE cal GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT source, s, c,
+       |    CAST(sum(c) OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM cells
+       |), kk AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_cal,
+       |    CAST(((sum(c) + 1) * 900000 + 999999) // 1000000 AS BIGINT) AS k
+       |  FROM cells GROUP BY 1
+       |), q AS (
+       |  SELECT r.source, CAST(min(r.s) AS BIGINT) AS qhat
+       |  FROM ranked r JOIN kk USING (source)
+       |  WHERE r.cum >= kk.k GROUP BY 1
+       |), thr AS (
+       |  SELECT kk.source, kk.n_cal, kk.k, q.qhat
+       |  FROM kk LEFT JOIN q USING (source)
+       |), t AS (
+       |  SELECT sc.source, thr.n_cal, thr.k, thr.qhat,
+       |    CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN sc.s <= thr.qhat THEN 1 END) AS BIGINT)
+       |      AS n_covered
+       |  FROM sc JOIN thr USING (source) WHERE NOT cal
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT source, n_cal, k, qhat, n_test, n_covered,
+       |  CASE WHEN qhat IS NULL THEN NULL ELSE
+       |    ${Analytics.half6Sql(
+             "CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)")}
+       |  END AS coverage
+       |FROM t""".stripMargin
+
   /** TOST equivalence per event type between even and odd user cohorts —
     * the "is the new cohort the SAME within ±5.0" gate (see
     * [[graft.ext.Analytics.tostEquivalence]]; significance tests can
@@ -2801,7 +2924,10 @@ object EvalQueries {
     "stats_bartlett"   -> statsBartlett,
     "stats_tost"       -> statsTost,
     "stats_proportion_z" -> statsProportionZ,
+    "stats_mde"        -> statsMde,
     "eval_mcc"         -> evalMcc,
+    "eval_gwet_ac1"    -> evalGwetAc1,
+    "eval_conformal"   -> evalConformal,
     "eval_kendall"     -> evalKendall,
     "eval_winrate"     -> evalWinrate,
     "eval_delong"      -> evalDelong,
@@ -2873,6 +2999,9 @@ object EvalQueries {
     "stats_bartlett"   -> statsBartlettSql,
     "stats_tost"       -> statsTostSql,
     "stats_proportion_z" -> statsProportionZSql,
+    "stats_mde"        -> statsMdeSql,
+    "eval_gwet_ac1"    -> evalGwetAc1Sql,
+    "eval_conformal"   -> evalConformalSql,
     "eval_mcc"         -> evalMccSql,
     "eval_kendall"     -> evalKendallSql,
     "eval_winrate"     -> evalWinrateSql,

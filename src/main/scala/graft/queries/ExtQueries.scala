@@ -26,6 +26,85 @@ object ExtQueries {
     """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY text""".stripMargin
 
+  /** Deterministic synthetic URL per document (the corpus has no URL
+    * column): mixed-case host, default port on every 7th, trailing
+    * slash on every 4th, tracking params on all, a real `sort` param on
+    * every 3rd, fragment on every 5th — one spelling-variant axis per
+    * canonicalization rule, derived by the SAME expression in Spark and
+    * SQL. Docs sharing (source, lang, doc_id mod 20, mod-3 parity)
+    * collide after canonicalization — the planted duplicate groups.
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column = concat(
+    lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+    when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+    lit("/"), col("lang"), lit("/item/"),
+    (col("doc_id") % 20).cast("string"),
+    when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source="), col("source"),
+    when(col("doc_id") % 3 === 0, lit("&sort=asc")).otherwise(lit("")),
+    lit("&ref="), col("doc_id").cast("string"),
+    when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+
+  private val syntheticUrlSql: String =
+    "'HTTPS://WWW.' || source || '.Example.COM' || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END || '/' || lang || " +
+      "'/item/' || CAST(doc_id % 20 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || " +
+      "'?utm_source=' || source || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '&sort=asc' ELSE '' END || " +
+      "'&ref=' || CAST(doc_id AS VARCHAR) || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"
+
+  /** URL-level dedup over the synthetic spelling variants — fragment /
+    * case / default-port / trailing-slash / tracking-param / param-order
+    * noise collapses onto one canonical key (see
+    * [[graft.ext.Dedup.canonicalUrl]]), the first dedup a web-crawl
+    * pipeline runs.
+    */
+  val dedupUrl: QueryFn = (s, dir) =>
+    Dedup.byUrl(
+      Tables.documents(s, dir)
+        .where(col("source").isNotNull && col("lang").isNotNull &&
+          col("doc_id").isNotNull)
+        .withColumn("url", syntheticUrl),
+      "doc_id", "url")
+
+  val dedupUrlSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, $syntheticUrlSql AS url
+       |  FROM documents
+       |  WHERE source IS NOT NULL AND lang IS NOT NULL AND doc_id IS NOT NULL
+       |), p2 AS (
+       |  SELECT doc_id, url,
+       |    split_part(split_part(url, '#', 1), '?', 1) AS base,
+       |    CASE WHEN strpos(split_part(url, '#', 1), '?') > 0
+       |      THEN substring(split_part(url, '#', 1),
+       |        strpos(split_part(url, '#', 1), '?') + 1)
+       |      ELSE NULL END AS qs
+       |  FROM u
+       |), p3 AS (
+       |  SELECT doc_id, url, base, qs,
+       |    regexp_extract(base, '^[^/]*//[^/]*', 0) AS sh
+       |  FROM p2
+       |), p4 AS (
+       |  SELECT doc_id, url,
+       |    regexp_replace(lower(sh), ':(80|443)$$', '') AS host,
+       |    regexp_replace(substring(base, length(sh) + 1), '/+$$', '')
+       |      AS path,
+       |    coalesce(array_to_string(list_sort(list_filter(
+       |      string_split(coalesce(qs, ''), '&'),
+       |      x -> x <> '' AND NOT regexp_matches(x,
+       |        '${Dedup.trackingParamRe}'))), '&'), '') AS kept
+       |  FROM p3
+       |)
+       |SELECT host || path ||
+       |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+       |    AS canonical_url,
+       |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+       |  CAST(count(*) AS BIGINT) AS n_copies,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_spellings
+       |FROM p4 GROUP BY 1""".stripMargin
+
   /** Exact dedup with source precedence: duplicate groups keep the copy
     * from the highest-priority tier (then smallest id) — the cross-source
     * curation rule (see [[graft.ext.Dedup.exactWithPriority]]; tiers here
@@ -3883,6 +3962,7 @@ object ExtQueries {
     "text_scrub"           -> textScrub,
     "text_quality_flags"   -> textQualityFlags,
     "dedup_exact"          -> dedupExact,
+    "dedup_url"            -> dedupUrl,
     "dedup_priority"       -> dedupPriority,
     "dedup_incremental"    -> dedupIncremental,
     "dedup_minhash"        -> dedupMinhash,
@@ -3989,6 +4069,7 @@ object ExtQueries {
     "dedup_simhash"       -> dedupSimhashSql,
     "dedup_minhash"       -> dedupMinhashSql,
     "dedup_exact"         -> dedupExactSql,
+    "dedup_url"           -> dedupUrlSql,
     "dedup_priority"      -> dedupPrioritySql,
     "dedup_incremental"   -> dedupIncrementalSql,
     "sample_bottomk"      -> sampleBottomKSql,

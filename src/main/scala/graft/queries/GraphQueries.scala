@@ -485,7 +485,11 @@ object GraphQueries {
        |  FROM sd$tag sd LEFT JOIN se$tag se ON se.com = sd.com, mm
        |)""".stripMargin
 
-  val graphLouvainSql: String = {
+  /** The full Louvain CTE chain ending in `louv(node, community)` —
+    * shared verbatim between the louvain oracle and the leiden oracle
+    * (which appends a recursive intra-community components closure).
+    */
+  private def louvainChainSql: String = {
     val mr = (0 until 12).map(i =>
       louvainMatchCte(s"p$i", s"p${i + 1}", s"$i")).mkString(",\n")
     val rr = (0 until 4).map(i =>
@@ -496,9 +500,9 @@ object GraphQueries {
     val snapUnion = (0 to 4).map(i =>
       s"SELECT $i AS i, s FROM ss$i").mkString(" UNION ALL ")
     val finalUnion = (0 to 4).map(i =>
-      s"""SELECT CAST(node AS BIGINT) AS node, CAST(com AS BIGINT) AS community
-         |FROM q$i WHERE (SELECT i FROM pick) = $i""".stripMargin)
-      .mkString("\nUNION ALL\n")
+      s"""  SELECT CAST(node AS BIGINT) AS node, CAST(com AS BIGINT) AS community
+         |  FROM q$i WHERE (SELECT i FROM pick) = $i""".stripMargin)
+      .mkString("\n  UNION ALL\n")
     s"""$pairsCte, pm AS MATERIALIZED (
        |  SELECT a, b FROM pairs
        |), mm AS MATERIALIZED (
@@ -521,9 +525,48 @@ object GraphQueries {
        |pick AS MATERIALIZED (
        |  SELECT i FROM snapq QUALIFY row_number() OVER (
        |    ORDER BY s DESC, i ASC) = 1
-       |)
-       |$finalUnion""".stripMargin
+       |), louv AS MATERIALIZED (
+       |$finalUnion
+       |)""".stripMargin
   }
+
+  val graphLouvainSql: String =
+    s"""$louvainChainSql
+       |SELECT node, community FROM louv""".stripMargin
+
+  /** Leiden-style connectivity refinement of the Louvain partition —
+    * every returned community is a CONNECTED subgraph (Louvain's local
+    * moves can leave a community internally disconnected; see
+    * [[graft.ext.Graph.leiden]]). Q provably never decreases under the
+    * split (e_C partitions exactly; d_C² ≥ Σd_i²) — asserted in
+    * Round11bSpec.
+    */
+  val graphLeiden: QueryFn = (s, dir) =>
+    Graph.leiden(coPurchase(s, dir), matchRounds = 12, moveRounds = 4)
+
+  /** The louvain chain + a recursive min-label components closure over
+    * INTRA-community edges (the graph_cc oracle pattern); nodes with no
+    * same-community neighbor coalesce to their own id.
+    */
+  val graphLeidenSql: String =
+    s"""${louvainChainSql.replace("WITH ", "WITH RECURSIVE ")}, ip AS (
+       |  SELECT pr.a, pr.b FROM pm pr
+       |    JOIN louv la ON la.node = pr.a
+       |    JOIN louv lb ON lb.node = pr.b
+       |  WHERE la.community = lb.community
+       |), iedges AS (
+       |  SELECT a AS src, b AS dst FROM ip UNION ALL SELECT b, a FROM ip
+       |), lbl(node, lab) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM iedges)
+       |  UNION
+       |  SELECT e.dst, l.lab FROM lbl l JOIN iedges e ON e.src = l.node
+       |), icc AS (
+       |  SELECT node, CAST(min(lab) AS BIGINT) AS comp
+       |  FROM lbl GROUP BY node
+       |)
+       |SELECT lv.node,
+       |  CAST(coalesce(icc.comp, lv.node) AS BIGINT) AS community
+       |FROM louv lv LEFT JOIN icc ON icc.node = lv.node""".stripMargin
 
   /** Newman modularity of the 4-round label-prop partition — the
     * community-quality number (see [[graft.ext.Graph.modularity]]):
@@ -1302,6 +1345,7 @@ object GraphQueries {
     "graph_reciprocity" -> graphReciprocity,
     "graph_label_prop" -> graphLabelProp,
     "graph_louvain"   -> graphLouvain,
+    "graph_leiden"    -> graphLeiden,
     "graph_hits"      -> graphHits,
     "ts_ewma"         -> tsEwma,
     "ts_interpolate"  -> tsInterpolate,
@@ -1341,6 +1385,7 @@ object GraphQueries {
     "graph_reciprocity" -> graphReciprocitySql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_louvain"   -> graphLouvainSql,
+    "graph_leiden"    -> graphLeidenSql,
     "graph_hits"      -> graphHitsSql,
     "ts_ewma"         -> tsEwmaSql,
     "ts_interpolate"  -> tsInterpolateSql,

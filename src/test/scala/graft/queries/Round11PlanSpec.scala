@@ -39,4 +39,38 @@ class Round11PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("graph_leiden: final assembly is keyed joins only — no window, no cartesian, no single-partition exchange") {
+    val p = plan(GraphQueries.graphLeiden(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("dedup_url: canonicalization is a zero-join projection into ONE hash aggregate — no window, no join, no single-partition exchange") {
+    val p = plan(ExtQueries.dedupUrl(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("stats_mde + eval_gwet_ac1: ONE map-side-combining aggregation each — no window, no join") {
+    for (df <- Seq(EvalQueries.statsMde(spark, dir),
+        EvalQueries.evalGwetAc1(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("Exchange SinglePartition"), p)
+      assert(p.contains("partial_"), p)
+    }
+  }
+
+  test("eval_conformal: windows are slice-keyed over score cells; no cartesian, no single-partition exchange") {
+    val p = plan(EvalQueries.evalConformal(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
