@@ -1327,6 +1327,79 @@ object Analytics {
         col("pooled_rate"), col("mde_abs"), col("mde_rel"))
   }
 
+  /** Wald's sequential probability ratio test per group — the EARLY
+    * STOPPING discipline fixed-n tests can't give (peeking at a z-test
+    * until it crosses 1.96 inflates false positives several-fold; the
+    * SPRT is the test DESIGNED to be peeked at: its error rates hold at
+    * every step by construction). Events stream in (tsCol, idCol)
+    * order; after n trials with k successes the Bernoulli log-likelihood
+    * ratio of H1: p=p1 vs H0: p=p0 is
+    *
+    *   LLR(n, k) = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)),
+    *
+    * and the test stops the FIRST time LLR ≥ ln((1−β)/α) (accept H1) or
+    * LLR ≤ ln(β/(1−α)) (accept H0), else reports `continue`. Output per
+    * group: total n/k, the final LLR, the first-crossing step
+    * `n_decision` (null when never crossed), and the verdict at that
+    * step — "this experiment could have stopped after n_decision
+    * events", the sample-efficiency readout.
+    *
+    * Exactness: n and k at every step are exact window integers
+    * (row_number + running sum over the pinned (ts, id) order — never a
+    * float accumulation); the four ln constants are evaluated ONCE in
+    * the driver and embedded as shortest-roundtrip literals in both
+    * engines, so every per-step LLR is the same two IEEE
+    * multiply-adds of exact longs on both sides; the final LLR is one
+    * shared half-rounded expression over the group totals.
+    *
+    * Scale: one group-keyed ordered window over the events (the
+    * sessionize shape — state is the running pair, never a global
+    * sort), one filtered min_by aggregation for the crossing, one
+    * map-side-combining totals aggregation, and a group-count-sized
+    * join.
+    */
+  def sprt(df: DataFrame, groupCol: String, success: Column,
+      tsCol: String, idCol: String, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "sprt: design rates must be distinct and in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "sprt: error rates must be in (0,1)")
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1.0 - p1) / (1.0 - p0))
+    val upper = math.log((1.0 - beta) / alpha)
+    val lower = math.log(beta / (1.0 - alpha))
+    val w = Window.partitionBy(groupCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val llrExpr = s"CAST(k AS DOUBLE) * $c1 " +
+      s"+ CAST(n - k AS DOUBLE) * $c2"
+    val cum = df
+      .where(success.isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol), col(tsCol), col(idCol),
+        success.cast("boolean").cast("long").as("__s"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("k", sum(col("__s")).over(w))
+      .withColumn("__llr", expr(llrExpr))
+    val crossing = cum
+      .where(col("__llr") >= upper || col("__llr") <= lower)
+      .groupBy(col(groupCol))
+      .agg(min(col("n")).as("n_decision"),
+        expr(s"min_by(__llr >= $upper, n)").as("__h1"))
+    val totals = df
+      .where(success.isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(success.cast("boolean").cast("long")).as("k"))
+    totals.join(crossing, Seq(groupCol), "left")
+      .withColumn("llr_final", expr(half6Sql(llrExpr)))
+      .withColumn("decision",
+        when(col("n_decision").isNull, lit("continue"))
+          .when(col("__h1"), lit("accept_h1"))
+          .otherwise(lit("accept_h0")))
+      .select(col(groupCol), col("n").as("n_total"), col("k").as("k_total"),
+        col("llr_final"), col("n_decision"), col("decision"))
+  }
+
   /** TOST equivalence test per group (two one-sided tests, Schuirmann
     * 1987 — the eval question significance tests can't answer: not "is
     * B different?" but "is B the SAME within a margin?", the gate a

@@ -570,6 +570,43 @@ object Dedup {
         col("n_in_run"), col("ts_start"), col("ts_end"))
   }
 
+  /** Incremental connected components — maintain the component labeling
+    * when a NEW batch of edges arrives without re-touching the old edge
+    * set (the growth mode of every corpus-scale similarity graph: each
+    * sync period adds near-dup pairs; recomputing CC over the full
+    * history every period is the classic accidental-quadratic).
+    *
+    * Correctness: a min-label component table is reachability-faithful —
+    * replacing the old edges E with the STAR edges {(node, label)} of
+    * labels(E) preserves the partition, so
+    * CC(E ∪ Δ) = CC(star(labels(E)) ∪ Δ), and because every old label
+    * IS the min node id of its component, min-labels over the star
+    * union are the true min-labels of the union graph. The star graph
+    * is already depth-1, so the propagation converges in O(log) rounds
+    * of the Δ-diameter only — the work scales with |labels| + |Δ|,
+    * never with |E| (asserted incremental ≡ full-recompute in
+    * Round11bSpec).
+    *
+    * Old-singleton nodes (label = self) contribute no star edge; they
+    * re-enter only if Δ touches them, else keep their label via the
+    * final coalesce.
+    */
+  def componentsIncremental(oldLabels: DataFrame,
+      deltaPairs: DataFrame): DataFrame = {
+    val star = oldLabels.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+    val delta = deltaPairs.select(col("id_a").cast("long"),
+      col("id_b").cast("long"))
+    val comp = components(star.unionByName(delta))
+    val nodes = oldLabels.select(col("id"))
+      .unionByName(delta.select(col("id_a").as("id")))
+      .unionByName(delta.select(col("id_b").as("id")))
+      .distinct()
+    nodes.join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Tracking parameters stripped by [[canonicalUrl]] — the standard
     * analytics/click-id set; anchored full-param regex in the Java∩RE2
     * subset (one pattern string drives the Spark filter and the DuckDB

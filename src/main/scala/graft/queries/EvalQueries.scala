@@ -2630,6 +2630,56 @@ object EvalQueries {
        |  END AS coverage
        |FROM t""".stripMargin
 
+  /** Wald SPRT per event type over the value≥50 success stream (H0:
+    * p=0.45 vs H1: p=0.55, α=β=5%) — the early-stopping readout: the
+    * first event index at which the experiment could already have
+    * stopped, with error rates that survive the peeking fixed-n tests
+    * forbid (see [[graft.ext.Analytics.sprt]]).
+    */
+  val statsSprt: QueryFn = (s, dir) =>
+    Analytics.sprt(Tables.events(s, dir), "event_type",
+      col("value") >= 50.0, "ts", "event_id",
+      p0 = 0.45, p1 = 0.55, alpha = 0.05, beta = 0.05)
+
+  val statsSprtSql: String = {
+    // the IDENTICAL driver-side constants as Analytics.sprt — both
+    // engines see the same shortest-roundtrip literals
+    val c1 = math.log(0.55 / 0.45)
+    val c2 = math.log(0.45 / 0.55)
+    val upper = math.log(0.95 / 0.05)
+    val lower = math.log(0.05 / 0.95)
+    val over = "OVER (PARTITION BY event_type ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val llr = s"CAST(k AS DOUBLE) * $c1 + CAST(n - k AS DOUBLE) * $c2"
+    s"""WITH e AS (
+       |  SELECT event_type, ts, event_id,
+       |    CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS s
+       |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+       |), c AS (
+       |  SELECT event_type,
+       |    CAST(count(*) $over AS BIGINT) AS n,
+       |    CAST(sum(s) $over AS BIGINT) AS k
+       |  FROM e
+       |), l AS (
+       |  SELECT event_type, n, k, $llr AS llr FROM c
+       |), x AS (
+       |  SELECT event_type, CAST(min(n) AS BIGINT) AS n_decision,
+       |    min_by(llr >= $upper, n) AS h1
+       |  FROM l WHERE llr >= $upper OR llr <= $lower GROUP BY 1
+       |), t AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(s) AS BIGINT) AS k
+       |  FROM e GROUP BY 1
+       |)
+       |SELECT t.event_type, t.n AS n_total, t.k AS k_total,
+       |  ${Analytics.half6Sql(s"CAST(t.k AS DOUBLE) * $c1 " +
+            s"+ CAST(t.n - t.k AS DOUBLE) * $c2")} AS llr_final,
+       |  x.n_decision,
+       |  CASE WHEN x.n_decision IS NULL THEN 'continue'
+       |       WHEN x.h1 THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+       |FROM t LEFT JOIN x USING (event_type)""".stripMargin
+  }
+
   /** TOST equivalence per event type between even and odd user cohorts —
     * the "is the new cohort the SAME within ±5.0" gate (see
     * [[graft.ext.Analytics.tostEquivalence]]; significance tests can
@@ -2925,6 +2975,7 @@ object EvalQueries {
     "stats_tost"       -> statsTost,
     "stats_proportion_z" -> statsProportionZ,
     "stats_mde"        -> statsMde,
+    "stats_sprt"       -> statsSprt,
     "eval_mcc"         -> evalMcc,
     "eval_gwet_ac1"    -> evalGwetAc1,
     "eval_conformal"   -> evalConformal,
@@ -3000,6 +3051,7 @@ object EvalQueries {
     "stats_tost"       -> statsTostSql,
     "stats_proportion_z" -> statsProportionZSql,
     "stats_mde"        -> statsMdeSql,
+    "stats_sprt"       -> statsSprtSql,
     "eval_gwet_ac1"    -> evalGwetAc1Sql,
     "eval_conformal"   -> evalConformalSql,
     "eval_mcc"         -> evalMccSql,

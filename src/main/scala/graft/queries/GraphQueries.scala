@@ -615,6 +615,24 @@ object GraphQueries {
         .select(col("a").as("id_a"), col("b").as("id_b")))
       .select(col("id").as("node"), col("cluster_id").as("component"))
 
+  /** Incremental connected components: the co-purchase edges split into
+    * a base corpus ((a+b) mod 5 ≠ 0) and a new-period delta (= 0); the
+    * base is labeled once and the delta is folded in WITHOUT re-touching
+    * the base edges — the star-edge maintenance trick (see
+    * [[graft.ext.Dedup.componentsIncremental]]). The oracle is the FULL
+    * recursive closure over all edges: incremental maintenance must be
+    * indistinguishable from recomputation.
+    */
+  val graphCcIncremental: QueryFn = (s, dir) => {
+    val pairs = coPurchase(s, dir)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val base = pairs.where(pmod(col("id_a") + col("id_b"), lit(5)) =!= 0)
+    val delta = pairs.where(pmod(col("id_a") + col("id_b"), lit(5)) === 0)
+    graft.ext.Dedup.componentsIncremental(
+        graft.ext.Dedup.components(base), delta)
+      .select(col("id").as("node"), col("cluster_id").as("component"))
+  }
+
   /** The same components by alternating large-star / small-star
     * contractions (O(log n) rounds instead of O(diameter) — the deep-
     * chain scale path; see [[graft.ext.Graph.ccTwoPhase]]). Identical
@@ -1339,6 +1357,7 @@ object GraphQueries {
     "graph_lcc"       -> graphLcc,
     "graph_degrees"   -> graphDegrees,
     "graph_cc"        -> graphCc,
+    "graph_cc_incremental" -> graphCcIncremental,
     "graph_cc_twophase" -> graphCcTwoPhase,
     "graph_scc"       -> graphScc,
     "graph_assortativity" -> graphAssortativity,
@@ -1380,6 +1399,7 @@ object GraphQueries {
     "graph_degrees"   -> graphDegreesSql,
     "graph_cc"        -> graphCcSql,
     "graph_cc_twophase" -> graphCcSql, // same output contract as graph_cc
+    "graph_cc_incremental" -> graphCcSql, // incremental ≡ full recompute
     "graph_scc"       -> graphSccSql,
     "graph_assortativity" -> graphAssortativitySql,
     "graph_reciprocity" -> graphReciprocitySql,

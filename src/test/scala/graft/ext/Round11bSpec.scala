@@ -213,6 +213,77 @@ class Round11bSpec extends AnyFunSuite with SparkTest {
     assert(r.getAs[Long]("n_covered") == 1)
   }
 
+  // ---- Analytics.sprt ------------------------------------------------------
+
+  private def sprtDf(bits: Seq[Int]): DataFrame =
+    bits.zipWithIndex.map { case (b, i) =>
+      ("g", i.toLong, i.toLong, b == 1) }.toDF("grp", "t", "id", "s")
+
+  test("sprt: first-crossing step and verdict on hand trajectories") {
+    // p0=0.2, p1=0.8: c = ln(4) = 1.3863; upper = ln(19) = 2.9444.
+    // all successes -> LLR(n) = 1.3863 n crosses at n = 3
+    val up = Analytics.sprt(sprtDf(Seq.fill(6)(1)), "grp", col("s"),
+      "t", "id", p0 = 0.2, p1 = 0.8).head()
+    assert(up.getAs[Long]("n_decision") == 3L &&
+      up.getAs[String]("decision") == "accept_h1")
+    // all failures -> accept_h0 at n = 3 (symmetric design)
+    val dn = Analytics.sprt(sprtDf(Seq.fill(6)(0)), "grp", col("s"),
+      "t", "id", p0 = 0.2, p1 = 0.8).head()
+    assert(dn.getAs[Long]("n_decision") == 3L &&
+      dn.getAs[String]("decision") == "accept_h0")
+    // alternating -> LLR oscillates between 0 and 1.3863: never crosses
+    val alt = Analytics.sprt(sprtDf(Seq.tabulate(20)(_ % 2)), "grp",
+      col("s"), "t", "id", p0 = 0.2, p1 = 0.8).head()
+    assert(alt.getAs[String]("decision") == "continue" &&
+      alt.isNullAt(alt.fieldIndex("n_decision")))
+    assert(alt.getAs[Long]("n_total") == 20 && alt.getAs[Long]("k_total") == 10)
+  }
+
+  test("sprt: decision is the FIRST crossing even when the walk returns") {
+    // 3 successes (cross up at 3), then 10 failures (walk far down):
+    // the verdict must be the n=3 accept_h1, not the endpoint
+    val r = Analytics.sprt(sprtDf(Seq.fill(3)(1) ++ Seq.fill(10)(0)),
+      "grp", col("s"), "t", "id", p0 = 0.2, p1 = 0.8).head()
+    assert(r.getAs[Long]("n_decision") == 3L &&
+      r.getAs[String]("decision") == "accept_h1")
+    assert(r.getAs[Double]("llr_final") < 0)
+  }
+
+  // ---- Dedup.componentsIncremental ----------------------------------------
+
+  test("componentsIncremental ≡ full recompute on 10 seeded random splits") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 10) {
+      val n = 30 + rnd.nextInt(40)
+      val all = (for (_ <- 1 to n * 2) yield {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }).filter(e => e._1 != e._2).distinct
+      val (base, delta) = all.partition(e => (e._1 + e._2) % 3 != 0)
+      if (base.nonEmpty && delta.nonEmpty) {
+        val old = Dedup.components(base.toDF("id_a", "id_b"))
+        val inc = Dedup.componentsIncremental(old,
+          delta.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        val full = Dedup.components(all.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(inc == full, s"incremental != full: ${inc.toSeq.sorted} " +
+          s"vs ${full.toSeq.sorted}")
+      }
+    }
+  }
+
+  test("componentsIncremental keeps old singletons and merges across the delta") {
+    // old partition: {1,2} labeled 1, {5} singleton; delta bridges 2-5
+    // and introduces the fresh pair 8-9
+    val old = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "cluster_id")
+    val delta = Seq((2L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.componentsIncremental(old, delta)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L),
+      got.toString)
+  }
+
   test("conformalThreshold: marginal coverage >= 1 - alpha on exchangeable data") {
     // deterministic pseudo-random scores (mix64 of an index) split by
     // index parity — exchangeable by construction, so the conformal

@@ -73,4 +73,20 @@ class Round11PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("stats_sprt: the running LLR window is group-keyed; no cartesian, no single-partition exchange") {
+    val p = plan(EvalQueries.statsSprt(spark, dir))
+    assert(p.contains("Window"), p) // the sessionize shape, keyed
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("graph_cc_incremental: label assembly is keyed joins only — no window, no cartesian, no single-partition exchange") {
+    val p = plan(GraphQueries.graphCcIncremental(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
