@@ -1327,6 +1327,87 @@ object Analytics {
         col("pooled_rate"), col("mde_abs"), col("mde_rel"))
   }
 
+  /** Shared CUPED final expressions over the per-group sufficient
+    * statistics (na0/nb0 exact longs; sxa/sxb/sya/syb/qx/qy/sxy
+    * per-term-rounded DECIMAL sums cast to double; n/na/nb their double
+    * forms) — spelled identically in Spark SQL and DuckDB. n-scaled
+    * central moments (the common 1/(n−1) cancels in every ratio):
+    * varx = qx − sx²/n, cov = sxy − sx·sy/n, θ = cov/varx,
+    * diff_cuped = diff_raw − θ·(x̄_A − x̄_B), and the variance-reduction
+    * ratio is ρ² = cov²/(varx·vary).
+    */
+  private[graft] val cupedSx = "(sxa + sxb)"
+  private[graft] val cupedSy = "(sya + syb)"
+  private[graft] val cupedVarX = s"(qx - $cupedSx * $cupedSx / n)"
+  private[graft] val cupedVarY = s"(qy - $cupedSy * $cupedSy / n)"
+  private[graft] val cupedCov = s"(sxy - $cupedSx * $cupedSy / n)"
+  private[graft] val cupedTheta = s"($cupedCov / $cupedVarX)"
+  private[graft] val cupedDiffRaw = "(sya / na - syb / nb)"
+  private[graft] val cupedDiffAdj =
+    s"($cupedDiffRaw - $cupedTheta * (sxa / na - sxb / nb))"
+  private[graft] val cupedRho2 =
+    s"($cupedCov * $cupedCov / ($cupedVarX * $cupedVarY))"
+
+  /** CUPED variance reduction per group (Deng, Xu, Kohavi & Walker 2013
+    * — the standard experimentation-platform trick): adjust each unit's
+    * metric y by a pre-experiment covariate x,
+    * y' = y − θ(x − x̄) with θ = cov(x,y)/var(x), which shrinks metric
+    * variance by exactly ρ² while leaving the treatment-effect estimate
+    * unbiased (x predates assignment, so E[x|A] = E[x|B]). The same
+    * experiment then detects effects 1/√(1−ρ²) smaller — or needs
+    * (1−ρ²)× the traffic: the cheapest sensitivity win an A/B platform
+    * has, and the natural companion to [[twoProportionZ]] /
+    * [[minDetectableEffect]] / [[sprt]] on the mean-metric side.
+    * Output per group: cohort sizes, θ, the raw and CUPED-adjusted
+    * cohort mean difference, and the variance-reduction ratio ρ².
+    *
+    * `df` is UNIT-level (one row per experimental unit with its
+    * covariate `xCol`, metric `yCol`, and assignment `inA`) — build it
+    * with one upstream aggregation. θ is estimated on the pooled
+    * cohorts (the standard single-θ form).
+    *
+    * Exactness: cohort counts are exact longs; every moment is a
+    * per-term round-6 DECIMAL sum (order-free, partial-aggregation
+    * safe); θ, both diffs, and ρ² are shared half-rounded final
+    * expressions over those sums. Groups with a degenerate covariate or
+    * metric (varx/vary ≤ 0) or a cohort below 2 drop.
+    *
+    * Scale: ONE map-side-combining aggregation to group granularity —
+    * two longs + seven decimals of state per group.
+    */
+  def cuped(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+      inA: Column): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    def dsum(c: Column): Column =
+      sum(round(c, 6).cast("decimal(30,6)"))
+    def dsumIf(c: Column, in: Column): Column =
+      sum(when(in, round(c, 6).cast("decimal(30,6)")))
+    df.where(x.isNotNull && y.isNotNull && inA.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(inA.cast("long")).as("na0"),
+        sum((!inA).cast("long")).as("nb0"),
+        dsumIf(x, inA).cast("double").as("sxa"),
+        dsumIf(x, !inA).cast("double").as("sxb"),
+        dsumIf(y, inA).cast("double").as("sya"),
+        dsumIf(y, !inA).cast("double").as("syb"),
+        dsum(x * x).cast("double").as("qx"),
+        dsum(y * y).cast("double").as("qy"),
+        dsum(x * y).cast("double").as("sxy"))
+      .where(col("na0") >= 2L && col("nb0") >= 2L)
+      .withColumn("n", (col("na0") + col("nb0")).cast("double"))
+      .withColumn("na", col("na0").cast("double"))
+      .withColumn("nb", col("nb0").cast("double"))
+      .where(expr(s"$cupedVarX > 0.0") && expr(s"$cupedVarY > 0.0"))
+      .withColumn("theta", expr(half6Sql(cupedTheta)))
+      .withColumn("diff_raw", expr(half6Sql(cupedDiffRaw)))
+      .withColumn("diff_cuped", expr(half6Sql(cupedDiffAdj)))
+      .withColumn("var_reduction", expr(half6Sql(cupedRho2)))
+      .select(col(groupCol), col("na0").as("n_a"), col("nb0").as("n_b"),
+        col("theta"), col("diff_raw"), col("diff_cuped"),
+        col("var_reduction"))
+  }
+
   /** Wald's sequential probability ratio test per group — the EARLY
     * STOPPING discipline fixed-n tests can't give (peeking at a z-test
     * until it crosses 1.96 inflates false positives several-fold; the

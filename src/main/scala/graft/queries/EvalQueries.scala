@@ -2630,6 +2630,76 @@ object EvalQueries {
        |  END AS coverage
        |FROM t""".stripMargin
 
+  /** CUPED per event type: each user's even-day mean value is the
+    * pre-period covariate for their odd-day mean metric, cohorts =
+    * even/odd user ids (see [[graft.ext.Analytics.cuped]] — the
+    * variance-reduction readout every experimentation platform runs
+    * before sizing an A/B test).
+    */
+  val statsCuped: QueryFn = (s, dir) => {
+    val evenDay = dayofmonth(col("ts")) % 2 === 0
+    val users = Tables.events(s, dir)
+      .where(col("value").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        sum(when(evenDay, round(col("value"), 6).cast("decimal(30,6)")))
+          .as("sxd"),
+        count(when(evenDay, lit(1))).as("nx"),
+        sum(when(!evenDay, round(col("value"), 6).cast("decimal(30,6)")))
+          .as("syd"),
+        count(when(!evenDay, lit(1))).as("ny"))
+      .where(col("nx") >= 1L && col("ny") >= 1L)
+      .select(col("event_type"),
+        (col("sxd").cast("double") / col("nx")).as("x"),
+        (col("syd").cast("double") / col("ny")).as("y"),
+        (pmod(col("user_id"), lit(2L)) === 0L).as("in_a"))
+    Analytics.cuped(users, "event_type", "x", "y", col("in_a"))
+  }
+
+  val statsCupedSql: String = {
+    val even = "day(ts) % 2 = 0"
+    s"""WITH u AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN $even
+       |      THEN CAST(round(value, 6) AS DECIMAL(30,6)) END) AS DOUBLE)
+       |      / sum(CASE WHEN $even THEN 1 ELSE 0 END) AS x,
+       |    CAST(sum(CASE WHEN NOT ($even)
+       |      THEN CAST(round(value, 6) AS DECIMAL(30,6)) END) AS DOUBLE)
+       |      / sum(CASE WHEN NOT ($even) THEN 1 ELSE 0 END) AS y,
+       |    ((user_id % 2) + 2) % 2 = 0 AS ina
+       |  FROM events
+       |  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY event_type, user_id
+       |  HAVING sum(CASE WHEN $even THEN 1 ELSE 0 END) >= 1
+       |     AND sum(CASE WHEN NOT ($even) THEN 1 ELSE 0 END) >= 1
+       |), g AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+       |    CAST(sum(CASE WHEN NOT ina THEN 1 ELSE 0 END) AS BIGINT) AS nb0,
+       |    CAST(sum(CASE WHEN ina THEN CAST(round(x, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS sxa,
+       |    CAST(sum(CASE WHEN NOT ina THEN CAST(round(x, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS sxb,
+       |    CAST(sum(CASE WHEN ina THEN CAST(round(y, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS sya,
+       |    CAST(sum(CASE WHEN NOT ina THEN CAST(round(y, 6) AS DECIMAL(30,6)) END) AS DOUBLE) AS syb,
+       |    CAST(sum(CAST(round(x * x, 6) AS DECIMAL(30,6))) AS DOUBLE) AS qx,
+       |    CAST(sum(CAST(round(y * y, 6) AS DECIMAL(30,6))) AS DOUBLE) AS qy,
+       |    CAST(sum(CAST(round(x * y, 6) AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+       |  FROM u GROUP BY 1
+       |), gg AS (
+       |  SELECT *, CAST(na0 + nb0 AS DOUBLE) AS n,
+       |    CAST(na0 AS DOUBLE) AS na, CAST(nb0 AS DOUBLE) AS nb
+       |  FROM g
+       |)
+       |SELECT event_type, na0 AS n_a, nb0 AS n_b,
+       |  ${Analytics.half6Sql(Analytics.cupedTheta)} AS theta,
+       |  ${Analytics.half6Sql(Analytics.cupedDiffRaw)} AS diff_raw,
+       |  ${Analytics.half6Sql(Analytics.cupedDiffAdj)} AS diff_cuped,
+       |  ${Analytics.half6Sql(Analytics.cupedRho2)} AS var_reduction
+       |FROM gg
+       |WHERE na0 >= 2 AND nb0 >= 2
+       |  AND ${Analytics.cupedVarX} > 0.0 AND ${Analytics.cupedVarY} > 0.0""".stripMargin
+  }
+
   /** Wald SPRT per event type over the value≥50 success stream (H0:
     * p=0.45 vs H1: p=0.55, α=β=5%) — the early-stopping readout: the
     * first event index at which the experiment could already have
@@ -2976,6 +3046,7 @@ object EvalQueries {
     "stats_proportion_z" -> statsProportionZ,
     "stats_mde"        -> statsMde,
     "stats_sprt"       -> statsSprt,
+    "stats_cuped"      -> statsCuped,
     "eval_mcc"         -> evalMcc,
     "eval_gwet_ac1"    -> evalGwetAc1,
     "eval_conformal"   -> evalConformal,
@@ -3052,6 +3123,7 @@ object EvalQueries {
     "stats_proportion_z" -> statsProportionZSql,
     "stats_mde"        -> statsMdeSql,
     "stats_sprt"       -> statsSprtSql,
+    "stats_cuped"      -> statsCupedSql,
     "eval_gwet_ac1"    -> evalGwetAc1Sql,
     "eval_conformal"   -> evalConformalSql,
     "eval_mcc"         -> evalMccSql,

@@ -476,6 +476,22 @@ object StreamingOps {
       .groupBy("bucket")
       .agg(org.apache.spark.sql.functions.max("rho").as("r"))
 
+  /** Deterministic streaming theta sketches: maintains the SAME per-group
+    * bottom-k hash sample as `Sketches.thetaSketches`, incrementally —
+    * the bottom-k Aggregator's merge is an associative order-free trim
+    * (min-k of a union is min-k of min-k's), so after any micro-batch
+    * each group's sketch equals the batch build over everything seen
+    * (pinned by the streaming==batch spec), and
+    * `Sketches.thetaAlgebraFromSketches` runs unchanged on the streamed
+    * table — live "how much of stream B is new vs corpus A" with no
+    * corpus access. State is O(k) longs per group forever, and the
+    * sketches are engine-portable integer arrays (persist per period;
+    * any system that can merge-and-trim sorted longs unions them).
+    */
+  def thetaSketchStream(events: DataFrame, groupCol: String,
+      keyCol: String, k: Int = 64): DataFrame =
+    graft.ext.Sketches.thetaSketches(events, groupCol, keyCol, k)
+
   /** Deterministic streaming Count-Min: maintains the SAME depth×width
     * integer counter table as `Sketches.countMinCounters`, incrementally
     * — the per-row (row, cell) projection is shared and the combine is

@@ -249,6 +249,48 @@ class Round11bSpec extends AnyFunSuite with SparkTest {
     assert(r.getAs[Double]("llr_final") < 0)
   }
 
+  // ---- Analytics.cuped -----------------------------------------------------
+
+  test("cuped: a metric fully explained by its covariate adjusts to zero") {
+    // y = 2x exactly: theta = 2, the adjusted diff collapses to 0, and
+    // the variance reduction is total (rho^2 = 1) — every equality is
+    // EXACT in IEEE arithmetic (scaling by 2 commutes with +,-,/)
+    val rows = (1 to 40).map(i => ("g", i.toDouble, 2.0 * i, i % 2 == 0))
+    val r = Analytics.cuped(rows.toDF("grp", "x", "y", "in_a"),
+      "grp", "x", "y", col("in_a")).head()
+    assert(r.getAs[Long]("n_a") == 20 && r.getAs[Long]("n_b") == 20)
+    assert(r.getAs[Double]("theta") == 2.0)
+    assert(r.getAs[Double]("diff_cuped") == 0.0)
+    assert(r.getAs[Double]("var_reduction") == 1.0)
+    // even i mean = 21, odd i mean = 20 -> raw diff = 2(21 - 20)
+    assert(r.getAs[Double]("diff_raw") == 2.0)
+  }
+
+  test("cuped: degenerate covariate or metric drops the group") {
+    val constX = (1 to 10).map(i => ("g", 5.0, i.toDouble, i % 2 == 0))
+    assert(Analytics.cuped(constX.toDF("grp", "x", "y", "in_a"),
+      "grp", "x", "y", col("in_a")).count() == 0)
+    val constY = (1 to 10).map(i => ("g", i.toDouble, 5.0, i % 2 == 0))
+    assert(Analytics.cuped(constY.toDF("grp", "x", "y", "in_a"),
+      "grp", "x", "y", col("in_a")).count() == 0)
+  }
+
+  test("cuped: an uninformative covariate leaves the raw diff almost unchanged") {
+    // x alternates independently of y's cohort shift: theta stays small
+    // and diff_cuped stays within noise of diff_raw
+    val rows = (1 to 200).map { i =>
+      val inA = i % 2 == 0
+      ("g", (i % 7).toDouble, (if (inA) 10.0 else 0.0) + (i % 5),
+        inA)
+    }
+    val r = Analytics.cuped(rows.toDF("grp", "x", "y", "in_a"),
+      "grp", "x", "y", col("in_a")).head()
+    assert(math.abs(r.getAs[Double]("diff_raw") - 10.0) < 1.0)
+    assert(math.abs(r.getAs[Double]("diff_cuped") -
+      r.getAs[Double]("diff_raw")) < 1.0)
+    assert(r.getAs[Double]("var_reduction") < 0.2)
+  }
+
   // ---- Dedup.componentsIncremental ----------------------------------------
 
   test("componentsIncremental ≡ full recompute on 10 seeded random splits") {

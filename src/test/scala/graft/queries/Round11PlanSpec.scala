@@ -82,6 +82,14 @@ class Round11PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("stats_cuped: two stacked keyed aggregations — no window, no join, no single-partition exchange") {
+    val p = plan(EvalQueries.statsCuped(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("graph_cc_incremental: label assembly is keyed joins only — no window, no cartesian, no single-partition exchange") {
     val p = plan(GraphQueries.graphCcIncremental(spark, dir))
     assert(!p.contains("Window"), p)

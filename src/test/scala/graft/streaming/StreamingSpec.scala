@@ -95,6 +95,34 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
     assert(streamed.size <= 4 * 1024)
   }
 
+  test("theta sketches: streaming == batch, and the set algebra runs unchanged on the streamed table") {
+    val q = StreamingOps.thetaSketchStream(
+      StreamingOps.eventsStream(spark, eventsDir), "event_type", "user_id")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("theta_out")
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q, 120000)
+
+    val streamed = spark.table("theta_out").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    val batchSk = graft.ext.Sketches.thetaSketches(
+      Tables.events(spark, sfDir), "event_type", "user_id")
+    val batch = batchSk.collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.forall(_.size <= 64))
+
+    // the pairwise union/intersect/difference algebra is identical
+    // whether the sketch table was built by the stream or the batch
+    val aS = graft.ext.Sketches
+      .thetaAlgebraFromSketches(spark.table("theta_out"), "event_type")
+      .collect().map(_.toSeq).toSet
+    val aB = graft.ext.Sketches
+      .thetaAlgebraFromSketches(batchSk, "event_type")
+      .collect().map(_.toSeq).toSet
+    assert(aS == aB && aS.nonEmpty)
+  }
+
   test("replayable HLL registers: streaming table == batch build") {
     val q = StreamingOps.hllRegisterStream(
       StreamingOps.eventsStream(spark, eventsDir), "user_id")
