@@ -1327,6 +1327,70 @@ object Analytics {
         col("pooled_rate"), col("mde_abs"), col("mde_rel"))
   }
 
+  /** Shared difference-in-differences expression over the four exact
+    * cell statistics (ntp/nt0/ncp/nc0 longs; stp/st0/scp/sc0 rounded
+    * DECIMAL sums cast to double): DiD = (ȳ_T,post − ȳ_T,pre) −
+    * (ȳ_C,post − ȳ_C,pre) — identical in Spark SQL and DuckDB.
+    */
+  private[graft] val didExpr: String =
+    "((stp / CAST(ntp AS DOUBLE) - st0 / CAST(nt0 AS DOUBLE)) " +
+      "- (scp / CAST(ncp AS DOUBLE) - sc0 / CAST(nc0 AS DOUBLE)))"
+
+  /** Difference-in-differences per group — the panel-data causal readout
+    * when assignment wasn't randomized: the treated cohort's pre→post
+    * metric change minus the control cohort's, which nets out any shared
+    * time trend under the parallel-trends assumption (the workhorse of
+    * rollout and holdback analyses where [[twoProportionZ]]-style
+    * randomized comparison isn't available). Output per group: the four
+    * cell sizes and means, and the DiD estimate.
+    *
+    * Exactness: cell counts are exact longs and cell sums per-term
+    * round-6 DECIMAL (order-free partial aggregation); every mean and
+    * the estimate are shared half-rounded final expressions. Groups
+    * with any empty cell drop — a DiD with a missing cell is undefined,
+    * not zero.
+    *
+    * Scale: ONE map-side-combining aggregation to group granularity —
+    * four longs + four decimals of state per group.
+    */
+  def diffInDiff(df: DataFrame, groupCol: String, valCol: String,
+      inTreat: Column, inPost: Column): DataFrame = {
+    val v = col(valCol)
+    def cell(t: Boolean, p: Boolean): Column = {
+      val in = (if (t) inTreat else !inTreat) && (if (p) inPost else !inPost)
+      sum(when(in, round(v, 6).cast("decimal(30,6)")))
+    }
+    def cnt(t: Boolean, p: Boolean): Column = {
+      val in = (if (t) inTreat else !inTreat) && (if (p) inPost else !inPost)
+      sum(in.cast("long"))
+    }
+    df.where(v.isNotNull && inTreat.isNotNull && inPost.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        cnt(t = true, p = true).as("ntp"), cnt(t = true, p = false).as("nt0"),
+        cnt(t = false, p = true).as("ncp"), cnt(t = false, p = false).as("nc0"),
+        cell(t = true, p = true).cast("double").as("stp"),
+        cell(t = true, p = false).cast("double").as("st0"),
+        cell(t = false, p = true).cast("double").as("scp"),
+        cell(t = false, p = false).cast("double").as("sc0"))
+      .where(col("ntp") >= 1L && col("nt0") >= 1L &&
+        col("ncp") >= 1L && col("nc0") >= 1L)
+      .withColumn("mean_treat_post",
+        expr(half6Sql("stp / CAST(ntp AS DOUBLE)")))
+      .withColumn("mean_treat_pre",
+        expr(half6Sql("st0 / CAST(nt0 AS DOUBLE)")))
+      .withColumn("mean_ctrl_post",
+        expr(half6Sql("scp / CAST(ncp AS DOUBLE)")))
+      .withColumn("mean_ctrl_pre",
+        expr(half6Sql("sc0 / CAST(nc0 AS DOUBLE)")))
+      .withColumn("did", expr(half6Sql(didExpr)))
+      .select(col(groupCol), col("ntp").as("n_treat_post"),
+        col("nt0").as("n_treat_pre"), col("ncp").as("n_ctrl_post"),
+        col("nc0").as("n_ctrl_pre"), col("mean_treat_post"),
+        col("mean_treat_pre"), col("mean_ctrl_post"), col("mean_ctrl_pre"),
+        col("did"))
+  }
+
   /** Shared CUPED final expressions over the per-group sufficient
     * statistics (na0/nb0 exact longs; sxa/sxb/sya/syb/qx/qy/sxy
     * per-term-rounded DECIMAL sums cast to double; n/na/nb their double

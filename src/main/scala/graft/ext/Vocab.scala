@@ -600,4 +600,55 @@ object Vocab {
         round(col("__s").cast("double") / col("n_bigrams").cast("double"), 6))
       .drop("__s")
   }
+
+  /** Per-language tokenizer fertility audit over a trained BPE merge
+    * chain — tokens-per-word and chars-per-token by language, the
+    * multilingual-fairness readout every tokenizer report carries (a
+    * language with 2× the fertility pays 2× the sequence length — and
+    * 2× the compute and context budget — for the same text; the classic
+    * under-represented-script tax). Fertility 1.0 means every word is
+    * one piece; the ceiling is chars-per-word (full fragmentation).
+    *
+    * Exactness: piece counts per word TYPE come from the same greedy
+    * merge-application fold as [[bpeEncode]] (replace semantics
+    * identical in both engines); all per-language sums are exact longs;
+    * the two ratios are shared half-rounded final expressions.
+    *
+    * Scale: the corpus is touched ONCE ((lang, word)-type aggregation);
+    * the encode fold runs on the DISTINCT-word table (vocabulary-sized)
+    * and joins back by word — the [[bpeTrain]] "iterate on the type
+    * table" discipline applied to measurement.
+    */
+  def bpeFertility(docs: DataFrame, textCol: String, langCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val lw = DataOps.parallelismFloor(
+        docs.select(col(langCol).as("lang"), col(textCol).as("__t"))
+          .where(col("lang").isNotNull && col("__t").isNotNull))
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(col("__t"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the distinct-word fold AND the join
+    val enc = merges.foldLeft("s") { case (e, (l, r)) =>
+      s"replace($e, '|$l|$r|', '|$l$r|')"
+    }
+    val wp = lw.select(col("word")).distinct()
+      .withColumn("s",
+        concat(lit("|"),
+          array_join(transform(split(col("word"), ""), c => c), "|"),
+          lit("|")))
+      .select(col("word"),
+        size(expr(s"filter(split($enc, '\\\\|'), x -> x != '')"))
+          .cast("long").as("n_pieces"))
+    lw.join(wp, Seq("word"))
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_pieces")).as("n_tokens"),
+        sum(col("cnt") * length(col("word")).cast("long")).as("n_chars"),
+        countDistinct(col("word")).as("n_types"))
+      .withColumn("fertility", expr(Analytics.half6Sql(
+        "CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)")))
+      .withColumn("chars_per_token", expr(Analytics.half6Sql(
+        "CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)")))
+  }
 }

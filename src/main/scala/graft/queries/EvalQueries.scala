@@ -2630,6 +2630,49 @@ object EvalQueries {
        |  END AS coverage
        |FROM t""".stripMargin
 
+  /** Difference-in-differences per event type: even-id users are the
+    * treated cohort, the month's second half is the post period — the
+    * rollout/holdback causal readout under parallel trends (see
+    * [[graft.ext.Analytics.diffInDiff]]).
+    */
+  val statsDid: QueryFn = (s, dir) =>
+    Analytics.diffInDiff(
+      Tables.events(s, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull),
+      "event_type", "value",
+      pmod(col("user_id"), lit(2L)) === 0L, dayofmonth(col("ts")) > 15)
+
+  val statsDidSql: String = {
+    def cellN(t: String, p: String) =
+      s"CAST(sum(CASE WHEN $t AND $p THEN 1 ELSE 0 END) AS BIGINT)"
+    def cellS(t: String, p: String) =
+      s"CAST(sum(CASE WHEN $t AND $p " +
+        "THEN CAST(round(value, 6) AS DECIMAL(30,6)) END) AS DOUBLE)"
+    val tr = "((user_id % 2) + 2) % 2 = 0"
+    val ct = s"NOT ($tr)"
+    val po = "day(ts) > 15"
+    val pr = s"NOT ($po)"
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    ${cellN(tr, po)} AS ntp, ${cellN(tr, pr)} AS nt0,
+       |    ${cellN(ct, po)} AS ncp, ${cellN(ct, pr)} AS nc0,
+       |    ${cellS(tr, po)} AS stp, ${cellS(tr, pr)} AS st0,
+       |    ${cellS(ct, po)} AS scp, ${cellS(ct, pr)} AS sc0
+       |  FROM events
+       |  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY 1
+       |)
+       |SELECT event_type, ntp AS n_treat_post, nt0 AS n_treat_pre,
+       |  ncp AS n_ctrl_post, nc0 AS n_ctrl_pre,
+       |  ${Analytics.half6Sql("stp / CAST(ntp AS DOUBLE)")} AS mean_treat_post,
+       |  ${Analytics.half6Sql("st0 / CAST(nt0 AS DOUBLE)")} AS mean_treat_pre,
+       |  ${Analytics.half6Sql("scp / CAST(ncp AS DOUBLE)")} AS mean_ctrl_post,
+       |  ${Analytics.half6Sql("sc0 / CAST(nc0 AS DOUBLE)")} AS mean_ctrl_pre,
+       |  ${Analytics.half6Sql(Analytics.didExpr)} AS did
+       |FROM g
+       |WHERE ntp >= 1 AND nt0 >= 1 AND ncp >= 1 AND nc0 >= 1""".stripMargin
+  }
+
   /** CUPED per event type: each user's even-day mean value is the
     * pre-period covariate for their odd-day mean metric, cohorts =
     * even/odd user ids (see [[graft.ext.Analytics.cuped]] — the
@@ -3047,6 +3090,7 @@ object EvalQueries {
     "stats_mde"        -> statsMde,
     "stats_sprt"       -> statsSprt,
     "stats_cuped"      -> statsCuped,
+    "stats_did"        -> statsDid,
     "eval_mcc"         -> evalMcc,
     "eval_gwet_ac1"    -> evalGwetAc1,
     "eval_conformal"   -> evalConformal,
@@ -3124,6 +3168,7 @@ object EvalQueries {
     "stats_mde"        -> statsMdeSql,
     "stats_sprt"       -> statsSprtSql,
     "stats_cuped"      -> statsCupedSql,
+    "stats_did"        -> statsDidSql,
     "eval_gwet_ac1"    -> evalGwetAc1Sql,
     "eval_conformal"   -> evalConformalSql,
     "eval_mcc"         -> evalMccSql,

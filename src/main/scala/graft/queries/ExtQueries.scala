@@ -1195,6 +1195,72 @@ object ExtQueries {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     graft.ext.Vocab.bpeEncode(docs, "text", merges)
   }
+
+  /** Per-language tokenizer fertility (tokens/word, chars/token) under
+    * the SAME memoized BPE training as `vocab_bpe`/`tokenize_bpe` — the
+    * multilingual-fairness audit (see [[graft.ext.Vocab.bpeFertility]]:
+    * a language with 2× fertility pays 2× sequence length for the same
+    * text).
+    */
+  val vocabFertility: QueryFn = (s, dir) => {
+    val merges = bpeTrained(s, dir).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ext.Vocab.bpeFertility(Tables.documents(s, dir), "text", "lang",
+      merges)
+  }
+
+  val vocabFertilitySql: String = {
+    // the same six unrolled train stages as vocabBpeSql/tokenizeBpeSql
+    def stage(n: Int): String = {
+      val prev = s"w${n - 1}"
+      s"""p$n AS (
+         |  SELECT t[i] AS l, t[i + 1] AS r, sum(cnt) AS c
+         |  FROM (SELECT cnt, string_split(s, '|') AS t FROM $prev),
+         |       unnest(generate_series(2, len(t) - 2)) u(i)
+         |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1
+         |), w$n AS (
+         |  SELECT cnt, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
+         |  FROM $prev, p$n
+         |)""".stripMargin
+    }
+    val stages = (1 to 6).map(stage).mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+       |    '|' || array_to_string(regexp_extract_all(word, '.'), '|') || '|' AS s
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY word
+       |),
+       |$stages,
+       |wp AS (
+       |  SELECT replace(s, '|', '') AS word,
+       |    CAST(len(string_split(s, '|')) - 2 AS BIGINT) AS n_pieces
+       |  FROM w6
+       |), lw AS (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY 1, 2
+       |), g AS (
+       |  SELECT lang,
+       |    CAST(sum(lw.cnt) AS BIGINT) AS n_words,
+       |    CAST(sum(lw.cnt * wp.n_pieces) AS BIGINT) AS n_tokens,
+       |    CAST(sum(lw.cnt * length(lw.word)) AS BIGINT) AS n_chars,
+       |    CAST(count(DISTINCT lw.word) AS BIGINT) AS n_types
+       |  FROM lw JOIN wp USING (word)
+       |  GROUP BY 1
+       |)
+       |SELECT lang, n_words, n_tokens, n_chars, n_types,
+       |  ${graft.ext.Analytics.half6Sql(
+            "CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)")}
+       |    AS fertility,
+       |  ${graft.ext.Analytics.half6Sql(
+            "CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
+       |    AS chars_per_token
+       |FROM g""".stripMargin
+  }
   val tokenizeBpeSql: String = {
     // the same six unrolled train stages as vocabBpeSql...
     def stage(n: Int): String = {
@@ -3991,6 +4057,7 @@ object ExtQueries {
     "vocab_wordpiece"      -> vocabWordpiece,
     "tokenize_unigram"     -> tokenizeUnigram,
     "tokenize_bpe"         -> tokenizeBpe,
+    "vocab_fertility"      -> vocabFertility,
     "tokenize_wordpiece"   -> tokenizeWordpiece,
     "dedup_containment"    -> dedupContainment,
     "text_langid"          -> textLangId,
@@ -4106,6 +4173,7 @@ object ExtQueries {
     "vocab_wordpiece"     -> vocabWordpieceSql,
     "tokenize_unigram"    -> tokenizeUnigramSql,
     "tokenize_bpe"        -> tokenizeBpeSql,
+    "vocab_fertility"     -> vocabFertilitySql,
     "tokenize_wordpiece"  -> tokenizeWordpieceSql,
     "training_set"        -> trainingSetSql,
     "dedup_containment"   -> dedupContainmentSql,

@@ -291,6 +291,61 @@ class Round11bSpec extends AnyFunSuite with SparkTest {
     assert(r.getAs[Double]("var_reduction") < 0.2)
   }
 
+  // ---- Analytics.diffInDiff ------------------------------------------------
+
+  test("diffInDiff: hand-checked cells — shared trend nets out") {
+    // control: 10 -> 13 (+3 trend); treated: 20 -> 26 (+3 trend, +3
+    // effect) -> DiD = +3
+    val rows = Seq(
+      ("g", 20.0, true, false), ("g", 20.0, true, false),
+      ("g", 26.0, true, true), ("g", 26.0, true, true),
+      ("g", 10.0, false, false), ("g", 10.0, false, false),
+      ("g", 13.0, false, true), ("g", 13.0, false, true))
+    val r = Analytics.diffInDiff(rows.toDF("grp", "v", "t", "p"),
+      "grp", "v", col("t"), col("p")).head()
+    assert(r.getAs[Double]("did") == 3.0)
+    assert(r.getAs[Double]("mean_treat_post") == 26.0)
+    assert(r.getAs[Long]("n_ctrl_pre") == 2)
+  }
+
+  test("diffInDiff: an empty cell drops the group (undefined, not zero)") {
+    val rows = Seq(("g", 1.0, true, true), ("g", 2.0, true, false),
+      ("g", 3.0, false, true)) // no control-pre cell
+    assert(Analytics.diffInDiff(rows.toDF("grp", "v", "t", "p"),
+      "grp", "v", col("t"), col("p")).count() == 0)
+  }
+
+  // ---- Vocab.bpeFertility --------------------------------------------------
+
+  test("bpeFertility: exact counts under a known merge chain") {
+    // merges: (a,b) then (ab,c): "abc" -> 1 piece, "abd" -> 2 ("ab","d"),
+    // "xyz" -> 3 pieces
+    val docs = Seq(
+      ("en", "abc abc abd"), ("en", "abc"),
+      ("de", "xyz abd")).toDF("lang", "text")
+    val got = Vocab.bpeFertility(docs, "text", "lang",
+      Seq(("a", "b"), ("ab", "c")))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("fertility"))).toMap
+    // en: words 4 (abc x3, abd), tokens 3*1 + 2 = 5, chars 12, types 2
+    assert(got("en") == ((4L, 5L, 12L, 2L, 1.25)), got.toString)
+    // de: xyz -> 3 pieces, abd -> 2; words 2, tokens 5, chars 6, types 2
+    assert(got("de") == ((2L, 5L, 6L, 2L, 2.5)), got.toString)
+  }
+
+  test("bpeFertility bounds: 1 <= fertility <= chars per word") {
+    val docs = Seq(("en", "aa bb aa cc dd"), ("fr", "aaa bbb ab"))
+      .toDF("lang", "text")
+    Vocab.bpeFertility(docs, "text", "lang", Seq(("a", "a"), ("b", "b")))
+      .collect().foreach { r =>
+        val f = r.getAs[Double]("fertility")
+        val cpw = r.getAs[Long]("n_chars").toDouble / r.getAs[Long]("n_words")
+        assert(f >= 1.0 && f <= cpw + 1e-9, r.toString)
+      }
+  }
+
   // ---- Dedup.componentsIncremental ----------------------------------------
 
   test("componentsIncremental ≡ full recompute on 10 seeded random splits") {

@@ -90,6 +90,22 @@ class Round11PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("partial_"), p)
   }
 
+  test("stats_did: ONE map-side-combining aggregation — no window, no join") {
+    val p = plan(EvalQueries.statsDid(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("vocab_fertility: the encode fold runs on the distinct-word table; no window, no cartesian, no single-partition exchange") {
+    val p = plan(ExtQueries.vocabFertility(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("graph_cc_incremental: label assembly is keyed joins only — no window, no cartesian, no single-partition exchange") {
     val p = plan(GraphQueries.graphCcIncremental(spark, dir))
     assert(!p.contains("Window"), p)
