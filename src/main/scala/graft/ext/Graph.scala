@@ -674,7 +674,20 @@ object Graph {
       moveRounds: Int = 4): DataFrame = {
     val und = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b")).localCheckpoint(true)
-    val lv = louvain(und, matchRounds, moveRounds).localCheckpoint(true)
+    leidenRefine(und, louvain(und, matchRounds, moveRounds))
+  }
+
+  /** The refinement phase of [[leiden]] alone, over an ALREADY-computed
+    * `(node, community)` labeling — so a pipeline that materializes the
+    * Louvain partition once (the memoized-training pattern) can refine
+    * it without re-running the merge/move rounds: split every community
+    * into its connected components over intra-community edges.
+    */
+  def leidenRefine(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val lv = labels.select(col("node").cast("long").as("node"),
+      col("community").cast("long").as("community"))
     val intra = und
       .join(lv.select(col("node").as("a"), col("community").as("__ca")),
         Seq("a"))
