@@ -1327,6 +1327,40 @@ object Analytics {
         col("pooled_rate"), col("mde_abs"), col("mde_rel"))
   }
 
+  /** Sample-ratio mismatch check per group — the FIRST sanity gate of
+    * every A/B readout (Fabijan et al.'s "most common data-quality bug
+    * in online experiments"): if the realized assignment split differs
+    * from the designed ratio more than chance allows, the experiment's
+    * randomization is broken and every downstream metric comparison is
+    * invalid — [[twoProportionZ]]/[[cuped]]/[[sprt]] results should be
+    * DISCARDED on a mismatch, not explained. One-df chi-square against
+    * the expected split: χ² = (n_A − n·p)²/(n·p) + (n_B − n·(1−p))²/
+    * (n·(1−p)), flagged at the 5% critical value 3.841459.
+    *
+    * Exactness: cohort counts are exact longs from ONE aggregation; χ²
+    * and the expected count are shared half-rounded expressions over
+    * them and the design-ratio literal.
+    */
+  def sampleRatioMismatch(df: DataFrame, groupCol: String, inA: Column,
+      expectedA: Double = 0.5): DataFrame = {
+    require(expectedA > 0.0 && expectedA < 1.0,
+      "srm: expected ratio must be in (0,1)")
+    val ea = s"(CAST(na0 + nb0 AS DOUBLE) * $expectedA)"
+    val eb = s"(CAST(na0 + nb0 AS DOUBLE) * ${1.0 - expectedA})"
+    val chi2 = s"(CAST(na0 AS DOUBLE) - $ea) * (CAST(na0 AS DOUBLE) - $ea) " +
+      s"/ $ea + (CAST(nb0 AS DOUBLE) - $eb) * (CAST(nb0 AS DOUBLE) - $eb) / $eb"
+    df.where(inA.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(inA.cast("long")).as("na0"),
+        sum((!inA).cast("long")).as("nb0"))
+      .where(col("na0") + col("nb0") >= 1L)
+      .withColumn("expected_a", expr(half6Sql(ea)))
+      .withColumn("chi2", expr(half6Sql(chi2)))
+      .withColumn("mismatch", expr(s"$chi2 > 3.841459"))
+      .select(col(groupCol), col("na0").as("n_a"), col("nb0").as("n_b"),
+        col("expected_a"), col("chi2"), col("mismatch"))
+  }
+
   /** Shared difference-in-differences expression over the four exact
     * cell statistics (ntp/nt0/ncp/nc0 longs; stp/st0/scp/sc0 rounded
     * DECIMAL sums cast to double): DiD = (ȳ_T,post − ȳ_T,pre) −

@@ -677,6 +677,72 @@ object Graph {
     leidenRefine(und, louvain(und, matchRounds, moveRounds))
   }
 
+  /** Fixed-round Borůvka MAXIMUM spanning forest over weighted edges
+    * `(a, b, w)` — the strongest-ties backbone of a similarity/co-
+    * occurrence graph (the spanning structure that keeps, for every
+    * partition of the nodes, the heaviest edge crossing it: the edges
+    * you'd keep if you could keep only n−1). Borůvka is THE distributed
+    * MST algorithm — every component picks its best incident edge
+    * simultaneously, components at least halve per round, so
+    * `rounds = 16` completes for up to 2^16 initial components and
+    * rounds after completion are natural no-ops (no cross-component
+    * edge remains → nothing is chosen → the forest is a fixpoint),
+    * making the fixed-round form safely idempotent.
+    *
+    * Determinism/uniqueness: the per-component argmax orders edges by
+    * the TOTAL order (w desc, a asc, b asc); Borůvka under a consistent
+    * total order computes the unique MSF of the perturbed weights, so
+    * the output is partitioning- and engine-invariant, and the classic
+    * cycle-impossibility argument holds (a cycle would need two edges
+    * each strictly best at the crossing, impossible under a total
+    * order). Ids must be non-negative (the `-a` ordering key — the
+    * [[Dedup.exactWithPriority]] caveat).
+    *
+    * Scale: per round one edge⋈labels join (two keyed attaches), one
+    * component-keyed argmax aggregation, and ONE INCREMENTAL components
+    * fold ([[Dedup.componentsIncremental]] — the chosen edges merge
+    * into the label table without re-touching prior forest edges);
+    * forest and label state are node-count-sized. An early-exit probe
+    * on the checkpointed cross-component edge set skips the no-op tail.
+    */
+  def maxSpanningForest(edges: DataFrame, rounds: Int = 16): DataFrame = {
+    val e0 = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val nodes = e0.select(col("a").as("node"))
+      .unionByName(e0.select(col("b").as("node"))).distinct()
+    var labels = nodes.select(col("node").as("id"),
+      col("node").as("cluster_id")).localCheckpoint(true)
+    var forest = e0.where(lit(false)).localCheckpoint(true)
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val cross = e0
+        .join(labels.select(col("id").as("a"), col("cluster_id").as("__ca")),
+          Seq("a"))
+        .join(labels.select(col("id").as("b"), col("cluster_id").as("__cb")),
+          Seq("b"))
+        .where(col("__ca") =!= col("__cb"))
+        .localCheckpoint(true)
+      if (cross.isEmpty) done = true
+      else {
+        val halves = cross
+          .select(col("__ca").as("comp"), col("a"), col("b"), col("w"))
+          .unionByName(cross
+            .select(col("__cb").as("comp"), col("a"), col("b"), col("w")))
+        val best = halves.groupBy("comp")
+          .agg(expr("max_by(struct(a, b, w), struct(w, -a, -b))").as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+          .distinct()
+          .localCheckpoint(true)
+        forest = forest.unionByName(best).localCheckpoint(true)
+        labels = Dedup.componentsIncremental(labels,
+          best.select(col("a").as("id_a"), col("b").as("id_b")))
+          .localCheckpoint(true)
+      }
+    }
+    forest
+  }
+
   /** The refinement phase of [[leiden]] alone, over an ALREADY-computed
     * `(node, community)` labeling — so a pipeline that materializes the
     * Louvain partition once (the memoized-training pattern) can refine

@@ -2630,6 +2630,46 @@ object EvalQueries {
        |  END AS coverage
        |FROM t""".stripMargin
 
+  /** Sample-ratio mismatch per event type against a designed 50/50
+    * even/odd-user split, with a PLANTED logging bug: event types
+    * ≥ 'p' silently drop every third odd-cohort event (the classic
+    * one-sided instrumentation loss), pushing those groups decisively
+    * past the critical value (the raw synthetic user split is itself
+    * mildly uneven, which is exactly what an SRM check is for) (see
+    * [[graft.ext.Analytics.sampleRatioMismatch]] — on a mismatch the
+    * downstream metric comparisons are invalid, full stop).
+    */
+  val statsSrm: QueryFn = (s, dir) =>
+    Analytics.sampleRatioMismatch(
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("event_id").isNotNull)
+        .where(!(col("event_type") >= "p" &&
+          pmod(col("user_id"), lit(2L)) === 1L &&
+          col("event_id") % 3 === 0)),
+      "event_type", pmod(col("user_id"), lit(2L)) === 0L)
+
+  val statsSrmSql: String = {
+    val ea = "(CAST(na0 + nb0 AS DOUBLE) * 0.5)"
+    val eb = "(CAST(na0 + nb0 AS DOUBLE) * 0.5)"
+    val chi2 = s"(CAST(na0 AS DOUBLE) - $ea) * (CAST(na0 AS DOUBLE) - $ea) " +
+      s"/ $ea + (CAST(nb0 AS DOUBLE) - $eb) * (CAST(nb0 AS DOUBLE) - $eb) / $eb"
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+       |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb0
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+       |    AND NOT (event_type >= 'p' AND ((user_id % 2) + 2) % 2 = 1
+       |             AND event_id % 3 = 0)
+       |  GROUP BY 1
+       |)
+       |SELECT event_type, na0 AS n_a, nb0 AS n_b,
+       |  ${Analytics.half6Sql(ea)} AS expected_a,
+       |  ${Analytics.half6Sql(chi2)} AS chi2,
+       |  $chi2 > 3.841459 AS mismatch
+       |FROM g WHERE na0 + nb0 >= 1""".stripMargin
+  }
+
   /** Difference-in-differences per event type: even-id users are the
     * treated cohort, the month's second half is the post period — the
     * rollout/holdback causal readout under parallel trends (see
@@ -3091,6 +3131,7 @@ object EvalQueries {
     "stats_sprt"       -> statsSprt,
     "stats_cuped"      -> statsCuped,
     "stats_did"        -> statsDid,
+    "stats_srm"        -> statsSrm,
     "eval_mcc"         -> evalMcc,
     "eval_gwet_ac1"    -> evalGwetAc1,
     "eval_conformal"   -> evalConformal,
@@ -3169,6 +3210,7 @@ object EvalQueries {
     "stats_sprt"       -> statsSprtSql,
     "stats_cuped"      -> statsCupedSql,
     "stats_did"        -> statsDidSql,
+    "stats_srm"        -> statsSrmSql,
     "eval_gwet_ac1"    -> evalGwetAc1Sql,
     "eval_conformal"   -> evalConformalSql,
     "eval_mcc"         -> evalMccSql,

@@ -659,6 +659,75 @@ object GraphQueries {
         .select(col("a").as("id_a"), col("b").as("id_b")))
       .select(col("id").as("node"), col("cluster_id").as("component"))
 
+  /** Weighted co-purchase edges: w = number of DISTINCT orders the two
+    * parts share — the tie-strength the spanning forest ranks.
+    */
+  private def coPurchaseWeighted(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val li = Tables.lineitem(s, dir).where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    li.alias("x").join(li.alias("y"),
+        expr("x.o = y.o AND x.p < y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"), col("x.o").as("o"))
+      .groupBy("a", "b").agg(countDistinct(col("o")).as("w"))
+  }
+
+  /** Fixed-round Borůvka maximum spanning forest of the weighted
+    * co-purchase graph — the strongest-ties backbone (see
+    * [[graft.ext.Graph.maxSpanningForest]]; every component picks its
+    * best incident edge per round, merged via the incremental
+    * components fold). The oracle replays all 16 rounds as unrolled
+    * CTEs, each with its own recursive min-label closure over the
+    * accumulated forest; rounds after completion are natural no-ops,
+    * so the fixed count is engine-safe.
+    */
+  val graphMst: QueryFn = (s, dir) =>
+    Graph.maxSpanningForest(coPurchaseWeighted(s, dir), rounds = 16)
+
+  val graphMstSql: String = {
+    def round(r: Int): String = {
+      val prev = s"l${r - 1}"
+      val prevF = if (r == 1) "" else s"SELECT a, b, w FROM f${r - 1} UNION ALL "
+      s"""cr$r AS MATERIALIZED (
+         |  SELECT p.a, p.b, p.w, la.lab AS ca, lb.lab AS cb
+         |  FROM wpairs p JOIN $prev la ON la.node = p.a
+         |    JOIN $prev lb ON lb.node = p.b
+         |  WHERE la.lab <> lb.lab
+         |), b$r AS MATERIALIZED (
+         |  SELECT a, b, w FROM (
+         |    SELECT comp, a, b, w, row_number() OVER (
+         |      PARTITION BY comp ORDER BY w DESC, a ASC, b ASC) AS rn
+         |    FROM (SELECT ca AS comp, a, b, w FROM cr$r
+         |          UNION ALL SELECT cb, a, b, w FROM cr$r))
+         |  WHERE rn = 1
+         |), f$r AS MATERIALIZED (
+         |  SELECT DISTINCT a, b, w FROM (${prevF}SELECT a, b, w FROM b$r)
+         |), x$r(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, l.lab FROM x$r l JOIN (
+         |    SELECT a AS src, b AS dst FROM f$r
+         |    UNION ALL SELECT b, a FROM f$r) e ON e.src = l.node
+         |), l$r AS MATERIALIZED (
+         |  SELECT node, CAST(min(lab) AS BIGINT) AS lab FROM x$r GROUP BY 1
+         |)""".stripMargin
+    }
+    s"""WITH RECURSIVE wpairs AS MATERIALIZED (
+       |  SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+       |    CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS w
+       |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |  WHERE l1.l_partkey < l2.l_partkey
+       |    AND l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+       |  GROUP BY 1, 2
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT a AS node FROM wpairs
+       |  UNION SELECT DISTINCT b FROM wpairs
+       |), l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
+       |${(1 to 16).map(round).mkString(",\n")}
+       |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, w
+       |FROM f16""".stripMargin
+  }
+
   /** Incremental connected components: the co-purchase edges split into
     * a base corpus ((a+b) mod 5 ≠ 0) and a new-period delta (= 0); the
     * base is labeled once and the delta is folded in WITHOUT re-touching
@@ -1402,6 +1471,7 @@ object GraphQueries {
     "graph_degrees"   -> graphDegrees,
     "graph_cc"        -> graphCc,
     "graph_cc_incremental" -> graphCcIncremental,
+    "graph_mst"       -> graphMst,
     "graph_cc_twophase" -> graphCcTwoPhase,
     "graph_scc"       -> graphScc,
     "graph_assortativity" -> graphAssortativity,
@@ -1444,6 +1514,7 @@ object GraphQueries {
     "graph_cc"        -> graphCcSql,
     "graph_cc_twophase" -> graphCcSql, // same output contract as graph_cc
     "graph_cc_incremental" -> graphCcSql, // incremental ≡ full recompute
+    "graph_mst"       -> graphMstSql,
     "graph_scc"       -> graphSccSql,
     "graph_assortativity" -> graphAssortativitySql,
     "graph_reciprocity" -> graphReciprocitySql,

@@ -346,6 +346,86 @@ class Round11bSpec extends AnyFunSuite with SparkTest {
       }
   }
 
+  // ---- Graph.maxSpanningForest ---------------------------------------------
+
+  /** Reference Kruskal under the SAME total order (w desc, a asc,
+    * b asc) — the unique maximum spanning forest of the perturbed
+    * weights.
+    */
+  private def kruskal(edges: Seq[(Long, Long, Long)])
+      : Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for (e <- edges.sortBy { case (a, b, w) => (-w, a, b) }) {
+      val (ra, rb) = (find(e._1), find(e._2))
+      if (ra != rb) { parent(ra) = rb; out += e }
+    }
+    out.toSet
+  }
+
+  test("maxSpanningForest == Kruskal on 8 seeded random weighted graphs") {
+    val rnd = new scala.util.Random(37)
+    for (_ <- 1 to 8) {
+      val n = 15 + rnd.nextInt(25)
+      val edges = (for (_ <- 1 to n * 3) yield {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }).filter(e => e._1 != e._2).distinct
+        .map { case (a, b) => (a, b, (rnd.nextInt(50) + 1).toLong) }
+      if (edges.nonEmpty) {
+        val got = Graph.maxSpanningForest(edges.toDF("a", "b", "w"))
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == kruskal(edges), s"n=$n edges=${edges.size}")
+      }
+    }
+  }
+
+  test("maxSpanningForest: spanning, acyclic, and strongest-bridge on a hand graph") {
+    // two triangles bridged by two candidate edges; the heavier bridge
+    // (w=9) must be kept, the lighter (w=1) dropped, and within each
+    // triangle the lightest edge is dropped
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 4L), (1L, 3L, 3L),
+      (10L, 11L, 7L), (11L, 12L, 6L), (10L, 12L, 2L),
+      (3L, 10L, 9L), (1L, 12L, 1L))
+    val got = Graph.maxSpanningForest(edges.toDF("a", "b", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 5L), (2L, 3L, 4L), (10L, 11L, 7L),
+      (11L, 12L, 6L), (3L, 10L, 9L)), got.toString)
+    // spanning forest size = n - components = 6 - 1
+    assert(got.size == 5)
+  }
+
+  // ---- Analytics.sampleRatioMismatch --------------------------------------
+
+  test("sampleRatioMismatch: exact chi2 and both verdicts") {
+    // balanced 50/50 -> chi2 0, no mismatch; 75/25 under a 50/50
+    // design -> chi2 = 25 + 25/... = (75-50)^2/50 * 2 = 25 -> mismatch
+    val rows = (1 to 100).map(i => ("ok", i % 2 == 0)) ++
+      (1 to 100).map(i => ("bad", i % 4 == 0))
+    val got = Analytics.sampleRatioMismatch(rows.toDF("grp", "in_a"),
+      "grp", col("in_a"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ok = got("ok")
+    assert(ok.getAs[Double]("chi2") == 0.0 && !ok.getAs[Boolean]("mismatch"))
+    val bad = got("bad")
+    assert(bad.getAs[Long]("n_a") == 25 && bad.getAs[Double]("chi2") == 25.0)
+    assert(bad.getAs[Boolean]("mismatch"))
+  }
+
+  test("sampleRatioMismatch honors a non-even design ratio") {
+    // 25/75 under a designed 25% A-share is NOT a mismatch
+    val rows = (1 to 100).map(i => ("g", i % 4 == 0))
+    val r = Analytics.sampleRatioMismatch(rows.toDF("grp", "in_a"),
+      "grp", col("in_a"), expectedA = 0.25).head()
+    assert(r.getAs[Double]("chi2") == 0.0 && !r.getAs[Boolean]("mismatch"))
+  }
+
   // ---- Dedup.componentsIncremental ----------------------------------------
 
   test("componentsIncremental ≡ full recompute on 10 seeded random splits") {

@@ -106,6 +106,22 @@ class Round11PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("graph_mst: per-round argmax is a keyed max_by aggregation — no window, no cartesian, no single-partition exchange") {
+    val p = plan(GraphQueries.graphMst(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("stats_srm: ONE map-side-combining aggregation — no window, no join") {
+    val p = plan(EvalQueries.statsSrm(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("graph_cc_incremental: label assembly is keyed joins only — no window, no cartesian, no single-partition exchange") {
     val p = plan(GraphQueries.graphCcIncremental(spark, dir))
     assert(!p.contains("Window"), p)
