@@ -1552,8 +1552,14 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val llrExpr = s"CAST(k AS DOUBLE) * $c1 " +
       s"+ CAST(n - k AS DOUBLE) * $c2"
+    // null id rows are excluded OUTRIGHT (ADVICE r11 #5): the walk's
+    // order key is (ts, id), and a null id orders NULLS FIRST in Spark
+    // but NULLS LAST in DuckDB — a latent cross-engine divergence in
+    // n_decision on tied timestamps. Excluded from the totals too, so
+    // n_total and the walk count the same event set.
     val cum = df
-      .where(success.isNotNull && col(tsCol).isNotNull)
+      .where(success.isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
       .select(col(groupCol), col(tsCol), col(idCol),
         success.cast("boolean").cast("long").as("__s"))
       .withColumn("n", count(lit(1)).over(w))
@@ -1565,7 +1571,8 @@ object Analytics {
       .agg(min(col("n")).as("n_decision"),
         expr(s"min_by(__llr >= $upper, n)").as("__h1"))
     val totals = df
-      .where(success.isNotNull && col(tsCol).isNotNull)
+      .where(success.isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(success.cast("boolean").cast("long")).as("k"))

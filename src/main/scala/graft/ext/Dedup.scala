@@ -623,7 +623,10 @@ object Dedup {
     *  1. drop the fragment (`#…` — client-side only);
     *  2. lowercase scheme://host (DNS is case-insensitive; paths are NOT
     *     touched — they are case-sensitive by spec);
-    *  3. strip the default ports `:80`/`:443`;
+    *  3. strip the default port FOR THE SCHEME only (`http…:80`,
+    *     `https…:443` — ADVICE r11 #4: `http://h:443` and
+    *     `https://h:80` are non-default, genuinely distinct origins and
+    *     must NOT conflate with the portless spellings);
     *  4. strip trailing `/` from the path;
     *  5. drop tracking query params ([[trackingParamRe]]: utm_*, ref,
     *     fbclid, gclid, mc_cid, mc_eid) and SORT the survivors (param
@@ -640,7 +643,15 @@ object Dedup {
       noFrag.substr(instr(noFrag, "?") + 1, length(noFrag)))
     // scheme://host = everything up to the first path slash
     val schemeHost = regexp_extract(base, "^[^/]*//[^/]*", 0)
-    val host = regexp_replace(lower(schemeHost), ":(80|443)$", "")
+    val lowered = lower(schemeHost)
+    // scheme-conditional default-port strip (no backreferences — the
+    // replacement syntax differs between Java ($1) and RE2/DuckDB (\1),
+    // so the shared-pattern discipline uses prefix tests instead)
+    val host = when(lowered.rlike("^http://"),
+        regexp_replace(lowered, ":80$", ""))
+      .when(lowered.rlike("^https://"),
+        regexp_replace(lowered, ":443$", ""))
+      .otherwise(lowered)
     val path = regexp_replace(
       base.substr(length(schemeHost) + 1, length(base)), "/+$", "")
     val kept = array_join(array_sort(filter(

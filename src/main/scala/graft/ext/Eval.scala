@@ -1301,16 +1301,23 @@ object Eval {
       .withColumn("k", expr(s"((n_cal + 1) * ${num}L + 999999L) div 1000000L"))
     val thr = calN.join(qhat.select(col(sliceCol), col("qhat")),
       Seq(sliceCol), "left")
+    // Outer join on both sides (ADVICE r11 #2): a calibration-only slice
+    // still reports its q̂ (with null test counts/coverage) and a
+    // test-only slice surfaces with a NULL threshold — neither drops.
     val test = base.where(!col("__cal"))
-    test.join(thr, Seq(sliceCol))
+    val testAgg = test
+      .join(thr.select(col(sliceCol), col("qhat").as("__q")),
+        Seq(sliceCol), "left")
       .groupBy(col(sliceCol))
-      .agg(first(col("n_cal")).as("n_cal"), first(col("k")).as("k"),
-        first(col("qhat")).as("qhat"),
-        count(lit(1)).as("n_test"),
-        sum((col("__s") <= col("qhat")).cast("long")).as("n_covered"))
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("__s") <= col("__q")).cast("long")).as("n_covered"))
+    thr.join(testAgg, Seq(sliceCol), "full_outer")
       .withColumn("coverage",
-        when(col("qhat").isNull, lit(null).cast("double")).otherwise(
+        when(col("qhat").isNull || col("n_test").isNull,
+          lit(null).cast("double")).otherwise(
           expr(Analytics.half6Sql(
             "CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)"))))
+      .select(col(sliceCol), col("n_cal"), col("k"), col("qhat"),
+        col("n_test"), col("n_covered"), col("coverage"))
   }
 }

@@ -698,6 +698,21 @@ object Graph {
     * order). Ids must be non-negative (the `-a` ordering key — the
     * [[Dedup.exactWithPriority]] caveat).
     *
+    * Weight contract (ADVICE r11 #1): `w` keeps its INPUT numeric type
+    * in the total order — fractional weights (jaccard/cosine
+    * similarities in [0,1], the documented similarity-graph use case)
+    * rank at full precision, never truncated. Null weights trip
+    * raise_error in the value path (an edge with no weight has no rank;
+    * silent drop would change the forest silently); NaN is the caller's
+    * to exclude (its ordering is engine-dependent).
+    *
+    * Completeness (ADVICE r11 #3): components at least halve per round,
+    * so the default covers 2^16 initial components; if the graph is
+    * bigger and cross-component edges REMAIN after `rounds`, the method
+    * throws instead of silently returning a partial forest (the
+    * early-exit probe detects completion; the post-loop residual check
+    * detects incompleteness).
+    *
     * Scale: per round one edge⋈labels join (two keyed attaches), one
     * component-keyed argmax aggregation, and ONE INCREMENTAL components
     * fold ([[Dedup.componentsIncremental]] — the chosen edges merge
@@ -706,8 +721,13 @@ object Graph {
     * on the checkpointed cross-component edge set skips the no-op tail.
     */
   def maxSpanningForest(edges: DataFrame, rounds: Int = 16): DataFrame = {
+    val wChecked = when(col("w").isNotNull, col("w"))
+      .otherwise(raise_error(concat(
+        lit("maxSpanningForest: null weight on edge ("),
+        col("a").cast("string"), lit(", "), col("b").cast("string"),
+        lit(")"))))
     val e0 = edges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+      col("b").cast("long").as("b"), wChecked.as("w"))
       .localCheckpoint(true)
     val nodes = e0.select(col("a").as("node"))
       .unionByName(e0.select(col("b").as("node"))).distinct()
@@ -739,6 +759,23 @@ object Graph {
           best.select(col("a").as("id_a"), col("b").as("id_b")))
           .localCheckpoint(true)
       }
+    }
+    // Residual check (ADVICE r11 #3): `done` means a round OBSERVED no
+    // cross-component edge — completion proven. If all rounds did work,
+    // probe once more; a surviving cross edge means >2^rounds initial
+    // components and the forest would be silently partial — fail loud.
+    if (!done) {
+      val residual = e0
+        .join(labels.select(col("id").as("a"), col("cluster_id").as("__ca")),
+          Seq("a"))
+        .join(labels.select(col("id").as("b"), col("cluster_id").as("__cb")),
+          Seq("b"))
+        .where(col("__ca") =!= col("__cb"))
+      if (!residual.isEmpty)
+        throw new IllegalStateException(
+          s"maxSpanningForest: cross-component edges remain after $rounds " +
+            "Borůvka rounds (more than 2^rounds initial components) — " +
+            "raise `rounds` instead of accepting a partial forest")
     }
     forest
   }

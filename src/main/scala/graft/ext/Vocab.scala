@@ -433,12 +433,21 @@ object Vocab {
     // the lattice, but piece counts cover ONLY the kept types — report
     // the excluded share loudly so callers comparing against a
     // full-corpus tokenizer see the truncation, not mystery deltas
-    val totRow = types0.agg(count(lit(1)).cast("long"),
-      coalesce(sum(col("cnt")), lit(0L))).head()
-    val kepRow = words.agg(count(lit(1)).cast("long"),
-      coalesce(sum(col("cnt")), lit(0L))).head()
-    val (totT, totO) = (totRow.getLong(0), totRow.getLong(1))
-    val (kepT, kepO) = (kepRow.getLong(0), kepRow.getLong(1))
+    // ONE scalar job for both sides (r11 verdict: two separate .head()
+    // probes were a +0.5 s per-call tax): mark the kept types with a
+    // broadcast semi-style left join (words is topTypes-sized) and take
+    // total + kept conditional sums in a single aggregation over the
+    // checkpointed uncapped type table.
+    val covRow = types0
+      .join(broadcast(words.select(col("word"), lit(1).as("__kept"))),
+        Seq("word"), "left")
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("cnt")), lit(0L)),
+        coalesce(sum(when(col("__kept") === 1, lit(1L))), lit(0L)),
+        coalesce(sum(when(col("__kept") === 1, col("cnt"))), lit(0L)))
+      .head()
+    val (totT, totO) = (covRow.getLong(0), covRow.getLong(1))
+    val (kepT, kepO) = (covRow.getLong(2), covRow.getLong(3))
     System.err.println(
       s"[wordpieceEncode] caps (maxWordLen=$maxWordLen, topTypes=$topTypes)" +
         s" keep $kepT/$totT word types, $kepO/$totO occurrences" +

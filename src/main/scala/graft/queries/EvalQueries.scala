@@ -1194,6 +1194,50 @@ object EvalQueries {
        |${ExtQueries.dedupMinhashSql}
        |) WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin
 
+  /** The period-over-period near-dup CLUSTER maintenance loop every
+    * production dedup pipeline runs, as ONE composition of two green
+    * primitives: the new period's LSH pairs from the index probe
+    * ([[graft.ext.Dedup.minhashPairsIncremental]] — fan-out ∝ batch,
+    * never corpus²) folded into the standing cluster labels with the
+    * star-edge trick ([[graft.ext.Dedup.componentsIncremental]] — work
+    * ∝ |labels|+|Δ|, old edges never re-touched). The standing labels
+    * here are rebuilt from the full chain's old-old pairs (in
+    * production they're last period's stored table); the oracle is the
+    * FULL batch recompute — recursive min-label closure over ALL
+    * MinHash pairs — so incremental maintenance is pinned
+    * indistinguishable from recomputation, the `graph_cc_incremental`
+    * playbook applied to the fuzzy-dedup graph.
+    */
+  val dedupClusterIncremental: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val allPairs = graft.ext.Dedup
+      .minhashPairs(docs, "doc_id", "text")
+      .select(col("id_a"), col("id_b"))
+    val basePairs = allPairs
+      .where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+    val baseLabels = graft.ext.Dedup.components(basePairs)
+    val newPairs = graft.ext.Dedup.minhashPairsIncremental(
+      docs, col("doc_id") % 5 === 0, "doc_id", "text")
+    graft.ext.Dedup.componentsIncremental(baseLabels, newPairs)
+      .select(col("id"), col("cluster_id"))
+  }
+
+  val dedupClusterIncrementalSql: String =
+    s"""WITH RECURSIVE mp AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM (
+       |${ExtQueries.dedupMinhashSql}
+       |  )
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM mp
+       |  UNION ALL SELECT id_b, id_a FROM mp
+       |), lbl(node, lab) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT e.dst, l.lab FROM lbl l JOIN edges e ON e.src = l.node
+       |)
+       |SELECT node AS id, CAST(min(lab) AS BIGINT) AS cluster_id
+       |FROM lbl GROUP BY node""".stripMargin
+
   /** Chi-squared independence of language × source — the sampling-skew
     * audit (integer-numerator cells, one division each; see
     * [[graft.ext.Analytics.chi2Independence]]).
@@ -2616,19 +2660,19 @@ object EvalQueries {
        |  SELECT kk.source, kk.n_cal, kk.k, q.qhat
        |  FROM kk LEFT JOIN q USING (source)
        |), t AS (
-       |  SELECT sc.source, thr.n_cal, thr.k, thr.qhat,
+       |  SELECT sc.source,
        |    CAST(count(*) AS BIGINT) AS n_test,
        |    CAST(sum(CASE WHEN sc.s <= thr.qhat THEN 1 END) AS BIGINT)
        |      AS n_covered
-       |  FROM sc JOIN thr USING (source) WHERE NOT cal
-       |  GROUP BY 1, 2, 3, 4
+       |  FROM sc LEFT JOIN thr USING (source) WHERE NOT cal
+       |  GROUP BY 1
        |)
        |SELECT source, n_cal, k, qhat, n_test, n_covered,
-       |  CASE WHEN qhat IS NULL THEN NULL ELSE
+       |  CASE WHEN qhat IS NULL OR n_test IS NULL THEN NULL ELSE
        |    ${Analytics.half6Sql(
              "CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)")}
        |  END AS coverage
-       |FROM t""".stripMargin
+       |FROM thr FULL JOIN t USING (source)""".stripMargin
 
   /** Sample-ratio mismatch per event type against a designed 50/50
     * even/odd-user split, with a PLANTED logging bug: event types
@@ -2807,7 +2851,8 @@ object EvalQueries {
     s"""WITH e AS (
        |  SELECT event_type, ts, event_id,
        |    CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS s
-       |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+       |  FROM events
+       |  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
        |), c AS (
        |  SELECT event_type,
        |    CAST(count(*) $over AS BIGINT) AS n,
@@ -3184,6 +3229,7 @@ object EvalQueries {
     "eval_bootstrap"   -> evalBootstrap,
     "eval_bootstrap_paired" -> evalBootstrapPaired,
     "dedup_minhash_incremental" -> dedupMinhashIncremental,
+    "dedup_cluster_incremental" -> dedupClusterIncremental,
     "stats_chi2"       -> statsChi2,
     "mixture_kl"       -> mixtureKl,
     "anonymize_ldiv"   -> anonymizeLdiv,
@@ -3263,6 +3309,7 @@ object EvalQueries {
     "eval_bootstrap"   -> evalBootstrapSql,
     "eval_bootstrap_paired" -> evalBootstrapPairedSql,
     "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
+    "dedup_cluster_incremental" -> dedupClusterIncrementalSql,
     "stats_chi2"       -> statsChi2Sql,
     "mixture_kl"       -> mixtureKlSql,
     "anonymize_ldiv"   -> anonymizeLdivSql,

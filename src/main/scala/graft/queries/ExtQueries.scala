@@ -88,7 +88,11 @@ object ExtQueries {
        |  FROM p2
        |), p4 AS (
        |  SELECT doc_id, url,
-       |    regexp_replace(lower(sh), ':(80|443)$$', '') AS host,
+       |    CASE WHEN lower(sh) LIKE 'http://%'
+       |           THEN regexp_replace(lower(sh), ':80$$', '')
+       |         WHEN lower(sh) LIKE 'https://%'
+       |           THEN regexp_replace(lower(sh), ':443$$', '')
+       |         ELSE lower(sh) END AS host,
        |    regexp_replace(substring(base, length(sh) + 1), '/+$$', '')
        |      AS path,
        |    coalesce(array_to_string(list_sort(list_filter(
@@ -3878,6 +3882,28 @@ object ExtQueries {
     Sketches.thetaPairAlgebra(vocab, "source", "th", k = 64)
   }
 
+  /** The persisted-sketch LIFECYCLE the theta scaladoc promises
+    * (Sketches.thetaSketches — "build once, store, answer later with no
+    * corpus access"), made checked behavior: build the per-source
+    * sketches with ONE corpus scan, WRITE them to a parquet sketch
+    * table, then answer the full pairwise set algebra from the
+    * READ-BACK table alone — the corpus is out of the plan entirely.
+    * The parquet roundtrip of (source, array<long>) is exact, so the
+    * result is bit-identical to [[sketchTheta]] and shares its oracle.
+    */
+  val sketchThetaStored: QueryFn = (s, dir) => {
+    import graft.ext.{Sketches, TextShingles}
+    val vocab = DataOps.parallelismFloor(Tables.documents(s, dir))
+      .select(col("source"),
+        explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
+      .distinct()
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-theta-store").toString
+    Sketches.thetaSketches(vocab, "source", "th", k = 64)
+      .write.mode("overwrite").parquet(store)
+    Sketches.thetaAlgebraFromSketches(s.read.parquet(store), "source", k = 64)
+  }
+
   /** Replay: the shared KMV hash chain to per-source bottom-64 hash
     * lists, then the same theta-union mechanics — per-sketch cutoff
     * (k-th smallest when full, MaxLong sentinel otherwise), filter to
@@ -4086,6 +4112,7 @@ object ExtQueries {
     "sketch_kmv"           -> sketchKmv,
     "sketch_kmv_jaccard"   -> sketchKmvJaccard,
     "sketch_theta"         -> sketchTheta,
+    "sketch_theta_stored"  -> sketchThetaStored,
     "sketch_quantile"      -> sketchQuantile,
     "stats_moments"        -> statsMoments,
     "mean_vectors"         -> meanVectors,
@@ -4144,6 +4171,7 @@ object ExtQueries {
     "sketch_kmv"          -> sketchKmvSql,
     "sketch_kmv_jaccard"  -> sketchKmvJaccardSql,
     "sketch_theta"        -> sketchThetaSql,
+    "sketch_theta_stored" -> sketchThetaSql,
     "sketch_quantile"     -> sketchQuantileSql,
     "stats_moments"       -> statsMomentsSql,
     "pack_greedy"         -> packGreedySql,

@@ -388,15 +388,24 @@ object GraphQueries {
   // reads the same table instead of re-running the 16 merge/move rounds
   // (the round-11 closing bench measured the duplicated training as
   // leiden's whole cost: 16.6 s, of which ~15 s was a second louvain).
-  // The memo stores the collected (node, community) rows — node-count-
-  // sized by construction — and rebuilds a LocalRelation; results are
-  // bit-identical either way because the training is fully
+  // Results are bit-identical either way because the training is fully
   // deterministic (exact-integer gains, pinned ties).
+  //
+  // Driver-footprint threshold (r11 verdict "What's wrong #4"): unlike
+  // the vocab memos (model = vocab-sized at any corpus scale), louvain's
+  // "model" is one row per NODE — collecting it is fine at bench scale
+  // but IS the corpus on a web graph. Below `louvainMemoMaxRows` the
+  // memo collects rows and rebuilds a LocalRelation (zero I/O); above
+  // it the labeling is persisted to a spill parquet table once and
+  // every view reads that table — same memoization, node-table driver
+  // footprint never materialized. The memo value is therefore EITHER
+  // collected rows (Left) or the spill path (Right).
+  private[queries] val louvainMemoMaxRows = 2000000L
   private val louvainMemo = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
     java.util.concurrent.ConcurrentHashMap[(String, String),
-      (org.apache.spark.sql.types.StructType,
-        Array[org.apache.spark.sql.Row])]]()
+      Either[(org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row]), String]]]()
 
   private def lineitemFingerprint(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
@@ -418,13 +427,38 @@ object GraphQueries {
       }
       m
     }
-    val (schema, rows) = perSession.computeIfAbsent(
+    perSession.computeIfAbsent(
       (dir, lineitemFingerprint(s, dir)), _ => {
         val df = Graph.louvain(coPurchase(s, dir),
           matchRounds = 12, moveRounds = 4)
-        (df.schema, df.collect())
-      })
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        louvainMemoize(s, df)
+      }) match {
+      case Left((schema, rows)) =>
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case Right(path) => s.read.parquet(path)
+    }
+  }
+
+  /** Memoization strategy for a trained labeling: collect below the
+    * row threshold, persist to a spill parquet table above it (see the
+    * [[louvainMemo]] scaladoc). Package-private so the spec can drive
+    * the over-threshold path with a tiny threshold.
+    */
+  private[queries] def louvainMemoize(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      maxRows: Long = louvainMemoMaxRows):
+      Either[(org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row]), String] = {
+    // one pass: the labeling is checkpoint-backed inside louvain, so
+    // the count is a metadata-cheap job, never a retrain
+    val n = df.count()
+    if (n <= maxRows) Left((df.schema, df.collect()))
+    else {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-louvain-memo").toString
+      df.write.mode("overwrite").parquet(path)
+      Right(path)
+    }
   }
 
   val graphLouvain: QueryFn = (s, dir) => louvainLabels(s, dir)
