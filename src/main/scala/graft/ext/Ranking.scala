@@ -232,4 +232,36 @@ object Ranking {
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
         concat_ws(",", sort_array(collect_list(col("__id")))).as("postings"))
+
+  /** Inverted-index MAINTENANCE: merge a stored per-term index with the
+    * new period's index — per term, numeric-sorted union of the two
+    * posting lists and the summed document frequency — WITHOUT touching
+    * any old document text (the period-over-period form of
+    * [[invertedIndex]]: in production `base` is last period's stored
+    * table and only the delta's documents are scanned). Doc-id sets of
+    * the two sides must be disjoint (periods partition the corpus), so
+    * df adds exactly; the merged output is identical to a full rebuild
+    * by construction.
+    *
+    * Scale: ONE full-outer join on term over two index-sized tables
+    * (vocab-count rows, never corpus rows); the posting merge is a
+    * row-local array sort — at web scale, cap/partition hot terms
+    * exactly as the build side documents.
+    */
+  def mergeInvertedIndex(base: DataFrame, delta: DataFrame): DataFrame = {
+    // postings travel as comma-joined strings (the index's storage
+    // format); merge numerically, not lexicographically ("10" < "2")
+    def ids(c: Column): Column =
+      transform(filter(split(coalesce(c, lit("")), ","), x => x =!= ""),
+        x => x.cast("long"))
+    base.select(col("term"), col("postings").as("__pa"))
+      .join(delta.select(col("term"), col("postings").as("__pb")),
+        Seq("term"), "full_outer")
+      .withColumn("__merged",
+        sort_array(concat(ids(col("__pa")), ids(col("__pb")))))
+      .select(col("term"),
+        size(col("__merged")).cast("long").as("df"),
+        array_join(transform(col("__merged"), x => x.cast("string")), ",")
+          .as("postings"))
+  }
 }

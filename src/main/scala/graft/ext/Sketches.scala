@@ -280,9 +280,63 @@ object Sketches {
     */
   def thetaSketches(df: DataFrame, groupCol: String, keyCol: String,
       k: Int = 64): DataFrame =
-    df.groupBy(col(groupCol))
+    thetaSketches(df, Seq(groupCol), keyCol, k)
+
+  /** Multi-column grouping form of [[thetaSketches]] — e.g. one sketch
+    * per (source, period) for the cross-period maintenance pattern
+    * ([[thetaMergeSketches]] rolls the periods back up).
+    */
+  def thetaSketches(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
       .agg(transform(Aggs.bottomKByHash(col(keyCol), k),
         x => HashExprs.mix64(x)).as("sketch"))
+
+  /** Roll per-part sketches up to a coarser grouping — the MERGEABILITY
+    * that makes the sketch table a maintainable asset: bottom-k of the
+    * UNION of per-part bottom-k lists IS the union's bottom-k (every
+    * hash in the union's true bottom-k is in its own part's bottom-k,
+    * and mix64 is a bijection so distinct keys never collide), so
+    * period sketches merge to the corpus sketch LOSSLESSLY — build one
+    * sketch per (group, period) as periods arrive, store them, and
+    * answer corpus-level questions later by merging O(periods · k)
+    * longs per group, never re-scanning closed periods. A key present
+    * in several parts appears in each part's sketch once; the
+    * distinct-union here collapses it (each BUILD still requires
+    * distinct keys at its own granularity — [[thetaSketches]]'
+    * contract).
+    *
+    * Scale: one hash aggregation over the sketch table (group-count ×
+    * period-count rows in, group-count out); per-group state is the
+    * concatenated hash lists — periods·k longs, corpus-size-free.
+    */
+  def thetaMergeSketches(sk: DataFrame, groupCol: String,
+      k: Int = 64): DataFrame =
+    sk.groupBy(col(groupCol))
+      .agg(slice(array_sort(array_distinct(flatten(
+        collect_list(col("sketch"))))), 1, k).as("sketch"))
+
+  /** Read a distinct-cardinality estimate off each sketch row: exact
+    * size below k (every distinct key's hash is present), else
+    * (k−1)/θ with θ = the k-th smallest hash mapped to [0,1) by the
+    * same add-then-divide as [[kmvDistinct]] — shared-expression exact
+    * in both engines. Returns (groupCol, k_used, theta, est_distinct).
+    */
+  def thetaEstimate(sk: DataFrame, groupCol: String,
+      k: Int = 64): DataFrame = {
+    def fr(c: Column): Column =
+      (c.cast("double") + lit(9.223372036854775808e18)) /
+        lit(1.8446744073709552e19)
+    sk.select(col(groupCol),
+      size(col("sketch")).cast("long").as("k_used"),
+      round(when(size(col("sketch")) >= k,
+        fr(element_at(col("sketch"), k))).otherwise(lit(1.0)), 6)
+        .as("theta"),
+      round(when(size(col("sketch")) < k,
+        size(col("sketch")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          fr(element_at(col("sketch"), k))), 6).as("est_distinct"))
+  }
 
   /** Theta-sketch SET ALGEBRA over every unordered group pair of a
     * sketch table (Dasgupta et al., "Theta sketches"): estimated |A|,
@@ -363,6 +417,81 @@ object Sketches {
           .as("est_a_not_b"),
         round(col("__nba").cast("double") / col("__theta"), 6)
           .as("est_b_not_a"))
+  }
+
+  /** Bloom-filter membership sketch per group: each group's distinct
+    * keys set `kHashes` of `mBits` positions (position_i =
+    * mix64(key XOR i) mod mBits — splitmix64 is the repo's replayable
+    * hash, so both engines derive identical bit sets), and a probe set
+    * is tested against the filters — the "have we already ingested
+    * this?" pre-screen that runs BEFORE any corpus join in a dedup
+    * pipeline. Output per (group, probe): the group's set-bit count,
+    * the Bloom verdict, the exact verdict, and the false-positive flag
+    * — Bloom's one-sided error made visible (false negatives are
+    * impossible by construction; a probe whose every position is set
+    * may still be absent).
+    *
+    * Scale: the corpus is touched ONCE (distinct keys); the bit table
+    * is ≤ groups × mBits rows and the probe join is bit-table ×
+    * probe-positions — both corpus-size-free. The filter itself is
+    * mergeable across periods by bitwise OR (set union of positions),
+    * the same lifecycle as [[thetaMergeSketches]].
+    */
+  /** The Bloom position kernel: the `kHashes` distinct bit positions a
+    * key sets in an `mBits` filter — position_i = mix64(key XOR i) mod
+    * mBits. Shared by [[bloomMembership]] and the streaming bit
+    * maintenance so batch and stream derive identical bit sets.
+    */
+  def bloomPositions(key: Column, mBits: Int, kHashes: Int): Column =
+    array_distinct(array((0 until kHashes).map(i =>
+      pmod(HashExprs.mix64(key.bitwiseXOR(lit(i.toLong))),
+        lit(mBits.toLong))): _*))
+
+  def bloomMembership(df: DataFrame, groupCol: String, keyCol: String,
+      probes: DataFrame, probeNameCol: String, probeKeyCol: String,
+      mBits: Int = 1024, kHashes: Int = 4): DataFrame = {
+    require(mBits > 0 && kHashes > 0,
+      "bloomMembership: mBits and kHashes must be positive")
+    def positions(key: Column): Column =
+      bloomPositions(key, mBits, kHashes)
+    val keys = df
+      .select(col(groupCol), col(keyCol).cast("long").as("__k"))
+      .distinct().localCheckpoint(true)
+    val bits = keys
+      .select(col(groupCol), explode(positions(col("__k"))).as("__pos"))
+      .distinct().localCheckpoint(true)
+    val nb = bits.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("bits_set"))
+    val pr = probes
+      .select(col(probeNameCol).as("probe"),
+        col(probeKeyCol).cast("long").as("__pk"))
+      .distinct()
+      .withColumn("__pp", positions(col("__pk")))
+      .localCheckpoint(true)
+    val ppos = pr.select(col("probe"), explode(col("__pp")).as("__pos"))
+    val hits = ppos.join(bits, Seq("__pos"))
+      .groupBy(col(groupCol), col("probe"))
+      .agg(count(lit(1)).as("__nm"))
+    val exact = keys
+      .join(pr.select(col("probe"), col("__pk").as("__k")), Seq("__k"))
+      .select(col(groupCol), col("probe"))
+      .distinct()
+      .withColumn("__ex", lit(true))
+    // probe-count-sized grid: every (group, probe) pair surfaces, even
+    // with zero matched bits (the cross join is groups × probes by
+    // construction — never corpus-sized)
+    val grid = keys.select(col(groupCol)).distinct()
+      .crossJoin(pr.select(col("probe"), size(col("__pp")).as("__np")))
+    grid
+      .join(nb, Seq(groupCol))
+      .join(hits, Seq(groupCol, "probe"), "left")
+      .join(exact, Seq(groupCol, "probe"), "left")
+      .select(col(groupCol), col("probe"), col("bits_set"),
+        (coalesce(col("__nm"), lit(0L)) === col("__np"))
+          .as("present_bloom"),
+        coalesce(col("__ex"), lit(false)).as("present_exact"))
+      .withColumn("false_positive",
+        col("present_bloom") && !col("present_exact"))
   }
 
   /** Convenience composition: build the per-group theta sketches with

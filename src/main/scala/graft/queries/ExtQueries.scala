@@ -2863,6 +2863,24 @@ object ExtQueries {
       |)
       |GROUP BY term""".stripMargin
 
+  /** Inverted-index incremental maintenance: the closed periods' index
+    * (doc_id mod 5 ≠ 0) merged with the new period's (mod 5 = 0) per
+    * term — posting lists union numerically, document frequencies add
+    * (disjoint periods), old documents never re-scanned (see
+    * [[graft.ext.Ranking.mergeInvertedIndex]]). The oracle is the FULL
+    * rebuild over all documents: maintenance ≡ recomputation, the same
+    * pin as `dedup_cluster_incremental`.
+    */
+  val indexInvertedIncremental: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val terms = Seq("join", "vector", "spark", "window")
+    graft.ext.Ranking.mergeInvertedIndex(
+      graft.ext.Ranking.invertedIndex(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", terms),
+      graft.ext.Ranking.invertedIndex(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text", terms))
+  }
+
   /** Per-group z-score outlier flags over event values (the numeric
     * analogue of the text quality filters: drop rows whose value is
     * implausible for their type). Sufficient statistics are exact
@@ -3904,6 +3922,123 @@ object ExtQueries {
     Sketches.thetaAlgebraFromSketches(s.read.parquet(store), "source", k = 64)
   }
 
+  private val bloomProbeTerms = Seq("join", "vector", "spark", "window",
+    "qqqabsent1", "qqqabsent2")
+
+  /** Per-source Bloom membership pre-screen over the unigram vocabulary
+    * (1024 bits, 4 splitmix64 hashes — see
+    * [[graft.ext.Sketches.bloomMembership]]): four in-vocabulary probes
+    * and two planted absent ones, each reporting the Bloom verdict, the
+    * exact verdict, and the false-positive flag. The oracle replays the
+    * identical FNV→splitmix64 position derivation, so the bit sets —
+    * and therefore every verdict, including any false positive — match
+    * exactly.
+    */
+  val sketchBloom: QueryFn = (s, dir) => {
+    import s.implicits._
+    import graft.ext.{Sketches, TextShingles}
+    val keys = DataOps.parallelismFloor(Tables.documents(s, dir))
+      .select(col("source"),
+        explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
+    val probes = bloomProbeTerms.toDF("probe_term")
+      .withColumn("th", element_at(
+        TextShingles.word_shingle_hashes(col("probe_term"), 1), 1))
+    Sketches.bloomMembership(keys, "source", "th",
+      probes, "probe_term", "th", mBits = 1024, kHashes = 4)
+  }
+
+  /** Replay: kmvRankedCtes' toks/fnv chain gives the per-source key
+    * hashes; probe terms run the identical FNV fold; one shared
+    * splitmix64 chain (keys ∪ probes, tagged) derives all positions.
+    */
+  val sketchBloomSql: String = {
+    val probeList = bloomProbeTerms.map(t => s"'$t'").mkString(", ")
+    kmvRankedCtes + ",\n" +
+      s"""pterm AS (SELECT unnest([$probeList]) AS term),
+         |pfnv AS (
+         |  SELECT term,
+         |    list_reduce(
+         |      list_prepend(14695981039346656037::HUGEINT,
+         |        list_transform(regexp_extract_all(term, '.'), c -> unicode(c)::HUGEINT)),
+         |      (acc, cp) -> ((xor(acc, cp) % 4294967296) * 1099511628211::HUGEINT
+         |        + (((xor(acc, cp) // 4294967296) * 1099511628211::HUGEINT) % 4294967296) * 4294967296
+         |      ) % 18446744073709551616) AS h
+         |  FROM pterm
+         |), allx AS (
+         |  SELECT source, NULL AS term, xor(h, i::HUGEINT) AS id
+         |  FROM fnv, UNNEST(generate_series(0, 3)) u(i)
+         |  UNION ALL
+         |  SELECT NULL, term, xor(h, i::HUGEINT)
+         |  FROM pfnv, UNNEST(generate_series(0, 3)) u(i)
+         |),
+         |${mix64Cte("allx", "source, term")},
+         |kbits AS (
+         |  SELECT DISTINCT source, ((hv % 1024) + 1024) % 1024 AS pos
+         |  FROM hs WHERE source IS NOT NULL
+         |), nb AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS bits_set
+         |  FROM kbits GROUP BY 1
+         |), ppos AS (
+         |  SELECT DISTINCT term, ((hv % 1024) + 1024) % 1024 AS pos
+         |  FROM hs WHERE term IS NOT NULL
+         |), pnp AS (
+         |  SELECT term, count(*) AS np FROM ppos GROUP BY 1
+         |), hits AS (
+         |  SELECT b.source, p.term, count(*) AS nm
+         |  FROM ppos p JOIN kbits b ON b.pos = p.pos
+         |  GROUP BY 1, 2
+         |), ex AS (
+         |  SELECT DISTINCT source, tok AS term FROM toks
+         |)
+         |SELECT g.source, g.term AS probe, nb.bits_set,
+         |  coalesce(h.nm, 0) = g.np AS present_bloom,
+         |  (ex.term IS NOT NULL) AS present_exact,
+         |  coalesce(h.nm, 0) = g.np AND ex.term IS NULL AS false_positive
+         |FROM (SELECT s.source, p.term, p.np
+         |      FROM (SELECT DISTINCT source FROM toks) s, pnp p) g
+         |JOIN nb ON nb.source = g.source
+         |LEFT JOIN hits h ON h.source = g.source AND h.term = g.term
+         |LEFT JOIN ex ON ex.source = g.source AND ex.term = g.term""".stripMargin
+  }
+
+  /** Cross-period sketch MAINTENANCE: one theta sketch per (source,
+    * period = doc_id mod 3) — the per-period build a production
+    * pipeline runs as periods close — rolled up per source by the
+    * lossless bottom-k merge ([[graft.ext.Sketches.thetaMergeSketches]])
+    * and read off as a distinct-vocabulary estimate. The oracle computes
+    * the per-source sketch DIRECTLY from the corpus: merge-of-periods ≡
+    * one-shot is the mergeability contract, checked end to end.
+    */
+  val sketchThetaMerge: QueryFn = (s, dir) => {
+    import graft.ext.{Sketches, TextShingles}
+    val v = DataOps.parallelismFloor(Tables.documents(s, dir))
+      .select(col("source"), pmod(col("doc_id"), lit(3L)).as("period"),
+        explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
+      .distinct()
+    val perPeriod = Sketches.thetaSketches(v, Seq("source", "period"),
+      "th", k = 64)
+    Sketches.thetaEstimate(
+      Sketches.thetaMergeSketches(perPeriod, "source", k = 64),
+      "source", k = 64)
+  }
+
+  /** Replay: the DIRECT per-source bottom-64 (no periods anywhere) —
+    * equality proves the period merge is lossless.
+    */
+  val sketchThetaMergeSql: String = kmvRankedCtes + ",\n" +
+    """sk AS (
+      |  SELECT source, list(hv ORDER BY hv) AS s
+      |  FROM ranked WHERE rn <= 64 GROUP BY source
+      |)
+      |SELECT source, CAST(len(s) AS BIGINT) AS k_used,
+      |  round(CASE WHEN len(s) >= 64
+      |    THEN (s[64]::DOUBLE + 9223372036854775808) / 18446744073709551616
+      |    ELSE 1.0 END, 6) AS theta,
+      |  round(CASE WHEN len(s) < 64 THEN len(s)::DOUBLE
+      |    ELSE 63.0 / ((s[64]::DOUBLE + 9223372036854775808) / 18446744073709551616)
+      |  END, 6) AS est_distinct
+      |FROM sk""".stripMargin
+
   /** Replay: the shared KMV hash chain to per-source bottom-64 hash
     * lists, then the same theta-union mechanics — per-sketch cutoff
     * (k-th smallest when full, MaxLong sentinel otherwise), filter to
@@ -4113,6 +4248,8 @@ object ExtQueries {
     "sketch_kmv_jaccard"   -> sketchKmvJaccard,
     "sketch_theta"         -> sketchTheta,
     "sketch_theta_stored"  -> sketchThetaStored,
+    "sketch_theta_merge"   -> sketchThetaMerge,
+    "sketch_bloom"         -> sketchBloom,
     "sketch_quantile"      -> sketchQuantile,
     "stats_moments"        -> statsMoments,
     "mean_vectors"         -> meanVectors,
@@ -4127,6 +4264,7 @@ object ExtQueries {
     "join_salted"          -> joinSalted,
     "chunk_documents"      -> chunkDocuments,
     "index_inverted"       -> indexInverted,
+    "index_inverted_incremental" -> indexInvertedIncremental,
     "anomaly_zscore"       -> anomalyZscore,
     "multimodal_dedup"     -> multimodalDedup,
     "join_bloom"           -> joinBloom,
@@ -4172,6 +4310,8 @@ object ExtQueries {
     "sketch_kmv_jaccard"  -> sketchKmvJaccardSql,
     "sketch_theta"        -> sketchThetaSql,
     "sketch_theta_stored" -> sketchThetaSql,
+    "sketch_theta_merge"  -> sketchThetaMergeSql,
+    "sketch_bloom"        -> sketchBloomSql,
     "sketch_quantile"     -> sketchQuantileSql,
     "stats_moments"       -> statsMomentsSql,
     "pack_greedy"         -> packGreedySql,
@@ -4230,6 +4370,7 @@ object ExtQueries {
     "join_salted"         -> joinSaltedSql,
     "chunk_documents"     -> chunkDocumentsSql,
     "index_inverted"      -> indexInvertedSql,
+    "index_inverted_incremental" -> indexInvertedSql,
     "anomaly_zscore"      -> anomalyZscoreSql,
     "multimodal_dedup"    -> multimodalDedupSql,
     "join_bloom"          -> joinBloomSql,

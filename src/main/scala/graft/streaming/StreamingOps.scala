@@ -492,6 +492,29 @@ object StreamingOps {
       keyCol: String, k: Int = 64): DataFrame =
     graft.ext.Sketches.thetaSketches(events, groupCol, keyCol, k)
 
+  /** Deterministic streaming Bloom bit-set maintenance: maintains the
+    * SAME per-group set-bit table as `Sketches.bloomMembership` derives
+    * — the per-row position projection is the shared batch kernel
+    * (`Sketches.bloomPositions`) and the combine is set union (a bit is
+    * set iff ANY row set it), associative and order-free, so after any
+    * micro-batch each group's bit set equals the batch build over
+    * everything seen (pinned by the streaming==batch spec). State is
+    * bounded at groups × mBits rows forever, and the bits are
+    * engine-portable period state: persist (group, pos) per period and
+    * any system that can union integer sets merges the filters —
+    * the "have we already ingested this?" pre-screen kept live.
+    */
+  def bloomBitsStream(events: DataFrame, groupCol: String, keyCol: String,
+      mBits: Int = 1024, kHashes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .select(col(groupCol),
+        explode(graft.ext.Sketches.bloomPositions(
+          col(keyCol).cast("long"), mBits, kHashes)).as("pos"))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n_setters"))
+  }
+
   /** Deterministic streaming Count-Min: maintains the SAME depth×width
     * integer counter table as `Sketches.countMinCounters`, incrementally
     * — the per-row (row, cell) projection is shared and the combine is

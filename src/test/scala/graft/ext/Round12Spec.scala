@@ -177,6 +177,87 @@ class Round12Spec extends AnyFunSuite with SparkTest {
     }
   }
 
+  // ---- thetaMergeSketches: lossless period roll-up -------------------------
+
+  test("theta sketches merge losslessly: per-period bottom-k rolls up to " +
+      "the direct corpus sketch") {
+    val rnd = new scala.util.Random(12)
+    val rows = (1 to 3000).map { _ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(3).toLong,
+        rnd.nextInt(800).toLong)
+    }
+    // thetaSketches' contract: distinct keys upstream (the queries all
+    // .distinct() first) — dedup at each build's own granularity; a key
+    // living in TWO periods of one group then appears in both period
+    // sketches, and the merge's array_distinct must collapse it
+    val df = rows.toDF("g", "period", "key").distinct()
+    val direct = Sketches.thetaSketches(
+        df.select(col("g"), col("key")).distinct(), "g", "key", k = 32)
+      .as[(String, Seq[Long])].collect().toMap
+    val merged = Sketches.thetaMergeSketches(
+        Sketches.thetaSketches(df, Seq("g", "period"), "key", 32), "g", 32)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged == direct,
+      "merge of per-period sketches must equal the one-shot sketch")
+  }
+
+  // ---- mergeInvertedIndex: maintenance ≡ rebuild ---------------------------
+
+  test("inverted-index merge equals the full rebuild, numerically sorted") {
+    val rnd = new scala.util.Random(5)
+    val vocabTerms = Seq("alpha", "beta", "gamma")
+    val docs = (1 to 200).map { i =>
+      val words = (0 until 12).map(_ =>
+        if (rnd.nextInt(4) == 0) vocabTerms(rnd.nextInt(3))
+        else s"filler${rnd.nextInt(50)}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val full = Ranking.invertedIndex(docs, "doc_id", "text", vocabTerms)
+      .as[(String, Long, String)].collect().toSet
+    val merged = Ranking.mergeInvertedIndex(
+        Ranking.invertedIndex(docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", vocabTerms),
+        Ranking.invertedIndex(docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", vocabTerms))
+      .as[(String, Long, String)].collect().toSet
+    assert(merged == full, "index maintenance must equal a full rebuild")
+    // postings must be numerically ordered (the "10" < "2" trap)
+    merged.foreach { case (t, _, p) =>
+      val ids = p.split(",").map(_.toLong)
+      assert(ids.sameElements(ids.sorted), s"postings unsorted for $t")
+    }
+  }
+
+  // ---- bloomMembership: one-sided error ------------------------------------
+
+  test("bloom membership never false-negatives, and saturation produces " +
+      "FLAGGED false positives") {
+    val keys = (1 to 64).map(i => ("g", i.toLong)).toDF("g", "key")
+    val probes = ((1 to 8).map(i => (s"in$i", i.toLong)) ++
+      Seq(("out1", 9001L), ("out2", 9002L))).toDF("name", "key")
+    // honest regime: 1024 bits — every present probe found
+    val wide = Sketches.bloomMembership(keys, "g", "key", probes,
+      "name", "key", mBits = 1024, kHashes = 4).collect()
+    wide.foreach { r =>
+      val exact = r.getBoolean(r.fieldIndex("present_exact"))
+      val bloom = r.getBoolean(r.fieldIndex("present_bloom"))
+      if (exact) assert(bloom, s"false negative at ${r.getString(1)}")
+      assert(r.getBoolean(r.fieldIndex("false_positive")) ==
+        (bloom && !exact))
+    }
+    // saturated regime: 8 bits over 64 keys — the absent probes must
+    // read present AND be flagged as false positives
+    val tiny = Sketches.bloomMembership(keys, "g", "key", probes,
+        "name", "key", mBits = 8, kHashes = 2)
+      .collect().map(r => r.getString(1) -> r).toMap
+    Seq("out1", "out2").foreach { n =>
+      val r = tiny(n)
+      assert(r.getBoolean(r.fieldIndex("present_bloom")) &&
+        r.getBoolean(r.fieldIndex("false_positive")),
+        s"saturated filter must flag $n as a false positive")
+    }
+  }
+
   // ---- sketch_theta_stored: the persisted-sketch lifecycle ----------------
 
   test("theta algebra from a STORED sketch table is bit-identical to the " +

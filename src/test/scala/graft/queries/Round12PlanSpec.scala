@@ -37,4 +37,50 @@ class Round12PlanSpec extends AnyFunSuite with SparkTest {
   test("default louvain memo threshold stays node-table-sized") {
     assert(GraphQueries.louvainMemoMaxRows == 2000000L)
   }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("sketch_theta_merge: corpus condenses through the bottom-k " +
+      "aggregation; the merge is keyed — no window, no join, no " +
+      "single-partition exchange") {
+    val p = plan(ExtQueries.sketchThetaMerge(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("index_inverted_incremental: index-table merge only — no window, " +
+      "no cartesian, no single-partition exchange") {
+    val p = plan(ExtQueries.indexInvertedIncremental(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("sketch_bloom: the only cartesian is the groups × probes grid; " +
+      "no window, no single-partition exchange on the corpus path") {
+    val p = plan(ExtQueries.sketchBloom(spark, dir))
+    assert(!p.contains("Window"), p)
+    // the grid crossJoin joins two aggregate-sized sides by
+    // construction (distinct sources × 6 probes); corpus-sized inputs
+    // never reach it — pinned by the shape: the bloom bit table is
+    // produced by distinct aggregation before any join
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("dedup_cluster_incremental + sketch_theta_stored run end to end " +
+      "with no single-partition exchange") {
+    for (df <- Seq(EvalQueries.dedupClusterIncremental(spark, dir),
+        ExtQueries.sketchThetaStored(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange SinglePartition"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
 }

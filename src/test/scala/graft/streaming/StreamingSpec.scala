@@ -123,6 +123,32 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
     assert(aS == aB && aS.nonEmpty)
   }
 
+  test("bloom bit sets: streaming table == batch kernel, state bounded " +
+      "at groups × mBits") {
+    val q = StreamingOps.bloomBitsStream(
+      StreamingOps.eventsStream(spark, eventsDir), "event_type", "user_id",
+      mBits = 256, kHashes = 4)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("bloom_out")
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q, 120000)
+
+    val streamed = spark.table("bloom_out")
+      .select("event_type", "pos")
+      .as[(String, Long)].collect().toSet
+    // batch build from the SAME shared position kernel
+    val batch = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        explode(graft.ext.Sketches.bloomPositions(
+          col("user_id").cast("long"), 256, 4)).as("pos"))
+      .distinct()
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batch)
+    val groups = streamed.map(_._1).size
+    assert(streamed.size <= 256 * streamed.map(_._1).toSeq.distinct.size,
+      s"bit table must stay within groups*mBits (groups=$groups)")
+  }
+
   test("replayable HLL registers: streaming table == batch build") {
     val q = StreamingOps.hllRegisterStream(
       StreamingOps.eventsStream(spark, eventsDir), "user_id")
