@@ -434,20 +434,20 @@ object Vocab {
     // the excluded share loudly so callers comparing against a
     // full-corpus tokenizer see the truncation, not mystery deltas
     // ONE scalar job for both sides (r11 verdict: two separate .head()
-    // probes were a +0.5 s per-call tax): mark the kept types with a
-    // broadcast semi-style left join (words is topTypes-sized) and take
-    // total + kept conditional sums in a single aggregation over the
-    // checkpointed uncapped type table.
-    val covRow = types0
-      .join(broadcast(words.select(col("word"), lit(1).as("__kept"))),
-        Seq("word"), "left")
-      .agg(count(lit(1)).cast("long"),
-        coalesce(sum(col("cnt")), lit(0L)),
-        coalesce(sum(when(col("__kept") === 1, lit(1L))), lit(0L)),
-        coalesce(sum(when(col("__kept") === 1, col("cnt"))), lit(0L)))
-      .head()
-    val (totT, totO) = (covRow.getLong(0), covRow.getLong(1))
-    val (kepT, kepO) = (covRow.getLong(2), covRow.getLong(3))
+    // probes were a +0.5 s per-call tax): the total and kept aggregates
+    // union into a single action over the two CHECKPOINTED vocab-sized
+    // tables — no join, no broadcast build, one job.
+    val covRows = types0
+      .agg(count(lit(1)).cast("long").as("t"),
+        coalesce(sum(col("cnt")), lit(0L)).as("o"))
+      .select(lit(0).as("__side"), col("t"), col("o"))
+      .unionByName(words
+        .agg(count(lit(1)).cast("long").as("t"),
+          coalesce(sum(col("cnt")), lit(0L)).as("o"))
+        .select(lit(1).as("__side"), col("t"), col("o")))
+      .collect().sortBy(_.getInt(0))
+    val (totT, totO) = (covRows(0).getLong(1), covRows(0).getLong(2))
+    val (kepT, kepO) = (covRows(1).getLong(1), covRows(1).getLong(2))
     System.err.println(
       s"[wordpieceEncode] caps (maxWordLen=$maxWordLen, topTypes=$topTypes)" +
         s" keep $kepT/$totT word types, $kepO/$totO occurrences" +
