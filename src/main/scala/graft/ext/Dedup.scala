@@ -180,18 +180,77 @@ object Dedup {
       df: DataFrame, isNew: Column, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Long = 500): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val sigs = DataOps.parallelismFloor(
         df.select(col(idCol).as("id"), col(textCol).as("__t"),
           isNew.as("__new")))
       .select(col("id"), col("__new"), MinHashSig.minhash_signature(
         TextShingles.word_shingle_hashes(col("__t"), 3), numHashes).as("sig"))
       .localCheckpoint(true)
+    minhashProbeTagged(sigs, numHashes, bands, threshold, maxBucket)
+  }
+
+  /** The LSH index of a corpus, as two PERSISTABLE id-sized tables:
+    * `(id, sig)` signatures and `(id, band, h)` band-bucket postings —
+    * exactly the state [[minhashPairsIncremental]] derives from text on
+    * the old side. Store both once per period close; probe later
+    * periods with [[minhashPairsFromStoredIndex]] and the old documents
+    * are NEVER re-read (not even their signatures recomputed) — the
+    * production LSH maintenance lifecycle.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16): (DataFrame, DataFrame) = {
+    val rowsPerBand = numHashes / bands
+    val sigs = DataOps.parallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), MinHashSig.minhash_signature(
+        TextShingles.word_shingle_hashes(col("__t"), 3), numHashes).as("sig"))
+      .localCheckpoint(true)
     val banded = sigs
+      .select(col("id"),
+        explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    (sigs, banded)
+  }
+
+  /** Probe a NEW batch against a STORED LSH index: near-dup pairs with
+    * a new side, bit-identical to [[minhashPairsIncremental]] over
+    * (old ∪ new) BY CONSTRUCTION — the stored (sig, banded) tables are
+    * exactly what the from-text path derives, the union'd band table
+    * feeds the same bucket-occupancy gate (counted over the FULL index,
+    * the batch-parity requirement), and the candidate fan-out is
+    * new-side only. Old text is never touched; old signatures are read,
+    * not recomputed.
+    */
+  def minhashPairsFromStoredIndex(oldSigs: DataFrame, oldBanded: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Long = 500): DataFrame = {
+    val (newSigs, newBanded) =
+      minhashIndex(newDocs, idCol, textCol, numHashes, bands)
+    val sigs = oldSigs.select(col("id"), lit(false).as("__new"), col("sig"))
+      .unionByName(newSigs.select(col("id"), lit(true).as("__new"),
+        col("sig")))
+    val banded = oldBanded
+      .select(col("id"), lit(false).as("__new"), col("band"), col("h"))
+      .unionByName(newBanded.select(col("id"), lit(true).as("__new"),
+        col("band"), col("h")))
+    minhashProbeTagged(sigs, numHashes, bands, threshold, maxBucket,
+      bandedOverride = Some(banded))
+  }
+
+  /** Shared probe core: tagged signatures (+ optionally pre-built
+    * tagged band rows) → bucket gate over the FULL index → new-side
+    * candidate fan-out → signature-agreement verify.
+    */
+  private def minhashProbeTagged(sigs: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double, maxBucket: Long,
+      bandedOverride: Option[DataFrame] = None): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = bandedOverride.getOrElse(sigs
       .select(col("id"), col("__new"),
         explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
       .select(col("id"), col("__new"), col("bh.band").as("band"),
-        col("bh.h").as("h"))
+        col("bh.h").as("h")))
     val pruned = banded
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "h")))

@@ -1238,6 +1238,29 @@ object EvalQueries {
        |SELECT node AS id, CAST(min(lab) AS BIGINT) AS cluster_id
        |FROM lbl GROUP BY node""".stripMargin
 
+  /** The stored-LSH-index lifecycle (the fuzzy-dedup counterpart of
+    * `sketch_theta_stored`): the closed periods' signature and
+    * band-posting tables are WRITTEN to parquet, and the new period
+    * probes the READ-BACK index — old documents never re-read, old
+    * signatures never recomputed (see
+    * [[graft.ext.Dedup.minhashPairsFromStoredIndex]]). Bit-identical to
+    * the from-text `dedup_minhash_incremental` by construction, so it
+    * shares that oracle: the full batch chain filtered to new-side
+    * pairs.
+    */
+  val dedupIndexStored: QueryFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val (sigs, banded) = graft.ext.Dedup.minhashIndex(
+      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-lsh-index").toString
+    sigs.write.mode("overwrite").parquet(s"$store/sigs")
+    banded.write.mode("overwrite").parquet(s"$store/banded")
+    graft.ext.Dedup.minhashPairsFromStoredIndex(
+      s.read.parquet(s"$store/sigs"), s.read.parquet(s"$store/banded"),
+      docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+  }
+
   /** Chi-squared independence of language × source — the sampling-skew
     * audit (integer-numerator cells, one division each; see
     * [[graft.ext.Analytics.chi2Independence]]).
@@ -3230,6 +3253,7 @@ object EvalQueries {
     "eval_bootstrap_paired" -> evalBootstrapPaired,
     "dedup_minhash_incremental" -> dedupMinhashIncremental,
     "dedup_cluster_incremental" -> dedupClusterIncremental,
+    "dedup_index_stored" -> dedupIndexStored,
     "stats_chi2"       -> statsChi2,
     "mixture_kl"       -> mixtureKl,
     "anonymize_ldiv"   -> anonymizeLdiv,
@@ -3310,6 +3334,7 @@ object EvalQueries {
     "eval_bootstrap_paired" -> evalBootstrapPairedSql,
     "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
     "dedup_cluster_incremental" -> dedupClusterIncrementalSql,
+    "dedup_index_stored" -> dedupMinhashIncrementalSql,
     "stats_chi2"       -> statsChi2Sql,
     "mixture_kl"       -> mixtureKlSql,
     "anonymize_ldiv"   -> anonymizeLdivSql,

@@ -258,6 +258,35 @@ class Round12Spec extends AnyFunSuite with SparkTest {
     }
   }
 
+  // ---- dedup_index_stored: the stored-LSH-index lifecycle ------------------
+
+  test("probing a STORED LSH index equals the from-text incremental " +
+      "probe on 3 random corpora") {
+    for (seed <- 1 to 3) {
+      val docs = syntheticDocs(seed + 20)
+      val fromText = Dedup.minhashPairsIncremental(docs,
+          col("doc_id") % 5 === 0, "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      val (sigs, banded) = Dedup.minhashIndex(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-lsh-spec").toString
+      sigs.write.mode("overwrite").parquet(s"$store/sigs")
+      banded.write.mode("overwrite").parquet(s"$store/banded")
+      val probe = Dedup.minhashPairsFromStoredIndex(
+        spark.read.parquet(s"$store/sigs"),
+        spark.read.parquet(s"$store/banded"),
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      // the probe's text scans must touch ONLY the new batch — old
+      // signatures come from the store, never recomputed
+      val scans = probe.queryExecution.executedPlan.toString()
+      assert(scans.contains(store.split("/").last),
+        "probe plan must read the stored index tables")
+      assert(probe.as[(Long, Long)].collect().toSet == fromText,
+        s"seed $seed: stored-index probe != from-text incremental")
+    }
+  }
+
   // ---- sketch_theta_stored: the persisted-sketch lifecycle ----------------
 
   test("theta algebra from a STORED sketch table is bit-identical to the " +
