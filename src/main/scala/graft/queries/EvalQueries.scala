@@ -1537,6 +1537,97 @@ object EvalQueries {
     * any corpus size), never the raw events — the compression IS the
     * scale story.
     */
+  /** Seasonal-naive forecast BACKTEST with MASE (Hyndman & Koehler
+    * 2006) — the forecast-accuracy gate the ts_* smoothers were
+    * missing: per event type the hourly count series splits into a
+    * train window and the LAST 24 observed hours; the forecast for
+    * holdout hour t is the observed count at t−24h (the seasonal-naive
+    * baseline every real forecaster must beat), and the error scale is
+    * the train window's one-step naive MAE, so
+    * MASE = MAE_holdout(forecast) / MAE_train(naive-1) — scale-free,
+    * comparable across types, < 1 means "beats naive". Pairs exist only
+    * where BOTH hours were observed (gap hours don't fabricate zeros).
+    *
+    * Exactness: counts are integers, both MAE numerators are exact
+    * integer sums; every division is one shared half-rounded expression
+    * over those integers. Types whose train naive error is zero report
+    * a null MASE (undefined scale).
+    *
+    * Scale: one corpus aggregation to (type, hour) cells, then two
+    * keyed self-joins + one group-sized join — all hour-table-sized,
+    * corpus touched once.
+    */
+  val tsMase: QueryFn = (s, dir) => {
+    val hourly = Tables.events(s, dir)
+      .where(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val mx = hourly.groupBy("event_type").agg(max(col("h")).as("hmax"))
+    def lagged(hours: Int, as: String) = hourly.select(col("event_type"),
+      (col("h") + expr(s"INTERVAL $hours HOURS")).as("h"), col("c").as(as))
+    val cur = hourly.join(mx, Seq("event_type"))
+    val hold = cur.join(lagged(24, "c24"), Seq("event_type", "h"))
+      .where(col("h") > col("hmax") - expr("INTERVAL 24 HOURS"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_holdout"),
+        sum(abs(col("c") - col("c24"))).as("sae_forecast"))
+    val train = cur.join(lagged(1, "c1"), Seq("event_type", "h"))
+      .where(col("h") <= col("hmax") - expr("INTERVAL 24 HOURS"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_train"),
+        sum(abs(col("c") - col("c1"))).as("sae_naive"))
+    hold.join(train, Seq("event_type"))
+      .withColumn("mae_forecast", expr(Analytics.half6Sql(tsMaseMaeF)))
+      .withColumn("mae_naive", expr(Analytics.half6Sql(tsMaseMaeN)))
+      .withColumn("mase", expr(
+        s"CASE WHEN sae_naive = 0 THEN NULL ELSE ${
+          Analytics.half6Sql(tsMaseExpr)} END"))
+      .select(col("event_type"), col("n_train"), col("n_holdout"),
+        col("mae_naive"), col("mae_forecast"), col("mase"))
+  }
+
+  private val tsMaseMaeF =
+    "CAST(sae_forecast AS DOUBLE) / CAST(n_holdout AS DOUBLE)"
+  private val tsMaseMaeN =
+    "CAST(sae_naive AS DOUBLE) / CAST(n_train AS DOUBLE)"
+  private val tsMaseExpr =
+    "(CAST(sae_forecast AS DOUBLE) * CAST(n_train AS DOUBLE)) / " +
+      "(CAST(n_holdout AS DOUBLE) * CAST(sae_naive AS DOUBLE))"
+
+  val tsMaseSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+       |), mx AS (
+       |  SELECT event_type, max(h) AS hmax FROM hourly GROUP BY 1
+       |), hold AS (
+       |  SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_holdout,
+       |    CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sae_forecast
+       |  FROM hourly a
+       |  JOIN hourly b ON b.event_type = a.event_type
+       |    AND a.h = b.h + INTERVAL 24 HOUR
+       |  JOIN mx ON mx.event_type = a.event_type
+       |  WHERE a.h > mx.hmax - INTERVAL 24 HOUR
+       |  GROUP BY 1
+       |), tr AS (
+       |  SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_train,
+       |    CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sae_naive
+       |  FROM hourly a
+       |  JOIN hourly b ON b.event_type = a.event_type
+       |    AND a.h = b.h + INTERVAL 1 HOUR
+       |  JOIN mx ON mx.event_type = a.event_type
+       |  WHERE a.h <= mx.hmax - INTERVAL 24 HOUR
+       |  GROUP BY 1
+       |)
+       |SELECT event_type, n_train, n_holdout,
+       |  ${Analytics.half6Sql(tsMaseMaeN)} AS mae_naive,
+       |  ${Analytics.half6Sql(tsMaseMaeF)} AS mae_forecast,
+       |  CASE WHEN sae_naive = 0 THEN NULL ELSE
+       |    ${Analytics.half6Sql(tsMaseExpr)} END AS mase
+       |FROM hold JOIN tr USING (event_type)""".stripMargin
+
   val tsTrend: QueryFn = (s, dir) => {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
@@ -3261,6 +3352,7 @@ object EvalQueries {
     "rank_map"         -> rankMap,
     "eval_kappa"       -> evalKappa,
     "ts_trend"         -> tsTrend,
+    "ts_mase"          -> tsMase,
     "ts_theil_sen"     -> tsTheilSen,
     "eval_psi"         -> evalPsi,
     "eval_pass_at_k"   -> evalPassAtK,
@@ -3342,6 +3434,7 @@ object EvalQueries {
     "rank_map"         -> rankMapSql,
     "eval_kappa"       -> evalKappaSql,
     "ts_trend"         -> tsTrendSql,
+    "ts_mase"          -> tsMaseSql,
     "ts_theil_sen"     -> tsTheilSenSql,
     "eval_psi"         -> evalPsiSql,
     "eval_pass_at_k"   -> evalPassAtKSql,

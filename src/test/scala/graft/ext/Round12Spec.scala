@@ -258,6 +258,46 @@ class Round12Spec extends AnyFunSuite with SparkTest {
     }
   }
 
+  // ---- ts_mase: seasonal-naive backtest ------------------------------------
+
+  test("ts_mase: a perfectly 24h-seasonal series scores MASE 0; a " +
+      "constant series reports null (undefined scale)") {
+    import java.sql.Timestamp
+    def t(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2024-01-${day}%02d $hour%02d:00:00")
+    // "seasonal": count pattern repeats every 24h but varies within the
+    // day (naive-1 errs, seasonal-naive is perfect); "flat": constant
+    val rows = for {
+      day <- 1 to 4; hour <- 0 until 24
+      (tpe, reps) <- Seq(("seasonal", 1 + (hour % 3)), ("flat", 2))
+      r <- 0 until reps
+    } yield (tpe, t(day, hour), r.toLong)
+    val ev = rows.toDF("event_type", "ts", "event_id")
+    val out = graft.queries.EvalQueries.tsMase(
+        // route through a temp view shaped like the events table
+        ev.sparkSession, writeEventsFixture(ev))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val se = out("seasonal")
+    assert(se.getDouble(se.fieldIndex("mase")) == 0.0,
+      "perfect seasonality must score MASE 0")
+    assert(se.getDouble(se.fieldIndex("mae_naive")) > 0.0)
+    val fl = out("flat")
+    assert(fl.isNullAt(fl.fieldIndex("mase")),
+      "constant series has no naive error scale — null MASE")
+  }
+
+  /** Write a minimal events.parquet fixture dir for query fns that read
+    * Tables.events(dir).
+    */
+  private def writeEventsFixture(ev: DataFrame): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ts-fixture").toString
+    ev.select(col("event_id"), lit(1L).as("user_id"),
+        col("event_type"), col("ts"), lit(1.0).as("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   // ---- dedup_index_stored: the stored-LSH-index lifecycle ------------------
 
   test("probing a STORED LSH index equals the from-text incremental " +
