@@ -83,4 +83,22 @@ class Round12PlanSpec extends AnyFunSuite with SparkTest {
       assert(!p.contains("CartesianProduct"), p)
     }
   }
+
+  test("dedup_index_stored: the probe plan reads the stored index and " +
+      "has no cartesian, no single-partition exchange") {
+    val p = plan(EvalQueries.dedupIndexStored(spark, dir))
+    assert(p.contains("graft-lsh-index"),
+      "probe must scan the persisted index tables\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("ts_mase: hour-table-sized keyed joins only — no window, no " +
+      "cartesian, no single-partition exchange") {
+    val p = plan(EvalQueries.tsMase(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
