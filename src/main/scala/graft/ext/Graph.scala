@@ -704,7 +704,11 @@ object Graph {
     * rank at full precision, never truncated. Null weights trip
     * raise_error in the value path (an edge with no weight has no rank;
     * silent drop would change the forest silently); NaN is the caller's
-    * to exclude (its ordering is engine-dependent).
+    * to exclude (its ordering is engine-dependent). `w` must be a
+    * NUMERIC type — a string weight would rank LEXICOGRAPHICALLY in the
+    * total order ("9" > "10"), so non-numeric inputs are rejected up
+    * front, and null ids in the raise message coalesce to 'null' so the
+    * error stays readable (ADVICE r12 #4).
     *
     * Completeness (ADVICE r11 #3): components at least halve per round,
     * so the default covers 2^16 initial components; if the graph is
@@ -721,11 +725,22 @@ object Graph {
     * on the checkpointed cross-component edge set skips the no-op tail.
     */
   def maxSpanningForest(edges: DataFrame, rounds: Int = 16): DataFrame = {
+    // weight must be NUMERIC (ADVICE r12 #4): a string w would flow
+    // through the max_by total order ranking LEXICOGRAPHICALLY ("9" >
+    // "10") — a silently wrong forest, so reject it up front
+    require(edges.schema("w").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"maxSpanningForest: weight column `w` must be numeric, got " +
+        s"${edges.schema("w").dataType.simpleString} — cast it first " +
+        "(a non-numeric order would rank lexicographically)")
+    // null ids coalesce to the literal 'null' so the raise message stays
+    // readable instead of concat-collapsing to NULL (opaque error)
+    def idStr(c: String): org.apache.spark.sql.Column =
+      coalesce(col(c).cast("string"), lit("null"))
     val wChecked = when(col("w").isNotNull, col("w"))
       .otherwise(raise_error(concat(
         lit("maxSpanningForest: null weight on edge ("),
-        col("a").cast("string"), lit(", "), col("b").cast("string"),
-        lit(")"))))
+        idStr("a"), lit(", "), idStr("b"), lit(")"))))
     val e0 = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"), wChecked.as("w"))
       .localCheckpoint(true)

@@ -494,6 +494,77 @@ object Sketches {
         col("present_bloom") && !col("present_exact"))
   }
 
+  /** The per-group Bloom bit table alone: the distinct (group, pos)
+    * rows the group's keys set — EXACTLY the persistable period state
+    * the [[bloomMembership]] scaladoc promises ("mergeable across
+    * periods by bitwise OR"). Write one bit table per period close;
+    * the OR-merge of read-back period tables is a plain `distinct()`
+    * over (group, pos) — set union IS bitwise OR in this encoding —
+    * and [[bloomProbeFromBits]] answers membership from the merged
+    * store with no corpus access. The same kernel backs the streaming
+    * maintenance (`StreamingOps.bloomBitsStream`), so batch, stream,
+    * and stored-merge all derive identical bit sets.
+    *
+    * Scale: the period's rows are touched once (distinct keys); output
+    * is ≤ groups × mBits rows regardless of corpus size.
+    */
+  def bloomBits(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      mBits: Int, kHashes: Int): DataFrame = {
+    require(mBits > 0 && kHashes > 0,
+      "bloomBits: mBits and kHashes must be positive")
+    val g = groupCols.map(col)
+    df.select(g :+ col(keyCol).cast("long").as("__k"): _*)
+      .distinct()
+      .select(g :+ explode(bloomPositions(col("__k"), mBits, kHashes))
+        .as("pos"): _*)
+      .distinct()
+  }
+
+  def bloomBits(df: DataFrame, groupCol: String, keyCol: String,
+      mBits: Int = 1024, kHashes: Int = 4): DataFrame =
+    bloomBits(df, Seq(groupCol), keyCol, mBits, kHashes)
+
+  /** Probe a set of terms against a STORED bit table (the read-back,
+    * OR-merged output of [[bloomBits]]) — membership answered from the
+    * filter state ALONE, the corpus never in the plan. Output per
+    * (group, probe): the group's set-bit count and the Bloom verdict.
+    * The exact verdict (and hence the false-positive flag) needs the
+    * corpus by definition, so it belongs to [[bloomMembership]], not
+    * the stored probe.
+    *
+    * Scale: the grid is groups × probes by construction; the hit join
+    * is bit-table × probe-positions — both corpus-size-free.
+    */
+  def bloomProbeFromBits(bits: DataFrame, groupCol: String,
+      probes: DataFrame, probeNameCol: String, probeKeyCol: String,
+      mBits: Int = 1024, kHashes: Int = 4): DataFrame = {
+    require(mBits > 0 && kHashes > 0,
+      "bloomProbeFromBits: mBits and kHashes must be positive")
+    // no checkpoint: the bit table is ALREADY materialized (it's the
+    // read-back store), so its three uses below re-scan cheap parquet
+    // — and the probe plan visibly reads the store, not a severed RDD
+    val bt = bits.select(col(groupCol), col("pos").as("__pos"))
+    val nb = bt.groupBy(col(groupCol)).agg(count(lit(1)).as("bits_set"))
+    val pr = probes
+      .select(col(probeNameCol).as("probe"),
+        col(probeKeyCol).cast("long").as("__pk"))
+      .distinct()
+      .withColumn("__pp", bloomPositions(col("__pk"), mBits, kHashes))
+      .localCheckpoint(true)
+    val ppos = pr.select(col("probe"), explode(col("__pp")).as("__pos"))
+    val hits = ppos.join(bt, Seq("__pos"))
+      .groupBy(col(groupCol), col("probe"))
+      .agg(count(lit(1)).as("__nm"))
+    val grid = bt.select(col(groupCol)).distinct()
+      .crossJoin(pr.select(col("probe"), size(col("__pp")).as("__np")))
+    grid
+      .join(nb, Seq(groupCol))
+      .join(hits, Seq(groupCol, "probe"), "left")
+      .select(col(groupCol), col("probe"), col("bits_set"),
+        (coalesce(col("__nm"), lit(0L)) === col("__np"))
+          .as("present_bloom"))
+  }
+
   /** Convenience composition: build the per-group theta sketches with
     * one corpus scan, then run the pairwise set algebra on them.
     */

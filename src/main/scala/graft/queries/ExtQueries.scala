@@ -1666,7 +1666,7 @@ object ExtQueries {
   val sourceFormats: QueryFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-formats").toString
+    val tmp = graft.ext.TempStores.newStore("graft-formats")
     val csv = graft.sources.Formats.roundTripCsv(docs, s"$tmp/csv")
     val json = graft.sources.Formats.roundTripJson(docs, s"$tmp/json")
     val orc = graft.sources.Formats.roundTripOrc(docs, s"$tmp/orc")
@@ -1725,7 +1725,7 @@ object ExtQueries {
     * parquet join returns).
     */
   val joinBucketed: QueryFn = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    val tmp = graft.ext.TempStores.newStore("graft-buckets")
     graft.sources.Bucketing.writeBucketed(
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
@@ -3915,8 +3915,7 @@ object ExtQueries {
       .select(col("source"),
         explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
       .distinct()
-    val store = java.nio.file.Files
-      .createTempDirectory("graft-theta-store").toString
+    val store = graft.ext.TempStores.newStore("graft-theta-store")
     Sketches.thetaSketches(vocab, "source", "th", k = 64)
       .write.mode("overwrite").parquet(store)
     Sketches.thetaAlgebraFromSketches(s.read.parquet(store), "source", k = 64)
@@ -3947,11 +3946,50 @@ object ExtQueries {
       probes, "probe_term", "th", mBits = 1024, kHashes = 4)
   }
 
+  /** The stored-Bloom LIFECYCLE the bloomMembership scaladoc promises
+    * ("mergeable across periods by bitwise OR"), made checked behavior —
+    * the `sketch_theta_stored` playbook applied to the third sketch:
+    * one (source, pos) bit table per period (period = doc_id mod 3, the
+    * per-period build a pipeline runs as each period closes — written
+    * here in one pass partitioned by period; the on-disk layout is
+    * identical to three period-close appends), the READ-BACK period
+    * tables OR-merged (set union of positions — `distinct` IS bitwise
+    * OR in this encoding), and the probes answered from the merged
+    * store ALONE ([[graft.ext.Sketches.bloomProbeFromBits]]): the
+    * corpus is out of the probe plan entirely. Merge-of-periods ≡
+    * one-shot, so the bit counts and Bloom verdicts equal
+    * [[sketchBloom]]'s — the oracle replays the same chain minus the
+    * (corpus-dependent, store-unanswerable) exact columns. The same
+    * position kernel backs `StreamingOps.bloomBitsStream`, so batch ≡
+    * stream ≡ stored is spec-pinned end to end.
+    */
+  val sketchBloomStored: QueryFn = (s, dir) => {
+    import s.implicits._
+    import graft.ext.{Sketches, TextShingles}
+    val keyed = DataOps.parallelismFloor(Tables.documents(s, dir))
+      .select(col("source"), pmod(col("doc_id"), lit(3L)).as("period"),
+        explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
+    val store = graft.ext.TempStores.newStore("graft-bloom-store")
+    Sketches.bloomBits(keyed, Seq("source", "period"), "th",
+        mBits = 1024, kHashes = 4)
+      .write.mode("overwrite").partitionBy("period").parquet(store)
+    val merged = s.read.parquet(store)
+      .select(col("source"), col("pos")).distinct()
+    val probes = bloomProbeTerms.toDF("probe_term")
+      .withColumn("th", element_at(
+        TextShingles.word_shingle_hashes(col("probe_term"), 1), 1))
+    Sketches.bloomProbeFromBits(merged, "source",
+      probes, "probe_term", "th", mBits = 1024, kHashes = 4)
+  }
+
   /** Replay: kmvRankedCtes' toks/fnv chain gives the per-source key
     * hashes; probe terms run the identical FNV fold; one shared
     * splitmix64 chain (keys ∪ probes, tagged) derives all positions.
+    * Ends after `hits` — shared by [[sketchBloomSql]] (which adds the
+    * exact verdict) and [[sketchBloomStoredSql]] (store-alone: no
+    * corpus-derived columns beyond the bit sets themselves).
     */
-  val sketchBloomSql: String = {
+  private def bloomSketchCtes: String = {
     val probeList = bloomProbeTerms.map(t => s"'$t'").mkString(", ")
     kmvRankedCtes + ",\n" +
       s"""pterm AS (SELECT unnest([$probeList]) AS term),
@@ -3987,19 +4025,36 @@ object ExtQueries {
          |  SELECT b.source, p.term, count(*) AS nm
          |  FROM ppos p JOIN kbits b ON b.pos = p.pos
          |  GROUP BY 1, 2
-         |), ex AS (
-         |  SELECT DISTINCT source, tok AS term FROM toks
-         |)
-         |SELECT g.source, g.term AS probe, nb.bits_set,
-         |  coalesce(h.nm, 0) = g.np AS present_bloom,
-         |  (ex.term IS NOT NULL) AS present_exact,
-         |  coalesce(h.nm, 0) = g.np AND ex.term IS NULL AS false_positive
-         |FROM (SELECT s.source, p.term, p.np
-         |      FROM (SELECT DISTINCT source FROM toks) s, pnp p) g
-         |JOIN nb ON nb.source = g.source
-         |LEFT JOIN hits h ON h.source = g.source AND h.term = g.term
-         |LEFT JOIN ex ON ex.source = g.source AND ex.term = g.term""".stripMargin
+         |)""".stripMargin
   }
+
+  val sketchBloomSql: String = bloomSketchCtes + ",\n" +
+    """ex AS (
+      |  SELECT DISTINCT source, tok AS term FROM toks
+      |)
+      |SELECT g.source, g.term AS probe, nb.bits_set,
+      |  coalesce(h.nm, 0) = g.np AS present_bloom,
+      |  (ex.term IS NOT NULL) AS present_exact,
+      |  coalesce(h.nm, 0) = g.np AND ex.term IS NULL AS false_positive
+      |FROM (SELECT s.source, p.term, p.np
+      |      FROM (SELECT DISTINCT source FROM toks) s, pnp p) g
+      |JOIN nb ON nb.source = g.source
+      |LEFT JOIN hits h ON h.source = g.source AND h.term = g.term
+      |LEFT JOIN ex ON ex.source = g.source AND ex.term = g.term""".stripMargin
+
+  /** The merged per-period bit sets equal the one-shot bit sets (set
+    * union is idempotent/associative — distinct-over-union ≡
+    * distinct-over-all), so the store-alone probe replays the SAME
+    * kbits/nb/hits chain; only the corpus-dependent exact columns are
+    * out of reach of a filter, by definition.
+    */
+  val sketchBloomStoredSql: String = bloomSketchCtes + "\n" +
+    """SELECT g.source, g.term AS probe, nb.bits_set,
+      |  coalesce(h.nm, 0) = g.np AS present_bloom
+      |FROM (SELECT s.source, p.term, p.np
+      |      FROM (SELECT DISTINCT source FROM kbits) s, pnp p) g
+      |JOIN nb ON nb.source = g.source
+      |LEFT JOIN hits h ON h.source = g.source AND h.term = g.term""".stripMargin
 
   /** Cross-period sketch MAINTENANCE: one theta sketch per (source,
     * period = doc_id mod 3) — the per-period build a production
@@ -4250,6 +4305,7 @@ object ExtQueries {
     "sketch_theta_stored"  -> sketchThetaStored,
     "sketch_theta_merge"   -> sketchThetaMerge,
     "sketch_bloom"         -> sketchBloom,
+    "sketch_bloom_stored"  -> sketchBloomStored,
     "sketch_quantile"      -> sketchQuantile,
     "stats_moments"        -> statsMoments,
     "mean_vectors"         -> meanVectors,
@@ -4312,6 +4368,7 @@ object ExtQueries {
     "sketch_theta_stored" -> sketchThetaSql,
     "sketch_theta_merge"  -> sketchThetaMergeSql,
     "sketch_bloom"        -> sketchBloomSql,
+    "sketch_bloom_stored" -> sketchBloomStoredSql,
     "sketch_quantile"     -> sketchQuantileSql,
     "stats_moments"       -> statsMomentsSql,
     "pack_greedy"         -> packGreedySql,

@@ -454,8 +454,7 @@ object GraphQueries {
     val n = df.count()
     if (n <= maxRows) Left((df.schema, df.collect()))
     else {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-louvain-memo").toString
+      val path = graft.ext.TempStores.newStore("graft-louvain-memo")
       df.write.mode("overwrite").parquet(path)
       Right(path)
     }
