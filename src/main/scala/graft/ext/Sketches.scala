@@ -75,17 +75,24 @@ object Sketches {
     * merge by summing matching cells (countersMerge is just a groupBy sum
     * of unions), the CMS property.
     */
-  def countMinCounters(keys: DataFrame, keyCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+  def countMinCounters(keys: DataFrame, groupCols: Seq[String],
+      keyCol: String, depth: Int, width: Int): DataFrame = {
     require((width & (width - 1)) == 0, s"width $width must be a power of two")
+    val g = groupCols.map(col)
     keys
-      .select(explode(array((0 until depth).map(r => lit(r.toLong)): _*)).as("r"),
-        col(keyCol).as("__k"))
-      .select(col("r"),
+      .select(g ++ Seq(
+        explode(array((0 until depth).map(r => lit(r.toLong)): _*)).as("r"),
+        col(keyCol).as("__k")): _*)
+      .select(g ++ Seq(col("r"),
         HashExprs.mix64(col("__k").bitwiseXOR(col("r")))
-          .bitwiseAND(lit((width - 1).toLong)).as("cell"))
-      .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+          .bitwiseAND(lit((width - 1).toLong)).as("cell")): _*)
+      .groupBy(g ++ Seq(col("r"), col("cell")): _*)
+      .agg(count(lit(1)).as("n"))
   }
+
+  def countMinCounters(keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    countMinCounters(keys, Nil, keyCol, depth, width)
 
   /** Point estimates from Count-Min counters: for each probe key, the
     * minimum over the depth rows of that key's cell count — an upper bound

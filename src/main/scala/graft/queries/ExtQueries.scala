@@ -3161,6 +3161,27 @@ object ExtQueries {
   val sketchHll: QueryFn = (s, dir) =>
     Sketches.hllSummary(
       Sketches.hllRegisters(Tables.events(s, dir), "user_id"))
+
+  /** The stored-HLL lifecycle (the `sketch_theta_stored` playbook on
+    * the register sketch): one 256-register table per period (period =
+    * event_id mod 3), the read-back period tables merged by per-bucket
+    * MAX — the HLL merge the kernel scaladoc promises — and the summary
+    * answered from the merged store ALONE: the events table is out of
+    * the final plan entirely. max-of-period-maxes = global max per
+    * bucket (exact integers), so the summary is bit-identical to
+    * [[sketchHll]] and shares its oracle.
+    */
+  val sketchHllStored: QueryFn = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("period",
+        pmod(coalesce(col("event_id"), lit(0L)), lit(3L)))
+    val store = graft.ext.TempStores.newStore("graft-hll-store")
+    Sketches.hllRho(ev, "user_id", carryCols = Seq("period"))
+      .groupBy("period", "bucket").agg(max("rho").as("r"))
+      .write.mode("overwrite").partitionBy("period").parquet(store)
+    Sketches.hllSummary(
+      s.read.parquet(store).groupBy("bucket").agg(max("r").as("r")))
+  }
   val sketchHllSql: String =
     s"""WITH src AS (
        |  SELECT DISTINCT user_id AS id FROM events WHERE user_id IS NOT NULL
@@ -3681,12 +3702,19 @@ object ExtQueries {
     * (which exists to exhibit the error, and IS the oracle's check) touches
     * the full token set.
     */
-  val sketchCountMin: QueryFn = (s, dir) => {
+  private def cmsTokenHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.ext.TextShingles
+        .word_shingle_hashes(col("text"), 1)).as("th"))
+
+  /** The top-30-df probe side shared by [[sketchCountMin]] and
+    * [[sketchCountMinStored]] — the exact-df pass exists to EXHIBIT the
+    * CMS error (and is the oracle's check); only the `counters` table
+    * differs between the one-shot and stored builds.
+    */
+  private def cmsTopProbe(docs: DataFrame,
+      counters: DataFrame): DataFrame = {
     import graft.ext.{Sketches, TextShingles}
-    val docs = DataOps.parallelismFloor(Tables.documents(s, dir))
-    val tokHashes = docs.select(col("doc_id"),
-      explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
-    val counters = Sketches.countMinCounters(tokHashes, "th")
     // (token string, hash) pairs: the kernel's distinct-by-hash order is
     // first-appearance, exactly array_distinct's order on the tokens.
     // Tokenize exactly like the kernel — split on space/tab/nl/cr and drop
@@ -3705,6 +3733,37 @@ object ExtQueries {
     Sketches.countMinEstimate(counters, top.select("th"), "th")
       .join(top, Seq("th"))
       .select(col("token"), col("df"), col("cm_est"))
+  }
+
+  val sketchCountMin: QueryFn = (s, dir) => {
+    import graft.ext.Sketches
+    val docs = DataOps.parallelismFloor(Tables.documents(s, dir))
+    cmsTopProbe(docs, Sketches.countMinCounters(cmsTokenHashes(docs), "th"))
+  }
+
+  /** The stored-CMS lifecycle (the `sketch_theta_stored` playbook on the
+    * Count-Min sketch): one 4×1024 counter table per period (period =
+    * doc_id mod 3 — doc slices are disjoint, so cell counts ADD), the
+    * read-back period tables merged by cell-wise SUM — the CMS merge the
+    * kernel scaladoc promises — and the probe estimates answered from
+    * the merged store. Integer-exact: Σ per-period counts = one-shot
+    * counts per cell, so the output is bit-identical to [[sketchCountMin]]
+    * and shares its oracle (the exact-df probe side still touches the
+    * corpus BY DESIGN — it exists to exhibit the sketch error; the
+    * counters themselves come from the store alone).
+    */
+  val sketchCountMinStored: QueryFn = (s, dir) => {
+    import graft.ext.Sketches
+    val docs = DataOps.parallelismFloor(Tables.documents(s, dir))
+    val store = graft.ext.TempStores.newStore("graft-cms-store")
+    Sketches.countMinCounters(
+        cmsTokenHashes(docs)
+          .withColumn("period", pmod(col("doc_id"), lit(3L))),
+        Seq("period"), "th", depth = 4, width = 1024)
+      .write.mode("overwrite").partitionBy("period").parquet(store)
+    val merged = s.read.parquet(store)
+      .groupBy("r", "cell").agg(sum("n").as("n"))
+    cmsTopProbe(docs, merged)
   }
   /** Full replay: FNV-1a64 per distinct (doc, token) (the vocab oracle's
     * chain), the splitmix64 cell chain per (hash, row) in the unsigned
@@ -4306,6 +4365,8 @@ object ExtQueries {
     "sketch_theta_merge"   -> sketchThetaMerge,
     "sketch_bloom"         -> sketchBloom,
     "sketch_bloom_stored"  -> sketchBloomStored,
+    "sketch_hll_stored"    -> sketchHllStored,
+    "sketch_countmin_stored" -> sketchCountMinStored,
     "sketch_quantile"      -> sketchQuantile,
     "stats_moments"        -> statsMoments,
     "mean_vectors"         -> meanVectors,
@@ -4369,6 +4430,8 @@ object ExtQueries {
     "sketch_theta_merge"  -> sketchThetaMergeSql,
     "sketch_bloom"        -> sketchBloomSql,
     "sketch_bloom_stored" -> sketchBloomStoredSql,
+    "sketch_hll_stored"   -> sketchHllSql,
+    "sketch_countmin_stored" -> sketchCountMinSql,
     "sketch_quantile"     -> sketchQuantileSql,
     "stats_moments"       -> statsMomentsSql,
     "pack_greedy"         -> packGreedySql,

@@ -172,6 +172,47 @@ class Round13Spec extends AnyFunSuite with SparkTest {
       "store-alone probe must match the direct build's Bloom verdicts")
   }
 
+  // ---- stored HLL / CMS lifecycles: merge is lossless ----------------------
+
+  test("per-period HLL register tables MAX-merge to the direct registers " +
+      "through a parquet roundtrip") {
+    val rnd = new scala.util.Random(9)
+    val df = (1 to 5000).map(_ =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(1200).toLong))
+      .toDF("period", "uid")
+    val direct = Sketches.hllRegisters(df, "uid")
+      .as[(Int, Int)].collect().toSet
+    val store = TempStores.newStore("hll-store-spec")
+    Sketches.hllRho(df, "uid", carryCols = Seq("period"))
+      .groupBy("period", "bucket").agg(max("rho").as("r"))
+      .write.mode("overwrite").partitionBy("period").parquet(store)
+    val merged = spark.read.parquet(store)
+      .groupBy("bucket").agg(max("r").as("r"))
+      .as[(Int, Int)].collect().toSet
+    assert(merged == direct,
+      "max-of-period-maxes must equal the one-shot register table")
+  }
+
+  test("per-period Count-Min counter tables SUM-merge to the direct " +
+      "counters through a parquet roundtrip") {
+    val rnd = new scala.util.Random(10)
+    val df = (1 to 5000).map(_ =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(300).toLong))
+      .toDF("period", "key")
+    val direct = Sketches.countMinCounters(df, "key",
+        depth = 4, width = 256)
+      .as[(Long, Long, Long)].collect().toSet
+    val store = TempStores.newStore("cms-store-spec")
+    Sketches.countMinCounters(df, Seq("period"), "key",
+        depth = 4, width = 256)
+      .write.mode("overwrite").partitionBy("period").parquet(store)
+    val merged = spark.read.parquet(store)
+      .groupBy("r", "cell").agg(sum("n").as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == direct,
+      "cell-wise sum of period counters must equal the one-shot table")
+  }
+
   // ---- ts_mase: empty slices surface (r12 verdict #4 tail) ----------------
 
   private def writeEventsFixture(ev: DataFrame): String = {

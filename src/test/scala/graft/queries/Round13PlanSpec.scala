@@ -41,6 +41,26 @@ class Round13PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("sketch_hll_stored: the summary is answered from the register " +
+      "store alone — the events table is out of the final plan") {
+    val p = plan(ExtQueries.sketchHllStored(spark, dir))
+    assert(p.contains("graft-hll-store"),
+      "summary must scan the persisted register tables\n" + p)
+    assert(!p.contains("events.parquet"),
+      "the corpus must NOT appear in the store-alone summary plan\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sketch_countmin_stored: the counter side comes from the merged " +
+      "store (the exact-df probe side touches the corpus by design)") {
+    val p = plan(ExtQueries.sketchCountMinStored(spark, dir))
+    assert(p.contains("graft-cms-store"),
+      "estimates must come from the persisted counter tables\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("ts_mase keeps keyed joins only after the full-outer widening — " +
       "no window, no cartesian, no single-partition exchange") {
     val p = plan(EvalQueries.tsMase(spark, dir))
