@@ -41,6 +41,15 @@ class Round13PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("dedup_cluster_stored: the probe+fold plan reads the persisted " +
+      "maintenance state — no cartesian, no single-partition exchange") {
+    val p = plan(EvalQueries.dedupClusterStored(spark, dir))
+    assert(p.contains("graft-cluster-store"),
+      "probe+fold must scan the stored labels/index\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("sketch_hll_stored: the summary is answered from the register " +
       "store alone — the events table is out of the final plan") {
     val p = plan(ExtQueries.sketchHllStored(spark, dir))
