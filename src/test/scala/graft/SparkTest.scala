@@ -30,4 +30,20 @@ trait SparkTest {
     spark.streams.active.foreach { q =>
       try q.stop() catch { case _: Exception => () }
     }
+
+  /** Run an EXPECTED-failure body (raise_error guards, aborted jobs)
+    * with Spark logging off, so deliberate task failures don't write
+    * ERROR lines into an otherwise-clean gate log. The exception still
+    * propagates to the caller's intercept.
+    */
+  protected def quietly[T](body: => T): T = {
+    spark.sparkContext.setLogLevel("OFF")
+    try body finally {
+      // let the aborted stage's executor/fetcher threads finish their
+      // async teardown logging BEFORE the level comes back, or a stray
+      // ERROR races past the restore into the clean gate log
+      Thread.sleep(500)
+      spark.sparkContext.setLogLevel("INFO")
+    }
+  }
 }

@@ -42,7 +42,7 @@ class Round12Spec extends AnyFunSuite with SparkTest {
     val edges = Seq((Some(1L), Some(2L), Some(1.0)),
       (Some(2L), Some(3L), None)).toDF("a", "b", "w")
     val e = intercept[Exception] {
-      Graph.maxSpanningForest(edges).collect()
+      quietly(Graph.maxSpanningForest(edges).collect())
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty

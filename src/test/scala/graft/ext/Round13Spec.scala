@@ -63,7 +63,7 @@ class Round13Spec extends AnyFunSuite with SparkTest {
     val docs = syntheticDocs(31)
     val store = TempStores.newStore("lsh-guard-width")
     writeIndex(docs, store, numHashes = 32, bands = 16)
-    val e = intercept[Exception] { probeStored(docs, store) }
+    val e = intercept[Exception] { quietly(probeStored(docs, store)) }
     assert(msgs(e).exists(_.contains("signature width")),
       s"expected the signature-width raise, got: $e")
   }
@@ -73,7 +73,7 @@ class Round13Spec extends AnyFunSuite with SparkTest {
     val docs = syntheticDocs(32)
     val store = TempStores.newStore("lsh-guard-over")
     writeIndex(docs, store, numHashes = 64, bands = 32)
-    val e = intercept[Exception] { probeStored(docs, store) }
+    val e = intercept[Exception] { quietly(probeStored(docs, store)) }
     assert(msgs(e).exists(_.contains("disagrees with bands")),
       s"expected the band-contract raise, got: $e")
   }
@@ -84,7 +84,7 @@ class Round13Spec extends AnyFunSuite with SparkTest {
     val docs = syntheticDocs(33)
     val store = TempStores.newStore("lsh-guard-under")
     writeIndex(docs, store, numHashes = 64, bands = 8)
-    val e = intercept[Exception] { probeStored(docs, store) }
+    val e = intercept[Exception] { quietly(probeStored(docs, store)) }
     assert(msgs(e).exists(_.contains("disagrees with bands")),
       s"expected the band-contract raise, got: $e")
   }
@@ -310,7 +310,7 @@ class Round13Spec extends AnyFunSuite with SparkTest {
     val edges = Seq((Some(1L), Some(2L), Some(1.0)),
       (None, Some(3L), None)).toDF("a", "b", "w")
     val e = intercept[Exception] {
-      Graph.maxSpanningForest(edges).collect()
+      quietly(Graph.maxSpanningForest(edges).collect())
     }
     assert(msgs(e).exists(m => m.contains("null weight") &&
       m.contains("(null, 3)")),
