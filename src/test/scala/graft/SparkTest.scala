@@ -37,13 +37,29 @@ trait SparkTest {
     * propagates to the caller's intercept.
     */
   protected def quietly[T](body: => T): T = {
-    spark.sparkContext.setLogLevel("OFF")
+    SparkTest.quietDepth.synchronized {
+      if (SparkTest.quietDepth.getAndIncrement() == 0)
+        spark.sparkContext.setLogLevel("OFF")
+    }
     try body finally {
       // let the aborted stage's executor/fetcher threads finish their
       // async teardown logging BEFORE the level comes back, or a stray
-      // ERROR races past the restore into the clean gate log
+      // ERROR races past the restore into the clean gate log; the
+      // depth counter keeps one suite's restore from un-silencing a
+      // CONCURRENT suite's still-running expected failure (suites
+      // share the one SparkContext)
       Thread.sleep(500)
-      spark.sparkContext.setLogLevel("INFO")
+      SparkTest.quietDepth.synchronized {
+        if (SparkTest.quietDepth.decrementAndGet() == 0)
+          spark.sparkContext.setLogLevel("INFO")
+      }
     }
   }
+}
+
+object SparkTest {
+  /** Reference count for [[SparkTest.quietly]] windows across
+    * concurrently-running suites (one shared SparkContext).
+    */
+  private val quietDepth = new java.util.concurrent.atomic.AtomicInteger(0)
 }
