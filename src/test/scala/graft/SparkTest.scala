@@ -5,12 +5,28 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** One shared local session per suite (lazy). */
 trait SparkTest {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    // The guard suites deliberately abort jobs via raise_error; the
+    // executor-side failure logs for those aborts are ASYNCHRONOUS
+    // (task teardown can log seconds after the driver unwound, under
+    // load), so no scoped quietly() window can catch them all. Silence
+    // the three task-failure loggers for the test JVM instead — a REAL
+    // unexpected failure still fails its test loudly through the
+    // driver exception and the scalatest report; these loggers only
+    // duplicate that signal per task.
+    for (l <- Seq("org.apache.spark.executor.Executor",
+        "org.apache.spark.scheduler.TaskSetManager",
+        "org.apache.spark.storage.ShuffleBlockFetcherIterator"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.FATAL)
+    s
+  }
 
   /** Await a streaming query, then STOP it if it is still active — a
     * query left running past its test races the JVM-exit
