@@ -11,6 +11,10 @@ trait SparkTest {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // plan pins assert on full store paths inside FileScan locations;
+      // the 100-char default truncates the session-rooted TempStores
+      // paths out of the plan string
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .getOrCreate()
     // The guard suites deliberately abort jobs via raise_error; the
     // executor-side failure logs for those aborts are ASYNCHRONOUS

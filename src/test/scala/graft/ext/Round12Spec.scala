@@ -290,8 +290,7 @@ class Round12Spec extends AnyFunSuite with SparkTest {
     * Tables.events(dir).
     */
   private def writeEventsFixture(ev: DataFrame): String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-ts-fixture").toString
+    val dir = TempStores.newStore("graft-ts-fixture")
     ev.select(col("event_id"), lit(1L).as("user_id"),
         col("event_type"), col("ts"), lit(1.0).as("value"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -309,8 +308,7 @@ class Round12Spec extends AnyFunSuite with SparkTest {
         .as[(Long, Long)].collect().toSet
       val (sigs, banded) = Dedup.minhashIndex(
         docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-lsh-spec").toString
+      val store = TempStores.newStore("graft-lsh-spec")
       sigs.write.mode("overwrite").parquet(s"$store/sigs")
       banded.write.mode("overwrite").parquet(s"$store/banded")
       val probe = Dedup.minhashPairsFromStoredIndex(
@@ -338,8 +336,7 @@ class Round12Spec extends AnyFunSuite with SparkTest {
       .distinct()
     val direct = Sketches.thetaPairAlgebra(vocab, "source", "th", k = 16)
       .collect().map(_.toSeq).toSet
-    val store = java.nio.file.Files
-      .createTempDirectory("graft-theta-spec").toString
+    val store = TempStores.newStore("graft-theta-spec")
     Sketches.thetaSketches(vocab, "source", "th", k = 16)
       .write.mode("overwrite").parquet(store)
     val fromStore = Sketches

@@ -27,7 +27,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
   private lazy val eventsDir: String = {
     // re-stage events as µs-timestamp parquet (streaming needs a plain
     // schema; the raw file is nanos — see Tables.events)
-    val d = Files.createTempDirectory("events-stream").toString
+    val d = graft.ext.TempStores.newStore("events-stream")
     Tables.events(spark, sfDir).coalesce(2).write.mode("overwrite").parquet(d)
     d
   }
@@ -327,7 +327,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
     val corpus = emb.where(col("vec_id") % 5 =!= 4)
     val batch = emb.where(col("vec_id") % 5 === 4)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val d = Files.createTempDirectory("emb-stream").toString
+    val d = graft.ext.TempStores.newStore("emb-stream")
     batch.coalesce(2).write.mode("overwrite").parquet(d)
     val stream = spark.readStream.schema(batch.schema).parquet(d)
 
@@ -406,7 +406,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
     // micro-batch boundary mid-key (FileStreamSource drains oldest-first)
     val ev = Tables.events(spark, sfDir)
     val cut = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5)").head().getDouble(0)
-    val d = Files.createTempDirectory("events-ewma").toString
+    val d = graft.ext.TempStores.newStore("events-ewma")
     ev.where(col("ts").cast("double") <= cut).coalesce(1)
       .write.mode("append").parquet(d)
     Thread.sleep(1100) // distinct mtime: the second half must list later
@@ -439,7 +439,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
   test("streaming Holt-Winters finals are bit-equal to the batch fold, across batches") {
     val ev = Tables.events(spark, sfDir)
     val cut = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5)").head().getDouble(0)
-    val d = Files.createTempDirectory("events-hw").toString
+    val d = graft.ext.TempStores.newStore("events-hw")
     ev.where(col("ts").cast("double") <= cut).coalesce(1)
       .write.mode("append").parquet(d)
     Thread.sleep(1100)
@@ -477,7 +477,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
   test("streaming CUSUM finals are bit-equal to the in-order fold, across batches") {
     val ev = Tables.events(spark, sfDir)
     val cut = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5)").head().getDouble(0)
-    val d = Files.createTempDirectory("events-cusum").toString
+    val d = graft.ext.TempStores.newStore("events-cusum")
     ev.where(col("ts").cast("double") <= cut).coalesce(1)
       .write.mode("append").parquet(d)
     Thread.sleep(1100)
@@ -521,7 +521,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
   test("streaming dedup drops cross-batch duplicates down to the batch distinct set") {
     // stage the same events twice (two files -> duplicates arrive across
     // micro-batch boundaries as well as within)
-    val d = Files.createTempDirectory("events-dup").toString
+    val d = graft.ext.TempStores.newStore("events-dup")
     val ev = Tables.events(spark, sfDir)
     ev.coalesce(1).write.mode("append").parquet(d)
     ev.coalesce(1).write.mode("append").parquet(d)
@@ -631,7 +631,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
     // stage two time-ordered files and force one file per trigger, so a
     // user's stream is split across two batches: the cut-spanning
     // transition can only be paired through the persisted last-type state
-    val dir = Files.createTempDirectory("markov-batches").toString
+    val dir = graft.ext.TempStores.newStore("markov-batches")
     val ev = Tables.events(spark, sfDir)
     val cut = ev.selectExpr("percentile_approx(ts, 0.5)").as[java.sql.Timestamp].head()
     ev.where(col("ts") <= cut).coalesce(1).write.parquet(s"$dir/b=0")
@@ -667,7 +667,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
   test("streaming PII audit: per-source counts match the batch audit") {
     // stage a documents stream with deterministic PII planted in every
     // third row (the raw synthetic corpus has no digits at all)
-    val docsDir = Files.createTempDirectory("docs-stream").toString
+    val docsDir = graft.ext.TempStores.newStore("docs-stream")
     def augment(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id"), col("source"),
       when(col("doc_id") % 3 === 0,

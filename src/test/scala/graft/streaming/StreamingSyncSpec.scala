@@ -18,16 +18,16 @@ class StreamingSyncSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAl
   }
 
   test("streaming front-end produces exactly the batch driver's tables") {
-    val srcDir = Files.createTempDirectory("ss-src").toString
+    val srcDir = graft.ext.TempStores.newStore("ss-src")
     Fixture.write(spark, srcDir)
 
     // batch reference
-    val batchOut = Files.createTempDirectory("ss-batch").toString
+    val batchOut = graft.ext.TempStores.newStore("ss-batch")
     val batchStore = new TableStore(spark, batchOut)
     new SyncDriver(spark, srcDir, batchStore, 120).catchUp()
 
     // streaming front-end, drain-available mode
-    val streamOut = Files.createTempDirectory("ss-stream").toString
+    val streamOut = graft.ext.TempStores.newStore("ss-stream")
     val streamStore = new TableStore(spark, streamOut)
     val driver = new StreamingSyncDriver(spark, srcDir, streamStore, 120)
     val q = driver.start(availableNow = true)
@@ -47,9 +47,9 @@ class StreamingSyncSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAl
     // versions are STAGED but before the manifest flip leaves half-staged
     // files on disk — a restarted query must converge to exactly the
     // clean-sync state (no dropped period, no double-applied rows).
-    val srcDir = Files.createTempDirectory("sscrash-src").toString
+    val srcDir = graft.ext.TempStores.newStore("sscrash-src")
     Fixture.write(spark, srcDir)
-    val out = Files.createTempDirectory("sscrash-out").toString
+    val out = graft.ext.TempStores.newStore("sscrash-out")
 
     // crash injection: from the SECOND period on, every commit dies after
     // staging is complete (commit is the last step of syncPeriod) — a
@@ -101,7 +101,7 @@ class StreamingSyncSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAl
     assert(resumed.periodsRun > 0)
 
     // exactly-once: contents == a clean, crash-free sync
-    val cleanStore = new TableStore(spark, Files.createTempDirectory("sscrash-clean").toString)
+    val cleanStore = new TableStore(spark, graft.ext.TempStores.newStore("sscrash-clean"))
     new SyncDriver(spark, srcDir, cleanStore, 120).catchUp()
     for (t <- Seq("wallet", "collection", "asset", "asset_tx", "asset_mint_tx", "asset_ext")) {
       val c = cleanStore.read(t).collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
