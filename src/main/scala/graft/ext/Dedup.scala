@@ -264,7 +264,9 @@ object Dedup {
         lit(", postings for id "),
         coalesce(col("id").cast("string"), lit("null")),
         lit(": "), col("__nb").cast("string"),
-        lit(") — the index was built with different parameters"))))
+        lit(") — the index was built with different parameters, or the " +
+          "same id was appended twice (a re-closed period, or an id " +
+          "spanning two appended periods)"))))
     val banded = oldBanded
       .withColumn("__nb", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")))

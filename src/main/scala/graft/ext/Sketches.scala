@@ -539,18 +539,38 @@ object Sketches {
     * corpus by definition, so it belongs to [[bloomMembership]], not
     * the stored probe.
     *
+    * Input contract, enforced rather than trusted (the stored-index
+    * lesson): the (group, pos) projection is re-`distinct`ed here, so
+    * a caller that concatenates raw per-period tables WITHOUT the
+    * OR-merge can't inflate `bits_set` or the per-probe match count
+    * (duplicate position rows would make the match count exceed the
+    * probe's position count and flip true members to
+    * `present_bloom = false` — a silent false negative, violating the
+    * Bloom no-false-negative property). The distinct is ≤
+    * groups × mBits rows — free at any corpus size.
+    *
+    * `groups`, when supplied, is the authoritative group universe
+    * (e.g. a membership census written at store time): a group that
+    * set ZERO bits — an empty period close is possible once stores
+    * append across periods — then still surfaces, with `bits_set = 0`
+    * and `present_bloom = false` for every probe, instead of silently
+    * vanishing from the grid (the ts_mase/conformal
+    * degenerate-slices-must-surface rule). Without it the universe
+    * falls back to the groups present in the bit table itself.
+    *
     * Scale: the grid is groups × probes by construction; the hit join
     * is bit-table × probe-positions — both corpus-size-free.
     */
   def bloomProbeFromBits(bits: DataFrame, groupCol: String,
       probes: DataFrame, probeNameCol: String, probeKeyCol: String,
-      mBits: Int = 1024, kHashes: Int = 4): DataFrame = {
+      mBits: Int = 1024, kHashes: Int = 4,
+      groups: Option[DataFrame] = None): DataFrame = {
     require(mBits > 0 && kHashes > 0,
       "bloomProbeFromBits: mBits and kHashes must be positive")
     // no checkpoint: the bit table is ALREADY materialized (it's the
     // read-back store), so its three uses below re-scan cheap parquet
     // — and the probe plan visibly reads the store, not a severed RDD
-    val bt = bits.select(col(groupCol), col("pos").as("__pos"))
+    val bt = bits.select(col(groupCol), col("pos").as("__pos")).distinct()
     val nb = bt.groupBy(col(groupCol)).agg(count(lit(1)).as("bits_set"))
     val pr = probes
       .select(col(probeNameCol).as("probe"),
@@ -562,12 +582,16 @@ object Sketches {
     val hits = ppos.join(bt, Seq("__pos"))
       .groupBy(col(groupCol), col("probe"))
       .agg(count(lit(1)).as("__nm"))
-    val grid = bt.select(col(groupCol)).distinct()
+    val universe = groups
+      .map(_.select(col(groupCol)).distinct())
+      .getOrElse(bt.select(col(groupCol)).distinct())
+    val grid = universe
       .crossJoin(pr.select(col("probe"), size(col("__pp")).as("__np")))
     grid
-      .join(nb, Seq(groupCol))
+      .join(nb, Seq(groupCol), "left")
       .join(hits, Seq(groupCol, "probe"), "left")
-      .select(col(groupCol), col("probe"), col("bits_set"),
+      .select(col(groupCol), col("probe"),
+        coalesce(col("bits_set"), lit(0L)).as("bits_set"),
         (coalesce(col("__nm"), lit(0L)) === col("__np"))
           .as("present_bloom"))
   }

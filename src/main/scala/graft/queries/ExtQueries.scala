@@ -4021,24 +4021,40 @@ object ExtQueries {
     * (corpus-dependent, store-unanswerable) exact columns. The same
     * position kernel backs `StreamingOps.bloomBitsStream`, so batch ≡
     * stream ≡ stored is spec-pinned end to end.
+    *
+    * The store also carries a GROUP CENSUS (`groups/` — the sources
+    * seen at each period close, bits or not), and the probe takes its
+    * grid from the census, not the bit table: a source whose periods
+    * set zero bits surfaces with `bits_set = 0` / `present_bloom =
+    * false` instead of vanishing (r13 verdict "What's wrong #4" — the
+    * ts_mase/conformal degenerate-slice rule applied to the Bloom
+    * store). On this corpus every source sets bits, so the census and
+    * the bit-table fallback agree and the oracle mirrors the census as
+    * `DISTINCT source FROM documents`; the zero-bit case is spec-pinned
+    * (Round14Spec).
     */
   val sketchBloomStored: QueryFn = (s, dir) => {
     import s.implicits._
     import graft.ext.{Sketches, TextShingles}
-    val keyed = DataOps.parallelismFloor(Tables.documents(s, dir))
+    val docs = DataOps.parallelismFloor(Tables.documents(s, dir))
+    val keyed = docs
       .select(col("source"), pmod(col("doc_id"), lit(3L)).as("period"),
         explode(TextShingles.word_shingle_hashes(col("text"), 1)).as("th"))
     val store = graft.ext.TempStores.newStore("graft-bloom-store")
     Sketches.bloomBits(keyed, Seq("source", "period"), "th",
         mBits = 1024, kHashes = 4)
-      .write.mode("overwrite").partitionBy("period").parquet(store)
-    val merged = s.read.parquet(store)
+      .write.mode("overwrite").partitionBy("period").parquet(s"$store/bits")
+    docs.select(col("source"), pmod(col("doc_id"), lit(3L)).as("period"))
+      .distinct()
+      .write.mode("overwrite").partitionBy("period").parquet(s"$store/groups")
+    val merged = s.read.parquet(s"$store/bits")
       .select(col("source"), col("pos")).distinct()
     val probes = bloomProbeTerms.toDF("probe_term")
       .withColumn("th", element_at(
         TextShingles.word_shingle_hashes(col("probe_term"), 1), 1))
     Sketches.bloomProbeFromBits(merged, "source",
-      probes, "probe_term", "th", mBits = 1024, kHashes = 4)
+      probes, "probe_term", "th", mBits = 1024, kHashes = 4,
+      groups = Some(s.read.parquet(s"$store/groups")))
   }
 
   /** Replay: kmvRankedCtes' toks/fnv chain gives the per-source key
@@ -4105,14 +4121,18 @@ object ExtQueries {
     * union is idempotent/associative — distinct-over-union ≡
     * distinct-over-all), so the store-alone probe replays the SAME
     * kbits/nb/hits chain; only the corpus-dependent exact columns are
-    * out of reach of a filter, by definition.
+    * out of reach of a filter, by definition. The grid's group
+    * universe mirrors the Spark side's stored census — the sources of
+    * the documents table (LEFT-joined bit counts, zero-bit sources
+    * surfacing with bits_set = 0).
     */
   val sketchBloomStoredSql: String = bloomSketchCtes + "\n" +
-    """SELECT g.source, g.term AS probe, nb.bits_set,
+    """SELECT g.source, g.term AS probe,
+      |  coalesce(nb.bits_set, 0) AS bits_set,
       |  coalesce(h.nm, 0) = g.np AS present_bloom
       |FROM (SELECT s.source, p.term, p.np
-      |      FROM (SELECT DISTINCT source FROM kbits) s, pnp p) g
-      |JOIN nb ON nb.source = g.source
+      |      FROM (SELECT DISTINCT source FROM documents) s, pnp p) g
+      |LEFT JOIN nb ON nb.source = g.source
       |LEFT JOIN hits h ON h.source = g.source AND h.term = g.term""".stripMargin
 
   /** Cross-period sketch MAINTENANCE: one theta sketch per (source,

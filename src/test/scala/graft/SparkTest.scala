@@ -16,19 +16,6 @@ trait SparkTest {
       // paths out of the plan string
       .config("spark.sql.maxMetadataStringLength", "2000")
       .getOrCreate()
-    // The guard suites deliberately abort jobs via raise_error; the
-    // executor-side failure logs for those aborts are ASYNCHRONOUS
-    // (task teardown can log seconds after the driver unwound, under
-    // load), so no scoped quietly() window can catch them all. Silence
-    // the three task-failure loggers for the test JVM instead — a REAL
-    // unexpected failure still fails its test loudly through the
-    // driver exception and the scalatest report; these loggers only
-    // duplicate that signal per task.
-    for (l <- Seq("org.apache.spark.executor.Executor",
-        "org.apache.spark.scheduler.TaskSetManager",
-        "org.apache.spark.storage.ShuffleBlockFetcherIterator"))
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        l, org.apache.logging.log4j.Level.FATAL)
     s
   }
 
@@ -58,8 +45,17 @@ trait SparkTest {
     */
   protected def quietly[T](body: => T): T = {
     SparkTest.quietDepth.synchronized {
-      if (SparkTest.quietDepth.getAndIncrement() == 0)
+      if (SparkTest.quietDepth.getAndIncrement() == 0) {
+        // capture the effective root level BEFORE going dark, and
+        // restore THAT — a hardcoded "INFO" restore would permanently
+        // raise verbosity for any tool sharing the JVM that had set
+        // WARN/ERROR (ADVICE r13 #2)
+        SparkTest.preQuietRootLevel =
+          org.apache.logging.log4j.LogManager.getRootLogger
+            .asInstanceOf[org.apache.logging.log4j.core.Logger]
+            .getLevel
         spark.sparkContext.setLogLevel("OFF")
+      }
     }
     try body finally {
       // let the aborted stage's executor/fetcher threads finish their
@@ -71,7 +67,8 @@ trait SparkTest {
       Thread.sleep(500)
       SparkTest.quietDepth.synchronized {
         if (SparkTest.quietDepth.decrementAndGet() == 0)
-          spark.sparkContext.setLogLevel("INFO")
+          spark.sparkContext.setLogLevel(
+            SparkTest.preQuietRootLevel.toString)
       }
     }
   }
@@ -82,4 +79,73 @@ object SparkTest {
     * concurrently-running suites (one shared SparkContext).
     */
   private val quietDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Root level in effect before the first open quietly() window. */
+  @volatile private var preQuietRootLevel: org.apache.logging.log4j.Level =
+    org.apache.logging.log4j.Level.WARN
+
+  /** The three loggers that duplicate a task failure's driver-side
+    * exception once per task attempt, asynchronously (executor
+    * teardown can log seconds after the driver unwound, under load) —
+    * no per-test quietly() window reliably outlives them.
+    */
+  private val taskFailureLoggers = Seq(
+    "org.apache.spark.executor.Executor",
+    "org.apache.spark.scheduler.TaskSetManager",
+    "org.apache.spark.storage.ShuffleBlockFetcherIterator")
+
+  private val guardDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var preGuardLevels:
+      Seq[(String, org.apache.logging.log4j.Level)] = Nil
+
+  /** Silence the task-failure loggers for the LIFETIME of a guard
+    * suite (one that deliberately aborts jobs via raise_error), not
+    * the whole test JVM (r13 verdict "What's wrong #3"): while no
+    * guard suite is running, a genuine task-level fault in any other
+    * suite keeps its full log trace. Refcounted because suites run
+    * concurrently on the shared SparkContext; levels are restored to
+    * their pre-window EFFECTIVE values when the last guard suite
+    * finishes (after its own settle sleep — see [[GuardLogging]]).
+    */
+  private[graft] def pushGuardSilence(): Unit = guardDepth.synchronized {
+    if (guardDepth.getAndIncrement() == 0) {
+      preGuardLevels = taskFailureLoggers.map { l =>
+        (l, org.apache.logging.log4j.LogManager.getLogger(l)
+          .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel)
+      }
+      for (l <- taskFailureLoggers)
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          l, org.apache.logging.log4j.Level.FATAL)
+    }
+  }
+
+  private[graft] def popGuardSilence(): Unit = guardDepth.synchronized {
+    if (guardDepth.decrementAndGet() == 0)
+      for ((l, lvl) <- preGuardLevels)
+        org.apache.logging.log4j.core.config.Configurator.setLevel(l, lvl)
+  }
+}
+
+/** Mix into suites whose tests deliberately abort Spark jobs
+  * (raise_error parameter guards): keeps the three async task-failure
+  * loggers FATAL from the suite's start until (settle ms after) its
+  * end, so teardown logging that outlives any per-test quietly()
+  * window still can't write ERROR lines into the gate log — while
+  * every suite running OUTSIDE a guard window keeps full task-failure
+  * diagnostics.
+  */
+trait GuardLogging extends org.scalatest.BeforeAndAfterAll {
+  this: org.scalatest.Suite =>
+  override protected def beforeAll(): Unit = {
+    SparkTest.pushGuardSilence()
+    super.beforeAll()
+  }
+  override protected def afterAll(): Unit =
+    try super.afterAll()
+    finally {
+      // drain the last aborted stage's async teardown before the
+      // levels come back
+      Thread.sleep(1500)
+      SparkTest.popGuardSilence()
+    }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.SparkTest
+import graft.{GuardLogging, SparkTest}
 
 /** Round-12: the five r11 ADVICE closures (fractional MST weights +
   * loud incompleteness, conformal outer join, scheme-aware URL port
@@ -12,7 +12,7 @@ import graft.SparkTest
   * compositions (incremental cluster maintenance ≡ full recompute,
   * stored theta sketches answer the algebra with no corpus).
   */
-class Round12Spec extends AnyFunSuite with SparkTest {
+class Round12Spec extends AnyFunSuite with SparkTest with GuardLogging {
   import spark.implicits._
 
   // ---- maxSpanningForest: fractional weights (ADVICE r11 #1) --------------

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.SparkTest
+import graft.{GuardLogging, SparkTest}
 
 /** Round-13: the stored-LSH-index parameter-contract guards (a
   * mismatched store must fail LOUD in the value path, never
@@ -14,7 +14,7 @@ import graft.SparkTest
   * surfacing, the MSF numeric-weight/readable-raise guards, and the
   * conformal zero-covered pin the r12 ADVICE oracle fix mirrors.
   */
-class Round13Spec extends AnyFunSuite with SparkTest {
+class Round13Spec extends AnyFunSuite with SparkTest with GuardLogging {
   import spark.implicits._
 
   /** Planted near-dup corpus (the Round12Spec fixture shape): groups of
