@@ -620,27 +620,99 @@ object Sketches {
   def histogramQuantiles(df: DataFrame, toGrid: Column, nBins: Int,
       quantilesPct: Seq[Int]): DataFrame = {
     require(nBins >= 2 && quantilesPct.nonEmpty)
-    val spark = df.sparkSession
-    import spark.implicits._
     val g = df.select(toGrid.cast("long").as("gv")).where(col("gv").isNotNull)
       .localCheckpoint(true) // feeds the min/max pass AND the bin pass
     val Row(lo: Long, hi: Long, n: Long) =
       g.agg(min("gv"), max("gv"), count(lit(1))).head()
     require(n > 0, "histogramQuantiles needs a non-empty column")
     val span = hi - lo + 1
-    // bin math in DECIMAL(38,0): (gv - lo) ≤ span - 1, so the long
-    // product (gv - lo) * nBins silently wraps (non-ANSI) once span
-    // nears Long.Max / nBins — the chi2 silent-overflow class. The
-    // decimal product is exact at any long-grid width; `div` is
-    // integral divide in both engines so values are unchanged on
-    // narrow grids (the oracle replays the same decimal math).
-    val binCounts = g
-      .groupBy(expr(
-        s"CAST(gv - ${lo}L AS DECIMAL(38,0)) * $nBins div ${span}L").as("bin"))
-      .agg(count(lit(1)).as("cnt"))
+    val binCounts = histogramBins(g, Nil, lo, span, nBins)
+      .select("bin", "cnt")
       .localCheckpoint(true) // nBins rows; triangular cum + quantile probes
-    // cumulative counts via a triangular self-join on the nBins-row
-    // table (≤ nBins² tiny rows) — no global-order window anywhere
+    histogramReadOff(binCounts, lo, span, n, nBins, quantilesPct)
+  }
+
+  /** Per-group bin counts of a pre-gridded (gv [, groupCols...]) frame
+    * against a FIXED grid contract (lo, span, nBins) — the persistable
+    * per-period state of the histogram sketch. Each row carries the
+    * grid as metadata columns (lo, span, nbins), so a store appended
+    * across periods is self-describing and a mismatched-grid append is
+    * detectable at read time ([[histogramQuantilesFromBins]]). The
+    * grid is fixed when the store is CREATED (first period close / a
+    * domain spec); later periods bin into the same grid — per-period
+    * counts then SUM to the one-shot counts per cell, which is the
+    * whole merge.
+    *
+    * Bin math in DECIMAL(38,0): (gv - lo) ≤ span - 1, so the long
+    * product (gv - lo) * nBins silently wraps (non-ANSI) once span
+    * nears Long.Max / nBins — the chi2 silent-overflow class. The
+    * decimal product is exact at any long-grid width; `div` is
+    * integral divide in both engines so values are unchanged on
+    * narrow grids (the oracle replays the same decimal math).
+    */
+  def histogramBins(g: DataFrame, groupCols: Seq[String], lo: Long,
+      span: Long, nBins: Int): DataFrame =
+    g.groupBy(groupCols.map(col) :+ expr(
+        s"CAST(gv - ${lo}L AS DECIMAL(38,0)) * $nBins div ${span}L")
+        .as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", lit(lo))
+      .withColumn("span", lit(span))
+      .withColumn("nbins", lit(nBins))
+
+  /** Quantile read-off from a MERGED bin table alone — the stored-
+    * lifecycle answer path: per-period bin tables (from
+    * [[histogramBins]]) merge by cell-wise SUM (the scaladoc-promised
+    * "mergeable by elementwise add"), the total count is the merged
+    * counts' sum, and the read-off replays [[histogramQuantiles]]'
+    * exact integer math — so merged-of-periods is bit-identical to the
+    * one-shot sketch and shares its oracle. The corpus is not in the
+    * plan: everything derives from the (≤ nBins · periods)-row store.
+    *
+    * Grid contract, enforced rather than trusted (the stored-LSH
+    * lesson): every stored row carries its build grid, and a store
+    * whose rows disagree on (lo, span, nbins) — or whose grid doesn't
+    * match this read-off's `nBins` — raises with the count of
+    * distinct grids instead of silently merging misaligned bins. The
+    * check rides the same metadata aggregation that fetches the grid,
+    * so it runs on every read (value path, not an optional audit).
+    */
+  def histogramQuantilesFromBins(bins: DataFrame, nBins: Int,
+      quantilesPct: Seq[Int]): DataFrame = {
+    require(nBins >= 2 && quantilesPct.nonEmpty)
+    val meta = bins
+      .agg(countDistinct(struct(col("lo"), col("span"), col("nbins")))
+          .as("ng"),
+        min("lo").as("lo"), min("span").as("span"),
+        min("nbins").as("nbins"), sum("cnt").as("n"))
+      .head()
+    val ng = meta.getLong(0)
+    require(ng == 1L,
+      s"histogramQuantilesFromBins: $ng distinct (lo, span, nbins) grids " +
+        "in the store — per-period bin tables were built with different " +
+        "parameters (or a period was re-closed onto a renegotiated grid); " +
+        "misaligned bins must not merge")
+    val storedBins = meta.getInt(3)
+    require(storedBins == nBins,
+      s"histogramQuantilesFromBins: store was built with nbins=$storedBins" +
+        s" but the read-off asked for $nBins — the grid is the store's " +
+        "creation-time contract")
+    val (lo, span, n) = (meta.getLong(1), meta.getLong(2), meta.getLong(4))
+    require(n > 0, "histogramQuantilesFromBins needs a non-empty store")
+    // cell-wise SUM is the merge; NOT checkpointed, so the answer plan
+    // visibly scans the store (the bloomProbeFromBits discipline)
+    val merged = bins.groupBy("bin").agg(sum("cnt").as("cnt"))
+    histogramReadOff(merged, lo, span, n, nBins, quantilesPct)
+  }
+
+  /** Shared quantile read-off over an (bin, cnt) table: cumulative
+    * counts via a triangular self-join on the nBins-row table
+    * (≤ nBins² tiny rows) — no global-order window anywhere.
+    */
+  private def histogramReadOff(binCounts: DataFrame, lo: Long, span: Long,
+      n: Long, nBins: Int, quantilesPct: Seq[Int]): DataFrame = {
+    val spark = binCounts.sparkSession
+    import spark.implicits._
     val cum = binCounts.alias("b")
       .join(binCounts.alias("p"), col("p.bin") <= col("b.bin"))
       .groupBy(col("b.bin").as("bin"))

@@ -3831,6 +3831,40 @@ object ExtQueries {
       expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"),
       nBins = 128, quantilesPct = Seq(25, 50, 75, 90, 99))
 
+  /** The stored-histogram-quantile LIFECYCLE the kernel scaladoc
+    * promises ("the bin array is the sketch: fixed-size, mergeable by
+    * elementwise add") — `sketch_countmin_stored`'s playbook on the
+    * last mergeable sketch: the grid (lo, span, nBins) is fixed at
+    * store creation (the store's schema contract), each period
+    * (l_orderkey mod 3 — disjoint row slices, so cell counts ADD)
+    * writes its own bin-count table carrying the grid as metadata
+    * columns, the READ-BACK period tables merge by cell-wise SUM, and
+    * the quantiles are read off the merged store ALONE — total count
+    * included ([[graft.ext.Sketches.histogramQuantilesFromBins]]).
+    * Integer-exact: Σ per-period cell counts = one-shot cell counts,
+    * so the read-off is bit-identical to [[sketchQuantile]] and shares
+    * its oracle. The grid contract is ENFORCED at read time (distinct
+    * stored grids must be exactly one and match the read-off's nBins —
+    * the stored-LSH parameter-guard lesson); the corpus appears only
+    * in the build phase, never in the answer plan (pinned).
+    */
+  val sketchQuantileStored: QueryFn = (s, dir) => {
+    import graft.ext.Sketches
+    val g = Tables.lineitem(s, dir)
+      .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("gv"),
+        pmod(col("l_orderkey"), lit(3L)).as("period"))
+      .where(col("gv").isNotNull)
+      .localCheckpoint(true) // feeds the grid pass AND the bin pass
+    val org.apache.spark.sql.Row(lo: Long, hi: Long) =
+      g.agg(min("gv"), max("gv")).head()
+    val store = graft.ext.TempStores.newStore("graft-quantile-store")
+    Sketches.histogramBins(g, Seq("period"), lo, span = hi - lo + 1,
+        nBins = 128)
+      .write.mode("overwrite").partitionBy("period").parquet(store)
+    Sketches.histogramQuantilesFromBins(s.read.parquet(store),
+      nBins = 128, quantilesPct = Seq(25, 50, 75, 90, 99))
+  }
+
   val sketchQuantileSql: String =
     """WITH g AS (
       |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS gv
@@ -4388,6 +4422,7 @@ object ExtQueries {
     "sketch_hll_stored"    -> sketchHllStored,
     "sketch_countmin_stored" -> sketchCountMinStored,
     "sketch_quantile"      -> sketchQuantile,
+    "sketch_quantile_stored" -> sketchQuantileStored,
     "stats_moments"        -> statsMoments,
     "mean_vectors"         -> meanVectors,
     "vec_quantize"         -> vecQuantize,
@@ -4453,6 +4488,7 @@ object ExtQueries {
     "sketch_hll_stored"   -> sketchHllSql,
     "sketch_countmin_stored" -> sketchCountMinSql,
     "sketch_quantile"     -> sketchQuantileSql,
+    "sketch_quantile_stored" -> sketchQuantileSql,
     "stats_moments"       -> statsMomentsSql,
     "pack_greedy"         -> packGreedySql,
     "pack_sequences"      -> packSequencesSql,
