@@ -71,6 +71,54 @@ object Vocab {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Load a PERSISTED BPE merge table (the read-back output of
+    * [[bpeTrain]]) into the ranked merge chain [[bpeEncode]] applies —
+    * the versioned-tokenizer-artifact posture: train once at period
+    * close, persist (rank, left, right, merged, pair_count), encode
+    * every later period from the READ-BACK model, never retrain.
+    *
+    * Model contract, enforced rather than trusted (the stored-LSH
+    * parameter-guard lesson, applied to the model store): BPE encode
+    * is order-sensitive — a duplicate rank (a re-appended / re-closed
+    * model store), a rank gap (a truncated or partially deleted
+    * store), or a merge row whose `merged` isn't `left || right` (a
+    * WordPiece table in a BPE store, or plain corruption) would
+    * silently change every downstream segmentation. The checks ride
+    * the SAME collect that materializes the merge constants, so they
+    * run on every load (value path, not an optional audit): ranks must
+    * be exactly 1..n, every field non-null, and `merged = left ||
+    * right` row by row. The model is vocab-sized by construction
+    * (`merges` rows), so the collect IS the intended materialization —
+    * the merge chain compiles into the encode projection as literals
+    * ([[bpeEncode]]'s no-join design).
+    */
+  def loadBpeMerges(model: DataFrame): Seq[(String, String)] = {
+    val rows = model
+      .select(col("rank").cast("long").as("rank"), col("left"),
+        col("right"), col("merged"))
+      .collect()
+      .sortBy(r => if (r.isNullAt(0)) Long.MinValue else r.getLong(0))
+    require(rows.nonEmpty,
+      "loadBpeMerges: the model store is empty — not a trained BPE model")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require((0 to 3).forall(!r.isNullAt(_)),
+        s"loadBpeMerges: null field in model row $r — the store is " +
+          "corrupt or was built by a different trainer")
+      val rank = r.getLong(0)
+      require(rank == i + 1,
+        s"loadBpeMerges: ranks are not contiguous 1..n (found rank $rank " +
+          s"at position ${i + 1} of ${rows.length}) — a duplicate rank " +
+          "means the model was appended twice (a re-closed period); a gap " +
+          "means the store was truncated; either way the merge order is " +
+          "not the trained one")
+      require(r.getString(3) == r.getString(1) + r.getString(2),
+        s"loadBpeMerges: merged '${r.getString(3)}' != left||right " +
+          s"'${r.getString(1)}${r.getString(2)}' — not a BPE merge table " +
+          "(a WordPiece model in a BPE store, or corruption)")
+    }
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** Apply learned merges to the corpus (Sennrich-style BPE ENCODE: each
     * merge rewrites the whole corpus in learned-rank order) and return
     * the resulting subword-piece frequency table (piece, cnt) — the
