@@ -337,7 +337,8 @@ object Similarity {
   private case class SeedState(
       cellSeeds: DataFrame,
       liveCellUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
-      seedCount: Int)
+      seedCount: Int,
+      liveCellVecs: Array[(Int, Array[Double])])
 
   /** Build the two-level seed state from `base` (a prepped
     * (vec_id, __v) frame): fine seeds = the `kEff` smallest ids, coarse
@@ -396,7 +397,8 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("__sidx"), col("__v"))))
         .as("__ss"))
     lastAssignStats = (coarseVecs.length, liveCells.length)
-    SeedState(cellSeeds, liveCellUdf, seedCount)
+    SeedState(cellSeeds, liveCellUdf, seedCount,
+      liveCells.map(c => (c, coarseVecs(c))))
   }
 
   /** Assign a prepped (vec_id, __v) frame against a frozen seed state:
@@ -537,6 +539,145 @@ object Similarity {
     // smaller-id duplicate that owns every vector tied with it), so the
     // inner join drops nothing
     bAsg.join(sizedSide(reps, kEff.toLong * band), Seq("cluster"))
+      .withColumn("__cos",
+        dot(col("__v"), col("__vr")) / (sqrt(col("__sq")) * sqrt(col("__sqr"))))
+      .groupBy("vec_id")
+      .agg(max(col("cluster")).as("cluster"), max(col("__cos")).as("__nn"))
+      .select(col("vec_id"), col("cluster"),
+        round(col("__nn"), 6).as("nn_cos"), (col("__nn") < tau).as("keep"))
+  }
+
+  /** The frozen cluster structure of [[semanticDedupIncremental]] as
+    * three PERSISTABLE tables — the period-close artifact of semantic
+    * dedup maintenance:
+    *  - `cells` (cell, cv): the live coarse centroids — O(√k) rows;
+    *  - `seeds` (cell, seeds): the fine-seed arrays per live cell —
+    *    k seed vectors total, grouped exactly as the assignment join
+    *    consumes them;
+    *  - `reps` (cluster, rv, rsq): the `band` centroid-proximal
+    *    representatives per cluster — ≤ k·band rows.
+    * Write all three once when the corpus period closes; screen every
+    * later batch from the READ-BACK structure alone with
+    * [[semanticScreenStoredState]] — the corpus is never re-read, the
+    * structure never re-derived. All values are doubles/longs, so the
+    * parquet round-trip is exact and the stored screen is bit-identical
+    * to the in-query [[semanticDedupIncremental]].
+    */
+  def semanticStateTables(corpus: DataFrame, k: Int = 0, band: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbase = DataOps.parallelismFloor(
+        corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v")))
+      .localCheckpoint(true) // seed bound, seed table, corpus assignment
+    val kEff = if (k > 0) k else autoClusterCount(cbase.count())
+    val st = seedState(cbase, kEff)
+    val reps = applyAssign(st, cbase)
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("__dist"), col("vec_id"))))
+      .where(col("__pos") <= band)
+      .select(col("cluster"), col("__v").as("rv"),
+        dot(col("__v"), col("__v")).as("rsq"))
+    val cells = st.liveCellVecs.toSeq
+      .map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cv")
+    val seeds = st.cellSeeds
+      .select(col("__cell").as("cell"), col("__ss").as("seeds"))
+    (cells, seeds, reps)
+  }
+
+  /** Rebuild the frozen two-level assignment from READ-BACK (cells,
+    * seeds) tables. Consistency is enforced on every load, not
+    * trusted (the stored-LSH lesson): the live-cell sets of the two
+    * tables must be IDENTICAL — a seeds row whose cell is missing from
+    * `cells` can never be assigned to (its seeds silently leave the
+    * index), and a `cells` row with no seeds row makes the assignment
+    * join silently DROP every batch vector routed to it. Both checks
+    * ride the same O(√k) collects that materialize the broadcast
+    * state, so they run on every screen.
+    */
+  private def seedStateFromTables(cells: DataFrame,
+      seeds: DataFrame): SeedState = {
+    val live = cells.select(col("cell").cast("int"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(live.nonEmpty,
+      "seedStateFromTables: the stored cells table is empty — not a " +
+        "persisted cluster structure")
+    val seedCellSet = seeds.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val cellSet = live.map(_._1).toSet
+    require(cellSet == seedCellSet,
+      "seedStateFromTables: stored cluster structure is inconsistent — " +
+        s"cells table has ${(cellSet -- seedCellSet).toSeq.sorted.take(5)}" +
+        s" without seeds and seeds table has " +
+        s"${(seedCellSet -- cellSet).toSeq.sorted.take(5)} without a " +
+        "centroid (first 5 shown); the two tables were written from " +
+        "different period closes — a mismatch silently drops or " +
+        "mis-assigns batch vectors")
+    val spark = cells.sparkSession
+    val bcLive = spark.sparkContext.broadcast(
+      (live.map(_._1), live.map(_._2)))
+    val liveCellUdf = udf { v: Seq[Double] =>
+      val arr = v.toArray
+      val (liveIds, cvs) = bcLive.value
+      var bi = 0
+      var bd = Double.PositiveInfinity
+      var j = 0
+      while (j < cvs.length) {
+        val d = sqDist(arr, cvs(j))
+        if (d < bd) { bd = d; bi = j }
+        j += 1
+      }
+      liveIds(bi)
+    }
+    val seedCount = seeds.agg(sum(size(col("seeds")))).head().getLong(0)
+    SeedState(
+      seeds.select(col("cell").as("__cell"), col("seeds").as("__ss")),
+      liveCellUdf, seedCount.toInt, live)
+  }
+
+  /** Screen a new period's vectors against a PERSISTED cluster
+    * structure (the read-back output of [[semanticStateTables]]) —
+    * identical semantics and bit-identical output to
+    * [[semanticDedupIncremental]], but the plan reads ONLY stored
+    * state and the new batch: old vectors are never re-read, seeds and
+    * representatives never re-derived.
+    *
+    * Contract checks on every screen: the cells/seeds consistency
+    * guard ([[seedStateFromTables]]) plus a value-path raise when any
+    * cluster carries MORE than `band` representatives — a store built
+    * with a larger band (or a reps table appended twice) would
+    * silently widen the comparison set and flip `keep` verdicts; the
+    * check is a cluster-keyed window over the index-sized reps table,
+    * the stored-LSH posting-guard shape.
+    *
+    * Scale shape unchanged from the in-query incremental: batch × band
+    * fan-out, index-sized join sides, one cluster-keyed exchange.
+    */
+  def semanticScreenStoredState(cells: DataFrame, seeds: DataFrame,
+      reps: DataFrame, batch: DataFrame, band: Int = 8, tau: Double = 0.4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val st = seedStateFromTables(cells, seeds)
+    val checkedReps = reps
+      .withColumn("__nr", count(lit(1)).over(Window.partitionBy("cluster")))
+      .select(col("cluster"),
+        when(col("__nr") <= band, col("rv"))
+          .otherwise(raise_error(concat(
+            lit("semanticScreenStoredState: cluster "),
+            coalesce(col("cluster").cast("string"), lit("null")),
+            lit(" has "), col("__nr").cast("string"),
+            lit(s" stored representatives > band=$band — the structure " +
+              "was persisted with different parameters, or the reps " +
+              "table was appended twice (a re-closed period)"))))
+          .as("__vr"),
+        col("rsq").as("__sqr"))
+    val bAsg = applyAssign(st, DataOps.parallelismFloor(
+        batch.select(col(idCol).as("vec_id"),
+          asDouble(col(vecCol)).as("__v"))))
+      .withColumn("__sq", dot(col("__v"), col("__v")))
+    bAsg.join(sizedSide(checkedReps, st.seedCount.toLong * band),
+        Seq("cluster"))
       .withColumn("__cos",
         dot(col("__v"), col("__vr")) / (sqrt(col("__sq")) * sqrt(col("__sqr"))))
       .groupBy("vec_id")

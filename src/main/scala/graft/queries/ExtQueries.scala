@@ -3627,6 +3627,38 @@ object ExtQueries {
       emb.where(col("vec_id") % 5 =!= 4),
       emb.where(col("vec_id") % 5 === 4), k = 0, band = 8, tau = 0.4)
   }
+
+  /** The FULLY-STORED semantic-dedup maintenance step (r13 verdict
+    * "What's missing #3" — the `dedup_cluster_stored` playbook on the
+    * SemDeDup structure): the corpus period's close PERSISTS the frozen
+    * cluster structure — live coarse cells, fine-seed arrays, and the
+    * band centroid-proximal representatives per cluster
+    * ([[graft.ext.Similarity.semanticStateTables]]) — and the new
+    * period is screened from the READ-BACK structure alone
+    * ([[graft.ext.Similarity.semanticScreenStoredState]]): old vectors
+    * never re-read, seeds/reps never re-derived; the corpus is touched
+    * only by the batch (pinned). Doubles round-trip parquet exactly,
+    * so the output is bit-identical to `dedup_semantic_incremental`
+    * and shares its oracle. The structure's contract is enforced on
+    * every screen: cells/seeds cell-set equality (a mismatched pair of
+    * period closes silently drops or mis-assigns batch vectors) and a
+    * value-path raise when a cluster carries more than `band` stored
+    * representatives (a wider-band store or a twice-appended reps
+    * table would silently widen the comparison set).
+    */
+  val dedupSemanticStored: QueryFn = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val store = graft.ext.TempStores.newStore("graft-semantic-store")
+    val (cells, seeds, reps) = Similarity.semanticStateTables(
+      emb.where(col("vec_id") % 5 =!= 4), k = 0, band = 8)
+    cells.write.mode("overwrite").parquet(s"$store/cells")
+    seeds.write.mode("overwrite").parquet(s"$store/seeds")
+    reps.write.mode("overwrite").parquet(s"$store/reps")
+    Similarity.semanticScreenStoredState(
+      s.read.parquet(s"$store/cells"), s.read.parquet(s"$store/seeds"),
+      s.read.parquet(s"$store/reps"),
+      emb.where(col("vec_id") % 5 === 4), band = 8, tau = 0.4)
+  }
   val dedupSemanticIncrementalSql: String =
     """WITH corp AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -4396,6 +4428,7 @@ object ExtQueries {
     "ann_ivf_pq"           -> annIvfPq,
     "ann_ivf_pq_refined"   -> annIvfPqRefined,
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
+    "dedup_semantic_stored" -> dedupSemanticStored,
     "text_tokens"          -> textTokens,
     "text_quality"         -> textQuality,
     "text_entropy"         -> textEntropy,
@@ -4528,6 +4561,7 @@ object ExtQueries {
     "ann_ivf_pq"          -> annIvfPqSql,
     "ann_ivf_pq_refined"  -> annIvfPqRefinedSql,
     "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
+    "dedup_semantic_stored" -> dedupSemanticIncrementalSql,
     "text_tokens"         -> textTokensSql,
     "text_quality"        -> textQualitySql,
     "text_entropy"        -> textEntropySql,
