@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,31 +27,94 @@ import org.apache.spark.sql.functions._
   * over the corpus (zero joins); the search scan fans each corpus row
   * out only by the queries that probed ITS cell (~nq·nProbe/nCells per
   * row on average), and the only exchange is the per-query top-k.
+  *
+  * STORED lifecycle (r13 verdict "What's missing #1" — the
+  * `dedup_index_stored`/`dedup_index_append` discipline applied to the
+  * vector index): [[train]] produces the model as two PERSISTABLE
+  * tables (centroids + residual codebook), [[encodeWith]] codes any
+  * corpus slice against the read-back FROZEN model (per-row, so a new
+  * period's codes parquet-APPEND to the store — append IS the merge),
+  * and [[searchFromIndex]] answers a query batch from the read-back
+  * model + code store alone — the corpus vectors are never re-read and
+  * the model never retrained. All model state is doubles/ints, so the
+  * parquet round-trip is exact and the stored search is bit-identical
+  * to [[search]] over the same training set.
   */
 object IvfPq {
 
-  /** Probed ADC search over the composite index, built end-to-end:
-    * coarse quantizer = `Ivf.fit(nCells, 1 Lloyd step)`, residual
-    * codebook = the `k` stride-sampled residuals (`Pq`'s rule), queries
-    * = the `nq` smallest-id corpus vectors (`Pq.search`'s protocol).
-    * Returns (query_id, neighbor_id, adist, rank) — `Pq.search`'s
-    * contract, with candidates restricted to the probed cells.
+  /** Collected centroid map with the model contract enforced on the
+    * load path (the stored-LSH parameter-guard lesson): every cell id
+    * must sit in [0, nCells) and be unique (a twice-appended centroid
+    * store duplicates cells), vectors must be non-null, share one
+    * dimension, and that dimension must split into `m` subspaces. A
+    * store written with different (nCells, m) fails LOUD here, never
+    * silently mis-codes.
     */
-  def search(corpus: DataFrame, nCells: Int = 16, m: Int = 4, k: Int = 16,
-      nq: Int = 5, topK: Int = 10, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val centsDf = Ivf.fit(corpus, nCells, iterations = 1, idCol, vecCol)
-    val assigned = Ivf.assign(corpus, centsDf, idCol, vecCol)
-      .localCheckpoint(true) // read for codebook, codes, AND the scan
-    val cents: Map[Int, Array[Double]] = centsDf.collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+  private def collectCents(centroids: DataFrame, nCells: Int,
+      m: Int): Map[Int, Array[Double]] = {
+    val rows = centroids.select(col("cell").cast("int"), col("cv"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "IvfPq: null cell or centroid vector in the stored model")
+        (r.getInt(0), r.getSeq[Double](1).toArray)
+      }
+    rows.foreach { case (c, _) =>
+      require(c >= 0 && c < nCells,
+        s"IvfPq: stored centroid cell $c outside [0, $nCells) — the " +
+          "model was trained with different nCells")
+    }
+    require(rows.map(_._1).distinct.length == rows.length,
+      "IvfPq: duplicate cell ids in the stored centroid table — the " +
+        "model store was appended twice (a re-closed period)")
+    val dims = rows.map(_._2.length).distinct
+    require(dims.length == 1,
+      s"IvfPq: stored centroids disagree on dimension ($dims)")
+    require(dims.head > 0 && dims.head % m == 0,
+      s"IvfPq: dim ${dims.head} not divisible by m=$m — the model was " +
+        "trained with a different m")
+    rows.toMap
+  }
 
-    // residual codebook: the k stride-sampled residuals in id order
-    // (Pq.codebook's rule, applied to residual space)
+  /** Collected residual codebook with the same enforced contract:
+    * codes in [0, k), unique, ≤ k of them, every codeword of the
+    * centroid dimension.
+    */
+  private def collectCodebook(codebook: DataFrame, k: Int,
+      dim: Int): Array[Array[Double]] = {
+    val rows = codebook.select(col("c").cast("int"), col("cbv"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "IvfPq: null code or codeword in the stored codebook")
+        (r.getInt(0), r.getSeq[Double](1).toArray)
+      }
+      .sortBy(_._1)
+    require(rows.nonEmpty && rows.length <= k,
+      s"IvfPq: stored codebook has ${rows.length} codewords, expected " +
+        s"(0, $k] — built with a different k")
+    rows.foreach { case (c, v) =>
+      require(c >= 0 && c < k,
+        s"IvfPq: stored code $c outside [0, $k) — built with a different k")
+      require(v.length == dim,
+        s"IvfPq: codeword dimension ${v.length} != centroid dim $dim")
+    }
+    require(rows.map(_._1).distinct.length == rows.length,
+      "IvfPq: duplicate codes in the stored codebook — the store was " +
+        "appended twice (a re-closed period)")
+    rows.map(_._2)
+  }
+
+  /** Residual codebook sample: the k stride-sampled residuals of the
+    * TRAINING corpus in id order (Pq.codebook's rule, applied to
+    * residual space). `assigned` is the training corpus with (id, v,
+    * cell); the centroids map supplies the residual base.
+    */
+  private def residualCodebook(assigned: DataFrame,
+      cents: Map[Int, Array[Double]], k: Int): Array[Array[Double]] = {
     val n = assigned.count()
     val stride = math.max(n / k, 1L)
-    val cbook: Array[Array[Double]] = assigned
+    assigned
       .where(col("id") % stride === 0)
       .orderBy("id").limit(k)
       .collect()
@@ -60,12 +123,16 @@ object IvfPq {
         val cv = cents(r.getInt(2))
         Array.tabulate(v.length)(i => v(i) - cv(i))
       }
-    val dim = cbook.headOption.map(_.length).getOrElse(0)
-    require(dim > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
+  }
 
-    // per-row residual PQ codes: one narrow projection (centroids and
-    // codebook broadcast; ties to the smallest code via the packed key)
+  /** Per-row residual PQ coding against the broadcast frozen model
+    * (centroids + codebook) — one narrow projection, ties to the
+    * smallest code via the packed key. Input must carry (id, v, cell).
+    */
+  private def codeAssigned(assigned: DataFrame,
+      cents: Map[Int, Array[Double]], cbook: Array[Array[Double]],
+      m: Int, k: Int, sub: Int): DataFrame = {
+    val spark = assigned.sparkSession
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcCb = spark.sparkContext.broadcast(cbook)
     val kk = k
@@ -85,15 +152,21 @@ object IvfPq {
         (bestKey % kk).toInt
       }
     }
-    val encoded = assigned.select(col("id"), col("cell"),
+    assigned.select(col("id").cast("long").as("id"), col("cell"),
       codesOf(col("v"), col("cell")).as("codes"))
+  }
 
-    // probes: top-nProbe cells per query by exact cosine (Ivf.search's
-    // rule), computed driver-side — nq × nCells pairs
-    val queries: Array[(Long, Array[Double])] = assigned
-      .select(col("id").cast("long").as("id"), col("v"))
-      .orderBy("id").limit(nq).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  /** Probed ADC scan over a coded corpus: per-query residual lookup
+    * tables for the probed cells (driver-built, nq·nProbe tables of
+    * m·k longs), then each coded row answers only the queries probing
+    * ITS cell; the only exchange is the per-query top-k.
+    */
+  private def adcScan(spark: SparkSession, encoded: DataFrame,
+      cents: Map[Int, Array[Double]], cbook: Array[Array[Double]],
+      queries: Array[(Long, Array[Double])], m: Int, k: Int, sub: Int,
+      nProbe: Int, topK: Int): DataFrame = {
+    val mm = m
+    val kk = k
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); sa += a(i) * a(i); sb += b(i) * b(i); i += 1 }
@@ -137,6 +210,136 @@ object IvfPq {
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .where(col("rank") <= topK)
       .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  /** Probed ADC search over the composite index, built end-to-end:
+    * coarse quantizer = `Ivf.fit(nCells, 1 Lloyd step)`, residual
+    * codebook = the `k` stride-sampled residuals (`Pq`'s rule), queries
+    * = the `nq` smallest-id corpus vectors (`Pq.search`'s protocol).
+    * Returns (query_id, neighbor_id, adist, rank) — `Pq.search`'s
+    * contract, with candidates restricted to the probed cells.
+    */
+  def search(corpus: DataFrame, nCells: Int = 16, m: Int = 4, k: Int = 16,
+      nq: Int = 5, topK: Int = 10, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centsDf = Ivf.fit(corpus, nCells, iterations = 1, idCol, vecCol)
+    val assigned = Ivf.assign(corpus, centsDf, idCol, vecCol)
+      .localCheckpoint(true) // read for codebook, codes, AND the scan
+    val cents: Map[Int, Array[Double]] = centsDf.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+
+    val cbook = residualCodebook(assigned, cents, k)
+    val dim = cbook.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+
+    val encoded = codeAssigned(assigned, cents, cbook, m, k, sub)
+
+    // probes: top-nProbe cells per query by exact cosine (Ivf.search's
+    // rule), computed driver-side — nq × nCells pairs
+    val queries: Array[(Long, Array[Double])] = assigned
+      .select(col("id").cast("long").as("id"), col("v"))
+      .orderBy("id").limit(nq).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    adcScan(spark, encoded, cents, cbook, queries, m, k, sub, nProbe, topK)
+  }
+
+  /** Train the IVF+PQ model on `trainCorpus` and return it as two
+    * PERSISTABLE tables: centroids (cell, cv) and the residual
+    * codebook (c, cbv) — the asset a billion-vector deployment writes
+    * once and probes forever. The chain is exactly [[search]]'s:
+    * `Ivf.fit` with one Lloyd step, then the k stride-sampled
+    * residuals of the TRAINING corpus in id order.
+    */
+  def train(trainCorpus: DataFrame, nCells: Int = 16, m: Int = 4,
+      k: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val spark = trainCorpus.sparkSession
+    import spark.implicits._
+    val centsDf = Ivf.fit(trainCorpus, nCells, iterations = 1, idCol, vecCol)
+    val assignedT = Ivf.assign(trainCorpus, centsDf, idCol, vecCol)
+      .localCheckpoint(true) // read for the count AND the stride sample
+    val cents: Map[Int, Array[Double]] = centsDf.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val cbook = residualCodebook(assignedT, cents, k)
+    val dim = cbook.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val cbDf = cbook.zipWithIndex
+      .map { case (v, c) => (c, v.toSeq) }.toSeq.toDF("c", "cbv")
+    (centsDf, cbDf)
+  }
+
+  /** ASSIGN-ONLY coding of a corpus slice against a read-back FROZEN
+    * model — the maintenance step: a new period's vectors are assigned
+    * to their nearest frozen cell and PQ-coded against the frozen
+    * codebook in one narrow per-row projection (no training, no joins,
+    * work ∝ batch). Per-row independence makes parquet APPEND the
+    * whole code-store merge (the `dedup_index_append` property).
+    * Returns (id, cell, codes) — the persistable code-store rows.
+    * The model contract (nCells, m, k, dimensions) is enforced on the
+    * load path ([[collectCents]]/[[collectCodebook]]).
+    */
+  def encodeWith(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, nCells: Int = 16, m: Int = 4, k: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCents(centroids, nCells, m)
+    val dim = cents.head._2.length
+    val cbook = collectCodebook(codebook, k, dim)
+    val assigned = Ivf.assign(corpus, centroids, idCol, vecCol)
+    codeAssigned(assigned, cents, cbook, m, k, dim / m)
+  }
+
+  /** Answer a query batch from the READ-BACK index alone: frozen
+    * centroids + codebook (collected, guarded) and the persisted code
+    * store — the corpus vectors are never in the plan; only the query
+    * batch's own `nq` vectors are read. Bit-identical to [[search]]
+    * over the same training set by construction (shared coding and
+    * scan kernels, exact parquet round-trip).
+    *
+    * Value-path contract on the DISTRIBUTED code store (the stored-LSH
+    * posting-guard shape): every row's cell must sit in [0, nCells)
+    * and its code array must have exactly `m` codes, each in [0, k) —
+    * a store coded under a different (nCells, m, k) raises on the
+    * first scanned row instead of silently indexing the wrong ADC
+    * table cells.
+    */
+  def searchFromIndex(centroids: DataFrame, codebook: DataFrame,
+      codes: DataFrame, queryBatch: DataFrame, nCells: Int = 16,
+      m: Int = 4, k: Int = 16, topK: Int = 10, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    val cents = collectCents(centroids, nCells, m)
+    val dim = cents.head._2.length
+    val cbook = collectCodebook(codebook, k, dim)
+    val queries: Array[(Long, Array[Double])] = queryBatch
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val checked = codes.select(
+      col("id"),
+      when(col("cell") >= 0 && col("cell") < nCells, col("cell"))
+        .otherwise(raise_error(concat(
+          lit("IvfPq.searchFromIndex: stored cell "),
+          coalesce(col("cell").cast("string"), lit("null")),
+          lit(s" outside [0, $nCells) for id "),
+          coalesce(col("id").cast("string"), lit("null")),
+          lit(" — the code store was built with different parameters"))))
+        .as("cell"),
+      when(size(col("codes")) === m &&
+          forall(col("codes"), c => c >= 0 && c < k), col("codes"))
+        .otherwise(raise_error(concat(
+          lit("IvfPq.searchFromIndex: stored code row for id "),
+          coalesce(col("id").cast("string"), lit("null")),
+          lit(s" disagrees with m=$m, k=$k ("),
+          size(col("codes")).cast("string"),
+          lit(" codes, values "),
+          col("codes").cast("string"),
+          lit(") — the code store was built with different parameters"))))
+        .as("codes"))
+    adcScan(spark, checked, cents, cbook, queries, m, k, dim / m,
+      nProbe, topK)
   }
 
   /** IVFADC+R (Jégou et al. 2011 §V "re-ranking"): the standard third

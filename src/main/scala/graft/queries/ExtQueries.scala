@@ -756,9 +756,18 @@ object ExtQueries {
   /** Shared IVFADC CTE chain (through the `adist` candidate table) —
     * `ann_ivf_pq` ranks it directly; `ann_ivf_pq_refined` appends the
     * exact-cosine re-rank of the top-`refineC` shortlist.
+    *
+    * `trainPred` (on `id`) selects the TRAINING slice: the coarse
+    * quantizer's stride init + Lloyd step AND the residual-codebook
+    * sample run over `embT = emb WHERE trainPred`, while coding, the
+    * queries, and the scan stay over the full corpus — exactly
+    * [[graft.ext.IvfPq.train]] on the old periods followed by
+    * [[graft.ext.IvfPq.encodeWith]] of everything (the
+    * `ann_ivf_pq_append` maintenance shape). "TRUE" reproduces the
+    * one-shot chain.
     */
-  private def annIvfPqCtes: String = {
-    def assignCte(cents: String, out: String): String =
+  private def annIvfPqCtes(trainPred: String = "TRUE"): String = {
+    def assignCte(cents: String, out: String, src: String): String =
       s"""${out}_n AS (
          |  SELECT cell, cv,
          |    sqrt(list_reduce(list_transform(cv, x -> x * x), (p, q) -> p + q)) AS nrm
@@ -769,7 +778,7 @@ object ExtQueries {
          |  FROM ${out}_n
          |), ${out}_s AS (
          |  SELECT e.id, e.v, c.cell, ${dotSql("e.v", "c.ncv")} AS s
-         |  FROM emb e CROSS JOIN ${out}_u c
+         |  FROM $src e CROSS JOIN ${out}_u c
          |), $out AS (
          |  SELECT id, v, cell FROM (
          |    SELECT id, v, cell,
@@ -788,8 +797,10 @@ object ExtQueries {
        |  SELECT CAST(vec_id AS BIGINT) AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
-       |), st AS (SELECT greatest(count(*) // 64, 1) AS stride FROM emb),
-       |${mix64Cte("emb", "id, v")},
+       |), embT AS (
+       |  SELECT id, v FROM emb WHERE $trainPred
+       |), st AS (SELECT greatest(count(*) // 64, 1) AS stride FROM embT),
+       |${mix64Cte("embT", "id, v")},
        |picked AS (
        |  SELECT id, v FROM hs, st WHERE ((hv % stride) + stride) % stride = 0
        |), pc AS (SELECT count(*) AS c FROM picked),
@@ -798,14 +809,14 @@ object ExtQueries {
        |  FROM picked WHERE (SELECT c FROM pc) >= 16
        |  UNION ALL
        |  SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS idx
-       |  FROM (SELECT id, v FROM emb ORDER BY id LIMIT 16)
+       |  FROM (SELECT id, v FROM embT ORDER BY id LIMIT 16)
        |  WHERE (SELECT c FROM pc) < 16
        |), stp AS (SELECT greatest(count(*) // 16, 1) AS step FROM base),
        |cents0 AS (
        |  SELECT CAST(idx // step AS INT) AS cell, v AS cv
        |  FROM base, stp WHERE idx % step = 0 AND idx // step < 16
        |),
-       |${assignCte("cents0", "asg0")},
+       |${assignCte("cents0", "asg0", "embT")},
        |lloyd AS (
        |  SELECT cell, d.i AS dim,
        |    CAST(sum(${half6ScaledSql("(v[d.i] * 1000000.0)")}) AS BIGINT) AS sv,
@@ -816,15 +827,17 @@ object ExtQueries {
        |  SELECT cell, list(CAST(sv AS DOUBLE) / 1000000.0 / n ORDER BY dim) AS cv
        |  FROM lloyd GROUP BY cell
        |),
-       |${assignCte("cents1", "asg1")},
+       |${assignCte("cents1", "asg1", "emb")},
        |resid AS (
        |  SELECT a.id, a.cell,
        |    list_transform(generate_series(1, len(a.v)), i -> a.v[i] - c.cv[i]) AS r
        |  FROM asg1 a JOIN cents1 c USING (cell)
-       |), rn0 AS (SELECT greatest(count(*) // 16, 1) AS cstride FROM resid),
+       |), residT AS (
+       |  SELECT id, cell, r FROM resid WHERE $trainPred
+       |), rn0 AS (SELECT greatest(count(*) // 16, 1) AS cstride FROM residT),
        |cb AS (
        |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, r AS cbv
-       |  FROM (SELECT id, r FROM resid, rn0 WHERE id % cstride = 0
+       |  FROM (SELECT id, r FROM residT, rn0 WHERE id % cstride = 0
        |        ORDER BY id LIMIT 16)
        |), dist AS (
        |  SELECT t.id, u.q, cb.c, sum($rTerm) AS d2
@@ -871,7 +884,7 @@ object ExtQueries {
        |)""".stripMargin
   }
 
-  val annIvfPqSql: String = annIvfPqCtes + "\n" +
+  private val annIvfPqRank: String =
     """SELECT query_id, neighbor_id, adist, rank FROM (
       |  SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
       |    CAST(adist AS BIGINT) AS adist,
@@ -879,6 +892,86 @@ object ExtQueries {
       |      ORDER BY adist ASC, neighbor_id ASC) AS BIGINT) AS rank
       |  FROM adist WHERE query_id <> neighbor_id
       |) WHERE rank <= 10""".stripMargin
+
+  val annIvfPqSql: String = annIvfPqCtes() + "\n" + annIvfPqRank
+
+  /** The STORED ANN-index lifecycle (r13 verdict "What's missing #1",
+    * the `dedup_index_stored` playbook on the vector index): the
+    * trained IVF centroids, the residual PQ codebook, and the coded
+    * corpus are PERSISTED to parquet ([[graft.ext.IvfPq.train]] /
+    * [[graft.ext.IvfPq.encodeWith]]), and the query batch is answered
+    * from the READ-BACK index alone
+    * ([[graft.ext.IvfPq.searchFromIndex]]) — the corpus vectors are
+    * out of the answer plan; only the batch's own `nq` query vectors
+    * are read (pinned). Model state is doubles/ints, so the round-trip
+    * is exact and the output is bit-identical to [[annIvfPq]] — it
+    * shares that oracle. The index contract is ENFORCED on every load
+    * (the `Dedup.scala` guard lesson): centroid cells in [0, nCells)
+    * and unique, codebook codes in [0, k) and unique, dimensions
+    * consistent and divisible by m — and on every SCAN of the
+    * distributed code store, a value-path raise when a row's cell or
+    * code array disagrees with (nCells, m, k).
+    */
+  val annIvfPqStored: QueryFn = (s, dir) => {
+    import graft.ext.IvfPq
+    val emb = Tables.embeddings(s, dir)
+    val store = graft.ext.TempStores.newStore("graft-ivfpq-index")
+    val (cents, cb) = IvfPq.train(emb, nCells = 16, m = 4, k = 16)
+    cents.write.mode("overwrite").parquet(s"$store/cents")
+    cb.write.mode("overwrite").parquet(s"$store/codebook")
+    val rCents = s.read.parquet(s"$store/cents")
+    val rCb = s.read.parquet(s"$store/codebook")
+    IvfPq.encodeWith(emb, rCents, rCb, nCells = 16, m = 4, k = 16)
+      .write.mode("overwrite").parquet(s"$store/codes")
+    IvfPq.searchFromIndex(rCents, rCb, s.read.parquet(s"$store/codes"),
+      emb.orderBy("vec_id").limit(5), nCells = 16, m = 4, k = 16,
+      topK = 10, nProbe = 2)
+  }
+
+  /** The ASSIGN-ONLY maintenance step that closes the stored-ANN-index
+    * loop (the `dedup_index_append` discipline on `IvfPq`): the OLD
+    * periods (vec_id % 5 ≠ 4) train the model — centroids + codebook
+    * persisted once — and their codes are written; when the NEW period
+    * (vec_id % 5 = 4) closes, its vectors are coded against the
+    * READ-BACK FROZEN model (one narrow per-row projection — no
+    * retraining, no joins, work ∝ batch) and parquet-APPENDED to the
+    * code store: per-row independence makes append THE merge, old
+    * codes never rewritten, old vectors never re-read. The probe then
+    * answers the standard query batch from the merged store. Append ≡
+    * re-coding everything with the same frozen model by construction,
+    * so the oracle is the one-shot IVFADC chain with its TRAINING
+    * slice restricted to the old periods (`annIvfPqCtes` with
+    * trainPred) — replayed bit-for-bit.
+    */
+  val annIvfPqAppend: QueryFn = (s, dir) => {
+    import graft.ext.IvfPq
+    val emb = Tables.embeddings(s, dir)
+    val store = graft.ext.TempStores.newStore("graft-ivfpq-append")
+    // old periods close: train once, persist the model + their codes
+    // (split on residue 4, not 0: the codebook's id-stride sample keeps
+    // multiples of the stride, and every multiple of a 5-divisible
+    // stride is ≡ 0 (mod 5) — excluding residue 0 from training would
+    // empty the sample; excluding residue 4 never can)
+    val oldC = emb.where(col("vec_id") % 5 =!= 4)
+    val (cents, cb) = IvfPq.train(oldC, nCells = 16, m = 4, k = 16)
+    cents.write.mode("overwrite").parquet(s"$store/cents")
+    cb.write.mode("overwrite").parquet(s"$store/codebook")
+    val rCents = s.read.parquet(s"$store/cents")
+    val rCb = s.read.parquet(s"$store/codebook")
+    IvfPq.encodeWith(oldC, rCents, rCb, nCells = 16, m = 4, k = 16)
+      .write.mode("overwrite").parquet(s"$store/codes")
+    // new period close: assign-only coding with the frozen model, APPEND
+    IvfPq.encodeWith(emb.where(col("vec_id") % 5 === 4), rCents, rCb,
+        nCells = 16, m = 4, k = 16)
+      .write.mode("append").parquet(s"$store/codes")
+    // probe the merged read-back store
+    IvfPq.searchFromIndex(rCents, rCb, s.read.parquet(s"$store/codes"),
+      emb.orderBy("vec_id").limit(5), nCells = 16, m = 4, k = 16,
+      topK = 10, nProbe = 2)
+  }
+
+  val annIvfPqAppendSql: String =
+    annIvfPqCtes("id % 5 <> 4") + "\n" + annIvfPqRank
 
   /** IVFADC+R: exact-cosine re-rank of the top-30 ADC shortlist — the
     * third stage of the billion-scale deployment layout. The shortlist
@@ -890,7 +983,7 @@ object ExtQueries {
       nCells = 16, m = 4, k = 16, nq = 5, topK = 10, nProbe = 2,
       refineC = 30)
 
-  val annIvfPqRefinedSql: String = annIvfPqCtes + ",\n" +
+  val annIvfPqRefinedSql: String = annIvfPqCtes() + ",\n" +
     s"""shortlist AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
@@ -4426,6 +4519,8 @@ object ExtQueries {
     "ann_ivf"              -> annIvf,
     "ann_pq"               -> annPq,
     "ann_ivf_pq"           -> annIvfPq,
+    "ann_ivf_pq_stored"    -> annIvfPqStored,
+    "ann_ivf_pq_append"    -> annIvfPqAppend,
     "ann_ivf_pq_refined"   -> annIvfPqRefined,
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "dedup_semantic_stored" -> dedupSemanticStored,
@@ -4559,6 +4654,8 @@ object ExtQueries {
     "ann_ivf"             -> annIvfSql,
     "ann_pq"              -> annPqSql,
     "ann_ivf_pq"          -> annIvfPqSql,
+    "ann_ivf_pq_stored"   -> annIvfPqSql,
+    "ann_ivf_pq_append"   -> annIvfPqAppendSql,
     "ann_ivf_pq_refined"  -> annIvfPqRefinedSql,
     "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
     "dedup_semantic_stored" -> dedupSemanticIncrementalSql,
