@@ -303,6 +303,37 @@ object Vocab {
     unigramTrainImpl(docs, textCol, emIters, maxPieceLen, maxWordLen,
       topTypes, keepMulti)
 
+  /** Contract-check a READ-BACK unigram model table ((piece, cost6, p)
+    * — the persisted output of [[unigramModel]]) before it scores
+    * lattices: the [[loadBpeMerges]] posture for the second trainer.
+    * A DUPLICATE piece row (a model store appended twice — a re-closed
+    * period) is the silent-corruption case here: [[unigramEncode]]
+    * joins the lattice by piece, so each duplicate multiplies that
+    * piece's occurrence rows, inflates the per-segmentation coverage
+    * count past `nparts`, and silently DROPS every segmentation using
+    * the piece — verdicts flip with no error. Enforced in the value
+    * path: a piece-keyed window raises on the first duplicate (the
+    * stored-LSH posting-guard shape, vocabulary-sized exchange);
+    * null pieces/costs raise in the same projection.
+    */
+  def checkedUnigramModel(model: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("piece")
+    model
+      .withColumn("__np", count(lit(1)).over(w))
+      .select(
+        when(col("piece").isNotNull && col("cost6").isNotNull &&
+            col("__np") === 1, col("piece"))
+          .otherwise(raise_error(concat(
+            lit("checkedUnigramModel: piece "),
+            coalesce(col("piece"), lit("null")),
+            lit(" appears "), col("__np").cast("string"),
+            lit(" times (or carries a null cost) — the model store was " +
+              "appended twice (a re-closed period) or is corrupt; " +
+              "duplicate pieces silently drop every segmentation that " +
+              "uses them")))).as("piece"),
+        col("cost6"), col("p"))
+  }
+
   /** Viterbi ENCODE with a trained unigram model: segment every word
     * type by minimum total piece cost (ties pinned to fewer pieces, then
     * the lexicographically smallest length-signature) and return the

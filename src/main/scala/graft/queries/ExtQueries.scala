@@ -1141,6 +1141,29 @@ object ExtQueries {
       unigramTrained(s, dir), maxPieceLen = 3, maxWordLen = 8,
       topTypes = 2000)
 
+  /** The stored-tokenizer lifecycle on the SECOND trainer (the
+    * `tokenize_bpe_stored` posture for the unigram LM): the trained
+    * piece table (piece, cost6, p) is persisted at period close and a
+    * later corpus is Viterbi-encoded against the READ-BACK model — the
+    * encode already consumes the model as a TABLE
+    * ([[graft.ext.Vocab.unigramEncode]] joins the lattice by piece),
+    * so the stored variant swaps the in-JVM memo for the parquet
+    * store behind a value-path contract check
+    * ([[graft.ext.Vocab.checkedUnigramModel]]): duplicate piece rows —
+    * a twice-appended store — would silently inflate per-segmentation
+    * coverage counts and DROP every segmentation using the piece, so
+    * they raise instead. Decimals round-trip parquet exactly, so the
+    * output is bit-identical to [[tokenizeUnigram]] and shares its
+    * oracle.
+    */
+  val tokenizeUnigramStored: QueryFn = (s, dir) => {
+    val store = graft.ext.TempStores.newStore("graft-unigram-model")
+    unigramTrained(s, dir).write.mode("overwrite").parquet(store)
+    graft.ext.Vocab.unigramEncode(Tables.documents(s, dir), "text",
+      graft.ext.Vocab.checkedUnigramModel(s.read.parquet(store)),
+      maxPieceLen = 3, maxWordLen = 8, topTypes = 2000)
+  }
+
   private def unigramCtes: String = {
     // one EM iteration: pieces p$prev -> pieces p$n (cost6 + p)
     def emStage(n: Int, prev: String): String =
@@ -4536,6 +4559,7 @@ object ExtQueries {
     "vocab_bpe"            -> vocabBpe,
     "vocab_unigram"        -> vocabUnigram,
     "vocab_wordpiece"      -> vocabWordpiece,
+    "tokenize_unigram_stored" -> tokenizeUnigramStored,
     "tokenize_unigram"     -> tokenizeUnigram,
     "tokenize_bpe"         -> tokenizeBpe,
     "tokenize_bpe_stored"  -> tokenizeBpeStored,
@@ -4672,6 +4696,7 @@ object ExtQueries {
     "vocab_unigram"       -> vocabUnigramSql,
     "vocab_wordpiece"     -> vocabWordpieceSql,
     "tokenize_unigram"    -> tokenizeUnigramSql,
+    "tokenize_unigram_stored" -> tokenizeUnigramSql,
     "tokenize_bpe"        -> tokenizeBpeSql,
     "tokenize_bpe_stored" -> tokenizeBpeSql,
     "vocab_fertility"     -> vocabFertilitySql,

@@ -245,6 +245,32 @@ class Round14Spec extends AnyFunSuite with SparkTest with GuardLogging {
     assert(msgs(e).exists(_.contains("not a BPE merge table")), e.getMessage)
   }
 
+  test("encoding from the persisted unigram model equals encoding from " +
+      "the in-JVM trained model; a twice-appended store raises") {
+    val docs = syntheticTextDocs(24)
+    val model = Vocab.unigramModel(docs, "text", emIters = 1,
+      maxPieceLen = 3, maxWordLen = 8, topTypes = 200, keepMulti = 40)
+    val store = TempStores.newStore("unigram-model-spec")
+    model.write.mode("overwrite").parquet(store)
+    val direct = Vocab.unigramEncode(docs, "text", model,
+        maxPieceLen = 3, maxWordLen = 8, topTypes = 200)
+      .as[(String, Long)].collect().toSet
+    val stored = Vocab.unigramEncode(docs, "text",
+        Vocab.checkedUnigramModel(spark.read.parquet(store)),
+        maxPieceLen = 3, maxWordLen = 8, topTypes = 200)
+      .as[(String, Long)].collect().toSet
+    assert(stored == direct,
+      "read-back model must encode exactly like the trained one")
+    model.write.mode("append").parquet(store)
+    val e = intercept[Exception] {
+      quietly(Vocab.unigramEncode(docs, "text",
+        Vocab.checkedUnigramModel(spark.read.parquet(store)),
+        maxPieceLen = 3, maxWordLen = 8, topTypes = 200).collect())
+    }
+    assert(msgs(e).exists(_.contains("appended twice")),
+      s"expected the duplicate-piece contract raise, got: $e")
+  }
+
   // ---- fully-stored semantic dedup (r13 verdict "Next round #4") ----------
 
   private def writeSemanticStore(corpus: DataFrame, store: String,
