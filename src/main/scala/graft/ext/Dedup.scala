@@ -104,6 +104,39 @@ object Dedup {
         xxhash64(concat_ws(",",
           slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("h")))
 
+  /** One-pass MinHash signature projection `(id, sig)` — the shared
+    * front of every LSH chain. Shingle hashing and the signature are
+    * BOTH native one-pass kernels (TextShingles, MinHashSig), so they
+    * compose as one expression tree — each evaluated once per row, no
+    * HOF lambda fan-out. NOT checkpointed here: callers materialize it
+    * ONCE (eager localCheckpoint) and derive index tables, batch pairs,
+    * and probes from the SAME signature table — at 100 TB the corpus
+    * scan + signature pass is the dominant cost, so a query composing
+    * several LSH stages must never pay it per stage (optimization r14:
+    * the stored-lifecycle queries previously recomputed it 2-3×).
+    */
+  def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64): DataFrame =
+    DataOps.parallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), MinHashSig.minhash_signature(
+        TextShingles.word_shingle_hashes(col("__t"), 3), numHashes).as("sig"))
+
+  /** Band-posting rows `(id, band, h)` derived from a signature table —
+    * the persistable half of the LSH index. The bucket join downstream
+    * carries ONLY (band, h, id): the 64-long signatures are re-attached
+    * once per surviving pair, not fanned out per band — the difference
+    * between a narrow and a catastrophic shuffle at scale.
+    */
+  def bandedFromSigs(sigs: DataFrame, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sigs
+      .select(col("id"),
+        explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with estimated Jaccard >= `threshold`.
     *
     * Pipeline: shingle -> signature -> band-explode -> bucket self-join
@@ -115,28 +148,27 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Long = 500): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // Shingle hashing and the signature are BOTH native one-pass kernels
-    // (TextShingles, MinHashSig), so they compose as one expression tree —
-    // each evaluated once per row, no HOF lambda fan-out — and need only a
-    // single projection + ONE plan barrier. (The barrier still matters: the
-    // signature feeds both the band-explode and the per-pair re-attach, and
-    // without the localCheckpoint the whole scan->shingle->sig chain
-    // would re-run once per downstream branch. Eager for the same reason
-    // as ngramJaccardPairs below: lazy materialization inside the
-    // consuming job races task completions against SQLMetrics GC.)
-    val sigs = DataOps.parallelismFloor(
-        df.select(col(idCol).as("id"), col(textCol).as("__t")))
-      .select(col("id"), MinHashSig.minhash_signature(
-        TextShingles.word_shingle_hashes(col("__t"), 3), numHashes).as("sig"))
+    // ONE plan barrier after the signature projection. (The barrier
+    // matters: the signature feeds both the band-explode and the per-pair
+    // re-attach, and without the localCheckpoint the whole
+    // scan->shingle->sig chain would re-run once per downstream branch.
+    // Eager for the same reason as ngramJaccardPairs below: lazy
+    // materialization inside the consuming job races task completions
+    // against SQLMetrics GC.)
+    val sigs = minhashSigs(df, idCol, textCol, numHashes)
       .localCheckpoint(true)
+    minhashPairsFromSigs(sigs, numHashes, bands, threshold, maxBucket)
+  }
 
-    // Bucket join carries ONLY (band, h, id): the 64-long signatures are
-    // re-attached once per surviving pair, not fanned out per band — the
-    // difference between a narrow and a catastrophic shuffle at scale.
-    val banded = sigs
-      .select(col("id"), explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
-      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  /** The batch LSH chain from a PRE-MATERIALIZED signature table (the
+    * body of [[minhashPairs]] after its signature pass — callers that
+    * compose several LSH stages over one corpus share the signature
+    * checkpoint instead of recomputing it per stage).
+    */
+  def minhashPairsFromSigs(sigs: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Long = 500): DataFrame = {
+    val banded = bandedFromSigs(sigs, numHashes, bands)
 
     // Skew guard: a bucket holding b docs fans out b² candidate pairs; an
     // over-full bucket means the band carries no signal for this corpus
@@ -189,6 +221,17 @@ object Dedup {
     minhashProbeTagged(sigs, numHashes, bands, threshold, maxBucket)
   }
 
+  /** [[minhashPairsIncremental]] from a PRE-MATERIALIZED tagged
+    * signature table `(id, __new, sig)` — same probe core (fan-out ∝
+    * the new batch), shared signature pass (see [[minhashSigs]]).
+    */
+  def minhashPairsIncrementalFromSigs(taggedSigs: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Long = 500): DataFrame =
+    minhashProbeTagged(
+      taggedSigs.select(col("id"), col("__new"), col("sig")),
+      numHashes, bands, threshold, maxBucket)
+
   /** The LSH index of a corpus, as two PERSISTABLE id-sized tables:
     * `(id, sig)` signatures and `(id, band, h)` band-bucket postings —
     * exactly the state [[minhashPairsIncremental]] derives from text on
@@ -199,17 +242,9 @@ object Dedup {
     */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16): (DataFrame, DataFrame) = {
-    val rowsPerBand = numHashes / bands
-    val sigs = DataOps.parallelismFloor(
-        df.select(col(idCol).as("id"), col(textCol).as("__t")))
-      .select(col("id"), MinHashSig.minhash_signature(
-        TextShingles.word_shingle_hashes(col("__t"), 3), numHashes).as("sig"))
+    val sigs = minhashSigs(df, idCol, textCol, numHashes)
       .localCheckpoint(true)
-    val banded = sigs
-      .select(col("id"),
-        explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
-      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    (sigs, banded)
+    (sigs, bandedFromSigs(sigs, numHashes, bands))
   }
 
   /** Probe a NEW batch against a STORED LSH index: near-dup pairs with
@@ -239,9 +274,22 @@ object Dedup {
   def minhashPairsFromStoredIndex(oldSigs: DataFrame, oldBanded: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Long = 500): DataFrame =
+    minhashPairsFromStoredIndexSigs(oldSigs, oldBanded,
+      minhashSigs(newDocs, idCol, textCol, numHashes).localCheckpoint(true),
+      numHashes, bands, threshold, maxBucket)
+
+  /** [[minhashPairsFromStoredIndex]] with the NEW batch's signatures
+    * supplied as a PRE-MATERIALIZED `(id, sig)` table (callers that
+    * already computed the full corpus's signatures once pass the new
+    * slice instead of re-deriving it from text — see [[minhashSigs]]).
+    * Identical guards, identical probe core, identical output.
+    */
+  def minhashPairsFromStoredIndexSigs(oldSigs: DataFrame,
+      oldBanded: DataFrame, newSigs: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Long = 500): DataFrame = {
-    val (newSigs, newBanded) =
-      minhashIndex(newDocs, idCol, textCol, numHashes, bands)
+    val newBanded = bandedFromSigs(newSigs, numHashes, bands)
     def checkedSig(side: String): Column =
       when(size(col("sig")) === numHashes, col("sig"))
         .otherwise(raise_error(concat(

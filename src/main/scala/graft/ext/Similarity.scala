@@ -292,9 +292,89 @@ object Similarity {
     * rows) regardless of corpus size — the corpus is touched only by the
     * one covariance pass that produced the input.
     */
-  def topEigenvector(cov: DataFrame, iterations: Int): DataFrame = {
+  def topEigenvector(cov: DataFrame, iterations: Int,
+      driverMaxEntries: Int = 2000000): DataFrame = {
     require(iterations >= 1)
     val scale = 1000000L
+    // Driver-local fast path (optimization r14): the input is
+    // dimension-bounded (d² entries — [[covarianceMatrix]] even builds it
+    // as a LOCAL relation), yet the distributed loop below pays
+    // 2 jobs × iteration (checkpoint + max-agg) plus the Rayleigh pass
+    // over a table of a few thousand rows. When the matrix fits
+    // comfortably on the driver (d ≤ ~1400 at the default — every
+    // realistic embedding dimensionality), run the IDENTICAL scaled-long
+    // iteration locally: every step is exact integer arithmetic (the
+    // same wrap/truncation semantics as the distributed sums), and the
+    // closing float expressions are evaluated by the SAME Spark
+    // projection over a local one-row frame — bit-identical output, zero
+    // distributed jobs. Above the threshold the distributed path runs
+    // unchanged (the input contract there is corpus-independent anyway:
+    // d² rows).
+    val localRows = cov
+      .select(col("i").cast("long"), col("j").cast("long"),
+        expr("CAST(floor(cov * 1000000.0 + 0.5) AS BIGINT)").as("c"))
+      .limit(driverMaxEntries + 1).collect()
+    if (localRows.nonEmpty && localRows.length <= driverMaxEntries) {
+      val spark = cov.sparkSession
+      // symmetrize exactly like the distributed `full` union below
+      val entries = localRows.flatMap { r =>
+        val (i, j, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        if (i != j) Seq((i, j, c), (j, i, c)) else Seq((i, j, c))
+      }
+      val idx = entries.map(_._1).distinct.sorted
+      val pos = idx.zipWithIndex.toMap
+      val d = idx.length
+      // adjacency as (row -> (colPos, c)) for the exact mat-vec
+      val byRow = Array.fill(d)(List.empty[(Int, Long)])
+      entries.foreach { case (i, j, c) =>
+        byRow(pos(i)) = (pos(j), c) :: byRow(pos(i))
+      }
+      def matVecL(v: Array[Long]): Array[Long] = {
+        val u = new Array[Long](d)
+        var r = 0
+        while (r < d) {
+          var s = 0L
+          byRow(r).foreach { case (cp, c) => s += c * v(cp) }
+          u(r) = s
+          r += 1
+        }
+        u
+      }
+      var v = Array.fill(d)(scale)
+      for (_ <- 1 to iterations) {
+        val u = matVecL(v)
+        var maxAbs = 0L
+        u.foreach(x => { val a = math.abs(x); if (a > maxAbs) maxAbs = a })
+        val m = math.max(1L, maxAbs / scale)
+        v = u.map(x => if (x < 0) -((-x) / m) else x / m)
+      }
+      val uF = matVecL(v)
+      var num = BigInt(0); var den = BigInt(0)
+      var r = 0
+      while (r < d) {
+        num += BigInt(v(r)) * BigInt(uF(r))
+        den += BigInt(v(r)) * BigInt(v(r))
+        r += 1
+      }
+      // final float expressions evaluated by Spark itself over a local
+      // frame — the same expression strings as the distributed path
+      import org.apache.spark.sql.types._
+      val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](d)
+      idx.indices.foreach { k =>
+        outRows.add(org.apache.spark.sql.Row(idx(k), v(k),
+          new java.math.BigDecimal(num.bigInteger),
+          new java.math.BigDecimal(den.bigInteger)))
+      }
+      val schema = StructType(Seq(
+        StructField("i", LongType), StructField("v", LongType),
+        StructField("num", DecimalType(38, 0)),
+        StructField("den", DecimalType(38, 0))))
+      return spark.createDataFrame(outRows, schema)
+        .select(col("i"), col("v").as("v_scaled"),
+          expr("CAST(v AS DOUBLE) / 1000000.0").as("v"),
+          expr("round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0, 6)")
+            .as("lambda"))
+    }
     val full = cov
       .select(col("i"), col("j"),
         expr("CAST(floor(cov * 1000000.0 + 0.5) AS BIGINT)").as("c"))

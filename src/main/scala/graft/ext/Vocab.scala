@@ -672,8 +672,11 @@ object Vocab {
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = toks.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = toks.select(explode(col("t")).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
+    // |vocab| = the unigram table's row count (one row per distinct
+    // token by construction) — optimization r14: the previous
+    // countDistinct re-exploded every token of the corpus a THIRD time
+    // for a number the vocab-sized `uni` table already carries.
+    val vocab = uni.agg(count(lit(1)).as("v"))
     val model = bc.join(uni, Seq("w1")).crossJoin(broadcast(vocab))
       .withColumn("nll6",
         round(-log((col("c12") + lit(1)).cast("double") /

@@ -1210,14 +1210,21 @@ object EvalQueries {
     */
   val dedupClusterIncremental: QueryFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val allPairs = graft.ext.Dedup
-      .minhashPairs(docs, "doc_id", "text")
-      .select(col("id_a"), col("id_b"))
-    val basePairs = allPairs
+    // ONE signature pass (optimization r14): the batch chain (standing
+    // labels) and the incremental probe previously each re-derived the
+    // full corpus's signatures from text — the corpus-scan-dominated
+    // cost at 100 TB, paid twice. Both stages now read one materialized
+    // signature table; the probe keeps its fan-out-∝-batch shape, and
+    // the __new tag is re-derived from the id (bit-identical to tagging
+    // at scan time — it is a pure function of doc_id).
+    val sigs = graft.ext.Dedup.minhashSigs(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val basePairs = graft.ext.Dedup.minhashPairsFromSigs(sigs)
       .where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+      .select(col("id_a"), col("id_b"))
     val baseLabels = graft.ext.Dedup.components(basePairs)
-    val newPairs = graft.ext.Dedup.minhashPairsIncremental(
-      docs, col("doc_id") % 5 === 0, "doc_id", "text")
+    val newPairs = graft.ext.Dedup.minhashPairsIncrementalFromSigs(
+      sigs.select(col("id"), (col("id") % 5 === 0).as("__new"), col("sig")))
     graft.ext.Dedup.componentsIncremental(baseLabels, newPairs)
       .select(col("id"), col("cluster_id"))
   }
@@ -1250,14 +1257,22 @@ object EvalQueries {
     */
   val dedupIndexStored: QueryFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val (sigs, banded) = graft.ext.Dedup.minhashIndex(
-      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    // ONE signature pass over the corpus (optimization r14): the old
+    // slice's store rows and the new slice's probe signatures are both
+    // filters of the same materialized table — previously two separate
+    // scan+signature chains (each with its own checkpoint). The store
+    // contents and the probe output are bit-identical: a signature is a
+    // pure row-local function of the text.
+    val sigs = graft.ext.Dedup.minhashSigs(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val sigsOld = sigs.where(col("id") % 5 =!= 0)
     val store = graft.ext.TempStores.newStore("graft-lsh-index")
-    sigs.write.mode("overwrite").parquet(s"$store/sigs")
-    banded.write.mode("overwrite").parquet(s"$store/banded")
-    graft.ext.Dedup.minhashPairsFromStoredIndex(
+    sigsOld.write.mode("overwrite").parquet(s"$store/sigs")
+    graft.ext.Dedup.bandedFromSigs(sigsOld)
+      .write.mode("overwrite").parquet(s"$store/banded")
+    graft.ext.Dedup.minhashPairsFromStoredIndexSigs(
       s.read.parquet(s"$store/sigs"), s.read.parquet(s"$store/banded"),
-      docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      sigs.where(col("id") % 5 === 0))
   }
 
   /** The FULLY-STORED cluster maintenance step — the r12 audit's last
@@ -1280,23 +1295,34 @@ object EvalQueries {
   val dedupClusterStored: QueryFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val store = graft.ext.TempStores.newStore("graft-cluster-store")
+    // ONE signature pass over the corpus (optimization r14): the
+    // persisted index rows (old slice), the standing-label batch chain
+    // (full corpus), and the probe's new-slice signatures previously
+    // each re-derived signatures from text — THREE scan+signature
+    // chains for one corpus. All three now read one materialized
+    // signature table; store contents, labels, and probe output are
+    // bit-identical (a signature is a pure row-local function of the
+    // text). The probe+fold still reads ONLY stored state + the new
+    // batch's signatures.
+    val sigs = graft.ext.Dedup.minhashSigs(docs, "doc_id", "text")
+      .localCheckpoint(true)
     // period-N close: persist the index...
-    val (sigs, banded) = graft.ext.Dedup.minhashIndex(
-      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
-    sigs.write.mode("overwrite").parquet(s"$store/sigs")
-    banded.write.mode("overwrite").parquet(s"$store/banded")
+    val sigsOld = sigs.where(col("id") % 5 =!= 0)
+    sigsOld.write.mode("overwrite").parquet(s"$store/sigs")
+    graft.ext.Dedup.bandedFromSigs(sigsOld)
+      .write.mode("overwrite").parquet(s"$store/banded")
     // ...and the standing labels (old-old pairs under the full-corpus
     // bucket gate — batch parity, exactly dedup_cluster_incremental's
     // base state)
-    val basePairs = graft.ext.Dedup.minhashPairs(docs, "doc_id", "text")
+    val basePairs = graft.ext.Dedup.minhashPairsFromSigs(sigs)
       .where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
       .select(col("id_a"), col("id_b"))
     graft.ext.Dedup.components(basePairs)
       .write.mode("overwrite").parquet(s"$store/labels")
     // period N+1: probe + fold, ALL standing state read from the store
-    val newPairs = graft.ext.Dedup.minhashPairsFromStoredIndex(
+    val newPairs = graft.ext.Dedup.minhashPairsFromStoredIndexSigs(
       s.read.parquet(s"$store/sigs"), s.read.parquet(s"$store/banded"),
-      docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      sigs.where(col("id") % 5 === 0))
     graft.ext.Dedup.componentsIncremental(
         s.read.parquet(s"$store/labels"), newPairs)
       .select(col("id"), col("cluster_id"))
@@ -1321,22 +1347,30 @@ object EvalQueries {
   val dedupIndexAppend: QueryFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val store = graft.ext.TempStores.newStore("graft-lsh-append")
+    // ONE signature pass over the corpus (optimization r14): period A's
+    // write, period B's append, and period C's probe signatures are all
+    // filters of the same materialized table — previously three
+    // scan+signature chains. Store contents (A's files, then B's
+    // appended files) and the probe are bit-identical; the append
+    // semantics (A's rows never rewritten) are unchanged — the two
+    // writes stay separate parquet jobs in the same overwrite/append
+    // order.
+    val sigs = graft.ext.Dedup.minhashSigs(docs, "doc_id", "text")
+      .localCheckpoint(true)
     // period A close: write the index
-    val (sigsA, bandedA) = graft.ext.Dedup.minhashIndex(
-      docs.where(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
-      "doc_id", "text")
+    val sigsA = sigs.where(col("id") % 5 === 1 || col("id") % 5 === 2)
     sigsA.write.mode("overwrite").parquet(s"$store/sigs")
-    bandedA.write.mode("overwrite").parquet(s"$store/banded")
+    graft.ext.Dedup.bandedFromSigs(sigsA)
+      .write.mode("overwrite").parquet(s"$store/banded")
     // period B close: APPEND — A's rows untouched, work ∝ period B
-    val (sigsB, bandedB) = graft.ext.Dedup.minhashIndex(
-      docs.where(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
-      "doc_id", "text")
+    val sigsB = sigs.where(col("id") % 5 === 3 || col("id") % 5 === 4)
     sigsB.write.mode("append").parquet(s"$store/sigs")
-    bandedB.write.mode("append").parquet(s"$store/banded")
+    graft.ext.Dedup.bandedFromSigs(sigsB)
+      .write.mode("append").parquet(s"$store/banded")
     // period C probes the merged store alone
-    graft.ext.Dedup.minhashPairsFromStoredIndex(
+    graft.ext.Dedup.minhashPairsFromStoredIndexSigs(
       s.read.parquet(s"$store/sigs"), s.read.parquet(s"$store/banded"),
-      docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      sigs.where(col("id") % 5 === 0))
   }
 
   /** Chi-squared independence of language × source — the sampling-skew
