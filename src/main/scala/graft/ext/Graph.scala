@@ -1244,12 +1244,31 @@ object Graph {
     * least the pivot's component.
     */
   def scc(edges: DataFrame, maxPeels: Int = 50,
-      maxHops: Int = 200, driverMaxEdges: Long = 5000000L): DataFrame = {
+      maxHops: Int = 200, driverMaxEdges: Long = 5000000L,
+      entryHandoff: Boolean = true): DataFrame = {
     require(maxPeels >= 1 && maxHops >= 1)
     val e0 = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    // Entry hand-off (optimization r14): when the WHOLE graph already
+    // fits the documented driver budget (the same `driverMaxEdges` bound
+    // [[sccResidual]] collects under — primitive arrays, ≈16 B/edge),
+    // run iterative Tarjan immediately instead of paying 50-120
+    // distributed peel/fixpoint jobs first and handing the residual over
+    // anyway. Output-identical by construction: every path (coloring
+    // peel, functional doubling, FW-BW, Tarjan) labels an SCC by its
+    // minimum node id. Above the threshold — the 100 TB regime — the
+    // peel loop below runs unchanged; nodes ≤ 2·edges always, so the
+    // edge count alone gates the hand-off, and the node set is derived
+    // from the collected endpoints (skipping the distributed
+    // distinct-nodes exchange entirely — active = endpoints of e0 by
+    // construction). `entryHandoff = false` is a TEST dial: the spec
+    // suites force the peel/residual paths on graphs that would
+    // otherwise take this shortcut.
+    val e0N = e0.count()
+    if (entryHandoff && e0N > 0 && e0N <= driverMaxEdges)
+      return sccTarjanDriverEdges(e0)
     var active = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
@@ -1520,7 +1539,6 @@ object Graph {
     * matching [[scc]]'s labeling contract. */
   private def sccTarjanDriver(active: DataFrame,
       eact: DataFrame): DataFrame = {
-    val spark = eact.sparkSession
     val nodes = active.select(col("node"))
       .collect().map(_.getLong(0))
     // collect edges into PRIMITIVE long arrays immediately — no boxed
@@ -1536,6 +1554,37 @@ object Graph {
       }
       (a, b) // Row array unreachable past this block — only longs retained
     }
+    sccTarjanCore(eact.sparkSession, nodes, esrc, edst)
+  }
+
+  /** [[sccTarjanDriver]] when the caller has ONLY the edge frame (the
+    * entry hand-off of [[scc]]): one collect, node set derived from the
+    * endpoints on the driver — the graph's node set IS the endpoint set
+    * there (isolated nodes cannot exist in an edge-derived graph). */
+  private def sccTarjanDriverEdges(eact: DataFrame): DataFrame = {
+    val (esrc, edst) = {
+      val erows = eact.select(col("src"), col("dst")).collect()
+      val a = new Array[Long](erows.length)
+      val b = new Array[Long](erows.length)
+      var j = 0
+      while (j < erows.length) {
+        a(j) = erows(j).getLong(0); b(j) = erows(j).getLong(1); j += 1
+      }
+      (a, b)
+    }
+    val seen = new java.util.HashSet[java.lang.Long](esrc.length * 2)
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](esrc.length)
+    var j = 0
+    while (j < esrc.length) {
+      if (seen.add(esrc(j))) buf += esrc(j)
+      if (seen.add(edst(j))) buf += edst(j)
+      j += 1
+    }
+    sccTarjanCore(eact.sparkSession, buf.toArray, esrc, edst)
+  }
+
+  private def sccTarjanCore(spark: org.apache.spark.sql.SparkSession,
+      nodes: Array[Long], esrc: Array[Long], edst: Array[Long]): DataFrame = {
     val m = esrc.length
     var k = 0
     val n = nodes.length

@@ -231,7 +231,11 @@ object Joins {
     * Cost is name-length× expansion of the key stream, nothing more.
     */
   def fuzzySelfJoinLev1(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
-    val names = df.select(col(idCol).as("__id"), col(nameCol).as("__n"))
+    // parallelism floor (optimization r14): the variant explode + hash is
+    // the CPU of this join, and a single-file input otherwise runs it in
+    // 1-2 scan tasks — spread it across the cluster before the fan-out
+    val names = DataOps.parallelismFloor(
+      df.select(col(idCol).as("__id"), col(nameCol).as("__n")))
     // The exchange carries (8-byte key hash, id) ONLY — variant strings are
     // hashed before the shuffle, so key-stream volume is 16 bytes × (len+1)
     // per record regardless of name length. A hash collision can only ADD a

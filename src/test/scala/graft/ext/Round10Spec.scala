@@ -38,7 +38,10 @@ class Round10Spec extends AnyFunSuite with SparkTest {
     val edges = braidedSpine(levels).toDF("src", "dst")
     // maxHops far below the 10k-hop fixpoint the spine would need —
     // forces the round-9 behavior (throw) into the round-10 fallback
-    val got = Graph.scc(edges, maxPeels = 5, maxHops = 25)
+    // (entryHandoff off: the r14 entry shortcut would otherwise take
+    // this small graph straight to Tarjan without exercising the stall)
+    val got = Graph.scc(edges, maxPeels = 5, maxHops = 25,
+        entryHandoff = false)
       .as[(Long, Long)].collect().toMap
     val want = (0 until levels).flatMap { i =>
       Seq(2L * i -> 2L * i, (2L * i + 1) -> 2L * i)
@@ -428,11 +431,19 @@ class Round10Spec extends AnyFunSuite with SparkTest {
         .filter { case (s, d) => s != d }.distinct
       if (edges.nonEmpty) {
         val df = edges.toDF("src", "dst").cache()
-        val viaColoring = Graph.scc(df)
+        // entryHandoff=false keeps this the COLORING path (the r14
+        // entry shortcut would silently turn it into Tarjan-vs-Tarjan)
+        val viaColoring = Graph.scc(df, entryHandoff = false)
           .as[(Long, Long)].collect().toMap
-        val viaTarjan = Graph.scc(df, maxPeels = 50, maxHops = 1)
+        val viaTarjan = Graph.scc(df, maxPeels = 50, maxHops = 1,
+            entryHandoff = false)
+          .as[(Long, Long)].collect().toMap
+        // the default path (r14 entry hand-off — what graph_scc runs)
+        // must agree with both
+        val viaEntry = Graph.scc(df)
           .as[(Long, Long)].collect().toMap
         assert(viaColoring == viaTarjan, s"trial $trial: n=$n m=$m")
+        assert(viaEntry == viaColoring, s"trial $trial entry: n=$n m=$m")
         df.unpersist()
       }
     }

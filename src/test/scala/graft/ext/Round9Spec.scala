@@ -436,7 +436,11 @@ class Round9Spec extends AnyFunSuite with SparkTest {
 
   private def sccMap(edges: Seq[(Long, Long)],
       maxPeels: Int = 50): Map[Long, Long] =
-    Graph.scc(edges.toDF("src", "dst"), maxPeels = maxPeels)
+    // entryHandoff=false: these tests pin the DISTRIBUTED deep-chain
+    // escapes (functional doubling, bulk trim); the r14 entry shortcut
+    // would otherwise take these small graphs straight to driver Tarjan
+    Graph.scc(edges.toDF("src", "dst"), maxPeels = maxPeels,
+        entryHandoff = false)
       .as[(Long, Long)].collect().toMap
 
   test("scc: 2000-node id-ordered chain (the old diameter trap) — all singletons") {

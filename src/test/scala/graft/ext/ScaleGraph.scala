@@ -216,7 +216,7 @@ object ScaleGraph {
       .select(lit(0L).as("src"), (col("id") * 8).as("dst"))
     val dedges = cyc.unionByName(bridges).localCheckpoint()
     val sccRow = t("scc") {
-      Graph.scc(dedges, maxPeels = 5, maxHops = 40)
+      Graph.scc(dedges, maxPeels = 5, maxHops = 40, entryHandoff = false)
         .agg(count(lit(1)).as("n"),
           sum(when(col("scc") === col("node") - (col("node") % 8), 1L)
             .otherwise(0L)).as("ok"))
@@ -238,7 +238,7 @@ object ScaleGraph {
       .select(col("id").as("src"), (col("id") + 1).as("dst"))
       .localCheckpoint()
     val chainRow = t("scc-deep-chain") {
-      Graph.scc(chain, maxPeels = 5, maxHops = 40)
+      Graph.scc(chain, maxPeels = 5, maxHops = 40, entryHandoff = false)
         .agg(count(lit(1)).as("n"),
           sum(when(col("scc") === col("node"), 1L).otherwise(0L)).as("ok"))
         .collect().head
@@ -251,7 +251,7 @@ object ScaleGraph {
       spark.range(1).select(lit(nc - 1).as("src"), lit(0L).as("dst")))
       .localCheckpoint()
     val ringRow = t("scc-deep-ring") {
-      Graph.scc(ring, maxPeels = 5, maxHops = 40)
+      Graph.scc(ring, maxPeels = 5, maxHops = 40, entryHandoff = false)
         .agg(count(lit(1)).as("n"),
           sum(when(col("scc") === 0L, 1L).otherwise(0L)).as("ok"))
         .collect().head
