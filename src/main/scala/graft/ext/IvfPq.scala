@@ -111,8 +111,12 @@ object IvfPq {
     * cell); the centroids map supplies the residual base.
     */
   private def residualCodebook(assigned: DataFrame,
-      cents: Map[Int, Array[Double]], k: Int): Array[Array[Double]] = {
-    val n = assigned.count()
+      cents: Map[Int, Array[Double]], k: Int,
+      precounted: Option[Long] = None): Array[Array[Double]] = {
+    // `precounted` = the TRAINING-corpus row count when the caller has
+    // already filtered `assigned` down to the stride sample (the filter
+    // below is then a no-op over it — same stride, same rows)
+    val n = precounted.getOrElse(assigned.count())
     val stride = math.max(n / k, 1L)
     assigned
       .where(col("id") % stride === 0)
@@ -258,11 +262,24 @@ object IvfPq {
     val spark = trainCorpus.sparkSession
     import spark.implicits._
     val centsDf = Ivf.fit(trainCorpus, nCells, iterations = 1, idCol, vecCol)
-    val assignedT = Ivf.assign(trainCorpus, centsDf, idCol, vecCol)
-      .localCheckpoint(true) // read for the count AND the stride sample
     val cents: Map[Int, Array[Double]] = centsDf.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-    val cbook = residualCodebook(assignedT, cents, k)
+    // Codebook sample WITHOUT a full-corpus assignment pass (optimization
+    // r14): the stride sample only keeps k rows, and nearest-cell
+    // assignment is a pure per-row projection — so filter the corpus to
+    // the sampled ids FIRST and assign only those k rows, instead of
+    // assigning + checkpointing the whole training corpus to then throw
+    // all but k rows away. Same rows, same assignment math, same id
+    // order — the codebook is bit-identical; at scale this removes one
+    // full corpus pass + materialization from every training run.
+    val slim = trainCorpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val n = slim.count()
+    val stride = math.max(n / k, 1L)
+    val sampled = slim.where(col("id") % stride === 0)
+      .orderBy("id").limit(k)
+    val assignedS = Ivf.assign(sampled, centsDf, "id", vecCol)
+    val cbook = residualCodebook(assignedS, cents, k, precounted = Some(n))
     val dim = cbook.headOption.map(_.length).getOrElse(0)
     require(dim > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
     val cbDf = cbook.zipWithIndex

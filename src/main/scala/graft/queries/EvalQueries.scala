@@ -1219,12 +1219,25 @@ object EvalQueries {
     // at scan time — it is a pure function of doc_id).
     val sigs = graft.ext.Dedup.minhashSigs(docs, "doc_id", "text")
       .localCheckpoint(true)
-    val basePairs = graft.ext.Dedup.minhashPairsFromSigs(sigs)
+    // ONE LSH chain (optimization r14, step 2): the standing labels need
+    // the FULL pair set anyway (old-old slice), and the incremental
+    // probe's output is BY CONSTRUCTION the same full chain filtered to
+    // new-side pairs (the documented [[Dedup.minhashPairsIncremental]]
+    // equality — `dedup_minhash_incremental`'s oracle literally pins it:
+    // full chain SQL + `WHERE id_a % 5 = 0 OR id_b % 5 = 0`). So run the
+    // banded/window/bucket-join chain once and slice it twice, instead
+    // of paying the bucket gate + candidate join + signature verify a
+    // second time for the probe. The production posture — probe a STORED
+    // index without any full chain — is `dedup_cluster_stored`'s job;
+    // this in-query variant rebuilds the full chain for the oracle
+    // replay regardless, so sharing it is pure savings.
+    val allPairs = graft.ext.Dedup.minhashPairsFromSigs(sigs)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val basePairs = allPairs
       .where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
-      .select(col("id_a"), col("id_b"))
     val baseLabels = graft.ext.Dedup.components(basePairs)
-    val newPairs = graft.ext.Dedup.minhashPairsIncrementalFromSigs(
-      sigs.select(col("id"), (col("id") % 5 === 0).as("__new"), col("sig")))
+    val newPairs = allPairs
+      .where(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
     graft.ext.Dedup.componentsIncremental(baseLabels, newPairs)
       .select(col("id"), col("cluster_id"))
   }
