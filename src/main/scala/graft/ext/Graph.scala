@@ -724,7 +724,8 @@ object Graph {
     * forest and label state are node-count-sized. An early-exit probe
     * on the checkpointed cross-component edge set skips the no-op tail.
     */
-  def maxSpanningForest(edges: DataFrame, rounds: Int = 16): DataFrame = {
+  def maxSpanningForest(edges: DataFrame, rounds: Int = 16,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
     // weight must be NUMERIC (ADVICE r12 #4): a string w would flow
     // through the max_by total order ranking LEXICOGRAPHICALLY ("9" >
     // "10") — a silently wrong forest, so reject it up front
@@ -744,6 +745,46 @@ object Graph {
     val e0 = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"), wChecked.as("w"))
       .localCheckpoint(true)
+    // Entry hand-off (optimization r14, the [[scc]] precedent): under a
+    // consistent total order (w desc, a asc, b asc) the MSF is UNIQUE —
+    // the scaladoc above already relies on that for engine-invariance —
+    // so Kruskal over the collected edge list computes EXACTLY the
+    // forest the Borůvka rounds converge to. When the edge list fits
+    // the documented driver budget (24 B/edge at the default — the
+    // `components` union-find convention), one collect + one linear
+    // union-find pass replaces 4-6 distributed rounds of join/argmax/
+    // fold jobs. The null-weight raise still fires (the checkpoint above
+    // materializes the checked projection); above the threshold the
+    // Borůvka loop below runs unchanged. driverMaxEdges=0 is the spec
+    // dial that pins the distributed path (incl. the rounds-too-few
+    // loud failure, which the driver path never needs).
+    val e0N = e0.count()
+    if (e0N > 0 && e0N <= driverMaxEdges) {
+      val rows = e0.collect()
+      def wb(r: org.apache.spark.sql.Row): java.math.BigDecimal =
+        new java.math.BigDecimal(r.get(2).toString)
+      val sorted = rows.sortWith { (x, y) =>
+        val c = wb(x).compareTo(wb(y))
+        if (c != 0) c > 0 // w desc
+        else if (x.getLong(0) != y.getLong(0)) x.getLong(0) < y.getLong(0)
+        else x.getLong(1) < y.getLong(1)
+      }
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        if (!parent.contains(x)) parent(x) = x
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val kept = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      sorted.foreach { r =>
+        val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+        if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); kept.add(r) }
+      }
+      return edges.sparkSession.createDataFrame(kept, e0.schema)
+    }
     val nodes = e0.select(col("a").as("node"))
       .unionByName(e0.select(col("b").as("node"))).distinct()
     var labels = nodes.select(col("node").as("id"),

@@ -60,14 +60,39 @@ class Round12Spec extends AnyFunSuite with SparkTest with GuardLogging {
     // partial forest
     val edges = Seq((1L, 2L, 10L), (2L, 3L, 1L), (3L, 4L, 10L))
       .toDF("a", "b", "w")
+    // driverMaxEdges=0 pins the DISTRIBUTED Borůvka path (the r14
+    // Kruskal entry hand-off always completes, so the loud failure is a
+    // Borůvka-path contract)
     val e = intercept[IllegalStateException] {
-      Graph.maxSpanningForest(edges, rounds = 1)
+      Graph.maxSpanningForest(edges, rounds = 1, driverMaxEdges = 0L)
     }
     assert(e.getMessage.contains("cross-component edges remain"))
     // and with enough rounds the same graph completes to the full tree
-    val ok = Graph.maxSpanningForest(edges, rounds = 2)
+    val ok = Graph.maxSpanningForest(edges, rounds = 2, driverMaxEdges = 0L)
       .as[(Long, Long, Long)].collect().toSet
     assert(ok == Set((1L, 2L, 10L), (2L, 3L, 1L), (3L, 4L, 10L)))
+  }
+
+  test("maxSpanningForest: driver Kruskal hand-off ≡ distributed Borůvka " +
+      "on 10 random weighted graphs (ties included)") {
+    val rnd = new scala.util.Random(271828)
+    for (trial <- 0 until 10) {
+      val n = 20 + rnd.nextInt(60)
+      val m = n + rnd.nextInt(2 * n)
+      // small weight range on purpose: exercises the (w, a, b) tie-break
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          rnd.nextInt(5).toLong))
+        .filter { case (a, b, _) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b", "w").cache()
+        val viaKruskal = Graph.maxSpanningForest(df)
+          .as[(Long, Long, Long)].collect().toSet
+        val viaBoruvka = Graph.maxSpanningForest(df, driverMaxEdges = 0L)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(viaKruskal == viaBoruvka, s"trial $trial: n=$n m=$m")
+        df.unpersist()
+      }
+    }
   }
 
   // ---- conformalThreshold: no slice drops (ADVICE r11 #2) -----------------
