@@ -200,12 +200,27 @@ object Ranking {
     */
   def rboOverlap(a: DataFrame, b: DataFrame, k: Int = 10,
       p: Double = 0.9): DataFrame = {
-    def topk(df: DataFrame, out: String) =
-      graft.cardano.SurrogateIds.withSequence(
-          df.orderBy(col("score").desc, col("doc_id").asc).limit(k)
-            .select(col("doc_id"), col("score")),
-          "__seq", Seq(col("score").desc, col("doc_id").asc))
-        .select(col("doc_id"), (col("__seq") + 1L).as(out))
+    // The truncated lists are ≤ k rows BY CONSTRUCTION (k is a small
+    // constant — the truncation depth), so rank assignment is
+    // driver-local (optimization r14): TakeOrdered already returns the
+    // rows IN the pinned (score desc, doc_id asc) order, and ranking a
+    // k-row array on the driver replaces a range-repartition +
+    // zipWithIndex pipeline (3-4 jobs per side) whose input can never
+    // outgrow k. The corpus-sized work stays in the upstream scorers.
+    def topk(df: DataFrame, out: String) = {
+      val spark = df.sparkSession
+      val rows = df.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+        .select(col("doc_id")).collect()
+      val idField = df.schema("doc_id")
+      val ranked = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        ranked.add(org.apache.spark.sql.Row(r.get(0), i + 1L))
+      }
+      spark.createDataFrame(ranked, org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = "doc_id"),
+        org.apache.spark.sql.types.StructField(out,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     topk(a, "ra").join(topk(b, "rb"), Seq("doc_id"))
       .select(greatest(col("ra"), col("rb")).as("m"))
       .agg(count(lit(1)).as("n_common"),
